@@ -1,0 +1,151 @@
+"""End-to-end pipeline tests on a miniature synthetic hour of door2door-shaped
+JSONL (FIXTURES.md §1), including idempotency: running the same hour twice
+leaves the warehouse unchanged (reference semantics via deterministic key +
+upsert, src/helper/helper.py:144-148 + src/helper/postgres.py:173-181)."""
+
+import datetime as dt
+import json
+import uuid
+
+import pytest
+
+from door2door_etl_spark.pipeline.bookkeeping import (
+    DEFAULT_START_HOUR,
+    Bookkeeping,
+)
+from door2door_etl_spark.pipeline.executor import (
+    check_inputs_consistency,
+    run_workflow,
+)
+
+HOUR = dt.datetime(2022, 11, 24, 10, 0, 0)
+
+
+def _vehicle(i, minute, org="org-1"):
+    return {
+        "event": "update",
+        "on": "vehicle",
+        "at": f"2022-11-24T10:{minute:02d}:00.000Z",
+        "organization_id": org,
+        "data": {
+            "id": f"00000000-0000-0000-0000-{i:012d}",
+            "location": {"lat": 52.0 + i, "lng": 13.0 + i, "at": f"2022-11-24T10:{minute:02d}:00.000Z"},
+        },
+    }
+
+
+def _period(pid, org="org-1"):
+    return {
+        "event": "create",
+        "on": "operating_period",
+        "at": "2022-11-24T10:00:00.000Z",
+        "organization_id": org,
+        "data": {
+            "id": pid,
+            "start": "2022-11-24T08:00:00.000Z",
+            "finish": "2022-11-24T20:00:00.000Z",
+        },
+    }
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    lines = [
+        json.dumps(_vehicle(1, 4)),
+        json.dumps(_vehicle(2, 5)),
+        json.dumps(_vehicle(1, 4)),  # exact duplicate -> dedup by derived key
+        "",  # blank line -> skipped
+        "{not valid json",  # malformed -> dropped with PERMISSIVE policy
+        json.dumps(_period("op_1")),
+        json.dumps({"event": "x", "on": "mystery", "at": "2022-11-24T10:06:00Z",
+                    "organization_id": "org-1", "data": {"id": "q"}}),
+        # outside the hour bucket -> filtered by P1
+        json.dumps(_vehicle(9, 4) | {"at": "2022-11-24T11:30:00.000Z"}),
+    ]
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "file-a.json").write_text("\n".join(lines))
+    return str(src / "*.json")
+
+
+def test_check_inputs_consistency():
+    check_inputs_consistency("all", None)
+    with pytest.raises(ValueError):
+        check_inputs_consistency("handler", None)
+    with pytest.raises(ValueError):
+        check_inputs_consistency("bogus", None)
+
+
+def test_workflow_end_to_end_and_idempotent(spark, tmp_path, landing):
+    lake = str(tmp_path / "lake")
+    wid = str(uuid.uuid4())
+    summary = run_workflow(spark, landing, lake, workflow_id=wid, fetch_hour=HOUR)
+
+    assert summary["bronze_path"].endswith("dt=2022-11-24/hr=10")
+    assert summary["merged"] == {"vehicle_location": 2, "operating_periods": 1}
+
+    veh = spark.read.parquet(f"{lake}/warehouse/vehicle_location")
+    assert veh.count() == 2
+    assert set(veh.columns) == {
+        "event_generated_id", "vehicle_id", "event_timestamp", "event_operation",
+        "organization_id", "vehicle_latitude", "vehicle_longitude",
+        "vehicle_location_timestamp", "original_s3_file_path",
+    }
+    first = {r["vehicle_id"]: r for r in veh.collect()}
+    assert first["00000000-0000-0000-0000-000000000001"]["vehicle_latitude"] == 53.0
+
+    # Replay the same hour under a new workflow id -> warehouse unchanged.
+    wid2 = str(uuid.uuid4())
+    run_workflow(spark, landing, lake, workflow_id=wid2, fetch_hour=HOUR)
+    veh2 = spark.read.parquet(f"{lake}/warehouse/vehicle_location")
+    assert veh2.count() == 2
+    assert spark.read.parquet(f"{lake}/warehouse/operating_periods").count() == 1
+
+    # Quarantine row recorded for the unknown entity.
+    handler_log = spark.read.parquet(f"{lake}/monitor/handler_executions")
+    quarantined = handler_log.filter("destination_table = '__quarantine__'")
+    assert quarantined.count() == 2  # one per run
+    assert quarantined.first()["records_inserted"] == 1
+
+
+def test_watermark_cold_start_and_advance(spark, tmp_path, landing):
+    lake = str(tmp_path / "lake")
+    book = Bookkeeping(spark, f"{lake}/monitor")
+    assert book.next_fetch_hour() == DEFAULT_START_HOUR
+
+    wid = str(uuid.uuid4())
+    run_workflow(spark, landing, lake, workflow_id=wid, fetch_hour=HOUR)
+    assert book.next_fetch_hour() == HOUR + dt.timedelta(hours=1)
+    assert book.ingestor_output_path(wid).endswith("hr=10")
+    assert book.ingestor_output_path("no-such-workflow") is None
+
+
+def test_failed_hour_excluded_from_watermark(spark, tmp_path):
+    book = Bookkeeping(spark, str(tmp_path / "monitor"))
+    book.record_ingestor("w1", HOUR, 3, "/p1")
+    book.record_ingestor("w2", HOUR + dt.timedelta(hours=1), 0, None,
+                         traceback="boom")
+    assert book.last_successful_fetch_hour("ingestor") == HOUR
+    assert book.next_fetch_hour() == HOUR + dt.timedelta(hours=1)
+
+
+def test_upsert_updates_existing_keys(spark, tmp_path, landing):
+    """Second batch with same key but new values -> UPDATE semantics (K1)."""
+    lake = str(tmp_path / "lake")
+    run_workflow(spark, landing, lake, workflow_id=str(uuid.uuid4()), fetch_hour=HOUR)
+
+    # New landing file: same vehicle+timestamp (same derived key), new lng.
+    amended = _vehicle(1, 4)
+    amended["data"]["location"]["lng"] = 99.9
+    src = tmp_path / "landing2"
+    src.mkdir()
+    (src / "file-b.json").write_text(json.dumps(amended))
+    run_workflow(
+        spark, str(src / "*.json"), lake,
+        workflow_id=str(uuid.uuid4()), fetch_hour=HOUR,
+    )
+
+    veh = spark.read.parquet(f"{lake}/warehouse/vehicle_location")
+    assert veh.count() == 2  # still two keys
+    updated = veh.filter("vehicle_id = '00000000-0000-0000-0000-000000000001'").first()
+    assert updated["vehicle_longitude"] == 99.9  # new row won
