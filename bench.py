@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Headline set: the flagship scan-agg (tpch q1), join-heavy (q3/q5),
+pushdown filter-agg (q6), the ETL stream rollup + window, and one of each
+north-star family (minhash signatures, ANN top-k, text features) — the mix a
+100 TB deployment actually runs.  Each query's wall time is end-to-end
+(plan + execute + collect-to-count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
+    "etl_hourly_rollup",
+    "etl_latest_event_per_user",
+    "etl_surrogate_key_dedup",
+    "ns_dedup_exact",
+    "ns_minhash_signatures",
+    "ns_simhash",
+    "ns_ann_bruteforce_topk",
+    "ns_text_features",
+    "ns_embedding_neardup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from door2door_etl_spark.queries.catalog import QUERIES
+    from door2door_etl_spark.session import build_session
+
+    spark = build_session(app_name="door2door-bench")
+    # Warm the JVM + parquet footers with one tiny action so query timings
+    # measure execution, not session bring-up.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,9 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
-            )
+            # Integer division: the ns epoch (~1.7e18) exceeds double's exact
+            # integer range, so `/ 1000` + floor would drift by ±1 µs.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

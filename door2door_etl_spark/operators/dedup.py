@@ -1,0 +1,333 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (north-star pack).
+
+Design for 100 TB:
+- **Exact** dedup is a single hash-shuffle on the content digest; the digest
+  (sha256) is computed map-side so the shuffle carries 64-byte keys, not
+  documents.
+- **MinHash signatures** are computed *shuffle-free* as array expressions per
+  row (no explode): k minima over the shingle array.  The only shuffle is the
+  LSH band-bucket self-join, whose key (band index + band digest) is small
+  and uniformly distributed by construction — no skew.
+- **SimHash** uses an explode + partial-aggregated groupBy (map-side combine
+  keeps the shuffle at one row per (doc, 32 bit-votes)).
+- **n-gram Jaccard** avoids the O(n²) cross join via rare-shingle blocking:
+  only shingles whose document frequency is below a cap generate candidate
+  pairs — frequency capping is exactly what keeps the blow-up bounded on
+  skewed corpora.
+- **Embedding near-dup** blocks on a coarse quantization cell (here the
+  provided ``label`` column, standing in for an IVF/k-means cell id) so the
+  pairwise cosine runs within cells only.
+
+Every operator is pure built-in expressions (portable hashes: sha256/md5),
+so each has an exact DuckDB-SQL twin in queries.catalog for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.operators.text import shingles
+from door2door_etl_spark.operators.similarity import cosine_similarity
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical content by sha256 digest; canonical id = min id.
+
+    Returns (content_sha, canonical_id, n_copies).  ``dropDuplicates`` on the
+    digest gives the dedup itself; returning groups keeps the lineage."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """k-permutation MinHash as an ``array<string>`` of length ``num_hashes``.
+
+    Hash family: ``sha256(shingle || '#' || i)`` with the lexicographic MIN
+    over shingles — a uniform hash to hex strings, so the min is a valid
+    minwise sample.  Computed per-row with no shuffle (SURVEY-level docs
+    fit comfortably in a codegen expression; for multi-MB docs switch to the
+    explode+groupBy formulation)."""
+    sh = shingles(text, shingle_n)
+
+    def hasher(i: int):
+        # NB: the lambda must be unary — PySpark passes the array index to
+        # binary lambdas, which would silently override the hash seed.
+        return lambda s: F.sha2(F.concat(s, F.lit(f"#{i}")), 256)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per band; band_key is the digest of
+    the band's signature slice."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.sha2(
+                    F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows)), 256
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    The band self-join is an equi-join on (band_idx, band_key): small keys,
+    hash-partitioned, AQE-coalesced.  Collision probability for a pair with
+    Jaccard j is 1-(1-j^r)^b — the standard S-curve."""
+    bt = minhash_band_table(df, text_col, id_col, num_hashes, bands, shingle_n)
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_similarity_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates scored by estimated Jaccard = fraction of matching
+    signature components (the MinHash estimator)."""
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    sigs = df.select(F.col(id_col), sig.alias("sig"))
+    cands = minhash_lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    a = sigs.alias("sa")
+    b = sigs.alias("sb")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
+        .join(b, cands.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+# -- n-gram Jaccard with rare-shingle blocking ------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 20,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-``n``-gram sets for candidate pairs
+    blocked on a shared *rare* shingle (document frequency ≤ ``max_df``).
+
+    Blocking bound: each rare shingle generates ≤ max_df·(max_df-1)/2
+    candidates, so the join cannot blow up on stop-shingles — the standard
+    frequency-capped inverted-index trick."""
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
+        )
+    )
+    set_sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
+            F.col("df_cnt") <= max_df
+        ),
+        "sh",
+    ).select(id_col, "sh")
+
+    a = rare.alias("ra")
+    b = rare.alias("rb")
+    cands = (
+        a.join(
+            b,
+            (F.col("ra.sh") == F.col("rb.sh"))
+            & (F.col(f"ra.{id_col}") < F.col(f"rb.{id_col}")),
+        )
+        .select(F.col(f"ra.{id_col}").alias("id_a"), F.col(f"rb.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    # Exact intersection size over ALL distinct shingles of the candidates.
+    inter = (
+        sh.alias("xa")
+        .join(sh.alias("xb"), (F.col("xa.sh") == F.col("xb.sh")) & (F.col(f"xa.{id_col}") < F.col(f"xb.{id_col}")))
+        .groupBy(F.col(f"xa.{id_col}").alias("id_a"), F.col(f"xb.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = set_sizes.alias("za")
+    sb = set_sizes.alias("zb")
+    out = (
+        cands.join(inter, ["id_a", "id_b"])
+        .join(sa, F.col("id_a") == F.col(f"za.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_cnt")
+                / (F.col("za.set_size") + F.col("zb.set_size") - F.col("inter_cnt"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def _nibble(hex_col: Column, idx: int) -> Column:
+    """Value 0-15 of the idx-th (0-based) hex digit."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(hex_col, idx + 1, 1)) - 1
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document from md5(token) bit votes.
+
+    Bit b of a token = bit (b mod 4) of hex nibble (b div 4) of the first 8
+    hex chars of md5(token).  Votes are weighted by token multiplicity
+    (explode keeps duplicates); vote > 0 ⇒ bit set.  The groupBy partial-
+    aggregates map-side, so the shuffle is one row per doc."""
+    from door2door_etl_spark.operators.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            (F.floor(_nibble(h, b // 4) / F.lit(2 ** (b % 4))) % 2) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    simhash = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    return voted.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ ``max_hamming`` on 32-bit SimHash.
+
+    Blocked on equal high-16 bits (one LSH table); a production version adds
+    rotated tables for full recall at the same per-table cost."""
+    sh = simhash32(df, text_col, id_col)
+    blocked = sh.withColumn("blk", F.floor(F.col("simhash") / F.lit(65536)))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine within coarse blocks.
+
+    ``block_col`` is the quantization cell (IVF cell / k-means cluster id —
+    the testdata ships one as ``label``).  Pairwise cosine runs only within a
+    cell: O(Σ cell²) instead of O(n²); at 100 TB the cells come from a
+    trained coarse quantizer and the same plan applies."""
+    a = df.alias("a")
+    b = df.alias("b")
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

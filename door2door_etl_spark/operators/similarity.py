@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (north-star pack).
+
+Embeddings are ``array<float>`` columns; all math is done JVM-side with
+higher-order array functions in **double** precision (both engines — Spark
+and the DuckDB oracle — accumulate in double, so results agree to ~1e-15 and
+survive rounding to 6 decimals).
+
+Two search paths:
+- :func:`brute_force_topk` — exact cosine top-k: one broadcast of the query
+  vector, one scan, one ordered take.  The correctness baseline, and at
+  100 TB still the right plan for one-off queries (scan-bound, no index).
+- :func:`ivf_topk` — IVF-style two-stage search: score coarse cells by the
+  query·centroid inner product, then run exact cosine only inside the best
+  ``nprobe`` cells.  The testdata's ``label`` column stands in for the coarse
+  quantizer's cell assignment; in production the cells come from k-means and
+  the same plan applies (scan prunes to nprobe/ncells of the data —
+  partition the table by cell id and the pruning happens at the file level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Inner product in double precision (zip_with + aggregate: codegen'd,
+    no UDF)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``id_col == query_id``.
+
+    The single query row is broadcast (a 1-row build side); ranking rounds to
+    6 decimals with the id as tie-break so the result set is deterministic
+    across engines and partitionings."""
+    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        df.filter(F.col(id_col) != F.lit(query_id))
+        .join(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def cell_scores(
+    df: DataFrame,
+    query_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Coarse stage: score each cell by avg(query · member) = query · centroid
+    (inner-product IVF scoring; linearity avoids materializing centroids)."""
+    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    return (
+        df.join(F.broadcast(query))
+        .groupBy(cell_col)
+        .agg(F.round(F.avg(dot(F.col(vec_col), F.col("__qvec"))), 6).alias("cell_score"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the ``nprobe`` best cells.
+
+    Recall < 1 by construction (that is the IVF trade); determinism comes
+    from rounded scores with id tie-breaks at both stages."""
+    cells = cell_scores(df, query_id, vec_col, id_col, cell_col)
+    probe = (
+        cells.orderBy(F.desc("cell_score"), F.col(cell_col)).limit(nprobe).select(cell_col)
+    )
+    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        df.join(F.broadcast(probe), cell_col)
+        .filter(F.col(id_col) != F.lit(query_id))
+        .join(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.col(cell_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

@@ -1,0 +1,184 @@
+"""Text-analysis operators over a document corpus (north-star pack).
+
+Everything here is pure built-in ``pyspark.sql.functions`` — no Python UDFs —
+so plans stay inside whole-stage codegen and scale linearly with executors.
+Each operator has an exactly-equivalent ANSI-SQL formulation (used by the
+DuckDB oracle, see queries.catalog), which is why the primitives below are
+deliberately "portable" (regexp tokenization, md5/sha256 hashes, arithmetic
+on hex nibbles) rather than JVM-specific hashes like xxhash64.
+
+Operators:
+- tokenization + token counting (whitespace/punctuation regex, BPE-ish
+  subword count estimate);
+- quality scoring (length, punctuation ratio, stopword ratio, mean word
+  length) — the standard cheap heuristics used to filter LLM training text;
+- language identification via stopword-list hit rates (n-gram-free heuristic
+  chosen because it is deterministic and SQL-expressible; a char-n-gram
+  profile model plugs into the same shape);
+- document fingerprinting: min-hash over word shingles (winnowing-style
+  "rarest shingle" fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenizer contract shared with the oracle SQL: lowercase, split on runs of
+#: non-alphanumerics, drop empty tokens.
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+
+#: Tiny per-language stopword lists for the heuristic language scorer.  The
+#: lists only need to be deterministic and disjoint-ish, not linguistically
+#: exhaustive — swap for real lists (or a char-trigram profile) in production.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"],
+    "zh": ["de", "shi", "bu", "le", "wo", "you", "zai", "ta", "men", "zhe"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """``array<string>`` of normalized tokens (shared contract with oracle)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda x: x != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def subword_count_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate without a vocabulary: count word pieces of
+    up to 4 chars — ``sum(ceil(len(word)/4))`` — a standard cheap proxy for
+    LLM token budgeting (≈ chars/4 but word-boundary aware)."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def char_stats(col: Column) -> dict[str, Column]:
+    """Character-level quality signals."""
+    n_chars = F.length(col)
+    n_alpha = F.length(F.regexp_replace(F.lower(col), "[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(col, "[^.,;:!?'\"()-]", ""))
+    n_space = F.length(F.regexp_replace(col, "[^ \\t\\n]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "n_space": n_space,
+    }
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    words = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic for training-data filtering.
+
+    score = 0.25*len_ok + 0.25*alpha_ratio + 0.25*(1-punct_ratio_excess)
+            + 0.25*word_len_ok
+    where len_ok rewards 100-10000 chars, alpha_ratio is alphabetic density,
+    punct excess penalizes >10% punctuation, word_len_ok rewards mean word
+    length in [3, 12].  Deterministic, portable, vectorized.
+    """
+    stats = char_stats(col)
+    n = stats["n_chars"]
+    len_ok = F.when((n >= 100) & (n <= 10000), F.lit(1.0)).otherwise(
+        F.when(n < 100, n / F.lit(100.0)).otherwise(F.lit(10000.0) / n)
+    )
+    alpha_ratio = F.when(n > 0, stats["n_alpha"] / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, stats["n_punct"] / n).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (punct_ratio - F.lit(0.1)) * F.lit(5.0))
+    )
+    mwl = mean_word_length(col)
+    word_len_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * punct_ok
+        + F.lit(0.25) * word_len_ok
+    )
+
+
+def language_scores(col: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword hit-count; input to :func:`predict_language`."""
+    toks = tokens(col)
+    out = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        out.append((lang, F.size(F.filter(toks, lambda t: t.isin(words)))))
+    return out
+
+
+def predict_language(col: Column) -> Column:
+    """Argmax language by stopword hits; ties break alphabetically; zero hits
+    -> 'und' (undetermined).  Deterministic and SQL-portable."""
+    scores = language_scores(col)
+    # greatest hit count
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so that alphabetically-first language wins ties
+    for lang, score in reversed(scores):
+        pred = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Word ``n``-gram shingles as an array of space-joined strings.
+
+    Implemented with sequence+transform over the token array (no explode →
+    no row blow-up until the caller chooses to)."""
+    toks = tokens(col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
+    return F.when(
+        k >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def fingerprint(col: Column, n: int = 5) -> Column:
+    """Winnowing-style document fingerprint: lexicographic min of
+    ``sha256(shingle)`` — stable under shingle reordering, portable to SQL
+    (string MIN over the same hashes)."""
+    hashed = F.transform(shingles(col, n), lambda s: F.sha2(s, 256))
+    return F.array_min(hashed)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append the full feature set as columns."""
+    col = F.col(text_col)
+    stats = char_stats(col)
+    return (
+        df.withColumn("token_cnt", token_count(col))
+        .withColumn("subword_est", subword_count_estimate(col))
+        .withColumn("alpha_cnt", stats["n_alpha"])
+        .withColumn("punct_cnt", stats["n_punct"])
+        .withColumn("stopword_frac", stopword_ratio(col))
+        .withColumn("mean_word_len", mean_word_length(col))
+        .withColumn("quality", quality_score(col))
+        .withColumn("lang_pred", predict_language(col))
+        .withColumn("doc_fingerprint", fingerprint(col))
+    )

@@ -1,0 +1,484 @@
+"""North-star operator catalog: dedup, similarity search, text analysis,
+multimodal columns (BASELINE.json extensions; SURVEY.md §7 step 8).
+
+Every query here exercises one operator from operators/{dedup,similarity,
+text,multimodal}.py end-to-end, with a DuckDB oracle generated from the same
+portable contract (queries.sql_fragments).  The one deliberately oracle-less
+entry is the mapInPandas multimodal feature extraction — Python-side batch
+logic the driver checks rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.readers import load_table
+from door2door_etl_spark.operators import dedup as D
+from door2door_etl_spark.operators import similarity as S
+from door2door_etl_spark.operators import text as X
+from door2door_etl_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_features,
+)
+from door2door_etl_spark.queries.defs import QueryDef
+from door2door_etl_spark.queries.sql_fragments import (
+    sql_cosine,
+    sql_dot,
+    sql_minhash_component,
+    sql_shingles,
+    sql_tokens,
+)
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_N = 3
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.exact_dedup_groups(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# -- MinHash ----------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature digest per doc — hash-checks the full MinHash chain."""
+    docs = load_table(spark, sf, "documents")
+    sig = D.minhash_signature(F.col("text"), NUM_HASHES, SHINGLE_N)
+    return docs.select(
+        "doc_id", F.sha2(F.concat_ws("|", sig), 256).alias("sig_digest")
+    )
+
+
+def _sql_minhash_signatures() -> str:
+    sh = sql_shingles("text", SHINGLE_N)
+    comps = " || '|' || ".join(
+        sql_minhash_component("sh", i) for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT doc_id, sha256({comps}) AS sig_digest FROM shingled
+"""
+
+
+def q_lsh_band_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding statistics: bucket counts per band (validates banding)."""
+    docs = load_table(spark, sf, "documents")
+    bt = D.minhash_band_table(docs, num_hashes=NUM_HASHES, bands=BANDS,
+                             shingle_n=SHINGLE_N)
+    per_bucket = bt.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return per_bucket.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket_size"),
+    )
+
+
+def _sql_lsh_band_buckets() -> str:
+    sh = sql_shingles("text", SHINGLE_N)
+    band_rows = []
+    for b in range(BANDS):
+        comps = " || '|' || ".join(
+            sql_minhash_component("sh", b * ROWS_PER_BAND + i)
+            for i in range(ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key FROM shingled"
+        )
+    union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+bands AS ({union}),
+per_bucket AS (
+  SELECT band_idx, band_key, count(*) AS bucket_size
+  FROM bands GROUP BY 1, 2)
+SELECT band_idx, count(*) AS n_buckets, max(bucket_size) AS max_bucket_size
+FROM per_bucket GROUP BY 1
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs with the MinHash Jaccard estimate.  An empty
+    result on a corpus with no near-dups is the *correct* answer (the
+    band-bucket stats query above proves the machinery on the same data)."""
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_similarity_pairs(
+        docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N
+    )
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    sh = sql_shingles("text", SHINGLE_N)
+    sig = ", ".join(
+        f"{sql_minhash_component('sh', i)} AS h{i}" for i in range(NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        comps = " || '|' || ".join(
+            f"h{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key FROM sigs"
+        )
+    union = "\nUNION ALL\n".join(band_rows)
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (SELECT doc_id, {sig} FROM shingled),
+bands AS ({union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, ({matches}) / {float(NUM_HASHES)} AS est_jaccard
+FROM cands
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+"""
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+JACCARD_MAX_DF = 20
+JACCARD_TOPK = 20
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k most-similar pairs by exact shingle Jaccard (rare-shingle
+    blocked); deterministic order (jaccard desc, ids)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF
+    ).withColumn("jaccard", F.round(F.col("jaccard"), 6))
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(JACCARD_TOPK)
+
+
+def _sql_ngram_jaccard_topk() -> str:
+    sh = sql_shingles("text", SHINGLE_N)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+dfreq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
+         WHERE dfreq.c <= {JACCARD_MAX_DF}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+  round(inter.inter_cnt / (za.set_size + zb.set_size - inter.inter_cnt), 6)
+    AS jaccard
+FROM cands c
+JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+ORDER BY jaccard DESC, c.id_a, c.id_b
+LIMIT {JACCARD_TOPK}
+"""
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.simhash32(docs)
+
+
+def _sql_simhash_cte() -> str:
+    toks = sql_tokens("text")
+    votes = []
+    for b in range(32):
+        nib = f"(instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+        votes.append(f"sum({bit} * 2 - 1) AS v{b}")
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM hashed GROUP BY doc_id),
+sim AS (SELECT doc_id, {bits} AS simhash FROM votes)
+"""
+
+
+def _sql_simhash() -> str:
+    return f"WITH {_sql_simhash_cte()} SELECT doc_id, simhash FROM sim"
+
+
+SIMHASH_MAX_HAMMING = 10
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.simhash_near_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _sql_simhash_near_pairs() -> str:
+    return f"""
+WITH {_sql_simhash_cte()},
+blocked AS (SELECT doc_id, simhash,
+                   CAST(floor(simhash / 65536) AS BIGINT) AS blk FROM sim)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# -- embedding near-dup + similarity search ---------------------------------
+
+NEARDUP_MIN_COSINE = 0.2
+ANN_QUERY_ID = 0
+ANN_K = 10
+IVF_NPROBE = 2
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return D.embedding_near_dup_pairs(emb, min_cosine=NEARDUP_MIN_COSINE)
+
+
+def _sql_embedding_neardup_pairs() -> str:
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {NEARDUP_MIN_COSINE}
+"""
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, ANN_QUERY_ID, ANN_K)
+
+
+def _sql_ann_bruteforce_topk() -> str:
+    cos = sql_cosine("e.embedding", "q.qvec")
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {ANN_QUERY_ID})
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != {ANN_QUERY_ID}
+ORDER BY cosine DESC, e.vec_id
+LIMIT {ANN_K}
+"""
+
+
+def q_ann_cell_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse stage: inner-product cell scores (query·centroid)."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.cell_scores(emb, ANN_QUERY_ID)
+
+
+def _sql_ann_cell_scores() -> str:
+    dot = sql_dot("e.embedding", "q.qvec")
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {ANN_QUERY_ID})
+SELECT e.label, round(avg({dot}), 6) AS cell_score
+FROM embeddings e, q GROUP BY e.label
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return S.ivf_topk(emb, ANN_QUERY_ID, ANN_K, IVF_NPROBE)
+
+
+def _sql_ann_ivf_topk() -> str:
+    dot = sql_dot("e.embedding", "q.qvec")
+    cos = sql_cosine("e.embedding", "q.qvec")
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+scores AS (
+  SELECT e.label, round(avg({dot}), 6) AS cell_score
+  FROM embeddings e, q GROUP BY e.label),
+probe AS (SELECT label FROM scores ORDER BY cell_score DESC, label LIMIT {IVF_NPROBE})
+SELECT e.vec_id, e.label, round({cos}, 6) AS cosine
+FROM embeddings e, q
+WHERE e.label IN (SELECT label FROM probe) AND e.vec_id != {ANN_QUERY_ID}
+ORDER BY cosine DESC, e.vec_id
+LIMIT {ANN_K}
+"""
+
+
+# -- text analysis ----------------------------------------------------------
+
+def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    col = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(col).alias("token_cnt"),
+        X.subword_count_estimate(col).alias("subword_est"),
+        F.round(X.stopword_ratio(col), 4).alias("stopword_frac"),
+        F.round(X.mean_word_length(col), 4).alias("mean_word_len"),
+        F.round(X.quality_score(col), 4).alias("quality"),
+        X.predict_language(col).alias("lang_pred"),
+    )
+
+
+def _sql_text_features() -> str:
+    toks = sql_tokens("text")
+    stop_en = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+    lang_hits = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in sorted(X.LANG_STOPWORDS.items())
+    }
+    best = f"greatest({', '.join(lang_hits.values())})"
+    lang_case = " ".join(
+        f"WHEN {expr} = best THEN '{lang}'" for lang, expr in lang_hits.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+feat AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS token_cnt,
+    CAST(list_sum(list_transform(toks, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_est,
+    len(list_filter(toks, t2 -> t2 IN ({stop_en}))) AS stop_hits,
+    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS char_total,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+    {best} AS best
+  FROM t)
+SELECT doc_id, token_cnt, subword_est,
+  round(CASE WHEN token_cnt > 0 THEN stop_hits / token_cnt ELSE 0.0 END, 4) AS stopword_frac,
+  round(CASE WHEN token_cnt > 0 THEN char_total / token_cnt ELSE 0.0 END, 4) AS mean_word_len,
+  round(
+    0.25 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0
+                 WHEN n_chars < 100 THEN n_chars / 100.0
+                 ELSE 10000.0 / n_chars END)
+    + 0.25 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+    + 0.25 * (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 1.0
+              ELSE greatest(0.0, 1.0 - ((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) - 0.1) * 5.0) END)
+    + 0.25 * (CASE WHEN (CASE WHEN token_cnt > 0 THEN char_total / token_cnt ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+              THEN 1.0 ELSE 0.0 END), 4) AS quality,
+  (CASE WHEN best > 0 THEN (CASE {lang_case} END) ELSE 'und' END) AS lang_pred
+FROM feat
+"""
+
+
+def q_text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicted vs labeled language — confusion counts."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("lang", X.predict_language(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_text_langid_confusion() -> str:
+    toks = sql_tokens("text")
+    lang_hits = {
+        lang: f"len(list_filter(toks, t2 -> t2 IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in sorted(X.LANG_STOPWORDS.items())
+    }
+    best = f"greatest({', '.join(lang_hits.values())})"
+    lang_case = " ".join(
+        f"WHEN {expr} = best THEN '{lang}'" for lang, expr in lang_hits.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+scored AS (SELECT doc_id, lang, {best} AS best, toks FROM t)
+SELECT lang,
+  (CASE WHEN best > 0 THEN (CASE {lang_case} END) ELSE 'und' END) AS lang_pred,
+  count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text"), 5).alias("doc_fingerprint")
+    )
+
+
+def _sql_text_fingerprint() -> str:
+    sh = sql_shingles("text", 5)
+    return f"""
+SELECT doc_id,
+  list_aggregate(list_transform({sh}, s -> sha256(s)), 'min') AS doc_fingerprint
+FROM documents
+"""
+
+
+# -- multimodal -------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary content column + typed metadata extraction (schema plumbing)."""
+    docs = load_table(spark, sf, "documents")
+    assets = attach_binary_content(docs, "text", "text", "text/plain")
+    return assets.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_sha").alias("content_sha"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, 'text' AS modality, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode→feature pipeline (deterministic fake
+    decoder).  Python batch logic — no SQL oracle; driver runs rows-only."""
+    docs = load_table(spark, sf, "documents")
+    assets = attach_binary_content(docs, "text", "text", "text/plain")
+    feats = extract_features(assets.select("doc_id", "content"), n_features=8)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 3), 6).alias("f2"),
+    )
+
+
+NORTHSTAR_QUERIES: list[QueryDef] = [
+    QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
+    QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
+    QueryDef("ns_lsh_band_buckets", q_lsh_band_buckets, _sql_lsh_band_buckets(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
+    QueryDef("ns_minhash_lsh_pairs", q_minhash_lsh_pairs, _sql_minhash_lsh_pairs(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
+    QueryDef("ns_ngram_jaccard_topk", q_ngram_jaccard_topk, _sql_ngram_jaccard_topk(), "north-star dedup/ngram-jaccard", ("northstar", "dedup")),
+    QueryDef("ns_simhash", q_simhash, _sql_simhash(), "north-star dedup/simhash", ("northstar", "dedup")),
+    QueryDef("ns_simhash_near_pairs", q_simhash_near_pairs, _sql_simhash_near_pairs(), "north-star dedup/simhash", ("northstar", "dedup")),
+    QueryDef("ns_embedding_neardup_pairs", q_embedding_neardup_pairs, _sql_embedding_neardup_pairs(), "north-star dedup/embedding", ("northstar", "dedup")),
+    QueryDef("ns_ann_bruteforce_topk", q_ann_bruteforce_topk, _sql_ann_bruteforce_topk(), "north-star similarity/brute", ("northstar", "similarity")),
+    QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
+    QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),
+    QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
+    QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
+    QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
+    QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_features", q_multimodal_features, None, "north-star multimodal/decode", ("northstar", "multimodal")),
+]

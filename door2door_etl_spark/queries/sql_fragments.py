@@ -1,0 +1,72 @@
+"""Shared DuckDB-SQL fragments mirroring the engine's portable primitives.
+
+Every operator in operators/{text,dedup,similarity}.py is written against a
+"portable contract" (tokenizer regex, sha256/md5 hashes, double-precision
+array math).  These helpers emit the DuckDB side of that contract so the
+oracle SQL in the catalog stays readable and provably symmetric with the
+Spark expressions.
+"""
+
+from __future__ import annotations
+
+# Tokenizer contract (operators.text.TOKEN_SPLIT_REGEX).
+def sql_tokens(col: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), "
+        f"x -> x != '')"
+    )
+
+
+def sql_shingles(col: str, n: int) -> str:
+    """Word n-gram shingles; mirrors operators.text.shingles (same count and
+    same space-joined rendering, degenerate short docs collapse to one
+    whole-doc shingle)."""
+    toks = sql_tokens(col)
+    return (
+        f"(CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def sql_minhash_component(shingles_expr: str, i: int) -> str:
+    """min(sha256(shingle || '#i')) — one MinHash signature component."""
+    return (
+        f"list_aggregate(list_transform({shingles_expr}, "
+        f"s -> sha256(s || '#{i}')), 'min')"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """Inner product in double (mirrors operators.similarity.dot)."""
+    return (
+        f"list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+        f"list_transform({b}, x -> CAST(x AS DOUBLE)))"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt({sql_dot(a, a)})"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def dec_sum(expr: str, alias: str, scale: int = 2) -> str:
+    """Deterministic money-sum: per-row cast to DECIMAL(20,6) (exact sum,
+    no float accumulation-order drift), then double + round for a stable
+    final dtype.  The Spark twin is queries.catalog.dsum."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE), {scale}) "
+        f"AS {alias}"
+    )
+
+
+def dec_avg(expr: str, alias: str, scale: int = 4) -> str:
+    """Deterministic average built from the exact decimal sum."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE) "
+        f"/ count(*), {scale}) AS {alias}"
+    )

@@ -1,0 +1,42 @@
+"""Catalog smoke tests: every query runs at sf0.001 with a stable schema, the
+driver contract surface is well-formed, and a few cheap known-property checks.
+(Full value-level oracle parity runs in tools/check_oracle.py at sf0.01.)"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from door2door_etl_spark.queries.catalog import QUERIES
+
+# Queries whose oracle-correct result can legitimately be empty at tiny SF.
+MAY_BE_EMPTY = {
+    "ns_minhash_lsh_pairs",
+    "etl_quarantine_unknown_types",
+    "etl_point_lookup",
+    "etl_hour_window_filter",  # sf0.001 has ~1k events over 30 days: sparse hours
+}
+
+
+def test_contract_shape():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # Only the explicitly non-SQL-expressible ops may omit an oracle.
+    assert set(qs) - set(oracles) == {"ns_multimodal_features"}
+    assert len(qs) == len(QUERIES)
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_sf0001(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    n = df.count()
+    assert df.columns, name
+    if name not in MAY_BE_EMPTY:
+        assert n > 0, f"{name} returned no rows at sf0.001"

@@ -1,0 +1,199 @@
+"""Operator unit tests: relational helpers, text analysis, dedup, similarity,
+multimodal plumbing — small hand-checkable frames with known answers."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.operators import dedup as D
+from door2door_etl_spark.operators import similarity as S
+from door2door_etl_spark.operators import text as X
+from door2door_etl_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_features,
+    fake_decode_features,
+    sample_frames,
+)
+from door2door_etl_spark.operators.relational import (
+    dedup_first_wins,
+    interval_join,
+    latest_per_key,
+    topk_per_group,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="completely different words entirely unrelated content here now"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),  # dup of 1
+        Row(doc_id=5, text="tiny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", ts=1, v="old"), Row(k="a", ts=2, v="new"), Row(k="b", ts=5, v="x")]
+    )
+    out = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "ts", ["v"]).collect()}
+    assert out == {"a": "new", "b": "x"}
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", score=1.0, id=i) for i in range(5)]  # all-tied scores
+    )
+    out = topk_per_group(df, ["g"], [F.desc("score"), F.col("id")], 2).collect()
+    assert sorted(r["id"] for r in out) == [0, 1]  # id tie-break, stable
+
+
+def test_interval_join(spark):
+    facts = spark.createDataFrame([Row(ts=5), Row(ts=15), Row(ts=25)])
+    periods = spark.createDataFrame([Row(p="p1", lo=0, hi=10), Row(p="p2", lo=20, hi=30)])
+    out = interval_join(facts, periods, "ts", "lo", "hi").select("ts", "p").collect()
+    assert {(r["ts"], r["p"]) for r in out} == {(5, "p1"), (25, "p2")}
+
+
+def test_dedup_first_wins(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", ts=2, v="keep"), Row(k="a", ts=1, v="drop")]
+    )
+    out = dedup_first_wins(df, ["k"], [F.desc("ts")]).collect()
+    assert len(out) == 1 and out[0]["v"] == "keep"
+
+
+# -- text -------------------------------------------------------------------
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([Row(t="Hello, World!  foo_bar 42")])
+    row = df.select(
+        X.tokens(F.col("t")).alias("toks"),
+        X.token_count(F.col("t")).alias("n"),
+        X.subword_count_estimate(F.col("t")).alias("sub"),
+    ).first()
+    assert row["toks"] == ["hello", "world", "foo", "bar", "42"]
+    assert row["n"] == 5
+    # ceil(5/4)+ceil(5/4)+ceil(3/4)+ceil(3/4)+ceil(2/4) = 2+2+1+1+1
+    assert row["sub"] == 7
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([Row(t="a b c d"), Row(t="x y")])
+    rows = df.select(X.shingles(F.col("t"), 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == ["x y"]  # short doc collapses to whole-doc shingle
+    fp = df.select(X.fingerprint(F.col("t"), 3).alias("fp")).collect()
+    assert all(len(r["fp"]) == 64 for r in fp)
+
+
+def test_predict_language(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog of the house"),
+            Row(t="der hund und die katze ist nicht da"),
+            Row(t="qqq zzz xxx"),
+        ]
+    )
+    out = [r[0] for r in df.select(X.predict_language(F.col("t"))).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r[0] for r in docs.select(X.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_groups(spark, docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in groups}
+    assert by_canon[1] == 2  # docs 1 and 4 identical
+    assert len(groups) == 4
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = D.minhash_similarity_pairs(docs, num_hashes=16, bands=8, shingle_n=3)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # identical docs always collide
+    for (a, b), est in got.items():
+        assert 0.0 <= est <= 1.0
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, max_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    # docs 1,2 share 6 of their 7 shingles each -> |I|=6, |U|=8
+    assert math.isclose(got[(1, 2)], 6 / 8)
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
+    assert sh[1] == sh[4]
+    assert 0 <= sh[1] < 2**32
+    pairs = D.simhash_near_pairs(docs, max_hamming=0)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} >= {(1, 4)}
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.99, 0.1], label=0),
+        Row(vec_id=3, embedding=[0.0, 1.0], label=0),
+        Row(vec_id=4, embedding=[1.0, 0.0], label=1),  # other block: not compared
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = D.embedding_near_dup_pairs(df, min_cosine=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_cosine_and_topk(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[1.0, 0.01], label=0),
+        Row(vec_id=2, embedding=[0.5, 0.5], label=1),
+        Row(vec_id=3, embedding=[-1.0, 0.0], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    top = S.brute_force_topk(df, query_id=0, k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] > 0.99
+
+    ivf = S.ivf_topk(df, query_id=0, k=2, nprobe=1)
+    assert [r["vec_id"] for r in ivf.collect()] == [1]  # only cell 0 probed
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_content_and_features(spark, docs):
+    assets = attach_binary_content(docs, "text", "text", "text/plain")
+    row = assets.filter("doc_id = 5").first()
+    assert bytes(row["content"]) == b"tiny"
+    assert row["meta"]["n_bytes"] == 4
+    assert row["meta"]["mime"] == "text/plain"
+
+    feats = extract_features(assets.select("doc_id", "content"), n_features=8)
+    got = {r["doc_id"]: r["features"] for r in feats.collect()}
+    assert got[5] == fake_decode_features(b"tiny", 8)
+    assert all(abs(sum(v) - 1.0) < 1e-9 for v in got.values())
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([Row(frame_idx=i) for i in range(25)])
+    assert sample_frames(df, every_nth=10).count() == 3  # frames 0, 10, 20
+
+
+def test_decode_image_is_stubbed():
+    from door2door_etl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
