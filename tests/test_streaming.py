@@ -1,0 +1,93 @@
+"""Structured Streaming pipeline tests: availableNow-triggered ingest with
+watermark, windowed counts, and idempotent foreachBatch MERGE (restart and
+replay converge to the same warehouse state)."""
+
+import json
+
+import pytest
+
+from door2door_etl_spark.schemas.registry import builtin_door2door_schemas
+from door2door_etl_spark.streaming import (
+    stream_events,
+    stream_hourly_counts,
+    stream_upsert_to_warehouse,
+)
+
+
+def _vehicle(i, minute):
+    return {
+        "event": "update",
+        "on": "vehicle",
+        "at": f"2022-11-24T10:{minute:02d}:00.000Z",
+        "organization_id": "org-1",
+        "data": {
+            "id": f"00000000-0000-0000-0000-{i:012d}",
+            "location": {"lat": 52.0 + i, "lng": 13.0 + i,
+                         "at": f"2022-11-24T10:{minute:02d}:00.000Z"},
+        },
+    }
+
+
+@pytest.fixture()
+def stream_source(tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    lines = [json.dumps(_vehicle(i, i)) for i in range(1, 6)]
+    lines.append(json.dumps(_vehicle(1, 1)))  # duplicate event
+    lines.append("{broken json")
+    (src / "a.json").write_text("\n".join(lines))
+    return src
+
+
+def test_stream_hourly_counts(spark, tmp_path, stream_source):
+    events = stream_events(spark, str(stream_source))
+    counts = stream_hourly_counts(events)
+    out = tmp_path / "counts_sink"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_counts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from hourly_counts").collect()
+    assert len(rows) == 1
+    assert rows[0]["on"] == "vehicle"
+    assert rows[0]["n_events"] == 6  # dedup happens downstream, not in counts
+    assert rows[0]["hour_start"].hour == 10
+
+
+def test_stream_upsert_idempotent_replay(spark, tmp_path, stream_source):
+    schema = builtin_door2door_schemas()["vehicle"]
+    warehouse = tmp_path / "warehouse"
+
+    events = stream_events(spark, str(stream_source))
+    q = stream_upsert_to_warehouse(
+        spark, events, schema, str(warehouse), str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    veh = spark.read.parquet(str(warehouse / "vehicle_location"))
+    assert veh.count() == 5  # duplicate collapsed by derived key
+
+    # Replay from a FRESH checkpoint (simulates reprocessing the same data):
+    # the MERGE converges to identical state instead of duplicating.
+    events2 = stream_events(spark, str(stream_source))
+    q2 = stream_upsert_to_warehouse(
+        spark, events2, schema, str(warehouse), str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    veh2 = spark.read.parquet(str(warehouse / "vehicle_location"))
+    assert veh2.count() == 5
+
+    # New file arrives -> incremental micro-batch picks up only the delta.
+    (stream_source / "b.json").write_text(json.dumps(_vehicle(9, 30)))
+    events3 = stream_events(spark, str(stream_source))
+    q3 = stream_upsert_to_warehouse(
+        spark, events3, schema, str(warehouse), str(tmp_path / "ckpt1")
+    )
+    q3.awaitTermination(120)
+    veh3 = spark.read.parquet(str(warehouse / "vehicle_location"))
+    assert veh3.count() == 6  # ckpt1 already processed a.json; only b.json new
