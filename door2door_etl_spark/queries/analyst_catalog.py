@@ -1,0 +1,607 @@
+"""Analyst query catalog, wave 2: the wider TPC-H-shaped surface.
+
+The reference delegates all analyst queries to its Postgres warehouse
+(reference README.md:3,48-51) — this module supplies the remaining classic
+shapes that warehouse serves and SURVEY.md §2.4-2.6 calls for: outer joins,
+correlated-subquery rewrites (join-with-agg), HAVING, disjunctive pushdown
+predicates, set ops (INTERSECT/EXCEPT), CUBE grouping sets, lag/ntile
+windows, exact percentiles, explode/top-k token analytics, and array math
+over embeddings.
+
+Scale notes per query are inline: every join declares its broadcast side,
+every window partitions on a high-cardinality key (or pre-aggregates first),
+and the disjunctive predicates stay inside the parquet scan's pushdown set.
+Determinism follows relational_catalog.py: exact-decimal money sums, unique
+tie-breaks under every LIMIT/window rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.readers import load_table
+from door2door_etl_spark.operators.similarity import norm
+from door2door_etl_spark.operators.text import tokens
+from door2door_etl_spark.queries.defs import QueryDef, davg, dsum
+from door2door_etl_spark.queries.sql_fragments import sql_norm, sql_tokens
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped joins / subquery rewrites
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 shape: two-nation shipping volume by year — fact⋈fact with two
+    broadcast dimension legs (supplier-nation and customer-nation)."""
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer, deterministic top-20.
+    Scale: the groupBy key (custkey) is high-cardinality → AQE coalesces;
+    nation is broadcast."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 shape: customer order-count distribution — LEFT OUTER join
+    preserving zero-order customers, double aggregation."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 shape: promo revenue share — conditional aggregate over a
+    fact⋈dim join (part broadcast; filter pushed to the lineitem scan)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(20,6)")).cast("double")
+            / F.sum(revenue.cast("decimal(20,6)")).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(
+    100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE),
+    4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape: supplier(s) with max quarterly revenue — pre-aggregate,
+    then an all-rows window MAX (single tiny row set after the agg) and an
+    equality filter; exact-decimal revenue makes the tie semantics stable."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(dsum(revenue).alias("total_revenue"))
+    w = Window.partitionBy()
+    top = per_supp.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+"""
+
+
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part avg quantity)
+    rewritten as join-with-aggregate — the Spark-first form of
+    `l_quantity < 0.2 * (SELECT avg ... WHERE same part)`."""
+    li = load_table(spark, sf, "lineitem")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    joined = li.join(per_part_avg, li.l_partkey == per_part_avg.ap_partkey)
+    small = joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double") / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly
+FROM lineitem JOIN per_part ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_tpch_q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 shape: HAVING on a grouped sum, semi-joined back to the facts,
+    deterministic top-100."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.b_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey AS b_orderkey,
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 2) > 250)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = b_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate over a fact⋈dim join — Catalyst
+    extracts the common l_partkey=p_partkey conjunct so the join stays an
+    equi-join (broadcast part) with a residual disjunctive filter."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 shape: global-scalar-subquery threshold (avg positive balance,
+    computed once and broadcast via crossJoin) + anti join to orders,
+    grouped by a derived bucket."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy((F.col("c_custkey") % 10).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_custkey % 10 AS cust_bucket, count(*) AS numcust,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_set_intersect_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): users who both click and
+    purchase — a shuffle-on-key set op, the EXCEPT/INTERSECT surface
+    SURVEY.md §2.6 notes the reference lacks."""
+    ev = load_table(spark, sf, "events")
+    clickers = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 90)
+    ).select("user_id")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("user_id")
+    return clickers.intersect(buyers)
+
+
+SQL_SET_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+"""
+
+
+def q_set_except_view_error(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT (distinct set semantics = DataFrame.subtract): viewers who
+    never made a large purchase."""
+    ev = load_table(spark, sf, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    big_buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("user_id")
+    return viewers.subtract(big_buyers)
+
+
+SQL_SET_EXCEPT = """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+"""
+
+
+def q_cube_lineitem_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two keys)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+SQL_CUBE_LINEITEM_STATUS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window analytics
+# ---------------------------------------------------------------------------
+
+
+def q_window_interevent_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG window per user: mean inter-event gap in microseconds.
+    Scale: partitions on user_id (high cardinality) so window state stays
+    per-key-small.  Determinism: gaps sum as exact BIGINT (fits 2^53, so the
+    double division below is bit-identical across engines); a decimal-cast
+    double sum would drift in the last ulp at this magnitude."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    gaps = ev.select("user_id", gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_gap_us"),
+    )
+
+
+SQL_WINDOW_INTEREVENT_GAP = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+  round(CAST(sum(gap_us) AS DOUBLE) / count(*), 4) AS avg_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_window_acctbal_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE decile summary over customer balances (unique tie-break).
+    Scale note: a global NTILE is single-partition by construction; it runs
+    on the already-small customer dim, never on a fact table."""
+    cust = load_table(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    deciled = cust.withColumn("decile", F.ntile(10).over(w))
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        davg(F.col("c_acctbal")).alias("avg_bal"),
+    )
+
+
+SQL_WINDOW_ACCTBAL_DECILES = """
+WITH deciled AS (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer)
+SELECT decile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4) AS avg_bal
+FROM deciled GROUP BY 1
+"""
+
+
+def q_percentile_event_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (median + p90).
+    Spark `percentile` and DuckDB `quantile_cont` share the same
+    linear-interpolation definition."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_PERCENTILE_EVENT_VALUE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_value,
+       round(quantile_cont(value, 0.9), 4) AS p90_value,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_full_outer_user_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join reconciliation: per-user click revenue vs purchase
+    revenue, preserving users present on only one side."""
+    ev = load_table(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(dsum(F.col("value")).alias("click_sum"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("bu"))
+        .agg(dsum(F.col("value")).alias("purchase_sum"))
+    )
+    joined = clicks.join(buys, clicks.cu == buys.bu, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("cu"), F.col("bu")).alias("user_id"),
+        "click_sum",
+        "purchase_sum",
+    )
+
+
+SQL_FULL_OUTER_USER_FUNNEL = """
+WITH clicks AS (
+  SELECT user_id AS cu,
+    round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS click_sum
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+buys AS (
+  SELECT user_id AS bu,
+    round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS purchase_sum
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT coalesce(cu, bu) AS user_id, click_sum, purchase_sum
+FROM clicks FULL JOIN buys ON cu = bu
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explode / array analytics (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_token_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Explode + top-k: 20 most frequent tokens across the corpus
+    (map-side-combinable count, deterministic tie-break on token).
+    Scale: explode → partial agg per partition before the single shuffle."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(20)
+    )
+
+
+SQL_TOKEN_TOPK = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_embedding_norm_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array math: mean L2 norm per label — F.aggregate/
+    F.transform JVM-side, no Python in the loop."""
+    emb = load_table(spark, sf, "embeddings")
+    l2 = norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        davg(l2).alias("avg_norm"),
+        F.round(F.min(l2), 4).alias("min_norm"),
+        F.round(F.max(l2), 4).alias("max_norm"),
+    )
+
+
+SQL_EMBEDDING_NORM_BY_LABEL = f"""
+SELECT label, count(*) AS n_vecs,
+  round(CAST(sum(CAST({sql_norm('embedding')} AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4) AS avg_norm,
+  round(min({sql_norm('embedding')}), 4) AS min_norm,
+  round(max({sql_norm('embedding')}), 4) AS max_norm
+FROM embeddings GROUP BY 1
+"""
+
+
+ANALYST_QUERIES: list[QueryDef] = [
+    QueryDef("tpch_q7_volume_shipping", q_tpch_q7_volume_shipping, SQL_TPCH_Q7, "§2.4-join", ("tpch",)),
+    QueryDef("tpch_q10_returned_items", q_tpch_q10_returned_items, SQL_TPCH_Q10, "§2.4-join,§2.6-limit", ("tpch",)),
+    QueryDef("tpch_q13_order_count_distribution", q_tpch_q13_order_count_distribution, SQL_TPCH_Q13, "§2.4-outer", ("tpch",)),
+    QueryDef("tpch_q14_promo_revenue", q_tpch_q14_promo_revenue, SQL_TPCH_Q14, "§2.5-agg", ("tpch",)),
+    QueryDef("tpch_q15_top_supplier", q_tpch_q15_top_supplier, SQL_TPCH_Q15, "§2.6-window", ("tpch",)),
+    QueryDef("tpch_q17_small_quantity_revenue", q_tpch_q17_small_quantity_revenue, SQL_TPCH_Q17, "§2.4-join,§2.5-agg", ("tpch",)),
+    QueryDef("tpch_q18_large_volume_customer", q_tpch_q18_large_volume_customer, SQL_TPCH_Q18, "§2.5-having", ("tpch",)),
+    QueryDef("tpch_q19_disjunctive_revenue", q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19, "§2.3-filter", ("tpch",)),
+    QueryDef("tpch_q22_idle_rich_customers", q_tpch_q22_idle_rich_customers, SQL_TPCH_Q22, "§2.4-anti,§2.5-agg", ("tpch",)),
+    QueryDef("rel_set_intersect_click_purchase", q_set_intersect_click_purchase, SQL_SET_INTERSECT, "§2.6-setops", ("rel",)),
+    QueryDef("rel_set_except_view_error", q_set_except_view_error, SQL_SET_EXCEPT, "§2.6-setops", ("rel",)),
+    QueryDef("rel_cube_lineitem_status", q_cube_lineitem_status, SQL_CUBE_LINEITEM_STATUS, "§2.5-cube", ("rel",)),
+    QueryDef("rel_window_interevent_gap", q_window_interevent_gap, SQL_WINDOW_INTEREVENT_GAP, "§2.6-window", ("rel",)),
+    QueryDef("rel_window_acctbal_deciles", q_window_acctbal_deciles, SQL_WINDOW_ACCTBAL_DECILES, "§2.6-window", ("rel",)),
+    QueryDef("rel_percentile_event_value", q_percentile_event_value, SQL_PERCENTILE_EVENT_VALUE, "§2.5-percentile", ("rel",)),
+    QueryDef("rel_full_outer_user_funnel", q_full_outer_user_funnel, SQL_FULL_OUTER_USER_FUNNEL, "§2.4-outer", ("rel",)),
+    QueryDef("rel_token_topk", q_token_topk, SQL_TOKEN_TOPK, "north-star text/tokens,§2.6-limit", ("rel", "text")),
+    QueryDef("rel_embedding_norm_by_label", q_embedding_norm_by_label, SQL_EMBEDDING_NORM_BY_LABEL, "north-star similarity/array-math", ("rel", "similarity")),
+]
