@@ -26,9 +26,15 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_revenue_forecast",
+    "tpch_q18_large_volume_customer",
     "etl_hourly_rollup",
     "etl_latest_event_per_user",
     "etl_surrogate_key_dedup",
+    "rel_asof_signup_attribution",
+    "rel_sessionize_stats",
+    "rel_rolling_7d_user_value",
+    "ns_kmv_distinct_users",
+    "ns_stratified_split_counts",
     "ns_dedup_exact",
     "ns_minhash_signatures",
     "ns_simhash",

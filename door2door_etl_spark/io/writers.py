@@ -49,6 +49,34 @@ def append_rows(
     df.write.mode("append").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Write a hash-bucketed, bucket-sorted catalog table.
+
+    The 100 TB co-location tool: two tables bucketed the same way on the
+    join key equi-join WITHOUT a shuffle exchange on either side (verified
+    by plan assertion in tests/test_plans.py).  On a real deployment the
+    fact table is bucketed once at ingest and every downstream join/agg on
+    the key reuses that layout — this is Spark's native analogue of the
+    reference warehouse's primary-key organization
+    (reference migrations/init.sql:29-51).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def merge_upsert_parquet(
     spark: SparkSession,
     target_path: str,

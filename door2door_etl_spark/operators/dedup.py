@@ -238,6 +238,63 @@ def ngram_jaccard_pairs(
 
 # -- SimHash ----------------------------------------------------------------
 
+def connected_dedup_clusters(
+    pairs: DataFrame,
+    left_col: str = "doc_id_a",
+    right_col: str = "doc_id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate candidate pairs into connected components and
+    return ``(doc_id, canonical_id)`` — canonical = the minimum doc id
+    reachable through the pair graph (the stable "keep one copy" choice).
+
+    Algorithm: iterative min-label propagation over the edge list — each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup components are
+    shallow: dup clusters are cliques or short chains, so 3-4 rounds in
+    practice, ``max_iterations`` is a guard).  Each round is one join +
+    one groupBy — embarrassingly scalable, no driver-side graph.  Loop
+    exits early when a round changes no label (count of improved labels,
+    computed distributedly).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("improved"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("improved")).limit(1).count()
+        labels = new_labels.drop("improved")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
 def _nibble(hex_col: Column, idx: int) -> Column:
     """Value 0-15 of the idx-th (0-based) hex digit."""
     return F.instr(F.lit("0123456789abcdef"), F.substring(hex_col, idx + 1, 1)) - 1

@@ -78,6 +78,125 @@ def interval_join(
     return facts.join(right, cond)
 
 
+def salted_equijoin(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot left key over
+    ``salt_buckets`` shuffle partitions by salting the left side with a
+    deterministic per-row hash and replicating the right side once per salt.
+
+    AQE's skew-join split (on by default in session.py) handles most skew at
+    runtime by splitting oversized partitions; manual salting remains the
+    tool when one key is so hot it skews even a single *map* task, or when
+    AQE is unavailable (streaming joins).  The salt derives from xxhash64 of
+    the whole left row — deterministic, no RNG, stable under retries.
+
+    Right-side replication multiplies the smaller input by ``salt_buckets``
+    — choose it ~ (hottest-key rows / average-key rows), not larger.
+    """
+    salted_l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("__salt")
+    salted_r = right.select("*", salts)
+    joined = salted_l.join(
+        salted_r,
+        (salted_l[left_key] == salted_r[right_key]) & (salted_l["__salt"] == salted_r["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of (backward, inclusive) join: for each left row, attach the
+    ``value_cols`` of the latest right row with ``right_ts <= left_ts`` and
+    matching keys.  The telemetry classic: "vehicle state at event time".
+
+    Spark-first strategy: instead of a per-row range probe (quadratic blow-up
+    on a theta join), tag both inputs, UNION them, and carry the last
+    non-null right payload forward with ``last(..., ignorenulls=True)`` over
+    a window partitioned by key and ordered by (ts, side).  One shuffle on
+    the key, linear state, no broadcast requirement — both sides can be
+    100 TB.  Right rows sort before left rows at equal timestamps, making
+    the join inclusive; ties among right rows resolve to the last under the
+    (ts, side) order extended by ``value_cols`` for full determinism.
+    """
+    payload_cols = list(value_cols)
+    if right_ts not in payload_cols:
+        payload_cols.append(right_ts)
+    payload = F.struct(*[right[c] for c in payload_cols])
+    r = right.select(
+        *[right[k] for k in key_cols],
+        right[right_ts].alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        "*",
+        left[left_ts].alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    unioned = l.unionByName(r.select(*key_cols, "__ts", "__side", "__payload"), allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ts", "__side", "__payload")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "__asof", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"__asof.{c}"))
+    return out.drop("__ts", "__side", "__payload", "__asof")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: assign a per-key session sequence number
+    that increments whenever the gap to the previous event exceeds
+    ``gap_seconds``.  Adds column ``session_seq`` (1-based).
+
+    lag + running SUM over one window — a single shuffle on the key, no
+    state beyond the window frame; at 100 TB this is the standard
+    sessionization plan (and the batch twin of the streaming
+    ``applyInPandasWithState`` sessionizer).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def dedup_first_wins(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

@@ -1,0 +1,95 @@
+"""Deterministic sketches and hash-based sampling (north-star extensions).
+
+Training-data pipelines at 100 TB need cardinality estimates, reproducible
+sampling, and stratified splits that are *stable across engines and reruns*.
+Spark's built-ins (``approx_count_distinct``, ``df.sample``) use
+engine-private hashing/RNG, so their outputs can't be oracle-checked and
+aren't reproducible across systems.  Everything here is built on one
+portable contract instead:
+
+    u(x) = int(substr(sha256(x), 1, 13), 16) / 16^13      ∈ [0, 1)
+
+13 hex digits = 52 bits, so the integer is exact in an IEEE double and the
+division by 2^52 is exact — the uniform deviate is bit-identical in Spark,
+DuckDB, or any engine with sha256.  All operators below are pure column
+expressions (JVM-side, codegen-able, no Python).
+
+Scale: every operator is embarrassingly parallel (per-row hash) except the
+KMV estimator, whose shuffle is a global top-k over ~k surviving rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_HEX_DIGITS = 13  # 52 bits: exact in a double
+HASH_SPACE = float(16**HASH_HEX_DIGITS)  # 2^52
+
+
+def uniform_hash(col: Column, salt: str = "") -> Column:
+    """The portable uniform deviate u(x) in [0, 1).  ``salt`` derives
+    independent hash families (KMV vs sampling vs splits must not reuse
+    one family)."""
+    h = F.sha2(F.concat(col.cast("string"), F.lit(salt)), 256)
+    return (
+        F.conv(F.substring(h, 1, HASH_HEX_DIGITS), 16, 10).cast("double")
+        / F.lit(HASH_SPACE)
+    )
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch: keep the k smallest hash
+    deviates of the distinct values; estimate |D| ≈ (k-1) / u_(k).
+
+    Returns one row: ``(est_distinct double, k int, kth_hash double)``.
+    Unlike HyperLogLog the estimate is a pure function of the data (no
+    engine-private registers), so it hash-matches across engines.  The plan
+    is scan → per-partition partial top-k (Spark's TakeOrderedAndProject) →
+    driver merge of k values per partition — no full shuffle of the data.
+    """
+    hashed = df.select(uniform_hash(F.col(col), "kmv").alias("u")).dropDuplicates(["u"])
+    topk = hashed.orderBy("u").limit(k)
+    return topk.agg(
+        F.round((F.lit(float(k - 1)) / F.max("u")), 4).alias("est_distinct"),
+        F.lit(k).alias("k"),
+        F.round(F.max("u"), 12).alias("kth_hash"),
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with u(key) < rate.
+    Reproducible across engines, reruns, and repartitions — the property
+    ``df.sample`` cannot give.  Sampling by a *key* (not row identity) also
+    keeps all rows of one key together (coherent-group sampling)."""
+    return df.filter(uniform_hash(F.col(key_col), salt) < F.lit(rate))
+
+
+def stratified_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign a reproducible train/val/test-style label per key.
+
+    ``splits`` is ``[(name, weight), ...]`` with weights summing to 1; the
+    label is chosen by where u(key) lands among the cumulative weights.
+    Pure column expression — the assignment is stable no matter how the
+    data is partitioned, ingested, or re-ordered (the property every
+    training-data pipeline needs to avoid test-set leakage between runs).
+    Adds column ``split``.
+    """
+    u = uniform_hash(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    for name, weight in splits[:-1]:
+        cum += weight
+        expr = (
+            F.when(u < F.lit(cum), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(cum), F.lit(name))
+        )
+    last_name = splits[-1][0]
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", expr)

@@ -1,0 +1,240 @@
+"""Advanced operator catalog, wave 3: as-of join, sessionization, pivot,
+rolling time windows, and the deterministic sketch/sampling family.
+
+These are the operators a telemetry warehouse (the reference's domain —
+vehicle positions vs operating periods) and a training-data pipeline both
+need beyond plain SQL: "state as of event time", gap sessions, reproducible
+sampling/splits, and streaming-style rolling aggregates — each Spark-first
+(window/union compositions, pure column expressions; no Python UDFs) and
+each with a DuckDB oracle built from the same portable contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.readers import load_table
+from door2door_etl_spark.operators.relational import asof_join, sessionize
+from door2door_etl_spark.operators.sketches import (
+    hash_sample,
+    kmv_distinct_estimate,
+    stratified_split,
+)
+from door2door_etl_spark.queries.defs import QueryDef, dsum
+from door2door_etl_spark.queries.sql_fragments import sql_uniform_hash
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_asof_signup_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest signup at
+    or before purchase time (NULL when none).  Union+window plan — both
+    sides scale without broadcast (operators.relational.asof_join)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        value_cols=["signup_ts"],
+    )
+    # signup epoch (not raw timestamp) so unattributed purchases carry an
+    # integer NULL, which every hasher normalizes identically.
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.unix_micros(F.col("signup_ts")).alias("signup_epoch_us"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("signup_ts")))
+            / F.lit(1_000_000.0)
+        ).alias("seconds_since_signup"),
+    )
+
+
+SQL_ASOF_SIGNUP_ATTRIBUTION = """
+SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+       epoch_us(s.signup_ts) AS signup_epoch_us,
+       CAST(epoch_us(e.ts) - epoch_us(s.signup_ts) AS DOUBLE) / 1000000.0
+         AS seconds_since_signup
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts FROM events
+                WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+"""
+
+
+def q_sessionize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session count
+    and mean session size (operators.relational.sessionize)."""
+    ev = load_table(spark, sf, "events")
+    sess = sessionize(ev, ["user_id"], "ts", gap_seconds=1800, tiebreak_cols=["event_id"])
+    return sess.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.max("session_seq"), 4
+        ).alias("avg_events_per_session"),
+    )
+
+
+SQL_SESSIONIZE_STATS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events,
+       round(CAST(count(*) AS DOUBLE) / max(session_seq), 4)
+         AS avg_events_per_session
+FROM sess GROUP BY 1
+"""
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch over event users — the cross-engine-
+    deterministic alternative to approx_count_distinct
+    (operators.sketches.kmv_distinct_estimate)."""
+    ev = load_table(spark, sf, "events")
+    return kmv_distinct_estimate(ev, "user_id", k=64)
+
+
+SQL_KMV_DISTINCT_USERS = f"""
+WITH hashed AS (
+  SELECT DISTINCT {sql_uniform_hash('user_id', 'kmv')} AS u FROM events
+), topk AS (SELECT u FROM hashed ORDER BY u LIMIT 64)
+SELECT round(63.0 / max(u), 4) AS est_distinct,
+       64 AS k,
+       round(max(u), 12) AS kth_hash
+FROM topk
+"""
+
+
+def q_hash_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 10% Bernoulli document sample by key hash —
+    reproducible across engines/reruns/partitionings, unlike df.sample
+    (operators.sketches.hash_sample)."""
+    docs = load_table(spark, sf, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang", "n_chars")
+
+
+SQL_HASH_SAMPLE_DOCS = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {sql_uniform_hash('doc_id', 'sample')} < 0.1
+"""
+
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_stratified_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible train/val/test split of the corpus, summarized per
+    (split, lang) — the leakage-proof split every training pipeline needs
+    (operators.sketches.stratified_split)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        stratified_split(docs, "doc_id", _SPLITS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _sql_stratified_split_counts() -> str:
+    # Thresholds rendered from the same Python floats the Spark side folds
+    # in (0.8 + 0.1 != 0.9 in binary), so the CASE boundaries are
+    # bit-identical across engines.
+    u = sql_uniform_hash("doc_id", "split")
+    t1, t2 = _SPLITS[0][1], _SPLITS[0][1] + _SPLITS[1][1]
+    return f"""
+SELECT CASE WHEN {u} < {t1!r} THEN 'train'
+            WHEN {u} < {t2!r} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_pivot_event_weekday(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long→wide): event counts as a weekday × event-type matrix
+    via DataFrame.pivot with an explicit value list (no extra pass to
+    discover pivot values — required form at 100 TB)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.dayofweek("ts").alias("weekday"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+SQL_PIVOT_EVENT_WEEKDAY = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS weekday,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events GROUP BY 1
+"""
+
+
+def q_rolling_7d_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day value sum per user: daily pre-aggregate, then a
+    RANGE window frame over day numbers.  Exact-decimal accumulation in
+    the frame keeps the rolling sum order-independent."""
+    ev = load_table(spark, sf, "events")
+    daynum = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    daily = ev.groupBy(F.col("user_id"), daynum.alias("daynum")).agg(
+        dsum(F.col("value")).alias("day_value")
+    )
+    w = Window.partitionBy("user_id").orderBy("daynum").rangeBetween(-6, 0)
+    rolling = F.round(
+        F.sum(F.col("day_value").cast("decimal(20,6)")).over(w).cast("double"), 2
+    )
+    return daily.withColumn("rolling_7d_value", rolling)
+
+
+SQL_ROLLING_7D_USER_VALUE = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS daynum,
+         round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, daynum, day_value,
+  round(CAST(sum(CAST(day_value AS DECIMAL(20,6))) OVER (
+    PARTITION BY user_id ORDER BY daynum
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+    AS rolling_7d_value
+FROM daily
+"""
+
+
+ADVANCED_QUERIES: list[QueryDef] = [
+    QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
+    QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
+    QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
+    QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
+    QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
+    QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),
+    QueryDef("rel_rolling_7d_user_value", q_rolling_7d_user_value, SQL_ROLLING_7D_USER_VALUE, "§2.6-window-range", ("rel", "advanced")),
+]

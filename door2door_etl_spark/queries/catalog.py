@@ -7,12 +7,18 @@ and hash-compares; ``tools/check_oracle.py`` does the same locally.
 
 from __future__ import annotations
 
+from door2door_etl_spark.queries.advanced_catalog import ADVANCED_QUERIES
 from door2door_etl_spark.queries.analyst_catalog import ANALYST_QUERIES
 from door2door_etl_spark.queries.defs import QueryDef
 from door2door_etl_spark.queries.northstar_catalog import NORTHSTAR_QUERIES
 from door2door_etl_spark.queries.relational_catalog import RELATIONAL_QUERIES
 
-_ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *ANALYST_QUERIES, *NORTHSTAR_QUERIES]
+_ALL: list[QueryDef] = [
+    *RELATIONAL_QUERIES,
+    *ANALYST_QUERIES,
+    *ADVANCED_QUERIES,
+    *NORTHSTAR_QUERIES,
+]
 
 QUERIES: dict[str, QueryDef] = {q.name: q for q in _ALL}
 

@@ -270,6 +270,37 @@ WHERE round({cos}, 6) >= {NEARDUP_MIN_COSINE}
 """
 
 
+def q_dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering end-to-end: candidate pairs → connected
+    components → canonical (minimum) id per member.  Spark side iterates
+    min-label propagation (O(diameter) join rounds, lineage truncated per
+    round); the oracle proves the same fixpoint with a recursive CTE."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, min_cosine=NEARDUP_MIN_COSINE)
+    return D.connected_dedup_clusters(pairs, "id_a", "id_b")
+
+
+def _sql_dedup_cluster_canonical() -> str:
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {NEARDUP_MIN_COSINE}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON w.node = e.b
+)
+SELECT node AS doc_id, min(reach) AS canonical_id FROM walk GROUP BY 1
+"""
+
+
 def q_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return S.brute_force_topk(emb, ANN_QUERY_ID, ANN_K)
@@ -473,6 +504,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_simhash", q_simhash, _sql_simhash(), "north-star dedup/simhash", ("northstar", "dedup")),
     QueryDef("ns_simhash_near_pairs", q_simhash_near_pairs, _sql_simhash_near_pairs(), "north-star dedup/simhash", ("northstar", "dedup")),
     QueryDef("ns_embedding_neardup_pairs", q_embedding_neardup_pairs, _sql_embedding_neardup_pairs(), "north-star dedup/embedding", ("northstar", "dedup")),
+    QueryDef("ns_dedup_cluster_canonical", q_dedup_cluster_canonical, _sql_dedup_cluster_canonical(), "north-star dedup/connected-components", ("northstar", "dedup")),
     QueryDef("ns_ann_bruteforce_topk", q_ann_bruteforce_topk, _sql_ann_bruteforce_topk(), "north-star similarity/brute", ("northstar", "similarity")),
     QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),

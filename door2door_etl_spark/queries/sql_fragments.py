@@ -54,6 +54,17 @@ def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
 
 
+def sql_uniform_hash(expr: str, salt: str) -> str:
+    """DuckDB side of operators.sketches.uniform_hash: the portable uniform
+    deviate u(x) = int(substr(sha256(x || salt), 1, 13), 16) / 2^52.
+    13 hex digits = 52 bits, so both the integer and the division are exact
+    in a double — bit-identical to the Spark expression."""
+    return (
+        f"(CAST(CAST(concat('0x', substr(sha256(CAST({expr} AS VARCHAR) "
+        f"|| '{salt}'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0)"
+    )
+
+
 def dec_sum(expr: str, alias: str, scale: int = 2) -> str:
     """Deterministic money-sum: per-row cast to DECIMAL(20,6) (exact sum,
     no float accumulation-order drift), then double + round for a stable

@@ -1,7 +1,13 @@
 from door2door_etl_spark.streaming.pipeline import (
     stream_events,
     stream_hourly_counts,
+    stream_sessionize,
     stream_upsert_to_warehouse,
 )
 
-__all__ = ["stream_events", "stream_hourly_counts", "stream_upsert_to_warehouse"]
+__all__ = [
+    "stream_events",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "stream_upsert_to_warehouse",
+]

@@ -65,6 +65,80 @@ def stream_hourly_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    key_col: str = "organization_id",
+    ts_col: str = "event_ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based session aggregation via
+    ``applyInPandasWithState`` — the arbitrary-state surface the built-in
+    windows can't express (session extent depends on the data, not the
+    clock).  Batch twin: operators.relational.sessionize.
+
+    State per key = (session_start, last_seen, n_events).  A micro-batch
+    extends the open session or closes it and opens a new one; sessions
+    closed within the batch are emitted immediately, the open session is
+    emitted when its key times out (event-time timeout = watermark-driven,
+    so state size is bounded by the number of keys active inside the
+    watermark horizon — the 100 TB property)."""
+    import pandas as pd  # local import keeps module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, session_start timestamp, session_end timestamp, "
+        "n_events long, closed boolean"
+    )
+    state_schema = "session_start long, last_seen long, n_events long"
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        rows = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            rows.append((key[0], start, last, n, True))
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(v.value // 1000)  # pandas ns -> µs
+                    for v in pd.to_datetime(pdf[ts_col])
+                )
+            ts_us.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts_us[0], ts_us[0], 0
+            for t in ts_us:
+                if n > 0 and t - last > gap_us:
+                    rows.append((key[0], start, last, n, True))
+                    start, n = t, 0
+                last = t
+                n += 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+            rows.append((key[0], start, last, n, False))
+        out = pd.DataFrame(
+            rows, columns=[key_col, "session_start", "session_end", "n_events", "closed"]
+        )
+        for c in ("session_start", "session_end"):
+            out[c] = pd.to_datetime(out[c], unit="us")
+        yield out
+
+    return (
+        events.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_upsert_to_warehouse(
     spark: SparkSession,
     events: DataFrame,

@@ -13,6 +13,7 @@ MAY_BE_EMPTY = {
     "etl_quarantine_unknown_types",
     "etl_point_lookup",
     "etl_hour_window_filter",  # sf0.001 has ~1k events over 30 days: sparse hours
+    "tpch_q7_volume_shipping",  # one specific nation pair: no traffic at sf0.001
 }
 
 

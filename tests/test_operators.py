@@ -197,3 +197,88 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+# -- wave-3 operators: asof join, sessionize, sketches -----------------------
+
+from datetime import datetime
+
+from door2door_etl_spark.operators.relational import asof_join, sessionize
+from door2door_etl_spark.operators.sketches import (
+    hash_sample,
+    kmv_distinct_estimate,
+    stratified_split,
+    uniform_hash,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            Row(ev=1, k="a", ts=_ts("2024-01-01T10:00:00")),
+            Row(ev=2, k="a", ts=_ts("2024-01-01T12:00:00")),
+            Row(ev=3, k="b", ts=_ts("2024-01-01T09:00:00")),  # before any right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=_ts("2024-01-01T10:00:00"), state="s1"),  # ties left ev=1
+            Row(k="a", rts=_ts("2024-01-01T11:00:00"), state="s2"),
+            Row(k="b", rts=_ts("2024-01-01T23:00:00"), state="s3"),
+        ]
+    )
+    out = {
+        r["ev"]: r["state"]
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["state"]).collect()
+    }
+    assert out[1] == "s1"  # inclusive: right row at equal ts matches
+    assert out[2] == "s2"  # latest at-or-before wins
+    assert out[3] is None  # left-join semantics: no earlier right row
+
+
+def test_sessionize_gap_boundaries(spark):
+    base = [0, 10, 2000, 2005, 9000]  # seconds; gap = 1800s
+    df = spark.createDataFrame(
+        [Row(u="x", ts=_ts("2024-01-01T00:00:00"), off=o) for o in base]
+    ).withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("off")))
+    out = sessionize(df, ["u"], "ts", gap_seconds=1800, tiebreak_cols=["off"])
+    seqs = [r["session_seq"] for r in out.orderBy("off").collect()]
+    assert seqs == [1, 1, 2, 2, 3]
+
+
+def test_uniform_hash_matches_reference_vector(spark):
+    # Known-answer: sha256('42' + '')[:13] as a 52-bit fraction.
+    import hashlib
+
+    expect = int(hashlib.sha256(b"42").hexdigest()[:13], 16) / float(16**13)
+    df = spark.range(42, 43).select(uniform_hash(F.col("id")).alias("u"))
+    got = df.collect()[0]["u"]
+    assert got == expect  # bit-exact, not approx
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    df = spark.range(0, 10_000)
+    s1 = hash_sample(df, "id", 0.1).count()
+    s2 = hash_sample(df, "id", 0.1).count()
+    assert s1 == s2  # reproducible
+    assert 800 <= s1 <= 1200  # ~10%
+
+
+def test_stratified_split_partition_and_weights(spark):
+    df = spark.range(0, 10_000)
+    out = stratified_split(df, "id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10_000  # total partition, no overlap/loss
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert 7500 <= counts["train"] <= 8500
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    df = spark.range(0, 5_000).select((F.col("id") % 1000).alias("v"))
+    row = kmv_distinct_estimate(df, "v", k=64).collect()[0]
+    assert row["k"] == 64
+    assert 700 <= row["est_distinct"] <= 1400  # true=1000; KMV k=64 ~ ±12% rms

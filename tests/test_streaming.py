@@ -91,3 +91,45 @@ def test_stream_upsert_idempotent_replay(spark, tmp_path, stream_source):
     q3.awaitTermination(120)
     veh3 = spark.read.parquet(str(warehouse / "vehicle_location"))
     assert veh3.count() == 6  # ckpt1 already processed a.json; only b.json new
+
+
+def test_stream_sessionize_gap_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionizer: two bursts 1h apart with a 30-min
+    gap threshold must close the first session (emitted with closed=True in
+    a later batch via timeout, or within-batch when both bursts share a
+    batch) and leave the second open."""
+    from door2door_etl_spark.streaming import stream_events, stream_sessionize
+
+    src = tmp_path / "landing_sess"
+    src.mkdir()
+    lines = []
+    for minute in (0, 5, 10):  # burst 1: session of 3
+        lines.append(json.dumps(_vehicle(minute + 1, minute)))
+    burst2 = [
+        _vehicle(50, 0) | {"at": "2022-11-24T12:00:00.000Z"},
+        _vehicle(51, 1) | {"at": "2022-11-24T12:03:00.000Z"},
+    ]
+    lines.extend(json.dumps(v) for v in burst2)
+    (src / "a.json").write_text("\n".join(lines))
+
+    events = stream_events(spark, str(src), watermark_delay="10 minutes")
+    sessions = stream_sessionize(events, key_col="organization_id",
+                                 ts_col="event_ts", gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from sessions_out order by session_start"
+    ).collect()
+    assert len(rows) == 2
+    first, second = rows
+    assert first["closed"] is True and first["n_events"] == 3
+    assert first["session_start"].minute == 0 and first["session_end"].minute == 10
+    assert second["closed"] is False and second["n_events"] == 2
+    assert second["session_start"].hour == 12

@@ -37,7 +37,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             if getattr(s.dt, "tz", None) is not None:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[col] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            df[col] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f").map(
+                lambda v: "NULL" if not isinstance(v, str) else v
+            )
         elif pd.api.types.is_float_dtype(s):
             df[col] = s.map(lambda v: "NULL" if pd.isna(v) else f"{v:.6f}")
         else:
