@@ -22,7 +22,7 @@ from door2door_etl_spark.operators.sketches import (
     stratified_split,
 )
 from door2door_etl_spark.queries.defs import QueryDef, dsum
-from door2door_etl_spark.queries.sql_fragments import sql_uniform_hash
+from door2door_etl_spark.queries.sql_fragments import sql_tokens, sql_uniform_hash
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -229,6 +229,67 @@ FROM daily
 """
 
 
+def q_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF: the most characteristic token per document.  Explode →
+    two aggregations (term freq per doc, doc freq per term) → broadcast
+    the tiny corpus-size scalar → window top-1 with a rounded sort key so
+    cross-engine float ulps cannot flip ties."""
+    docs = load_table(spark, sf, "documents")
+    from door2door_etl_spark.operators.text import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("token").alias("top_token"), "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERM = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored)
+SELECT doc_id, token AS top_token, tfidf FROM ranked WHERE rk = 1
+"""
+
+
 ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
@@ -237,4 +298,5 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),
     QueryDef("rel_rolling_7d_user_value", q_rolling_7d_user_value, SQL_ROLLING_7D_USER_VALUE, "§2.6-window-range", ("rel", "advanced")),
+    QueryDef("ns_tfidf_top_term", q_tfidf_top_term, SQL_TFIDF_TOP_TERM, "north-star text/tfidf", ("northstar", "text")),
 ]
