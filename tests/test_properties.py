@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): engine operators vs tiny pure-Python
+reference implementations on randomized inputs.
+
+These pin the *semantics* the oracle harness can't reach — arbitrary inputs
+rather than one fixed dataset — for the operators whose correctness is
+easiest to get subtly wrong: sessionization boundaries, as-of picks,
+hash-split stability.  Example counts are small (Spark round-trips are
+~0.5 s each); the generators bias toward boundary collisions (equal
+timestamps, gap-exact spacing, duplicate keys).
+"""
+
+import hashlib
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.operators.relational import asof_join, sessionize
+from door2door_etl_spark.operators.sketches import stratified_split, uniform_hash
+
+BASE = datetime(2024, 1, 1)
+GAP_S = 100
+
+# Offsets in seconds; small domain forces equal-ts and gap-boundary cases.
+offsets = st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=30)
+
+
+def _ref_sessions(sorted_offsets: list[int], gap_s: int) -> list[int]:
+    """Reference session assignment: 1-based seq, new session when the gap
+    to the previous event strictly exceeds gap_s."""
+    seqs, seq = [], 0
+    prev = None
+    for o in sorted_offsets:
+        if prev is None or o - prev > gap_s:
+            seq += 1
+        seqs.append(seq)
+        prev = o
+    return seqs
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(offsets=offsets)
+def test_sessionize_matches_reference(spark, offsets):
+    rows = [
+        Row(u="k", ts=BASE + timedelta(seconds=o), uid=i)
+        for i, o in enumerate(sorted(offsets))
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["uid"]: r["session_seq"]
+        for r in sessionize(df, ["u"], "ts", GAP_S, tiebreak_cols=["uid"]).collect()
+    }
+    expect = _ref_sessions(sorted(offsets), GAP_S)
+    assert [got[i] for i in range(len(rows))] == expect
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    right=st.lists(st.integers(0, 50), min_size=0, max_size=15),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [Row(k="k", ts=BASE + timedelta(seconds=o), lid=i) for i, o in enumerate(left)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(k="k", rts=BASE + timedelta(seconds=o), rv=o) for o in sorted(set(right))],
+        schema="k string, rts timestamp, rv bigint",
+    )
+    out = {
+        r["lid"]: r["rv"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", "rts", ["rv"]).collect()
+    }
+    rs = sorted(set(right))
+    for i, o in enumerate(left):
+        candidates = [r for r in rs if r <= o]
+        expect = max(candidates) if candidates else None
+        assert out[i] == expect, f"left offset {o}: {out[i]} != {expect}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True))
+def test_uniform_hash_and_split_match_python_sha(spark, keys):
+    """The portable deviate and the split assignment agree with a direct
+    Python sha256 reference — the cross-engine contract, pinned."""
+    df = spark.createDataFrame([Row(id=k) for k in keys])
+    got_u = {
+        r["id"]: r["u"]
+        for r in df.select("id", uniform_hash(F.col("id"), "s").alias("u")).collect()
+    }
+    got_split = {
+        r["id"]: r["split"]
+        for r in stratified_split(
+            df, "id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        ).collect()
+    }
+    for k in keys:
+        u = int(hashlib.sha256(f"{k}s".encode()).hexdigest()[:13], 16) / float(16**13)
+        assert got_u[k] == u
+        us = int(hashlib.sha256(f"{k}split".encode()).hexdigest()[:13], 16) / float(
+            16**13
+        )
+        expect = "train" if us < 0.8 else ("val" if us < 0.8 + 0.1 else "test")
+        assert got_split[k] == expect
