@@ -229,6 +229,75 @@ FROM daily
 """
 
 
+def q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Native sliding windows: 1-hour windows every 30 minutes via
+    ``F.window(ts, '1 hour', '30 minutes')`` — each event lands in exactly
+    two windows.  The oracle replicates window assignment arithmetically
+    (integer µs division), proving the built-in's bucketing."""
+    ev = load_table(spark, sf, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return ev.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        "n_users",
+    )
+
+
+SQL_SLIDING_WINDOW_COUNTS = """
+WITH assigned AS (
+  SELECT user_id,
+         make_timestamp(((epoch_us(ts) // 1800000000) - j) * 1800000000)
+           AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM assigned GROUP BY 1
+"""
+
+
+def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Native data-driven session windows (``F.session_window``, 30-min
+    gap): per-user sessions with extent and size.  Spark merges an event
+    into the open session when gap <= 30 min and closes at last+gap; the
+    oracle reproduces exactly that with a lag + running-sum sessionizer."""
+    ev = load_table(spark, sf, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return ev.groupBy("user_id", sw.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, seq
+"""
+
+
 def q_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF: the most characteristic token per document.  Explode →
     two aggregations (term freq per doc, doc freq per term) → broadcast
@@ -299,4 +368,6 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),
     QueryDef("rel_rolling_7d_user_value", q_rolling_7d_user_value, SQL_ROLLING_7D_USER_VALUE, "§2.6-window-range", ("rel", "advanced")),
     QueryDef("ns_tfidf_top_term", q_tfidf_top_term, SQL_TFIDF_TOP_TERM, "north-star text/tfidf", ("northstar", "text")),
+    QueryDef("etl_sliding_window_counts", q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS, "§2.8-sliding-window", ("etl", "advanced")),
+    QueryDef("etl_session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG, "§2.8-session-window", ("etl", "advanced")),
 ]
