@@ -301,6 +301,52 @@ SELECT node AS doc_id, min(reach) AS canonical_id FROM walk GROUP BY 1
 """
 
 
+def q_dedup_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end dedup deliverable: corpus statistics after removing
+    every non-canonical near-duplicate (cluster members that are not the
+    cluster minimum).  Composition: pairs → components → anti-join — the
+    exact plan a training-data pipeline runs before tokenization."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, min_cosine=NEARDUP_MIN_COSINE)
+    clusters = D.connected_dedup_clusters(pairs, "id_a", "id_b")
+    losers = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("drop_id")
+    )
+    kept = emb.join(losers, emb.vec_id == losers.drop_id, "left_anti")
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+def _sql_dedup_cleaned_corpus() -> str:
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {NEARDUP_MIN_COSINE}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON w.node = e.b
+), losers AS (
+  SELECT node AS drop_id FROM walk GROUP BY 1 HAVING node != min(reach)
+)
+SELECT label, count(*) AS n_kept,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+FROM embeddings
+WHERE vec_id NOT IN (SELECT drop_id FROM losers)
+GROUP BY 1
+"""
+
+
 def q_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return S.brute_force_topk(emb, ANN_QUERY_ID, ANN_K)
@@ -505,6 +551,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_simhash_near_pairs", q_simhash_near_pairs, _sql_simhash_near_pairs(), "north-star dedup/simhash", ("northstar", "dedup")),
     QueryDef("ns_embedding_neardup_pairs", q_embedding_neardup_pairs, _sql_embedding_neardup_pairs(), "north-star dedup/embedding", ("northstar", "dedup")),
     QueryDef("ns_dedup_cluster_canonical", q_dedup_cluster_canonical, _sql_dedup_cluster_canonical(), "north-star dedup/connected-components", ("northstar", "dedup")),
+    QueryDef("ns_dedup_cleaned_corpus", q_dedup_cleaned_corpus, _sql_dedup_cleaned_corpus(), "north-star dedup/end-to-end", ("northstar", "dedup")),
     QueryDef("ns_ann_bruteforce_topk", q_ann_bruteforce_topk, _sql_ann_bruteforce_topk(), "north-star similarity/brute", ("northstar", "similarity")),
     QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),

@@ -1,4 +1,5 @@
 from door2door_etl_spark.streaming.pipeline import (
+    stream_dedup_by_key,
     stream_events,
     stream_hourly_counts,
     stream_sessionize,
@@ -6,6 +7,7 @@ from door2door_etl_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "stream_dedup_by_key",
     "stream_events",
     "stream_hourly_counts",
     "stream_sessionize",

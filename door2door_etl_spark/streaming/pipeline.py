@@ -65,6 +65,27 @@ def stream_hourly_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_by_key(
+    events: DataFrame,
+    key_source_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming duplicate collapse: derive the deterministic surrogate key
+    (same sha2 expression as the batch normalizer, reference
+    src/helper/helper.py:144-148) and drop repeats with
+    ``dropDuplicatesWithinWatermark`` — dedup state is evicted once the
+    watermark passes, so state size is bounded by the duplicate horizon,
+    not by stream history (the 100 TB property the batch
+    ``dropDuplicates`` cannot give a continuous pipeline)."""
+    from door2door_etl_spark.schemas.keys import surrogate_uuid_expr
+
+    cols = key_source_cols or ["on", "at", "organization_id", "data.id"]
+    keyed = events.withColumn(
+        "event_generated_id",
+        surrogate_uuid_expr([F.col(c).cast("string") for c in cols]),
+    )
+    return keyed.dropDuplicatesWithinWatermark(["event_generated_id"])
+
+
 def stream_sessionize(
     events: DataFrame,
     key_col: str = "organization_id",

@@ -133,3 +133,24 @@ def test_stream_sessionize_gap_sessions(spark, tmp_path):
     assert first["session_start"].minute == 0 and first["session_end"].minute == 10
     assert second["closed"] is False and second["n_events"] == 2
     assert second["session_start"].hour == 12
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path, stream_source):
+    """dropDuplicatesWithinWatermark on the derived surrogate key: the
+    duplicated vehicle event in the source collapses to one row."""
+    from door2door_etl_spark.streaming import stream_dedup_by_key, stream_events
+
+    events = stream_events(spark, str(stream_source))
+    deduped = stream_dedup_by_key(events)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_generated_id from dedup_out").collect()
+    assert len(rows) == 5  # 6 events in source, 1 duplicate collapsed
+    assert len({r["event_generated_id"] for r in rows}) == 5
