@@ -359,6 +359,137 @@ SELECT doc_id, token AS top_token, tfidf FROM ranked WHERE rk = 1
 """
 
 
+ANN_MULTI_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_MULTI_K = 5
+
+
+def q_ann_multiquery_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched ANN: exact top-k neighbors for a SET of query vectors in one
+    plan — broadcast the query batch, score every (vector, query) pair,
+    window top-k per query.  This is the production shape (queries arrive
+    in batches, the corpus side streams through once); per-query loops
+    would rescan the corpus |Q| times."""
+    from door2door_etl_spark.operators.similarity import cosine_similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(ANN_MULTI_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_MULTI_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def _sql_ann_multiquery_topk() -> str:
+    from door2door_etl_spark.queries.sql_fragments import sql_cosine
+
+    ids = ", ".join(str(i) for i in ANN_MULTI_QUERY_IDS)
+    cos = sql_cosine("e.embedding", "q.qvec")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored)
+SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {ANN_MULTI_K}
+"""
+
+
+def q_corpus_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite pre-training corpus filter: keep documents with enough
+    tokens and a plausible stopword rate, report per-source survivor
+    stats — the filter stage every LLM data pipeline runs before
+    tokenization.  Pure column expressions over the text operators."""
+    from door2door_etl_spark.operators.text import stopword_ratio, token_count
+
+    docs = load_table(spark, sf, "documents")
+    tc = token_count(F.col("text"))
+    kept = docs.filter((tc >= 10) & (stopword_ratio(F.col("text")) >= 0.02))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum(token_count(F.col("text")).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_tokens"),
+    )
+
+
+def _sql_corpus_quality_filter() -> str:
+    from door2door_etl_spark.operators.text import LANG_STOPWORDS
+
+    stop_en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    toks = sql_tokens("text")
+    return f"""
+WITH t AS (
+  SELECT source, n_chars, {toks} AS toks FROM documents
+), f AS (
+  SELECT source, n_chars, len(toks) AS tc,
+         len(list_filter(toks, t2 -> t2 IN ({stop_en}))) AS stop_hits
+  FROM t)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST(tc AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4)
+         AS avg_tokens
+FROM f
+WHERE tc >= 10 AND CAST(stop_hits AS DOUBLE) / tc >= 0.02
+GROUP BY 1
+"""
+
+
+WSAMPLE_K = 50
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    priority = -ln(u(key)) / weight, keep the K smallest — inclusion
+    probability proportional to weight (n_chars), one pass, deterministic
+    via the portable hash (no RNG), mergeable across partitions (the
+    distributed-sampling property)."""
+    from door2door_etl_spark.operators.sketches import uniform_hash
+
+    docs = load_table(spark, sf, "documents")
+    priority = F.round(
+        -F.log(uniform_hash(F.col("doc_id"), "wsample")) / F.col("n_chars"), 10
+    )
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+def _sql_weighted_sample_topk() -> str:
+    u = sql_uniform_hash("doc_id", "wsample")
+    return f"""
+SELECT doc_id, n_chars, round(-ln({u}) / n_chars, 10) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
 ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
@@ -370,4 +501,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_tfidf_top_term", q_tfidf_top_term, SQL_TFIDF_TOP_TERM, "north-star text/tfidf", ("northstar", "text")),
     QueryDef("etl_sliding_window_counts", q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS, "§2.8-sliding-window", ("etl", "advanced")),
     QueryDef("etl_session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG, "§2.8-session-window", ("etl", "advanced")),
+    QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),
+    QueryDef("ns_corpus_quality_filter", q_corpus_quality_filter, _sql_corpus_quality_filter(), "north-star text/quality-filter", ("northstar", "text")),
+    QueryDef("ns_weighted_sample_topk", q_weighted_sample_topk, _sql_weighted_sample_topk(), "north-star sampling/weighted", ("northstar", "sampling")),
 ]
