@@ -149,3 +149,41 @@ def test_upsert_updates_existing_keys(spark, tmp_path, landing):
     assert veh.count() == 2  # still two keys
     updated = veh.filter("vehicle_id = '00000000-0000-0000-0000-000000000001'").first()
     assert updated["vehicle_longitude"] == 99.9  # new row won
+
+
+def test_multi_hour_backfill_watermark_driven(spark, tmp_path):
+    """Three landing hours processed by watermark advancement alone (no
+    explicit fetch_hour): each run picks up the next unprocessed hour, the
+    warehouse accumulates all hours, replay stays idempotent."""
+
+    def at(hour, minute):
+        return f"2022-11-24T{hour:02d}:{minute:02d}:00.000Z"
+
+    lines = []
+    for h in (10, 11, 12):
+        ev = _vehicle(h * 10, 5)
+        ev["at"] = at(h, 5)
+        ev["data"]["location"]["at"] = at(h, 5)
+        lines.append(json.dumps(ev))
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "hours.json").write_text("\n".join(lines))
+    glob = str(src / "*.json")
+    lake = str(tmp_path / "lake")
+    book = Bookkeeping(spark, f"{lake}/monitor")
+
+    assert book.next_fetch_hour() == DEFAULT_START_HOUR  # cold start = hour 10
+    for expected_hr in (10, 11, 12):
+        summary = run_workflow(spark, glob, lake, workflow_id=str(uuid.uuid4()))
+        assert summary["bronze_path"].endswith(f"hr={expected_hr}")
+    assert book.next_fetch_hour() == HOUR + dt.timedelta(hours=3)
+
+    veh = spark.read.parquet(f"{lake}/warehouse/vehicle_location")
+    assert veh.count() == 3
+    hours = sorted(r["event_timestamp"].hour for r in veh.collect())
+    assert hours == [10, 11, 12]
+
+    # Bronze is hour-partitioned: one directory per processed hour.
+    import glob as globmod
+    dirs = sorted(globmod.glob(f"{lake}/bronze/dt=2022-11-24/hr=*"))
+    assert [d[-2:] for d in dirs] == ["10", "11", "12"]
