@@ -65,12 +65,26 @@ def main() -> None:
               "nation", "region", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
+    def force(df) -> int:
+        """Count rows while forcing EVERY output expression to evaluate.
+        A bare .count() lets Catalyst prune projection-only work (the
+        row count doesn't need the projected columns), which flatters
+        per-row-compute queries; hashing a struct of all columns into an
+        aggregate makes the measurement honest."""
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
-        fn(spark, sf_dir).count()  # untimed: JIT/codegen compile pass
+        force(fn(spark, sf_dir))  # untimed: JIT/codegen compile pass
         t0 = time.time()
-        n = fn(spark, sf_dir).count()  # timed: steady-state execution
+        n = force(fn(spark, sf_dir))  # timed: steady-state execution
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

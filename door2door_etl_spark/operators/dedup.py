@@ -53,25 +53,75 @@ def exact_dedup_groups(
 
 # -- MinHash + LSH ----------------------------------------------------------
 
+MINHASH_SPACE = 16**13  # 2^52: values exact in a double, safe in BIGINT math
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 16, shingle_n: int = 3
 ) -> Column:
-    """k-permutation MinHash as an ``array<string>`` of length ``num_hashes``.
+    """k-permutation MinHash as an ``array<bigint>`` of length ``num_hashes``.
 
-    Hash family: ``sha256(shingle || '#' || i)`` with the lexicographic MIN
-    over shingles — a uniform hash to hex strings, so the min is a valid
-    minwise sample.  Computed per-row with no shuffle (SURVEY-level docs
-    fit comfortably in a codegen expression; for multi-MB docs switch to the
-    explode+groupBy formulation)."""
+    Hash family (Kirsch–Mitzenmacher two-hash construction): from one
+    sha256 per shingle derive u1 = hex[1:13], u2 = hex[14:26] (52-bit
+    uniform values), then ``h_i = (u1 + i·u2) mod 2^52`` — pairwise-
+    independent per family, ONE cryptographic hash per shingle instead of
+    one per (shingle × family).  Portable: the identical expression runs
+    in DuckDB (queries.sql_fragments.sql_minhash_component).
+
+    Shape notes, both learned the hard way at sf0.1:
+    - the naive per-family form ``array_min(transform(sh, hash_i))``
+      re-evaluates the shingle subtree per family (Catalyst does not CSE
+      through lambdas) — O(families × tokens × n) string building;
+    - this single ``aggregate`` fold references the shingles once and does
+      one pass, folding all families per shingle with integer math.
+    """
     sh = shingles(text, shingle_n)
+    sentinel = F.array_repeat(F.lit(MINHASH_SPACE).cast("long"), num_hashes)
 
-    def hasher(i: int):
-        # NB: the lambda must be unary — PySpark passes the array index to
-        # binary lambdas, which would silently override the hash seed.
-        return lambda s: F.sha2(F.concat(s, F.lit(f"#{i}")), 256)
+    def step(acc: Column, s: Column) -> Column:
+        h = F.sha2(s, 256)
+        u1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+        u2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("long")
+        hashes = F.array(
+            *[
+                (u1 + F.lit(i) * u2) % F.lit(MINHASH_SPACE)
+                for i in range(num_hashes)
+            ]
+        )
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    return F.aggregate(sh, sentinel, step)
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — the explode+groupBy MinHash formulation.
+
+    Same values as :func:`minhash_signature`, different physical plan:
+    explode the shingles, derive (u1, u2) from one sha256 as ordinary
+    codegen'd columns, and take 16 ``min()`` aggregates per document.
+    Spark evaluates higher-order-function lambdas interpreted (no
+    whole-stage codegen), so the per-row fold costs ~8× more CPU than this
+    vectorized form at sf0.1; the shuffle stays one row per (doc,
+    partition) thanks to partial aggregation, and huge documents spread
+    their shingle work across tasks instead of hot-spotting one row."""
+    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
+    h = F.sha2(F.col("s"), 256)
+    u1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    u2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("long")
+    per_family = [
+        F.min((F.col("u1") + F.lit(i) * F.col("u2")) % F.lit(MINHASH_SPACE)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    grouped = ex.select(id_col, u1.alias("u1"), u2.alias("u2")).groupBy(id_col).agg(*per_family)
+    return grouped.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -86,14 +136,13 @@ def minhash_band_table(
     """(id, band_idx, band_key) — one row per band; band_key is the digest of
     the band's signature slice."""
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    with_sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.sha2(
-                    F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows)), 256
+                    F.concat_ws("|", F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string"))), 256
                 ).alias("band_key"),
             )
             for b in range(bands)
@@ -143,28 +192,63 @@ def minhash_similarity_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH candidates scored by estimated Jaccard = fraction of matching
-    signature components (the MinHash estimator)."""
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    sigs = df.select(F.col(id_col), sig.alias("sig"))
-    cands = minhash_lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+    signature components (the MinHash estimator).
+
+    Plan shape: signatures ride along through the band self-join (both join
+    sides are the identical subtree, so AQE reuses one exchange — the
+    signature is computed once for the whole query) and the pair dedup
+    picks them up with ``first()``; the naive form — joining the candidate
+    pairs back to a signatures table per side — computes the (expensive)
+    signature chain three times."""
+    rows = num_hashes // bands
+    with_sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.sha2(
+                    F.concat_ws("|", F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string"))), 256
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    a = sigs.alias("sa")
-    b = sigs.alias("sb")
+    bt = with_sig.select(
+        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("band")
+    ).select(
+        id_col,
+        "sig",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a = bt.alias("ba")
+    b = bt.alias("bb")
+    cands = (
+        a.join(
+            b,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("id_a"),
+            F.col(f"bb.{id_col}").alias("id_b"),
+            F.col("ba.sig").alias("sa_sig"),
+            F.col("bb.sig").alias("sb_sig"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sa_sig").alias("sa_sig"), F.first("sb_sig").alias("sb_sig"))
+    )
     matches = F.size(
         F.filter(
-            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+            F.zip_with(F.col("sa_sig"), F.col("sb_sig"), lambda x, y: x == y),
             lambda m: m,
         )
     )
-    return (
-        cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
-        .join(b, cands.id_b == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
-        )
+    return cands.select(
+        "id_a",
+        "id_b",
+        (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 

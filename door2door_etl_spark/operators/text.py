@@ -149,14 +149,23 @@ def shingles(col: Column, n: int = 5) -> Column:
     """Word ``n``-gram shingles as an array of space-joined strings.
 
     Implemented with sequence+transform over the token array (no explode →
-    no row blow-up until the caller chooses to)."""
-    toks = tokens(col)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
-    return F.when(
-        k >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    no row blow-up until the caller chooses to).
+
+    The token array is BOUND ONCE via a single-element ``transform`` lambda:
+    referencing the tokens expression directly inside the per-shingle lambda
+    re-evaluates the whole split/filter per shingle (Catalyst does not CSE
+    through lambda bodies), which is O(tokens²) per document — measured as
+    the dominant cost of every shingle-based operator at sf0.1."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
+        return F.when(
+            k >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return F.transform(F.array(tokens(col)), build)[0]
 
 
 def fingerprint(col: Column, n: int = 5) -> Column:

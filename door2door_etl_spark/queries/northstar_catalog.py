@@ -55,16 +55,21 @@ FROM documents GROUP BY 1
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """Signature digest per doc — hash-checks the full MinHash chain."""
     docs = load_table(spark, sf, "documents")
-    sig = D.minhash_signature(F.col("text"), NUM_HASHES, SHINGLE_N)
-    return docs.select(
-        "doc_id", F.sha2(F.concat_ws("|", sig), 256).alias("sig_digest")
+    sigs = D.minhash_signatures_df(docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N)
+    return sigs.select(
+        "doc_id",
+        F.sha2(
+            F.concat_ws("|", F.transform(F.col("sig"), lambda x: x.cast("string"))),
+            256,
+        ).alias("sig_digest"),
     )
 
 
 def _sql_minhash_signatures() -> str:
     sh = sql_shingles("text", SHINGLE_N)
     comps = " || '|' || ".join(
-        sql_minhash_component("sh", i) for i in range(NUM_HASHES)
+        f"CAST({sql_minhash_component('sh', i)} AS VARCHAR)"
+        for i in range(NUM_HASHES)
     )
     return f"""
 WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents)
@@ -91,7 +96,7 @@ def _sql_lsh_band_buckets() -> str:
     band_rows = []
     for b in range(BANDS):
         comps = " || '|' || ".join(
-            sql_minhash_component("sh", b * ROWS_PER_BAND + i)
+            f"CAST({sql_minhash_component('sh', b * ROWS_PER_BAND + i)} AS VARCHAR)"
             for i in range(ROWS_PER_BAND)
         )
         band_rows.append(
@@ -127,7 +132,7 @@ def _sql_minhash_lsh_pairs() -> str:
     band_rows = []
     for b in range(BANDS):
         comps = " || '|' || ".join(
-            f"h{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)
+            f"CAST(h{b * ROWS_PER_BAND + i} AS VARCHAR)" for i in range(ROWS_PER_BAND)
         )
         band_rows.append(
             f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key FROM sigs"

@@ -31,10 +31,15 @@ def sql_shingles(col: str, n: int) -> str:
 
 
 def sql_minhash_component(shingles_expr: str, i: int) -> str:
-    """min(sha256(shingle || '#i')) — one MinHash signature component."""
+    """One MinHash signature component — DuckDB twin of
+    operators.dedup.minhash_signature's Kirsch–Mitzenmacher family:
+    h_i = (u1 + i·u2) mod 2^52 from one sha256 per shingle, MIN over
+    shingles."""
+    u1 = "CAST(concat('0x', substr(sha256(s), 1, 13)) AS BIGINT)"
+    u2 = "CAST(concat('0x', substr(sha256(s), 14, 13)) AS BIGINT)"
     return (
         f"list_aggregate(list_transform({shingles_expr}, "
-        f"s -> sha256(s || '#{i}')), 'min')"
+        f"s -> ({u1} + {i} * {u2}) % 4503599627370496), 'min')"
     )
 
 
