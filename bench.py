@@ -42,7 +42,12 @@ BENCH_QUERIES = [
     "ns_stratified_split_counts",
     "ns_dedup_exact",
     "ns_minhash_signatures",
+    "ns_minhash_lsh_pairs",
+    "ns_ngram_jaccard_topk",
     "ns_simhash",
+    "ns_tfidf_top_term",
+    "rel_token_topk",
+    "ns_ann_multiquery_topk",
     "ns_ann_bruteforce_topk",
     "ns_text_features",
     "ns_embedding_neardup_pairs",

@@ -77,6 +77,37 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def compact_parquet_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a parquet table into ~``target_file_mb`` files; returns the
+    new file count.
+
+    Incremental MERGE/append sinks accrete small files (every upsert batch
+    writes at least one), and at 100 TB small-file explosion is the top
+    operational failure of a parquet lake: listing slows, task counts blow
+    up, scan throughput collapses.  Sizing uses the actual on-disk bytes
+    (not row counts), and the rewrite goes through a temp directory + atomic
+    rename so a crash mid-compaction never leaves the table truncated.
+    """
+    import shutil
+
+    p = Path(path)
+    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = str(p.parent / f".{p.name}__compacting")
+    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+    backup = str(p.parent / f".{p.name}__precompact")
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    return len([f for f in Path(path).rglob("*.parquet") if f.is_file()])
+
+
 def merge_upsert_parquet(
     spark: SparkSession,
     target_path: str,

@@ -187,3 +187,25 @@ def test_multi_hour_backfill_watermark_driven(spark, tmp_path):
     import glob as globmod
     dirs = sorted(globmod.glob(f"{lake}/bronze/dt=2022-11-24/hr=*"))
     assert [d[-2:] for d in dirs] == ["10", "11", "12"]
+
+
+def test_compact_parquet_table(spark, tmp_path):
+    """Compaction collapses an accreted many-file table to few files with
+    identical contents."""
+    from door2door_etl_spark.io.writers import compact_parquet_table
+
+    path = str(tmp_path / "accreted")
+    for i in range(8):  # 8 append batches -> >= 8 files
+        spark.range(i * 100, (i + 1) * 100).coalesce(2).write.mode(
+            "append"
+        ).parquet(path)
+    import glob as g
+    before_files = len(g.glob(f"{path}/*.parquet"))
+    assert before_files >= 8
+    before_sum = spark.read.parquet(path).agg({"id": "sum"}).collect()[0][0]
+
+    n_after = compact_parquet_table(spark, path, target_file_mb=128)
+    assert n_after < before_files
+    after = spark.read.parquet(path)
+    assert after.count() == 800
+    assert after.agg({"id": "sum"}).collect()[0][0] == before_sum
