@@ -209,3 +209,58 @@ def test_compact_parquet_table(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 800
     assert after.agg({"id": "sum"}).collect()[0][0] == before_sum
+
+
+def test_incremental_rollup_matches_full_rebuild(spark, tmp_path):
+    """Partition-scoped rollup refresh after each ingested hour converges to
+    exactly the full recompute."""
+    from door2door_etl_spark.pipeline.rollup import (
+        hourly_rollup_frame,
+        read_rollup,
+        refresh_hourly_rollup,
+    )
+
+    def at(hour, minute):
+        return f"2022-11-24T{hour:02d}:{minute:02d}:00.000Z"
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    lines = []
+    for h in (10, 11):
+        for i in range(3):
+            ev = _vehicle(h * 10 + i, i, org=f"org-{i % 2}")
+            ev["at"] = at(h, i)
+            ev["data"]["location"]["at"] = at(h, i)
+            lines.append(json.dumps(ev))
+    (src / "hours.json").write_text("\n".join(lines))
+    glob, lake = str(src / "*.json"), str(tmp_path / "lake")
+    base = f"{lake}/warehouse/vehicle_location"
+    rollup = f"{lake}/rollup/vehicle_hourly"
+
+    # Hour 10: ingest + first (full) refresh.
+    run_workflow(spark, glob, lake, workflow_id=str(uuid.uuid4()), fetch_hour=HOUR)
+    assert refresh_hourly_rollup(spark, base, rollup) == 1
+
+    # Hour 11: ingest + incremental refresh of just that hour.
+    h11 = HOUR + dt.timedelta(hours=1)
+    run_workflow(spark, glob, lake, workflow_id=str(uuid.uuid4()), fetch_hour=h11)
+    assert refresh_hourly_rollup(spark, base, rollup, touched_hours=[h11]) == 1
+
+    got = {
+        (r["hour_start"], r["organization_id"]): r["n_events"]
+        for r in read_rollup(spark, rollup).collect()
+    }
+    expect = {
+        (r["hour_start"], r["organization_id"]): r["n_events"]
+        for r in hourly_rollup_frame(
+            spark.read.parquet(base), "event_timestamp", ["organization_id"]
+        ).collect()
+    }
+    assert got == expect and len(got) == 4  # 2 hours x 2 orgs
+
+    # Replaying the same hour's refresh is idempotent.
+    refresh_hourly_rollup(spark, base, rollup, touched_hours=[h11])
+    assert {
+        (r["hour_start"], r["organization_id"]): r["n_events"]
+        for r in read_rollup(spark, rollup).collect()
+    } == expect
