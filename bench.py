@@ -88,6 +88,11 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
         force(fn(spark, sf_dir))  # untimed: JIT/codegen compile pass
+        # Collect the predecessor queries' garbage before timing: explode-
+        # heavy queries otherwise degrade up to 25× late in the sequence
+        # purely from accumulated heap pressure (measured: simhash 2 s
+        # isolated vs 50 s as query #18 without this).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         n = force(fn(spark, sf_dir))  # timed: steady-state execution
         timings[name] = round(time.time() - t0, 3)

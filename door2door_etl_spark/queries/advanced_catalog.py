@@ -359,6 +359,27 @@ SELECT doc_id, token AS top_token, tfidf FROM ranked WHERE rk = 1
 """
 
 
+SQL_FRONTEND_DIALECT_NEUTRAL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS value_sum,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+"""
+
+
+def q_sql_frontend_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """The analyst SQL entry point (SURVEY.md §3.3b: ``spark.sql()`` over
+    the warehouse): ONE dialect-neutral ANSI string executed verbatim by
+    both Spark SQL and the DuckDB oracle — proving the full Catalyst parse
+    → analyze → optimize lifecycle on raw SQL, not just the DataFrame
+    DSL."""
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(SQL_FRONTEND_DIALECT_NEUTRAL)
+
+
 ANN_MULTI_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_MULTI_K = 5
 
@@ -504,4 +525,5 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),
     QueryDef("ns_corpus_quality_filter", q_corpus_quality_filter, _sql_corpus_quality_filter(), "north-star text/quality-filter", ("northstar", "text")),
     QueryDef("ns_weighted_sample_topk", q_weighted_sample_topk, _sql_weighted_sample_topk(), "north-star sampling/weighted", ("northstar", "sampling")),
+    QueryDef("rel_sql_frontend_rollup", q_sql_frontend_rollup, SQL_FRONTEND_DIALECT_NEUTRAL, "§3.3b-sql-frontend", ("rel", "sql")),
 ]
