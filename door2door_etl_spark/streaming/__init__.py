@@ -3,6 +3,7 @@ from door2door_etl_spark.streaming.pipeline import (
     stream_events,
     stream_hourly_counts,
     stream_sessionize,
+    stream_stream_interval_join,
     stream_upsert_to_warehouse,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "stream_events",
     "stream_hourly_counts",
     "stream_sessionize",
+    "stream_stream_interval_join",
     "stream_upsert_to_warehouse",
 ]

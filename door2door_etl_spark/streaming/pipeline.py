@@ -86,6 +86,36 @@ def stream_dedup_by_key(
     return keyed.dropDuplicatesWithinWatermark(["event_generated_id"])
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-bound: match rows sharing
+    ``key_col`` whose event times are within ``within`` of each other.
+
+    The time-range conjunct is what makes an unbounded stream⋈stream join
+    feasible: combined with each side's ``withWatermark`` it gives Spark a
+    provable bound on how long either side's rows must be retained, so join
+    state is evicted continuously instead of growing with the stream — the
+    batch interval_join's streaming twin (SURVEY.md §2.4)."""
+    l = left.select(
+        F.col(key_col).alias("l_key"), F.col(left_ts).alias("l_ts"), "*"
+    ).drop(key_col, left_ts)
+    r = right.select(
+        F.col(key_col).alias("r_key"), F.col(right_ts).alias("r_ts"), "*"
+    ).drop(key_col, right_ts)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def stream_sessionize(
     events: DataFrame,
     key_col: str = "organization_id",

@@ -5,6 +5,7 @@ replay converge to the same warehouse state)."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from door2door_etl_spark.schemas.registry import builtin_door2door_schemas
 from door2door_etl_spark.streaming import (
@@ -154,3 +155,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path, stream_source):
     rows = spark.sql("select event_generated_id from dedup_out").collect()
     assert len(rows) == 5  # 6 events in source, 1 duplicate collapsed
     assert len({r["event_generated_id"] for r in rows}) == 5
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream⋈stream with watermarked time bound: vehicle updates match
+    operating-period registrations of the same org within 1 hour; a
+    far-away event matches nothing."""
+    from door2door_etl_spark.streaming import (
+        stream_events,
+        stream_stream_interval_join,
+    )
+
+    vdir, pdir = tmp_path / "veh", tmp_path / "per"
+    vdir.mkdir(); pdir.mkdir()
+    vehicles = [
+        _vehicle(1, 10),                                     # 10:10 -> joins
+        _vehicle(2, 30) | {"at": "2022-11-24T15:30:00.000Z"},  # far -> no match
+    ]
+    periods = [{
+        "event": "register", "on": "operating_period",
+        "at": "2022-11-24T10:05:00.000Z", "organization_id": "org-1",
+        "data": {"id": "p1", "start": "2022-11-24T08:00:00.000Z",
+                 "finish": "2022-11-24T20:00:00.000Z"},
+    }]
+    (vdir / "v.json").write_text("\n".join(json.dumps(v) for v in vehicles))
+    (pdir / "p.json").write_text("\n".join(json.dumps(p) for p in periods))
+
+    veh = stream_events(spark, str(vdir)).select(
+        "organization_id", "event_ts", F.col("data.id").alias("vehicle_id")
+    )
+    per = stream_events(spark, str(pdir)).select(
+        "organization_id", "event_ts", F.col("data.id").alias("period_id")
+    )
+    joined = stream_stream_interval_join(
+        veh, per, "organization_id", within="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select vehicle_id, period_id from ssj_out").collect()
+    assert len(rows) == 1
+    assert rows[0]["vehicle_id"].endswith("000001")
+    assert rows[0]["period_id"] == "p1"
