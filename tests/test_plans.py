@@ -136,3 +136,25 @@ def test_hour_filter_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("\n")[0]
     assert "hr" in pf
     assert scan.count() == 333
+
+
+def test_asof_join_single_shuffle_no_join_operator(spark, sf001):
+    """The as-of join's union+window plan must contain exactly ONE shuffle
+    (hash partition on the key) and NO join operator at all — the property
+    that lets both sides be 100 TB without a broadcast or a range-join
+    explosion."""
+    df = QUERIES["rel_asof_signup_attribution"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, "asof should be union+window, not a join:\n" + plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Salted join partitions a hot key across salt buckets: the join key
+    must include the salt column."""
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame([Row(k=1, v=i) for i in range(100)])
+    right = spark.createDataFrame([Row(rk=1, w="hot")])
+    joined = salted_equijoin(left, right, "k", "rk", salt_buckets=4)
+    assert "__salt" in plan_of(joined)
