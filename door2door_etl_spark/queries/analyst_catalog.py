@@ -81,6 +81,62 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 shape: NATION_1 suppliers' share of revenue to NATION_2-region...
+    here: share of all ASIA-customer revenue supplied by NATION_1, per
+    year — ratio of a conditional aggregate over a 6-way join with
+    broadcast dimension legs."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", revenue)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == n_cust.cn_key)
+        .join(F.broadcast(region), n_cust.cn_rkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == n_supp.sn_key)
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(nation_rev.cast("decimal(20,6)")).cast("double")
+            / F.sum(revenue.cast("decimal(20,6)")).cast("double"),
+            6,
+        ).alias("mkt_share"),
+        dsum(revenue).alias("total_revenue"),
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  round(
+    CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_1'
+          THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE),
+    6) AS mkt_share,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
 def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     """Q10 shape: returned-item revenue per customer, deterministic top-20.
     Scale: the groupBy key (custkey) is high-cardinality → AQE coalesces;
@@ -587,6 +643,7 @@ FROM embeddings GROUP BY 1
 
 ANALYST_QUERIES: list[QueryDef] = [
     QueryDef("tpch_q7_volume_shipping", q_tpch_q7_volume_shipping, SQL_TPCH_Q7, "§2.4-join", ("tpch",)),
+    QueryDef("tpch_q8_market_share", q_tpch_q8_market_share, SQL_TPCH_Q8, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q10_returned_items", q_tpch_q10_returned_items, SQL_TPCH_Q10, "§2.4-join,§2.6-limit", ("tpch",)),
     QueryDef("tpch_q13_order_count_distribution", q_tpch_q13_order_count_distribution, SQL_TPCH_Q13, "§2.4-outer", ("tpch",)),
     QueryDef("tpch_q14_promo_revenue", q_tpch_q14_promo_revenue, SQL_TPCH_Q14, "§2.5-agg", ("tpch",)),
