@@ -411,6 +411,248 @@ GROUP BY 1
 """
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 shape: correlated-MIN subquery (cheapest supplier per part)
+    decorrelated as a per-part window rank over the fact table.  The schema
+    has no partsupp, so lineitem is the part↔supplier price fact and
+    unit price = l_extendedprice / l_quantity (bit-identical double math in
+    both engines).  Scale: the window partitions on high-cardinality
+    p_partkey; part/supplier/nation dims broadcast."""
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") < 10)
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    priced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).withColumn(
+        "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "l_suppkey")
+    best = priced.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("unit_price", 4).alias("min_unit_price"),
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH priced AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO' AND p_size < 10)
+SELECT p_partkey, p_brand, s_name, n_name,
+       round(unit_price, 4) AS min_unit_price
+FROM priced
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+
+def q_tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 shape: product-line profit by supplier nation and year.  The schema
+    has no partsupp supplycost, so cost = 0.6 · p_retailprice · l_quantity.
+    Scale: one fact⋈fact shuffle (lineitem⋈orders on orderkey); part,
+    supplier, nation legs broadcast; the p_name filter prunes the broadcast
+    side before it ships."""
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(dsum(profit).alias("sum_profit"))
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        - 0.6 * p_retailprice * l_quantity AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 shape: global-scalar-subquery threshold — parts whose ASIA-supplied
+    value exceeds a fraction of the total ASIA-supplied value.  The scalar is
+    a one-row agg crossJoin-broadcast (no second scan pass at the consumer);
+    exact decimal sums make the > comparison engine-stable."""
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_li = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    per_part = asia_li.groupBy("l_partkey").agg(
+        F.sum(value.cast("decimal(20,6)")).cast("double").alias("part_value")
+    )
+    total = asia_li.agg(
+        F.sum(value.cast("decimal(20,6)")).cast("double").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH asia_li AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT l_partkey,
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS part_value
+FROM asia_li
+GROUP BY 1
+HAVING CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+       > 0.001 * (SELECT CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) FROM asia_li)
+"""
+
+
+def q_tpch_q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 shape: NOT IN subquery (suppliers with negative balance — the
+    'complaints' stand-in) as a left_anti join, then COUNT(DISTINCT) per
+    part attribute group.  Scale: part broadcast; the distinct-agg shuffles
+    once on the (brand,type,size) group key."""
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape: nested semi-join chain — suppliers who shipped more than a
+    threshold quantity of a part-name family in one year, surfaced as a
+    left_semi against the supplier dim.  The HAVING side aggregates before
+    the semi, so only qualifying suppkeys cross the join."""
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%bolt%"))
+    li = load_table(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1998)
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 200)
+    )
+    supp = load_table(spark, sf, "supplier")
+    return supp.join(
+        F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+SQL_TPCH_Q20 = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%' AND year(l_shipdate) = 1998
+  GROUP BY 1
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) > 200)
+"""
+
+
+def q_tpch_q21_sole_returning_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape: correlated EXISTS (another supplier on the order) +
+    NOT EXISTS (another *returning* supplier) — decorrelated as one grouped
+    pass over lineitem with conditional DISTINCT counts, so the multi-EXISTS
+    costs a single shuffle instead of two self-joins.  The sole returning
+    supplier is recovered as min(CASE WHEN returned THEN suppkey END)."""
+    li = load_table(spark, sf, "lineitem")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(ret_supp).alias("n_ret_supp"),
+        F.min(ret_supp).alias("ret_suppkey"),
+    )
+    sole = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("ret_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("ret_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_suppkey
+  FROM lineitem GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON ret_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_ret_supp = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set operations / grouping sets
 # ---------------------------------------------------------------------------
@@ -642,15 +884,21 @@ FROM embeddings GROUP BY 1
 
 
 ANALYST_QUERIES: list[QueryDef] = [
+    QueryDef("tpch_q2_min_cost_supplier", q_tpch_q2_min_cost_supplier, SQL_TPCH_Q2, "§2.4-join,§2.6-window", ("tpch",)),
     QueryDef("tpch_q7_volume_shipping", q_tpch_q7_volume_shipping, SQL_TPCH_Q7, "§2.4-join", ("tpch",)),
     QueryDef("tpch_q8_market_share", q_tpch_q8_market_share, SQL_TPCH_Q8, "§2.4-join,§2.5-agg", ("tpch",)),
+    QueryDef("tpch_q9_product_type_profit", q_tpch_q9_product_type_profit, SQL_TPCH_Q9, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q10_returned_items", q_tpch_q10_returned_items, SQL_TPCH_Q10, "§2.4-join,§2.6-limit", ("tpch",)),
+    QueryDef("tpch_q11_important_parts", q_tpch_q11_important_parts, SQL_TPCH_Q11, "§2.5-having", ("tpch",)),
     QueryDef("tpch_q13_order_count_distribution", q_tpch_q13_order_count_distribution, SQL_TPCH_Q13, "§2.4-outer", ("tpch",)),
     QueryDef("tpch_q14_promo_revenue", q_tpch_q14_promo_revenue, SQL_TPCH_Q14, "§2.5-agg", ("tpch",)),
     QueryDef("tpch_q15_top_supplier", q_tpch_q15_top_supplier, SQL_TPCH_Q15, "§2.6-window", ("tpch",)),
+    QueryDef("tpch_q16_supplier_count", q_tpch_q16_supplier_count, SQL_TPCH_Q16, "§2.4-anti,§2.5-distinct", ("tpch",)),
     QueryDef("tpch_q17_small_quantity_revenue", q_tpch_q17_small_quantity_revenue, SQL_TPCH_Q17, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q18_large_volume_customer", q_tpch_q18_large_volume_customer, SQL_TPCH_Q18, "§2.5-having", ("tpch",)),
     QueryDef("tpch_q19_disjunctive_revenue", q_tpch_q19_disjunctive_revenue, SQL_TPCH_Q19, "§2.3-filter", ("tpch",)),
+    QueryDef("tpch_q20_excess_shippers", q_tpch_q20_excess_shippers, SQL_TPCH_Q20, "§2.4-semi,§2.5-having", ("tpch",)),
+    QueryDef("tpch_q21_sole_returning_supplier", q_tpch_q21_sole_returning_supplier, SQL_TPCH_Q21, "§2.4-semi,§2.5-distinct", ("tpch",)),
     QueryDef("tpch_q22_idle_rich_customers", q_tpch_q22_idle_rich_customers, SQL_TPCH_Q22, "§2.4-anti,§2.5-agg", ("tpch",)),
     QueryDef("rel_set_intersect_click_purchase", q_set_intersect_click_purchase, SQL_SET_INTERSECT, "§2.6-setops", ("rel",)),
     QueryDef("rel_set_except_view_error", q_set_except_view_error, SQL_SET_EXCEPT, "§2.6-setops", ("rel",)),
