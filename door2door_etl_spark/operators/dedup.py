@@ -500,3 +500,38 @@ def embedding_near_dup_pairs(
         .groupBy(block_col)
         .applyInPandas(per_cell, schema=out_schema)
     )
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares at
+    least one word ``n``-gram with the benchmark/eval set (the published
+    overlap-filter recipe for pretraining corpora, scaled down from 13-grams
+    to fit the synthetic docs).
+
+    Scale design: the benchmark side is an eval suite — orders of magnitude
+    smaller than the corpus — so its distinct shingle set is **broadcast**;
+    the corpus side explodes shingles map-side carrying only ``id_col``, the
+    broadcast semi join filters in place (no corpus shuffle), and only the
+    tiny contaminated-id set shuffles for the final left_anti.
+    """
+    bench_shingles = benchmark.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    ).distinct()
+    cand_shingles = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    contaminated = (
+        cand_shingles.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")

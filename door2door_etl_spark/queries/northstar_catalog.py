@@ -21,6 +21,7 @@ from door2door_etl_spark.operators.multimodal import (
     attach_binary_content,
     extract_features,
 )
+from door2door_etl_spark.operators.packing import contiguous_token_chunks
 from door2door_etl_spark.queries.defs import QueryDef
 from door2door_etl_spark.queries.sql_fragments import (
     sql_cosine,
@@ -546,6 +547,78 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -- corpus hygiene: decontamination + sequence packing ---------------------
+
+DECON_MOD = 25  # every 25th doc stands in for the benchmark/eval set
+DECON_N = 3
+PACK_BUDGET = 1024
+
+
+def q_decontaminate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs surviving the shared-n-gram
+    overlap filter against a held-out eval subset (broadcast semi join on
+    the eval shingle set — see operators.dedup.ngram_decontaminate)."""
+    docs = load_table(spark, sf, "documents")
+    benchmark = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    candidates = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    kept = D.ngram_decontaminate(candidates, benchmark, shingle_n=DECON_N)
+    return kept.select("doc_id", "lang", "source")
+
+
+def _sql_decontaminate_corpus() -> str:
+    sh = sql_shingles("text", DECON_N)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM documents WHERE doc_id % {DECON_MOD} = 0),
+cand_sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s
+  FROM documents WHERE doc_id % {DECON_MOD} <> 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM cand_sh JOIN bench ON s = shingle)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % {DECON_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+def q_pack_token_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: contiguous token-budget chunk assignment over the
+    corpus in doc_id order via the two-phase distributed prefix sum
+    (operators.packing.contiguous_token_chunks), summarized per chunk."""
+    docs = load_table(spark, sf, "documents")
+    weighted = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    chunks = contiguous_token_chunks(
+        weighted, order_col="doc_id", weight_col="n_tokens", budget=PACK_BUDGET
+    )
+    return chunks.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sql_pack_token_chunks() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH weighted AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM weighted)
+SELECT CAST(floor((c - n_tokens) / {float(PACK_BUDGET)!r}) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum GROUP BY 1
+"""
+
+
 NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
@@ -563,6 +636,8 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
+    QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
+    QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_features", q_multimodal_features, None, "north-star multimodal/decode", ("northstar", "multimodal")),
 ]

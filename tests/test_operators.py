@@ -282,3 +282,46 @@ def test_kmv_estimate_within_tolerance(spark):
     row = kmv_distinct_estimate(df, "v", k=64).collect()[0]
     assert row["k"] == 64
     assert 700 <= row["est_distinct"] <= 1400  # true=1000; KMV k=64 ~ ±12% rms
+
+
+# -- decontamination + packing ----------------------------------------------
+
+def test_ngram_decontaminate_drops_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="one two three four five"),
+            Row(doc_id=3, text="nothing shared here at all"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=99, text="xx alpha beta gamma yy")])
+    kept = sorted(
+        r["doc_id"]
+        for r in D.ngram_decontaminate(corpus, bench, shingle_n=3).collect()
+    )
+    # doc 1 shares the 3-gram "alpha beta gamma" with the benchmark; 2 and 3
+    # share nothing.
+    assert kept == [2, 3]
+
+
+def test_contiguous_token_chunks_matches_serial_prefix_sum(spark):
+    from door2door_etl_spark.operators.packing import contiguous_token_chunks
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(500)]  # weights 10..99
+    df = spark.createDataFrame(rows, "k long, w long")
+    budget = 750
+
+    # Serial reference: chunk = floor(exclusive-prefix-sum / budget).
+    expect, cum = {}, 0
+    for k, w in rows:
+        expect[k] = cum // budget
+        cum += w
+
+    for nparts in (1, 3, 8):
+        got = {
+            r["k"]: r["chunk_id"]
+            for r in contiguous_token_chunks(
+                df, "k", "w", budget, num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect  # invariant to partition-boundary placement
