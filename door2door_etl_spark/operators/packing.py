@@ -3,29 +3,38 @@ fixed-token-budget chunks in a stable global order.
 
 The semantics are contiguous chunking: with ``c(i)`` the exclusive prefix
 sum of token weights in ``order_col`` order, row *i* lands in chunk
-``floor(c(i) / budget)``.  This is the deterministic, SQL-expressible core
-of sequence packing (documents that straddle a boundary belong to the chunk
-their first token falls in); an exact greedy bin-packer would need a
-row-at-a-time recurrence that no window frame expresses.
+``c(i) // budget``.  This is the deterministic, SQL-expressible core of
+sequence packing (documents that straddle a boundary belong to the chunk
+their first token falls in); an exact greedy bin-packer would need the same
+row-at-a-time recurrence, which the per-partition scan below also supports.
 
 Scale design — a global ORDER BY prefix sum is the textbook single-task
 trap, so this runs the classic two-phase distributed scan instead:
 
-1. ``repartitionByRange(order_col)`` (one range shuffle; boundaries from
-   Spark's deterministic reservoir sketch),
-2. per-partition window cumsum (parallel across partitions),
-3. partition *offsets* from a driver-side prefix over the per-partition
-   totals — ``num_partitions`` rows, the only driver materialization —
-   broadcast back as a tiny join.
+1. ``repartitionByRange(order_col)`` + ``sortWithinPartitions`` (ONE range
+   shuffle; boundaries from Spark's deterministic reservoir sketch),
+2. partition *offsets* from a driver-side prefix over per-partition weight
+   totals — ``num_partitions`` rows, the only driver materialization,
+3. a partition-local running cumsum via ``mapInPandas`` (Arrow-batched,
+   state carried across batches within the partition) — chosen over
+   ``Window.partitionBy(partition_id)`` because Catalyst cannot know the
+   range exchange already clusters rows by partition id and would insert a
+   second full hash shuffle.
 
-The output is invariant to where the range boundaries fall, so the
-data-dependent sampling in step 1 cannot perturb results.
+A window frame cannot express "cumsum seeded per partition", so this is a
+legitimate mapInPandas drop-down; the frame it scans is the narrow
+(key, weight) projection, not the documents.  The result is invariant to
+where the range boundaries fall.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def contiguous_token_chunks(
@@ -40,28 +49,38 @@ def contiguous_token_chunks(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
     )
     totals = (
         ranged.groupBy("_pid")
         .agg(F.sum(F.col(weight_col).cast("long")).alias("_tot"))
         .collect()
     )
-    offsets, running = [], 0
+    offsets, running = {}, 0
     for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], running))
+        offsets[int(row["_pid"])] = running
         running += int(row["_tot"] or 0)
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
-    w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn(
-            "_cum", F.col("_offset") + F.sum(F.col(weight_col).cast("long")).over(w)
-        )
-        .withColumn(
-            "chunk_id",
-            F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(float(budget))),
-        )
-        .drop("_pid", "_offset", "_cum")
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("chunk_id", T.LongType())]
     )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None  # running inclusive prefix sum, carried across batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            w = pdf[weight_col].to_numpy(dtype="int64")
+            cum = w.cumsum() + run
+            run = int(cum[-1])
+            out = pdf.drop(columns=["_pid"]).copy()
+            out["chunk_id"] = (cum - w) // budget
+            yield out
+
+    return ranged.mapInPandas(assign, schema=out_schema)

@@ -158,3 +158,40 @@ def test_salted_join_spreads_hot_key(spark):
     right = spark.createDataFrame([Row(rk=1, w="hot")])
     joined = salted_equijoin(left, right, "k", "rk", salt_buckets=4)
     assert "__salt" in plan_of(joined)
+
+
+def test_q2_min_cost_uses_window_group_limit(spark, sf001):
+    """The correlated-MIN rewrite (rank==1 per part) must plan as
+    WindowGroupLimit with broadcast dim legs — the per-part minimum never
+    materializes the full ranked fact."""
+    df = QUERIES["tpch_q2_min_cost_supplier"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf001):
+    """The corpus-side shingle stream must be filtered by a broadcast
+    LeftSemi against the eval shingle set — the corpus never shuffles on
+    the shingle key."""
+    df = QUERIES["ns_decontaminate_corpus"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # The one shingle-key exchange is the *benchmark* side's distinct (tiny);
+    # the corpus-side shingle stream feeds the broadcast semi directly.
+    assert plan.count("Exchange hashpartitioning(shingle") == 1, plan
+
+
+def test_pack_chunks_single_range_shuffle(spark):
+    """The packing output plan must contain exactly the one range exchange —
+    no second hash shuffle for the per-partition cumsum (the trap the
+    mapInPandas scan exists to avoid)."""
+    from door2door_etl_spark.operators.packing import contiguous_token_chunks
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    out = contiguous_token_chunks(df, "k", "w", 50, num_partitions=4)
+    plan = plan_of(out)
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
