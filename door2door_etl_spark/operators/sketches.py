@@ -93,3 +93,49 @@ def stratified_split(
     last_name = splits[-1][0]
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn("split", expr)
+
+
+def quota_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_shares: dict[str, float],
+    salt: str = "quota",
+) -> DataFrame:
+    """Domain-mixing sampler: deterministically downsample each group so the
+    output mix matches ``target_shares`` at the maximum feasible size.
+
+    With n_g the group sizes and p_g the target shares, the largest total T
+    every group can fill without upsampling is ``T = min_g(n_g / p_g)``;
+    group g then keeps ``p_g·T`` rows via the portable threshold
+    ``u(key) < p_g·T / n_g``.  Groups not named in ``target_shares`` are
+    dropped (share 0).
+
+    Scale design: group counts are one tiny aggregate broadcast back onto
+    the corpus; the corpus itself passes through a single map-side filter —
+    no shuffle of the data, and the sample is reproducible across engines,
+    reruns, and repartitionings.
+    """
+    share_map = F.create_map(
+        *[F.lit(x) for kv in sorted(target_shares.items()) for x in kv]
+    )
+    counts = (
+        df.filter(F.col(group_col).isin(*target_shares.keys()))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_p", share_map[F.col(group_col)])
+        .withColumn("_ratio", F.col("_n") / F.col("_p"))
+    )
+    t = counts.agg(F.min("_ratio").alias("_t"))
+    rates = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn(
+            "_rate", F.least(F.lit(1.0), F.col("_p") * F.col("_t") / F.col("_n"))
+        )
+        .select(group_col, "_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(uniform_hash(F.col(key_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -19,6 +19,7 @@ from door2door_etl_spark.operators.relational import asof_join, sessionize
 from door2door_etl_spark.operators.sketches import (
     hash_sample,
     kmv_distinct_estimate,
+    quota_mix_sample,
     stratified_split,
 )
 from door2door_etl_spark.queries.defs import QueryDef, dsum
@@ -511,6 +512,38 @@ LIMIT {WSAMPLE_K}
 """
 
 
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixing sampler: downsample sources to a 50/30/20 target mix at
+    the maximum feasible size (operators.sketches.quota_mix_sample) — the
+    mixture-reweighting step of a pretraining-data pipeline, as one
+    map-side filter under broadcast per-group rates."""
+    docs = load_table(spark, sf, "documents")
+    return quota_mix_sample(docs, "source", "doc_id", _MIX_SHARES).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_domain_mix_sample() -> str:
+    u = sql_uniform_hash("doc_id", "quota")
+    values = ", ".join(f"('{g}', {p!r})" for g, p in sorted(_MIX_SHARES.items()))
+    in_list = ", ".join(f"'{g}'" for g in sorted(_MIX_SHARES))
+    return f"""
+WITH shares AS (SELECT * FROM (VALUES {values}) AS v(grp, p)),
+counts AS (
+  SELECT source AS grp, CAST(count(*) AS DOUBLE) AS n
+  FROM documents WHERE source IN ({in_list}) GROUP BY 1),
+j AS (SELECT grp, p, n, n / p AS ratio FROM counts JOIN shares USING (grp)),
+rates AS (
+  SELECT grp, least(1.0, p * (SELECT min(ratio) FROM j) / n) AS rate FROM j)
+SELECT doc_id, source
+FROM documents JOIN rates ON source = grp
+WHERE {u} < rate
+"""
+
+
 ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
@@ -525,5 +558,6 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),
     QueryDef("ns_corpus_quality_filter", q_corpus_quality_filter, _sql_corpus_quality_filter(), "north-star text/quality-filter", ("northstar", "text")),
     QueryDef("ns_weighted_sample_topk", q_weighted_sample_topk, _sql_weighted_sample_topk(), "north-star sampling/weighted", ("northstar", "sampling")),
+    QueryDef("ns_domain_mix_sample", q_domain_mix_sample, _sql_domain_mix_sample(), "north-star sampling/domain-mix", ("northstar", "sampling")),
     QueryDef("rel_sql_frontend_rollup", q_sql_frontend_rollup, SQL_FRONTEND_DIALECT_NEUTRAL, "§3.3b-sql-frontend", ("rel", "sql")),
 ]

@@ -325,3 +325,19 @@ def test_contiguous_token_chunks_matches_serial_prefix_sum(spark):
             ).collect()
         }
         assert got == expect  # invariant to partition-boundary placement
+
+
+def test_quota_mix_sample_hits_target_mix(spark):
+    from door2door_etl_spark.operators.sketches import quota_mix_sample
+
+    rows = [(i, "a" if i < 4000 else ("b" if i < 5000 else "c")) for i in range(6000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    # a:4000, b:1000, c:1000 rows; targets 50/25/25 → T = min(8000, 4000, 4000)
+    # = 4000 → quotas a:2000, b:1000 (all), c:1000 (all).
+    out = quota_mix_sample(df, "grp", "k", {"a": 0.5, "b": 0.25, "c": 0.25})
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 1000 and counts["c"] == 1000  # rate 1.0 keeps all
+    assert 1800 <= counts["a"] <= 2200  # hash threshold ≈ quota
+    # Deterministic: identical on rerun.
+    again = {r["grp"]: r["n"] for r in quota_mix_sample(df, "grp", "k", {"a": 0.5, "b": 0.25, "c": 0.25}).groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
