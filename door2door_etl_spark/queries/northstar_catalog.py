@@ -21,6 +21,7 @@ from door2door_etl_spark.operators.multimodal import (
     attach_binary_content,
     extract_features,
 )
+from door2door_etl_spark.operators.clustering import kmeans_fit_predict
 from door2door_etl_spark.operators.packing import contiguous_token_chunks
 from door2door_etl_spark.queries.defs import QueryDef
 from door2door_etl_spark.queries.sql_fragments import (
@@ -547,6 +548,84 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -- iterative clustering (IVF centroid trainer) ----------------------------
+
+KM_K = 4
+KM_DIM = 64
+KM_ITERS = 2
+
+
+def q_kmeans_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd rounds of k-means over the embeddings (deterministic init:
+    k lowest vec_ids) — the in-engine trainer for the IVF coarse quantizer
+    (operators.clustering.kmeans_fit_predict).  Output: final cluster sizes
+    and centroid norms."""
+    import math
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned, centroids = kmeans_fit_predict(
+        emb, vec_col="embedding", id_col="vec_id", k=KM_K, dim=KM_DIM, iterations=KM_ITERS
+    )
+    norm_df = spark.createDataFrame(
+        [
+            (i + 1, math.sqrt(sum(x * x for x in c)))
+            for i, c in enumerate(centroids)
+        ],
+        "cluster int, norm double",
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(F.broadcast(norm_df), "cluster")
+        .select("cluster", "n_members", F.round("norm", 6).alias("centroid_norm"))
+    )
+
+
+def _sql_kmeans_ivf_centroids() -> str:
+    def assign(src: str, cents: str, out: str) -> str:
+        return f"""
+{out}_d AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum(list_transform(generate_series(1, {KM_DIM}),
+                                 d -> (e.v[d] - c.v[d]) ^ 2)) AS dist
+  FROM {src} e CROSS JOIN {cents} c),
+{out} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM {out}_d) WHERE rk = 1)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""
+{out}_u AS (
+  SELECT cid, g.d, CAST(floor(v[g.d] * 1000000.0) AS BIGINT) AS s
+  FROM {assigned} CROSS JOIN generate_series(1, {KM_DIM}) AS g(d)),
+{out}_m AS (
+  SELECT cid, d,
+         CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS cval
+  FROM {out}_u GROUP BY 1, 2),
+{out} AS (SELECT cid, list(cval ORDER BY d) AS v FROM {out}_m GROUP BY 1)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KM_K})),
+{assign('e', 'c0', 'a1')},
+{update('a1', 'c1')},
+{assign('e', 'c1', 'a2')},
+{update('a2', 'c2')},
+{assign('e', 'c2', 'a3')}
+SELECT CAST(a3.cid AS INT) AS cluster,
+       count(*) AS n_members,
+       round(sqrt(list_sum(list_transform(c2.v, x -> x * x))), 6) AS centroid_norm
+FROM a3 JOIN c2 ON a3.cid = c2.cid
+GROUP BY 1, centroid_norm
+"""
+
+
 # -- corpus hygiene: decontamination + sequence packing ---------------------
 
 DECON_MOD = 25  # every 25th doc stands in for the benchmark/eval set
@@ -636,6 +715,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
+    QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),

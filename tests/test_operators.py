@@ -341,3 +341,25 @@ def test_quota_mix_sample_hits_target_mix(spark):
     # Deterministic: identical on rerun.
     again = {r["grp"]: r["n"] for r in quota_mix_sample(df, "grp", "k", {"a": 0.5, "b": 0.25, "c": 0.25}).groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert again == counts
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from door2door_etl_spark.operators.clustering import kmeans_fit_predict
+
+    # Three tight blobs along dim 0 at -10/0/+10; ids 0,1,2 land one per
+    # blob so the deterministic init starts inside each.
+    rows = []
+    for i in range(90):
+        blob = i % 3
+        center = (blob - 1) * 10.0
+        rows.append((i, [center + (i % 7) * 0.01] + [0.0] * 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = kmeans_fit_predict(
+        df, vec_col="embedding", id_col="vec_id", k=3, dim=4, iterations=3
+    )
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # Every member of a blob shares one cluster, and blobs are distinct.
+    blob_clusters = {b: {got[i] for i in range(90) if i % 3 == b} for b in range(3)}
+    assert all(len(c) == 1 for c in blob_clusters.values())
+    assert len({next(iter(c)) for c in blob_clusters.values()}) == 3
+    assert sorted(round(c[0]) for c in centroids) == [-10, 0, 10]
