@@ -97,6 +97,9 @@ def main() -> None:
         n = force(fn(spark, sf_dir))  # timed: steady-state execution
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Release any operator-managed caches (e.g. the Jaccard shingle
+        # relation) so later queries aren't squeezed by leftover blocks.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -261,18 +261,30 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_df: int = 20,
     min_jaccard: float = 0.0,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-``n``-gram sets for candidate pairs
     blocked on a shared *rare* shingle (document frequency ≤ ``max_df``).
 
     Blocking bound: each rare shingle generates ≤ max_df·(max_df-1)/2
     candidates, so the join cannot blow up on stop-shingles — the standard
-    frequency-capped inverted-index trick."""
+    frequency-capped inverted-index trick.
+
+    ``persist_shingles`` caches the exploded (id, shingle) relation, which
+    this plan consumes ~6× (sizes, document frequencies, two self-join
+    sides twice); Spark recomputes an unmaterialized subtree per consumer,
+    so the cache trades memory/disk for skipping five re-tokenizations —
+    measured ~1.6× end-to-end (PERF.md).  Caller owns the cache lifetime
+    (``spark.catalog.clearCache()`` when done)."""
     sh = (
         df.select(
             F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
         )
     )
+    if persist_shingles:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     set_sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     rare = sh.join(
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(

@@ -170,7 +170,7 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     blocked); deterministic order (jaccard desc, ids)."""
     docs = load_table(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(
-        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF
+        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF, persist_shingles=True
     ).withColumn("jaccard", F.round(F.col("jaccard"), 6))
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(JACCARD_TOPK)
 
