@@ -522,12 +522,19 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     per_part = asia_li.groupBy("l_partkey").agg(
         F.sum(value.cast("decimal(20,6)")).cast("double").alias("part_value")
     )
+    # Self-scaling threshold (TPC-H scales Q11's fraction with SF for the
+    # same reason): keep parts above 2× the mean per-part share, so the
+    # result stays selective-but-nonempty at every scale factor.
     total = asia_li.agg(
-        F.sum(value.cast("decimal(20,6)")).cast("double").alias("total_value")
+        F.sum(value.cast("decimal(20,6)")).cast("double").alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .filter(
+            F.col("part_value")
+            > (F.lit(2.0) / F.col("n_parts")) * F.col("total_value")
+        )
         .select("l_partkey", F.round("part_value", 2).alias("part_value"))
     )
 
@@ -545,7 +552,8 @@ SELECT l_partkey,
 FROM asia_li
 GROUP BY 1
 HAVING CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
-       > 0.001 * (SELECT CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) FROM asia_li)
+       > (2.0 / (SELECT count(DISTINCT l_partkey) FROM asia_li))
+         * (SELECT CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) FROM asia_li)
 """
 
 
