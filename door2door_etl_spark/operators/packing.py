@@ -43,9 +43,18 @@ def contiguous_token_chunks(
     weight_col: str,
     budget: int,
     num_partitions: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Add ``chunk_id``: the token-budget chunk of each row under a global
-    ``order_col`` ordering (unique keys required for determinism)."""
+    ``order_col`` ordering (unique keys required for determinism).
+
+    ``persist_input`` caches the range-partitioned frame: the offsets pass
+    (phase 2) and the output pass both consume it, and without a cache each
+    re-executes the ENTIRE upstream plan — ruinous when packing sits at the
+    end of a filter/dedup pipeline.  The cached frame is just
+    (key, weight, …) — narrow by construction — so this is the right
+    default even at corpus scale; pass False only when the input is a bare
+    scan.  Caller owns the cache lifetime (``spark.catalog.clearCache()``)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -54,6 +63,10 @@ def contiguous_token_chunks(
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
     )
+    if persist_input:
+        from pyspark.storagelevel import StorageLevel
+
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     totals = (
         ranged.groupBy("_pid")
         .agg(F.sum(F.col(weight_col).cast("long")).alias("_tot"))

@@ -698,6 +698,82 @@ FROM cum GROUP BY 1
 """
 
 
+def q_corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship end-to-end training-corpus preparation, as ONE lazy
+    plan: quality filter → benchmark decontamination → exact dedup →
+    token-budget sequence packing.  Every stage is the same operator the
+    standalone queries exercise; Catalyst fuses the filters and the
+    broadcast semi joins into a single map-heavy pipeline with one
+    content-sha shuffle and one range shuffle at the end."""
+    from door2door_etl_spark.operators.text import stopword_ratio, token_count
+
+    docs = load_table(spark, sf, "documents")
+    quality = docs.filter(
+        (token_count(F.col("text")) >= 10)
+        & (stopword_ratio(F.col("text")) >= 0.02)
+    )
+    benchmark = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    candidates = quality.filter(F.col("doc_id") % DECON_MOD != 0)
+    decon = D.ngram_decontaminate(candidates, benchmark, shingle_n=DECON_N)
+    canon = D.exact_dedup_groups(decon).select(
+        F.col("canonical_id").alias("keep_id")
+    )
+    survivors = decon.join(
+        canon, decon.doc_id == canon.keep_id, "left_semi"
+    ).select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    chunks = contiguous_token_chunks(
+        survivors, order_col="doc_id", weight_col="n_tokens", budget=PACK_BUDGET
+    )
+    return chunks.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sql_corpus_prep_pipeline() -> str:
+    from door2door_etl_spark.operators.text import LANG_STOPWORDS
+
+    stop_en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    toks = sql_tokens("text")
+    sh = sql_shingles("text", DECON_N)
+    return f"""
+WITH quality AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+  WHERE len(toks) >= 10
+    AND CAST(len(list_filter(toks, t2 -> t2 IN ({stop_en}))) AS DOUBLE)
+        / len(toks) >= 0.02),
+bench AS (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM documents
+  WHERE doc_id % {DECON_MOD} = 0),
+cand AS (SELECT doc_id, text FROM quality WHERE doc_id % {DECON_MOD} <> 0),
+cand_sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM cand),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM cand_sh JOIN bench ON s = shingle),
+decon AS (
+  SELECT doc_id, text FROM cand
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+canon AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY sha256(text)),
+surv AS (
+  SELECT d.doc_id, len({sql_tokens('d.text')}) AS n_tokens
+  FROM decon d JOIN canon USING (doc_id)),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM surv)
+SELECT CAST(floor((c - n_tokens) / {float(PACK_BUDGET)!r}) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum GROUP BY 1
+"""
+
+
 NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
@@ -718,6 +794,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
+    QueryDef("ns_corpus_prep_pipeline", q_corpus_prep_pipeline, _sql_corpus_prep_pipeline(), "north-star end-to-end corpus prep", ("northstar", "pipeline")),
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_features", q_multimodal_features, None, "north-star multimodal/decode", ("northstar", "multimodal")),
 ]

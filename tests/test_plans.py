@@ -191,7 +191,9 @@ def test_pack_chunks_single_range_shuffle(spark):
     df = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
     )
-    out = contiguous_token_chunks(df, "k", "w", 50, num_partitions=4)
+    # persist_input=False: assert the raw plan shape (the cache variant
+    # wraps the same plan in an InMemoryRelation, hiding the exchange text).
+    out = contiguous_token_chunks(df, "k", "w", 50, num_partitions=4, persist_input=False)
     plan = plan_of(out)
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
