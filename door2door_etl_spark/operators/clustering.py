@@ -48,6 +48,40 @@ def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]], dim: int)
     return df.withColumn("cluster", F.array_position(dists, F.array_min(dists)).cast("int"))
 
 
+def _assign_blas(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Scale-path assignment: Arrow-batched numpy, one GEMM per batch.
+
+    argmin over ``-2·V·Cᵀ + |c|²`` (the per-row |v|² constant cannot move
+    the argmin); np.argmin takes the first minimum, matching the exact
+    path's tie-break.  BLAS accumulation order differs from the exact
+    path's left fold, so rows within ~1 ulp of a tie may land differently —
+    use the exact path when cross-engine bit-parity matters, this one when
+    k·dim makes the literal expression tree unreasonable (the expression
+    path's plan-compile cost grows with k·dim; this path's is constant)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
+
+    def go(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = -2.0 * (v @ C.T) + c2
+            out = pdf.copy()
+            out["cluster"] = (np.argmin(scores, axis=1) + 1).astype("int32")
+            yield out
+
+    return df.mapInPandas(go, schema)
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -55,20 +89,32 @@ def kmeans_fit_predict(
     k: int = 4,
     dim: int = 64,
     iterations: int = 2,
+    use_blas: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Run ``iterations`` Lloyd rounds from a deterministic init (the vectors
     with the ``k`` smallest ids, in id order) and return
     ``(df + cluster column, final centroids)``.  Clusters are 1-based.
 
+    ``use_blas`` switches assignment to the Arrow/GEMM path (see
+    ``_assign_blas``) — same algorithm, constant plan-compile cost; prefer
+    it for large k·dim, keep the default expression path where exact
+    cross-engine parity with the SQL oracle is required.
+
     Raises if any cluster empties mid-run (the oracle unrolls the same
     recurrence and has no empty-cluster rule; with a deterministic init on
     real corpora this does not occur — pick a larger sample if it does).
     """
+
+    def assign(frame: DataFrame, cents: list[list[float]]) -> DataFrame:
+        if use_blas:
+            return _assign_blas(frame, vec_col, cents)
+        return _assign(frame, vec_col, cents, dim)
+
     init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
     for _ in range(iterations):
-        assigned = _assign(df, vec_col, centroids, dim)
+        assigned = assign(df, centroids)
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -91,4 +137,4 @@ def kmeans_fit_predict(
             for cid in range(1, k + 1)
         ]
 
-    return _assign(df, vec_col, centroids, dim), centroids
+    return assign(df, centroids), centroids

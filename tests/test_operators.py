@@ -363,3 +363,19 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert all(len(c) == 1 for c in blob_clusters.values())
     assert len({next(iter(c)) for c in blob_clusters.values()}) == 3
     assert sorted(round(c[0]) for c in centroids) == [-10, 0, 10]
+
+
+def test_kmeans_blas_path_matches_exact_path(spark):
+    from door2door_etl_spark.operators.clustering import kmeans_fit_predict
+
+    rows = []
+    for i in range(120):
+        blob = i % 3
+        rows.append((i, [(blob - 1) * 10.0 + (i % 5) * 0.01, float(blob), 0.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact, c_exact = kmeans_fit_predict(df, k=3, dim=4, iterations=2)
+    blas, c_blas = kmeans_fit_predict(df, k=3, dim=4, iterations=2, use_blas=True)
+    a = {r["vec_id"]: r["cluster"] for r in exact.collect()}
+    b = {r["vec_id"]: r["cluster"] for r in blas.collect()}
+    assert a == b
+    assert c_exact == c_blas  # exact update step is shared, so bit-equal
