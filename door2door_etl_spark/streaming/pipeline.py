@@ -217,3 +217,40 @@ def stream_upsert_to_warehouse(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+):
+    """Streaming corpus hygiene: continuously drop incoming documents that
+    share any word n-gram with a *static* benchmark/eval set — the
+    continuous-ingest twin of operators.dedup.ngram_decontaminate.
+
+    Doc-level "none of my shingles hit" cannot be a single stream-static
+    join (the contaminated-id set derives from the stream, and a
+    stream-stream anti join needs watermark bounds it doesn't have), so
+    this uses ``foreachBatch``: each micro-batch is a static frame, the
+    batch operator runs verbatim — benchmark shingles broadcast, map-side
+    semi + anti — and the file-source checkpoint gives exactly-once
+    append.  No streaming state store; throughput is the batch operator's.
+    """
+    from door2door_etl_spark.operators.dedup import ngram_decontaminate
+
+    def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = ngram_decontaminate(
+            batch_df, benchmark, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(filter_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

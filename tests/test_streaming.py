@@ -203,3 +203,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["vehicle_id"].endswith("000001")
     assert rows[0]["period_id"] == "p1"
+
+
+def test_stream_decontaminate_drops_overlapping_docs(spark, tmp_path):
+    from door2door_etl_spark.streaming.pipeline import stream_decontaminate
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "one two three four five"},
+        {"doc_id": 3, "text": "totally unrelated content here"},
+    ]
+    (src / "batch0.json").write_text("\n".join(json.dumps(d) for d in docs))
+    bench = spark.createDataFrame(
+        [{"doc_id": 99, "text": "xx alpha beta gamma yy"}]
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tmp_path / "docs_out"
+    q = stream_decontaminate(
+        stream, bench, str(out), str(tmp_path / "ckpt_decon")
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert kept == [2, 3]  # doc 1 shares the 3-gram "alpha beta gamma"
+
+    # Replay with the same checkpoint: no new input → no duplicate appends.
+    q2 = stream_decontaminate(
+        stream, bench, str(out), str(tmp_path / "ckpt_decon")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == 2
