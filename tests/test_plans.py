@@ -197,3 +197,21 @@ def test_pack_chunks_single_range_shuffle(spark):
     plan = plan_of(out)
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q9_broadcasts_all_dimension_legs(spark, sf001):
+    """Q9's four dim legs (part/supplier/nation and the filter-pruned part
+    side) must broadcast; only the lineitem⋈orders fact join may shuffle."""
+    df = QUERIES["tpch_q9_product_type_profit"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q21_decorrelates_without_self_join(spark, sf001):
+    """The multi-EXISTS must be one grouped pass over lineitem — no
+    SortMergeJoin/self-join of the fact against itself."""
+    df = QUERIES["tpch_q21_sole_returning_supplier"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one scan of lineitem (the decorrelated grouped pass)
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("FileScan parquet") <= 2, plan

@@ -104,3 +104,27 @@ def test_uniform_hash_and_split_match_python_sha(spark, keys):
         )
         expect = "train" if us < 0.8 else ("val" if us < 0.8 + 0.1 else "test")
         assert got_split[k] == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(st.integers(1, 500), min_size=1, max_size=80),
+    budget=st.integers(10, 2000),
+    nparts=st.integers(1, 6),
+)
+def test_contiguous_chunks_match_serial_reference(spark, weights, budget, nparts):
+    from door2door_etl_spark.operators.packing import contiguous_token_chunks
+
+    rows = list(enumerate(weights))
+    df = spark.createDataFrame(rows, "k long, w long")
+    expect, cum = {}, 0
+    for k, w in rows:
+        expect[k] = cum // budget
+        cum += w
+    got = {
+        r["k"]: r["chunk_id"]
+        for r in contiguous_token_chunks(
+            df, "k", "w", budget, num_partitions=nparts, persist_input=False
+        ).collect()
+    }
+    assert got == expect
