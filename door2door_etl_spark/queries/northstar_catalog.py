@@ -661,6 +661,65 @@ WHERE doc_id % {DECON_MOD} <> 0
 """
 
 
+def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source contamination audit: of each source's candidate docs, how
+    many share an n-gram with the benchmark set, and the rate — the report
+    a data curator reads before deciding drop-vs-rewrite.  Same broadcast
+    semi join as the decontaminator, aggregated instead of filtered."""
+    docs = load_table(spark, sf, "documents")
+    benchmark = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    candidates = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    kept = D.ngram_decontaminate(candidates, benchmark, shingle_n=DECON_N)
+    flagged = candidates.join(
+        kept.select(F.col("doc_id").alias("k_id")),
+        candidates.doc_id == F.col("k_id"),
+        "left_anti",
+    )
+    per_source = candidates.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    per_flagged = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        per_source.join(per_flagged, "source", "left")
+        .withColumn(
+            "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+        )
+        .select(
+            "source",
+            "n_candidates",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_candidates"), 4
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def _sql_contamination_report() -> str:
+    sh = sql_shingles("text", DECON_N)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM documents WHERE doc_id % {DECON_MOD} = 0),
+cand AS (SELECT doc_id, source FROM documents WHERE doc_id % {DECON_MOD} <> 0),
+cand_sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s
+  FROM documents WHERE doc_id % {DECON_MOD} <> 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM cand_sh JOIN bench ON s = shingle)
+SELECT source,
+       count(*) AS n_candidates,
+       CAST(count(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                       THEN 1 END) AS BIGINT) AS n_contaminated,
+       round(CAST(count(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                             THEN 1 END) AS DOUBLE) / count(*), 4)
+         AS contamination_rate
+FROM cand
+GROUP BY 1
+"""
+
+
 def q_pack_token_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing: contiguous token-budget chunk assignment over the
     corpus in doc_id order via the two-phase distributed prefix sum
@@ -793,6 +852,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
+    QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
     QueryDef("ns_corpus_prep_pipeline", q_corpus_prep_pipeline, _sql_corpus_prep_pipeline(), "north-star end-to-end corpus prep", ("northstar", "pipeline")),
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
