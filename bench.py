@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q6_revenue_forecast",
     "tpch_q18_large_volume_customer",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
     "etl_hourly_rollup",
     "etl_latest_event_per_user",
     "etl_surrogate_key_dedup",
@@ -51,6 +53,9 @@ BENCH_QUERIES = [
     "ns_ann_bruteforce_topk",
     "ns_text_features",
     "ns_embedding_neardup_pairs",
+    "ns_decontaminate_corpus",
+    "ns_pack_token_chunks",
+    "ns_domain_mix_sample",
 ]
 
 

@@ -176,6 +176,52 @@ def fingerprint(col: Column, n: int = 5) -> Column:
     return F.array_min(hashed)
 
 
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, one row per doc:
+
+    - ``top_bigram_frac``: share of the document's word-bigram occurrences
+      taken by its single most frequent bigram;
+    - ``dup_trigram_frac``: share of word-trigram occurrences whose trigram
+      appears more than once in the document.
+
+    These are the standard "remove boilerplate / degenerate repetition"
+    quality filters for LLM training corpora (Gopher §A1.1-style rules).
+
+    Scale shape: one explode (bigrams and trigrams tagged in the same array,
+    so the document text is scanned once), one shuffle to count grams within
+    each ``(doc, n, gram)``, and one shuffle down to per-doc signals via
+    conditional aggregates — no joins, no windows.  Gram counts are exact
+    integers and each fraction is a single integer→double division, so the
+    result is bit-identical across engines."""
+
+    def tag(n: int) -> Column:
+        return F.transform(
+            shingles(F.col(text_col), n),
+            lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram")),
+        )
+
+    grams = docs.select(
+        id_col, F.explode(F.concat(tag(2), tag(3))).alias("g")
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    cnt = F.col("cnt")
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.max(F.when(is2, cnt)).cast("double")
+            / F.sum(F.when(is2, cnt)).cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.sum(F.when(is3 & (cnt > 1), cnt)), F.lit(0)).cast("double")
+            / F.sum(F.when(is3, cnt)).cast("double"),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append the full feature set as columns."""
     col = F.col(text_col)

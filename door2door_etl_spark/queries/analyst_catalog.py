@@ -176,6 +176,50 @@ LIMIT 20
 """
 
 
+def q_tpch_q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shape: late-shipment priority counts — fact⋈fact join on the
+    order key with a cross-side date predicate, then conditional counts.
+
+    The synthetic schema has no ``l_shipmode``/``l_commitdate``, so line
+    status stands in for ship mode and "shipped >60 days after the order
+    date" is the lateness predicate; the plan shape (big-big sort-merge
+    join, post-join filter referencing both sides, CASE-counts grouped on a
+    tiny key) is exactly classic Q12's. Neither side broadcasts at scale —
+    this is the canonical shuffle-on-orderkey join."""
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 def q_tpch_q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Q13 shape: customer order-count distribution — LEFT OUTER join
     preserving zero-order customers, double aggregation."""
@@ -898,6 +942,7 @@ ANALYST_QUERIES: list[QueryDef] = [
     QueryDef("tpch_q9_product_type_profit", q_tpch_q9_product_type_profit, SQL_TPCH_Q9, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q10_returned_items", q_tpch_q10_returned_items, SQL_TPCH_Q10, "§2.4-join,§2.6-limit", ("tpch",)),
     QueryDef("tpch_q11_important_parts", q_tpch_q11_important_parts, SQL_TPCH_Q11, "§2.5-having", ("tpch",)),
+    QueryDef("tpch_q12_priority_shipping", q_tpch_q12_priority_shipping, SQL_TPCH_Q12, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q13_order_count_distribution", q_tpch_q13_order_count_distribution, SQL_TPCH_Q13, "§2.4-outer", ("tpch",)),
     QueryDef("tpch_q14_promo_revenue", q_tpch_q14_promo_revenue, SQL_TPCH_Q14, "§2.5-agg", ("tpch",)),
     QueryDef("tpch_q15_top_supplier", q_tpch_q15_top_supplier, SQL_TPCH_Q15, "§2.6-window", ("tpch",)),

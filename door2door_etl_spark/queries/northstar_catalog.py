@@ -511,6 +511,31 @@ FROM documents
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-bigram share, duplicate-
+    trigram share) per document — see operators.text.repetition_signals."""
+    return X.repetition_signals(load_table(spark, sf, "documents"))
+
+
+def _sql_repetition_signals() -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, 2 AS n, unnest({sql_shingles("text", 2)}) AS gram FROM documents
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({sql_shingles("text", 3)}) AS gram FROM documents
+),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+  round(CAST(max(CASE WHEN n = 2 THEN cnt END) AS DOUBLE)
+      / CAST(sum(CASE WHEN n = 2 THEN cnt END) AS DOUBLE), 6) AS top_bigram_frac,
+  round(CAST(coalesce(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END), 0) AS DOUBLE)
+      / CAST(sum(CASE WHEN n = 3 THEN cnt END) AS DOUBLE), 6) AS dup_trigram_frac
+FROM counts GROUP BY doc_id
+"""
+
+
 # -- multimodal -------------------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -850,6 +875,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
+    QueryDef("ns_repetition_signals", q_repetition_signals, _sql_repetition_signals(), "north-star text/quality-repetition", ("northstar", "text")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),

@@ -91,6 +91,23 @@ def test_shingles_and_fingerprint(spark):
     assert all(len(r["fp"]) == 64 for r in fp)
 
 
+def test_repetition_signals_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),  # bigrams: "a b"x3, "b a"x2
+            Row(doc_id=2, text="p q r s"),  # all grams unique
+            Row(doc_id=3, text="x y"),  # short doc: trigram collapses
+        ]
+    )
+    got = {r["doc_id"]: r for r in X.repetition_signals(df).collect()}
+    assert got[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert got[1]["dup_trigram_frac"] == 1.0  # "a b a"x2, "b a b"x2
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 3)
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[3]["dup_trigram_frac"] == 0.0
+
+
 def test_predict_language(spark):
     df = spark.createDataFrame(
         [
