@@ -765,6 +765,72 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets_order_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    per (priority, status), per priority, and grand total in one pass.
+    Spark plans this as a single Expand + hash aggregate — one shuffle for
+    all three granularities, the same way it executes cube/rollup."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupingSets(
+        [("o_orderpriority", "o_orderstatus"), ("o_orderpriority",), ()],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+SQL_GROUPING_SETS_ORDER_MIX = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_event_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score outliers: grouped moment stats joined back to the
+    fact, keeping events more than 2 sigma above their type's mean.
+
+    Scale shape: the stats aggregate collapses to one row per event type
+    (tiny), so the join back is an explicit broadcast — the fact table is
+    scanned twice but never shuffled.  Determinism: sum and sum-of-squares
+    accumulate as exact DECIMAL(20,6); mean/variance/sqrt are then a fixed
+    chain of IEEE double ops, bit-identical across engines."""
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(20,6)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    typed = stats.select(
+        F.col("event_type").alias("t_type"), mean.alias("mean"), std.alias("std")
+    )
+    z = (v - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(typed), ev.event_type == typed.t_type)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("zscore"))
+        .filter(F.round(z, 4) > 2.0)
+    )
+
+
+SQL_EVENT_VALUE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type AS t_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(20,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1)
+SELECT event_id, event_type, value,
+  round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS zscore
+FROM events JOIN stats ON event_type = t_type
+WHERE round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) > 2.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window analytics
 # ---------------------------------------------------------------------------
@@ -956,6 +1022,8 @@ ANALYST_QUERIES: list[QueryDef] = [
     QueryDef("rel_set_intersect_click_purchase", q_set_intersect_click_purchase, SQL_SET_INTERSECT, "§2.6-setops", ("rel",)),
     QueryDef("rel_set_except_view_error", q_set_except_view_error, SQL_SET_EXCEPT, "§2.6-setops", ("rel",)),
     QueryDef("rel_cube_lineitem_status", q_cube_lineitem_status, SQL_CUBE_LINEITEM_STATUS, "§2.5-cube", ("rel",)),
+    QueryDef("rel_grouping_sets_order_mix", q_grouping_sets_order_mix, SQL_GROUPING_SETS_ORDER_MIX, "§2.5-grouping-sets", ("rel",)),
+    QueryDef("rel_event_value_outliers", q_event_value_outliers, SQL_EVENT_VALUE_OUTLIERS, "§2.5-agg,§2.4-join", ("rel",)),
     QueryDef("rel_window_interevent_gap", q_window_interevent_gap, SQL_WINDOW_INTEREVENT_GAP, "§2.6-window", ("rel",)),
     QueryDef("rel_window_acctbal_deciles", q_window_acctbal_deciles, SQL_WINDOW_ACCTBAL_DECILES, "§2.6-window", ("rel",)),
     QueryDef("rel_percentile_event_value", q_percentile_event_value, SQL_PERCENTILE_EVENT_VALUE, "§2.5-percentile", ("rel",)),
