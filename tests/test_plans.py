@@ -215,3 +215,43 @@ def test_q21_decorrelates_without_self_join(spark, sf001):
     assert "SortMergeJoin" not in plan, plan
     # exactly one scan of lineitem (the decorrelated grouped pass)
     assert plan.count("lineitem.parquet") <= 1 or plan.count("FileScan parquet") <= 2, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf001):
+    """GROUPING SETS must plan as one Expand feeding one partial/final
+    hash-aggregate pair — all three granularities share a single shuffle,
+    never one pass per grouping set."""
+    df = QUERIES["rel_grouping_sets_order_mix"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_outliers_broadcast_stats_never_shuffle_fact(spark, sf001):
+    """The per-type stats (≤ a handful of rows) must broadcast back onto
+    the events fact; the only event_type exchange is the stats aggregate's
+    own — the fact stream itself never repartitions."""
+    df = QUERIES["rel_event_value_outliers"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(event_type") == 1, plan
+
+
+def test_repetition_signals_no_join_two_shuffles(spark, sf001):
+    """Repetition signals are pure aggregation: one tagged explode, a
+    (doc, n, gram) count shuffle, a per-doc conditional-agg shuffle — no
+    joins and no third exchange."""
+    df = QUERIES["ns_repetition_signals"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_q12_scans_prune_to_referenced_columns(spark, sf001):
+    """Q12's fact⋈fact join must read only the three referenced columns
+    from each side — an unpruned lineitem scan reads ~4x the bytes."""
+    df = QUERIES["tpch_q12_priority_shipping"].fn(spark, sf001)
+    plan = formatted(df)
+    assert "l_orderkey" in plan and "l_tax" not in plan, plan
+    assert "o_totalprice" not in plan, plan

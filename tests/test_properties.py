@@ -128,3 +128,43 @@ def test_contiguous_chunks_match_serial_reference(spark, weights, budget, nparts
         ).collect()
     }
     assert got == expect
+
+
+def _ref_repetition(tokens: list[str]) -> tuple[float, float]:
+    """Reference repetition fractions (same degenerate-short-doc collapse
+    as operators.text.shingles)."""
+    from collections import Counter
+
+    def grams(n: int) -> list[str]:
+        if len(tokens) >= n:
+            return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+        return [" ".join(tokens)]
+
+    big, tri = Counter(grams(2)), Counter(grams(3))
+    top = max(big.values()) / sum(big.values())
+    dup = sum(c for c in tri.values() if c > 1) / sum(tri.values())
+    return round(top, 6), round(dup, 6)
+
+
+# Tiny alphabet so random docs actually contain repeated n-grams.
+token_lists = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=token_lists)
+def test_repetition_signals_match_reference(spark, docs):
+    from door2door_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert len(got) == len(docs)
+    for i, toks in enumerate(docs):
+        top, dup = _ref_repetition(toks)
+        assert got[i]["top_bigram_frac"] == top, (i, toks)
+        assert got[i]["dup_trigram_frac"] == dup, (i, toks)
