@@ -97,3 +97,49 @@ def contiguous_token_chunks(
             yield out
 
     return ranged.mapInPandas(assign, schema=out_schema)
+
+
+def sliding_token_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Per-document overlapping token windows (context-window chunking).
+
+    One output row per window position: ``(id, chunk_idx, chunk_text,
+    n_tokens)``.  Window starts advance by ``stride`` until the end of the
+    document, so every token is covered and trailing windows truncate
+    (an empty document yields one empty chunk, mirroring the short-doc
+    collapse in :func:`text.shingles`).
+
+    Scale shape: map-only — the windows are built with sequence/transform
+    inside a single projection and exploded, so there is NO shuffle at any
+    data size; chunking 100 TB is embarrassingly parallel.  The token array
+    is bound once via the single-element-transform trick (Catalyst does not
+    CSE through lambda bodies; re-evaluating the tokenizer per window would
+    be O(tokens x windows) per document)."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from door2door_etl_spark.operators.text import tokens
+
+    def build(toks):
+        k = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)), F.lit(stride))
+        return F.transform(
+            starts,
+            lambda st, i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(toks, st + 1, window)).alias("chunk_text"),
+                F.least(k - st, F.lit(window)).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    chunks = F.transform(F.array(tokens(F.col(text_col))), build)[0]
+    return docs.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -511,6 +511,31 @@ FROM documents
 """
 
 
+def q_chunk_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows, stride 16 —
+    see operators.packing.sliding_token_chunks (map-only, shuffle-free)."""
+    from door2door_etl_spark.operators.packing import sliding_token_chunks
+
+    return sliding_token_chunks(
+        load_table(spark, sf, "documents"), window=32, stride=16
+    )
+
+
+def _sql_chunk_sliding_windows(window: int = 32, stride: int = 16) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {stride})) AS st
+  FROM t)
+SELECT doc_id,
+  CAST((st - 1) // {stride} AS BIGINT) AS chunk_idx,
+  array_to_string(toks[st:st + {window} - 1], ' ') AS chunk_text,
+  CAST(least(len(toks) - st + 1, {window}) AS BIGINT) AS n_tokens
+FROM ch
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals (top-bigram share, duplicate-
     trigram share) per document — see operators.text.repetition_signals."""
@@ -876,6 +901,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
     QueryDef("ns_repetition_signals", q_repetition_signals, _sql_repetition_signals(), "north-star text/quality-repetition", ("northstar", "text")),
+    QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),

@@ -396,3 +396,19 @@ def test_kmeans_blas_path_matches_exact_path(spark):
     b = {r["vec_id"]: r["cluster"] for r in blas.collect()}
     assert a == b
     assert c_exact == c_blas  # exact update step is shared, so bit-equal
+
+
+def test_sliding_token_chunks_known_answers(spark):
+    from door2door_etl_spark.operators.packing import sliding_token_chunks
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="")]
+    )
+    rows = sliding_token_chunks(df, window=3, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"]) for r in rows}
+    assert got == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("c d e", 3),
+        (1, 2): ("e", 1),  # trailing window truncates
+        (2, 0): ("", 0),  # empty doc yields one empty chunk
+    }

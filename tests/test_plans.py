@@ -255,3 +255,11 @@ def test_q12_scans_prune_to_referenced_columns(spark, sf001):
     plan = formatted(df)
     assert "l_orderkey" in plan and "l_tax" not in plan, plan
     assert "o_totalprice" not in plan, plan
+
+
+def test_sliding_chunks_shuffle_free(spark, sf001):
+    """Context-window chunking must be map-only: sequence/transform/explode
+    in one projection, no exchange of any kind at any data size."""
+    df = QUERIES["ns_chunk_sliding_windows"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
