@@ -30,6 +30,7 @@ from door2door_etl_spark.queries.sql_fragments import (
     sql_minhash_component,
     sql_shingles,
     sql_tokens,
+    sql_uniform_hash,
 )
 
 NUM_HASHES = 16
@@ -156,6 +157,60 @@ SELECT id_a, id_b, ({matches}) / {float(NUM_HASHES)} AS est_jaccard
 FROM cands
 JOIN sigs sa ON sa.doc_id = id_a
 JOIN sigs sb ON sb.doc_id = id_b
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval leakage audit: how many LSH near-dup candidate pairs
+    straddle the 90/10 split boundary (one row, zero-safe).
+
+    Because the split label is a pure hash expression of the key
+    (sketches.stratified_split), it is applied directly to the pair's id
+    columns — no join back to the corpus, so the audit costs exactly one
+    global aggregate over the (already small) candidate-pair set."""
+    from door2door_etl_spark.operators.sketches import uniform_hash
+
+    pairs = D.minhash_similarity_pairs(
+        load_table(spark, sf, "documents"),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+    )
+
+    def label(c: str):
+        return F.when(
+            uniform_hash(F.col(c), "split") < F.lit(0.9), F.lit("train")
+        ).otherwise(F.lit("eval"))
+
+    cross = label("id_a") != label("id_b")
+    n = F.count(F.lit(1))
+    n_cross = F.coalesce(F.sum(F.when(cross, 1).otherwise(0)), F.lit(0))
+    return pairs.agg(
+        n.alias("n_candidate_pairs"),
+        n_cross.alias("n_cross_split_pairs"),
+        F.when(n > 0, F.round(n_cross.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("cross_split_rate"),
+    )
+
+
+def _sql_split_leakage_audit() -> str:
+    ha = sql_uniform_hash("id_a", "split")
+    hb = sql_uniform_hash("id_b", "split")
+    return f"""
+WITH pairs AS ({_sql_minhash_lsh_pairs()}),
+labeled AS (
+  SELECT CASE WHEN {ha} < 0.9 THEN 'train' ELSE 'eval' END AS sa,
+         CASE WHEN {hb} < 0.9 THEN 'train' ELSE 'eval' END AS sb
+  FROM pairs)
+SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+  CAST(coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_cross_split_pairs,
+  CASE WHEN count(*) > 0
+       THEN round(CAST(coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0)
+                       AS DOUBLE) / count(*), 6)
+       ELSE 0.0 END AS cross_split_rate
+FROM labeled
 """
 
 
@@ -902,6 +957,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
     QueryDef("ns_repetition_signals", q_repetition_signals, _sql_repetition_signals(), "north-star text/quality-repetition", ("northstar", "text")),
     QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),
+    QueryDef("ns_split_leakage_audit", q_split_leakage_audit, _sql_split_leakage_audit(), "north-star dedup/split-leakage", ("northstar", "dedup")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
