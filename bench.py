@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "ns_decontaminate_corpus",
     "ns_pack_token_chunks",
     "ns_domain_mix_sample",
+    "tpch_q12_priority_shipping",
+    "ns_repetition_signals",
+    "ns_chunk_sliding_windows",
 ]
 
 

@@ -57,6 +57,34 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
 
 
+def kmv_distinct_by_group(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch: ``(group, est_distinct)``.
+
+    Groups holding fewer than ``k`` distinct values report the exact count
+    (the sketch IS the full distinct set there); larger groups estimate
+    ``(k-1) / u_(k)``.  The per-group k-smallest is a rank-filtered window,
+    which Spark executes as WindowGroupLimit — each group's sketch state is
+    bounded at k rows on every partial, so a group with a billion distinct
+    values costs the same memory as one with a hundred.  Deterministic
+    across engines: the deviates are the portable 52-bit sha256 hash and
+    ties cannot occur (duplicate deviates collapse before ranking)."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        group_col, uniform_hash(F.col(col), "kmv").alias("u")
+    ).dropDuplicates([group_col, "u"])
+    w = Window.partitionBy(group_col).orderBy("u")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    n = F.count(F.lit(1))
+    return topk.groupBy(group_col).agg(
+        F.when(n >= k, F.round(F.lit(float(k - 1)) / F.max("u"), 4))
+        .otherwise(n.cast("double"))
+        .alias("est_distinct")
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "sample") -> DataFrame:
     """Deterministic Bernoulli sample: keep rows with u(key) < rate.
     Reproducible across engines, reruns, and repartitions — the property

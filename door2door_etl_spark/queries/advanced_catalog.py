@@ -127,6 +127,30 @@ FROM topk
 """
 
 
+def q_kmv_distinct_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type KMV distinct-user estimate — the grouped sketch form:
+    k-bounded state per group via WindowGroupLimit, exact below k
+    (operators.sketches.kmv_distinct_by_group)."""
+    from door2door_etl_spark.operators.sketches import kmv_distinct_by_group
+
+    ev = load_table(spark, sf, "events")
+    return kmv_distinct_by_group(ev, "event_type", "user_id", k=64)
+
+
+SQL_KMV_DISTINCT_BY_TYPE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {sql_uniform_hash('user_id', 'kmv')} AS u FROM events
+), ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed)
+SELECT event_type,
+  CASE WHEN count(*) >= 64 THEN round(63.0 / max(u), 4)
+       ELSE CAST(count(*) AS DOUBLE) END AS est_distinct
+FROM ranked WHERE rn <= 64 GROUP BY event_type
+"""
+
+
 def q_hash_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 10% Bernoulli document sample by key hash —
     reproducible across engines/reruns/partitionings, unlike df.sample
@@ -548,6 +572,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
+    QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -412,3 +412,14 @@ def test_sliding_token_chunks_known_answers(spark):
         (1, 2): ("e", 1),  # trailing window truncates
         (2, 0): ("", 0),  # empty doc yields one empty chunk
     }
+
+
+def test_kmv_distinct_by_group_exact_and_sketch_paths(spark):
+    from door2door_etl_spark.operators.sketches import kmv_distinct_by_group
+
+    rows = [Row(g="small", v=i) for i in range(3)] * 4  # 3 distinct, duplicated
+    rows += [Row(g="big", v=i) for i in range(200)]  # 200 distinct > k
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r["est_distinct"] for r in kmv_distinct_by_group(df, "g", "v", k=64).collect()}
+    assert got["small"] == 3.0  # below k: the sketch IS the distinct set
+    assert 120 <= got["big"] <= 280  # (k-1)/u_(k), k=64 => ~12.5% stderr

@@ -263,3 +263,12 @@ def test_sliding_chunks_shuffle_free(spark, sf001):
     df = QUERIES["ns_chunk_sliding_windows"].fn(spark, sf001)
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
+
+
+def test_kmv_by_group_uses_window_group_limit(spark, sf001):
+    """The per-group k-smallest must plan as WindowGroupLimit — sketch
+    state is bounded at k rows per group on every partial, never a full
+    per-group sort."""
+    df = QUERIES["ns_kmv_distinct_by_type"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, plan

@@ -240,3 +240,33 @@ def test_stream_decontaminate_drops_overlapping_docs(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_stream_sliding_chunks_stateless(spark, tmp_path):
+    """Map-only operators compose into Structured Streaming unchanged:
+    context-window chunking on a file stream needs no watermark, no state
+    store, and append mode — one micro-batch of a 5-token doc yields the
+    same 3 chunks the batch operator produces."""
+    from door2door_etl_spark.operators.packing import sliding_token_chunks
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "d.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": "a b c d e"}) for i in range(2))
+    )
+    docs = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+    chunks = sliding_token_chunks(docs, window=3, stride=2)
+    assert chunks.isStreaming
+    q = (
+        chunks.writeStream.format("memory")
+        .queryName("chunk_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM chunk_sink").collect()
+    assert len(rows) == 6  # 3 windows per 5-token doc, 2 docs
+    texts = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in rows}
+    assert texts[(0, 0)] == "a b c" and texts[(0, 2)] == "e"
