@@ -145,11 +145,25 @@ def merge_upsert_parquet(
 
     if partition_col:
         # Partition-scoped merge: rewrite only the partitions the batch hits.
-        touched = [
+        # Membership must be null-safe: a bare isin() is NULL (not False) for
+        # NULL partition values — try_cast-coerced timestamps produce them —
+        # and a NULL predicate fails BOTH the touched and untouched filters,
+        # silently deleting those target rows.  NULL-partition target rows
+        # join the touched set only when the batch itself has NULLs there.
+        touched_raw = [
             r[0] for r in source.select(partition_col).distinct().collect()
         ]
-        untouched = target.filter(~F.col(partition_col).isin(touched))
-        touched_target = target.filter(F.col(partition_col).isin(touched))
+        touched = [v for v in touched_raw if v is not None]
+        batch_has_null = len(touched) < len(touched_raw)
+        is_touched = (
+            F.coalesce(F.col(partition_col).isin(touched), F.lit(False))
+            if touched
+            else F.lit(False)
+        )
+        if batch_has_null:
+            is_touched = is_touched | F.col(partition_col).isNull()
+        untouched = target.filter(~is_touched)
+        touched_target = target.filter(is_touched)
         merged_touched = touched_target.join(
             source.select(key), on=key, how="left_anti"
         ).unionByName(source)
@@ -168,8 +182,12 @@ def merge_upsert_parquet(
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp_path)
+    # Count BEFORE the directory swap: a source derived from the target
+    # table (self-referential merge) re-executed after the swap would
+    # re-read the rewritten directory and return a wrong count or fail.
+    n_merged = source.count()
     # Materialized before the swap; safe to drop the old directory.
     shutil.rmtree(target_path)
     Path(tmp_path).rename(target_path)
     shutil.rmtree(tmp, ignore_errors=True)
-    return source.count()
+    return n_merged

@@ -42,6 +42,16 @@ def _dist2(vec_col: str, centroid: list[float], dim: int) -> F.Column:
 
 
 def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]], dim: int) -> DataFrame:
+    if len(centroids) * dim > 512:
+        import warnings
+
+        warnings.warn(
+            f"exact k-means assignment with k*dim={len(centroids) * dim} > 512 "
+            "builds a literal expression tree that exceeds janino's 64 KB "
+            "codegen limit and falls back to interpreted evaluation; use the "
+            "BLAS path (use_blas=True, the default) for production k*dim",
+            stacklevel=3,
+        )
     dists = F.array(*[_dist2(vec_col, c, dim) for c in centroids])
     # array_position returns the FIRST index with the min → ties break to
     # the lowest centroid id (mirrored by row_number ORDER BY dist, cid).
@@ -89,16 +99,18 @@ def kmeans_fit_predict(
     k: int = 4,
     dim: int = 64,
     iterations: int = 2,
-    use_blas: bool = False,
+    use_blas: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Run ``iterations`` Lloyd rounds from a deterministic init (the vectors
     with the ``k`` smallest ids, in id order) and return
     ``(df + cluster column, final centroids)``.  Clusters are 1-based.
 
-    ``use_blas`` switches assignment to the Arrow/GEMM path (see
-    ``_assign_blas``) — same algorithm, constant plan-compile cost; prefer
-    it for large k·dim, keep the default expression path where exact
-    cross-engine parity with the SQL oracle is required.
+    ``use_blas`` (default ``True``) runs assignment on the Arrow/GEMM path
+    (see ``_assign_blas``) — same algorithm, constant plan-compile cost,
+    the production choice for any real k·dim (a k≥4096 quantizer is
+    infeasible on the expression path).  ``use_blas=False`` keeps the pure
+    expression path as the small-k oracle-parity twin; it warns above
+    k·dim ≈ 512 where its literal tree exceeds janino's codegen limit.
 
     Raises if any cluster empties mid-run (the oracle unrolls the same
     recurrence and has no empty-cluster rule; with a deterministic init on

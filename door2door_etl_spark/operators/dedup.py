@@ -305,18 +305,27 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    # Exact intersection size over ALL distinct shingles of the candidates.
+    # Exact intersection size, bounded by the candidate set: join the pair
+    # list to the shingle relation on id_a, then on id_b with shingle
+    # equality, and count per pair.  Cost is O(|cands| · set_size) — NOT the
+    # O(Σ df²) of a raw sh ⋈ sh self-join, which would blow up on a
+    # stop-shingle ("of the") appearing in every document of a skewed
+    # corpus.  Every candidate shares ≥1 rare shingle, so inter_cnt ≥ 1 and
+    # no pair is lost by starting from ``cands``.
     inter = (
-        sh.alias("xa")
-        .join(sh.alias("xb"), (F.col("xa.sh") == F.col("xb.sh")) & (F.col(f"xa.{id_col}") < F.col(f"xb.{id_col}")))
-        .groupBy(F.col(f"xa.{id_col}").alias("id_a"), F.col(f"xb.{id_col}").alias("id_b"))
+        cands.join(sh.alias("xa"), F.col("id_a") == F.col(f"xa.{id_col}"))
+        .join(
+            sh.alias("xb"),
+            (F.col("id_b") == F.col(f"xb.{id_col}"))
+            & (F.col("xa.sh") == F.col("xb.sh")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
     sa = set_sizes.alias("za")
     sb = set_sizes.alias("zb")
     out = (
-        cands.join(inter, ["id_a", "id_b"])
-        .join(sa, F.col("id_a") == F.col(f"za.{id_col}"))
+        inter.join(sa, F.col("id_a") == F.col(f"za.{id_col}"))
         .join(sb, F.col("id_b") == F.col(f"zb.{id_col}"))
         .select(
             "id_a",

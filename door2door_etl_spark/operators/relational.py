@@ -98,7 +98,19 @@ def salted_equijoin(
 
     Right-side replication multiplies the smaller input by ``salt_buckets``
     — choose it ~ (hottest-key rows / average-key rows), not larger.
+
+    ``how`` is restricted to left-preserving joins: with right/full outer
+    an unmatched right row would be emitted once per salt replica (none of
+    the ``salt_buckets`` copies match), duplicating output rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equijoin supports left-preserving joins only "
+            f"(got how={how!r}): right/full outer would emit each unmatched "
+            f"right row {salt_buckets}x (once per salt replica)"
+        )
     salted_l = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int"),

@@ -243,17 +243,20 @@ cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  -- candidate-bounded intersection: cands ⋈ sh(id_a) ⋈ sh(id_b, same
+  -- shingle) — O(|cands|·set_size), never O(sum df^2) over all shingles
+  SELECT c.id_a, c.id_b, count(*) AS inter_cnt
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
   GROUP BY 1, 2)
-SELECT c.id_a, c.id_b,
+SELECT inter.id_a, inter.id_b,
   round(inter.inter_cnt / (za.set_size + zb.set_size - inter.inter_cnt), 6)
     AS jaccard
-FROM cands c
-JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
-JOIN sizes za ON za.doc_id = c.id_a
-JOIN sizes zb ON zb.doc_id = c.id_b
-ORDER BY jaccard DESC, c.id_a, c.id_b
+FROM inter
+JOIN sizes za ON za.doc_id = inter.id_a
+JOIN sizes zb ON zb.doc_id = inter.id_b
+ORDER BY jaccard DESC, inter.id_a, inter.id_b
 LIMIT {JACCARD_TOPK}
 """
 

@@ -68,22 +68,43 @@ def stream_hourly_counts(events: DataFrame) -> DataFrame:
 def stream_dedup_by_key(
     events: DataFrame,
     key_source_cols: list[str] | None = None,
+    entity_schema=None,
 ) -> DataFrame:
-    """Streaming duplicate collapse: derive the deterministic surrogate key
-    (same sha2 expression as the batch normalizer, reference
-    src/helper/helper.py:144-148) and drop repeats with
-    ``dropDuplicatesWithinWatermark`` — dedup state is evicted once the
-    watermark passes, so state size is bounded by the duplicate horizon,
-    not by stream history (the 100 TB property the batch
-    ``dropDuplicates`` cannot give a continuous pipeline)."""
+    """Streaming duplicate collapse: derive a deterministic sha2 dedup key
+    and drop repeats with ``dropDuplicatesWithinWatermark`` — dedup state is
+    evicted once the watermark passes, so state size is bounded by the
+    duplicate horizon, not by stream history (the 100 TB property the batch
+    ``dropDuplicates`` cannot give a continuous pipeline).
+
+    Key derivation has two modes:
+
+    - ``entity_schema`` given (an :class:`EntitySchema`, for a stream that
+      has already been normalized): the key is built from the normalized
+      key columns in YAML declaration order with their declared types —
+      byte-identical to the batch normalizer's ``event_generated_id``
+      (reference src/helper/helper.py:144-148), so cross-layer comparisons
+      on that column are valid.  The column is named ``event_generated_id``.
+    - otherwise (raw pre-normalization events): the key hashes
+      ``key_source_cols`` stringified raw — sufficient for within-stream
+      dedup but NOT equal to the batch surrogate key (raw column order and
+      timestamp rendering differ), so it is named ``_stream_dedup_key`` to
+      make that unmistakable.
+    """
     from door2door_etl_spark.schemas.keys import surrogate_uuid_expr
 
-    cols = key_source_cols or ["on", "at", "organization_id", "data.id"]
-    keyed = events.withColumn(
-        "event_generated_id",
-        surrogate_uuid_expr([F.col(c).cast("string") for c in cols]),
-    )
-    return keyed.dropDuplicatesWithinWatermark(["event_generated_id"])
+    if entity_schema is not None:
+        specs = entity_schema.key_columns
+        key_col = "event_generated_id"
+        key = surrogate_uuid_expr(
+            [F.col(s.target_name) for s in specs],
+            [s.spark_type for s in specs],
+        )
+    else:
+        cols = key_source_cols or ["on", "at", "organization_id", "data.id"]
+        key_col = "_stream_dedup_key"
+        key = surrogate_uuid_expr([F.col(c).cast("string") for c in cols])
+    keyed = events.withColumn(key_col, key)
+    return keyed.dropDuplicatesWithinWatermark([key_col])
 
 
 def stream_stream_interval_join(

@@ -390,7 +390,7 @@ def test_kmeans_blas_path_matches_exact_path(spark):
         blob = i % 3
         rows.append((i, [(blob - 1) * 10.0 + (i % 5) * 0.01, float(blob), 0.0, 1.0]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    exact, c_exact = kmeans_fit_predict(df, k=3, dim=4, iterations=2)
+    exact, c_exact = kmeans_fit_predict(df, k=3, dim=4, iterations=2, use_blas=False)
     blas, c_blas = kmeans_fit_predict(df, k=3, dim=4, iterations=2, use_blas=True)
     a = {r["vec_id"]: r["cluster"] for r in exact.collect()}
     b = {r["vec_id"]: r["cluster"] for r in blas.collect()}

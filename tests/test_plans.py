@@ -272,3 +272,27 @@ def test_kmv_by_group_uses_window_group_limit(spark, sf001):
     df = QUERIES["ns_kmv_distinct_by_type"].fn(spark, sf001)
     plan = plan_of(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_jaccard_intersection_is_candidate_bounded(spark):
+    """The exact-intersection stage must join the CANDIDATE PAIRS to the
+    shingle relation (cost O(|cands|·set_size)), never self-join the full
+    shingle relation on the shingle (O(Σ df²) — a stop-shingle appearing in
+    every document makes that join emit n²/2 rows and kills the job on a
+    skewed corpus).  Mechanical check: the only join carrying a '<'
+    pair-ordering predicate is the rare-shingle candidate self-join; both
+    intersection joins are pure equi-joins on (pair id, shingle)."""
+    from door2door_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(docs, shingle_n=3, max_df=5)
+    join_lines = [
+        ln for ln in plan_of(df).split("\n") if "Join" in ln and " < " in ln
+    ]
+    assert len(join_lines) == 1, (
+        f"expected exactly one '<' join (the candidate self-join), got "
+        f"{len(join_lines)}:\n" + "\n".join(join_lines)
+    )

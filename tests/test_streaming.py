@@ -152,9 +152,9 @@ def test_stream_dedup_within_watermark(spark, tmp_path, stream_source):
         .start()
     )
     q.awaitTermination(120)
-    rows = spark.sql("select event_generated_id from dedup_out").collect()
+    rows = spark.sql("select _stream_dedup_key from dedup_out").collect()
     assert len(rows) == 5  # 6 events in source, 1 duplicate collapsed
-    assert len({r["event_generated_id"] for r in rows}) == 5
+    assert len({r["_stream_dedup_key"] for r in rows}) == 5
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
