@@ -183,6 +183,41 @@ def minhash_lsh_candidate_pairs(
     )
 
 
+def minhash_lsh_pairs_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs with exact duplicates pre-collapsed — the
+    documented production composition ``exact_dedup_groups`` →
+    representatives → ``minhash_lsh_candidate_pairs``.
+
+    Why this ordering matters at 100 TB: identical-content mega-clusters are
+    the #1 real-world band-key skew source — 10k copies of one boilerplate
+    page put 10k rows in the SAME (band_idx, band_key) bucket of EVERY band,
+    and the band self-join emits 10k²/2 pairs per band from that bucket
+    alone.  Collapsing each content group to its canonical (min-id) member
+    first makes that bucket O(1) rows, while exact-dup pairs are already
+    known from the sha groups at hash-groupBy cost.  Returned pairs relate
+    canonical representatives only; callers recover full clusters by
+    composing with the exact groups (each non-canonical member inherits its
+    representative's near-dup relations).
+    """
+    reps = df.join(
+        exact_dedup_groups(df, text_col, id_col).select(
+            F.col("canonical_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    return minhash_lsh_candidate_pairs(
+        reps, text_col, id_col, num_hashes, bands, shingle_n
+    )
+
+
 def minhash_similarity_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -459,6 +494,78 @@ def simhash_near_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_bands(max_hamming: int, bits: int = 32) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` disjoint bit bands used by
+    :func:`simhash_near_pairs_full`.  Widths differ by at most one bit."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        out.append((off, width))
+        off += width
+    return out
+
+
+def simhash_near_pairs_full(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """All pairs with Hamming distance ≤ ``max_hamming`` on 32-bit SimHash —
+    recall 1.0, unlike :func:`simhash_near_pairs`'s single high-16 block.
+
+    Pigeonhole banding: the 32 bits split into ``max_hamming + 1`` disjoint
+    bands, so a pair differing in ≤ max_hamming bits agrees EXACTLY on at
+    least one band — every true pair lands in some band bucket.  The
+    multi-table union runs as ONE shuffle, not k+1 joins: each doc explodes
+    to (band_id, band_value) keys, a single self-equi-join on the key pairs
+    up the buckets, distinct collapses cross-table repeats, and the exact
+    ``bit_count(xor)`` filter removes false positives.
+
+    Scale note: band width here is 32/(k+1) ≈ 3-4 bits, so bucket count per
+    band is small — fine to mid-size corpora, but at 100 TB the fingerprint
+    must grow so bands keep ≥16 bits (the production setting is a 64-bit
+    SimHash with k=3 → 4 bands of 16, per Manku et al., WWW'07); the plan
+    shape (explode → one equi-join → distinct → exact filter) is unchanged.
+    """
+    bands = simhash_bands(max_hamming)
+    sh = simhash32(df, text_col, id_col)
+    band_vals = [
+        (F.floor(F.col("simhash") / F.lit(2**off)) % F.lit(2**width)).cast("long")
+        for off, width in bands
+    ]
+    keys = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -312,6 +312,38 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+SIMHASH_FULL_MAX_HAMMING = 8
+
+
+def q_simhash_near_pairs_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-recall SimHash near-pairs: pigeonhole banding over max_hamming+1
+    disjoint bit bands (any pair at hamming ≤ k matches some band exactly),
+    unioned via one exploded equi-join — supersedes the single-block
+    variant's recall<1 (VERDICT r1 item 5)."""
+    docs = load_table(spark, sf, "documents")
+    return D.simhash_near_pairs_full(docs, max_hamming=SIMHASH_FULL_MAX_HAMMING)
+
+
+def _sql_simhash_near_pairs_full() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"CAST(floor(simhash / {2**off}) AS BIGINT) % {2**width} AS bval FROM sim"
+        for i, (off, width) in enumerate(D.simhash_bands(SIMHASH_FULL_MAX_HAMMING))
+    )
+    return f"""
+WITH {_sql_simhash_cte()},
+keys AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_FULL_MAX_HAMMING}
+"""
+
+
 # -- embedding near-dup + similarity search ---------------------------------
 
 NEARDUP_MIN_COSINE = 0.2
@@ -949,6 +981,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_ngram_jaccard_topk", q_ngram_jaccard_topk, _sql_ngram_jaccard_topk(), "north-star dedup/ngram-jaccard", ("northstar", "dedup")),
     QueryDef("ns_simhash", q_simhash, _sql_simhash(), "north-star dedup/simhash", ("northstar", "dedup")),
     QueryDef("ns_simhash_near_pairs", q_simhash_near_pairs, _sql_simhash_near_pairs(), "north-star dedup/simhash", ("northstar", "dedup")),
+    QueryDef("ns_simhash_near_pairs_full", q_simhash_near_pairs_full, _sql_simhash_near_pairs_full(), "north-star dedup/simhash full-recall LSH", ("northstar", "dedup")),
     QueryDef("ns_embedding_neardup_pairs", q_embedding_neardup_pairs, _sql_embedding_neardup_pairs(), "north-star dedup/embedding", ("northstar", "dedup")),
     QueryDef("ns_dedup_cluster_canonical", q_dedup_cluster_canonical, _sql_dedup_cluster_canonical(), "north-star dedup/connected-components", ("northstar", "dedup")),
     QueryDef("ns_dedup_cleaned_corpus", q_dedup_cleaned_corpus, _sql_dedup_cleaned_corpus(), "north-star dedup/end-to-end", ("northstar", "dedup")),

@@ -250,3 +250,38 @@ def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
     assert got == {
         "k1": ("a2", "p1"), "k2": ("b2", None), "k3": ("c", "p2"), "k4": ("d", None),
     }
+
+
+def test_simhash_full_recall_supersets_single_table(spark):
+    """The banded full-recall SimHash LSH must return a SUPERSET of the
+    single-block (high-16-bits) variant at the same max_hamming, and must
+    equal brute-force exactly — pigeonhole over max_hamming+1 disjoint bands
+    guarantees recall 1.0."""
+    from door2door_etl_spark.operators.dedup import (
+        simhash32,
+        simhash_near_pairs,
+        simhash_near_pairs_full,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(60):  # overlapping word mixes -> a spread of hamming dists
+        toks = [words[(i + j) % len(words)] for j in range(5)] + [f"u{i % 7}"]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 8
+
+    single = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df, max_hamming=k).collect()}
+    full = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs_full(df, max_hamming=k).collect()}
+    assert full >= single
+
+    # Brute-force ground truth from the fingerprints themselves.
+    sims = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
+    ids = sorted(sims)
+    truth = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= k
+    }
+    assert full == truth
