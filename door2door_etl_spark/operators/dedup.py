@@ -297,6 +297,7 @@ def ngram_jaccard_pairs(
     max_df: int = 20,
     min_jaccard: float = 0.0,
     persist_shingles: bool = False,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-``n``-gram sets for candidate pairs
     blocked on a shared *rare* shingle (document frequency ≤ ``max_df``).
@@ -305,69 +306,105 @@ def ngram_jaccard_pairs(
     candidates, so the join cannot blow up on stop-shingles — the standard
     frequency-capped inverted-index trick.
 
-    ``persist_shingles`` caches the exploded (id, shingle) relation, which
-    this plan consumes ~6× (sizes, document frequencies, two self-join
-    sides twice); Spark recomputes an unmaterialized subtree per consumer,
-    so the cache trades memory/disk for skipping five re-tokenizations —
-    measured ~1.6× end-to-end (PERF.md).  Caller owns the cache lifetime
+    Intersection decomposition: the global document frequency PARTITIONS
+    each document's shingle set into "rare" (df ≤ max_df) and "common"
+    (df > max_df), so |A∩B| = |rare_A∩rare_B| + |common_A∩common_B|.  The
+    rare part falls out of the candidate join itself — grouping the
+    pair-generating self-join by (id_a, id_b) counts exactly the shared
+    rare shingles, one row per shared shingle — and the common part is an
+    in-row ``array_intersect`` over per-doc COMMON-shingle arrays, which
+    are tiny by construction (only shingles appearing in > max_df docs).
+    Net: one bounded self-join + one pair groupBy + two small-side joins;
+    no O(Σ df²) blow-up on stop-shingles (they never enter a join), and no
+    per-pair scan of the full shingle sets.
+
+    ``hash_shingles`` replaces each shingle string with a 52-bit hash
+    (``conv(substr(sha2(s), 1, 13), 16, 10)`` — exactly expressible in
+    other engines for oracle parity) before blocking/intersection: long
+    keys shuffle and compare ~2× cheaper than multi-word strings.
+    Collisions are ~|shingles|²/2⁵³ (≪1 even at 10⁹ distinct shingles per
+    blocking scope) and can only nudge a df count or an intersection by 1;
+    pass ``hash_shingles=False`` for byte-exact set semantics.
+
+    ``persist_shingles`` caches the narrow per-doc (id, shingle-array)
+    relation, which this plan consumes ~4×; Spark recomputes an
+    unmaterialized subtree per consumer, so the cache trades memory/disk
+    for skipping re-tokenizations.  Caller owns the cache lifetime
     (``spark.catalog.clearCache()`` when done)."""
-    sh = (
-        df.select(
-            F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
+    sh_array = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    elem_type = "string"
+    if hash_shingles:
+        sh_array = F.array_distinct(
+            F.transform(
+                sh_array,
+                lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 13), 16, 10).cast(
+                    "long"
+                ),
+            )
         )
-    )
+        elem_type = "long"
+    # One row per document carrying its DISTINCT shingle set as an array —
+    # map-only to build; the blocking stage explodes it, the common-side
+    # intersection and the set sizes read it directly.
+    doc_sets = df.select(F.col(id_col), sh_array.alias("sh_set"))
     if persist_shingles:
         from pyspark.storagelevel import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    set_sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
-            F.col("df_cnt") <= max_df
-        ),
-        "sh",
-    ).select(id_col, "sh")
+        doc_sets = doc_sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = doc_sets.select(F.col(id_col), F.explode("sh_set").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    rare = sh.join(dfreq.filter(F.col("df_cnt") <= max_df), "sh").select(id_col, "sh")
 
+    # Candidate pairs AND their shared-rare-shingle counts from ONE
+    # self-join: each rare shingle emits ≤ df ≤ max_df matches per row, and
+    # the pair groupBy both dedups candidates and counts the rare part of
+    # the intersection.
     a = rare.alias("ra")
     b = rare.alias("rb")
-    cands = (
+    rare_inter = (
         a.join(
             b,
             (F.col("ra.sh") == F.col("rb.sh"))
             & (F.col(f"ra.{id_col}") < F.col(f"rb.{id_col}")),
         )
         .select(F.col(f"ra.{id_col}").alias("id_a"), F.col(f"rb.{id_col}").alias("id_b"))
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("rare_cnt"))
     )
 
-    # Exact intersection size, bounded by the candidate set: join the pair
-    # list to the shingle relation on id_a, then on id_b with shingle
-    # equality, and count per pair.  Cost is O(|cands| · set_size) — NOT the
-    # O(Σ df²) of a raw sh ⋈ sh self-join, which would blow up on a
-    # stop-shingle ("of the") appearing in every document of a skewed
-    # corpus.  Every candidate shares ≥1 rare shingle, so inter_cnt ≥ 1 and
-    # no pair is lost by starting from ``cands``.
-    inter = (
-        cands.join(sh.alias("xa"), F.col("id_a") == F.col(f"xa.{id_col}"))
-        .join(
-            sh.alias("xb"),
-            (F.col("id_b") == F.col(f"xb.{id_col}"))
-            & (F.col("xa.sh") == F.col("xb.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    # Per-doc COMMON shingles (df > max_df) — a near-empty array for real
+    # corpora (stop-shingles are few in kind, however frequent) — plus the
+    # full set size, joined to the pairs per side.  Both side relations are
+    # one row per document, so Spark broadcasts them; the pair relation
+    # never re-shuffles.
+    common_rel = (
+        sh.join(dfreq.filter(F.col("df_cnt") > max_df), "sh")
+        .groupBy(id_col)
+        .agg(F.collect_list("sh").alias("cset"))
     )
-    sa = set_sizes.alias("za")
-    sb = set_sizes.alias("zb")
+    side = (
+        doc_sets.select(F.col(id_col), F.size("sh_set").alias("set_size"))
+        .join(common_rel, id_col, "left")
+        .select(
+            F.col(id_col),
+            "set_size",
+            F.coalesce("cset", F.array().cast(f"array<{elem_type}>")).alias("cset"),
+        )
+    )
+    sa = side.alias("za")
+    sb = side.alias("zb")
+    inter_cnt = F.col("rare_cnt") + F.size(
+        F.array_intersect(F.col("za.cset"), F.col("zb.cset"))
+    )
     out = (
-        inter.join(sa, F.col("id_a") == F.col(f"za.{id_col}"))
+        rare_inter.join(sa, F.col("id_a") == F.col(f"za.{id_col}"))
         .join(sb, F.col("id_b") == F.col(f"zb.{id_col}"))
         .select(
             "id_a",
             "id_b",
             (
-                F.col("inter_cnt")
-                / (F.col("za.set_size") + F.col("zb.set_size") - F.col("inter_cnt"))
+                inter_cnt
+                / (F.col("za.set_size") + F.col("zb.set_size") - inter_cnt)
             ).alias("jaccard"),
         )
     )

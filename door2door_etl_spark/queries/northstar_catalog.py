@@ -233,9 +233,15 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_ngram_jaccard_topk() -> str:
     sh = sql_shingles("text", SHINGLE_N)
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+WITH doc_sets AS (
+  -- 52-bit shingle hashes, bit-identical to the Spark side's
+  -- conv(substr(sha2(s,256),1,13),16,10) (hash_shingles=True)
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_distinct({sh}),
+      s -> CAST(concat('0x', substr(sha256(s), 1, 13)) AS BIGINT))) AS sh_set
+  FROM documents),
+sh AS (SELECT doc_id, unnest(sh_set) AS s FROM doc_sets),
 dfreq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
 rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
          WHERE dfreq.c <= {JACCARD_MAX_DF}),
@@ -243,20 +249,19 @@ cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
 inter AS (
-  -- candidate-bounded intersection: cands ⋈ sh(id_a) ⋈ sh(id_b, same
-  -- shingle) — O(|cands|·set_size), never O(sum df^2) over all shingles
-  SELECT c.id_a, c.id_b, count(*) AS inter_cnt
+  -- candidate-bounded intersection: cands joined to the per-doc distinct
+  -- shingle ARRAY per side, intersected in-row — O(|cands|·set_size),
+  -- never O(sum df^2), and no per-shingle pair rows materialize
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(za.sh_set, zb.sh_set)) AS inter_cnt,
+    len(za.sh_set) AS size_a, len(zb.sh_set) AS size_b
   FROM cands c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-  GROUP BY 1, 2)
-SELECT inter.id_a, inter.id_b,
-  round(inter.inter_cnt / (za.set_size + zb.set_size - inter.inter_cnt), 6)
-    AS jaccard
+  JOIN doc_sets za ON za.doc_id = c.id_a
+  JOIN doc_sets zb ON zb.doc_id = c.id_b)
+SELECT id_a, id_b,
+  round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard
 FROM inter
-JOIN sizes za ON za.doc_id = inter.id_a
-JOIN sizes zb ON zb.doc_id = inter.id_b
-ORDER BY jaccard DESC, inter.id_a, inter.id_b
+ORDER BY jaccard DESC, id_a, id_b
 LIMIT {JACCARD_TOPK}
 """
 
