@@ -317,35 +317,77 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
-SIMHASH_FULL_MAX_HAMMING = 8
+SIMHASH_FULL_MAX_HAMMING = 3
 
 
 def q_simhash_near_pairs_full(spark: SparkSession, sf: str) -> DataFrame:
-    """Full-recall SimHash near-pairs: pigeonhole banding over max_hamming+1
-    disjoint bit bands (any pair at hamming ≤ k matches some band exactly),
-    unioned via one exploded equi-join — supersedes the single-block
-    variant's recall<1 (VERDICT r1 item 5)."""
+    """Full-recall SimHash near-pairs: pigeonhole banding of a 64-bit
+    fingerprint into max_hamming+1 = 4 bands of 16 bits (Manku et al.,
+    WWW'07) — any pair at hamming ≤ k matches some band exactly, and 2¹⁶
+    buckets per band keep candidate volume near the true pair count
+    (the former 32-bit/3-4-bit-band setting was ~all-pairs; VERDICT r2)."""
     docs = load_table(spark, sf, "documents")
     return D.simhash_near_pairs_full(docs, max_hamming=SIMHASH_FULL_MAX_HAMMING)
 
 
-def _sql_simhash_near_pairs_full() -> str:
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band, "
-        f"CAST(floor(simhash / {2**off}) AS BIGINT) % {2**width} AS bval FROM sim"
-        for i, (off, width) in enumerate(D.simhash_bands(SIMHASH_FULL_MAX_HAMMING))
+def _sql_simhash64_cte() -> str:
+    """CTE producing (doc_id, sh_hi, sh_lo) — bit-identical to
+    operators.dedup.simhash64 (votes over the first 16 md5 nibbles)."""
+    votes = []
+    for b in range(64):
+        nib = f"(instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+        votes.append(f"sum({bit} * 2 - 1) AS v{b}")
+    hi = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** (b - 32)} AS BIGINT) ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
     )
     return f"""
-WITH {_sql_simhash_cte()},
+tok AS (SELECT doc_id, unnest({sql_tokens("text")}) AS t FROM documents),
+hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM hashed GROUP BY doc_id),
+sim64 AS (SELECT doc_id, {hi} AS sh_hi, {lo} AS sh_lo FROM votes)
+"""
+
+
+def _sql_band64(off: int, width: int) -> str:
+    """SQL twin of operators.dedup._band_value_64."""
+    if off >= 32:
+        return f"CAST(floor(sh_hi / {2 ** (off - 32)}) AS BIGINT) % {2**width}"
+    if off + width <= 32:
+        return f"CAST(floor(sh_lo / {2**off}) AS BIGINT) % {2**width}"
+    lo_bits = 32 - off
+    return (
+        f"(CAST(floor(sh_lo / {2**off}) AS BIGINT) % {2**lo_bits}"
+        f" + (sh_hi % {2 ** (width - lo_bits)}) * {2**lo_bits})"
+    )
+
+
+def _sql_simhash_near_pairs_full() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh_hi, sh_lo, {i} AS band, "
+        f"{_sql_band64(off, width)} AS bval FROM sim64"
+        for i, (off, width) in enumerate(
+            D.simhash_bands(SIMHASH_FULL_MAX_HAMMING, bits=64)
+        )
+    )
+    return f"""
+WITH {_sql_simhash64_cte()},
 keys AS ({band_selects}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
+         a.sh_hi AS hi_a, a.sh_lo AS lo_a, b.sh_hi AS hi_b, b.sh_lo AS lo_b
   FROM keys a JOIN keys b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+SELECT id_a, id_b,
+  bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
 FROM pairs
-WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_FULL_MAX_HAMMING}
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {SIMHASH_FULL_MAX_HAMMING}
 """
 
 

@@ -252,14 +252,12 @@ def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
     }
 
 
-def test_simhash_full_recall_supersets_single_table(spark):
-    """The banded full-recall SimHash LSH must return a SUPERSET of the
-    single-block (high-16-bits) variant at the same max_hamming, and must
-    equal brute-force exactly — pigeonhole over max_hamming+1 disjoint bands
-    guarantees recall 1.0."""
+def test_simhash_full_recall_matches_bruteforce(spark):
+    """The banded full-recall SimHash LSH must equal brute-force over the
+    64-bit fingerprints exactly — pigeonhole over max_hamming+1 disjoint
+    bands guarantees recall 1.0, the exact hamming filter precision 1.0."""
     from door2door_etl_spark.operators.dedup import (
-        simhash32,
-        simhash_near_pairs,
+        simhash64,
         simhash_near_pairs_full,
     )
 
@@ -269,19 +267,59 @@ def test_simhash_full_recall_supersets_single_table(spark):
         toks = [words[(i + j) % len(words)] for j in range(5)] + [f"u{i % 7}"]
         rows.append((i, " ".join(toks)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    k = 8
+    for k in (3, 8):  # 4x16-bit bands; 9 bands straddling the 32-bit split
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs_full(df, max_hamming=k).collect()
+        }
+        sims = {
+            r["doc_id"]: (r["sh_hi"] << 32) | r["sh_lo"]
+            for r in simhash64(df).collect()
+        }
+        ids = sorted(sims)
+        truth = {
+            (a, b)
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1:]
+            if bin(sims[a] ^ sims[b]).count("1") <= k
+        }
+        assert full == truth, f"max_hamming={k}"
 
-    single = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df, max_hamming=k).collect()}
-    full = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs_full(df, max_hamming=k).collect()}
-    assert full >= single
 
-    # Brute-force ground truth from the fingerprints themselves.
-    sims = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
-    ids = sorted(sims)
-    truth = {
-        (a, b)
-        for ai, a in enumerate(ids)
-        for b in ids[ai + 1:]
-        if bin(sims[a] ^ sims[b]).count("1") <= k
-    }
-    assert full == truth
+def test_simhash_band_candidate_volume_stays_small(spark):
+    """VERDICT r2 item 2: with 64-bit fingerprints and 16-bit bands the
+    band join's candidate volume must stay near the true pair count — the
+    former 32-bit/3-4-bit-band parameterization admitted ~28% of ALL pairs
+    at sf0.01 (34,486 of ~125k), a quadratic blow-up at scale."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.dedup import (
+        simhash64_band_candidates,
+        simhash_near_pairs_full,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    n_cands = simhash64_band_candidates(docs, max_hamming=3).count()
+    n_true = simhash_near_pairs_full(docs, max_hamming=3).count()
+    assert n_cands >= n_true  # banding never loses a true pair
+    # 4 bands x 2^16 buckets: measured 1,866 candidates for 12 true pairs
+    # (templated synthetic text correlates fingerprints, so some band
+    # collisions are inherent) — 1.5% of all pairs vs 28% pre-fix.  Pin the
+    # order of magnitude so a parameterization regression trips the test.
+    assert n_cands <= all_pairs // 50, (
+        f"candidates {n_cands} vs true {n_true} of {all_pairs} possible"
+    )
+
+
+def test_simhash_bands_rejects_zero_width_bands():
+    """max_hamming + 1 > bits would create zero-width bands matching every
+    document (band value 0 for all) — the all-pairs cross join the banding
+    exists to avoid; must raise instead."""
+    import pytest as _pytest
+
+    from door2door_etl_spark.operators.dedup import simhash_bands
+
+    with _pytest.raises(ValueError, match="zero-width"):
+        simhash_bands(64, bits=64)
+    assert len(simhash_bands(63, bits=64)) == 64  # boundary: 1-bit bands ok
