@@ -127,7 +127,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh_pairs() -> str:
+def _sql_minhash_lsh_cands_ctes(source: str) -> str:
+    """The shingled → sigs → bands → cands CTE chain over ``source`` (any
+    relation/CTE name with (doc_id, text)) — shared by the plain and the
+    exact-dup-collapsed LSH pair oracles."""
     sh = sql_shingles("text", SHINGLE_N)
     sig = ", ".join(
         f"{sql_minhash_component('sh', i)} AS h{i}" for i in range(NUM_HASHES)
@@ -141,22 +144,50 @@ def _sql_minhash_lsh_pairs() -> str:
             f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key FROM sigs"
         )
     union = "\nUNION ALL\n".join(band_rows)
-    matches = " + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
-    )
-    return f"""
-WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+    return f"""shingled AS (SELECT doc_id, {sh} AS sh FROM {source}),
 sigs AS (SELECT doc_id, {sig} FROM shingled),
 bands AS ({union}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id)
+   AND a.doc_id < b.doc_id)"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_sql_minhash_lsh_cands_ctes("documents")}
 SELECT id_a, id_b, ({matches}) / {float(NUM_HASHES)} AS est_jaccard
 FROM cands
 JOIN sigs sa ON sa.doc_id = id_a
 JOIN sigs sb ON sb.doc_id = id_b
+"""
+
+
+def q_minhash_lsh_pairs_collapsed(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs with exact duplicates pre-collapsed to their
+    canonical (min-id) member — the skew-proof production composition:
+    identical-content mega-clusters would otherwise put every copy in the
+    same band bucket of every band and emit O(copies²) pairs."""
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_lsh_pairs_collapsed(
+        docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N
+    )
+
+
+def _sql_minhash_lsh_pairs_collapsed() -> str:
+    return f"""
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+    FROM documents)
+  WHERE doc_id = canonical_id),
+{_sql_minhash_lsh_cands_ctes("reps")}
+SELECT id_a, id_b FROM cands
 """
 
 
@@ -1025,6 +1056,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
     QueryDef("ns_lsh_band_buckets", q_lsh_band_buckets, _sql_lsh_band_buckets(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_minhash_lsh_pairs", q_minhash_lsh_pairs, _sql_minhash_lsh_pairs(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
+    QueryDef("ns_minhash_lsh_pairs_collapsed", q_minhash_lsh_pairs_collapsed, _sql_minhash_lsh_pairs_collapsed(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_ngram_jaccard_topk", q_ngram_jaccard_topk, _sql_ngram_jaccard_topk(), "north-star dedup/ngram-jaccard", ("northstar", "dedup")),
     QueryDef("ns_simhash", q_simhash, _sql_simhash(), "north-star dedup/simhash", ("northstar", "dedup")),
     QueryDef("ns_simhash_near_pairs", q_simhash_near_pairs, _sql_simhash_near_pairs(), "north-star dedup/simhash", ("northstar", "dedup")),

@@ -10,6 +10,7 @@ from door2door_etl_spark.queries.catalog import QUERIES
 # Queries whose oracle-correct result can legitimately be empty at tiny SF.
 MAY_BE_EMPTY = {
     "ns_minhash_lsh_pairs",
+    "ns_minhash_lsh_pairs_collapsed",  # same sparsity as the plain variant
     "etl_quarantine_unknown_types",
     "etl_point_lookup",
     "etl_hour_window_filter",  # sf0.001 has ~1k events over 30 days: sparse hours

@@ -323,3 +323,57 @@ def test_simhash_bands_rejects_zero_width_bands():
     with _pytest.raises(ValueError, match="zero-width"):
         simhash_bands(64, bits=64)
     assert len(simhash_bands(63, bits=64)) == 64  # boundary: 1-bit bands ok
+
+
+def test_lsh_collapsed_kills_mega_cluster_skew(spark):
+    """Round-1 item 6 / VERDICT r2: 1k identical copies of one boilerplate
+    doc must NOT blow up the collapsed LSH — pre-collapse they all share
+    every band key (O(copies²) pairs from one bucket); post-collapse the
+    cluster is one canonical row per band bucket, and the returned pairs
+    relate canonical representatives only."""
+    from door2door_etl_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_band_table,
+        minhash_lsh_candidate_pairs,
+        minhash_lsh_pairs_collapsed,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = "the same boilerplate footer text repeated on every single page"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [
+        (2000, "a unique article about distributed query engines and planning"),
+        (2001, "a unique article about distributed query engines and planners"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_collapsed(df).collect()
+    }
+    # Pairs must exactly equal the plain candidate pairs over the canonical
+    # representatives (doc 0 for the mega-cluster, 2000, 2001).
+    reps = df.filter(F.col("doc_id").isin(0, 2000, 2001))
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidate_pairs(reps).collect()
+    }
+    assert got == expected
+    assert all(a not in range(1, 1000) and b not in range(1, 1000) for a, b in got)
+
+    # Band-bucket skew is gone: every (band_idx, band_key) bucket over the
+    # collapsed input holds O(1) rows (the uncollapsed mega-cluster bucket
+    # held 1000).
+    reps_full = df.join(
+        exact_dedup_groups(df).select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    max_bucket = (
+        minhash_band_table(reps_full)
+        .groupBy("band_idx", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= 2, max_bucket
