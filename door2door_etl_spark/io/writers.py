@@ -1,7 +1,9 @@
 """Sinks: parquet table writer, key-based MERGE-style upsert, bookkeeping append.
 
 Covers SURVEY.md §2.2:
-  K1  upsert into warehouse table -> :func:`merge_upsert_parquet`
+  K1  upsert into warehouse table -> :func:`merge_upsert_parquet` (parquet
+      lake) and :func:`write_jdbc_upsert` (JDBC warehouse: staged parallel
+      write + one server-side set-based upsert)
       (reference src/helper/postgres.py:157-189 INSERT … ON CONFLICT DO
       UPDATE, row-at-a-time executemany — here a distributed anti-join +
       union rewrite with new-rows-win semantics, idempotent by construction)
@@ -22,6 +24,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -191,3 +194,140 @@ def merge_upsert_parquet(
     Path(tmp_path).rename(target_path)
     shutil.rmtree(tmp, ignore_errors=True)
     return n_merged
+
+
+# -- JDBC warehouse sink (K1, reference src/helper/postgres.py:157-189) -----
+
+@dataclass(frozen=True)
+class JdbcUpsertPlan:
+    """The fully-resolved execution plan of a JDBC upsert: the three
+    server-side statements plus the Spark JDBC writer options — exposed as
+    data so the SQL contract is testable without a database."""
+
+    table: str
+    staging_table: str
+    key_cols: tuple[str, ...]
+    create_staging_sql: str
+    upsert_sql: str
+    drop_staging_sql: str
+    writer_options: dict[str, str]
+
+
+def plan_jdbc_upsert(
+    url: str,
+    table: str,
+    columns: list[str],
+    key_cols: list[str],
+    staging_table: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int = 8,
+    isolation_level: str = "READ_COMMITTED",
+) -> JdbcUpsertPlan:
+    """Build the statement + option plan for :func:`write_jdbc_upsert`.
+
+    Semantics mirror the reference warehouse loader
+    (src/helper/postgres.py:157-189): ``INSERT … ON CONFLICT (key) DO
+    UPDATE SET col = EXCLUDED.col`` for every non-key column.  Where the
+    reference executes the upsert row-at-a-time from the driver
+    (``executemany`` over a pandas frame), this plan stages the batch into
+    an UNLOGGED side table through Spark's parallel JDBC writer
+    (``num_partitions`` concurrent connections × ``batchsize``-row batches)
+    and then runs ONE set-based server-side upsert — the executor-parallel
+    shape that survives a 100 TB cluster, where driver-side executemany
+    cannot.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in key_cols if k not in columns]
+    if missing:
+        raise ValueError(f"key columns {missing} not in dataframe columns {columns}")
+    update_cols = [c for c in columns if c not in key_cols]
+    if not update_cols:
+        raise ValueError("upsert needs at least one non-key column to update")
+    staging = staging_table or f"{table}__stage"
+    col_list = ", ".join(columns)
+    update_set = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    conflict = ", ".join(key_cols)
+    return JdbcUpsertPlan(
+        table=table,
+        staging_table=staging,
+        key_cols=tuple(key_cols),
+        create_staging_sql=(
+            f"CREATE UNLOGGED TABLE IF NOT EXISTS {staging} "
+            f"(LIKE {table} INCLUDING DEFAULTS)"
+        ),
+        upsert_sql=(
+            f"INSERT INTO {table} ({col_list})\n"
+            f"SELECT {col_list} FROM {staging}\n"
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {update_set}"
+        ),
+        drop_staging_sql=f"DROP TABLE IF EXISTS {staging}",
+        writer_options={
+            "url": url,
+            "dbtable": staging,
+            "batchsize": str(batchsize),
+            "numPartitions": str(num_partitions),
+            "isolationLevel": isolation_level,
+            "truncate": "true",
+        },
+    )
+
+
+def _execute_jdbc_statements(spark: SparkSession, url: str, statements: list[str]) -> None:
+    """Run DDL/DML statements over one JDBC connection via the JVM
+    DriverManager (the driver jar must be on the Spark classpath)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    staging_table: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int = 8,
+    isolation_level: str = "READ_COMMITTED",
+) -> JdbcUpsertPlan:
+    """Upsert ``df`` into a JDBC warehouse table (K1): stage via Spark's
+    parallel JDBC writer, then one server-side set-based
+    ``INSERT … ON CONFLICT DO UPDATE`` (reference semantics,
+    src/helper/postgres.py:157-189; executor-parallel physical form).
+
+    Within-batch duplicates collapse to one row per key first —
+    ON CONFLICT raises ``cardinality_violation`` if the same key appears
+    twice in one statement, a failure the reference's row-at-a-time loop
+    silently hid (last row won).
+
+    Returns the executed :class:`JdbcUpsertPlan` (also the contract-test
+    surface, via :func:`plan_jdbc_upsert`, since this container ships no
+    database server)."""
+    plan = plan_jdbc_upsert(
+        url,
+        table,
+        df.columns,
+        key_cols,
+        staging_table,
+        batchsize,
+        num_partitions,
+        isolation_level,
+    )
+    spark = df.sparkSession
+    deduped = df.dropDuplicates(list(key_cols))
+    _execute_jdbc_statements(spark, url, [plan.create_staging_sql])
+    (
+        deduped.repartition(num_partitions)
+        .write.format("jdbc")
+        .options(**plan.writer_options)
+        .mode("append")
+        .save()
+    )
+    _execute_jdbc_statements(spark, url, [plan.upsert_sql, plan.drop_staging_sql])
+    return plan

@@ -264,3 +264,73 @@ def test_incremental_rollup_matches_full_rebuild(spark, tmp_path):
         (r["hour_start"], r["organization_id"]): r["n_events"]
         for r in read_rollup(spark, rollup).collect()
     } == expect
+
+
+def test_jdbc_upsert_plan_contract(spark):
+    """K1 JDBC warehouse sink (reference src/helper/postgres.py:157-189):
+    no database ships in this container, so the contract surface is the
+    generated server-side SQL + Spark JDBC writer options."""
+    from door2door_etl_spark.io.writers import plan_jdbc_upsert
+
+    plan = plan_jdbc_upsert(
+        url="jdbc:postgresql://wh:5432/etl",
+        table="vehicle_location",
+        columns=["event_generated_id", "vehicle_id", "lat", "lng", "at"],
+        key_cols=["event_generated_id"],
+        batchsize=5000,
+        num_partitions=4,
+    )
+    assert plan.staging_table == "vehicle_location__stage"
+    assert plan.create_staging_sql == (
+        "CREATE UNLOGGED TABLE IF NOT EXISTS vehicle_location__stage "
+        "(LIKE vehicle_location INCLUDING DEFAULTS)"
+    )
+    # Reference upsert semantics: conflict on the key, every non-key column
+    # updated from EXCLUDED, key columns never in the SET list.
+    assert plan.upsert_sql == (
+        "INSERT INTO vehicle_location "
+        "(event_generated_id, vehicle_id, lat, lng, at)\n"
+        "SELECT event_generated_id, vehicle_id, lat, lng, at "
+        "FROM vehicle_location__stage\n"
+        "ON CONFLICT (event_generated_id) DO UPDATE SET "
+        "vehicle_id = EXCLUDED.vehicle_id, lat = EXCLUDED.lat, "
+        "lng = EXCLUDED.lng, at = EXCLUDED.at"
+    )
+    assert plan.drop_staging_sql == "DROP TABLE IF EXISTS vehicle_location__stage"
+    assert plan.writer_options == {
+        "url": "jdbc:postgresql://wh:5432/etl",
+        "dbtable": "vehicle_location__stage",
+        "batchsize": "5000",
+        "numPartitions": "4",
+        "isolationLevel": "READ_COMMITTED",
+        "truncate": "true",
+    }
+
+
+def test_jdbc_upsert_plan_validation():
+    import pytest as _pytest
+
+    from door2door_etl_spark.io.writers import plan_jdbc_upsert
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        plan_jdbc_upsert("jdbc:x", "t", ["a", "b"], [])
+    with _pytest.raises(ValueError, match="not in dataframe columns"):
+        plan_jdbc_upsert("jdbc:x", "t", ["a", "b"], ["missing"])
+    with _pytest.raises(ValueError, match="non-key column"):
+        plan_jdbc_upsert("jdbc:x", "t", ["k1", "k2"], ["k1", "k2"])
+
+
+def test_jdbc_upsert_composite_key_and_custom_staging():
+    from door2door_etl_spark.io.writers import plan_jdbc_upsert
+
+    plan = plan_jdbc_upsert(
+        "jdbc:postgresql://wh/etl",
+        "operating_period",
+        ["op_id", "region", "start", "finish"],
+        ["op_id", "region"],
+        staging_table="op_stage",
+    )
+    assert "ON CONFLICT (op_id, region) DO UPDATE SET" in plan.upsert_sql
+    assert "start = EXCLUDED.start, finish = EXCLUDED.finish" in plan.upsert_sql
+    assert "op_id = EXCLUDED" not in plan.upsert_sql
+    assert plan.writer_options["dbtable"] == "op_stage"
