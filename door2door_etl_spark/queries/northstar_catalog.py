@@ -781,8 +781,18 @@ def q_kmeans_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
     import math
 
     emb = load_table(spark, sf, "embeddings")
+    # use_blas=False: this query is the oracle-parity twin — the DuckDB oracle
+    # unrolls the exact left-fold argmin, and the GEMM path's float summation
+    # order can flip near-tie assignments.  Production callers keep the BLAS
+    # default (see kmeans_fit_predict docstring).
     assigned, centroids = kmeans_fit_predict(
-        emb, vec_col="embedding", id_col="vec_id", k=KM_K, dim=KM_DIM, iterations=KM_ITERS
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=KM_K,
+        dim=KM_DIM,
+        iterations=KM_ITERS,
+        use_blas=False,
     )
     norm_df = spark.createDataFrame(
         [

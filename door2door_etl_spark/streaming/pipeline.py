@@ -33,11 +33,17 @@ from door2door_etl_spark.session import ensure_runtime_confs
 def stream_events(
     spark: SparkSession,
     source_dir: str,
-    watermark_delay: str = "2 hours",
+    watermark_delay: str | None = "2 hours",
 ) -> DataFrame:
     """Streaming JSONL event source with provenance + malformed-line policy —
     the streaming twin of io.readers.read_jsonl_events (S1/P2), plus an
-    event-time watermark for late data."""
+    event-time watermark for late data.
+
+    ``watermark_delay=None`` skips the watermark — for callers that project
+    the stream (e.g. through schemas.normalize, which drops ``event_ts``)
+    and must define their own watermark on a downstream event-time column:
+    Spark disallows redefining an existing watermark.
+    """
     ensure_runtime_confs(spark)
     raw = (
         spark.readStream.schema(event_schema())
@@ -46,13 +52,15 @@ def stream_events(
         .json(source_dir)
         .withColumn("original_s3_file_path", F.input_file_name())
     )
-    return (
+    out = (
         raw.filter(F.col("_corrupt_record").isNull())
         .drop("_corrupt_record")
         .withColumn("event_ts", F.expr("try_cast(at AS timestamp)"))
         .filter(F.col("event_ts").isNotNull())
-        .withWatermark("event_ts", watermark_delay)
     )
+    if watermark_delay is not None:
+        out = out.withWatermark("event_ts", watermark_delay)
+    return out
 
 
 def stream_hourly_counts(events: DataFrame) -> DataFrame:
@@ -68,7 +76,7 @@ def stream_hourly_counts(events: DataFrame) -> DataFrame:
 def stream_dedup_by_key(
     events: DataFrame,
     key_source_cols: list[str] | None = None,
-    entity_schema=None,
+    entity_schema: EntitySchema | None = None,
 ) -> DataFrame:
     """Streaming duplicate collapse: derive a deterministic sha2 dedup key
     and drop repeats with ``dropDuplicatesWithinWatermark`` — dedup state is

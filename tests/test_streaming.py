@@ -157,6 +157,88 @@ def test_stream_dedup_within_watermark(spark, tmp_path, stream_source):
     assert len({r["_stream_dedup_key"] for r in rows}) == 5
 
 
+def test_stream_dedup_entity_schema_key_matches_batch(spark, tmp_path, stream_source):
+    """entity_schema mode of stream_dedup_by_key must produce the SAME
+    event_generated_id bytes as the batch normalizer for the same rows —
+    that byte-identity is what makes cross-layer (stream vs lake) joins and
+    idempotent upserts on the key valid."""
+    from door2door_etl_spark.io.readers import read_jsonl_events
+    from door2door_etl_spark.schemas.normalize import normalize
+    from door2door_etl_spark.streaming import stream_dedup_by_key
+
+    vehicle = builtin_door2door_schemas()["vehicle"]
+
+    batch = read_jsonl_events(spark, str(stream_source / "*.json"))
+    batch_keys = {
+        r["event_generated_id"]
+        for r in normalize(batch.filter("on = 'vehicle'"), vehicle).collect()
+    }
+    assert len(batch_keys) == 5
+
+    events = stream_events(spark, str(stream_source), watermark_delay=None)
+    vnorm = normalize(
+        events.filter("on = 'vehicle'"), vehicle, derive_key=False, deduplicate=False
+    ).withWatermark("event_timestamp", "2 hours")
+    deduped = stream_dedup_by_key(vnorm, entity_schema=vehicle)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_schema_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_schema"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_keys = {
+        r["event_generated_id"]
+        for r in spark.sql("select event_generated_id from dedup_schema_out").collect()
+    }
+    assert stream_keys == batch_keys
+
+
+def test_stream_dedup_under_rate_source(spark, tmp_path):
+    """Continuous-source smoke: stream_dedup_by_key driven by Spark's `rate`
+    source with a processing-time trigger — the always-on-cluster mode, not
+    the availableNow catch-up mode the other tests use.  value % 3 makes
+    every key repeat; exactly 3 distinct keys may survive."""
+    import time
+
+    from door2door_etl_spark.streaming import stream_dedup_by_key
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .withColumn("event_ts", F.col("timestamp"))
+        # Watermark far beyond test duration: dedup state must not evict
+        # mid-test, or a repeated key could legitimately re-emit.
+        .withWatermark("event_ts", "10 minutes")
+        .withColumn("key_val", (F.col("value") % 3).cast("string"))
+    )
+    deduped = stream_dedup_by_key(rate, key_source_cols=["key_val"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("rate_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline and n < 3:
+            n = spark.sql("select count(*) c from rate_dedup_out").collect()[0]["c"]
+            time.sleep(1)
+        # one extra settle batch: prove no further rows leak past the dedup
+        time.sleep(3)
+    finally:
+        q.stop()
+    rows = spark.sql("select _stream_dedup_key from rate_dedup_out").collect()
+    assert len(rows) >= 3
+    assert len({r["_stream_dedup_key"] for r in rows}) == len(rows) == 3
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Stream⋈stream with watermarked time bound: vehicle updates match
     operating-period registrations of the same org within 1 hour; a
