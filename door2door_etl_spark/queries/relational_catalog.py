@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from door2door_etl_spark.io.readers import load_table
+from door2door_etl_spark.io.readers import TABLES, list_sf_tables, load_table
 from door2door_etl_spark.operators.relational import (
     dedup_first_wins,
     interval_join,
@@ -662,6 +662,46 @@ FROM monthly
 """
 
 
+def q_catalog_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """S5 catalog probe (reference src/helper/s3.py:37-53 bucket listing +
+    table-existence checks): enumerate the tables present under the sf dir
+    as a one-row relation — count plus sorted comma-joined names.  The
+    driver-side listing is O(#tables) metadata, never data."""
+    tables = list_sf_tables(sf)
+    return spark.createDataFrame(
+        [(len(tables), ",".join(tables))],
+        "n_tables bigint, table_list string",
+    )
+
+
+SQL_CATALOG_PROBE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_tables,
+       string_agg(table_name, ',' ORDER BY table_name) AS table_list
+FROM information_schema.tables
+WHERE table_name IN ({", ".join(repr(t) for t in sorted(TABLES))})
+"""
+
+
+def q_ts_format_hours(spark: SparkSession, sf: str) -> DataFrame:
+    """F7 timestamp formatting (reference src/helper/helper.py strftime
+    renders + the hourly landing-path format s3.py:55): format event time
+    two ways and count per rendered hour — the formatting itself is the
+    operator under test (date_format vs DuckDB strftime)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour_label"),
+        F.date_format("ts", "yyyy/MM/dd/HH").alias("hour_path"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+SQL_TS_FORMAT_HOURS = """
+SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_label,
+       strftime(ts, '%Y/%m/%d/%H') AS hour_path,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_hour_window_filter", q_hour_window_filter, SQL_HOUR_WINDOW_FILTER, "P1,P4", ("etl",)),
     QueryDef("etl_watermark_max", q_watermark_max, SQL_WATERMARK_MAX, "S3,A1,P5", ("etl",)),
@@ -676,6 +716,8 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_props_extract_distribution", q_props_extract_distribution, SQL_PROPS_EXTRACT_DISTRIBUTION, "F1,F2", ("etl",)),
     QueryDef("etl_quarantine_unknown_types", q_quarantine_unknown_types, SQL_QUARANTINE_UNKNOWN_TYPES, "P3-quarantine", ("etl",)),
     QueryDef("etl_interval_join_periods", q_interval_join_periods, SQL_INTERVAL_JOIN_PERIODS, "§2.4-range", ("etl",)),
+    QueryDef("etl_catalog_probe", q_catalog_probe, SQL_CATALOG_PROBE, "S5,S6", ("etl",)),
+    QueryDef("etl_ts_format_hours", q_ts_format_hours, SQL_TS_FORMAT_HOURS, "F7", ("etl",)),
     QueryDef("tpch_q1_pricing_summary", q_tpch_q1, SQL_TPCH_Q1, "§2.5-agg", ("tpch",)),
     QueryDef("tpch_q3_shipping_priority", q_tpch_q3, SQL_TPCH_Q3, "§2.4-join", ("tpch",)),
     QueryDef("tpch_q5_local_supplier", q_tpch_q5, SQL_TPCH_Q5, "§2.4-join", ("tpch",)),
