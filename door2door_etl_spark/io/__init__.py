@@ -1,7 +1,11 @@
 from door2door_etl_spark.io.readers import load_table, read_jsonl_events
 from door2door_etl_spark.io.writers import (
+    JdbcMergeSink,
+    MergeSink,
+    ParquetMergeSink,
     append_rows,
     merge_upsert_parquet,
+    write_jdbc_upsert,
     write_parquet_table,
 )
 
@@ -11,4 +15,8 @@ __all__ = [
     "append_rows",
     "merge_upsert_parquet",
     "write_parquet_table",
+    "MergeSink",
+    "ParquetMergeSink",
+    "JdbcMergeSink",
+    "write_jdbc_upsert",
 ]

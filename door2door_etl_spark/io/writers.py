@@ -26,6 +26,7 @@ import shutil
 import tempfile
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -194,6 +195,74 @@ def merge_upsert_parquet(
     Path(tmp_path).rename(target_path)
     shutil.rmtree(tmp, ignore_errors=True)
     return n_merged
+
+
+# -- Pluggable MERGE sink (K1) ----------------------------------------------
+
+@runtime_checkable
+class MergeSink(Protocol):
+    """Key-based MERGE upsert sink — the K1 contract every warehouse
+    implementation must satisfy (reference src/helper/postgres.py:157-189).
+
+    ``merge(source, key)`` upserts ``source`` into the sink's table:
+
+    - within the batch one row per ``key`` survives;
+    - existing keys are UPDATEd (new row wins), new keys INSERTed;
+    - **idempotent**: re-merging an identical batch leaves the table
+      unchanged — the property that makes at-least-once upstream delivery
+      (replays, micro-batch retries) safe;
+    - returns the number of source rows merged.
+
+    Atomicity contract (implementation-graded, documented per impl):
+    a reader must never observe a partially-merged table.
+    :class:`ParquetMergeSink` guarantees this for a crashed single writer
+    (temp-dir + directory swap) but NOT under concurrent writers — that
+    needs a transactional table format (Delta/Iceberg MERGE, a metadata-only
+    commit) or a transactional database (:class:`JdbcMergeSink`, where the
+    upsert statement is one server-side transaction).  Either drops in
+    behind this protocol without touching pipeline code.
+    """
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        ...
+
+
+@dataclass(frozen=True)
+class ParquetMergeSink:
+    """Parquet-lake MergeSink: delegates to :func:`merge_upsert_parquet`
+    (anti-join ∪ union, partition-scoped rewrite, atomic directory swap)."""
+
+    spark: SparkSession
+    target_path: str
+    partition_col: str | None = None
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        return merge_upsert_parquet(
+            self.spark, self.target_path, source, key, self.partition_col
+        )
+
+
+@dataclass(frozen=True)
+class JdbcMergeSink:
+    """JDBC-warehouse MergeSink: delegates to :func:`write_jdbc_upsert`
+    (staged parallel write + one transactional server-side upsert)."""
+
+    url: str
+    table: str
+    batchsize: int = 10_000
+    num_partitions: int = 8
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        n = source.dropDuplicates([key]).count()
+        write_jdbc_upsert(
+            source,
+            self.url,
+            self.table,
+            key_cols=[key],
+            batchsize=self.batchsize,
+            num_partitions=self.num_partitions,
+        )
+        return n
 
 
 # -- JDBC warehouse sink (K1, reference src/helper/postgres.py:157-189) -----

@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import traceback as tb
 import uuid
+from typing import Callable
 
 from pyspark.sql import SparkSession
 
-from door2door_etl_spark.io.writers import merge_upsert_parquet
+from door2door_etl_spark.io.writers import MergeSink, ParquetMergeSink
 from door2door_etl_spark.pipeline.bookkeeping import Bookkeeping
 from door2door_etl_spark.schemas.normalize import normalize, split_entities
 from door2door_etl_spark.schemas.registry import EntitySchema
@@ -29,11 +30,18 @@ def run_handler(
     warehouse_root: str,
     bookkeeping: Bookkeeping,
     staged_path: str | None = None,
+    sink_for: Callable[[str], MergeSink] | None = None,
 ) -> dict[str, int]:
     """Run one handler execution; returns ``{target_table: rows_merged}``.
 
     ``staged_path`` defaults to the bookkeeping lookup by workflow id
     (reference handler.py:61-63); pass explicitly for replay/backfill.
+
+    ``sink_for`` maps a target table name to its :class:`MergeSink`;
+    defaults to a :class:`ParquetMergeSink` under ``warehouse_root`` —
+    inject :class:`~door2door_etl_spark.io.writers.JdbcMergeSink` (or a
+    Delta-backed sink) to retarget the warehouse without touching pipeline
+    code.
     """
     # Reference validates the workflow id is a UUID (handler.py:15-21).
     uuid.UUID(str(workflow_id))
@@ -49,14 +57,16 @@ def run_handler(
     results: dict[str, int] = {}
     first_error: Exception | None = None
 
+    if sink_for is None:
+        sink_for = lambda table: ParquetMergeSink(  # noqa: E731
+            spark, f"{warehouse_root}/{table}"
+        )
+
     for entity, schema in schemas.items():
         table = schema.target_table or entity
-        target = f"{warehouse_root}/{table}"
         try:
             silver = normalize(per_entity[entity], schema)
-            merged = merge_upsert_parquet(
-                spark, target, silver, key="event_generated_id"
-            )
+            merged = sink_for(table).merge(silver, key="event_generated_id")
             results[table] = merged
             bookkeeping.record_handler(
                 workflow_id=workflow_id,

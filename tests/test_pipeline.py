@@ -266,6 +266,57 @@ def test_incremental_rollup_matches_full_rebuild(spark, tmp_path):
     } == expect
 
 
+def test_handler_pluggable_merge_sink(spark, tmp_path, landing):
+    """K1 MergeSink protocol: the handler routes every warehouse upsert
+    through sink_for, so a JDBC/Delta sink drops in without pipeline
+    changes — proven by injecting a recording sink and observing that no
+    parquet warehouse is ever written."""
+    from door2door_etl_spark.io.readers import read_jsonl_events
+    from door2door_etl_spark.io.writers import (
+        JdbcMergeSink,
+        MergeSink,
+        ParquetMergeSink,
+    )
+    from door2door_etl_spark.pipeline.handler import run_handler
+    from door2door_etl_spark.schemas.registry import builtin_door2door_schemas
+
+    # Both shipped implementations satisfy the (runtime-checkable) protocol.
+    assert isinstance(ParquetMergeSink(spark, "unused"), MergeSink)
+    assert isinstance(JdbcMergeSink("jdbc:postgresql://wh/etl", "t"), MergeSink)
+
+    bronze = str(tmp_path / "bronze")
+    read_jsonl_events(spark, landing, hour=HOUR).write.parquet(bronze)
+
+    calls = {}
+
+    class RecordingSink:
+        def __init__(self, table):
+            self.table = table
+
+        def merge(self, source, key):
+            n = source.dropDuplicates([key]).count()
+            calls[self.table] = (key, n)
+            return n
+
+    assert isinstance(RecordingSink("t"), MergeSink)
+    book = Bookkeeping(spark, str(tmp_path / "monitor"))
+    res = run_handler(
+        spark,
+        str(uuid.uuid4()),
+        builtin_door2door_schemas(),
+        str(tmp_path / "warehouse"),
+        book,
+        staged_path=bronze,
+        sink_for=RecordingSink,
+    )
+    assert res == {"vehicle_location": 2, "operating_periods": 1}
+    assert calls == {
+        "vehicle_location": ("event_generated_id", 2),
+        "operating_periods": ("event_generated_id", 1),
+    }
+    assert not (tmp_path / "warehouse").exists()
+
+
 def test_jdbc_upsert_plan_contract(spark):
     """K1 JDBC warehouse sink (reference src/helper/postgres.py:157-189):
     no database ships in this container, so the contract surface is the
