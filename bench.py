@@ -59,13 +59,41 @@ BENCH_QUERIES = [
     "tpch_q12_priority_shipping",
     "ns_repetition_signals",
     "ns_chunk_sliding_windows",
+    "ns_simhash_near_pairs_full",
+    "ns_kmeans_ivf_centroids_blas",
 ]
+
+
+def _jvm_stats(spark) -> dict[str, float]:
+    """Heap + cumulative GC counters from the driver JVM (single-JVM
+    local mode: this IS the executor heap).  Per-query deltas expose
+    session heap pressure — the noise source that otherwise masks real
+    regressions across a long bench sequence."""
+    jvm = spark.sparkContext._jvm
+    rt = jvm.Runtime.getRuntime()
+    heap_mb = (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+    gc_count = gc_ms = 0
+    beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    for i in range(beans.size()):
+        b = beans.get(i)
+        gc_count += max(0, b.getCollectionCount())
+        gc_ms += max(0, b.getCollectionTime())
+    return {"heap_used_mb": round(heap_mb, 1), "gc_count": gc_count, "gc_ms": gc_ms}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from door2door_etl_spark.queries.catalog import QUERIES
     from door2door_etl_spark.session import build_session
+
+    # `python bench.py <query> [<query> ...]` re-times just those queries in
+    # a fresh session — the isolated re-run that separates a real plan
+    # regression from accumulated session heap pressure.
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    queries = subset or BENCH_QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
 
     spark = build_session(app_name="door2door-bench")
     # Warm the JVM, file indexes, and parquet footers once so per-query
@@ -93,7 +121,8 @@ def main() -> None:
         return row["n"]
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    jvm_stats: dict[str, dict[str, float]] = {}
+    for name in queries:
         fn = QUERIES[name].fn
         force(fn(spark, sf_dir))  # untimed: JIT/codegen compile pass
         # Collect the predecessor queries' garbage before timing: explode-
@@ -101,10 +130,22 @@ def main() -> None:
         # purely from accumulated heap pressure (measured: simhash 2 s
         # isolated vs 50 s as query #18 without this).
         spark.sparkContext._jvm.System.gc()
+        before = _jvm_stats(spark)
         t0 = time.time()
         n = force(fn(spark, sf_dir))  # timed: steady-state execution
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        after = _jvm_stats(spark)
+        jvm_stats[name] = {
+            "heap_used_mb": after["heap_used_mb"],
+            "gc_count": after["gc_count"] - before["gc_count"],
+            "gc_ms": after["gc_ms"] - before["gc_ms"],
+        }
+        print(
+            f"# {name}: {timings[name]}s ({n} rows, "
+            f"heap {after['heap_used_mb']:.0f} MB, "
+            f"gc +{jvm_stats[name]['gc_ms']} ms)",
+            file=sys.stderr,
+        )
         # Release any operator-managed caches (e.g. the Jaccard shingle
         # relation) so later queries aren't squeezed by leftover blocks.
         spark.catalog.clearCache()
@@ -119,6 +160,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "jvm": jvm_stats,
             }
         )
     )

@@ -483,18 +483,27 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Bit b of a token = bit (b mod 4) of hex nibble (b div 4) of the first 8
     hex chars of md5(token).  Votes are weighted by token multiplicity
     (explode keeps duplicates); vote > 0 ⇒ bit set.  The groupBy partial-
-    aggregates map-side, so the shuffle is one row per doc."""
+    aggregates map-side, so the shuffle is one row per doc.
+
+    The nibbles are pre-projected ONCE per token row (below), not inlined
+    into each vote: aggregate expressions don't share subexpressions, so
+    the inlined form evaluated md5 + hex extraction per BIT — 32-64× per
+    row, the dominant query cost (measured ~2× end-to-end at sf0.1).
+    Projection codegen CSEs the md5 across the nibble columns."""
     from door2door_etl_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.md5(F.col("tok"))
+    nib = tok.select(
+        F.col(id_col), *[_nibble(h, i).alias(f"n{i}") for i in range(8)]
+    )
     votes = [
         F.sum(
-            (F.floor(_nibble(h, b // 4) / F.lit(2 ** (b % 4))) % 2) * 2 - 1
+            (F.floor(F.col(f"n{b // 4}") / F.lit(2 ** (b % 4))) % 2) * 2 - 1
         ).alias(f"v{b}")
         for b in range(32)
     ]
-    voted = tok.groupBy(id_col).agg(*votes)
+    voted = nib.groupBy(id_col).agg(*votes)
     simhash = None
     for b in range(32):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -543,18 +552,24 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     16 hex chars; ``sh_lo`` is bit-identical to :func:`simhash32`'s output.
     Two halves instead of one signed 64-bit long keep every arithmetic
     band/bit extraction on non-negative values — no two's-complement edge
-    at bit 63, and the representation is portable to any SQL engine."""
+    at bit 63, and the representation is portable to any SQL engine.
+
+    Nibbles are pre-projected once per token row (see :func:`simhash32` —
+    inlining them into the votes evaluates md5 per bit, 64× per row)."""
     from door2door_etl_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.md5(F.col("tok"))
+    nib = tok.select(
+        F.col(id_col), *[_nibble(h, i).alias(f"n{i}") for i in range(16)]
+    )
     votes = [
         F.sum(
-            (F.floor(_nibble(h, b // 4) / F.lit(2 ** (b % 4))) % 2) * 2 - 1
+            (F.floor(F.col(f"n{b // 4}") / F.lit(2 ** (b % 4))) % 2) * 2 - 1
         ).alias(f"v{b}")
         for b in range(64)
     ]
-    voted = tok.groupBy(id_col).agg(*votes)
+    voted = nib.groupBy(id_col).agg(*votes)
 
     def pack(bit_range: range) -> Column:
         acc = None
@@ -615,13 +630,28 @@ def simhash64_band_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs from pigeonhole banding of the 64-bit
     SimHash — the pre-verification stage of :func:`simhash_near_pairs_full`,
     exposed so candidate volume is testable.  Columns: id_a, id_b, and both
-    fingerprints' halves for the exact Hamming check."""
+    fingerprints' halves for the exact Hamming check.
+
+    ``persist_fingerprints`` (default on) caches the n-row (id, sh_hi,
+    sh_lo) relation: both sides of the band self-join consume it, and Spark
+    recomputes an unmaterialized subtree per consumer — here that subtree
+    is the full tokenize + md5 + 64-vote aggregation, the dominant cost
+    (measured 2× the whole query at sf0.1; the broadcast build side defeats
+    ReusedExchange because its canonical plan differs).  Three longs per
+    document, so cache size is ~24 B/doc — trivially memory-resident even
+    at 10⁹ docs/executor-partition scale.  Caller owns the cache lifetime
+    (``spark.catalog.clearCache()`` when done)."""
     bands = simhash_bands(max_hamming, bits=64)
     sh = simhash64(df, text_col, id_col)
+    if persist_fingerprints:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     band_vals = [
         _band_value_64(off, width, F.col("sh_hi"), F.col("sh_lo"))
         for off, width in bands

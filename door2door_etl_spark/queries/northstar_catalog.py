@@ -809,6 +809,38 @@ def q_kmeans_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmeans_ivf_centroids_blas(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-path twin of q_kmeans_ivf_centroids: same Lloyd recurrence
+    on the Arrow/GEMM assignment path (use_blas=True, the default and the
+    only feasible path at real quantizer sizes).  No SQL oracle on purpose:
+    the GEMM float-summation order can flip near-tie assignments vs the
+    exact left-fold the DuckDB oracle unrolls, so this entry takes the
+    driver's rows-only check while the exact twin carries the hash-parity
+    gate — and the bench measures THIS path, the one a cluster runs."""
+    import math
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned, centroids = kmeans_fit_predict(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=KM_K,
+        dim=KM_DIM,
+        iterations=KM_ITERS,
+        use_blas=True,
+    )
+    norm_df = spark.createDataFrame(
+        [(i + 1, math.sqrt(sum(x * x for x in c))) for i, c in enumerate(centroids)],
+        "cluster int, norm double",
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(F.broadcast(norm_df), "cluster")
+        .select("cluster", "n_members", F.round("norm", 6).alias("centroid_norm"))
+    )
+
+
 def _sql_kmeans_ivf_centroids() -> str:
     def assign(src: str, cents: str, out: str) -> str:
         return f"""
@@ -1084,6 +1116,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),
     QueryDef("ns_split_leakage_audit", q_split_leakage_audit, _sql_split_leakage_audit(), "north-star dedup/split-leakage", ("northstar", "dedup")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
+    QueryDef("ns_kmeans_ivf_centroids_blas", q_kmeans_ivf_centroids_blas, None, "north-star similarity/kmeans (GEMM production path)", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
