@@ -33,6 +33,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     # timezone is pinned to UTC to make timestamp semantics deterministic
     # (reference strips timezones and works in UTC, src/helper/helper.py:113).
     "spark.sql.session.timeZone": "UTC",
+    # The synthetic parquet stores tz-less TIMESTAMP(MICROS); Spark 4 would
+    # infer TIMESTAMP_NTZ, which functions like unix_micros reject.  Read as
+    # session-tz TIMESTAMP instead — identical wall-clock semantics under the
+    # pinned UTC session, and what DuckDB's naive TIMESTAMP compares to.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
