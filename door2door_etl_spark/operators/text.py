@@ -237,3 +237,122 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", predict_language(col))
         .withColumn("doc_fingerprint", fingerprint(col))
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits/token) — the standard
+    "information density" quality signal for LLM training text (low entropy =
+    repetitive/templated, high = diverse vocabulary).
+
+    Uses the identity H = log2(T) - (Σ c·log2 c)/T over per-token counts c
+    with T = Σ c, so ONE explode and two doc-keyed aggregations suffice —
+    no per-doc total needs to be joined back.  Each Σ term is quantized to
+    DECIMAL(28,10) before the exact sum, making the result independent of
+    partial-aggregation order (bit-identical across partitionings and
+    engines; same discipline as queries.defs.dsum).
+
+    Scale: shuffles carry (id, token-hash-sized) keys and pre-aggregated
+    counts (map-side combine applies); nothing is collected.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    c = F.col("cnt").cast("double")
+    term = (c * F.log2(c)).cast("decimal(28,10)")
+    agg = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(term).cast("double").alias("_s"),
+    )
+    t = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "distinct_tokens",
+        F.round(F.log2(t) - F.col("_s") / t, 6).alias("entropy_bits"),
+    )
+
+
+def cross_doc_duplicated_shingle_fraction(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document fraction of distinct word ``n``-grams that also occur in
+    at least ``min_df - 1`` OTHER documents — the cross-document duplicate-
+    text signal used to find boilerplate/templated content in web corpora
+    (documents with a high fraction are near-copies or heavy-template pages;
+    complements operators.dedup which finds the *pairs*).
+
+    Plan: explode per-doc DISTINCT shingles hashed to 52-bit longs map-side
+    (8-byte shuffle keys, never the n-gram strings), aggregate global
+    document frequency per hash, join back, and aggregate per doc — three
+    shuffles over the hashed relation, no self-join, no pair materialization.
+    The document-frequency side is a full aggregate, deliberately NOT
+    broadcast: at corpus scale it exceeds driver memory, and the sort-merge
+    join on an 8-byte key is the durable plan.
+    """
+    h = F.sha2(F.col("s"), 256)
+    h52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+    ).select(F.col(id_col), h52.alias("sh"))
+    sh = sh.distinct()  # distinct-by-hash: collisions collapse identically in SQL
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
+    joined = sh.join(dfreq, "sh")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("doc_freq") >= min_df).cast("long")).alias("n_duplicated"),
+        F.round(
+            F.sum((F.col("doc_freq") >= min_df).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+#: PII detection patterns — conservative regex syntax (character classes,
+#: bounded repetition only) that parses identically under Java regex (Spark)
+#: and RE2 (DuckDB/Go), so the oracle can run the same patterns verbatim.
+#: Order matters and is fixed: email first (its local part can contain
+#: digits/dots an ipv4 pattern would nibble), then phone, then ipv4.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[PII]",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub PII-shaped spans from ``text_col``: appends one ``n_<class>``
+    match-count column per pattern class and ``out_col`` with every match
+    replaced by ``replacement`` (classes applied in dict order).
+
+    Pure regexp_count/regexp_replace expressions — JVM-side, codegen'd,
+    map-only (zero shuffles); the production shape for a 100 TB scrub pass.
+    Counts are computed per class against the ORIGINAL text (overlapping
+    classes each report their own matches); the redaction itself applies
+    sequentially, so a span consumed by an earlier class cannot be
+    re-replaced by a later one.
+    """
+    pats = patterns or PII_PATTERNS
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        redacted = F.regexp_replace(redacted, pat, replacement)
+    return out.withColumn(out_col, redacted)

@@ -729,6 +729,137 @@ FROM counts GROUP BY doc_id
 """
 
 
+# -- token entropy / cross-doc duplication / PII (round-3 text wave) --------
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (bits/token) — information-density
+    quality signal; see operators.text.token_entropy."""
+    return X.token_entropy(load_table(spark, sf, "documents"))
+
+
+def _sql_token_entropy() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+counts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    count(*) AS distinct_tokens,
+    -- per-term DECIMAL quantization before the exact sum: summation-order
+    -- independent, mirrors the Spark side exactly
+    CAST(sum(CAST(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))
+                  AS DECIMAL(28,10))) AS DOUBLE) AS s
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_tokens, distinct_tokens,
+  round(log2(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 6)
+    AS entropy_bits
+FROM agg
+"""
+
+
+DUP_SHINGLE_MIN_DF = 2
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated n-gram fraction per doc (boilerplate /
+    template signal); see operators.text.cross_doc_duplicated_shingle_fraction."""
+    return X.cross_doc_duplicated_shingle_fraction(
+        load_table(spark, sf, "documents"),
+        n=SHINGLE_N,
+        min_df=DUP_SHINGLE_MIN_DF,
+    )
+
+
+def _sql_dup_ngram_fraction() -> str:
+    sh = sql_shingles("text", SHINGLE_N)
+    return f"""
+WITH doc_sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(list_distinct({sh}),
+    s -> CAST(concat('0x', substr(sha256(s), 1, 13)) AS BIGINT)))) AS sh
+  FROM documents),
+dfreq AS (SELECT sh, count(*) AS doc_freq FROM doc_sh GROUP BY 1)
+SELECT doc_id,
+  count(*) AS n_shingles,
+  CAST(sum(CASE WHEN doc_freq >= {DUP_SHINGLE_MIN_DF} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_duplicated,
+  round(CAST(sum(CASE WHEN doc_freq >= {DUP_SHINGLE_MIN_DF} THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS dup_frac
+FROM doc_sh JOIN dfreq USING (sh)
+GROUP BY doc_id
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub audit: inject deterministic synthetic PII (the corpus text
+    is synthetic and contains none), then count + redact via
+    operators.text.redact_pii; emits per-doc match counts and the sha256 of
+    the redacted text for byte-exact cross-engine comparison."""
+    docs = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    email = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" call +1 415 555 "), (d % 9000 + 1000).cast("string")),
+    ).otherwise("")
+    ip = F.when(
+        d % 11 == 0,
+        F.concat(
+            F.lit(" node 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise("")
+    injected = docs.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+    red = X.redact_pii(injected, "text")
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+    )
+
+
+def _sql_pii_redaction() -> str:
+    email, phone, ipv4 = (
+        X.PII_PATTERNS["email"],
+        X.PII_PATTERNS["phone"],
+        X.PII_PATTERNS["ipv4"],
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' call +1 415 555 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR) || '.7'
+         ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+  sha256(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{email}', '[PII]', 'g'),
+        '{phone}', '[PII]', 'g'),
+      '{ipv4}', '[PII]', 'g')) AS redacted_sha
+FROM injected
+"""
+
+
 # -- multimodal -------------------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -1113,6 +1244,9 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
     QueryDef("ns_repetition_signals", q_repetition_signals, _sql_repetition_signals(), "north-star text/quality-repetition", ("northstar", "text")),
+    QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
+    QueryDef("ns_dup_ngram_fraction", q_dup_ngram_fraction, _sql_dup_ngram_fraction(), "north-star dedup/cross-doc-duplication", ("northstar", "dedup")),
+    QueryDef("ns_pii_redaction", q_pii_redaction, _sql_pii_redaction(), "north-star text/pii-redaction", ("northstar", "text")),
     QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),
     QueryDef("ns_split_leakage_audit", q_split_leakage_audit, _sql_split_leakage_audit(), "north-star dedup/split-leakage", ("northstar", "dedup")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),

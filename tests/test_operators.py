@@ -423,3 +423,77 @@ def test_kmv_distinct_by_group_exact_and_sketch_paths(spark):
     got = {r["g"]: r["est_distinct"] for r in kmv_distinct_by_group(df, "g", "v", k=64).collect()}
     assert got["small"] == 3.0  # below k: the sketch IS the distinct set
     assert 120 <= got["big"] <= 280  # (k-1)/u_(k), k=64 => ~12.5% stderr
+
+
+def test_token_entropy_known_answers(spark):
+    import math
+
+    from door2door_etl_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a a"),          # H = 0
+            Row(doc_id=2, text="a b c d"),          # H = log2(4) = 2
+            Row(doc_id=3, text="a a b b b c"),      # mixed
+            Row(doc_id=4, text=""),                  # no tokens -> no row
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["distinct_tokens"], r["entropy_bits"])
+        for r in token_entropy(df).collect()
+    }
+    assert got[1] == (4, 1, 0.0)
+    assert got[2] == (4, 4, 2.0)
+    ps = [2 / 6, 3 / 6, 1 / 6]
+    expect = -sum(p * math.log2(p) for p in ps)
+    assert abs(got[3][2] - expect) < 1e-5
+    assert got[3][:2] == (6, 3)
+    assert 4 not in got
+
+
+def test_cross_doc_duplicated_shingle_fraction_planted(spark):
+    from door2door_etl_spark.operators.text import (
+        cross_doc_duplicated_shingle_fraction,
+    )
+
+    # Docs 1 and 2 share their full text (every 2-gram duplicated); doc 3 is
+    # unique except it repeats doc 1's opening bigram.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y z w"),
+            Row(doc_id=2, text="x y z w"),
+            Row(doc_id=3, text="x y unique1 unique2"),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"], r["dup_frac"])
+        for r in cross_doc_duplicated_shingle_fraction(df, n=2).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    # doc 3: shingles {x y, y unique1, unique1 unique2}; only "x y" is shared
+    assert got[3][0] == 3 and got[3][1] == 1
+    assert abs(got[3][2] - 1 / 3) < 1e-6
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from door2door_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                text="mail a.b+c@test.org or x@y.io, call +1 415 555 1234, host 10.0.0.7",
+            ),
+            Row(id=2, text="nothing sensitive here"),
+        ]
+    )
+    rows = {r["id"]: r for r in redact_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (2, 1, 1)
+    red = r1["redacted"]
+    assert "test.org" not in red and "415" not in red and "10.0.0.7" not in red
+    assert red.count("[PII]") == 4
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
+    assert r2["redacted"] == r2["text"]
