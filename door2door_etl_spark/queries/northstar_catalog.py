@@ -972,9 +972,25 @@ def q_kmeans_ivf_centroids_blas(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_ivf_centroids() -> str:
-    def assign(src: str, cents: str, out: str) -> str:
-        return f"""
+def _km_sql_ctes() -> str:
+    """Shared CTE chain unrolling KM_ITERS Lloyd rounds plus the final
+    assignment ``a{KM_ITERS+1}`` — used by the kmeans oracle and every
+    oracle that consumes the learned cells (SemDeDup)."""
+    parts = ["""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT %d))""" % KM_K]
+    for i in range(KM_ITERS):
+        parts.append(_km_assign_cte("e", f"c{i}", f"a{i+1}"))
+        parts.append(_km_update_cte(f"a{i+1}", f"c{i+1}"))
+    parts.append(_km_assign_cte("e", f"c{KM_ITERS}", f"a{KM_ITERS+1}"))
+    return ",\n".join(parts)
+
+
+def _km_assign_cte(src: str, cents: str, out: str) -> str:
+    return f"""
 {out}_d AS (
   SELECT e.vec_id, e.v, c.cid,
          list_sum(list_transform(generate_series(1, {KM_DIM}),
@@ -986,8 +1002,9 @@ def _sql_kmeans_ivf_centroids() -> str:
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
     FROM {out}_d) WHERE rk = 1)"""
 
-    def update(assigned: str, out: str) -> str:
-        return f"""
+
+def _km_update_cte(assigned: str, out: str) -> str:
+    return f"""
 {out}_u AS (
   SELECT cid, g.d, CAST(floor(v[g.d] * 1000000.0) AS BIGINT) AS s
   FROM {assigned} CROSS JOIN generate_series(1, {KM_DIM}) AS g(d)),
@@ -997,23 +1014,100 @@ def _sql_kmeans_ivf_centroids() -> str:
   FROM {out}_u GROUP BY 1, 2),
 {out} AS (SELECT cid, list(cval ORDER BY d) AS v FROM {out}_m GROUP BY 1)"""
 
+
+def _sql_kmeans_ivf_centroids() -> str:
+    final_a, final_c = f"a{KM_ITERS+1}", f"c{KM_ITERS}"
     return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings),
-c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KM_K})),
-{assign('e', 'c0', 'a1')},
-{update('a1', 'c1')},
-{assign('e', 'c1', 'a2')},
-{update('a2', 'c2')},
-{assign('e', 'c2', 'a3')}
-SELECT CAST(a3.cid AS INT) AS cluster,
+WITH {_km_sql_ctes()}
+SELECT CAST({final_a}.cid AS INT) AS cluster,
        count(*) AS n_members,
-       round(sqrt(list_sum(list_transform(c2.v, x -> x * x))), 6) AS centroid_norm
-FROM a3 JOIN c2 ON a3.cid = c2.cid
+       round(sqrt(list_sum(list_transform({final_c}.v, x -> x * x))), 6)
+         AS centroid_norm
+FROM {final_a} JOIN {final_c} ON {final_a}.cid = {final_c}.cid
 GROUP BY 1, centroid_norm
+"""
+
+
+# -- SemDeDup: semantic dedup inside learned k-means cells ------------------
+
+SEMDEDUP_MIN_COSINE = NEARDUP_MIN_COSINE
+
+
+def q_semdedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means the embeddings into
+    cells, find high-cosine pairs WITHIN each cell, connected-components
+    them, and drop every non-canonical member.  Output: per-cell member /
+    kept / dropped counts.
+
+    This is the end-to-end composition of three already-verified operators
+    (clustering.kmeans_fit_predict → dedup.embedding_near_dup_pairs with
+    the learned cell as the block → dedup.connected_dedup_clusters); the
+    quadratic stage is bounded by the largest cell, and the only wide
+    shuffles are the k-means aggregation and the cell groupBy.  Exact
+    (use_blas=False) assignment path: this is the oracle-parity twin, the
+    GEMM path is production (see q_kmeans_ivf_centroids_blas)."""
+    emb = load_table(spark, sf, "embeddings")
+    assigned, _ = kmeans_fit_predict(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=KM_K,
+        dim=KM_DIM,
+        iterations=KM_ITERS,
+        use_blas=False,
+    )
+    with_cell = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+    pairs = D.embedding_near_dup_pairs(
+        with_cell, block_col="cluster", min_cosine=SEMDEDUP_MIN_COSINE
+    )
+    comp = D.connected_dedup_clusters(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("drop_id")
+    )
+    flagged = with_cell.join(
+        losers, with_cell.vec_id == losers.drop_id, "left"
+    ).select(
+        "cluster", F.col("drop_id").isNotNull().cast("long").alias("dropped")
+    )
+    return flagged.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dropped").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum("dropped")).alias("n_kept"),
+    )
+
+
+def _sql_semdedup_corpus() -> str:
+    final_a = f"a{KM_ITERS+1}"
+    cos = sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+WITH RECURSIVE {_km_sql_ctes()},
+pairs AS (
+  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+  FROM {final_a} ca JOIN {final_a} cb
+    ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+  WHERE round({cos}, 6) >= {SEMDEDUP_MIN_COSINE}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, w.reach FROM edges e2 JOIN walk w ON w.node = e2.b
+), losers AS (
+  SELECT node AS drop_id FROM walk GROUP BY 1 HAVING node != min(reach)
+)
+SELECT CAST(f.cid AS INT) AS cluster,
+  count(*) AS n_members,
+  CAST(coalesce(sum(CASE WHEN l.drop_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_dropped,
+  CAST(count(*) - coalesce(sum(CASE WHEN l.drop_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_kept
+FROM {final_a} f LEFT JOIN losers l ON f.vec_id = l.drop_id
+GROUP BY 1
 """
 
 
@@ -1251,6 +1345,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_split_leakage_audit", q_split_leakage_audit, _sql_split_leakage_audit(), "north-star dedup/split-leakage", ("northstar", "dedup")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_kmeans_ivf_centroids_blas", q_kmeans_ivf_centroids_blas, None, "north-star similarity/kmeans (GEMM production path)", ("northstar", "similarity")),
+    QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),

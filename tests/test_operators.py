@@ -497,3 +497,33 @@ def test_redact_pii_counts_and_replacement(spark):
     r2 = rows[2]
     assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
     assert r2["redacted"] == r2["text"]
+
+
+def test_semdedup_composition_drops_planted_semantic_dup(spark):
+    """kmeans cells -> within-cell cosine pairs -> components: two identical
+    vectors collapse to one canonical; the far-away singleton survives."""
+    from door2door_etl_spark.operators.clustering import kmeans_fit_predict
+    from door2door_etl_spark.operators.dedup import (
+        connected_dedup_clusters,
+        embedding_near_dup_pairs,
+    )
+
+    # ids 1,2 seed the deterministic init, so they must differ
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [-1.0, -1.0, 0.0, 0.0]),  # far cluster
+        (3, [1.0, 0.0, 0.0, 0.0]),    # exact semantic dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0]),    # same half-space as 1, low cosine
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, _ = kmeans_fit_predict(
+        emb, vec_col="embedding", id_col="vec_id", k=2, dim=4, iterations=2,
+        use_blas=False,
+    )
+    with_cell = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+    pairs = embedding_near_dup_pairs(
+        with_cell, block_col="cluster", min_cosine=0.95
+    )
+    comp = {r["doc_id"]: r["canonical_id"]
+            for r in connected_dedup_clusters(pairs, "id_a", "id_b").collect()}
+    assert comp == {1: 1, 3: 1}  # only the planted dup pair forms a component
