@@ -400,3 +400,15 @@ def write_jdbc_upsert(
     )
     _execute_jdbc_statements(spark, url, [plan.upsert_sql, plan.drop_staging_sql])
     return plan
+
+
+def write_orc_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink, mirror of write_parquet_table — columnar, splittable,
+    predicate-pushdown-capable; Spark's writer embeds stripe statistics so
+    downstream scans prune like parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -385,3 +385,56 @@ def test_jdbc_upsert_composite_key_and_custom_staging():
     assert "start = EXCLUDED.start, finish = EXCLUDED.finish" in plan.upsert_sql
     assert "op_id = EXCLUDED" not in plan.upsert_sql
     assert plan.writer_options["dbtable"] == "op_stage"
+
+
+def test_read_csv_table_schema_and_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from door2door_etl_spark.io.readers import read_csv_table
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,3.5\n"
+        "2,bob,not_a_number\n"   # malformed: score fails the double cast
+        "3,carol,1.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    ok = read_csv_table(spark, str(p), schema)
+    rows = {r["id"]: (r["name"], r["score"]) for r in ok.collect()}
+    assert rows == {1: ("alice", 3.5), 3: ("carol", 1.25)}
+    assert "original_s3_file_path" in ok.columns
+
+    kept = read_csv_table(spark, str(p), schema, keep_corrupt=True)
+    bad = [r for r in kept.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_orc_round_trip_preserves_types_and_prunes(spark, tmp_path):
+    import datetime as dt
+
+    from door2door_etl_spark.io.readers import read_orc_table
+    from door2door_etl_spark.io.writers import write_orc_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2022, 11, 24, 10, 0), [1.0, 2.0]),
+            (2, "b", dt.datetime(2022, 11, 24, 11, 0), [3.0]),
+        ],
+        "id long, tag string, ts timestamp, vec array<double>",
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc_table(df, path)
+    back = read_orc_table(spark, path)
+    assert back.schema == df.schema
+    assert {r["id"] for r in back.collect()} == {1, 2}
+    # Predicate reaches the ORC scan (stripe-stat pushdown, parquet-parity)
+    flt = back.filter("id = 2")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan
