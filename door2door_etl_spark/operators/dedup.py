@@ -777,6 +777,38 @@ def embedding_near_dup_pairs(
 
 # -- benchmark decontamination ----------------------------------------------
 
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Admission filter for a new ingest batch against an already-indexed
+    corpus: drop every batch document that shares ≥1 MinHash-LSH band
+    bucket with any corpus document; returns the surviving batch rows.
+
+    This is the daily-ingest shape of near-dup control: the corpus is never
+    re-paired against itself (that already happened when it was admitted) —
+    only batch×corpus collisions matter, and the LEFT SEMI join on
+    (band_idx, band_key) short-circuits at the first corpus hit, so no
+    candidate-pair set ever materializes.  At production scale the corpus
+    band table is a persisted index, bucketed by the band key so the daily
+    probe is a co-located join (io.writers.write_bucketed_table); here it
+    is derived inline from the corpus rows.
+    """
+    bb = minhash_band_table(batch, text_col, id_col, num_hashes, bands, shingle_n)
+    cb = minhash_band_table(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    colliding = (
+        bb.join(cb, ["band_idx", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(colliding, id_col, "left_anti")
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

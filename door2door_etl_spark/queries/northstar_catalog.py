@@ -127,10 +127,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh_cands_ctes(source: str) -> str:
-    """The shingled → sigs → bands → cands CTE chain over ``source`` (any
-    relation/CTE name with (doc_id, text)) — shared by the plain and the
-    exact-dup-collapsed LSH pair oracles."""
+def _sql_minhash_band_ctes(source: str, prefix: str = "") -> str:
+    """The shingled → sigs → bands CTE chain over ``source`` (any
+    relation/CTE name with (doc_id, text)), names prefixed so two chains
+    can coexist in one query (incremental dedup joins a batch chain
+    against a corpus chain)."""
+    p = prefix
     sh = sql_shingles("text", SHINGLE_N)
     sig = ", ".join(
         f"{sql_minhash_component('sh', i)} AS h{i}" for i in range(NUM_HASHES)
@@ -141,12 +143,19 @@ def _sql_minhash_lsh_cands_ctes(source: str) -> str:
             f"CAST(h{b * ROWS_PER_BAND + i} AS VARCHAR)" for i in range(ROWS_PER_BAND)
         )
         band_rows.append(
-            f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key FROM sigs"
+            f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key"
+            f" FROM {p}sigs"
         )
     union = "\nUNION ALL\n".join(band_rows)
-    return f"""shingled AS (SELECT doc_id, {sh} AS sh FROM {source}),
-sigs AS (SELECT doc_id, {sig} FROM shingled),
-bands AS ({union}),
+    return f"""{p}shingled AS (SELECT doc_id, {sh} AS sh FROM {source}),
+{p}sigs AS (SELECT doc_id, {sig} FROM {p}shingled),
+{p}bands AS ({union})"""
+
+
+def _sql_minhash_lsh_cands_ctes(source: str) -> str:
+    """Band chain plus the candidate self-join — shared by the plain and
+    the exact-dup-collapsed LSH pair oracles."""
+    return f"""{_sql_minhash_band_ctes(source)},
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -1028,6 +1037,40 @@ GROUP BY 1, centroid_norm
 """
 
 
+# -- incremental (daily-ingest) LSH dedup -----------------------------------
+
+INGEST_MOD = 10  # every 10th doc plays the "new batch"; the rest the corpus
+
+
+def q_incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest admission filter: batch docs surviving the LSH collision
+    probe against the already-indexed corpus (semi-join on band buckets, no
+    pair set) — see operators.dedup.incremental_lsh_dedup."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % INGEST_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    kept = D.incremental_lsh_dedup(
+        batch, corpus, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def _sql_incremental_lsh_dedup() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % {INGEST_MOD} != 0),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % {INGEST_MOD} = 0),
+{_sql_minhash_band_ctes("corpus", "c_")},
+{_sql_minhash_band_ctes("batch", "b_")},
+hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM b_bands b JOIN c_bands c
+    ON b.band_idx = c.band_idx AND b.band_key = c.band_key)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % {INGEST_MOD} = 0
+  AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 # -- SemDeDup: semantic dedup inside learned k-means cells ------------------
 
 SEMDEDUP_MIN_COSINE = NEARDUP_MIN_COSINE
@@ -1346,6 +1389,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_kmeans_ivf_centroids_blas", q_kmeans_ivf_centroids_blas, None, "north-star similarity/kmeans (GEMM production path)", ("northstar", "similarity")),
     QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),
+    QueryDef("ns_incremental_lsh_dedup", q_incremental_lsh_dedup, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest", ("northstar", "dedup")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),

@@ -527,3 +527,24 @@ def test_semdedup_composition_drops_planted_semantic_dup(spark):
     comp = {r["doc_id"]: r["canonical_id"]
             for r in connected_dedup_clusters(pairs, "id_a", "id_b").collect()}
     assert comp == {1: 1, 3: 1}  # only the planted dup pair forms a component
+
+
+def test_incremental_lsh_dedup_drops_corpus_dup_keeps_novel(spark):
+    from door2door_etl_spark.operators.dedup import incremental_lsh_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different corpus sentence about spark plans"),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            # verbatim copy of corpus doc 1 -> every band collides -> dropped
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+            # novel content -> admitted
+            Row(doc_id=101, text="unrelated fresh material with new vocabulary entirely"),
+        ]
+    )
+    kept = incremental_lsh_dedup(batch, corpus)
+    assert {r["doc_id"] for r in kept.collect()} == {101}

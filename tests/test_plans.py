@@ -296,3 +296,43 @@ def test_jaccard_intersection_is_candidate_bounded(spark):
         f"expected exactly one '<' join (the candidate self-join), got "
         f"{len(join_lines)}:\n" + "\n".join(join_lines)
     )
+
+
+def test_dup_ngram_fraction_no_cartesian_and_hashed_keys(spark, sf001):
+    """The cross-doc duplication metric must join shingle relations on the
+    52-bit hash (8-byte shuffle keys), never cross-join or carry n-gram
+    strings through the exchanges."""
+    df = QUERIES["ns_dup_ngram_fraction"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_entropy_is_two_aggregates_no_join(spark, sf001):
+    """Entropy via the log-identity needs no per-doc-total join: exactly
+    zero joins, explode + two hash aggregations."""
+    df = QUERIES["ns_token_entropy"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final pairs
+
+
+def test_pii_redaction_is_map_only_scan(spark, sf001):
+    """The PII scrub is a pure projection over the scan — no shuffle at all
+    (Exchange appears nowhere in the plan)."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.text import redact_pii
+
+    df = redact_pii(load_table(spark, sf001, "documents"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_incremental_lsh_dedup_uses_semi_and_anti_joins(spark, sf001):
+    """The ingest probe must short-circuit (LeftSemi on band keys) and admit
+    via LeftAnti — never materialize a candidate-pair set."""
+    df = QUERIES["ns_incremental_lsh_dedup"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
