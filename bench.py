@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "ns_chunk_sliding_windows",
     "ns_simhash_near_pairs_full",
     "ns_kmeans_ivf_centroids_blas",
+    "ns_token_entropy",
+    "ns_dup_ngram_fraction",
+    "ns_pii_redaction",
+    "ns_incremental_lsh_dedup",
 ]
 
 

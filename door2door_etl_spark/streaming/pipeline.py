@@ -283,3 +283,50 @@ def stream_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_lsh_dedup(
+    docs_stream: DataFrame,
+    corpus_bands: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Continuous-ingest admission filter: the streaming twin of
+    operators.dedup.incremental_lsh_dedup.  ``corpus_bands`` is the STATIC
+    persisted band index of the already-admitted corpus
+    (dedup.minhash_band_table output — at scale a bucketed table keyed by
+    the band key); each micro-batch derives its own band table, probes the
+    index with a semi join, and appends only the survivors.
+
+    foreachBatch rather than a stream-static join for the same reason as
+    stream_decontaminate: the admitted-id set is an aggregate over the
+    batch's own band rows (doc-level "no band collided"), which a single
+    stream-static join cannot express.  The file-source checkpoint gives
+    exactly-once append; no streaming state store is involved, so the only
+    per-batch cost is the probe join itself.
+    """
+    from door2door_etl_spark.operators.dedup import minhash_band_table
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bb = minhash_band_table(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        colliding = (
+            bb.join(corpus_bands, ["band_idx", "band_key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        kept = batch_df.join(colliding, id_col, "left_anti")
+        kept.write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -352,3 +352,44 @@ def test_stream_sliding_chunks_stateless(spark, tmp_path):
     assert len(rows) == 6  # 3 windows per 5-token doc, 2 docs
     texts = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in rows}
     assert texts[(0, 0)] == "a b c" and texts[(0, 2)] == "e"
+
+
+def test_stream_incremental_lsh_dedup_admits_only_novel(spark, tmp_path):
+    """Continuous-ingest admission: the static corpus band index rejects the
+    verbatim near-dup, admits the novel doc, and the checkpoint makes replay
+    append-free."""
+    from door2door_etl_spark.operators.dedup import minhash_band_table
+    from door2door_etl_spark.streaming.pipeline import stream_incremental_lsh_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+            {"doc_id": 2, "text": "completely different corpus sentence about spark plans"},
+        ]
+    )
+    corpus_bands = minhash_band_table(corpus)
+
+    src = tmp_path / "ingest_in"
+    src.mkdir()
+    batch = [
+        {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 101, "text": "unrelated fresh material with new vocabulary entirely"},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(d) for d in batch))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tmp_path / "ingest_out"
+    q = stream_incremental_lsh_dedup(
+        stream, corpus_bands, str(out), str(tmp_path / "ckpt_ingest")
+    )
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in spark.read.parquet(str(out)).collect()] == [101]
+
+    q2 = stream_incremental_lsh_dedup(
+        stream, corpus_bands, str(out), str(tmp_path / "ckpt_ingest")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == 1
