@@ -438,3 +438,24 @@ def test_orc_round_trip_preserves_types_and_prunes(spark, tmp_path):
     flt = back.filter("id = 2")
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan
+
+
+def test_object_uri_normalization_and_hour_glob(spark):
+    import datetime as dt
+
+    from door2door_etl_spark.io.objectstore import (
+        configure_s3a,
+        hour_prefix_glob,
+        normalize_object_uri,
+    )
+
+    assert normalize_object_uri("s3://b/k.json") == "s3a://b/k.json"
+    assert normalize_object_uri("s3a://b/k.json") == "s3a://b/k.json"
+    assert normalize_object_uri("/local/path") == "/local/path"
+    g = hour_prefix_glob("s3://lake", dt.datetime(2022, 11, 24, 7))
+    assert g == "s3a://lake/data/dt=2022-11-24/hr=07/*.json"
+
+    configure_s3a(spark, endpoint="http://minio.local:9000", path_style=True)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("fs.s3a.endpoint") == "http://minio.local:9000"
+    assert hc.get("fs.s3a.path.style.access") == "true"
