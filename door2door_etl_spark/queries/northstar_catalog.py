@@ -1363,6 +1363,11 @@ FROM cum GROUP BY 1
 
 NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
+    QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
+    QueryDef("ns_dup_ngram_fraction", q_dup_ngram_fraction, _sql_dup_ngram_fraction(), "north-star dedup/cross-doc-duplication", ("northstar", "dedup")),
+    QueryDef("ns_pii_redaction", q_pii_redaction, _sql_pii_redaction(), "north-star text/pii-redaction", ("northstar", "text")),
+    QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),
+    QueryDef("ns_incremental_lsh_dedup", q_incremental_lsh_dedup, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest", ("northstar", "dedup")),
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
     QueryDef("ns_lsh_band_buckets", q_lsh_band_buckets, _sql_lsh_band_buckets(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_minhash_lsh_pairs", q_minhash_lsh_pairs, _sql_minhash_lsh_pairs(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
@@ -1381,15 +1386,10 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
     QueryDef("ns_repetition_signals", q_repetition_signals, _sql_repetition_signals(), "north-star text/quality-repetition", ("northstar", "text")),
-    QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
-    QueryDef("ns_dup_ngram_fraction", q_dup_ngram_fraction, _sql_dup_ngram_fraction(), "north-star dedup/cross-doc-duplication", ("northstar", "dedup")),
-    QueryDef("ns_pii_redaction", q_pii_redaction, _sql_pii_redaction(), "north-star text/pii-redaction", ("northstar", "text")),
     QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),
     QueryDef("ns_split_leakage_audit", q_split_leakage_audit, _sql_split_leakage_audit(), "north-star dedup/split-leakage", ("northstar", "dedup")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_kmeans_ivf_centroids_blas", q_kmeans_ivf_centroids_blas, None, "north-star similarity/kmeans (GEMM production path)", ("northstar", "similarity")),
-    QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),
-    QueryDef("ns_incremental_lsh_dedup", q_incremental_lsh_dedup, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest", ("northstar", "dedup")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
