@@ -412,3 +412,31 @@ def write_orc_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_partitions: int | None = None,
+) -> None:
+    """Range-partitioned sorted export: rows are range-partitioned on
+    ``sort_cols`` (sampled split points, no global sort) and sorted within
+    each partition, so output files carry disjoint key ranges and tight
+    parquet min/max column statistics — downstream point/range scans prune
+    to one file instead of all of them (the poor man's clustered index /
+    Z-order-lite for a single key prefix).
+
+    Scale: ``repartitionByRange`` is one exchange driven by reservoir-
+    sampled range bounds; ``sortWithinPartitions`` never leaves the
+    executor.  A ``.orderBy().write`` would look equivalent but plans a
+    global sort whose final stage is still parallel — the difference is
+    this form composes with AQE coalescing and makes the intent explicit.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(target_partitions, *cols)
+        if target_partitions
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -548,3 +548,16 @@ def test_incremental_lsh_dedup_drops_corpus_dup_keeps_novel(spark):
     )
     kept = incremental_lsh_dedup(batch, corpus)
     assert {r["doc_id"] for r in kept.collect()} == {101}
+
+
+def test_diagnose_key_skew_flags_heavy_key(spark):
+    from door2door_etl_spark.operators.relational import diagnose_key_skew
+
+    rows = [Row(k="hot", v=i) for i in range(90)]
+    rows += [Row(k=f"cold{i}", v=i) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    top = diagnose_key_skew(df, ["k"], top_k=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["n_rows"] == 90
+    assert top[0]["row_share"] == 0.9
+    # 11 distinct keys, uniform would be 100/11 ≈ 9.09 rows -> hot is ~9.9x
+    assert 9.5 <= top[0]["x_uniform"] <= 10.5

@@ -459,3 +459,31 @@ def test_object_uri_normalization_and_hour_glob(spark):
     hc = spark.sparkContext._jsc.hadoopConfiguration()
     assert hc.get("fs.s3a.endpoint") == "http://minio.local:9000"
     assert hc.get("fs.s3a.path.style.access") == "true"
+
+
+def test_write_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
+    """Range-partitioned export: each output file covers a disjoint key
+    range (parquet min/max stats then prune point lookups to one file)."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from door2door_etl_spark.io.writers import write_sorted_parquet
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(df, path, ["k"], target_partitions=8)
+
+    ranges = []
+    for f in globmod.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["k"])["k"]
+        if len(t):
+            ranges.append((t[0].as_py(), t[-1].as_py()))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint across files
+    # Within each file the column is sorted (sortWithinPartitions held).
+    for f in globmod.glob(f"{path}/part-*.parquet"):
+        vals = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert vals == sorted(vals)
