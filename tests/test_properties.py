@@ -377,3 +377,64 @@ def test_lsh_collapsed_kills_mega_cluster_skew(spark):
         .collect()[0][0]
     )
     assert max_bucket <= 2, max_bucket
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_entropy_matches_python_reference(spark, docs):
+    """Spark entropy == direct -Σ p·log2 p over per-doc token counts, and
+    the quantized-decimal sum stays within rounding of the float answer."""
+    import math
+    from collections import Counter
+
+    from door2door_etl_spark.operators.text import token_entropy
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r["doc_id"]: r["entropy_bits"]
+        for r in token_entropy(spark.createDataFrame(rows)).collect()
+    }
+    for i, toks in enumerate(docs):
+        counts = Counter(toks)
+        total = sum(counts.values())
+        expect = -sum((c / total) * math.log2(c / total) for c in counts.values())
+        assert abs(got[i] - expect) < 1e-4
+        assert -1e-9 <= got[i] <= math.log2(max(len(counts), 1)) + 1e-6
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab @.+0123456789xyz",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_redact_pii_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent (the replacement token matches no pattern)
+    and the redacted text never matches any PII pattern again."""
+    import re
+
+    from door2door_etl_spark.operators.text import PII_PATTERNS, redact_pii
+
+    rows = [Row(id=i, text=t) for i, t in enumerate(texts)]
+    once = redact_pii(spark.createDataFrame(rows))
+    twice = redact_pii(
+        once.select("id", F.col("redacted").alias("text")), out_col="redacted"
+    )
+    a = {r["id"]: r["redacted"] for r in once.collect()}
+    b = {r["id"]: r["redacted"] for r in twice.collect()}
+    assert a == b
+    for t in a.values():
+        for pat in PII_PATTERNS.values():
+            assert re.search(pat, t) is None
