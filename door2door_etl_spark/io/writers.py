@@ -253,8 +253,11 @@ class JdbcMergeSink:
     num_partitions: int = 8
 
     def merge(self, source: DataFrame, key: str) -> int:
-        n = source.dropDuplicates([key]).count()
-        write_jdbc_upsert(
+        # One execution of the source plan: the count comes back from the
+        # staging table server-side, so it always equals the rows actually
+        # written (a separate .count() action would recompute the source
+        # and could disagree under non-deterministic expressions).
+        _, staged = write_jdbc_upsert(
             source,
             self.url,
             self.table,
@@ -262,7 +265,7 @@ class JdbcMergeSink:
             batchsize=self.batchsize,
             num_partitions=self.num_partitions,
         )
-        return n
+        return staged
 
 
 # -- JDBC warehouse sink (K1, reference src/helper/postgres.py:157-189) -----
@@ -277,6 +280,8 @@ class JdbcUpsertPlan:
     staging_table: str
     key_cols: tuple[str, ...]
     create_staging_sql: str
+    truncate_staging_sql: str
+    count_staging_sql: str
     upsert_sql: str
     drop_staging_sql: str
     writer_options: dict[str, str]
@@ -325,6 +330,12 @@ def plan_jdbc_upsert(
             f"CREATE UNLOGGED TABLE IF NOT EXISTS {staging} "
             f"(LIKE {table} INCLUDING DEFAULTS)"
         ),
+        # A crashed prior run leaves the staging table populated (the DROP
+        # never ran); truncating before the write keeps stale rows out of
+        # the next upsert.  NB: Spark's own "truncate" writer option is NOT
+        # equivalent — it only applies under SaveMode.Overwrite.
+        truncate_staging_sql=f"TRUNCATE TABLE {staging}",
+        count_staging_sql=f"SELECT count(*) FROM {staging}",
         upsert_sql=(
             f"INSERT INTO {table} ({col_list})\n"
             f"SELECT {col_list} FROM {staging}\n"
@@ -337,7 +348,6 @@ def plan_jdbc_upsert(
             "batchsize": str(batchsize),
             "numPartitions": str(num_partitions),
             "isolationLevel": isolation_level,
-            "truncate": "true",
         },
     )
 
@@ -355,6 +365,17 @@ def _execute_jdbc_statements(spark: SparkSession, url: str, statements: list[str
         conn.close()
 
 
+def _jdbc_scalar(spark: SparkSession, url: str, sql: str) -> int:
+    """Run a single-value query (e.g. COUNT) server-side and return it."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        rs.next()
+        return int(rs.getLong(1))
+    finally:
+        conn.close()
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -364,7 +385,7 @@ def write_jdbc_upsert(
     batchsize: int = 10_000,
     num_partitions: int = 8,
     isolation_level: str = "READ_COMMITTED",
-) -> JdbcUpsertPlan:
+) -> tuple[JdbcUpsertPlan, int]:
     """Upsert ``df`` into a JDBC warehouse table (K1): stage via Spark's
     parallel JDBC writer, then one server-side set-based
     ``INSERT … ON CONFLICT DO UPDATE`` (reference semantics,
@@ -375,9 +396,16 @@ def write_jdbc_upsert(
     twice in one statement, a failure the reference's row-at-a-time loop
     silently hid (last row won).
 
-    Returns the executed :class:`JdbcUpsertPlan` (also the contract-test
-    surface, via :func:`plan_jdbc_upsert`, since this container ships no
-    database server)."""
+    The staging table is truncated before the write (a crashed prior run
+    leaves it populated) and its row count is read back server-side, so
+    the reported count is the rows actually staged — the source plan
+    executes exactly once.  Concurrent upserts into the SAME target table
+    must pass distinct ``staging_table`` names; the default is one fixed
+    name per table.
+
+    Returns ``(plan, staged_rows)`` — the plan doubles as the
+    contract-test surface (:func:`plan_jdbc_upsert`), since this container
+    ships no database server."""
     plan = plan_jdbc_upsert(
         url,
         table,
@@ -390,7 +418,9 @@ def write_jdbc_upsert(
     )
     spark = df.sparkSession
     deduped = df.dropDuplicates(list(key_cols))
-    _execute_jdbc_statements(spark, url, [plan.create_staging_sql])
+    _execute_jdbc_statements(
+        spark, url, [plan.create_staging_sql, plan.truncate_staging_sql]
+    )
     (
         deduped.repartition(num_partitions)
         .write.format("jdbc")
@@ -398,8 +428,9 @@ def write_jdbc_upsert(
         .mode("append")
         .save()
     )
+    staged = _jdbc_scalar(spark, url, plan.count_staging_sql)
     _execute_jdbc_statements(spark, url, [plan.upsert_sql, plan.drop_staging_sql])
-    return plan
+    return plan, staged
 
 
 def write_orc_table(

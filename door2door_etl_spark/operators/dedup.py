@@ -687,6 +687,7 @@ def simhash_near_pairs_full(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """All pairs with Hamming distance ≤ ``max_hamming`` on 64-bit SimHash —
     recall 1.0, unlike :func:`simhash_near_pairs`'s single high-16 block.
@@ -702,8 +703,16 @@ def simhash_near_pairs_full(
     Scale: the default k=3 gives 4 bands of 16 bits → 2¹⁶ buckets per band,
     so expected candidates per doc stay O(n/2¹⁶) per band — the Manku
     production setting.  (The previous 32-bit/3-4-bit-band form admitted
-    ~n²/12 candidates — effectively all-pairs; VERDICT r2 item 2.)"""
-    cands = simhash64_band_candidates(df, text_col, id_col, max_hamming)
+    ~n²/12 candidates — effectively all-pairs; VERDICT r2 item 2.)
+
+    ``persist_fingerprints`` passes through to
+    :func:`simhash64_band_candidates`; cache lifetime is caller-managed
+    (same contract as ``ngram_jaccard_pairs(persist_shingles=True)``) —
+    long-lived applications calling this repeatedly should pass ``False``
+    or ``spark.catalog.clearCache()`` between corpora."""
+    cands = simhash64_band_candidates(
+        df, text_col, id_col, max_hamming, persist_fingerprints
+    )
     hamming = F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
@@ -785,6 +794,7 @@ def incremental_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    intra_batch: bool = True,
 ) -> DataFrame:
     """Admission filter for a new ingest batch against an already-indexed
     corpus: drop every batch document that shares ≥1 MinHash-LSH band
@@ -798,6 +808,17 @@ def incremental_lsh_dedup(
     band table is a persisted index, bucketed by the band key so the daily
     probe is a co-located join (io.writers.write_bucketed_table); here it
     is derived inline from the corpus rows.
+
+    ``intra_batch`` additionally drops a batch document that shares a band
+    with any SMALLER-id batch document — without it, all copies of a
+    near-duplicate that is merely new to the corpus would be admitted
+    together (10k copies of a fresh boilerplate page collide with nothing
+    in the index), recreating exactly the identical-content mega-cluster
+    skew :func:`minhash_lsh_pairs_collapsed` exists to prevent.  The rule
+    is greedy min-id admission (a doc loses to any smaller-id band
+    neighbor, admitted or not), deterministic and one semi join — not a
+    transitive closure; chains degrade toward keeping only the minimum,
+    the conservative direction for an admission filter.
     """
     bb = minhash_band_table(batch, text_col, id_col, num_hashes, bands, shingle_n)
     cb = minhash_band_table(corpus, text_col, id_col, num_hashes, bands, shingle_n)
@@ -806,6 +827,20 @@ def incremental_lsh_dedup(
         .select(id_col)
         .distinct()
     )
+    if intra_batch:
+        a, b = bb.alias("a"), bb.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        colliding = colliding.union(intra).distinct()
     return batch.join(colliding, id_col, "left_anti")
 
 

@@ -1064,10 +1064,18 @@ batch AS (SELECT doc_id, text FROM documents WHERE doc_id % {INGEST_MOD} = 0),
 hits AS (
   SELECT DISTINCT b.doc_id
   FROM b_bands b JOIN c_bands c
-    ON b.band_idx = c.band_idx AND b.band_key = c.band_key)
+    ON b.band_idx = c.band_idx AND b.band_key = c.band_key),
+intra AS (
+  -- greedy min-id admission within the batch: a doc loses to any
+  -- smaller-id batch doc sharing a band (mirrors intra_batch=True)
+  SELECT DISTINCT a.doc_id
+  FROM b_bands a JOIN b_bands b2
+    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+   AND a.doc_id > b2.doc_id)
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id % {INGEST_MOD} = 0
   AND doc_id NOT IN (SELECT doc_id FROM hits)
+  AND doc_id NOT IN (SELECT doc_id FROM intra)
 """
 
 

@@ -264,10 +264,13 @@ def stream_decontaminate(
     Doc-level "none of my shingles hit" cannot be a single stream-static
     join (the contaminated-id set derives from the stream, and a
     stream-stream anti join needs watermark bounds it doesn't have), so
-    this uses ``foreachBatch``: each micro-batch is a static frame, the
+    this uses ``foreachBatch``: each micro-batch is a static frame and the
     batch operator runs verbatim — benchmark shingles broadcast, map-side
-    semi + anti — and the file-source checkpoint gives exactly-once
-    append.  No streaming state store; throughput is the batch operator's.
+    semi + anti.  foreachBatch delivery is at-least-once (a batch can
+    replay after a partial failure), so each batch OVERWRITES its own
+    ``batch_id=N`` subdirectory — the replay rewrites the same files
+    instead of appending duplicates (effectively-once).  No streaming
+    state store; throughput is the batch operator's.
     """
     from door2door_etl_spark.operators.dedup import ngram_decontaminate
 
@@ -275,7 +278,7 @@ def stream_decontaminate(
         kept = ngram_decontaminate(
             batch_df, benchmark, text_col=text_col, id_col=id_col, shingle_n=shingle_n
         )
-        kept.write.mode("append").parquet(out_dir)
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         docs_stream.writeStream.foreachBatch(filter_batch)
@@ -306,9 +309,12 @@ def stream_incremental_lsh_dedup(
     foreachBatch rather than a stream-static join for the same reason as
     stream_decontaminate: the admitted-id set is an aggregate over the
     batch's own band rows (doc-level "no band collided"), which a single
-    stream-static join cannot express.  The file-source checkpoint gives
-    exactly-once append; no streaming state store is involved, so the only
-    per-batch cost is the probe join itself.
+    stream-static join cannot express.  foreachBatch delivery is
+    at-least-once — a batch can replay after a partial failure — so each
+    batch OVERWRITES its own ``batch_id=N`` subdirectory: the replay
+    rewrites the same files instead of appending duplicates, which is what
+    upgrades the sink to effectively-once.  No streaming state store is
+    involved; the only per-batch cost is the probe join itself.
     """
     from door2door_etl_spark.operators.dedup import minhash_band_table
 
@@ -321,8 +327,24 @@ def stream_incremental_lsh_dedup(
             .select(id_col)
             .distinct()
         )
-        kept = batch_df.join(colliding, id_col, "left_anti")
-        kept.write.mode("append").parquet(out_dir)
+        # Intra-batch collapse (same rule as the batch operator): a batch
+        # doc also loses to any smaller-id batch doc sharing a band.
+        a, b = bb.alias("a"), bb.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        kept = batch_df.join(
+            colliding.union(intra).distinct(), id_col, "left_anti"
+        )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         docs_stream.writeStream.foreachBatch(admit_batch)

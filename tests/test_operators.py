@@ -544,10 +544,18 @@ def test_incremental_lsh_dedup_drops_corpus_dup_keeps_novel(spark):
             Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
             # novel content -> admitted
             Row(doc_id=101, text="unrelated fresh material with new vocabulary entirely"),
+            # copy of the novel doc: new to the corpus, but the intra-batch
+            # rule keeps only the smallest id
+            Row(doc_id=102, text="unrelated fresh material with new vocabulary entirely"),
         ]
     )
     kept = incremental_lsh_dedup(batch, corpus)
     assert {r["doc_id"] for r in kept.collect()} == {101}
+
+    # Without the intra-batch collapse, both copies of the novel doc pass —
+    # the mega-cluster admission hole the default guards against.
+    loose = incremental_lsh_dedup(batch, corpus, intra_batch=False)
+    assert {r["doc_id"] for r in loose.collect()} == {101, 102}
 
 
 def test_diagnose_key_skew_flags_heavy_key(spark):

@@ -374,6 +374,8 @@ def test_stream_incremental_lsh_dedup_admits_only_novel(spark, tmp_path):
     batch = [
         {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog today"},
         {"doc_id": 101, "text": "unrelated fresh material with new vocabulary entirely"},
+        # intra-batch copy of the novel doc: only the smaller id is admitted
+        {"doc_id": 102, "text": "unrelated fresh material with new vocabulary entirely"},
     ]
     (src / "b0.json").write_text("\n".join(json.dumps(d) for d in batch))
     stream = (
