@@ -12,9 +12,10 @@ Operators:
   subword count estimate);
 - quality scoring (length, punctuation ratio, stopword ratio, mean word
   length) — the standard cheap heuristics used to filter LLM training text;
-- language identification via stopword-list hit rates (n-gram-free heuristic
-  chosen because it is deterministic and SQL-expressible; a char-n-gram
-  profile model plugs into the same shape);
+- language identification, two heuristics sharing one argmax shape: token
+  stopword hit rates, and a char-bigram profile scorer (Cavnar-Trenkle
+  style) that needs no word boundaries — both deterministic and
+  SQL-expressible;
 - document fingerprinting: min-hash over word shingles (winnowing-style
   "rarest shingle" fingerprint).
 """
@@ -356,3 +357,53 @@ def redact_pii(
         )
         redacted = F.regexp_replace(redacted, pat, replacement)
     return out.withColumn(out_col, redacted)
+
+
+def char_bigram_profiles() -> dict[str, list[str]]:
+    """Characteristic character bigrams per language, derived
+    deterministically from the same tiny stopword lexicon (the inner
+    bigrams of each stopword, first-seen order).  In production the
+    profiles come from a corpus rank list (Cavnar–Trenkle n-gram
+    profiling); the derivation here keeps the operator self-contained and
+    bit-reproducible in both engines."""
+    out: dict[str, list[str]] = {}
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        seen: list[str] = []
+        for w in words:
+            for i in range(len(w) - 1):
+                bg = w[i : i + 2]
+                if bg not in seen:
+                    seen.append(bg)
+        out[lang] = seen
+    return out
+
+
+def charngram_language_scores(col: Column) -> list[tuple[str, Column]]:
+    """Per-language character-bigram occurrence mass: for each language,
+    the summed occurrence count of its profile bigrams in the lowercased
+    text (each count via the length-difference of a literal replace — pure
+    codegen string ops, no tokenization, no regex).  The n-gram heuristic
+    complements the token-level stopword scorer: it needs no word
+    boundaries, so it degrades gracefully on unsegmented/agglutinative
+    text where tokenization fails."""
+    t = F.lower(col)
+    out = []
+    for lang, profile in char_bigram_profiles().items():
+        score = None
+        for bg in profile:
+            term = F.length(t) - F.length(F.replace(t, F.lit(bg), F.lit("")))
+            score = term if score is None else score + term
+        out.append((lang, score))
+    return out
+
+
+def predict_language_charngram(col: Column) -> Column:
+    """Argmax language by char-bigram profile mass; ties break
+    alphabetically; zero mass -> 'und'.  Same contract as
+    :func:`predict_language`."""
+    scores = charngram_language_scores(col)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, score in reversed(scores):
+        pred = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(pred)
+    return pred

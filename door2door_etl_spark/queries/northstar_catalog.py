@@ -672,6 +672,43 @@ FROM scored GROUP BY 1, 2
 """
 
 
+def q_text_langid_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-n-gram language-ID (Cavnar–Trenkle-style profile heuristic):
+    per-doc prediction plus agreement with the token-level stopword
+    predictor, rolled up as confusion counts."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(
+            "lang",
+            X.predict_language_charngram(F.col("text")).alias("lang_pred_ngram"),
+        )
+        .groupBy("lang", "lang_pred_ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_text_langid_ngram() -> str:
+    lang_scores = {}
+    for lang, profile in X.char_bigram_profiles().items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{bg}', '')))" for bg in profile
+        )
+        lang_scores[lang] = f"({terms})"
+    best = f"greatest({', '.join(lang_scores.values())})"
+    lang_case = " ".join(
+        f"WHEN {expr} = best THEN '{lang}'" for lang, expr in lang_scores.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+scored AS (SELECT doc_id, lang, {best} AS best, t FROM t)
+SELECT lang,
+  (CASE WHEN best > 0 THEN (CASE {lang_case} END) ELSE 'und' END)
+    AS lang_pred_ngram,
+  count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
@@ -1392,6 +1429,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
     QueryDef("ns_text_langid_confusion", q_text_langid_confusion, _sql_text_langid_confusion(), "north-star text/langid", ("northstar", "text")),
+    QueryDef("ns_text_langid_ngram", q_text_langid_ngram, _sql_text_langid_ngram(), "north-star text/langid (char-n-gram profile)", ("northstar", "text")),
     QueryDef("ns_text_fingerprint", q_text_fingerprint, _sql_text_fingerprint(), "north-star text/fingerprint", ("northstar", "text")),
     QueryDef("ns_repetition_signals", q_repetition_signals, _sql_repetition_signals(), "north-star text/quality-repetition", ("northstar", "text")),
     QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),

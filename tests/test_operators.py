@@ -569,3 +569,24 @@ def test_diagnose_key_skew_flags_heavy_key(spark):
     assert top[0]["row_share"] == 0.9
     # 11 distinct keys, uniform would be 100/11 ≈ 9.09 rows -> hot is ~9.9x
     assert 9.5 <= top[0]["x_uniform"] <= 10.5
+
+
+def test_predict_language_charngram(spark):
+    from door2door_etl_spark.operators.text import (
+        char_bigram_profiles,
+        predict_language_charngram,
+    )
+
+    profiles = char_bigram_profiles()
+    assert "th" in profiles["en"] and "ch" in profiles["de"]
+    df = spark.createDataFrame(
+        [
+            Row(t="the weather thinks that the theory is thorough"),
+            Row(t="nicht der ich dich durch nicht auf und"),
+            Row(t=""),
+        ]
+    )
+    out = [r[0] for r in df.select(predict_language_charngram(F.col("t"))).collect()]
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"  # empty text -> zero mass
