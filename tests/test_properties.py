@@ -438,3 +438,67 @@ def test_redact_pii_idempotent_and_clean(spark, texts):
     for t in a.values():
         for pat in PII_PATTERNS.values():
             assert re.search(pat, t) is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=2, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_dup_ngram_fraction_matches_python_reference(spark, docs):
+    """Spark cross-doc duplicated-shingle fraction == direct Python set
+    computation over the same word bigrams (tiny alphabet forces overlap)."""
+    from door2door_etl_spark.operators.text import (
+        cross_doc_duplicated_shingle_fraction,
+    )
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in cross_doc_duplicated_shingle_fraction(
+            spark.createDataFrame(rows), n=2
+        ).collect()
+    }
+
+    def grams(toks):
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: grams(t) for i, t in enumerate(docs)}
+    for i, s in sets.items():
+        dup = sum(
+            1 for g in s if any(g in sets[j] for j in sets if j != i)
+        )
+        assert got[i] == (len(s), dup)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed_texts=st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=6, max_size=12),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: tuple(t),
+    )
+)
+def test_incremental_dedup_exact_copies_never_admitted(spark, seed_texts):
+    """Any verbatim copy of a corpus doc is rejected (LSH is exact on
+    identical shingle sets), and admission is deterministic across runs."""
+    from door2door_etl_spark.operators.dedup import incremental_lsh_dedup
+
+    corpus_rows = [
+        Row(doc_id=i, text=" ".join(t)) for i, t in enumerate(seed_texts)
+    ]
+    batch_rows = [
+        Row(doc_id=100 + i, text=" ".join(t)) for i, t in enumerate(seed_texts)
+    ]
+    corpus = spark.createDataFrame(corpus_rows)
+    batch = spark.createDataFrame(batch_rows)
+    kept1 = sorted(r["doc_id"] for r in incremental_lsh_dedup(batch, corpus).collect())
+    kept2 = sorted(r["doc_id"] for r in incremental_lsh_dedup(batch, corpus).collect())
+    assert kept1 == []  # every batch doc is a verbatim corpus copy
+    assert kept1 == kept2
