@@ -280,7 +280,6 @@ class JdbcUpsertPlan:
     staging_table: str
     key_cols: tuple[str, ...]
     create_staging_sql: str
-    truncate_staging_sql: str
     count_staging_sql: str
     upsert_sql: str
     drop_staging_sql: str
@@ -330,11 +329,6 @@ def plan_jdbc_upsert(
             f"CREATE UNLOGGED TABLE IF NOT EXISTS {staging} "
             f"(LIKE {table} INCLUDING DEFAULTS)"
         ),
-        # A crashed prior run leaves the staging table populated (the DROP
-        # never ran); truncating before the write keeps stale rows out of
-        # the next upsert.  NB: Spark's own "truncate" writer option is NOT
-        # equivalent — it only applies under SaveMode.Overwrite.
-        truncate_staging_sql=f"TRUNCATE TABLE {staging}",
         count_staging_sql=f"SELECT count(*) FROM {staging}",
         upsert_sql=(
             f"INSERT INTO {table} ({col_list})\n"
@@ -396,8 +390,9 @@ def write_jdbc_upsert(
     twice in one statement, a failure the reference's row-at-a-time loop
     silently hid (last row won).
 
-    The staging table is truncated before the write (a crashed prior run
-    leaves it populated) and its row count is read back server-side, so
+    The staging table is dropped and recreated before the write (a crashed
+    prior run leaves it populated, possibly with an outdated schema) and
+    its row count is read back server-side, so
     the reported count is the rows actually staged — the source plan
     executes exactly once.  Concurrent upserts into the SAME target table
     must pass distinct ``staging_table`` names; the default is one fixed
@@ -418,8 +413,13 @@ def write_jdbc_upsert(
     )
     spark = df.sparkSession
     deduped = df.dropDuplicates(list(key_cols))
+    # Full staging reset: a crashed prior run leaves the staging table
+    # behind (its DROP never ran), possibly with stale rows AND a stale
+    # schema if the target was ALTERed since — DROP + CREATE resets both.
+    # (Spark's own "truncate" writer option would be a no-op under append
+    # mode; a bare TRUNCATE would keep the stale schema.)
     _execute_jdbc_statements(
-        spark, url, [plan.create_staging_sql, plan.truncate_staging_sql]
+        spark, url, [plan.drop_staging_sql, plan.create_staging_sql]
     )
     (
         deduped.repartition(num_partitions)

@@ -786,6 +786,25 @@ def embedding_near_dup_pairs(
 
 # -- benchmark decontamination ----------------------------------------------
 
+def _intra_batch_colliding(bb: DataFrame, id_col: str) -> DataFrame:
+    """Ids losing the greedy min-id intra-batch admission: every doc that
+    shares a (band_idx, band_key) bucket with a SMALLER-id doc in the same
+    band table.  Shared by the batch and streaming admission filters so the
+    rule cannot drift between them."""
+    a, b = bb.alias("a"), bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
 def incremental_lsh_dedup(
     batch: DataFrame,
     corpus: DataFrame,
@@ -795,6 +814,7 @@ def incremental_lsh_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     intra_batch: bool = True,
+    persist_bands: bool = True,
 ) -> DataFrame:
     """Admission filter for a new ingest batch against an already-indexed
     corpus: drop every batch document that shares ≥1 MinHash-LSH band
@@ -819,8 +839,18 @@ def incremental_lsh_dedup(
     neighbor, admitted or not), deterministic and one semi join — not a
     transitive closure; chains degrade toward keeping only the minimum,
     the conservative direction for an admission filter.
+
+    ``persist_bands`` caches the batch band table when ``intra_batch``
+    consumes it twice (corpus probe + intra self-join) — Spark recomputes
+    an unmaterialized subtree per consumer, so without it the dominant
+    tokenize+shingle+minhash cost runs twice.  Cache lifetime is
+    caller-managed (same contract as ``persist_fingerprints``).
     """
     bb = minhash_band_table(batch, text_col, id_col, num_hashes, bands, shingle_n)
+    if intra_batch and persist_bands:
+        from pyspark import StorageLevel
+
+        bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
     cb = minhash_band_table(corpus, text_col, id_col, num_hashes, bands, shingle_n)
     colliding = (
         bb.join(cb, ["band_idx", "band_key"], "left_semi")
@@ -828,19 +858,7 @@ def incremental_lsh_dedup(
         .distinct()
     )
     if intra_batch:
-        a, b = bb.alias("a"), bb.alias("b")
-        intra = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
-                "left_semi",
-            )
-            .select(id_col)
-            .distinct()
-        )
-        colliding = colliding.union(intra).distinct()
+        colliding = colliding.union(_intra_batch_colliding(bb, id_col)).distinct()
     return batch.join(colliding, id_col, "left_anti")
 
 

@@ -133,17 +133,22 @@ def language_scores(col: Column) -> list[tuple[str, Column]]:
     return out
 
 
-def predict_language(col: Column) -> Column:
-    """Argmax language by stopword hits; ties break alphabetically; zero hits
-    -> 'und' (undetermined).  Deterministic and SQL-portable."""
-    scores = language_scores(col)
-    # greatest hit count
+def _argmax_language(scores: list[tuple[str, Column]]) -> Column:
+    """Shared argmax/tie-break fold for every language scorer: highest score
+    wins, ties break alphabetically (scores arrive lang-sorted), zero total
+    -> 'und' (undetermined)."""
     best = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     # reversed so that alphabetically-first language wins ties
     for lang, score in reversed(scores):
         pred = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(pred)
     return pred
+
+
+def predict_language(col: Column) -> Column:
+    """Argmax language by stopword hits; ties break alphabetically; zero hits
+    -> 'und' (undetermined).  Deterministic and SQL-portable."""
+    return _argmax_language(language_scores(col))
 
 
 def shingles(col: Column, n: int = 5) -> Column:
@@ -372,6 +377,10 @@ def char_bigram_profiles() -> dict[str, list[str]]:
         for w in words:
             for i in range(len(w) - 1):
                 bg = w[i : i + 2]
+                if not bg.isalpha():
+                    # profile bigrams are interpolated into single-quoted
+                    # SQL literals by the oracle builder — keep them safe
+                    raise ValueError(f"non-alphabetic profile bigram {bg!r}")
                 if bg not in seen:
                     seen.append(bg)
         out[lang] = seen
@@ -398,12 +407,6 @@ def charngram_language_scores(col: Column) -> list[tuple[str, Column]]:
 
 
 def predict_language_charngram(col: Column) -> Column:
-    """Argmax language by char-bigram profile mass; ties break
-    alphabetically; zero mass -> 'und'.  Same contract as
-    :func:`predict_language`."""
-    scores = charngram_language_scores(col)
-    best = F.greatest(*[s for _, s in scores])
-    pred = F.lit("und")
-    for lang, score in reversed(scores):
-        pred = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(pred)
-    return pred
+    """Argmax language by char-bigram profile mass; same contract and
+    shared tie-break fold as :func:`predict_language`."""
+    return _argmax_language(charngram_language_scores(col))

@@ -316,35 +316,31 @@ def stream_incremental_lsh_dedup(
     upgrades the sink to effectively-once.  No streaming state store is
     involved; the only per-batch cost is the probe join itself.
     """
-    from door2door_etl_spark.operators.dedup import minhash_band_table
+    from pyspark import StorageLevel
+
+    from door2door_etl_spark.operators.dedup import (
+        _intra_batch_colliding,
+        minhash_band_table,
+    )
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         bb = minhash_band_table(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n
-        )
-        colliding = (
-            bb.join(corpus_bands, ["band_idx", "band_key"], "left_semi")
-            .select(id_col)
-            .distinct()
-        )
-        # Intra-batch collapse (same rule as the batch operator): a batch
-        # doc also loses to any smaller-id batch doc sharing a band.
-        a, b = bb.alias("a"), bb.alias("b")
-        intra = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
-                "left_semi",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            colliding = (
+                bb.join(corpus_bands, ["band_idx", "band_key"], "left_semi")
+                .select(id_col)
+                .distinct()
             )
-            .select(id_col)
-            .distinct()
-        )
-        kept = batch_df.join(
-            colliding.union(intra).distinct(), id_col, "left_anti"
-        )
-        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            # Intra-batch collapse: same shared rule as the batch operator.
+            lose = colliding.union(_intra_batch_colliding(bb, id_col)).distinct()
+            kept = batch_df.join(lose, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        finally:
+            bb.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(admit_batch)

@@ -348,9 +348,8 @@ def test_jdbc_upsert_plan_contract(spark):
         "lng = EXCLUDED.lng, at = EXCLUDED.at"
     )
     assert plan.drop_staging_sql == "DROP TABLE IF EXISTS vehicle_location__stage"
-    # Stale-staging hygiene: truncate before write (Spark's "truncate"
-    # writer option would be a no-op under append mode), count server-side.
-    assert plan.truncate_staging_sql == "TRUNCATE TABLE vehicle_location__stage"
+    # Stale-staging hygiene: the executor runs DROP + CREATE before the
+    # write (full schema+row reset), and counts staged rows server-side.
     assert plan.count_staging_sql == "SELECT count(*) FROM vehicle_location__stage"
     assert plan.writer_options == {
         "url": "jdbc:postgresql://wh:5432/etl",
