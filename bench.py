@@ -156,6 +156,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Per-query JVM telemetry goes to a SIDE FILE (and the per-query stderr
+    # lines above), never the stdout summary: round 3's summary line grew past
+    # the driver's stdout tail-capture window and the authoritative perf
+    # record came back unparseable ("parsed": null).  The final stdout line
+    # must stay ONE compact JSON object of {metric, value, unit, queries, sf}.
+    try:
+        (REPO / "bench_jvm_stats.json").write_text(json.dumps(jvm_stats, indent=1))
+    except OSError as exc:  # telemetry is best-effort; never break the contract
+        print(f"# jvm stats not written: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -164,8 +173,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "jvm": jvm_stats,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
