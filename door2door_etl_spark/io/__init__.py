@@ -1,4 +1,11 @@
 from door2door_etl_spark.io.readers import load_table, read_jsonl_events
+from door2door_etl_spark.io.versioned import (
+    ConcurrentWriteError,
+    VersionedParquetTable,
+    compact_versioned,
+    merge_versioned,
+    resolve_table_path,
+)
 from door2door_etl_spark.io.writers import (
     JdbcMergeSink,
     MergeSink,
@@ -19,4 +26,9 @@ __all__ = [
     "ParquetMergeSink",
     "JdbcMergeSink",
     "write_jdbc_upsert",
+    "ConcurrentWriteError",
+    "VersionedParquetTable",
+    "resolve_table_path",
+    "merge_versioned",
+    "compact_versioned",
 ]

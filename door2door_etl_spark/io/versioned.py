@@ -1,0 +1,443 @@
+"""Versioned-manifest commit protocol for parquet tables (K1 atomicity).
+
+The round-3 ``ParquetMergeSink`` committed a merge by directory swap
+(``rmtree(target)`` + ``rename(tmp, target)``) — crash-safe for one writer,
+but a reader listing files mid-swap could observe a missing table, and two
+concurrent writers could interleave swaps and lose one batch silently.  This
+module replaces the swap with the commit protocol transactional table
+formats use (Delta/Iceberg metadata commits; reference analog: the Postgres
+warehouse's server-side transaction, src/helper/postgres.py:157-189):
+
+Layout (for a table rooted at ``warehouse/vehicle_location``)::
+
+    warehouse/
+      vehicle_location -> .vehicle_location__versions/data-v00000002  (symlink)
+      .vehicle_location__versions/
+        _current                # pointer file: "data-v00000002" (fsync'd)
+        data-v00000001/         # immutable parquet snapshots
+        data-v00000002/
+
+* **Snapshots are immutable.** A committed ``data-v{N}/`` directory is never
+  modified; writers only add new version directories.
+* **The pointer file is the manifest.** Commit = write the new snapshot,
+  fsync ``_current`` naming it (write temp + ``os.replace`` + dir fsync),
+  then atomically repoint the root symlink.  A crash at ANY step leaves
+  ``_current`` (and the symlink) on the previous snapshot — readers never
+  observe a partial or absent table, and recovery is automatic (the orphan
+  snapshot is ignored and reclaimed).
+* **Readers resolve the pointer.** :func:`resolve_table_path` is the
+  portable reader path (object stores have no symlinks; there, ``_current``
+  is the only mechanism and readers MUST resolve it).  On a local/POSIX
+  filesystem the root symlink additionally keeps every pointer-unaware
+  reader (``spark.read.parquet(root)``) working unchanged: the symlink is
+  swapped with ``os.replace`` (atomic ``rename(2)``), and a reader that
+  resolved the old target keeps reading the old snapshot, which stays on
+  disk until :meth:`VersionedParquetTable.vacuum`.
+* **Concurrent writers are serialized optimistically.** Claiming version
+  ``N+1`` is ``os.rename(staging, data-v{N+1})`` — on POSIX the rename onto
+  an existing non-empty directory fails, so exactly one writer wins a given
+  version number; the loser recomputes its merge against the new current
+  snapshot and retries (same optimistic-concurrency shape as a Delta
+  commit conflict).
+* **Partition-scoped merges stop rewriting untouched data.** Only the
+  partitions the batch touches are written through Spark; every untouched
+  partition directory is hard-linked from the previous snapshot (a
+  metadata-only operation — at 100 TB an hourly batch on an hour-partitioned
+  table writes one partition and links the other ~8,700, where round 3
+  rewrote the full table every merge).  On an object store the same role is
+  played by a per-version file manifest; the hardlink farm is the faithful
+  local-FS equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^data-v(\d{8})$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a writer loses the version-claim race ``max_retries``
+    times in a row — the caller is contending with a faster writer and
+    should back off rather than spin."""
+
+
+def _versions_dir(root: str | Path) -> Path:
+    p = Path(root)
+    return p.parent / f".{p.name}__versions"
+
+
+def _legacy_aside(root: str | Path) -> Path:
+    p = Path(root)
+    return p.parent / f".{p.name}__legacy"
+
+
+def _version_name(n: int) -> str:
+    return f"data-v{n:08d}"
+
+
+def _parse_version(name: str) -> int | None:
+    m = _VERSION_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def _read_pointer(versions_dir: Path) -> str | None:
+    try:
+        name = (versions_dir / "_current").read_text().strip()
+    except OSError:
+        return None
+    return name or None
+
+
+def _write_pointer(versions_dir: Path, name: str) -> None:
+    """Durably publish ``name`` as the committed snapshot: temp file +
+    fsync + atomic replace + directory fsync, so the pointer survives both
+    a process crash and a power cut mid-commit."""
+    tmp = versions_dir / f"_current.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, versions_dir / "_current")
+    dfd = os.open(str(versions_dir), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _point_root_symlink(root: Path, version_name: str) -> None:
+    """Atomically repoint ``root`` at the committed snapshot.  The link
+    target is RELATIVE so the whole lake directory stays relocatable."""
+    target = f".{root.name}__versions/{version_name}"
+    tmp = root.parent / f".{root.name}__lnk.{uuid.uuid4().hex}"
+    os.symlink(target, tmp)
+    os.replace(tmp, root)
+
+
+def _hardlink_tree(src: Path, dst: Path) -> None:
+    """Mirror ``src`` into ``dst`` with hard links (no data copy).  Parquet
+    snapshot files are immutable, so shared inodes are safe."""
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = Path(dirpath).relative_to(src)
+        out = dst / rel
+        out.mkdir(parents=True, exist_ok=True)
+        for fn in filenames:
+            os.link(Path(dirpath) / fn, out / fn)
+
+
+def resolve_table_path(root: str) -> str:
+    """Resolve a table root to the directory holding the committed
+    snapshot's data files — THE reader-side half of the commit protocol.
+
+    * Versioned table → ``.{name}__versions/<_current>`` (pointer file is
+      authoritative; this is the only resolution path an object store has).
+    * Plain directory (legacy / never-merged table) → the root itself.
+
+    Also performs crash repair: if the root symlink is missing but the
+    pointer exists (crash between pointer fsync and symlink swap, or a
+    deleted link), the symlink is recreated from the pointer.
+    """
+    p = Path(root)
+    vdir = _versions_dir(p)
+    pointer = _read_pointer(vdir)
+    if pointer is not None and (vdir / pointer).is_dir():
+        if not os.path.lexists(p):
+            _point_root_symlink(p, pointer)  # crash repair (symlink lost)
+        return str(vdir / pointer)
+    aside = _legacy_aside(p)
+    if not os.path.lexists(p) and aside.is_dir():
+        # Crash mid-migration before the pointer was published: the original
+        # directory was set aside but never committed — restore it.
+        os.rename(aside, p)
+    return str(p)
+
+
+@dataclass(frozen=True)
+class VersionedParquetTable:
+    """A parquet table committed through the versioned-manifest protocol.
+
+    All mutation goes through :meth:`commit` (claim next version → fsync
+    pointer → repoint symlink); :func:`merge_versioned` and
+    :func:`compact_versioned` build on it.
+    """
+
+    root: str
+
+    @property
+    def versions_dir(self) -> Path:
+        return _versions_dir(self.root)
+
+    def current_version(self) -> int | None:
+        pointer = _read_pointer(self.versions_dir)
+        if pointer is None:
+            return None
+        return _parse_version(pointer)
+
+    def data_path(self) -> str:
+        return resolve_table_path(self.root)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_path())
+
+    def is_versioned(self) -> bool:
+        return _read_pointer(self.versions_dir) is not None
+
+    # -- commit protocol -----------------------------------------------------
+
+    def _migrate_legacy(self) -> None:
+        """Adopt a pre-existing plain directory as snapshot v1.
+
+        The original files are HARD-LINKED into ``data-v00000001`` (no data
+        copy), the pointer is published, and only then is the original
+        directory swapped for the root symlink — so a crash at any point
+        leaves either the untouched legacy table or a fully-committed v1
+        (the ``.__legacy`` aside is auto-restored by
+        :func:`resolve_table_path`).
+        """
+        root = Path(self.root)
+        vdir = self.versions_dir
+        vdir.mkdir(parents=True, exist_ok=True)
+        v1 = vdir / _version_name(1)
+        if not v1.exists():
+            staging = vdir / f".staging.{uuid.uuid4().hex}"
+            _hardlink_tree(root, staging)
+            os.rename(staging, v1)
+        _write_pointer(vdir, _version_name(1))
+        aside = _legacy_aside(root)
+        os.rename(root, aside)
+        _point_root_symlink(root, _version_name(1))
+        shutil.rmtree(aside)
+
+    def next_version(self) -> int:
+        """Next claimable version: one past the max of the pointer and any
+        on-disk snapshot dir (an orphan from a crashed writer must not be
+        reused — its contents are untrusted)."""
+        existing = [
+            v
+            for v in (
+                _parse_version(e.name)
+                for e in self.versions_dir.iterdir()
+                if e.is_dir()
+            )
+            if v is not None
+        ] if self.versions_dir.is_dir() else []
+        cur = self.current_version() or 0
+        return max([cur, *existing], default=0) + 1
+
+    def claim(self, staging: Path, version: int) -> bool:
+        """Atomically promote ``staging`` to snapshot ``version``.  POSIX
+        ``rename(2)`` onto an existing non-empty directory fails, so at most
+        one writer wins each version number."""
+        try:
+            os.rename(staging, self.versions_dir / _version_name(version))
+            return True
+        except OSError:
+            return False
+
+    def publish(self, version: int) -> None:
+        """Make snapshot ``version`` the committed state: fsync the pointer
+        (authoritative), then repoint the root symlink (local-FS reader
+        convenience)."""
+        name = _version_name(version)
+        _write_pointer(self.versions_dir, name)
+        root = Path(self.root)
+        if root.is_dir() and not root.is_symlink():
+            # First commit over a legacy directory root: set it aside before
+            # the symlink can take its place (restored on crash by
+            # resolve_table_path).
+            aside = _legacy_aside(root)
+            os.rename(root, aside)
+            _point_root_symlink(root, name)
+            shutil.rmtree(aside)
+        else:
+            _point_root_symlink(root, name)
+
+    def ensure_versioned(self) -> None:
+        """Upgrade a plain-directory table to the versioned layout (no-op if
+        already versioned or absent)."""
+        root = Path(self.root)
+        if self.is_versioned():
+            resolve_table_path(self.root)  # repairs a lost symlink
+            return
+        if root.is_dir() and not root.is_symlink():
+            self._migrate_legacy()
+        else:
+            resolve_table_path(self.root)  # repairs a crashed migration
+
+    def _staging(self) -> Path:
+        self.versions_dir.mkdir(parents=True, exist_ok=True)
+        return self.versions_dir / f".staging.{uuid.uuid4().hex}"
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Drop committed snapshots older than the newest ``keep`` (never
+        the current one, never a version NEWER than current — that may be a
+        concurrent writer's in-flight claim).  Returns removed names."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        removed: list[str] = []
+        for entry in sorted(self.versions_dir.iterdir()):
+            v = _parse_version(entry.name)
+            if v is not None and v <= cur - max(1, keep):
+                shutil.rmtree(entry)
+                removed.append(entry.name)
+        return removed
+
+
+def _snapshot_has_root_files(data_path: str) -> bool:
+    """True when the snapshot stores data files at its top level (i.e. it
+    was written unpartitioned) — the partition-scoped link optimization
+    only applies to a partition-dir layout."""
+    return any(
+        e.suffix == ".parquet" for e in Path(data_path).iterdir() if e.is_file()
+    )
+
+
+def merge_versioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+) -> int:
+    """MERGE-style upsert committed through the versioned-manifest protocol.
+
+    Semantics are identical to the reference warehouse upsert
+    (src/helper/postgres.py:167-181) and to round 3's
+    ``merge_upsert_parquet``: one row per key survives within the batch,
+    existing keys are UPDATEd (new row wins), new keys INSERTed, and
+    replaying a batch is a no-op (idempotent).  What changed is the commit:
+
+    * readers never observe a partial or absent table (snapshot + pointer);
+    * concurrent writers serialize optimistically (version-claim rename;
+      the loser recomputes against the winner's snapshot and retries, up to
+      ``max_retries``, then raises :class:`ConcurrentWriteError`);
+    * with ``partition_col``, ONLY the partitions present in the batch are
+      written — untouched partition directories are hard-linked from the
+      previous snapshot, so an hourly batch into an hour-partitioned 100 TB
+      table writes one partition's worth of data instead of all of it.
+
+    Returns the number of (deduplicated) source rows merged.
+    """
+    from pyspark.sql import functions as F
+
+    source = source.dropDuplicates([key])
+    table = VersionedParquetTable(root)
+    root_p = Path(root)
+    # Count before any commit: a source derived from the target re-executed
+    # afterwards would read the NEW snapshot through the root symlink.
+    n_source = source.count()
+
+    for _attempt in range(max_retries):
+        table.ensure_versioned()
+        fresh = not table.is_versioned()
+        staging = table._staging()
+
+        if fresh:
+            writer = source.write.mode("overwrite")
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(str(staging))
+        else:
+            data_path = table.data_path()  # pinned snapshot for this attempt
+            target = spark.read.parquet(data_path)
+            if partition_col and not _snapshot_has_root_files(data_path):
+                # Partition-scoped path: write ONLY touched partitions, then
+                # link every untouched partition dir from the old snapshot.
+                # Membership must be null-safe (see round-3 notes): a bare
+                # isin() is NULL for NULL partition values and would drop
+                # those target rows from both sides.
+                touched_raw = [
+                    r[0] for r in source.select(partition_col).distinct().collect()
+                ]
+                touched = [v for v in touched_raw if v is not None]
+                batch_has_null = len(touched) < len(touched_raw)
+                is_touched = (
+                    F.coalesce(F.col(partition_col).isin(touched), F.lit(False))
+                    if touched
+                    else F.lit(False)
+                )
+                if batch_has_null:
+                    is_touched = is_touched | F.col(partition_col).isNull()
+                merged_touched = (
+                    target.filter(is_touched)
+                    .join(source.select(key), on=key, how="left_anti")
+                    .unionByName(source)
+                )
+                merged_touched.write.mode("overwrite").partitionBy(
+                    partition_col
+                ).parquet(str(staging))
+                # Untouched = snapshot partition dirs the touched write did
+                # not create.  Matching by directory NAME sidesteps Hive
+                # partition-value escaping entirely (the same value always
+                # encodes to the same name).
+                for entry in Path(data_path).iterdir():
+                    if entry.is_dir() and not (staging / entry.name).exists():
+                        _hardlink_tree(entry, staging / entry.name)
+            else:
+                merged = target.join(
+                    source.select(key), on=key, how="left_anti"
+                ).unionByName(source)
+                writer = merged.write.mode("overwrite")
+                if partition_col:
+                    writer = writer.partitionBy(partition_col)
+                writer.parquet(str(staging))
+
+        version = table.next_version()
+        if table.claim(staging, version):
+            table.publish(version)
+            table.vacuum(keep=vacuum_keep)
+            return n_source
+        # Lost the claim race: drop our snapshot and recompute against the
+        # winner's commit.
+        shutil.rmtree(staging, ignore_errors=True)
+    raise ConcurrentWriteError(
+        f"merge into {root} lost the version-claim race {max_retries} times"
+    )
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 128,
+    vacuum_keep: int = 2,
+) -> int:
+    """Rewrite the current snapshot into ~``target_file_mb`` files as a NEW
+    committed version; returns the new file count.
+
+    Because compaction is just another versioned commit, the round-3 hazard
+    (a crash between backup-move and rename leaving the table path absent)
+    is gone by construction: the old snapshot stays committed until the
+    compacted one is published, and readers never see the table disappear.
+    """
+    table = VersionedParquetTable(root)
+    table.ensure_versioned()
+    data_path = table.data_path()
+    data_files = [f for f in Path(data_path).rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    staging = table._staging()
+    spark.read.parquet(data_path).coalesce(n_target).write.mode(
+        "overwrite"
+    ).parquet(str(staging))
+    version = table.next_version()
+    if not table.claim(staging, version):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"compaction of {root} lost the version claim for v{version}"
+        )
+    table.publish(version)
+    table.vacuum(keep=vacuum_keep)
+    return len(
+        [f for f in Path(table.data_path()).rglob("*.parquet") if f.is_file()]
+    )

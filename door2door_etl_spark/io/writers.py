@@ -22,14 +22,14 @@ read-merge-overwrite), not the whole table.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.versioned import compact_versioned, merge_versioned
 
 
 def write_parquet_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -93,23 +93,26 @@ def compact_parquet_table(
     writes at least one), and at 100 TB small-file explosion is the top
     operational failure of a parquet lake: listing slows, task counts blow
     up, scan throughput collapses.  Sizing uses the actual on-disk bytes
-    (not row counts), and the rewrite goes through a temp directory + atomic
-    rename so a crash mid-compaction never leaves the table truncated.
+    (not row counts), and the compacted table is committed as a new
+    SNAPSHOT through the versioned-manifest protocol
+    (:mod:`door2door_etl_spark.io.versioned`) — the previous snapshot stays
+    committed until the new one is published, so a crash at any point never
+    leaves the table truncated or absent (the round-3 backup-move/rename
+    window is gone by construction).
     """
     import shutil
 
     p = Path(path)
-    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
-    total_bytes = sum(f.stat().st_size for f in data_files)
-    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    tmp = str(p.parent / f".{p.name}__compacting")
-    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-    backup = str(p.parent / f".{p.name}__precompact")
-    shutil.move(path, backup)
-    shutil.move(tmp, path)
-    shutil.rmtree(backup)
-    return len([f for f in Path(path).rglob("*.parquet") if f.is_file()])
+    # Recovery from a ROUND-3 era crash: the old swap scheme could die
+    # between moving the table to its backup and renaming the compacted
+    # tree in, leaving the table path absent.  Restore the backup before
+    # migrating to the versioned layout.
+    backup = p.parent / f".{p.name}__precompact"
+    if not p.exists() and backup.is_dir():
+        shutil.move(str(backup), str(p))
+    elif backup.is_dir():
+        shutil.rmtree(backup)  # table exists: the backup is stale garbage
+    return compact_versioned(spark, path, target_file_mb=target_file_mb)
 
 
 def merge_upsert_parquet(
@@ -128,73 +131,22 @@ def merge_upsert_parquet(
       INSERTed;
     - re-running the same batch leaves the table unchanged (idempotent).
 
-    Physical strategy: if the target does not exist, plain write.  Otherwise
-    read target, anti-join on key against the (deduped) source, union the
-    source, atomically swap directories.  With ``partition_col`` set, only
-    target partitions present in the source batch are rewritten — on a 100 TB
-    hour-partitioned table an hourly batch touches one partition.
+    Physical strategy: the logical plan MERGE lowers to — target ⟕anti⟖
+    source ∪ source — committed through the versioned-manifest protocol
+    (:mod:`door2door_etl_spark.io.versioned`): write a new immutable
+    snapshot, fsync the ``_current`` pointer, atomically repoint the table
+    root.  Readers never observe a partial table; concurrent writers
+    serialize optimistically (the loser of the version-claim race recomputes
+    and retries).  With ``partition_col`` set, only target partitions present
+    in the source batch are written — untouched partition directories are
+    hard-linked from the previous snapshot, so an hourly batch into a 100 TB
+    hour-partitioned table writes one partition's worth of data.
 
     Returns the number of source rows merged.
     """
-    source = source.dropDuplicates([key])
-    target_dir = Path(target_path)
-    if not target_dir.exists():
-        writer = source.write.mode("overwrite")
-        if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(target_path)
-        return source.count()
-
-    target = spark.read.parquet(target_path)
-
-    if partition_col:
-        # Partition-scoped merge: rewrite only the partitions the batch hits.
-        # Membership must be null-safe: a bare isin() is NULL (not False) for
-        # NULL partition values — try_cast-coerced timestamps produce them —
-        # and a NULL predicate fails BOTH the touched and untouched filters,
-        # silently deleting those target rows.  NULL-partition target rows
-        # join the touched set only when the batch itself has NULLs there.
-        touched_raw = [
-            r[0] for r in source.select(partition_col).distinct().collect()
-        ]
-        touched = [v for v in touched_raw if v is not None]
-        batch_has_null = len(touched) < len(touched_raw)
-        is_touched = (
-            F.coalesce(F.col(partition_col).isin(touched), F.lit(False))
-            if touched
-            else F.lit(False)
-        )
-        if batch_has_null:
-            is_touched = is_touched | F.col(partition_col).isNull()
-        untouched = target.filter(~is_touched)
-        touched_target = target.filter(is_touched)
-        merged_touched = touched_target.join(
-            source.select(key), on=key, how="left_anti"
-        ).unionByName(source)
-        merged = untouched.unionByName(merged_touched)
-    else:
-        merged = target.join(source.select(key), on=key, how="left_anti").unionByName(
-            source
-        )
-
-    # Atomic-ish swap: write to a sibling temp dir, then replace.  (Delta /
-    # object-store commit protocols make this a metadata operation in
-    # production; for a filesystem sink this is the faithful equivalent.)
-    tmp = tempfile.mkdtemp(dir=str(target_dir.parent), prefix=".merge_")
-    tmp_path = str(Path(tmp) / "data")
-    writer = merged.write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(tmp_path)
-    # Count BEFORE the directory swap: a source derived from the target
-    # table (self-referential merge) re-executed after the swap would
-    # re-read the rewritten directory and return a wrong count or fail.
-    n_merged = source.count()
-    # Materialized before the swap; safe to drop the old directory.
-    shutil.rmtree(target_path)
-    Path(tmp_path).rename(target_path)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return n_merged
+    return merge_versioned(
+        spark, target_path, source, key=key, partition_col=partition_col
+    )
 
 
 # -- Pluggable MERGE sink (K1) ----------------------------------------------
@@ -215,12 +167,16 @@ class MergeSink(Protocol):
 
     Atomicity contract (implementation-graded, documented per impl):
     a reader must never observe a partially-merged table.
-    :class:`ParquetMergeSink` guarantees this for a crashed single writer
-    (temp-dir + directory swap) but NOT under concurrent writers — that
-    needs a transactional table format (Delta/Iceberg MERGE, a metadata-only
-    commit) or a transactional database (:class:`JdbcMergeSink`, where the
-    upsert statement is one server-side transaction).  Either drops in
-    behind this protocol without touching pipeline code.
+    :class:`ParquetMergeSink` commits through the versioned-manifest
+    protocol (:mod:`door2door_etl_spark.io.versioned`): immutable
+    snapshots + a fsync'd pointer, so readers always see a complete
+    committed snapshot, crashes auto-recover, and concurrent writers
+    serialize optimistically via the POSIX version-claim rename.  On an
+    object store WITHOUT atomic rename-if-absent the claim is not safe
+    under concurrent writers — there, use a transactional table format
+    (Delta/Iceberg MERGE) or :class:`JdbcMergeSink` (the upsert statement
+    is one server-side transaction).  Either drops in behind this protocol
+    without touching pipeline code.
     """
 
     def merge(self, source: DataFrame, key: str) -> int:
@@ -230,7 +186,8 @@ class MergeSink(Protocol):
 @dataclass(frozen=True)
 class ParquetMergeSink:
     """Parquet-lake MergeSink: delegates to :func:`merge_upsert_parquet`
-    (anti-join ∪ union, partition-scoped rewrite, atomic directory swap)."""
+    (anti-join ∪ union, partition-scoped write + hardlinked untouched
+    partitions, versioned-manifest commit)."""
 
     spark: SparkSession
     target_path: str

@@ -1,0 +1,250 @@
+"""Versioned-manifest commit protocol (io/versioned.py): snapshot isolation
+for readers, crash recovery at every step, optimistic concurrent writers,
+and the partition-scoped hardlink merge.
+
+Reference analog: the Postgres warehouse upsert is one server-side
+transaction (reference src/helper/postgres.py:157-189); these tests pin the
+equivalent guarantees for the filesystem lake sink.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from door2door_etl_spark.io.versioned import (
+    ConcurrentWriteError,
+    VersionedParquetTable,
+    merge_versioned,
+    resolve_table_path,
+)
+
+
+def _mk(spark, rows, schema="k int, v string, part string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _as_dict(spark, path):
+    return {r["k"]: (r["v"], r["part"]) for r in spark.read.parquet(path).collect()}
+
+
+def test_merge_creates_versioned_layout_and_plain_reads_resolve(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    # Root is a symlink; the pointer file is the authoritative manifest.
+    assert Path(root).is_symlink()
+    table = VersionedParquetTable(root)
+    assert table.current_version() == 1
+    assert resolve_table_path(root).endswith("data-v00000001")
+    # Pointer-unaware readers (spark.read.parquet on the root) keep working.
+    assert _as_dict(spark, root) == {1: ("a", "p1")}
+
+
+def test_merge_upsert_semantics_and_idempotent_replay(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1"), (2, "b", "p1")]), key="k")
+    batch = _mk(spark, [(2, "B", "p1"), (3, "c", "p2")])
+    assert merge_versioned(spark, root, batch, key="k") == 2
+    want = {1: ("a", "p1"), 2: ("B", "p1"), 3: ("c", "p2")}
+    assert _as_dict(spark, root) == want
+    # Replaying the identical batch changes nothing but the version number.
+    merge_versioned(spark, root, batch, key="k")
+    assert _as_dict(spark, root) == want
+    assert VersionedParquetTable(root).current_version() == 3
+
+
+def test_concurrent_reader_keeps_consistent_snapshot_during_merge(spark, tmp_path):
+    """A reader that resolved the pointer BEFORE a merge reads the old
+    snapshot, complete and unchanged, while and after the merge commits."""
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]), key="k")
+    reader_path = resolve_table_path(root)  # the in-flight reader's view
+    merge_versioned(spark, root, _mk(spark, [(2, "B", "p2")]), key="k")
+    # Old snapshot: still on disk (vacuum keeps current + previous), still
+    # the pre-merge content.
+    assert _as_dict(spark, reader_path) == {1: ("a", "p1"), 2: ("b", "p2")}
+    # New resolution sees the merged table.
+    assert _as_dict(spark, root)[2] == ("B", "p2")
+
+
+def test_crash_between_snapshot_write_and_publish_recovers(spark, tmp_path, monkeypatch):
+    """Kill the writer after the new snapshot is claimed but before the
+    pointer is published: readers stay on the old version; the next merge
+    succeeds and never reuses the orphaned version number."""
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+
+    def boom(self, version):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(VersionedParquetTable, "publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    monkeypatch.undo()
+
+    # Table unharmed: pointer and symlink still v1, content intact.
+    table = VersionedParquetTable(root)
+    assert table.current_version() == 1
+    assert _as_dict(spark, root) == {1: ("a", "p1")}
+    # Orphan data-v00000002 exists but is not trusted or reused.
+    assert (table.versions_dir / "data-v00000002").is_dir()
+    merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    assert table.current_version() == 3
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b", "p1")}
+
+
+def test_crash_after_pointer_before_symlink_self_heals(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    os.unlink(root)  # simulate: pointer published, symlink swap never ran
+    assert resolve_table_path(root).endswith("data-v00000001")
+    assert Path(root).is_symlink()  # repaired
+    assert _as_dict(spark, root) == {1: ("a", "p1")}
+
+
+def test_legacy_plain_table_migrates_and_crash_mid_migration_restores(spark, tmp_path):
+    # A pre-protocol plain parquet directory is adopted as snapshot v1.
+    root = str(tmp_path / "tbl")
+    _mk(spark, [(1, "a", "p1")]).write.parquet(root)
+    assert not Path(root).is_symlink()
+    merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    assert Path(root).is_symlink()
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b", "p1")}
+
+    # Crash window inside migration: root moved aside, pointer never
+    # published.  resolve_table_path restores the original directory.
+    root2 = str(tmp_path / "tbl2")
+    _mk(spark, [(9, "z", "p1")]).write.parquet(root2)
+    os.rename(root2, str(tmp_path / ".tbl2__legacy"))
+    assert resolve_table_path(root2) == root2
+    assert _as_dict(spark, root2) == {9: ("z", "p1")}
+
+
+def test_losing_the_version_claim_recomputes_against_winner(spark, tmp_path, monkeypatch):
+    """Interleave a competing writer between our snapshot write and claim:
+    our writer must lose the claim, recompute against the competitor's
+    commit, and produce the union of both batches."""
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+
+    original_claim = VersionedParquetTable.claim
+    state = {"raced": False}
+
+    def racing_claim(self, staging, version):
+        if not state["raced"]:
+            state["raced"] = True
+            # Competitor commits first (bypassing our patched claim).
+            competitor = self._staging()
+            _mk(spark, [(1, "a", "p1"), (5, "competitor", "p2")]).write.mode(
+                "overwrite"
+            ).parquet(str(competitor))
+            assert original_claim(self, competitor, version)
+            self.publish(version)
+            # Now our own claim of the same version must fail.
+            assert not original_claim(self, staging, version)
+            return False
+        return original_claim(self, staging, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "claim", racing_claim)
+    merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    assert _as_dict(spark, root) == {
+        1: ("a", "p1"),
+        2: ("b", "p1"),
+        5: ("competitor", "p2"),
+    }
+
+
+def test_claim_exhaustion_raises_concurrent_write_error(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    monkeypatch.setattr(VersionedParquetTable, "claim", lambda self, s, v: False)
+    with pytest.raises(ConcurrentWriteError):
+        merge_versioned(
+            spark, root, _mk(spark, [(2, "b", "p1")]), key="k", max_retries=2
+        )
+
+
+def test_partition_scoped_merge_hardlinks_untouched_partitions(spark, tmp_path):
+    """A batch touching one partition must not rewrite the others: the
+    untouched partition's data files in the new snapshot share inodes with
+    the previous snapshot (metadata-only carry-forward)."""
+    root = str(tmp_path / "tbl")
+    base = _mk(spark, [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")])
+    merge_versioned(spark, root, base, key="k", partition_col="part")
+    table = VersionedParquetTable(root)
+    v1 = table.versions_dir / "data-v00000001"
+
+    merge_versioned(
+        spark, root, _mk(spark, [(2, "B", "p2")]), key="k", partition_col="part"
+    )
+    v2 = table.versions_dir / "data-v00000002"
+
+    def inodes(version_dir, part):
+        return sorted(
+            f.stat().st_ino
+            for f in (version_dir / f"part={part}").glob("*.parquet")
+        )
+
+    # Untouched partitions: same inodes (hardlinked, zero data written).
+    assert inodes(v2, "p1") == inodes(v1, "p1")
+    assert inodes(v2, "p3") == inodes(v1, "p3")
+    # Touched partition: freshly written files.
+    assert not set(inodes(v2, "p2")) & set(inodes(v1, "p2"))
+    assert _as_dict(spark, root) == {
+        1: ("a", "p1"),
+        2: ("B", "p2"),
+        3: ("c", "p3"),
+    }
+
+
+def test_partitioned_merge_with_null_partition_values(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_versioned(
+        spark,
+        root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", None)]),
+        key="k",
+        partition_col="part",
+    )
+    merge_versioned(
+        spark,
+        root,
+        _mk(spark, [(2, "B", None), (3, "c", None)]),
+        key="k",
+        partition_col="part",
+    )
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("B", None), 3: ("c", None)}
+
+
+def test_vacuum_drops_old_snapshots_keeps_current_and_previous(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        merge_versioned(spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k")
+    table = VersionedParquetTable(root)
+    names = sorted(
+        e.name for e in table.versions_dir.iterdir() if e.name.startswith("data-v")
+    )
+    # Default vacuum(keep=2) ran inside each merge: only v3 and v4 survive.
+    assert names == ["data-v00000003", "data-v00000004"]
+    assert table.current_version() == 4
+
+
+def test_compact_parquet_table_versioned_commit_and_backup_recovery(spark, tmp_path):
+    from door2door_etl_spark.io.writers import compact_parquet_table
+
+    # Simulate the ROUND-3 crash state: table path absent, data sitting in
+    # the .__precompact backup.  compact must restore, then compact via a
+    # versioned commit (table never absent mid-compaction afterwards).
+    root = tmp_path / "tbl"
+    _mk(spark, [(i, f"v{i}", "p1") for i in range(10)]).repartition(8).write.parquet(
+        str(root)
+    )
+    os.rename(root, tmp_path / ".tbl__precompact")
+    assert not root.exists()
+
+    n_files = compact_parquet_table(spark, str(root), target_file_mb=128)
+    assert n_files == 1
+    assert Path(root).is_symlink()  # committed through the protocol
+    assert {r["k"] for r in spark.read.parquet(str(root)).collect()} == set(range(10))
