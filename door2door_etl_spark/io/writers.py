@@ -70,6 +70,20 @@ def write_bucketed_table(
     reference warehouse's primary-key organization
     (reference migrations/init.sql:29-51).
     """
+    spark = df.sparkSession
+    if path is None and not spark.catalog.tableExists(table_name):
+        # A managed-table LOCATION survives its catalog entry across
+        # sessions (derby metastore is per-session here; on a shared
+        # metastore, a crashed DROP leaves the same state) and saveAsTable
+        # then refuses with LOCATION_ALREADY_EXISTS.  Overwrite semantics
+        # mean the stale directory is garbage — clear it.
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = Path(warehouse) / table_name.split(".")[-1].lower()
+        if stale.exists():
+            shutil.rmtree(stale)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -25,7 +25,9 @@ so each has an exact DuckDB-SQL twin in queries.catalog for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from door2door_etl_spark.operators.text import shingles
@@ -826,8 +828,9 @@ def incremental_lsh_dedup(
     (band_idx, band_key) short-circuits at the first corpus hit, so no
     candidate-pair set ever materializes.  At production scale the corpus
     band table is a persisted index, bucketed by the band key so the daily
-    probe is a co-located join (io.writers.write_bucketed_table); here it
-    is derived inline from the corpus rows.
+    probe elides the corpus-side shuffle — that composition is
+    :class:`LshBandIndex` (build once, probe + append daily); this function
+    is the index-free form that derives both band tables inline.
 
     ``intra_batch`` additionally drops a batch document that shares a band
     with any SMALLER-id batch document — without it, all copies of a
@@ -840,26 +843,135 @@ def incremental_lsh_dedup(
     transitive closure; chains degrade toward keeping only the minimum,
     the conservative direction for an admission filter.
 
-    ``persist_bands`` caches the batch band table when ``intra_batch``
+    ``persist_bands`` caches the batch band table while ``intra_batch``
     consumes it twice (corpus probe + intra self-join) — Spark recomputes
     an unmaterialized subtree per consumer, so without it the dominant
-    tokenize+shingle+minhash cost runs twice.  Cache lifetime is
-    caller-managed (same contract as ``persist_fingerprints``).
+    tokenize+shingle+minhash cost runs twice.  The cache is UNPERSISTED
+    before returning: the colliding-id set (tiny — ids only) is eagerly
+    materialized via ``localCheckpoint``, which both ends the band table's
+    lifetime inside this call (a long-lived driver ingesting batch after
+    batch no longer accumulates cached relations) and lets the context
+    cleaner reclaim the checkpoint blocks when the result is dropped.
     """
     bb = minhash_band_table(batch, text_col, id_col, num_hashes, bands, shingle_n)
-    if intra_batch and persist_bands:
+    persisted = intra_batch and persist_bands
+    if persisted:
         from pyspark import StorageLevel
 
         bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
-    cb = minhash_band_table(corpus, text_col, id_col, num_hashes, bands, shingle_n)
-    colliding = (
-        bb.join(cb, ["band_idx", "band_key"], "left_semi")
-        .select(id_col)
-        .distinct()
-    )
-    if intra_batch:
-        colliding = colliding.union(_intra_batch_colliding(bb, id_col)).distinct()
+    try:
+        cb = minhash_band_table(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+        colliding = (
+            bb.join(cb, ["band_idx", "band_key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        if intra_batch:
+            colliding = colliding.union(_intra_batch_colliding(bb, id_col)).distinct()
+        if persisted:
+            colliding = colliding.localCheckpoint(eager=True)
+    finally:
+        if persisted:
+            bb.unpersist()
     return batch.join(colliding, id_col, "left_anti")
+
+
+@dataclass(frozen=True)
+class LshBandIndex:
+    """Persisted, hash-bucketed MinHash band index — the production corpus
+    layout :func:`incremental_lsh_dedup` documents, wired end-to-end.
+
+    The corpus band table is written ONCE as a catalog table bucketed (and
+    bucket-sorted) on ``(band_idx, band_key)`` via
+    ``io.writers.write_bucketed_table``.  Every daily probe then equi-joins
+    on exactly the bucket columns, so the index side of the join reports its
+    bucketing as the required hash partitioning and **never shuffles** —
+    only the (small) daily batch's band table moves.  At 100 TB the index is
+    the dominant relation by orders of magnitude; eliding its exchange turns
+    the probe from "reshuffle the corpus every day" into "stream the batch
+    past a static layout" (plan-asserted in tests/test_plans.py).
+
+    Admission lifecycle::
+
+        idx = LshBandIndex(spark, "corpus_band_index")
+        idx.build(corpus)                  # once, at corpus creation
+        survivors = idx.admit(day1_batch)  # probe + intra-batch rule
+        ...                                # admit() appends survivors' bands
+
+    Parameters are carried BY the index object so the probe can never drift
+    from the build (a batch minhashed with different ``num_hashes``/``bands``
+    would silently collide with nothing).
+    """
+
+    spark: SparkSession
+    table: str
+    num_hashes: int = 16
+    bands: int = 4
+    shingle_n: int = 3
+    num_buckets: int = 16
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+    def _band_table(self, docs: DataFrame) -> DataFrame:
+        return minhash_band_table(
+            docs, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
+        )
+
+    def build(self, corpus: DataFrame, path: str | None = None) -> None:
+        """(Re)build the index from the full corpus."""
+        from door2door_etl_spark.io.writers import write_bucketed_table
+
+        write_bucketed_table(
+            self._band_table(corpus),
+            self.table,
+            bucket_cols=["band_idx", "band_key"],
+            num_buckets=self.num_buckets,
+            path=path,
+        )
+
+    def scan(self) -> DataFrame:
+        """The index relation (bucketed catalog table scan)."""
+        return self.spark.table(self.table)
+
+    def probe(self, batch_bands: DataFrame) -> DataFrame:
+        """Batch band rows colliding with the index: LEFT SEMI on the bucket
+        columns — the join whose index side must not exchange."""
+        return batch_bands.join(self.scan(), ["band_idx", "band_key"], "left_semi")
+
+    def admit(
+        self, batch: DataFrame, intra_batch: bool = True, update_index: bool = True
+    ) -> DataFrame:
+        """Admission-filter ``batch`` against the index (same semantics as
+        :func:`incremental_lsh_dedup`: corpus collision OR greedy min-id
+        intra-batch collision drops a doc) and, with ``update_index``,
+        append the survivors' band rows so tomorrow's batch collides with
+        today's admissions.  Returns the surviving batch rows, materialized
+        (``localCheckpoint``) so the index append and the caller share one
+        execution of the plan."""
+        from pyspark import StorageLevel
+
+        bb = self._band_table(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            colliding = self.probe(bb).select(self.id_col).distinct()
+            if intra_batch:
+                colliding = colliding.union(
+                    _intra_batch_colliding(bb, self.id_col)
+                ).distinct()
+            survivors = batch.join(colliding, self.id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+        finally:
+            bb.unpersist()
+        if update_index:
+            (
+                self._band_table(survivors)
+                .write.mode("append")
+                .format("parquet")
+                .bucketBy(self.num_buckets, "band_idx", "band_key")
+                .sortBy("band_idx", "band_key")
+                .saveAsTable(self.table)
+            )
+        return survivors
 
 
 def ngram_decontaminate(

@@ -1116,6 +1116,28 @@ WHERE doc_id % {INGEST_MOD} = 0
 """
 
 
+def q_incremental_lsh_dedup_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Same admission semantics as ns_incremental_lsh_dedup, but probed
+    against the PERSISTED hash-bucketed band index (operators.dedup
+    .LshBandIndex) — the production layout where the corpus side of the
+    daily probe join never shuffles (plan-asserted in tests/test_plans.py).
+    Sharing the oracle with the inline variant pins that the physical
+    layout change cannot drift the semantics."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % INGEST_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    idx = D.LshBandIndex(
+        spark,
+        "ns_lsh_band_index",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+    )
+    idx.build(corpus)
+    kept = idx.admit(batch, update_index=False)
+    return kept.select("doc_id", "lang", "source")
+
+
 # -- SemDeDup: semantic dedup inside learned k-means cells ------------------
 
 SEMDEDUP_MIN_COSINE = NEARDUP_MIN_COSINE
@@ -1413,6 +1435,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_pii_redaction", q_pii_redaction, _sql_pii_redaction(), "north-star text/pii-redaction", ("northstar", "text")),
     QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),
     QueryDef("ns_incremental_lsh_dedup", q_incremental_lsh_dedup, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest", ("northstar", "dedup")),
+    QueryDef("ns_incremental_lsh_dedup_indexed", q_incremental_lsh_dedup_indexed, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest (bucketed persisted index)", ("northstar", "dedup")),
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
     QueryDef("ns_lsh_band_buckets", q_lsh_band_buckets, _sql_lsh_band_buckets(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_minhash_lsh_pairs", q_minhash_lsh_pairs, _sql_minhash_lsh_pairs(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),

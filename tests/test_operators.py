@@ -558,6 +558,48 @@ def test_incremental_lsh_dedup_drops_corpus_dup_keeps_novel(spark):
     assert {r["doc_id"] for r in loose.collect()} == {101, 102}
 
 
+def test_lsh_band_index_matches_inline_and_evolves(spark, tmp_path):
+    """The persisted bucketed index must admit exactly the docs the inline
+    operator admits, and appending survivors must make a later batch's
+    duplicate of an earlier admission collide."""
+    from door2door_etl_spark.operators.dedup import LshBandIndex, incremental_lsh_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different corpus sentence about spark plans"),
+        ]
+    )
+    day1 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=101, text="unrelated fresh material with new vocabulary entirely"),
+            Row(doc_id=102, text="unrelated fresh material with new vocabulary entirely"),
+        ]
+    )
+    idx = LshBandIndex(spark, "t_lsh_idx", num_buckets=4)
+    try:
+        idx.build(corpus, path=str(tmp_path / "idx"))
+
+        # Parity with the inline (index-free) operator.
+        inline = {r["doc_id"] for r in incremental_lsh_dedup(day1, corpus).collect()}
+        kept = idx.admit(day1)  # update_index=True appends doc 101's bands
+        assert {r["doc_id"] for r in kept.collect()} == inline == {101}
+
+        # Day 2: a copy of day 1's admission now collides WITH THE INDEX
+        # (not intra-batch) — proof the append took effect.
+        day2 = spark.createDataFrame(
+            [
+                Row(doc_id=200, text="unrelated fresh material with new vocabulary entirely"),
+                Row(doc_id=201, text="genuinely novel second day content stream here"),
+            ]
+        )
+        kept2 = idx.admit(day2, update_index=False)
+        assert {r["doc_id"] for r in kept2.collect()} == {201}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
+
+
 def test_diagnose_key_skew_flags_heavy_key(spark):
     from door2door_etl_spark.operators.relational import diagnose_key_skew
 

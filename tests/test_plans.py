@@ -109,6 +109,41 @@ def test_bucketed_join_elides_shuffle(spark, sf001, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
 
 
+def test_lsh_band_index_probe_elides_index_side_shuffle(spark, sf001, tmp_path):
+    """The daily-ingest probe against the persisted LSH band index must not
+    exchange the index side: the index is bucketed on exactly the join key
+    (band_idx, band_key), so the only shuffle in the semi join is the small
+    daily batch being hashed into the index's layout.  At 100 TB this is the
+    difference between reshuffling the corpus every day and streaming the
+    batch past a static layout."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.dedup import LshBandIndex
+
+    docs = load_table(spark, sf001, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = LshBandIndex(spark, "t_lsh_plan_idx", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx.build(corpus, path=str(tmp_path / "idx"))
+        probe = idx.probe(idx._band_table(batch))
+        plan = plan_of(probe)
+        assert "Bucketed: true" in plan, plan
+        # Exactly ONE exchange on the join key — the batch side being
+        # hashed into the index's bucket layout.  (The batch side also
+        # shuffles once on doc_id inside the minhash aggregation; that one
+        # is inherent to signature computation, not the join.)  The bucketed
+        # index scan satisfies the join's required distribution directly.
+        assert plan.count("Exchange hashpartitioning(band_idx") == 1, (
+            "index side of the probe must not shuffle:\n" + plan
+        )
+        assert probe.count() > 0  # sanity: sf0.001 documents contain dups
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_lsh_plan_idx")
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salted skew join returns exactly the plain join's multiset."""
     left = spark.createDataFrame(
