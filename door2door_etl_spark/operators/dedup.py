@@ -422,20 +422,32 @@ def connected_dedup_clusters(
     left_col: str = "doc_id_a",
     right_col: str = "doc_id_b",
     max_iterations: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Cluster near-duplicate candidate pairs into connected components and
     return ``(doc_id, canonical_id)`` — canonical = the minimum doc id
     reachable through the pair graph (the stable "keep one copy" choice).
 
-    Algorithm: iterative min-label propagation over the edge list — each
-    round every node adopts the smallest label among itself and its
-    neighbors; converges in O(diameter) rounds (near-dup components are
-    shallow: dup clusters are cliques or short chains, so 3-4 rounds in
-    practice, ``max_iterations`` is a guard).  Each round is one join +
-    one groupBy — embarrassingly scalable, no driver-side graph.  Loop
-    exits early when a round changes no label (count of improved labels,
-    computed distributedly).
+    Algorithm: min-label propagation with POINTER JUMPING — each round every
+    node (1) adopts the smallest label among itself and its neighbors, then
+    (2) adopts its label's label (path-doubling, the Shiloach–Vishkin
+    shortcut).  The jump step composes the label function with itself, so
+    the distance a minimum travels roughly DOUBLES per round:
+    **O(log diameter)** rounds instead of the O(diameter) plain propagation
+    needs.  A pathological 1M-doc chain (each doc near-dups the next)
+    converges in ~20 rounds where plain propagation would need a million.
+    Each round is two joins + one groupBy — no driver-side graph; labels
+    never leave their component (they only propagate along edges), so the
+    fixpoint is exactly the per-component minimum.
+
+    Loop exits when a round improves no label (checked distributedly).  If
+    ``max_iterations`` is exhausted first, the labeling is INCOMPLETE
+    (some components would be split across several canonical ids) — a
+    ``UserWarning`` is emitted, or ``RuntimeError`` raised with
+    ``strict=True``; silent stale labels were round 3's failure mode.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
         .unionByName(
@@ -450,27 +462,51 @@ def connected_dedup_clusters(
     )
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("improved"),
             )
+            .localCheckpoint(eager=True)  # consumed twice by the jump join
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        jump = F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label")))
+        new_labels = (
+            stepped.join(ptr, stepped.label == ptr.pnode, "left_outer")
+            .select(
+                "node",
+                jump.alias("label"),
+                (jump < F.col("old_label")).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.filter(F.col("improved")).limit(1).count()
         labels = new_labels.drop("improved")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_dedup_clusters did not converge in {max_iterations} "
+            "rounds; some components are split across multiple canonical ids. "
+            "Raise max_iterations (rounds needed ≈ log2 of the longest chain)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 

@@ -502,3 +502,34 @@ def test_incremental_dedup_exact_copies_never_admitted(spark, seed_texts):
     kept2 = sorted(r["doc_id"] for r in incremental_lsh_dedup(batch, corpus).collect())
     assert kept1 == []  # every batch doc is a verbatim corpus copy
     assert kept1 == kept2
+
+
+def test_connected_clusters_chain_converges_in_log_rounds(spark):
+    """Pathological worst case: one 100-doc chain (each doc near-dups only
+    the next).  Pointer jumping must collapse it to a single canonical id
+    in ~log2(100) rounds — 12 is generous; plain propagation needs 100."""
+    from door2door_etl_spark.operators.dedup import connected_dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_id_a long, doc_id_b long"
+    )
+    out = connected_dedup_clusters(pairs, max_iterations=12, strict=True)
+    labels = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert set(labels) == set(range(100))
+    assert set(labels.values()) == {0}
+
+
+def test_connected_clusters_nonconvergence_warns_and_strict_raises(spark):
+    import pytest as _pytest
+
+    from door2door_etl_spark.operators.dedup import connected_dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_id_a long, doc_id_b long"
+    )
+    with _pytest.warns(UserWarning, match="did not converge"):
+        incomplete = connected_dedup_clusters(pairs, max_iterations=2)
+        # Stale labels: the 40-chain cannot collapse in 2 rounds.
+        assert len({r["canonical_id"] for r in incomplete.collect()}) > 1
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_dedup_clusters(pairs, max_iterations=2, strict=True)
