@@ -328,6 +328,14 @@ def cross_doc_duplicated_shingle_fraction(
 #: and RE2 (DuckDB/Go), so the oracle can run the same patterns verbatim.
 #: Order matters and is fixed: email first (its local part can contain
 #: digits/dots an ipv4 pattern would nibble), then phone, then ipv4.
+# DEMO/PARITY patterns, NOT production PII coverage.  They are kept simple
+# and portable so the DuckDB oracle reproduces them byte-for-byte: the ipv4
+# regex accepts invalid octets ('999.999.999.999') and version-like strings
+# in prose; the phone regex matches only the one '+CC NNN NNN NNNN' spaced
+# format.  A real scrub pass must supply vetted, locale-aware patterns (or
+# an NER pass) via redact_pii(patterns=...) — the operator's PLAN (map-only
+# regexp_count/replace, zero shuffle) is the production part, these
+# defaults are not.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{4}",
@@ -347,7 +355,10 @@ def redact_pii(
     replaced by ``replacement`` (classes applied in dict order).
 
     Pure regexp_count/regexp_replace expressions — JVM-side, codegen'd,
-    map-only (zero shuffles); the production shape for a 100 TB scrub pass.
+    map-only (zero shuffles); the production shape for a 100 TB scrub pass
+    — with the caveat that the default :data:`PII_PATTERNS` are demo/parity
+    patterns only (see their docstring); production callers supply vetted
+    ``patterns``.
     Counts are computed per class against the ORIGINAL text (overlapping
     classes each report their own matches); the redaction itself applies
     sequentially, so a span consumed by an earlier class cannot be

@@ -176,6 +176,46 @@ LIMIT 20
 """
 
 
+def q_tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Literal TPC-H Q4: order-priority counts over a 3-month order-date
+    window, counting orders with at least one late lineitem (EXISTS →
+    left-semi with a cross-side predicate).
+
+    The synthetic schema has no ``l_commitdate``/``l_receiptdate``, so
+    "late" is "shipped ≥90 days after the order date" — the plan shape
+    (date-window scan of orders, correlated EXISTS against lineitem
+    collapsing to a semi join on the order key, grouped count on the tiny
+    priority key) is exactly Q4's.  The EXISTS-shape sibling without the
+    date window is tpch_order_priority_semi."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, late_exists, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_tpch_q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """Q12 shape: late-shipment priority counts — fact⋈fact join on the
     order key with a cross-side date predicate, then conditional counts.
@@ -1008,6 +1048,7 @@ ANALYST_QUERIES: list[QueryDef] = [
     QueryDef("tpch_q9_product_type_profit", q_tpch_q9_product_type_profit, SQL_TPCH_Q9, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q10_returned_items", q_tpch_q10_returned_items, SQL_TPCH_Q10, "§2.4-join,§2.6-limit", ("tpch",)),
     QueryDef("tpch_q11_important_parts", q_tpch_q11_important_parts, SQL_TPCH_Q11, "§2.5-having", ("tpch",)),
+    QueryDef("tpch_q4_order_priority", q_tpch_q4_order_priority, SQL_TPCH_Q4, "§2.4-semi,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q12_priority_shipping", q_tpch_q12_priority_shipping, SQL_TPCH_Q12, "§2.4-join,§2.5-agg", ("tpch",)),
     QueryDef("tpch_q13_order_count_distribution", q_tpch_q13_order_count_distribution, SQL_TPCH_Q13, "§2.4-outer", ("tpch",)),
     QueryDef("tpch_q14_promo_revenue", q_tpch_q14_promo_revenue, SQL_TPCH_Q14, "§2.5-agg", ("tpch",)),

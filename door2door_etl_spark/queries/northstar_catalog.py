@@ -929,9 +929,43 @@ FROM documents
 """
 
 
+# Oracle for the fake decoder: bucket = byte % 8 depends only on a byte's
+# LOW hex nibble, so the histogram is computable from hex(encode(text)) —
+# the character at every even position (1-indexed 2i) is byte i's low
+# nibble.  The LEFT JOIN + coalesce mirrors fake_decode_features' empty-
+# payload → all-zeros convention.
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i FROM b),
+bytes AS (
+  SELECT doc_id, n,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1) % 8
+           AS bucket
+  FROM idx),
+hist AS (
+  SELECT doc_id, any_value(n) AS n,
+         sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2
+  FROM bytes GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(round(c0 / CAST(n AS DOUBLE), 6), 0.0) AS f0,
+       coalesce(round(c1 / CAST(n AS DOUBLE), 6), 0.0) AS f1,
+       coalesce(round(c2 / CAST(n AS DOUBLE), 6), 0.0) AS f2
+FROM documents d LEFT JOIN hist USING (doc_id)
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched mapInPandas decode→feature pipeline (deterministic fake
-    decoder).  Python batch logic — no SQL oracle; driver runs rows-only."""
+    decoder) — the plumbing a real codec drops into.  The fake decoder is a
+    byte-bucket histogram, which IS SQL-expressible (SQL_MULTIMODAL_FEATURES
+    reconstructs it from the hex of the UTF-8 payload), so this runs under
+    the full value-hash oracle; only a genuine codec call would be
+    rows-only."""
     docs = load_table(spark, sf, "documents")
     assets = attach_binary_content(docs, "text", "text", "text/plain")
     feats = extract_features(assets.select("doc_id", "content"), n_features=8)
@@ -1464,5 +1498,5 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
     QueryDef("ns_corpus_prep_pipeline", q_corpus_prep_pipeline, _sql_corpus_prep_pipeline(), "north-star end-to-end corpus prep", ("northstar", "pipeline")),
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
-    QueryDef("ns_multimodal_features", q_multimodal_features, None, "north-star multimodal/decode", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES, "north-star multimodal/decode", ("northstar", "multimodal")),
 ]

@@ -395,3 +395,69 @@ def test_stream_incremental_lsh_dedup_admits_only_novel(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == 1
+
+
+def test_sessionize_stream_batch_parity(spark, tmp_path):
+    """The streaming applyInPandasWithState sessionizer and the batch
+    lag+running-sum sessionize implement the SAME gap rule (new session when
+    gap > gap_seconds, strictly) — identical input must yield identical
+    session boundaries (start, end, n_events) per key, including the
+    boundary case of a gap of exactly gap_seconds (same session)."""
+    from door2door_etl_spark.io.readers import read_jsonl_events
+    from door2door_etl_spark.operators.relational import sessionize
+    from door2door_etl_spark.streaming import stream_events, stream_sessionize
+
+    gap = 600  # 10 minutes
+    src = tmp_path / "landing_parity"
+    src.mkdir()
+    lines = []
+
+    def ev(org, hh, mm, ss=0):
+        v = _vehicle(len(lines) + 1, 0) | {
+            "at": f"2022-11-24T{hh:02d}:{mm:02d}:{ss:02d}.000Z",
+            "organization_id": org,
+        }
+        lines.append(json.dumps(v))
+
+    # org-A: burst of 3 (incl. a gap of EXACTLY 600 s -> same session),
+    # then a 601-s gap -> new session of 2.
+    ev("org-A", 10, 0); ev("org-A", 10, 5); ev("org-A", 10, 15)
+    ev("org-A", 10, 25, 1); ev("org-A", 10, 30)
+    # org-B: single event session, then a far-later session of 2.
+    ev("org-B", 10, 2); ev("org-B", 12, 0); ev("org-B", 12, 9, 59)
+    (src / "a.json").write_text("\n".join(lines))
+
+    sessions = stream_sessionize(
+        stream_events(spark, str(src), watermark_delay="10 minutes"),
+        key_col="organization_id", ts_col="event_ts", gap_seconds=gap,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_parity"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_set = {
+        (r["organization_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_parity").collect()
+    }
+
+    batch_events = read_jsonl_events(spark, str(src / "*.json")).withColumn(
+        "event_ts", F.expr("try_cast(at AS timestamp)")
+    )
+    batch_set = {
+        (r["organization_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_events, ["organization_id"], "event_ts", gap)
+        .groupBy("organization_id", "session_seq")
+        .agg(
+            F.min("event_ts").alias("session_start"),
+            F.max("event_ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert stream_set == batch_set
+    assert len(batch_set) == 4  # 2 sessions per org
