@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "ns_dup_ngram_fraction",
     "ns_pii_redaction",
     "ns_incremental_lsh_dedup",
+    "ns_text_normalize",
+    "ns_unigram_logprob",
 ]
 
 

@@ -26,8 +26,23 @@ def main(argv: list[str] | None = None) -> int:
         description="Run the incremental ingest workflow (ingestor -> handler).",
     )
     parser.add_argument(
-        "-s", "--step", default="all", choices=["all", "ingestor", "handler"],
-        help="which step(s) to run (reference: executor.py -s)",
+        "-s", "--step", default="all",
+        choices=["all", "ingestor", "handler", "compact", "vacuum"],
+        help="which step(s) to run (reference: executor.py -s); compact/"
+             "vacuum are lake-maintenance steps over the warehouse tables",
+    )
+    parser.add_argument(
+        "--table", default=None,
+        help="compact/vacuum: warehouse table name (default: every table "
+             "under <lake-root>/warehouse)",
+    )
+    parser.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="compact: target output file size (MB)",
+    )
+    parser.add_argument(
+        "--keep-versions", type=int, default=2,
+        help="vacuum: committed snapshots to retain per table",
     )
     parser.add_argument(
         "-w", "--workflow-id", default=None,
@@ -48,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     from door2door_etl_spark.pipeline import run_workflow
     from door2door_etl_spark.session import build_session
 
+    if args.step in ("compact", "vacuum"):
+        return _run_maintenance(args)
+
     fetch_hour = (
         dt.datetime.fromisoformat(args.fetch_hour) if args.fetch_hour else None
     )
@@ -67,6 +85,57 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         spark.stop()
     print(json.dumps(summary, default=str))
+    return 0
+
+
+def _run_maintenance(args) -> int:
+    """Lake maintenance: ``-s compact`` rewrites small files into
+    ~target-file-mb files as a NEW committed snapshot; ``-s vacuum`` drops
+    committed snapshots older than ``--keep-versions``.  Both operate per
+    warehouse table; the incremental MERGE sink accretes a version (and at
+    least one small file) per batch, so both are routine cron jobs on a
+    production lake."""
+    from pathlib import Path
+
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+
+    warehouse = Path(args.lake_root) / "warehouse"
+    if args.table:
+        roots = [warehouse / args.table]
+    else:
+        roots = sorted(
+            p for p in warehouse.iterdir()
+            if (p.is_dir() or p.is_symlink()) and not p.name.startswith(".")
+        ) if warehouse.is_dir() else []
+    if not roots:
+        print(f"error: no warehouse tables under {warehouse}", file=sys.stderr)
+        return 1
+
+    report: dict[str, dict] = {}
+    if args.step == "vacuum":
+        for root in roots:  # metadata-only: no Spark session needed
+            removed = VersionedParquetTable(str(root)).vacuum(keep=args.keep_versions)
+            report[root.name] = {"removed_snapshots": removed}
+    else:
+        from pyspark.sql import SparkSession
+
+        from door2door_etl_spark.io.writers import compact_parquet_table
+        from door2door_etl_spark.session import build_session
+
+        # Reuse an embedding caller's session (and leave its lifecycle to
+        # them); standalone invocation builds and owns one.
+        active = SparkSession.getActiveSession()
+        spark = active or build_session(app_name="door2door-maintenance")
+        try:
+            for root in roots:
+                n = compact_parquet_table(
+                    spark, str(root), target_file_mb=args.target_file_mb
+                )
+                report[root.name] = {"files_after": n}
+        finally:
+            if active is None:
+                spark.stop()
+    print(json.dumps({"step": args.step, "tables": report}, default=str))
     return 0
 
 

@@ -309,6 +309,7 @@ def merge_versioned(
     partition_col: str | None = None,
     max_retries: int = 5,
     vacuum_keep: int = 2,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE-style upsert committed through the versioned-manifest protocol.
 
@@ -326,6 +327,15 @@ def merge_versioned(
       written — untouched partition directories are hard-linked from the
       previous snapshot, so an hourly batch into an hour-partitioned 100 TB
       table writes one partition's worth of data instead of all of it.
+
+    ``evolve_schema`` (Delta's mergeSchema analog): a batch may ADD columns
+    (old rows read null there) or OMIT target columns (the batch's rows get
+    null there — new row still wins whole).  The default rejects any column
+    drift loudly (unionByName error), the right posture for a declared-
+    schema warehouse.  An evolving merge with column drift always rewrites
+    the full snapshot — hard-linking old partition dirs would mix files of
+    different physical schemas inside one snapshot and silently drop the
+    new column from plain (mergeSchema-less) reads.
 
     Returns the number of (deduplicated) source rows merged.
     """
@@ -351,7 +361,15 @@ def merge_versioned(
         else:
             data_path = table.data_path()  # pinned snapshot for this attempt
             target = spark.read.parquet(data_path)
-            if partition_col and not _snapshot_has_root_files(data_path):
+            drifted = set(source.columns) != set(target.columns)
+            if drifted and not evolve_schema:
+                raise ValueError(
+                    f"merge into {root}: batch columns {sorted(source.columns)} "
+                    f"!= table columns {sorted(target.columns)}; pass "
+                    "evolve_schema=True to evolve the table"
+                )
+            union_kw = {"allowMissingColumns": True} if evolve_schema else {}
+            if partition_col and not drifted and not _snapshot_has_root_files(data_path):
                 # Partition-scoped path: write ONLY touched partitions, then
                 # link every untouched partition dir from the old snapshot.
                 # Membership must be null-safe (see round-3 notes): a bare
@@ -372,7 +390,7 @@ def merge_versioned(
                 merged_touched = (
                     target.filter(is_touched)
                     .join(source.select(key), on=key, how="left_anti")
-                    .unionByName(source)
+                    .unionByName(source, **union_kw)
                 )
                 merged_touched.write.mode("overwrite").partitionBy(
                     partition_col
@@ -387,7 +405,7 @@ def merge_versioned(
             else:
                 merged = target.join(
                     source.select(key), on=key, how="left_anti"
-                ).unionByName(source)
+                ).unionByName(source, **union_kw)
                 writer = merged.write.mode("overwrite")
                 if partition_col:
                     writer = writer.partitionBy(partition_col)

@@ -282,6 +282,73 @@ def token_entropy(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize raw text for downstream dedup/tokenization: strip ASCII
+    control characters (each becomes a space so token boundaries survive),
+    collapse whitespace runs to single spaces, trim, optionally lowercase.
+
+    Scraped corpora carry NUL/escape/CR artifacts that make byte-identical
+    content hash differently and split tokens; running this BEFORE exact
+    dedup and shingling is standard corpus hygiene.  Pure regexp_replace
+    chain — JVM-side, codegen'd, map-only, zero shuffle; both regexes use
+    only portable syntax (explicit \\x ranges, \\s) so the DuckDB oracle
+    reproduces the result byte-for-byte.  (Unicode NFC normalization needs
+    a UDF/ICU and is intentionally out of scope here.)
+    """
+    cleaned = F.regexp_replace(F.col(text_col), r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    if lowercase:
+        collapsed = F.lower(collapsed)
+    return df.withColumn(out_col, collapsed)
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log2-probability under a SELF-TRAINED corpus
+    unigram model — the in-engine stand-in for the KenLM perplexity filter
+    (CCNet-style): very negative = rare/unusual vocabulary, near zero =
+    common filler.  Training and scoring are one lazy plan over the same
+    corpus; no external model ships.
+
+    Identity: mean log2 p = (Σ_instances log2 c(tok))/T_doc − log2(C_total),
+    so the corpus total joins in as ONE broadcast scalar instead of a
+    per-token denominator.  The Σ term is quantized to DECIMAL(28,10)
+    before the exact sum (summation-order independent — bit-identical
+    across partitionings and engines, same discipline as token_entropy).
+
+    Scale: two token-keyed aggregations (map-side combine) + one join of
+    doc-token counts against the vocabulary (token-keyed shuffle, bounded
+    by vocabulary size, uniform by construction) — nothing collected.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    corpus_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corpus"))
+    total = corpus_counts.agg(
+        F.log2(F.sum("c_corpus").cast("double")).alias("_log2_total")
+    )
+    doc_counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    term = (
+        F.col("cnt").cast("double") * F.log2(F.col("c_corpus").cast("double"))
+    ).cast("decimal(28,10)")
+    agg = (
+        doc_counts.join(corpus_counts, "tok")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_tokens"), F.sum(term).cast("double").alias("_s"))
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("_s") / F.col("n_tokens").cast("double") - F.col("_log2_total"), 6
+        ).alias("unigram_log2p"),
+    )
+
+
 def cross_doc_duplicated_shingle_fraction(
     df: DataFrame,
     n: int = 8,

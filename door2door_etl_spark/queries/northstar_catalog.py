@@ -775,6 +775,61 @@ FROM counts GROUP BY doc_id
 """
 
 
+# -- normalization / unigram LM score (round-4 text wave) -------------------
+
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-hygiene normalization (control-char strip, whitespace
+    collapse, trim) with before/after sizes and the canonical digest —
+    see operators.text.normalize_text."""
+    docs = load_table(spark, sf, "documents")
+    norm = X.normalize_text(docs, "text", out_col="norm_text")
+    return norm.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length("norm_text").alias("n_chars_norm"),
+        F.sha2(F.col("norm_text"), 256).alias("norm_sha"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length(norm) AS n_chars_norm,
+       sha256(norm) AS norm_sha
+FROM (SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents)
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean log2-probability under the self-trained corpus unigram
+    model (KenLM-perplexity-filter stand-in) — see
+    operators.text.unigram_logprob."""
+    return X.unigram_logprob(load_table(spark, sf, "documents"))
+
+
+def _sql_unigram_logprob() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+corpus AS (SELECT tok, count(*) AS c_corpus FROM toks GROUP BY 1),
+total AS (SELECT log2(CAST(sum(c_corpus) AS DOUBLE)) AS log2_total FROM corpus),
+dc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    -- per-term DECIMAL quantization before the exact sum: summation-order
+    -- independent, mirrors the Spark side exactly
+    CAST(sum(CAST(CAST(cnt AS DOUBLE) * log2(CAST(c_corpus AS DOUBLE))
+                  AS DECIMAL(28,10))) AS DOUBLE) AS s
+  FROM dc JOIN corpus USING (tok) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(s / CAST(n_tokens AS DOUBLE) - log2_total, 6) AS unigram_log2p
+FROM agg CROSS JOIN total
+"""
+
+
 # -- token entropy / cross-doc duplication / PII (round-3 text wave) --------
 
 def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
@@ -1465,6 +1520,8 @@ FROM cum GROUP BY 1
 NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
     QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
+    QueryDef("ns_text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE, "north-star text/normalization", ("northstar", "text")),
+    QueryDef("ns_unigram_logprob", q_unigram_logprob, _sql_unigram_logprob(), "north-star text/quality-unigram-lm", ("northstar", "text")),
     QueryDef("ns_dup_ngram_fraction", q_dup_ngram_fraction, _sql_dup_ngram_fraction(), "north-star dedup/cross-doc-duplication", ("northstar", "dedup")),
     QueryDef("ns_pii_redaction", q_pii_redaction, _sql_pii_redaction(), "north-star text/pii-redaction", ("northstar", "text")),
     QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),

@@ -24,7 +24,6 @@ def test_contract_shape():
     assert set(oracles) <= set(qs)
     # Only the explicitly non-SQL-expressible ops may omit an oracle.
     assert set(qs) - set(oracles) == {
-        "ns_multimodal_features",
         # GEMM summation order may flip near-tie assignments vs the exact
         # oracle twin (ns_kmeans_ivf_centroids); rows-only by design.
         "ns_kmeans_ivf_centroids_blas",

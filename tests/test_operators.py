@@ -632,3 +632,31 @@ def test_predict_language_charngram(spark):
     assert out[0] == "en"
     assert out[1] == "de"
     assert out[2] == "und"  # empty text -> zero mass
+
+
+def test_normalize_text_strips_controls_and_collapses_whitespace(spark):
+    from door2door_etl_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="\tfoo\x00bar  baz\r\n"),
+         Row(doc_id=2, text="Already Clean")]
+    )
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df).collect()}
+    assert got == {1: "foo bar baz", 2: "Already Clean"}
+    low = normalize_text(df, lowercase=True).collect()
+    assert {r["norm_text"] for r in low} == {"foo bar baz", "already clean"}
+
+
+def test_unigram_logprob_known_answer(spark):
+    """corpus = {a:2, b:1, c:1}, total 4 (log2=2):
+    d1 = 'a a b' -> (2*log2 2 + log2 1)/3 - 2 = 2/3 - 2 = -1.333333
+    d2 = 'c'     -> log2(1)/1 - 2 = -2.0"""
+    from door2door_etl_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="c")]
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["unigram_log2p"])
+           for r in unigram_logprob(df).collect()}
+    assert got == {1: (3, -1.333333), 2: (1, -2.0)}

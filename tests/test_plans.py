@@ -366,8 +366,21 @@ def test_pii_redaction_is_map_only_scan(spark, sf001):
 
 def test_incremental_lsh_dedup_uses_semi_and_anti_joins(spark, sf001):
     """The ingest probe must short-circuit (LeftSemi on band keys) and admit
-    via LeftAnti — never materialize a candidate-pair set."""
-    df = QUERIES["ns_incremental_lsh_dedup"].fn(spark, sf001)
-    plan = plan_of(df)
+    via LeftAnti — never materialize a candidate-pair set.  The default
+    (persisted) form eagerly checkpoints the tiny colliding-id set, which
+    hides the semi join behind an ExistingRDD scan in the RETURNED plan —
+    so the join shape is asserted on the unpersisted form, and the catalog
+    default is checked for the anti-join admission + no cartesian."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.dedup import incremental_lsh_dedup
+
+    docs = load_table(spark, sf001, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = plan_of(incremental_lsh_dedup(batch, corpus, persist_bands=False))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+    catalog_plan = plan_of(QUERIES["ns_incremental_lsh_dedup"].fn(spark, sf001))
+    assert "LeftAnti" in catalog_plan
+    assert "CartesianProduct" not in catalog_plan

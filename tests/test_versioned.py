@@ -248,3 +248,86 @@ def test_compact_parquet_table_versioned_commit_and_backup_recovery(spark, tmp_p
     assert n_files == 1
     assert Path(root).is_symlink()  # committed through the protocol
     assert {r["k"] for r in spark.read.parquet(str(root)).collect()} == set(range(10))
+
+
+def test_merge_schema_drift_rejected_by_default(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    wider = spark.createDataFrame(
+        [(2, "b", "p1", "extra")], "k int, v string, part string, note string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        merge_versioned(spark, root, wider, key="k")
+
+
+def test_merge_schema_evolution_add_and_omit_columns(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_versioned(
+        spark, root, _mk(spark, [(1, "a", "p1")]), key="k", partition_col="part"
+    )
+    # Batch ADDS a column: old rows read null there; the evolving merge
+    # must rewrite the full snapshot (no mixed-schema hardlink carry-over),
+    # so a plain pointer read — no mergeSchema option — sees the column.
+    wider = spark.createDataFrame(
+        [(2, "b", "p2", "note-2")], "k int, v string, part string, note string"
+    )
+    merge_versioned(
+        spark, root, wider, key="k", partition_col="part", evolve_schema=True
+    )
+    got = {r["k"]: (r["v"], r["note"]) for r in spark.read.parquet(root).collect()}
+    assert got == {1: ("a", None), 2: ("b", "note-2")}
+
+    # Batch OMITS a column: its rows get null there, new row still wins.
+    narrower = spark.createDataFrame([(1, "A", "p1")], "k int, v string, part string")
+    merge_versioned(
+        spark, root, narrower, key="k", partition_col="part", evolve_schema=True
+    )
+    got = {r["k"]: (r["v"], r["note"]) for r in spark.read.parquet(root).collect()}
+    assert got == {1: ("A", None), 2: ("b", "note-2")}
+
+    # Once schemas agree again, the partition-scoped hardlink path resumes.
+    table = VersionedParquetTable(root)
+    v_before = table.current_version()
+    same_shape = spark.createDataFrame(
+        [(3, "c", "p3", None)], "k int, v string, part string, note string"
+    )
+    merge_versioned(
+        spark, root, same_shape, key="k", partition_col="part", evolve_schema=True
+    )
+    v1 = table.versions_dir / f"data-v{v_before:08d}"
+    v2 = table.versions_dir / f"data-v{v_before + 1:08d}"
+    ino = lambda d, p: sorted(
+        f.stat().st_ino for f in (d / f"part={p}").glob("*.parquet")
+    )
+    assert ino(v2, "p1") == ino(v1, "p1")  # untouched partition hardlinked
+
+
+def test_cli_compact_and_vacuum_maintenance(spark, tmp_path, capsys):
+    """`-s compact` rewrites each warehouse table's small files as one new
+    committed snapshot; `-s vacuum` drops old snapshots.  Both report one
+    JSON summary line per invocation."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    root = str(lake / "warehouse" / "tbl")
+    for i in range(3):  # 3 merges -> multiple small files + versions
+        merge_versioned(
+            spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k", vacuum_keep=99
+        )
+    table = VersionedParquetTable(root)
+    assert table.current_version() == 3
+
+    assert main(["-s", "vacuum", "--lake-root", str(lake), "--keep-versions", "1"]) == 0
+    vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["tables"]["tbl"]["removed_snapshots"] == [
+        "data-v00000001", "data-v00000002"
+    ]
+
+    assert main(["-s", "compact", "--lake-root", str(lake)]) == 0
+    comp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["tables"]["tbl"]["files_after"] == 1
+    assert {r["k"] for r in spark.read.parquet(root).collect()} == {0, 1, 2}
+    # The shared test session must survive the embedded compact run.
+    assert spark.range(1).count() == 1
