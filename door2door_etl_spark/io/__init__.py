@@ -4,7 +4,9 @@ from door2door_etl_spark.io.versioned import (
     VersionedParquetTable,
     compact_versioned,
     merge_versioned,
+    read_version,
     resolve_table_path,
+    table_changes,
 )
 from door2door_etl_spark.io.writers import (
     JdbcMergeSink,
@@ -31,4 +33,6 @@ __all__ = [
     "resolve_table_path",
     "merge_versioned",
     "compact_versioned",
+    "read_version",
+    "table_changes",
 ]

@@ -459,3 +459,84 @@ def compact_versioned(
     return len(
         [f for f in Path(table.data_path()).rglob("*.parquet") if f.is_file()]
     )
+
+
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read: the table exactly as committed at ``version``.
+
+    Snapshots are immutable, so this is just a scan of the retained version
+    directory — the same metadata-only trick Delta/Iceberg time travel
+    plays.  Raises ``ValueError`` if the snapshot was vacuumed (retention is
+    ``vacuum(keep=…)``'s business, exactly like Delta's retention window).
+    """
+    table = VersionedParquetTable(root)
+    snap = table.versions_dir / _version_name(version)
+    if not snap.is_dir():
+        have = sorted(
+            e.name for e in table.versions_dir.iterdir() if _parse_version(e.name)
+        ) if table.versions_dir.is_dir() else []
+        raise ValueError(
+            f"version {version} of {root} is not retained (have: {have}); "
+            "raise vacuum keep= to retain more history"
+        )
+    return spark.read.parquet(str(snap))
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed between two committed versions (CDC): one row per key
+    whose content changed, with ``_change_type`` ∈ {insert, update, delete}
+    and the NEW side's columns (null except ``key`` for deletes).
+
+    Physical shape: both snapshots project to (key, row-hash) map-side, so
+    the full-outer join shuffles two slim columns — never the payload; the
+    post-image columns come back via one semi-filtered join against only
+    the changed keys.  At 100 TB this is "diff two manifests", not "read
+    the table twice".  (The MERGE sink never deletes, but compaction,
+    schema evolution, and external writers are all diffable — a compacted
+    version correctly reports zero changes.)
+    """
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, root, from_version)
+    table = VersionedParquetTable(root)
+    if to_version is None:
+        cur = table.current_version()
+        if cur is None:
+            raise ValueError(f"{root} has no committed versions")
+        to_version = cur
+    new = read_version(spark, root, to_version)
+
+    common = [c for c in old.columns if c in set(new.columns)]
+    row_hash = lambda df: F.xxhash64(F.struct(*[F.col(c) for c in common]))  # noqa: E731
+    oldh = old.select(F.col(key).alias("_k"), row_hash(old).alias("_h_old"))
+    newh = new.select(F.col(key).alias("_k"), row_hash(new).alias("_h_new"))
+    diff = (
+        oldh.join(newh, "_k", "full_outer")
+        .select(
+            "_k",
+            F.when(F.col("_h_old").isNull(), F.lit("insert"))
+            .when(F.col("_h_new").isNull(), F.lit("delete"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("update"))
+            .alias("_change_type"),
+        )
+        .filter(F.col("_change_type").isNotNull())
+    )
+    post = new.join(diff, new[key] == diff._k, "inner").select(
+        "_change_type", *new.columns
+    )
+    deletes = (
+        diff.filter(F.col("_change_type") == "delete")
+        .select(F.col("_k").alias(key), "_change_type")
+    )
+    if deletes.columns != post.columns:  # align: null post-image for deletes
+        for c in new.columns:
+            if c != key:
+                deletes = deletes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        deletes = deletes.select("_change_type", *new.columns)
+    return post.unionByName(deletes)

@@ -331,3 +331,49 @@ def test_cli_compact_and_vacuum_maintenance(spark, tmp_path, capsys):
     assert {r["k"] for r in spark.read.parquet(root).collect()} == {0, 1, 2}
     # The shared test session must survive the embedded compact run.
     assert spark.range(1).count() == 1
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    from door2door_etl_spark.io.versioned import read_version
+
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k", vacuum_keep=99)
+    merge_versioned(spark, root, _mk(spark, [(1, "A", "p1")]), key="k", vacuum_keep=99)
+    assert {r["v"] for r in read_version(spark, root, 1).collect()} == {"a"}
+    assert {r["v"] for r in read_version(spark, root, 2).collect()} == {"A"}
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, root, 9)
+
+
+def test_table_changes_cdc_between_versions(spark, tmp_path):
+    """Change feed: v1->v2 reports the update and the insert with new-side
+    post-images; a compaction-only version reports zero changes; a delete
+    (simulated via an external overwrite commit) reports the key."""
+    from door2door_etl_spark.io.versioned import compact_versioned, table_changes
+
+    root = str(tmp_path / "tbl")
+    base = _mk(spark, [(1, "a", "p1"), (2, "b", "p1")])
+    merge_versioned(spark, root, base, key="k", vacuum_keep=99)
+    merge_versioned(
+        spark, root, _mk(spark, [(2, "B", "p1"), (3, "c", "p2")]), key="k",
+        vacuum_keep=99,
+    )
+    changes = {
+        r["k"]: (r["_change_type"], r["v"])
+        for r in table_changes(spark, root, key="k", from_version=1).collect()
+    }
+    assert changes == {2: ("update", "B"), 3: ("insert", "c")}
+
+    compact_versioned(spark, root, vacuum_keep=99)
+    assert table_changes(spark, root, "k", from_version=2, to_version=3).count() == 0
+
+    # Simulate a delete via an external rewrite committed as v4.
+    table = VersionedParquetTable(root)
+    staging = table._staging()
+    _mk(spark, [(1, "a", "p1"), (3, "c", "p2")]).write.mode("overwrite").parquet(
+        str(staging)
+    )
+    assert table.claim(staging, 4)
+    table.publish(4)
+    dels = table_changes(spark, root, "k", from_version=3, to_version=4).collect()
+    assert {(r["k"], r["_change_type"], r["v"]) for r in dels} == {(2, "delete", None)}
