@@ -384,3 +384,71 @@ def test_incremental_lsh_dedup_uses_semi_and_anti_joins(spark, sf001):
     catalog_plan = plan_of(QUERIES["ns_incremental_lsh_dedup"].fn(spark, sf001))
     assert "LeftAnti" in catalog_plan
     assert "CartesianProduct" not in catalog_plan
+
+
+def test_zorder_layout_bounds_stats_on_all_dimensions(spark, sf001, tmp_path):
+    """Z-ordered files must carry TIGHT min/max stats on EVERY clustered
+    column: with a single-key sort the secondary column spans ~the full
+    value range in every file (no pruning possible); along the Morton curve
+    each file covers a bounded sub-rectangle, so range scans on either
+    column can skip most files."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from door2door_etl_spark.io.writers import write_sorted_parquet, write_zorder_parquet
+
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def span_fractions(path, col):
+        """Per-file fraction of the global value range the file's stats
+        cover for `col`."""
+        files = sorted(Path(path).glob("*.parquet"))
+        spans, gmin, gmax = [], None, None
+        per_file = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(
+                    next(
+                        j for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    next(
+                        j for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            per_file.append((fmin, fmax))
+            gmin = fmin if gmin is None else min(gmin, fmin)
+            gmax = fmax if gmax is None else max(gmax, fmax)
+        rng = (gmax - gmin) or 1
+        return [(hi - lo) / rng for lo, hi in per_file]
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zorder_parquet(li, zpath, ["l_orderkey", "l_partkey"], bits=8,
+                         target_partitions=8)
+    write_sorted_parquet(li, spath, ["l_orderkey"], target_partitions=8)
+
+    # Single-key sort: order key clusters perfectly, part key doesn't.
+    sorted_part_spans = span_fractions(spath, "l_partkey")
+    assert min(sorted_part_spans) > 0.8  # every file ~full secondary range
+
+    # Z-order: BOTH dimensions bounded well below the full range on
+    # average — the multi-dimension pruning property.
+    z_order_spans = span_fractions(zpath, "l_orderkey")
+    z_part_spans = span_fractions(zpath, "l_partkey")
+    assert sum(z_order_spans) / len(z_order_spans) < 0.6
+    assert sum(z_part_spans) / len(z_part_spans) < 0.6
+    # Content preserved.
+    assert spark.read.parquet(zpath).count() == li.count()
