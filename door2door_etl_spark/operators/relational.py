@@ -78,6 +78,51 @@ def interval_join(
     return facts.join(right, cond)
 
 
+def bucketed_range_join(
+    facts: DataFrame,
+    periods: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    grain_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval join for TWO LARGE sides — the scale path
+    :func:`interval_join`'s docstring promises: equi-join on a coarse time
+    bucket, then the residual range predicate.
+
+    Each fact carries ONE bucket (``floor(unix(ts)/grain)``); each period
+    explodes to every bucket its ``[start, end]`` span overlaps.  The join
+    becomes a plain hash equi-join on the bucket — both sides shuffle on a
+    uniformly distributed key instead of one side broadcasting or the plan
+    degenerating to a nested-loop over every (fact, period) pair.  A
+    (fact, period) match meets in exactly the fact's own bucket, so no
+    dedup is needed.  Pick ``grain_seconds`` near the typical period
+    length: period rows replicate ~span/grain times (the explode cost),
+    while a coarser grain admits more false candidates into the residual
+    filter — the classic partitioned-interval-join trade.
+    """
+    grain = F.lit(grain_seconds).cast("long")
+    fb = facts.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / grain)
+    )
+    pb = periods.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / grain),
+                F.floor(F.unix_timestamp(F.col(end_col)) / grain),
+            )
+        ),
+    )
+    return (
+        fb.join(pb, "__bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def salted_equijoin(
     left: DataFrame,
     right: DataFrame,

@@ -317,6 +317,28 @@ GROUP BY 1
 """
 
 
+def q_interval_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Same interval-join semantics as etl_interval_join_periods, but the
+    TWO-LARGE-SIDES physical plan: time-bucket equi-join + residual range
+    filter (operators.relational.bucketed_range_join) — no broadcast, no
+    nested loop.  Shares the broadcast variant's oracle so the plan change
+    is pinned to identical semantics."""
+    from door2door_etl_spark.operators.relational import bucketed_range_join
+
+    ev = load_table(spark, sf, "events")
+    periods = ev.groupBy(F.col("event_type").alias("period_type")).agg(
+        F.min("ts").alias("period_start"),
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("period_end"),
+    )
+    joined = bucketed_range_join(
+        ev, periods, "ts", "period_start", "period_end", grain_seconds=86_400
+    )
+    return joined.groupBy("period_type").agg(
+        F.count(F.lit(1)).alias("n_in_period"),
+        F.countDistinct("user_id").alias("n_users_in_period"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-style group
 # ---------------------------------------------------------------------------
@@ -716,6 +738,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_props_extract_distribution", q_props_extract_distribution, SQL_PROPS_EXTRACT_DISTRIBUTION, "F1,F2", ("etl",)),
     QueryDef("etl_quarantine_unknown_types", q_quarantine_unknown_types, SQL_QUARANTINE_UNKNOWN_TYPES, "P3-quarantine", ("etl",)),
     QueryDef("etl_interval_join_periods", q_interval_join_periods, SQL_INTERVAL_JOIN_PERIODS, "§2.4-range", ("etl",)),
+    QueryDef("rel_interval_join_bucketed", q_interval_join_bucketed, SQL_INTERVAL_JOIN_PERIODS, "§2.4-range (two-large-sides bucketed plan)", ("rel",)),
     QueryDef("etl_catalog_probe", q_catalog_probe, SQL_CATALOG_PROBE, "S5,S6", ("etl",)),
     QueryDef("etl_ts_format_hours", q_ts_format_hours, SQL_TS_FORMAT_HOURS, "F7", ("etl",)),
     QueryDef("tpch_q1_pricing_summary", q_tpch_q1, SQL_TPCH_Q1, "§2.5-agg", ("tpch",)),

@@ -452,3 +452,42 @@ def test_zorder_layout_bounds_stats_on_all_dimensions(spark, sf001, tmp_path):
     assert sum(z_part_spans) / len(z_part_spans) < 0.6
     # Content preserved.
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark, sf001):
+    """The two-large-sides interval join must plan as a hash/merge
+    equi-join on the time bucket — never BroadcastNestedLoopJoin — and
+    return exactly the broadcast interval_join's rows."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.relational import (
+        bucketed_range_join,
+        interval_join,
+    )
+
+    ev = load_table(spark, sf001, "events").select("event_id", "ts", "event_type")
+    periods = ev.groupBy(F.col("event_type").alias("ptype")).agg(
+        F.min("ts").alias("pstart"),
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("pend"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = bucketed_range_join(
+            ev, periods, "ts", "pstart", "pend", grain_seconds=86_400
+        )
+        plan = plan_of(bucketed)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        want = sorted(
+            (r["event_id"], r["ptype"])
+            for r in interval_join(
+                ev, periods, "ts", "pstart", "pend", broadcast_periods=False
+            ).select("event_id", "ptype").collect()
+        )
+        got = sorted(
+            (r["event_id"], r["ptype"])
+            for r in bucketed.select("event_id", "ptype").collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
