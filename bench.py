@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ns_incremental_lsh_dedup",
     "ns_text_normalize",
     "ns_unigram_logprob",
+    "ns_minhash_lsh_pairs_fast",
 ]
 
 

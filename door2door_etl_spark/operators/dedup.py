@@ -95,27 +95,57 @@ def minhash_signature(
     return F.aggregate(sh, sentinel, step)
 
 
+def _shingle_uniform_pair(s: Column, hash_fn: str) -> tuple[Column, Column]:
+    """Two 52-bit uniform deviates per shingle for the Kirsch–Mitzenmacher
+    construction.
+
+    - ``sha256`` (default): portable — the identical expression runs in
+      DuckDB, so every oracle-checked catalog query uses it.
+    - ``xxhash64``: the PRODUCTION throughput path — JVM-native,
+      codegen'd, ~50× cheaper per shingle than sha256 and the hash Spark
+      itself uses for shuffles.  Not reproducible in DuckDB, so queries on
+      this path are rows-only checked; the parity property test
+      (tests/test_properties.py) pins that both families find the same
+      exact-duplicate collisions.
+    """
+    if hash_fn == "sha256":
+        h = F.sha2(s, 256)
+        return (
+            F.conv(F.substring(h, 1, 13), 16, 10).cast("long"),
+            F.conv(F.substring(h, 14, 13), 16, 10).cast("long"),
+        )
+    if hash_fn == "xxhash64":
+        space = F.lit(MINHASH_SPACE).cast("long")
+        return (
+            F.pmod(F.xxhash64(s), space).cast("long"),
+            F.pmod(F.xxhash64(s, F.lit(1)), space).cast("long"),
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'sha256' or 'xxhash64'")
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """(id, sig: array<bigint>) — the explode+groupBy MinHash formulation.
 
     Same values as :func:`minhash_signature`, different physical plan:
-    explode the shingles, derive (u1, u2) from one sha256 as ordinary
+    explode the shingles, derive (u1, u2) from one hash as ordinary
     codegen'd columns, and take 16 ``min()`` aggregates per document.
     Spark evaluates higher-order-function lambdas interpreted (no
     whole-stage codegen), so the per-row fold costs ~8× more CPU than this
     vectorized form at sf0.1; the shuffle stays one row per (doc,
     partition) thanks to partial aggregation, and huge documents spread
-    their shingle work across tasks instead of hot-spotting one row."""
+    their shingle work across tasks instead of hot-spotting one row.
+    ``hash_fn`` picks the deviate family (see
+    :func:`_shingle_uniform_pair`): sha256 for oracle parity, xxhash64 for
+    production throughput."""
     ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
-    h = F.sha2(F.col("s"), 256)
-    u1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
-    u2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("long")
+    u1, u2 = _shingle_uniform_pair(F.col("s"), hash_fn)
     per_family = [
         F.min((F.col("u1") + F.lit(i) * F.col("u2")) % F.lit(MINHASH_SPACE)).alias(f"h{i}")
         for i in range(num_hashes)
@@ -134,18 +164,32 @@ def minhash_band_table(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per band; band_key is the digest of
-    the band's signature slice."""
+    the band's signature slice (sha256 hex on the portable path, xxhash64
+    on the production path — 64 bits is ample for a band bucket key)."""
     rows = num_hashes // bands
-    with_sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    with_sig = minhash_signatures_df(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn
+    )
+
+    def band_key(b: int) -> Column:
+        slice_str = F.concat_ws(
+            "|",
+            F.transform(
+                F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")
+            ),
+        )
+        if hash_fn == "xxhash64":
+            return F.xxhash64(slice_str).cast("string")
+        return F.sha2(slice_str, 256)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.sha2(
-                    F.concat_ws("|", F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string"))), 256
-                ).alias("band_key"),
+                band_key(b).alias("band_key"),
             )
             for b in range(bands)
         ]
@@ -162,13 +206,16 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     The band self-join is an equi-join on (band_idx, band_key): small keys,
     hash-partitioned, AQE-coalesced.  Collision probability for a pair with
     Jaccard j is 1-(1-j^r)^b — the standard S-curve."""
-    bt = minhash_band_table(df, text_col, id_col, num_hashes, bands, shingle_n)
+    bt = minhash_band_table(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
+    )
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -947,10 +994,17 @@ class LshBandIndex:
     num_buckets: int = 16
     text_col: str = "text"
     id_col: str = "doc_id"
+    hash_fn: str = "sha256"
 
     def _band_table(self, docs: DataFrame) -> DataFrame:
         return minhash_band_table(
-            docs, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
+            docs,
+            self.text_col,
+            self.id_col,
+            self.num_hashes,
+            self.bands,
+            self.shingle_n,
+            self.hash_fn,
         )
 
     def build(self, corpus: DataFrame, path: str | None = None) -> None:

@@ -127,6 +127,27 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_pairs_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION-throughput twin of ns_minhash_lsh_pairs: identical
+    LSH banding but xxhash64 deviates (JVM-native, codegen'd) instead of
+    portable sha256.  DuckDB cannot reproduce xxhash64, so this is
+    rows-only by design; the parity property test
+    (tests/test_properties.py::test_minhash_fast_hash_family_parity) pins
+    that both families collide every exact duplicate and agree on the
+    candidate structure."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        D.minhash_lsh_candidate_pairs(
+            docs,
+            num_hashes=NUM_HASHES,
+            bands=BANDS,
+            shingle_n=SHINGLE_N,
+            hash_fn="xxhash64",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _sql_minhash_band_ctes(source: str, prefix: str = "") -> str:
     """The shingled → sigs → bands CTE chain over ``source`` (any
     relation/CTE name with (doc_id, text)), names prefixed so two chains
@@ -1530,6 +1551,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
     QueryDef("ns_lsh_band_buckets", q_lsh_band_buckets, _sql_lsh_band_buckets(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_minhash_lsh_pairs", q_minhash_lsh_pairs, _sql_minhash_lsh_pairs(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
+    QueryDef("ns_minhash_lsh_pairs_fast", q_minhash_lsh_pairs_fast, None, "north-star dedup/minhash-lsh (xxhash64 production path; rows-only by design)", ("northstar", "dedup")),
     QueryDef("ns_minhash_lsh_pairs_collapsed", q_minhash_lsh_pairs_collapsed, _sql_minhash_lsh_pairs_collapsed(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_ngram_jaccard_topk", q_ngram_jaccard_topk, _sql_ngram_jaccard_topk(), "north-star dedup/ngram-jaccard", ("northstar", "dedup")),
     QueryDef("ns_simhash", q_simhash, _sql_simhash(), "north-star dedup/simhash", ("northstar", "dedup")),

@@ -27,6 +27,10 @@ def test_contract_shape():
         # GEMM summation order may flip near-tie assignments vs the exact
         # oracle twin (ns_kmeans_ivf_centroids); rows-only by design.
         "ns_kmeans_ivf_centroids_blas",
+        # xxhash64 deviates are not reproducible in DuckDB; the sha256 twin
+        # (ns_minhash_lsh_pairs) is the oracle-checked path and the hash-
+        # family parity property test pins the fast path to it.
+        "ns_minhash_lsh_pairs_fast",
     }
     assert len(qs) == len(QUERIES)
 

@@ -533,3 +533,36 @@ def test_connected_clusters_nonconvergence_warns_and_strict_raises(spark):
         assert len({r["canonical_id"] for r in incomplete.collect()}) > 1
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_dedup_clusters(pairs, max_iterations=2, strict=True)
+
+
+def test_minhash_fast_hash_family_parity(spark):
+    """The xxhash64 production path and the portable sha256 path are
+    different hash families (signatures differ) but MUST agree on the
+    structure that matters: every exact duplicate collides in all bands
+    under both, and a corpus with no near-dups yields no pairs under
+    either."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.operators.dedup import minhash_lsh_candidate_pairs
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=3, text="completely different material with other words here"),
+        Row(doc_id=4, text="completely different material with other words here"),
+        Row(doc_id=5, text="a third unrelated document about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows)
+    slow = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidate_pairs(df, hash_fn="sha256").collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidate_pairs(df, hash_fn="xxhash64").collect()
+    }
+    assert {(1, 2), (3, 4)} <= slow
+    assert {(1, 2), (3, 4)} <= fast
+    # No family may pair across the three distinct contents.
+    cross = {(1, 3), (1, 4), (2, 3), (2, 4), (1, 5), (2, 5), (3, 5), (4, 5)}
+    assert not (slow & cross) and not (fast & cross)
