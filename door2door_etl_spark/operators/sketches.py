@@ -167,3 +167,57 @@ def quota_mix_sample(
         .filter(uniform_hash(F.col(key_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def kmv_sketch_table(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch as a STORABLE column: ``(group_cols…,
+    sketch: array<double>)`` holding the group's k smallest distinct
+    deviates, sorted ascending.
+
+    This is the mergeable form of :func:`kmv_distinct_by_group`: persist
+    sketches at a fine grain (e.g. per event_type × day) and any coarser
+    distinct-count rolls up from the sketches alone
+    (:func:`kmv_merge_estimate`) — no rescan of the base data.  KMV merge
+    is EXACT: every deviate among the union's k smallest is necessarily
+    among its own part's k smallest, so merged estimates equal what a
+    direct pass over the raw data would produce, deviate for deviate.
+    State per group is bounded at k doubles (WindowGroupLimit on every
+    partial), independent of group cardinality.
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        *group_cols, uniform_hash(F.col(col), "kmv").alias("u")
+    ).dropDuplicates([*group_cols, "u"])
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("u")).alias("sketch")
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame, rollup_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge fine-grained KMV sketches up to ``rollup_cols`` and estimate
+    distinct counts — identical semantics (and identical VALUES, see
+    :func:`kmv_sketch_table`) to running :func:`kmv_distinct_by_group`
+    directly on the base data at the coarser grain: exact below k,
+    ``(k-1)/u_(k)`` above.  The shuffle carries exploded sketch entries —
+    at most k doubles per input group — never base-data rows.
+    """
+    from pyspark.sql import Window
+
+    ex = sketches.select(
+        *rollup_cols, F.explode("sketch").alias("u")
+    ).dropDuplicates([*rollup_cols, "u"])
+    w = Window.partitionBy(*rollup_cols).orderBy("u")
+    topk = ex.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    n = F.count(F.lit(1))
+    return topk.groupBy(*rollup_cols).agg(
+        F.when(n >= k, F.round(F.lit(float(k - 1)) / F.max("u"), 4))
+        .otherwise(n.cast("double"))
+        .alias("est_distinct")
+    )

@@ -151,6 +151,23 @@ FROM ranked WHERE rn <= 64 GROUP BY event_type
 """
 
 
+def q_kmv_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) KMV sketches merged
+    up to event_type (operators.sketches.kmv_sketch_table /
+    kmv_merge_estimate).  KMV merge is exact, so this shares
+    SQL_KMV_DISTINCT_BY_TYPE verbatim with the direct-pass query — the
+    oracle pins that rolling up persisted daily sketches loses nothing vs
+    rescanning the raw events."""
+    from door2door_etl_spark.operators.sketches import (
+        kmv_merge_estimate,
+        kmv_sketch_table,
+    )
+
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = kmv_sketch_table(ev, ["event_type", "day"], "user_id", k=64)
+    return kmv_merge_estimate(daily, ["event_type"], k=64)
+
+
 def q_hash_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 10% Bernoulli document sample by key hash —
     reproducible across engines/reruns/partitionings, unlike df.sample
@@ -573,6 +590,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),
+    QueryDef("ns_kmv_sketch_rollup", q_kmv_sketch_rollup, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-mergeable-rollup", ("northstar", "sketch")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

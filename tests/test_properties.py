@@ -566,3 +566,35 @@ def test_minhash_fast_hash_family_parity(spark):
     # No family may pair across the three distinct contents.
     cross = {(1, 3), (1, 4), (2, 3), (2, 4), (1, 5), (2, 5), (3, 5), (4, 5)}
     assert not (slow & cross) and not (fast & cross)
+
+
+def test_kmv_sketch_merge_is_exact(spark):
+    """Rolling up fine-grained KMV sketches must equal the direct grouped
+    estimate on the raw data, value for value (KMV mergeability is exact:
+    the union's k smallest deviates all survive in their parts' sketches).
+    Exercised both below k (exact counts) and above k (estimates)."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.operators.sketches import (
+        kmv_distinct_by_group,
+        kmv_merge_estimate,
+        kmv_sketch_table,
+    )
+
+    rows = [
+        Row(g="big", part=i % 5, v=f"user{i}") for i in range(500)
+    ] + [Row(g="small", part=i % 3, v=f"u{i}") for i in range(7)]
+    df = spark.createDataFrame(rows)
+
+    direct = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct_by_group(df, "g", "v", k=16).collect()
+    }
+    merged = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_merge_estimate(
+            kmv_sketch_table(df, ["g", "part"], "v", k=16), ["g"], k=16
+        ).collect()
+    }
+    assert merged == direct
+    assert merged["small"] == 7.0  # below k: exact count
