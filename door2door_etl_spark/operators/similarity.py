@@ -131,3 +131,25 @@ def ivf_topk(
         )
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q_i = round(v_i / scale)`` ∈ [-127, 127].  Returns
+    ``(id, scale: double, qvec: array<int>)``.
+
+    The storage workhorse of large-scale ANN: 4× smaller vectors (8 bits/
+    dim vs float32) with ~0.4% max per-dim error, so 4× more of the index
+    fits in executor memory / page cache and shuffles move a quarter of
+    the bytes.  Dequantize as ``q_i * scale``; dot products on int8 with
+    one float multiply per PAIR (scale_a·scale_b) are the standard
+    recall-preserving trick.  Pure array expressions (transform/round) —
+    codegen'd, map-only, zero shuffle, and bit-reproducible in DuckDB for
+    the oracle."""
+    v = _as_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    qvec = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return df.select(F.col(id_col), scale.alias("scale"), qvec.alias("qvec"))

@@ -796,6 +796,42 @@ FROM counts GROUP BY doc_id
 """
 
 
+# -- embedding int8 quantization (round-4 similarity wave) ------------------
+
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary (scale + quantized
+    checksum + leading dims) — see operators.similarity.quantize_int8."""
+    emb = load_table(spark, sf, "embeddings")
+    q = S.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.element_at("qvec", 1).alias("q0"),
+        F.element_at("qvec", 2).alias("q1"),
+        F.element_at("qvec", 3).alias("q2"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale,
+         list_transform(v, x -> CAST(round(
+           x / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS INT)) AS qvec
+  FROM base)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(qvec) AS BIGINT) AS qsum,
+       qvec[1] AS q0, qvec[2] AS q1, qvec[3] AS q2
+FROM q
+"""
+
+
 # -- normalization / unigram LM score (round-4 text wave) -------------------
 
 def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1561,6 +1597,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_cluster_canonical", q_dedup_cluster_canonical, _sql_dedup_cluster_canonical(), "north-star dedup/connected-components", ("northstar", "dedup")),
     QueryDef("ns_dedup_cleaned_corpus", q_dedup_cleaned_corpus, _sql_dedup_cleaned_corpus(), "north-star dedup/end-to-end", ("northstar", "dedup")),
     QueryDef("ns_ann_bruteforce_topk", q_ann_bruteforce_topk, _sql_ann_bruteforce_topk(), "north-star similarity/brute", ("northstar", "similarity")),
+    QueryDef("ns_embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "north-star similarity/int8-quantization", ("northstar", "similarity")),
     QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),

@@ -660,3 +660,19 @@ def test_unigram_logprob_known_answer(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["unigram_log2p"])
            for r in unigram_logprob(df).collect()}
     assert got == {1: (3, -1.333333), 2: (1, -2.0)}
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from door2door_etl_spark.operators.similarity import quantize_int8
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector: scale=1
+    ]
+    out = {r["vec_id"]: r for r in quantize_int8(spark.createDataFrame(rows)).collect()}
+    assert out[1]["qvec"] == [127, -64, 32, 0]  # max dim pins to ±127
+    assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 1.0
+    # Dequantization error is bounded by scale/2 per dim.
+    scale = out[1]["scale"]
+    for orig, q in zip(rows[0].embedding, out[1]["qvec"]):
+        assert abs(orig - q * scale) <= scale / 2 + 1e-12
