@@ -106,6 +106,68 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an encoded image.  STUB — no imaging library in this
+    environment; wire Pillow/libvips here in production."""
+    raise NotImplementedError(
+        "image resize requires an imaging library (Pillow/libvips); "
+        "not available in this container"
+    )
+
+
+def fake_resize_bytes(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode used by tests:
+    evenly stride-samples the payload down to ``width*height`` bytes
+    (shorter payloads pass through).  Exercises the exact batch shape and
+    meta-recompute path a real resizer produces."""
+    target = width * height
+    n = len(payload)
+    if n <= target or target == 0:
+        return payload
+    step = n / target
+    return bytes(payload[int(i * step)] for i in range(target))
+
+
+def resize_assets(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer=fake_resize_bytes,
+) -> DataFrame:
+    """mapInPandas resize over the multimodal column pair: ``content`` is
+    transformed per payload inside an Arrow batch and ``meta`` is
+    recomputed (n_bytes and content_sha change with the payload; modality
+    and mime survive).  Swap :func:`fake_resize_bytes` for a real codec
+    (:func:`resize_image`) without touching the plumbing — same contract
+    as :func:`extract_features`.
+
+    Scale: embarrassingly parallel, no shuffle; output payloads are
+    bounded by ``width*height`` so downstream batch memory is predictable
+    regardless of source asset sizes.
+    """
+    import hashlib
+
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resizer(bytes(p), width, height) for p in pdf["content"]]
+            out = pdf.copy()
+            out["content"] = resized
+            out["meta"] = [
+                {
+                    "modality": m["modality"],
+                    "mime": m["mime"],
+                    "n_bytes": len(p),
+                    "content_sha": hashlib.sha256(p).hexdigest(),
+                }
+                for m, p in zip(pdf["meta"], resized)
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def sample_frames(
     df: DataFrame, every_nth: int = 10, frame_col: str = "frame_idx"
 ) -> DataFrame:

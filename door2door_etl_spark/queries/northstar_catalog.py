@@ -832,6 +832,76 @@ FROM q
 """
 
 
+# -- multimodal resize (round-4) --------------------------------------------
+
+RESIZE_W, RESIZE_H = 16, 8
+
+
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas resize plumbing under a full value-hash
+    oracle: the deterministic fake resizer stride-samples payload bytes
+    down to W*H, which DuckDB reconstructs from hex pairs.  The compared
+    fingerprint is (n_bytes, byte_sum, position-weighted byte_sum) —
+    DuckDB's sha256 is VARCHAR-only and the sampled bytes need not be
+    valid UTF-8, so the checksum arithmetic runs on the hex on BOTH
+    sides."""
+    docs = load_table(spark, sf, "documents")
+    assets = attach_binary_content(docs, "text", "image", "image/fake")
+    from door2door_etl_spark.operators.multimodal import resize_assets
+
+    resized = resize_assets(
+        assets.select("doc_id", "content", "meta"), RESIZE_W, RESIZE_H
+    )
+    h = F.hex(F.col("content"))
+    n = F.octet_length("content")
+    byte_at = lambda i: F.conv(  # noqa: E731
+        F.substring(h, i * F.lit(2) + F.lit(1), F.lit(2)), 16, 10
+    ).cast("long")
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — guard empties.
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return resized.select(
+        "doc_id",
+        n.cast("long").alias("n_bytes"),
+        F.aggregate(
+            idx, F.lit(0).cast("long"), lambda a, i: a + byte_at(i)
+        ).alias("byte_sum"),
+        F.aggregate(
+            idx, F.lit(0).cast("long"), lambda a, i: a + byte_at(i) * (i + 1)
+        ).alias("weighted_sum"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n FROM documents),
+small_bytes AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(h, CAST(2*i AS INT) + 1, 2)) AS BIGINT) AS v
+  FROM (SELECT doc_id, h, unnest(range(0, n)) AS i FROM b
+        WHERE n <= {RESIZE_W * RESIZE_H})),
+big_bytes AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(h,
+           CAST(2 * floor(i * (n / {float(RESIZE_W * RESIZE_H)!r})) AS INT) + 1,
+           2)) AS BIGINT) AS v
+  FROM (SELECT doc_id, h, n, unnest(range(0, {RESIZE_W * RESIZE_H})) AS i
+        FROM b WHERE n > {RESIZE_W * RESIZE_H})),
+allbytes AS (
+  SELECT * FROM small_bytes UNION ALL SELECT * FROM big_bytes),
+agg AS (
+  SELECT doc_id, count(*) AS n_bytes, sum(v) AS byte_sum,
+         sum(v * (i + 1)) AS weighted_sum
+  FROM allbytes GROUP BY doc_id)
+SELECT d.doc_id, coalesce(CAST(n_bytes AS BIGINT), 0) AS n_bytes,
+       coalesce(CAST(byte_sum AS BIGINT), 0) AS byte_sum,
+       coalesce(CAST(weighted_sum AS BIGINT), 0) AS weighted_sum
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # -- normalization / unigram LM score (round-4 text wave) -------------------
 
 def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1615,4 +1685,5 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_corpus_prep_pipeline", q_corpus_prep_pipeline, _sql_corpus_prep_pipeline(), "north-star end-to-end corpus prep", ("northstar", "pipeline")),
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES, "north-star multimodal/decode", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE, "north-star multimodal/resize", ("northstar", "multimodal")),
 ]

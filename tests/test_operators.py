@@ -676,3 +676,28 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     scale = out[1]["scale"]
     for orig, q in zip(rows[0].embedding, out[1]["qvec"]):
         assert abs(orig - q * scale) <= scale / 2 + 1e-12
+
+
+def test_resize_assets_bounds_payload_and_recomputes_meta(spark, docs):
+    import hashlib
+
+    from door2door_etl_spark.operators.multimodal import (
+        fake_resize_bytes,
+        resize_assets,
+    )
+
+    assets = attach_binary_content(docs, "text", "image", "image/fake")
+    out = {r["doc_id"]: r for r in resize_assets(assets, 4, 2).collect()}
+    for doc_id, row in out.items():
+        payload = bytes(row["content"])
+        assert len(payload) <= 8  # bounded by width*height
+        assert row["meta"]["n_bytes"] == len(payload)
+        assert row["meta"]["content_sha"] == hashlib.sha256(payload).hexdigest()
+        assert row["meta"]["modality"] == "image"  # modality/mime survive
+    # Short payloads pass through untouched ("tiny" = 4 bytes <= 8).
+    assert bytes(out[5]["content"]) == b"tiny"
+    # Deterministic: the Python fake and the Spark path agree.
+    src = dict(docs.select("doc_id", "text").collect())
+    assert bytes(out[1]["content"]) == fake_resize_bytes(
+        src[1].encode("utf-8"), 4, 2
+    )
