@@ -153,3 +153,121 @@ def quantize_int8(
     scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
     qvec = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     return df.select(F.col(id_col), scale.alias("scale"), qvec.alias("qvec"))
+
+
+# -- product quantization (PQ) ----------------------------------------------
+
+def pq_codebooks_from_min_ids(
+    df: DataFrame, m: int, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: per subspace ``j``, the ``k`` centroids
+    are the subvectors of the ``k`` lowest-id vectors (the same init rule
+    the k-means trainer uses for its c0).  Driver-side cost is ``k`` rows.
+    Production training swaps in one k-means per subspace
+    (operators.clustering.kmeans_fit_predict on the sliced columns) — the
+    encode/search API below takes ANY codebook list."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    sub = len(vecs[0]) // m
+    return [[vecs[c][j * sub : (j + 1) * sub] for c in range(k)] for j in range(m)]
+
+
+def _pq_dist_expr(v: Column, j: int, sub: int, centroid: list[float]) -> Column:
+    """Squared L2 distance of subspace ``j`` of ``v`` to ``centroid``, each
+    term quantized to DECIMAL before the exact sum — summation-order
+    independent and bit-identical across engines (the token_entropy
+    discipline), so argmin ties and emitted distances cannot drift."""
+    terms = [
+        F.pow(F.element_at(v, j * sub + d + 1) - F.lit(centroid[d]), 2).cast(
+            "decimal(28,12)"
+        )
+        for d in range(sub)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("decimal(38,12)")
+
+
+def _pq_query_dist_expr(
+    query_vec: list[float], j: int, sub: int, centroid: list[float]
+) -> Column:
+    """Same distance, query side: both operands are literals, so Catalyst
+    constant-folds it with Spark's own double→decimal cast semantics —
+    never Python float arithmetic, which could round differently."""
+    terms = [
+        F.pow(
+            F.lit(float(query_vec[j * sub + d])) - F.lit(centroid[d]), 2
+        ).cast("decimal(28,12)")
+        for d in range(sub)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("decimal(38,12)")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encode: per subspace, the 1-based index of the
+    nearest codebook centroid — ``(id, code0..code{m-1}: int)``.
+
+    The memory math that makes PQ the at-scale ANN representation: a
+    64-dim float32 vector (256 B) becomes m log2(k)-bit codes (here 4
+    codes = 4 B at k≤256) — 64× smaller, so a billion-vector index fits
+    where 16M raw vectors did.  Encode is map-only codegen'd expressions
+    (codebooks enter as broadcast literals, the kmeans-trainer
+    assignment trick); no shuffle, no UDF."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    cols = [F.col(id_col)]
+    for j in range(m):
+        dists = F.array(
+            *[_pq_dist_expr(v, j, sub, codebooks[j][c]) for c in range(k)]
+        )
+        cols.append(
+            F.array_position(dists, F.array_min(dists)).cast("int").alias(f"code{j}")
+        )
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k_results: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id=None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's distance
+    to every (subspace, centroid) pair is an m×k literal table, so scoring
+    a vector is m ``element_at`` lookups + adds over its codes — never a
+    touch of the original floats.  At scale the scan reads only the code
+    columns (4 B/vector); the exact re-rank of the shortlist against raw
+    vectors is the standard second stage and composes with
+    :func:`brute_force_topk`."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    enc = pq_encode(df, codebooks, vec_col, id_col)
+    total = None
+    for j in range(m):
+        tbl = F.array(
+            *[
+                _pq_query_dist_expr(query_vec, j, sub, codebooks[j][c])
+                for c in range(k)
+            ]
+        )
+        dj = F.element_at(tbl, F.col(f"code{j}"))
+        total = dj if total is None else total + dj
+    out = enc.select(
+        F.col(id_col), F.round(total.cast("double"), 6).alias("approx_dist")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy("approx_dist", id_col).limit(k_results)

@@ -796,6 +796,109 @@ FROM counts GROUP BY doc_id
 """
 
 
+# -- product quantization (round-4 similarity wave) -------------------------
+
+PQ_M = 4      # subspaces
+PQ_K = 4      # centroids per subspace
+PQ_DIM = 64   # embedding dim (sub-dim = 16)
+PQ_QID = 0    # ADC query vector id
+PQ_TOPK = 10
+
+
+def _pq_codebooks(spark: SparkSession, sf: str):
+    emb = load_table(spark, sf, "embeddings")
+    return emb, S.pq_codebooks_from_min_ids(emb, PQ_M, PQ_K)
+
+
+def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ encode of the whole embedding table against deterministic
+    min-id codebooks — see operators.similarity.pq_encode."""
+    emb, cbs = _pq_codebooks(spark, sf)
+    return S.pq_encode(emb, cbs)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC top-k by PQ approximate distance from vec PQ_QID's vector —
+    see operators.similarity.pq_adc_topk."""
+    emb, cbs = _pq_codebooks(spark, sf)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == PQ_QID).select("embedding").first()[0]
+    ]
+    return S.pq_adc_topk(emb, cbs, qvec, PQ_TOPK, exclude_id=PQ_QID)
+
+
+_PQ_SUB = PQ_DIM // PQ_M
+
+
+def _pq_sql_base() -> str:
+    """e (double vectors) + cb (the PQ_K lowest-id vectors as codebook
+    rows, cid 1-based) — the same init rule as pq_codebooks_from_min_ids."""
+    return f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K}))"""
+
+
+def _pq_sql_subdist(j: int, left: str) -> str:
+    """DECIMAL-quantized squared L2 of subspace j between {left}.v and
+    cb.v — mirrors _pq_dist_expr term for term."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {_PQ_SUB}), d -> "
+        f"CAST(({left}.v[{j * _PQ_SUB}+d] - c.v[{j * _PQ_SUB}+d]) ^ 2 "
+        f"AS DECIMAL(28,12))))"
+    )
+
+
+def _pq_sql_codes_ctes() -> str:
+    parts = [_pq_sql_base()]
+    for j in range(PQ_M):
+        parts.append(f"""
+d{j} AS (
+  SELECT e.vec_id, c.cid, {_pq_sql_subdist(j, 'e')} AS dist
+  FROM e CROSS JOIN cb c),
+cj{j} AS (
+  SELECT vec_id, CAST(cid AS INT) AS code{j} FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d{j}) WHERE rk = 1)""")
+    return ",".join(parts)
+
+
+def _sql_pq_codes() -> str:
+    joins = " ".join(f"JOIN cj{j} USING (vec_id)" for j in range(PQ_M))
+    cols = ", ".join(f"code{j}" for j in range(PQ_M))
+    return f"""
+WITH {_pq_sql_codes_ctes()}
+SELECT vec_id, {cols} FROM e {joins}
+"""
+
+
+def _sql_ann_pq_topk() -> str:
+    adc = []
+    for j in range(PQ_M):
+        adc.append(f"""
+adc{j} AS (
+  SELECT c.cid, {_pq_sql_subdist(j, 'q')} AS dist
+  FROM q CROSS JOIN cb c)""")
+    joins = " ".join(
+        f"JOIN cj{j} USING (vec_id) JOIN adc{j} ON adc{j}.cid = cj{j}.code{j}"
+        for j in range(PQ_M)
+    )
+    total = " + ".join(f"adc{j}.dist" for j in range(PQ_M))
+    return f"""
+WITH {_pq_sql_codes_ctes()},
+q AS (SELECT v FROM e WHERE vec_id = {PQ_QID}),{",".join(adc)}
+SELECT e.vec_id, round(CAST(({total}) AS DOUBLE), 6) AS approx_dist
+FROM e {joins}
+WHERE e.vec_id != {PQ_QID}
+ORDER BY approx_dist, e.vec_id
+LIMIT {PQ_TOPK}
+"""
+
+
 # -- embedding int8 quantization (round-4 similarity wave) ------------------
 
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1668,6 +1771,8 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_cleaned_corpus", q_dedup_cleaned_corpus, _sql_dedup_cleaned_corpus(), "north-star dedup/end-to-end", ("northstar", "dedup")),
     QueryDef("ns_ann_bruteforce_topk", q_ann_bruteforce_topk, _sql_ann_bruteforce_topk(), "north-star similarity/brute", ("northstar", "similarity")),
     QueryDef("ns_embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "north-star similarity/int8-quantization", ("northstar", "similarity")),
+    QueryDef("ns_pq_codes", q_pq_codes, _sql_pq_codes(), "north-star similarity/product-quantization encode", ("northstar", "similarity")),
+    QueryDef("ns_ann_pq_topk", q_ann_pq_topk, _sql_ann_pq_topk(), "north-star similarity/pq-adc-search", ("northstar", "similarity")),
     QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),

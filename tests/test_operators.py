@@ -701,3 +701,32 @@ def test_resize_assets_bounds_payload_and_recomputes_meta(spark, docs):
     assert bytes(out[1]["content"]) == fake_resize_bytes(
         src[1].encode("utf-8"), 4, 2
     )
+
+
+def test_pq_encode_and_adc_ranks_planted_neighbor_first(spark):
+    from door2door_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_min_ids,
+        pq_encode,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=1, embedding=[x + 0.01 for x in base]),   # planted neighbor
+        Row(vec_id=2, embedding=[-x for x in base]),
+        Row(vec_id=3, embedding=[rng.uniform(-1, 1) for _ in range(8)]),
+        Row(vec_id=4, embedding=base),                        # exact duplicate
+    ]
+    df = spark.createDataFrame(rows)
+    cbs = pq_codebooks_from_min_ids(df, m=2, k=2)
+    codes = {r["vec_id"]: (r["code0"], r["code1"]) for r in pq_encode(df, cbs).collect()}
+    assert codes[0] == codes[4]  # identical vectors encode identically
+    assert all(1 <= c <= 2 for pair in codes.values() for c in pair)
+
+    top = pq_adc_topk(df, cbs, base, k_results=2, exclude_id=0).collect()
+    # The exact duplicate shares the query's cell -> approx distance 0 first.
+    assert top[0]["vec_id"] == 4 and top[0]["approx_dist"] == 0.0
