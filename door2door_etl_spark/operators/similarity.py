@@ -172,39 +172,49 @@ def pq_codebooks_from_min_ids(
     return [[vecs[c][j * sub : (j + 1) * sub] for c in range(k)] for j in range(m)]
 
 
+PQ_DIST_SCALE = 10_000_000_000.0  # 1e10: floor-quantization grid for distances
+
+
 def _pq_dist_expr(v: Column, j: int, sub: int, centroid: list[float]) -> Column:
-    """Squared L2 distance of subspace ``j`` of ``v`` to ``centroid``, each
-    term quantized to DECIMAL before the exact sum — summation-order
-    independent and bit-identical across engines (the token_entropy
-    discipline), so argmin ties and emitted distances cannot drift."""
+    """Squared L2 distance of subspace ``j`` of ``v`` to ``centroid``,
+    floor-quantized per term to a BIGINT grid (×1e10) before the exact
+    integer sum.  ``floor`` acts on the strict IEEE double in every
+    engine, so the quantized terms — and therefore argmin ties and
+    emitted distances — are bit-identical across Spark and DuckDB.  (A
+    DECIMAL cast is NOT: Spark casts double→decimal through the shortest
+    decimal representation while DuckDB rounds the exact binary value,
+    and the 1-ulp term differences flip 6th-decimal rounding of totals —
+    the kmeans-trainer oracle uses this same floor-BIGINT discipline.)"""
     terms = [
-        F.pow(F.element_at(v, j * sub + d + 1) - F.lit(centroid[d]), 2).cast(
-            "decimal(28,12)"
-        )
+        F.floor(
+            F.pow(F.element_at(v, j * sub + d + 1) - F.lit(centroid[d]), 2)
+            * F.lit(PQ_DIST_SCALE)
+        ).cast("long")
         for d in range(sub)
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return total.cast("decimal(38,12)")
+    return total
 
 
 def _pq_query_dist_expr(
     query_vec: list[float], j: int, sub: int, centroid: list[float]
 ) -> Column:
-    """Same distance, query side: both operands are literals, so Catalyst
-    constant-folds it with Spark's own double→decimal cast semantics —
-    never Python float arithmetic, which could round differently."""
+    """Same quantized distance, query side: both operands are literals, so
+    Catalyst constant-folds it with Spark's own double semantics — never
+    Python float arithmetic, which could associate differently."""
     terms = [
-        F.pow(
-            F.lit(float(query_vec[j * sub + d])) - F.lit(centroid[d]), 2
-        ).cast("decimal(28,12)")
+        F.floor(
+            F.pow(F.lit(float(query_vec[j * sub + d])) - F.lit(centroid[d]), 2)
+            * F.lit(PQ_DIST_SCALE)
+        ).cast("long")
         for d in range(sub)
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return total.cast("decimal(38,12)")
+    return total
 
 
 def pq_encode(
@@ -265,9 +275,51 @@ def pq_adc_topk(
         )
         dj = F.element_at(tbl, F.col(f"code{j}"))
         total = dj if total is None else total + dj
+    # No rounding anywhere: the quantized total is an exact BIGINT
+    # (≲2^42, exactly representable in a double), and dividing it by the
+    # scale is one deterministic IEEE op — identical in every engine.
     out = enc.select(
-        F.col(id_col), F.round(total.cast("double"), 6).alias("approx_dist")
+        F.col(id_col),
+        (total.cast("double") / F.lit(PQ_DIST_SCALE)).alias("approx_dist"),
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != F.lit(exclude_id))
     return out.orderBy("approx_dist", id_col).limit(k_results)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """The full two-stage ANN composition production indexes run (FAISS
+    IVF-PQ shape): coarse IVF pruning to the ``nprobe`` best cells, then
+    PQ asymmetric-distance scoring WITHIN those cells only.
+
+    At scale the stages multiply: IVF reads 1/cells of the index
+    (cell-partitioned storage gives file-level pruning), PQ reads 4 bytes
+    per surviving vector instead of 256 — together the scan cost per query
+    drops ~4 orders of magnitude vs brute force, which is why this is the
+    default layout for billion-vector serving.  Recall < 1 by construction
+    (both stages trade it); the exact re-rank of the shortlist against raw
+    vectors composes with :func:`brute_force_topk`.
+    """
+    cells = cell_scores(df, query_id, vec_col, id_col, cell_col)
+    probe = (
+        cells.orderBy(F.desc("cell_score"), F.col(cell_col))
+        .limit(nprobe)
+        .select(cell_col)
+    )
+    members = df.join(F.broadcast(probe), cell_col)
+    qvec = [
+        float(x)
+        for x in df.filter(F.col(id_col) == F.lit(query_id)).select(vec_col).first()[0]
+    ]
+    return pq_adc_topk(
+        members, codebooks, qvec, k, vec_col, id_col, exclude_id=query_id
+    )

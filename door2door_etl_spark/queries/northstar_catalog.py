@@ -843,12 +843,14 @@ cb AS (
 
 
 def _pq_sql_subdist(j: int, left: str) -> str:
-    """DECIMAL-quantized squared L2 of subspace j between {left}.v and
-    cb.v — mirrors _pq_dist_expr term for term."""
+    """Floor-BIGINT-quantized squared L2 of subspace j between {left}.v
+    and cb.v — mirrors _pq_dist_expr term for term (floor acts on the
+    strict IEEE double in both engines; a DECIMAL cast does not — see the
+    operator docstring)."""
     return (
-        f"list_sum(list_transform(generate_series(1, {_PQ_SUB}), d -> "
-        f"CAST(({left}.v[{j * _PQ_SUB}+d] - c.v[{j * _PQ_SUB}+d]) ^ 2 "
-        f"AS DECIMAL(28,12))))"
+        f"CAST(list_sum(list_transform(generate_series(1, {_PQ_SUB}), d -> "
+        f"CAST(floor((({left}.v[{j * _PQ_SUB}+d] - c.v[{j * _PQ_SUB}+d]) ^ 2) "
+        f"* 10000000000.0) AS BIGINT))) AS BIGINT)"
     )
 
 
@@ -891,9 +893,46 @@ adc{j} AS (
     return f"""
 WITH {_pq_sql_codes_ctes()},
 q AS (SELECT v FROM e WHERE vec_id = {PQ_QID}),{",".join(adc)}
-SELECT e.vec_id, round(CAST(({total}) AS DOUBLE), 6) AS approx_dist
+SELECT e.vec_id, CAST(({total}) AS DOUBLE) / 10000000000.0 AS approx_dist
 FROM e {joins}
 WHERE e.vec_id != {PQ_QID}
+ORDER BY approx_dist, e.vec_id
+LIMIT {PQ_TOPK}
+"""
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage IVF-PQ ANN (coarse cell pruning → ADC within probed
+    cells) — see operators.similarity.ivf_pq_topk."""
+    emb, cbs = _pq_codebooks(spark, sf)
+    return S.ivf_pq_topk(emb, cbs, PQ_QID, PQ_TOPK, nprobe=2)
+
+
+def _sql_ann_ivfpq_topk() -> str:
+    dot = sql_dot("e2.embedding", "q0.qvec")
+    adc = []
+    for j in range(PQ_M):
+        adc.append(f"""
+adc{j} AS (
+  SELECT c.cid, {_pq_sql_subdist(j, 'q')} AS dist
+  FROM q CROSS JOIN cb c)""")
+    joins = " ".join(
+        f"JOIN cj{j} USING (vec_id) JOIN adc{j} ON adc{j}.cid = cj{j}.code{j}"
+        for j in range(PQ_M)
+    )
+    total = " + ".join(f"adc{j}.dist" for j in range(PQ_M))
+    return f"""
+WITH {_pq_sql_codes_ctes()},
+q AS (SELECT v FROM e WHERE vec_id = {PQ_QID}),
+q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {PQ_QID}),
+scores AS (
+  SELECT e2.label, round(avg({dot}), 6) AS cell_score
+  FROM embeddings e2, q0 GROUP BY e2.label),
+probe AS (SELECT label FROM scores ORDER BY cell_score DESC, label LIMIT 2),{",".join(adc)}
+SELECT e.vec_id, CAST(({total}) AS DOUBLE) / 10000000000.0 AS approx_dist
+FROM e {joins}
+JOIN embeddings emb ON emb.vec_id = e.vec_id
+WHERE emb.label IN (SELECT label FROM probe) AND e.vec_id != {PQ_QID}
 ORDER BY approx_dist, e.vec_id
 LIMIT {PQ_TOPK}
 """
@@ -1773,6 +1812,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "north-star similarity/int8-quantization", ("northstar", "similarity")),
     QueryDef("ns_pq_codes", q_pq_codes, _sql_pq_codes(), "north-star similarity/product-quantization encode", ("northstar", "similarity")),
     QueryDef("ns_ann_pq_topk", q_ann_pq_topk, _sql_ann_pq_topk(), "north-star similarity/pq-adc-search", ("northstar", "similarity")),
+    QueryDef("ns_ann_ivfpq_topk", q_ann_ivfpq_topk, _sql_ann_ivfpq_topk(), "north-star similarity/ivf-pq two-stage", ("northstar", "similarity")),
     QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
