@@ -323,3 +323,39 @@ def ivf_pq_topk(
     return pq_adc_topk(
         members, codebooks, qvec, k, vec_col, id_col, exclude_id=query_id
     )
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ shortlist → exact re-rank: score everything by cheap ADC
+    distance, keep a ``shortlist`` of candidates, then compute TRUE cosine
+    only for those — the standard two-phase retrieval that recovers
+    almost all of brute-force recall while touching raw vectors for a
+    few dozen rows per query instead of the whole index."""
+    qrow = df.filter(F.col(id_col) == F.lit(query_id)).select(vec_col).first()
+    qvec = [float(x) for x in qrow[0]]
+    short = pq_adc_topk(
+        df, codebooks, qvec, shortlist, vec_col, id_col, exclude_id=query_id
+    ).select(id_col)
+    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    return (
+        df.join(F.broadcast(short), id_col)
+        .join(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -938,6 +938,46 @@ LIMIT {PQ_TOPK}
 """
 
 
+PQ_SHORTLIST = 50
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ADC shortlist → exact cosine re-rank (the standard two-phase
+    retrieval) — see operators.similarity.pq_rerank_topk."""
+    emb, cbs = _pq_codebooks(spark, sf)
+    return S.pq_rerank_topk(emb, cbs, PQ_QID, PQ_TOPK, shortlist=PQ_SHORTLIST)
+
+
+def _sql_ann_pq_rerank() -> str:
+    cos = sql_cosine("emb.embedding", "q0.qvec")
+    adc = []
+    for j in range(PQ_M):
+        adc.append(f"""
+adc{j} AS (
+  SELECT c.cid, {_pq_sql_subdist(j, 'q')} AS dist
+  FROM q CROSS JOIN cb c)""")
+    joins = " ".join(
+        f"JOIN cj{j} USING (vec_id) JOIN adc{j} ON adc{j}.cid = cj{j}.code{j}"
+        for j in range(PQ_M)
+    )
+    total = " + ".join(f"adc{j}.dist" for j in range(PQ_M))
+    return f"""
+WITH {_pq_sql_codes_ctes()},
+q AS (SELECT v FROM e WHERE vec_id = {PQ_QID}),
+q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {PQ_QID}),{",".join(adc)},
+short AS (
+  SELECT e.vec_id
+  FROM e {joins}
+  WHERE e.vec_id != {PQ_QID}
+  ORDER BY ({total}), e.vec_id
+  LIMIT {PQ_SHORTLIST})
+SELECT emb.vec_id, round({cos}, 6) AS cosine
+FROM embeddings emb JOIN short USING (vec_id), q0
+ORDER BY cosine DESC, emb.vec_id
+LIMIT {PQ_TOPK}
+"""
+
+
 # -- embedding int8 quantization (round-4 similarity wave) ------------------
 
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1813,6 +1853,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_pq_codes", q_pq_codes, _sql_pq_codes(), "north-star similarity/product-quantization encode", ("northstar", "similarity")),
     QueryDef("ns_ann_pq_topk", q_ann_pq_topk, _sql_ann_pq_topk(), "north-star similarity/pq-adc-search", ("northstar", "similarity")),
     QueryDef("ns_ann_ivfpq_topk", q_ann_ivfpq_topk, _sql_ann_ivfpq_topk(), "north-star similarity/ivf-pq two-stage", ("northstar", "similarity")),
+    QueryDef("ns_ann_pq_rerank", q_ann_pq_rerank, _sql_ann_pq_rerank(), "north-star similarity/pq-shortlist exact re-rank", ("northstar", "similarity")),
     QueryDef("ns_ann_cell_scores", q_ann_cell_scores, _sql_ann_cell_scores(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_ann_ivf_topk", q_ann_ivf_topk, _sql_ann_ivf_topk(), "north-star similarity/ivf", ("northstar", "similarity")),
     QueryDef("ns_text_features", q_text_features, _sql_text_features(), "north-star text/features", ("northstar", "text")),
