@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "ns_text_normalize",
     "ns_unigram_logprob",
     "ns_minhash_lsh_pairs_fast",
+    "ns_ann_ivfpq_topk",
 ]
 
 

@@ -175,46 +175,58 @@ def pq_codebooks_from_min_ids(
 PQ_DIST_SCALE = 10_000_000_000.0  # 1e10: floor-quantization grid for distances
 
 
-def _pq_dist_expr(v: Column, j: int, sub: int, centroid: list[float]) -> Column:
-    """Squared L2 distance of subspace ``j`` of ``v`` to ``centroid``,
-    floor-quantized per term to a BIGINT grid (×1e10) before the exact
-    integer sum.  ``floor`` acts on the strict IEEE double in every
-    engine, so the quantized terms — and therefore argmin ties and
-    emitted distances — are bit-identical across Spark and DuckDB.  (A
-    DECIMAL cast is NOT: Spark casts double→decimal through the shortest
-    decimal representation while DuckDB rounds the exact binary value,
-    and the 1-ulp term differences flip 6th-decimal rounding of totals —
-    the kmeans-trainer oracle uses this same floor-BIGINT discipline.)"""
-    terms = [
-        F.floor(
-            F.pow(F.element_at(v, j * sub + d + 1) - F.lit(centroid[d]), 2)
-            * F.lit(PQ_DIST_SCALE)
-        ).cast("long")
-        for d in range(sub)
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return total
+def _sql_double(x: float) -> str:
+    """A double literal that round-trips exactly: ``repr`` emits up to 17
+    significant digits, and the string→double cast recovers the identical
+    IEEE value in both engines."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 
-def _pq_query_dist_expr(
+def _pq_dist_sql(vec_col: str, j: int, sub: int, centroid: list[float]) -> str:
+    """Squared L2 distance of subspace ``j`` of ``vec_col`` to ``centroid``
+    as ONE SQL expression string, floor-quantized per term to a BIGINT grid
+    (×1e10) before the exact integer sum.
+
+    Three hard-won disciplines live here:
+    - **floor-BIGINT, not DECIMAL**: ``floor`` acts on the strict IEEE
+      double in every engine; Spark's double→decimal cast goes through the
+      shortest decimal representation while DuckDB rounds the exact binary
+      value, and those 1-ulp term differences flip 6th-decimal roundings.
+    - **self-multiplication, not pow(x, 2)**: Spark's POW is transcendental
+      Math.pow even for a literal exponent — measured 6× slower for this
+      256-term projection — and only 1-ulp-accurate, where the multiply is
+      exact.
+    - **one parsed SQL string, not composed Columns**: building the ~2000
+      py4j Column objects cost 2-4 s of DRIVER time per call (the plan
+      itself executes in ~0.1 s); a single ``F.expr`` parse is
+      milliseconds.
+    """
+    terms = []
+    for d in range(sub):
+        diff = (
+            f"(CAST(element_at(`{vec_col}`, {j * sub + d + 1}) AS DOUBLE) - "
+            f"{_sql_double(centroid[d])})"
+        )
+        terms.append(
+            f"CAST(FLOOR({diff} * {diff} * {_sql_double(PQ_DIST_SCALE)}) AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_query_dist_sql(
     query_vec: list[float], j: int, sub: int, centroid: list[float]
-) -> Column:
-    """Same quantized distance, query side: both operands are literals, so
-    Catalyst constant-folds it with Spark's own double semantics — never
-    Python float arithmetic, which could associate differently."""
-    terms = [
-        F.floor(
-            F.pow(F.lit(float(query_vec[j * sub + d])) - F.lit(centroid[d]), 2)
-            * F.lit(PQ_DIST_SCALE)
-        ).cast("long")
-        for d in range(sub)
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return total
+) -> str:
+    """Same quantized distance, query side: every operand is a literal, so
+    Catalyst constant-folds the whole expression with Spark's own double
+    semantics — never Python float arithmetic, which could associate
+    differently."""
+    terms = []
+    for d in range(sub):
+        diff = f"({_sql_double(query_vec[j * sub + d])} - {_sql_double(centroid[d])})"
+        terms.append(
+            f"CAST(FLOOR({diff} * {diff} * {_sql_double(PQ_DIST_SCALE)}) AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def pq_encode(
@@ -234,16 +246,28 @@ def pq_encode(
     assignment trick); no shuffle, no UDF."""
     m, k = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
-    cols = [F.col(id_col)]
-    for j in range(m):
-        dists = F.array(
-            *[_pq_dist_expr(v, j, sub, codebooks[j][c]) for c in range(k)]
-        )
-        cols.append(
-            F.array_position(dists, F.array_min(dists)).cast("int").alias(f"code{j}")
-        )
-    return df.select(*cols)
+    # Two-phase select so each per-subspace distance array is evaluated
+    # ONCE (argmin references it twice); the raw array is indexed with
+    # scalar casts — wrapping it in transform(cast) would re-materialize
+    # the converted array per term (no CSE through lambdas).
+    dist_arrays = [
+        F.expr(
+            "array("
+            + ",".join(_pq_dist_sql(vec_col, j, sub, codebooks[j][c]) for c in range(k))
+            + ")"
+        ).alias(f"_pqd{j}")
+        for j in range(m)
+    ]
+    tmp = df.select(F.col(id_col), *dist_arrays)
+    return tmp.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"CAST(array_position(_pqd{j}, array_min(_pqd{j})) AS INT)"
+            ).alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
 
 
 def pq_adc_topk(
@@ -265,16 +289,13 @@ def pq_adc_topk(
     m, k = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
     enc = pq_encode(df, codebooks, vec_col, id_col)
-    total = None
+    lookups = []
     for j in range(m):
-        tbl = F.array(
-            *[
-                _pq_query_dist_expr(query_vec, j, sub, codebooks[j][c])
-                for c in range(k)
-            ]
-        )
-        dj = F.element_at(tbl, F.col(f"code{j}"))
-        total = dj if total is None else total + dj
+        tbl = "array(" + ",".join(
+            _pq_query_dist_sql(query_vec, j, sub, codebooks[j][c]) for c in range(k)
+        ) + ")"
+        lookups.append(f"element_at({tbl}, code{j})")
+    total = F.expr("(" + " + ".join(lookups) + ")")
     # No rounding anywhere: the quantized total is an exact BIGINT
     # (≲2^42, exactly representable in a double), and dividing it by the
     # scale is one deterministic IEEE op — identical in every engine.

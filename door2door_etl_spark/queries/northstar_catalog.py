@@ -847,9 +847,10 @@ def _pq_sql_subdist(j: int, left: str) -> str:
     and cb.v — mirrors _pq_dist_expr term for term (floor acts on the
     strict IEEE double in both engines; a DECIMAL cast does not — see the
     operator docstring)."""
+    diff = f"({left}.v[{j * _PQ_SUB}+d] - c.v[{j * _PQ_SUB}+d])"
     return (
         f"CAST(list_sum(list_transform(generate_series(1, {_PQ_SUB}), d -> "
-        f"CAST(floor((({left}.v[{j * _PQ_SUB}+d] - c.v[{j * _PQ_SUB}+d]) ^ 2) "
+        f"CAST(floor(({diff} * {diff}) "
         f"* 10000000000.0) AS BIGINT))) AS BIGINT)"
     )
 
