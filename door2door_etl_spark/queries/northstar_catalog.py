@@ -844,7 +844,7 @@ cb AS (
 
 def _pq_sql_subdist(j: int, left: str) -> str:
     """Floor-BIGINT-quantized squared L2 of subspace j between {left}.v
-    and cb.v — mirrors _pq_dist_expr term for term (floor acts on the
+    and cb.v — mirrors _pq_dist_sql term for term (floor acts on the
     strict IEEE double in both engines; a DECIMAL cast does not — see the
     operator docstring)."""
     diff = f"({left}.v[{j * _PQ_SUB}+d] - c.v[{j * _PQ_SUB}+d])"
