@@ -19,26 +19,28 @@ Layout (for a table rooted at ``warehouse/vehicle_location``)::
 
 * **Snapshots are immutable.** A committed ``data-v{N}/`` directory is never
   modified; writers only add new version directories.
-* **The pointer file is the manifest.** Commit = write the new snapshot,
-  fsync ``_current`` naming it (write temp + ``os.replace`` + dir fsync),
-  then atomically repoint the root symlink.  A crash at ANY step leaves
-  ``_current`` (and the symlink) on the previous snapshot — readers never
-  observe a partial or absent table, and recovery is automatic (the orphan
-  snapshot is ignored and reclaimed).
+* **The claim rename is the commit point.** A writer computes its merge
+  against snapshot ``N`` and then claims EXACTLY ``N+1`` by renaming its
+  fully-written staging dir to ``data-v{N+1}`` — on POSIX that rename
+  fails if the name exists, so a successful claim proves no other commit
+  intervened (the same optimistic-concurrency check Delta performs with
+  its log-record create).  A loser recomputes against the winner's
+  snapshot and retries; a claimed number can never skip over, and thereby
+  orphan, a competitor's commit.
+* **The pointer file and root symlink are publication caches.** After the
+  claim, ``_current`` is fsync'd (write temp + ``os.replace`` + dir fsync)
+  and the root symlink atomically repointed — FORWARD-ONLY.  A crash
+  between claim and publish loses nothing: the next access rolls the
+  caches forward to the highest claimed snapshot (claimed ⇒ fully
+  written, because staging is only renamed after the write completes).
 * **Readers resolve the pointer.** :func:`resolve_table_path` is the
-  portable reader path (object stores have no symlinks; there, ``_current``
-  is the only mechanism and readers MUST resolve it).  On a local/POSIX
-  filesystem the root symlink additionally keeps every pointer-unaware
-  reader (``spark.read.parquet(root)``) working unchanged: the symlink is
-  swapped with ``os.replace`` (atomic ``rename(2)``), and a reader that
-  resolved the old target keeps reading the old snapshot, which stays on
-  disk until :meth:`VersionedParquetTable.vacuum`.
-* **Concurrent writers are serialized optimistically.** Claiming version
-  ``N+1`` is ``os.rename(staging, data-v{N+1})`` — on POSIX the rename onto
-  an existing non-empty directory fails, so exactly one writer wins a given
-  version number; the loser recomputes its merge against the new current
-  snapshot and retries (same optimistic-concurrency shape as a Delta
-  commit conflict).
+  portable reader path (object stores have no symlinks; there, the
+  version listing + ``_current`` are the only mechanism).  On a
+  local/POSIX filesystem the root symlink additionally keeps every
+  pointer-unaware reader (``spark.read.parquet(root)``) working
+  unchanged; a reader that resolved the old target keeps reading the old
+  snapshot, which stays on disk until
+  :meth:`VersionedParquetTable.vacuum`.
 * **Partition-scoped merges stop rewriting untouched data.** Only the
   partitions the batch touches are written through Spark; every untouched
   partition directory is hard-linked from the previous snapshot (a
@@ -133,29 +135,67 @@ def _hardlink_tree(src: Path, dst: Path) -> None:
             os.link(Path(dirpath) / fn, out / fn)
 
 
+def _max_claimed_version(vdir: Path) -> int | None:
+    """Highest CLAIMED snapshot version on disk.  A claim (the atomic
+    rename of a fully-written staging dir to ``data-v{N}``) IS the commit
+    point — the pointer file and root symlink are publication caches that
+    may lag behind after a crash and are rolled forward on next access."""
+    if not vdir.is_dir():
+        return None
+    versions = [
+        v
+        for v in (_parse_version(e.name) for e in vdir.iterdir() if e.is_dir())
+        if v is not None
+    ]
+    return max(versions, default=None)
+
+
 def resolve_table_path(root: str) -> str:
     """Resolve a table root to the directory holding the committed
     snapshot's data files — THE reader-side half of the commit protocol.
 
-    * Versioned table → ``.{name}__versions/<_current>`` (pointer file is
-      authoritative; this is the only resolution path an object store has).
+    * Versioned table → the HIGHEST claimed ``data-v{N}`` (the claim rename
+      is the commit point; see :meth:`VersionedParquetTable.claim`).  If
+      the ``_current`` pointer or root symlink lag behind (writer crashed
+      between claim and publish), they are best-effort rolled FORWARD here
+      — recovery completes the crashed commit, it never discards it.
     * Plain directory (legacy / never-merged table) → the root itself.
-
-    Also performs crash repair: if the root symlink is missing but the
-    pointer exists (crash between pointer fsync and symlink swap, or a
-    deleted link), the symlink is recreated from the pointer.
     """
     p = Path(root)
     vdir = _versions_dir(p)
+    committed = _max_claimed_version(vdir)
     pointer = _read_pointer(vdir)
-    if pointer is not None and (vdir / pointer).is_dir():
-        if not os.path.lexists(p):
-            _point_root_symlink(p, pointer)  # crash repair (symlink lost)
-        return str(vdir / pointer)
+    if committed is not None:
+        name = _version_name(committed)
+        try:
+            if pointer != name:
+                _write_pointer(vdir, name)  # roll the cache forward
+            if not os.path.lexists(p):
+                _point_root_symlink(p, name)
+            elif p.is_symlink():
+                if os.readlink(str(p)).rsplit("/", 1)[-1] != name:
+                    _point_root_symlink(p, name)
+            else:
+                # Plain directory shadowing a committed snapshot: a legacy
+                # migration crashed between the claim and the symlink swap.
+                # Finish it — the dir's contents are already hard-linked
+                # into the claimed snapshot.
+                aside = _legacy_aside(p)
+                if not aside.exists():
+                    os.rename(p, aside)
+                _point_root_symlink(p, name)
+            aside = _legacy_aside(p)
+            if aside.is_dir():
+                # The aside copy of a completed first commit is
+                # reclaimable garbage (its data lives on in the snapshot).
+                shutil.rmtree(aside)
+        except OSError:
+            pass  # read-only caller: resolution still succeeds below
+        return str(vdir / name)
     aside = _legacy_aside(p)
     if not os.path.lexists(p) and aside.is_dir():
-        # Crash mid-migration before the pointer was published: the original
-        # directory was set aside but never committed — restore it.
+        # Crash mid-migration before any snapshot was claimed: the original
+        # directory was set aside but nothing committed — restore it.
         os.rename(aside, p)
     return str(p)
 
@@ -176,6 +216,13 @@ class VersionedParquetTable:
         return _versions_dir(self.root)
 
     def current_version(self) -> int | None:
+        """The committed version: the highest CLAIMED snapshot (falls back
+        to the pointer when the claim dirs were manually removed).  A
+        successful claim is the commit point even if the crash-tolerant
+        pointer/symlink publication never ran — see :meth:`claim`."""
+        claimed = _max_claimed_version(self.versions_dir)
+        if claimed is not None:
+            return claimed
         pointer = _read_pointer(self.versions_dir)
         if pointer is None:
             return None
@@ -188,7 +235,7 @@ class VersionedParquetTable:
         return spark.read.parquet(self.data_path())
 
     def is_versioned(self) -> bool:
-        return _read_pointer(self.versions_dir) is not None
+        return self.current_version() is not None
 
     # -- commit protocol -----------------------------------------------------
 
@@ -216,26 +263,18 @@ class VersionedParquetTable:
         _point_root_symlink(root, _version_name(1))
         shutil.rmtree(aside)
 
-    def next_version(self) -> int:
-        """Next claimable version: one past the max of the pointer and any
-        on-disk snapshot dir (an orphan from a crashed writer must not be
-        reused — its contents are untrusted)."""
-        existing = [
-            v
-            for v in (
-                _parse_version(e.name)
-                for e in self.versions_dir.iterdir()
-                if e.is_dir()
-            )
-            if v is not None
-        ] if self.versions_dir.is_dir() else []
-        cur = self.current_version() or 0
-        return max([cur, *existing], default=0) + 1
-
     def claim(self, staging: Path, version: int) -> bool:
-        """Atomically promote ``staging`` to snapshot ``version``.  POSIX
-        ``rename(2)`` onto an existing non-empty directory fails, so at most
-        one writer wins each version number."""
+        """Atomically promote ``staging`` to snapshot ``version`` — THE
+        COMMIT POINT.  POSIX ``rename(2)`` onto an existing non-empty
+        directory fails, so at most one writer wins each version number;
+        because writers only claim ``committed+1`` computed against the
+        snapshot they read (see :func:`merge_versioned`), a successful
+        claim proves no other commit intervened — the optimistic-
+        concurrency check Delta performs with its log-record create.
+        Staging dirs are fully written before the claim, so a claimed
+        snapshot is always complete; a crash after claim but before
+        :meth:`publish` is recovered by rolling the pointer FORWARD on the
+        next access (the commit is never lost)."""
         try:
             os.rename(staging, self.versions_dir / _version_name(version))
             return True
@@ -243,16 +282,21 @@ class VersionedParquetTable:
             return False
 
     def publish(self, version: int) -> None:
-        """Make snapshot ``version`` the committed state: fsync the pointer
-        (authoritative), then repoint the root symlink (local-FS reader
-        convenience)."""
+        """Publish snapshot ``version``: fsync the pointer, then repoint
+        the root symlink (local-FS reader convenience).  FORWARD-ONLY — a
+        slow writer waking up after a faster one has published a higher
+        version must not drag the caches backward (its own commit is
+        already visible through the higher snapshot's lineage)."""
+        current = _parse_version(_read_pointer(self.versions_dir) or "")
+        if current is not None and current >= version:
+            return
         name = _version_name(version)
         _write_pointer(self.versions_dir, name)
         root = Path(self.root)
         if root.is_dir() and not root.is_symlink():
             # First commit over a legacy directory root: set it aside before
-            # the symlink can take its place (restored on crash by
-            # resolve_table_path).
+            # the symlink can take its place (reclaimed by
+            # resolve_table_path once the snapshot is visible).
             aside = _legacy_aside(root)
             os.rename(root, aside)
             _point_root_symlink(root, name)
@@ -350,16 +394,23 @@ def merge_versioned(
 
     for _attempt in range(max_retries):
         table.ensure_versioned()
-        fresh = not table.is_versioned()
+        # The optimistic-concurrency invariant: the merge is computed
+        # against snapshot ``base`` and claims EXACTLY ``base + 1``.  If
+        # another writer commits base+1 first, our claim fails and we
+        # recompute against their snapshot — a claimed number can never
+        # skip over (and thereby orphan) a competitor's commit.
+        base = table.current_version() or 0
         staging = table._staging()
 
-        if fresh:
+        if base == 0:
             writer = source.write.mode("overwrite")
             if partition_col:
                 writer = writer.partitionBy(partition_col)
             writer.parquet(str(staging))
         else:
-            data_path = table.data_path()  # pinned snapshot for this attempt
+            # Pin THIS attempt to the base snapshot's directory (not the
+            # root symlink, which a concurrent commit may repoint).
+            data_path = str(table.versions_dir / _version_name(base))
             target = spark.read.parquet(data_path)
             drifted = set(source.columns) != set(target.columns)
             if drifted and not evolve_schema:
@@ -379,14 +430,40 @@ def merge_versioned(
                     r[0] for r in source.select(partition_col).distinct().collect()
                 ]
                 touched = [v for v in touched_raw if v is not None]
-                batch_has_null = len(touched) < len(touched_raw)
-                is_touched = (
-                    F.coalesce(F.col(partition_col).isin(touched), F.lit(False))
-                    if touched
-                    else F.lit(False)
-                )
-                if batch_has_null:
-                    is_touched = is_touched | F.col(partition_col).isNull()
+                include_null = len(touched) < len(touched_raw)
+
+                def touched_pred(values: list, with_null: bool):
+                    pred = (
+                        F.coalesce(F.col(partition_col).isin(values), F.lit(False))
+                        if values
+                        else F.lit(False)
+                    )
+                    if with_null:
+                        pred = pred | F.col(partition_col).isNull()
+                    return pred
+
+                is_touched = touched_pred(touched, include_null)
+                # A key whose partition value CHANGED has its old row in an
+                # untouched partition; hard-linking that partition verbatim
+                # would keep a stale duplicate and break the one-row-per-key
+                # contract.  Promote any such partition to touched — the
+                # probe reads only (key, partition) columns of the untouched
+                # partitions, so it is column-pruned and cheap relative to
+                # the rewrite it prevents.
+                stale_parts = [
+                    r[0]
+                    for r in target.filter(~is_touched)
+                    .join(source.select(key), on=key, how="left_semi")
+                    .select(partition_col)
+                    .distinct()
+                    .collect()
+                ]
+                if stale_parts:
+                    touched = touched + [v for v in stale_parts if v is not None]
+                    include_null = include_null or any(
+                        v is None for v in stale_parts
+                    )
+                    is_touched = touched_pred(touched, include_null)
                 merged_touched = (
                     target.filter(is_touched)
                     .join(source.select(key), on=key, how="left_anti")
@@ -411,9 +488,8 @@ def merge_versioned(
                     writer = writer.partitionBy(partition_col)
                 writer.parquet(str(staging))
 
-        version = table.next_version()
-        if table.claim(staging, version):
-            table.publish(version)
+        if table.claim(staging, base + 1):
+            table.publish(base + 1)
             table.vacuum(keep=vacuum_keep)
             return n_source
         # Lost the claim race: drop our snapshot and recompute against the
@@ -424,40 +500,78 @@ def merge_versioned(
     )
 
 
+def _partition_cols_of(data_path: str) -> list[str]:
+    """Partition-column chain of a snapshot, read off its ``col=value``
+    directory names (depth-first along the first child)."""
+    cols: list[str] = []
+    p = Path(data_path)
+    while True:
+        subdirs = sorted(
+            e for e in p.iterdir() if e.is_dir() and "=" in e.name
+        )
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].name.split("=", 1)[0])
+        p = subdirs[0]
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,
     target_file_mb: int = 128,
     vacuum_keep: int = 2,
+    max_retries: int = 5,
 ) -> int:
     """Rewrite the current snapshot into ~``target_file_mb`` files as a NEW
     committed version; returns the new file count.
 
     Because compaction is just another versioned commit, the round-3 hazard
     (a crash between backup-move and rename leaving the table path absent)
-    is gone by construction: the old snapshot stays committed until the
-    compacted one is published, and readers never see the table disappear.
+    is gone by construction, and it obeys the same optimistic-concurrency
+    rule as the merge: it claims exactly ``base + 1`` for the snapshot it
+    read, so a merge that lands mid-compaction wins the claim and the
+    compaction recomputes over the merged data instead of reverting it.
+    A partitioned snapshot keeps its partition layout (one task — and so
+    ~one file — per partition value); an unpartitioned one coalesces to
+    the byte-derived file count.
     """
     table = VersionedParquetTable(root)
     table.ensure_versioned()
-    data_path = table.data_path()
-    data_files = [f for f in Path(data_path).rglob("*.parquet") if f.is_file()]
-    total_bytes = sum(f.stat().st_size for f in data_files)
-    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    staging = table._staging()
-    spark.read.parquet(data_path).coalesce(n_target).write.mode(
-        "overwrite"
-    ).parquet(str(staging))
-    version = table.next_version()
-    if not table.claim(staging, version):
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            raise ValueError(f"{root} has no committed snapshot to compact")
+        data_path = str(table.versions_dir / _version_name(base))
+        data_files = [f for f in Path(data_path).rglob("*.parquet") if f.is_file()]
+        total_bytes = sum(f.stat().st_size for f in data_files)
+        n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        pcols = _partition_cols_of(data_path)
+        staging = table._staging()
+        df = spark.read.parquet(data_path)
+        if pcols:
+            (
+                df.repartition(*pcols)
+                .write.mode("overwrite")
+                .partitionBy(*pcols)
+                .parquet(str(staging))
+            )
+        else:
+            df.coalesce(n_target).write.mode("overwrite").parquet(str(staging))
+        if table.claim(staging, base + 1):
+            table.publish(base + 1)
+            table.vacuum(keep=vacuum_keep)
+            return len(
+                [
+                    f
+                    for f in Path(
+                        str(table.versions_dir / _version_name(base + 1))
+                    ).rglob("*.parquet")
+                    if f.is_file()
+                ]
+            )
         shutil.rmtree(staging, ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"compaction of {root} lost the version claim for v{version}"
-        )
-    table.publish(version)
-    table.vacuum(keep=vacuum_keep)
-    return len(
-        [f for f in Path(table.data_path()).rglob("*.parquet") if f.is_file()]
+    raise ConcurrentWriteError(
+        f"compaction of {root} lost the version-claim race {max_retries} times"
     )
 
 

@@ -71,17 +71,26 @@ def write_bucketed_table(
     (reference migrations/init.sql:29-51).
     """
     spark = df.sparkSession
-    if path is None and not spark.catalog.tableExists(table_name):
+    if (
+        path is None
+        and "." not in table_name
+        and spark.catalog.currentDatabase() == "default"
+        and not spark.catalog.tableExists(table_name)
+    ):
         # A managed-table LOCATION survives its catalog entry across
         # sessions (derby metastore is per-session here; on a shared
         # metastore, a crashed DROP leaves the same state) and saveAsTable
         # then refuses with LOCATION_ALREADY_EXISTS.  Overwrite semantics
-        # mean the stale directory is garbage — clear it.
+        # mean the stale directory is garbage — clear it.  Restricted to
+        # unqualified names in the default database: only there does
+        # <warehouse>/<name> name THIS table's location (a qualified or
+        # non-default-db table lives under <warehouse>/<db>.db/<name>, and
+        # guessing wrong could delete a DIFFERENT live table's data).
         import shutil
         from urllib.parse import urlparse
 
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        stale = Path(warehouse) / table_name.split(".")[-1].lower()
+        stale = Path(warehouse) / table_name.lower()
         if stale.exists():
             shutil.rmtree(stale)
     writer = (
@@ -449,6 +458,14 @@ def write_zorder_parquet(
     k = len(cols)
     if k < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_sorted_parquet")
+    if bits * k > 63:
+        # The top interleaved bit would land in (or past) the long's sign
+        # bit: negative codes sort before all others and shifts >= 64 wrap,
+        # silently scrambling the curve.
+        raise ValueError(
+            f"bits*len(cols) = {bits * k} exceeds 63: reduce bits to "
+            f"<= {63 // k} for {k} columns"
+        )
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],

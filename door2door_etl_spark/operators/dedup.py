@@ -1050,11 +1050,19 @@ class LshBandIndex:
             survivors = batch.join(colliding, self.id_col, "left_anti").localCheckpoint(
                 eager=True
             )
+            if update_index:
+                # Filter the STILL-CACHED band table down to the survivors
+                # instead of re-running the dominant tokenize/shingle/
+                # minhash pipeline over them; checkpoint before unpersist
+                # so the append below reads materialized rows.
+                survivor_bands = bb.join(
+                    survivors.select(self.id_col), self.id_col, "left_semi"
+                ).localCheckpoint(eager=True)
         finally:
             bb.unpersist()
         if update_index:
             (
-                self._band_table(survivors)
+                survivor_bands
                 .write.mode("append")
                 .format("parquet")
                 .bucketBy(self.num_buckets, "band_idx", "band_key")

@@ -22,6 +22,11 @@ from door2door_etl_spark.io.versioned import (
 )
 
 
+@pytest.fixture(scope="module")
+def sf001():
+    return "/root/testdata/sf0.001"
+
+
 def _mk(spark, rows, schema="k int, v string, part string"):
     return spark.createDataFrame(rows, schema)
 
@@ -69,10 +74,11 @@ def test_concurrent_reader_keeps_consistent_snapshot_during_merge(spark, tmp_pat
     assert _as_dict(spark, root)[2] == ("B", "p2")
 
 
-def test_crash_between_snapshot_write_and_publish_recovers(spark, tmp_path, monkeypatch):
-    """Kill the writer after the new snapshot is claimed but before the
-    pointer is published: readers stay on the old version; the next merge
-    succeeds and never reuses the orphaned version number."""
+def test_crash_between_claim_and_publish_rolls_forward(spark, tmp_path, monkeypatch):
+    """The claim rename is the commit point: a writer dying after the claim
+    but before the pointer/symlink publication has COMMITTED — the next
+    access rolls the caches forward to the claimed snapshot, and nothing
+    is lost or reverted."""
     root = str(tmp_path / "tbl")
     merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
 
@@ -84,15 +90,57 @@ def test_crash_between_snapshot_write_and_publish_recovers(spark, tmp_path, monk
         merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
     monkeypatch.undo()
 
-    # Table unharmed: pointer and symlink still v1, content intact.
+    # Claimed v2 IS the committed state; resolution rolls forward and the
+    # stale symlink/pointer are repaired on access.
     table = VersionedParquetTable(root)
-    assert table.current_version() == 1
-    assert _as_dict(spark, root) == {1: ("a", "p1")}
-    # Orphan data-v00000002 exists but is not trusted or reused.
-    assert (table.versions_dir / "data-v00000002").is_dir()
-    merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
-    assert table.current_version() == 3
+    assert table.current_version() == 2
+    assert resolve_table_path(root).endswith("data-v00000002")
     assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b", "p1")}
+    # The next merge builds on v2 — version numbers stay contiguous.
+    merge_versioned(spark, root, _mk(spark, [(3, "c", "p1")]), key="k")
+    assert table.current_version() == 3
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b", "p1"), 3: ("c", "p1")}
+
+
+def test_concurrent_commits_never_skipped_or_reverted(spark, tmp_path, monkeypatch):
+    """The reported round-4 hazard: a slow writer whose competitor commits
+    FIRST must not claim a higher free number and orphan the competitor's
+    batch.  The slow writer's claim of base+1 fails, it recomputes against
+    the competitor's snapshot, and the final table holds BOTH batches with
+    contiguous version numbers."""
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+
+    original_claim = VersionedParquetTable.claim
+    state = {"injected": False}
+
+    def delayed_claim(self, staging, version):
+        if not state["injected"]:
+            state["injected"] = True
+            # Competitor lands a full commit AFTER we computed our merge
+            # (against v1) but BEFORE our claim.
+            competitor = self._staging()
+            _mk(spark, [(1, "a", "p1"), (7, "competitor", "p1")]).write.mode(
+                "overwrite"
+            ).parquet(str(competitor))
+            assert original_claim(self, competitor, version)
+            self.publish(version)
+        return original_claim(self, staging, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "claim", delayed_claim)
+    merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    monkeypatch.undo()
+
+    table = VersionedParquetTable(root)
+    assert _as_dict(spark, root) == {
+        1: ("a", "p1"),
+        2: ("b", "p1"),
+        7: ("competitor", "p1"),
+    }
+    names = sorted(
+        e.name for e in table.versions_dir.iterdir() if e.name.startswith("data-v")
+    )
+    assert names == ["data-v00000002", "data-v00000003"]  # v1 vacuumed; no gaps
 
 
 def test_crash_after_pointer_before_symlink_self_heals(spark, tmp_path):
@@ -377,3 +425,60 @@ def test_table_changes_cdc_between_versions(spark, tmp_path):
     table.publish(4)
     dels = table_changes(spark, root, "k", from_version=3, to_version=4).collect()
     assert {(r["k"], r["_change_type"], r["v"]) for r in dels} == {(2, "delete", None)}
+
+
+def test_partition_value_change_removes_stale_row(spark, tmp_path):
+    """A key whose partition value changes must not leave its old row
+    behind in a hard-linked untouched partition (one-row-per-key
+    contract), and replaying the move stays idempotent."""
+    root = str(tmp_path / "tbl")
+    merge_versioned(
+        spark,
+        root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]),
+        key="k",
+        partition_col="part",
+    )
+    move = _mk(spark, [(1, "A", "p2")])  # k=1 moves p1 -> p2
+    merge_versioned(spark, root, move, key="k", partition_col="part")
+    assert _as_dict(spark, root) == {1: ("A", "p2"), 2: ("b", "p2")}
+    merge_versioned(spark, root, move, key="k", partition_col="part")  # replay
+    assert _as_dict(spark, root) == {1: ("A", "p2"), 2: ("b", "p2")}
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compaction must keep the partition-dir layout (and therefore
+    file-level pruning and the partition-scoped merge path) — not flatten
+    the table into root-level files."""
+    from door2door_etl_spark.io.versioned import compact_versioned
+
+    root = str(tmp_path / "tbl")
+    base = _mk(spark, [(i, f"v{i}", f"p{i % 3}") for i in range(30)])
+    merge_versioned(spark, root, base, key="k", partition_col="part")
+    compact_versioned(spark, root)
+    snap = Path(resolve_table_path(root))
+    part_dirs = sorted(e.name for e in snap.iterdir() if e.is_dir())
+    assert part_dirs == ["part=p0", "part=p1", "part=p2"]
+    # The partition-scoped hardlink path still applies after compaction.
+    table = VersionedParquetTable(root)
+    v_before = table.current_version()
+    merge_versioned(
+        spark, root, _mk(spark, [(0, "V0", "p0")]), key="k", partition_col="part"
+    )
+    v_after = table.versions_dir / f"data-v{v_before + 1:08d}"
+    v_prev = table.versions_dir / f"data-v{v_before:08d}"
+    ino = lambda d, p: sorted(
+        f.stat().st_ino for f in (d / f"part={p}").glob("*.parquet")
+    )
+    assert ino(v_after, "p1") == ino(v_prev, "p1")  # untouched: hardlinked
+    assert _as_dict(spark, root)[0] == ("V0", "p0")
+
+
+def test_zorder_rejects_sign_bit_overflow(spark, sf001):
+    from door2door_etl_spark.io.writers import write_zorder_parquet
+
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet").limit(10)
+    with pytest.raises(ValueError, match="exceeds 63"):
+        write_zorder_parquet(
+            li, "/tmp/unused", ["l_orderkey", "l_partkey"], bits=32
+        )
