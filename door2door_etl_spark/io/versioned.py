@@ -469,15 +469,33 @@ def merge_versioned(
                     .join(source.select(key), on=key, how="left_anti")
                     .unionByName(source, **union_kw)
                 )
+                # Resolve which SNAPSHOT dirs the touched rows live in via
+                # their actual file paths — never by re-encoding partition
+                # values into Hive dir names.  This also covers a partition
+                # the merge leaves EMPTY (its only key moved elsewhere):
+                # the staging write creates no dir for it, and a bare
+                # "link whatever staging lacks" rule would resurrect the
+                # stale directory.
+                from urllib.parse import unquote, urlparse
+
+                touched_dirs = {
+                    unquote(urlparse(r[0]).path)[len(str(Path(data_path))) :]
+                    .lstrip("/")
+                    .split("/", 1)[0]
+                    for r in target.filter(is_touched)
+                    .select(F.input_file_name())
+                    .distinct()
+                    .collect()
+                }
                 merged_touched.write.mode("overwrite").partitionBy(
                     partition_col
                 ).parquet(str(staging))
-                # Untouched = snapshot partition dirs the touched write did
-                # not create.  Matching by directory NAME sidesteps Hive
-                # partition-value escaping entirely (the same value always
-                # encodes to the same name).
                 for entry in Path(data_path).iterdir():
-                    if entry.is_dir() and not (staging / entry.name).exists():
+                    if (
+                        entry.is_dir()
+                        and entry.name not in touched_dirs
+                        and not (staging / entry.name).exists()
+                    ):
                         _hardlink_tree(entry, staging / entry.name)
             else:
                 merged = target.join(

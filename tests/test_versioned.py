@@ -441,8 +441,12 @@ def test_partition_value_change_removes_stale_row(spark, tmp_path):
     )
     move = _mk(spark, [(1, "A", "p2")])  # k=1 moves p1 -> p2
     merge_versioned(spark, root, move, key="k", partition_col="part")
+    # Row count first: a stale duplicate would be masked in the dict view
+    # by collect-order luck.
+    assert spark.read.parquet(root).count() == 2
     assert _as_dict(spark, root) == {1: ("A", "p2"), 2: ("b", "p2")}
     merge_versioned(spark, root, move, key="k", partition_col="part")  # replay
+    assert spark.read.parquet(root).count() == 2
     assert _as_dict(spark, root) == {1: ("A", "p2"), 2: ("b", "p2")}
 
 
