@@ -195,8 +195,13 @@ def resolve_table_path(root: str) -> str:
     aside = _legacy_aside(p)
     if not os.path.lexists(p) and aside.is_dir():
         # Crash mid-migration before any snapshot was claimed: the original
-        # directory was set aside but nothing committed — restore it.
-        os.rename(aside, p)
+        # directory was set aside but nothing committed — restore it
+        # (best-effort: a racing reader may have restored it first, and a
+        # read-only caller cannot).
+        try:
+            os.rename(aside, p)
+        except OSError:
+            pass
     return str(p)
 
 
@@ -256,12 +261,25 @@ class VersionedParquetTable:
         if not v1.exists():
             staging = vdir / f".staging.{uuid.uuid4().hex}"
             _hardlink_tree(root, staging)
-            os.rename(staging, v1)
+            try:
+                os.rename(staging, v1)
+            except OSError:
+                # Lost the v1 race to a concurrent first writer.  Both
+                # migrations hard-link the SAME source directory, so the
+                # winner's v1 is identical — drop ours and adopt theirs.
+                shutil.rmtree(staging, ignore_errors=True)
         _write_pointer(vdir, _version_name(1))
+        if root.is_dir() and not root.is_symlink():
+            aside = _legacy_aside(root)
+            try:
+                os.rename(root, aside)
+            except OSError:
+                pass  # competitor swapped the root first
+        if not Path(self.root).is_symlink():
+            _point_root_symlink(root, _version_name(1))
         aside = _legacy_aside(root)
-        os.rename(root, aside)
-        _point_root_symlink(root, _version_name(1))
-        shutil.rmtree(aside)
+        if aside.is_dir() and not aside.is_symlink():
+            shutil.rmtree(aside, ignore_errors=True)
 
     def claim(self, staging: Path, version: int) -> bool:
         """Atomically promote ``staging`` to snapshot ``version`` — THE
@@ -275,18 +293,31 @@ class VersionedParquetTable:
         snapshot is always complete; a crash after claim but before
         :meth:`publish` is recovered by rolling the pointer FORWARD on the
         next access (the commit is never lost)."""
+        import errno
+
         try:
             os.rename(staging, self.versions_dir / _version_name(version))
             return True
-        except OSError:
-            return False
+        except OSError as exc:
+            # ONLY a name collision is a lost race; anything else
+            # (permissions, missing versions dir) is a real failure —
+            # re-raise instead of burning max_retries full recomputes and
+            # misreporting it as write contention.
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                return False
+            raise
 
     def publish(self, version: int) -> None:
         """Publish snapshot ``version``: fsync the pointer, then repoint
         the root symlink (local-FS reader convenience).  FORWARD-ONLY — a
         slow writer waking up after a faster one has published a higher
         version must not drag the caches backward (its own commit is
-        already visible through the higher snapshot's lineage)."""
+        already visible through the higher snapshot's lineage).  The guard
+        is check-then-act, so a publish racing a faster one can still
+        transiently write the lower version; the post-write re-check below
+        (and the roll-forward every :func:`resolve_table_path` performs)
+        self-heals that window — the caches converge to the highest claim,
+        and the commits themselves were never at risk."""
         current = _parse_version(_read_pointer(self.versions_dir) or "")
         if current is not None and current >= version:
             return
@@ -303,6 +334,11 @@ class VersionedParquetTable:
             shutil.rmtree(aside)
         else:
             _point_root_symlink(root, name)
+        # Self-heal the check-then-act window: if a higher claim landed
+        # while we were writing, roll the caches forward to it now.
+        latest = _max_claimed_version(self.versions_dir)
+        if latest is not None and latest > version:
+            resolve_table_path(self.root)
 
     def ensure_versioned(self) -> None:
         """Upgrade a plain-directory table to the versioned layout (no-op if
@@ -320,18 +356,32 @@ class VersionedParquetTable:
         self.versions_dir.mkdir(parents=True, exist_ok=True)
         return self.versions_dir / f".staging.{uuid.uuid4().hex}"
 
-    def vacuum(self, keep: int = 2) -> list[str]:
-        """Drop committed snapshots older than the newest ``keep`` (never
-        the current one, never a version NEWER than current — that may be a
-        concurrent writer's in-flight claim).  Returns removed names."""
+    def vacuum(self, keep: int = 2, stale_staging_hours: float = 24.0) -> list[str]:
+        """Drop committed snapshots older than the newest ``keep``, plus
+        ``.staging.*`` directories abandoned by failed writes more than
+        ``stale_staging_hours`` ago (an in-flight writer's staging is
+        always younger than that).  Rolls the publication caches forward
+        first so the root symlink can never be left pointing at a snapshot
+        this call removes.  Returns removed names."""
+        import time
+
         cur = self.current_version()
         if cur is None:
             return []
+        resolve_table_path(self.root)  # symlink/pointer → highest claim
+        cutoff = time.time() - stale_staging_hours * 3600
         removed: list[str] = []
         for entry in sorted(self.versions_dir.iterdir()):
             v = _parse_version(entry.name)
             if v is not None and v <= cur - max(1, keep):
                 shutil.rmtree(entry)
+                removed.append(entry.name)
+            elif (
+                entry.name.startswith(".staging.")
+                and entry.is_dir()
+                and entry.stat().st_mtime < cutoff
+            ):
+                shutil.rmtree(entry, ignore_errors=True)
                 removed.append(entry.name)
         return removed
 
@@ -386,6 +436,16 @@ def merge_versioned(
     from pyspark.sql import functions as F
 
     source = source.dropDuplicates([key])
+    # NULL merge keys would break idempotency silently: the anti-join's
+    # equality never matches NULL, so every replay would re-insert the
+    # null-key row.  The reference warehouse declares the key PRIMARY KEY
+    # NOT NULL (migrations/init.sql:29-51) — enforce the same, loudly.
+    if source.filter(source[key].isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"merge into {root}: batch contains NULL values in merge key "
+            f"{key!r}; a NULL key cannot be matched for UPDATE and would "
+            "duplicate on every replay"
+        )
     table = VersionedParquetTable(root)
     root_p = Path(root)
     # Count before any commit: a source derived from the target re-executed
@@ -402,109 +462,128 @@ def merge_versioned(
         base = table.current_version() or 0
         staging = table._staging()
 
-        if base == 0:
-            writer = source.write.mode("overwrite")
-            if partition_col:
-                writer = writer.partitionBy(partition_col)
-            writer.parquet(str(staging))
-        else:
-            # Pin THIS attempt to the base snapshot's directory (not the
-            # root symlink, which a concurrent commit may repoint).
-            data_path = str(table.versions_dir / _version_name(base))
-            target = spark.read.parquet(data_path)
-            drifted = set(source.columns) != set(target.columns)
-            if drifted and not evolve_schema:
-                raise ValueError(
-                    f"merge into {root}: batch columns {sorted(source.columns)} "
-                    f"!= table columns {sorted(target.columns)}; pass "
-                    "evolve_schema=True to evolve the table"
-                )
-            union_kw = {"allowMissingColumns": True} if evolve_schema else {}
-            if partition_col and not drifted and not _snapshot_has_root_files(data_path):
-                # Partition-scoped path: write ONLY touched partitions, then
-                # link every untouched partition dir from the old snapshot.
-                # Membership must be null-safe (see round-3 notes): a bare
-                # isin() is NULL for NULL partition values and would drop
-                # those target rows from both sides.
-                touched_raw = [
-                    r[0] for r in source.select(partition_col).distinct().collect()
-                ]
-                touched = [v for v in touched_raw if v is not None]
-                include_null = len(touched) < len(touched_raw)
-
-                def touched_pred(values: list, with_null: bool):
-                    pred = (
-                        F.coalesce(F.col(partition_col).isin(values), F.lit(False))
-                        if values
-                        else F.lit(False)
-                    )
-                    if with_null:
-                        pred = pred | F.col(partition_col).isNull()
-                    return pred
-
-                is_touched = touched_pred(touched, include_null)
-                # A key whose partition value CHANGED has its old row in an
-                # untouched partition; hard-linking that partition verbatim
-                # would keep a stale duplicate and break the one-row-per-key
-                # contract.  Promote any such partition to touched — the
-                # probe reads only (key, partition) columns of the untouched
-                # partitions, so it is column-pruned and cheap relative to
-                # the rewrite it prevents.
-                stale_parts = [
-                    r[0]
-                    for r in target.filter(~is_touched)
-                    .join(source.select(key), on=key, how="left_semi")
-                    .select(partition_col)
-                    .distinct()
-                    .collect()
-                ]
-                if stale_parts:
-                    touched = touched + [v for v in stale_parts if v is not None]
-                    include_null = include_null or any(
-                        v is None for v in stale_parts
-                    )
-                    is_touched = touched_pred(touched, include_null)
-                merged_touched = (
-                    target.filter(is_touched)
-                    .join(source.select(key), on=key, how="left_anti")
-                    .unionByName(source, **union_kw)
-                )
-                # Resolve which SNAPSHOT dirs the touched rows live in via
-                # their actual file paths — never by re-encoding partition
-                # values into Hive dir names.  This also covers a partition
-                # the merge leaves EMPTY (its only key moved elsewhere):
-                # the staging write creates no dir for it, and a bare
-                # "link whatever staging lacks" rule would resurrect the
-                # stale directory.
-                from urllib.parse import unquote, urlparse
-
-                touched_dirs = {
-                    unquote(urlparse(r[0]).path)[len(str(Path(data_path))) :]
-                    .lstrip("/")
-                    .split("/", 1)[0]
-                    for r in target.filter(is_touched)
-                    .select(F.input_file_name())
-                    .distinct()
-                    .collect()
-                }
-                merged_touched.write.mode("overwrite").partitionBy(
-                    partition_col
-                ).parquet(str(staging))
-                for entry in Path(data_path).iterdir():
-                    if (
-                        entry.is_dir()
-                        and entry.name not in touched_dirs
-                        and not (staging / entry.name).exists()
-                    ):
-                        _hardlink_tree(entry, staging / entry.name)
-            else:
-                merged = target.join(
-                    source.select(key), on=key, how="left_anti"
-                ).unionByName(source, **union_kw)
-                writer = merged.write.mode("overwrite")
+        try:
+            if base == 0:
+                writer = source.write.mode("overwrite")
                 if partition_col:
                     writer = writer.partitionBy(partition_col)
                 writer.parquet(str(staging))
+            else:
+                # Pin THIS attempt to the base snapshot's directory (not the
+                # root symlink, which a concurrent commit may repoint).
+                data_path = str(table.versions_dir / _version_name(base))
+                target = spark.read.parquet(data_path)
+                # Drift = any difference in the (name → type) mapping.  A
+                # type-only change with identical names MUST count: letting it
+                # into the hardlink path would mix physical schemas inside one
+                # snapshot (new-type touched files next to old-type linked
+                # dirs), which plain readers cannot reconcile.
+                drifted = {f.name: f.dataType for f in source.schema.fields} != {
+                    f.name: f.dataType for f in target.schema.fields
+                }
+                if drifted and not evolve_schema:
+                    raise ValueError(
+                        f"merge into {root}: batch schema "
+                        f"{sorted((f.name, f.dataType.simpleString()) for f in source.schema.fields)} "
+                        f"!= table schema "
+                        f"{sorted((f.name, f.dataType.simpleString()) for f in target.schema.fields)}; "
+                        "pass evolve_schema=True to evolve the table"
+                    )
+                union_kw = {"allowMissingColumns": True} if evolve_schema else {}
+                if partition_col and not drifted and not _snapshot_has_root_files(data_path):
+                    # Partition-scoped path: write ONLY touched partitions, then
+                    # link every untouched partition dir from the old snapshot.
+                    # Membership must be null-safe (see round-3 notes): a bare
+                    # isin() is NULL for NULL partition values and would drop
+                    # those target rows from both sides.
+                    touched_raw = [
+                        r[0] for r in source.select(partition_col).distinct().collect()
+                    ]
+                    touched = [v for v in touched_raw if v is not None]
+                    include_null = len(touched) < len(touched_raw)
+
+                    def touched_pred(values: list, with_null: bool):
+                        pred = (
+                            F.coalesce(F.col(partition_col).isin(values), F.lit(False))
+                            if values
+                            else F.lit(False)
+                        )
+                        if with_null:
+                            pred = pred | F.col(partition_col).isNull()
+                        return pred
+
+                    is_touched = touched_pred(touched, include_null)
+                    # A key whose partition value CHANGED has its old row in an
+                    # untouched partition; hard-linking that partition verbatim
+                    # would keep a stale duplicate and break the one-row-per-key
+                    # contract.  Promote any such partition to touched — the
+                    # probe reads only (key, partition) columns of the untouched
+                    # partitions, so it is column-pruned and cheap relative to
+                    # the rewrite it prevents.
+                    stale_parts = [
+                        r[0]
+                        for r in target.filter(~is_touched)
+                        .join(source.select(key), on=key, how="left_semi")
+                        .select(partition_col)
+                        .distinct()
+                        .collect()
+                    ]
+                    if stale_parts:
+                        touched = touched + [v for v in stale_parts if v is not None]
+                        include_null = include_null or any(
+                            v is None for v in stale_parts
+                        )
+                        is_touched = touched_pred(touched, include_null)
+                    merged_touched = (
+                        target.filter(is_touched)
+                        .join(source.select(key), on=key, how="left_anti")
+                        .unionByName(source, **union_kw)
+                    )
+                    # Resolve which SNAPSHOT dirs the touched rows live in via
+                    # their actual file paths — never by re-encoding partition
+                    # values into Hive dir names.  This also covers a partition
+                    # the merge leaves EMPTY (its only key moved elsewhere):
+                    # the staging write creates no dir for it, and a bare
+                    # "link whatever staging lacks" rule would resurrect the
+                    # stale directory.
+                    from urllib.parse import unquote, urlparse
+
+                    # relpath against the RESOLVED snapshot dir: input_file_name
+                    # returns absolute URIs, so prefix math against a relative
+                    # `root` would mis-split every dir name.
+                    abs_data = str(Path(data_path).resolve())
+                    touched_dirs = {
+                        os.path.relpath(
+                            unquote(urlparse(r[0]).path), abs_data
+                        ).split(os.sep, 1)[0]
+                        for r in target.filter(is_touched)
+                        .select(F.input_file_name())
+                        .distinct()
+                        .collect()
+                    }
+                    merged_touched.write.mode("overwrite").partitionBy(
+                        partition_col
+                    ).parquet(str(staging))
+                    for entry in Path(data_path).iterdir():
+                        if (
+                            entry.is_dir()
+                            and entry.name not in touched_dirs
+                            and not (staging / entry.name).exists()
+                        ):
+                            _hardlink_tree(entry, staging / entry.name)
+                else:
+                    merged = target.join(
+                        source.select(key), on=key, how="left_anti"
+                    ).unionByName(source, **union_kw)
+                    writer = merged.write.mode("overwrite")
+                    if partition_col:
+                        writer = writer.partitionBy(partition_col)
+                    writer.parquet(str(staging))
+        except BaseException:
+            # A failed staging write (executor OOM, incompatible union,
+            # kill) must not leak a snapshot-sized orphan directory.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
 
         if table.claim(staging, base + 1):
             table.publish(base + 1)
@@ -550,8 +629,8 @@ def compact_versioned(
     read, so a merge that lands mid-compaction wins the claim and the
     compaction recomputes over the merged data instead of reverting it.
     A partitioned snapshot keeps its partition layout (one task — and so
-    ~one file — per partition value); an unpartitioned one coalesces to
-    the byte-derived file count.
+    ~one file — per partition value; ``target_file_mb`` does not apply
+    there); an unpartitioned one coalesces to the byte-derived file count.
     """
     table = VersionedParquetTable(root)
     table.ensure_versioned()
@@ -560,21 +639,30 @@ def compact_versioned(
         if base is None:
             raise ValueError(f"{root} has no committed snapshot to compact")
         data_path = str(table.versions_dir / _version_name(base))
-        data_files = [f for f in Path(data_path).rglob("*.parquet") if f.is_file()]
-        total_bytes = sum(f.stat().st_size for f in data_files)
-        n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         pcols = _partition_cols_of(data_path)
         staging = table._staging()
         df = spark.read.parquet(data_path)
-        if pcols:
-            (
-                df.repartition(*pcols)
-                .write.mode("overwrite")
-                .partitionBy(*pcols)
-                .parquet(str(staging))
-            )
-        else:
-            df.coalesce(n_target).write.mode("overwrite").parquet(str(staging))
+        try:
+            if pcols:
+                (
+                    df.repartition(*pcols)
+                    .write.mode("overwrite")
+                    .partitionBy(*pcols)
+                    .parquet(str(staging))
+                )
+            else:
+                # Byte-derived sizing only matters (and only costs the
+                # full file walk) on the unpartitioned path.
+                total_bytes = sum(
+                    f.stat().st_size
+                    for f in Path(data_path).rglob("*.parquet")
+                    if f.is_file()
+                )
+                n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+                df.coalesce(n_target).write.mode("overwrite").parquet(str(staging))
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if table.claim(staging, base + 1):
             table.publish(base + 1)
             table.vacuum(keep=vacuum_keep)
@@ -659,7 +747,14 @@ def table_changes(
         )
         .filter(F.col("_change_type").isNotNull())
     )
-    post = new.join(diff, new[key] == diff._k, "inner").select(
+    # eqNullSafe: a NULL-key row written by an external writer must not
+    # silently vanish from the change feed (plain equality never matches
+    # NULL; merges themselves reject NULL keys).  Deletes are excluded
+    # here — they have no new-side row, and a null key present on BOTH
+    # sides surfaces as delete+insert whose diff rows would otherwise
+    # both null-safe-match the new row.
+    non_delete = diff.filter(F.col("_change_type") != "delete")
+    post = new.join(non_delete, new[key].eqNullSafe(non_delete._k), "inner").select(
         "_change_type", *new.columns
     )
     deletes = (

@@ -486,3 +486,68 @@ def test_zorder_rejects_sign_bit_overflow(spark, sf001):
         write_zorder_parquet(
             li, "/tmp/unused", ["l_orderkey", "l_partkey"], bits=32
         )
+
+
+def test_null_merge_key_rejected(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    bad = spark.createDataFrame([(None, "a", "p1")], "k int, v string, part string")
+    with pytest.raises(ValueError, match="NULL values in merge key"):
+        merge_versioned(spark, root, bad, key="k")
+
+
+def test_type_only_schema_drift_detected(spark, tmp_path):
+    """Same column NAMES with a changed type must count as drift — letting
+    it into the hardlink path would mix physical schemas in one
+    snapshot."""
+    root = str(tmp_path / "tbl")
+    merge_versioned(
+        spark, root, _mk(spark, [(1, "a", "p1")]), key="k", partition_col="part"
+    )
+    retyped = spark.createDataFrame(
+        [(2, 9.5, "p2")], "k int, v double, part string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        merge_versioned(spark, root, retyped, key="k", partition_col="part")
+
+
+def test_partition_move_with_relative_root(spark, tmp_path):
+    """The touched-dir resolution must survive a RELATIVE table root:
+    input_file_name returns absolute URIs, so prefix math against the
+    relative path would mis-split dir names and resurrect an emptied
+    partition.  (The relative path is taken from the REAL cwd — Spark
+    resolves relative paths against its launch cwd, so a chdir'd test
+    would desynchronize the Python and JVM sides.)"""
+    root = os.path.join(os.path.relpath(str(tmp_path), os.getcwd()), "tbl")
+    assert not os.path.isabs(root)
+    merge_versioned(
+        spark,
+        root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]),
+        key="k",
+        partition_col="part",
+    )
+    merge_versioned(
+        spark, root, _mk(spark, [(1, "A", "p2")]), key="k", partition_col="part"
+    )
+    assert spark.read.parquet(str(tmp_path / "tbl")).count() == 2
+    got = {r["k"]: (r["v"], r["part"])
+           for r in spark.read.parquet(str(tmp_path / "tbl")).collect()}
+    assert got == {1: ("A", "p2"), 2: ("b", "p2")}
+
+
+def test_vacuum_sweeps_stale_staging_dirs(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    table = VersionedParquetTable(root)
+    stale = table.versions_dir / ".staging.deadbeef"
+    stale.mkdir()
+    old = _time.time() - 48 * 3600
+    _os.utime(stale, (old, old))
+    fresh = table.versions_dir / ".staging.cafebabe"
+    fresh.mkdir()  # an in-flight writer's staging: must survive
+    removed = table.vacuum(keep=2)
+    assert ".staging.deadbeef" in removed
+    assert fresh.exists()
