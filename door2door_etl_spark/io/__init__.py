@@ -2,7 +2,9 @@ from door2door_etl_spark.io.readers import load_table, read_jsonl_events
 from door2door_etl_spark.io.versioned import (
     ConcurrentWriteError,
     VersionedParquetTable,
+    apply_changes,
     compact_versioned,
+    delete_versioned,
     merge_versioned,
     read_version,
     resolve_table_path,
@@ -35,4 +37,6 @@ __all__ = [
     "compact_versioned",
     "read_version",
     "table_changes",
+    "delete_versioned",
+    "apply_changes",
 ]

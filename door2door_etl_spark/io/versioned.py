@@ -767,3 +767,118 @@ def table_changes(
                 deletes = deletes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
         deletes = deletes.select("_change_type", *new.columns)
     return post.unionByName(deletes)
+
+
+def delete_versioned(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key: str,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+) -> int:
+    """Delete every row whose ``key`` appears in ``keys`` — the
+    right-to-be-forgotten operation — committed through the versioned
+    protocol at FILE granularity: only parquet files that actually contain
+    a doomed key are rewritten (minus the deleted rows); every other file
+    hard-links into the new snapshot unchanged.
+
+    At 100 TB this is the difference between "a GDPR request rewrites the
+    corpus" and "it rewrites the handful of files the keys live in": the
+    probe is one column-pruned semi join collecting affected FILE PATHS
+    via ``input_file_name`` (no partition-column bookkeeping needed — the
+    same mechanism works for partitioned and flat layouts).  Returns the
+    number of rows deleted; a batch matching nothing returns 0 without
+    committing a new version.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
+    table = VersionedParquetTable(root)
+    table.ensure_versioned()
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            return 0
+        data_path = str(table.versions_dir / _version_name(base))
+        abs_data = str(Path(data_path).resolve())
+        target = spark.read.parquet(data_path)
+        # Bind input_file_name to the single-source target scan BEFORE the
+        # join — above a multi-source plan the expression is rejected
+        # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
+        with_file = target.withColumn("__file", F.input_file_name())
+        doomed = with_file.join(F.broadcast(keys), key, "left_semi")
+        affected = {
+            os.path.realpath(unquote(urlparse(r[0]).path))
+            for r in doomed.select("__file").distinct().collect()
+        }
+        if not affected:
+            return 0
+        n_deleted = doomed.count()
+        pcols = _partition_cols_of(data_path)
+        staging = table._staging()
+        try:
+            # Rewrite ONLY the affected files (basePath keeps the partition
+            # columns readable from the dir names), dropping doomed rows.
+            kept = (
+                spark.read.option("basePath", data_path)
+                .parquet(*sorted(affected))
+                .join(F.broadcast(keys), key, "left_anti")
+            )
+            writer = kept.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(str(staging))
+            # Hard-link every UNAFFECTED data file, preserving its relative
+            # path.  Spark part-file names embed a per-write UUID, so
+            # collisions with the staging write are not a concern.
+            for dirpath, _dirs, files in os.walk(abs_data):
+                rel_dir = os.path.relpath(dirpath, abs_data)
+                for fn in files:
+                    src = os.path.join(dirpath, fn)
+                    if fn.startswith(("_", ".")) or os.path.realpath(src) in affected:
+                        continue
+                    dst_dir = (
+                        Path(staging) if rel_dir == "." else Path(staging) / rel_dir
+                    )
+                    dst_dir.mkdir(parents=True, exist_ok=True)
+                    os.link(src, dst_dir / fn)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        if table.claim(staging, base + 1):
+            table.publish(base + 1)
+            table.vacuum(keep=vacuum_keep)
+            return n_deleted
+        shutil.rmtree(staging, ignore_errors=True)
+    raise ConcurrentWriteError(
+        f"delete from {root} lost the version-claim race {max_retries} times"
+    )
+
+
+def apply_changes(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+) -> dict:
+    """Apply a :func:`table_changes` feed to a replica table — the CDC
+    consumer half: deletes first (so a delete+reinsert of the same key in
+    one feed nets to the reinsert), then inserts/updates as one MERGE.
+    Replaying the same feed is a no-op (both halves are idempotent), so
+    at-least-once delivery of change batches is safe.  Returns
+    ``{"deleted": n, "upserted": n}``."""
+    from pyspark.sql import functions as F
+
+    dels = changes.filter(F.col("_change_type") == "delete").select(key)
+    ups = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
+    n_del = delete_versioned(spark, root, dels, key) if dels.limit(1).count() else 0
+    n_up = (
+        merge_versioned(spark, root, ups, key, partition_col=partition_col)
+        if ups.limit(1).count()
+        else 0
+    )
+    return {"deleted": n_del, "upserted": n_up}

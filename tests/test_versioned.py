@@ -551,3 +551,71 @@ def test_vacuum_sweeps_stale_staging_dirs(spark, tmp_path):
     removed = table.vacuum(keep=2)
     assert ".staging.deadbeef" in removed
     assert fresh.exists()
+
+
+def test_delete_versioned_file_level_rewrite(spark, tmp_path):
+    """Deletion rewrites ONLY the files containing doomed keys; every
+    other file hard-links into the new snapshot (same inode)."""
+    from door2door_etl_spark.io.versioned import delete_versioned
+
+    root = str(tmp_path / "tbl")
+    base = _mk(spark, [(i, f"v{i}", f"p{i % 3}") for i in range(30)])
+    merge_versioned(spark, root, base, key="k", partition_col="part", vacuum_keep=99)
+    table = VersionedParquetTable(root)
+    v1 = table.versions_dir / "data-v00000001"
+
+    dooms = spark.createDataFrame([(0,), (3,)], "k int")  # both in part=p0
+    n = delete_versioned(spark, root, dooms, key="k")
+    assert n == 2
+    v2 = table.versions_dir / "data-v00000002"
+    left = {r["k"] for r in spark.read.parquet(root).collect()}
+    assert left == set(range(30)) - {0, 3}
+
+    ino = lambda d, p: sorted(
+        f.stat().st_ino for f in (d / f"part={p}").glob("*.parquet")
+    )
+    # Partitions without doomed keys: files carried forward by hardlink.
+    assert ino(v2, "p1") == ino(v1, "p1")
+    assert ino(v2, "p2") == ino(v1, "p2")
+
+    # A no-match delete commits nothing.
+    v_before = table.current_version()
+    assert delete_versioned(spark, root, spark.createDataFrame([(999,)], "k int"), key="k") == 0
+    assert table.current_version() == v_before
+
+
+def test_apply_changes_syncs_replica(spark, tmp_path):
+    """CDC round-trip: diff source v_from -> v_to, apply to a replica of
+    v_from, and the replica matches v_to exactly — including a delete.
+    Replaying the same feed is a no-op."""
+    from door2door_etl_spark.io.versioned import (
+        apply_changes,
+        read_version,
+        table_changes,
+    )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    v1_data = _mk(spark, [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")])
+    merge_versioned(spark, src, v1_data, key="k", vacuum_keep=99)
+    merge_versioned(spark, rep, v1_data, key="k", vacuum_keep=99)  # replica @ v1
+
+    # Source evolves: update k=2, insert k=4, delete k=3 (external rewrite).
+    table = VersionedParquetTable(src)
+    staging = table._staging()
+    _mk(spark, [(1, "a", "p1"), (2, "B", "p1"), (4, "d", "p2")]).write.mode(
+        "overwrite"
+    ).parquet(str(staging))
+    assert table.claim(staging, 2)
+    table.publish(2)
+
+    feed = table_changes(spark, src, key="k", from_version=1, to_version=2)
+    stats = apply_changes(spark, rep, feed, key="k")
+    assert stats == {"deleted": 1, "upserted": 2}
+
+    want = {r["k"]: (r["v"], r["part"])
+            for r in read_version(spark, src, 2).collect()}
+    assert _as_dict(spark, rep) == want
+    # Idempotent replay.
+    apply_changes(spark, rep, feed, key="k")
+    assert _as_dict(spark, rep) == want
