@@ -124,6 +124,55 @@ def _point_root_symlink(root: Path, version_name: str) -> None:
     os.replace(tmp, root)
 
 
+def _fsync_tree(root: Path, skip_linked: bool = True) -> None:
+    """fsync every file and directory under ``root`` (and ``root`` itself).
+
+    The claim rename is only a durable commit point if the staging tree's
+    bytes reached disk BEFORE the rename: otherwise a power cut can leave
+    the versions dir durably recording ``data-v{N}`` (``_write_pointer``
+    fsyncs it) while the snapshot's parquet files are torn or empty — and
+    recovery would roll the pointer FORWARD onto the corrupt snapshot.
+    ``skip_linked`` elides files with ``st_nlink > 1``: in a commit's
+    staging tree those are hard links into a PRIOR snapshot whose inodes
+    were fsync'd by the commit that first wrote them, and skipping them
+    keeps the partition-scoped merge's fsync cost proportional to the
+    touched partitions, not the table.  Legacy migration passes ``False``
+    (its links point at never-fsync'd pre-protocol files).
+    """
+    for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            try:
+                if skip_linked and os.stat(p).st_nlink > 1:
+                    continue  # hard link into a prior fsync'd snapshot
+                fd = os.open(p, os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        try:
+            dfd = os.open(dirpath, os.O_RDONLY)
+        except OSError:
+            continue
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
+def _fsync_dir(path: Path) -> None:
+    try:
+        dfd = os.open(str(path), os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _hardlink_tree(src: Path, dst: Path) -> None:
     """Mirror ``src`` into ``dst`` with hard links (no data copy).  Parquet
     snapshot files are immutable, so shared inodes are safe."""
@@ -261,6 +310,9 @@ class VersionedParquetTable:
         if not v1.exists():
             staging = vdir / f".staging.{uuid.uuid4().hex}"
             _hardlink_tree(root, staging)
+            # The adopted files predate the protocol and were never fsync'd
+            # by any commit — force them down before v1 becomes claimable.
+            _fsync_tree(staging, skip_linked=False)
             try:
                 os.rename(staging, v1)
             except OSError:
@@ -289,14 +341,21 @@ class VersionedParquetTable:
         snapshot they read (see :func:`merge_versioned`), a successful
         claim proves no other commit intervened — the optimistic-
         concurrency check Delta performs with its log-record create.
-        Staging dirs are fully written before the claim, so a claimed
-        snapshot is always complete; a crash after claim but before
-        :meth:`publish` is recovered by rolling the pointer FORWARD on the
-        next access (the commit is never lost)."""
+        Staging dirs are fully written AND fsync'd before the claim, so a
+        claimed snapshot is always complete — on disk, not just in the page
+        cache: without the pre-claim fsync a power cut could durably record
+        the ``data-v{N}`` rename (the versions-dir fsync below and
+        ``_write_pointer``'s both persist it) while the snapshot's parquet
+        bytes were still dirty, and recovery would roll the pointer FORWARD
+        onto torn files.  A crash after claim but before :meth:`publish` is
+        recovered by rolling the pointer forward on the next access (the
+        commit is never lost)."""
         import errno
 
+        _fsync_tree(staging)
         try:
             os.rename(staging, self.versions_dir / _version_name(version))
+            _fsync_dir(self.versions_dir)
             return True
         except OSError as exc:
             # ONLY a name collision is a lost race; anything else
@@ -548,13 +607,19 @@ def merge_versioned(
                     # stale directory.
                     from urllib.parse import unquote, urlparse
 
-                    # relpath against the RESOLVED snapshot dir: input_file_name
-                    # returns absolute URIs, so prefix math against a relative
-                    # `root` would mis-split every dir name.
-                    abs_data = str(Path(data_path).resolve())
+                    # Normalize BOTH sides identically with realpath before
+                    # relpath: input_file_name() returns URIs with symlinks
+                    # unresolved, while Path.resolve() follows them — with a
+                    # symlinked ancestor in the lake path (macOS /tmp,
+                    # symlinked mounts) a one-sided resolve makes every
+                    # relpath wrong, and a partition emptied by the merge
+                    # would be hard-linked back from the old snapshot,
+                    # resurrecting stale rows.
+                    abs_data = os.path.realpath(data_path)
                     touched_dirs = {
                         os.path.relpath(
-                            unquote(urlparse(r[0]).path), abs_data
+                            os.path.realpath(unquote(urlparse(r[0]).path)),
+                            abs_data,
                         ).split(os.sep, 1)[0]
                         for r in target.filter(is_touched)
                         .select(F.input_file_name())
@@ -732,8 +797,26 @@ def table_changes(
         to_version = cur
     new = read_version(spark, root, to_version)
 
-    common = [c for c in old.columns if c in set(new.columns)]
-    row_hash = lambda df: F.xxhash64(F.struct(*[F.col(c) for c in common]))  # noqa: E731
+    # Diff over the UNION of both schemas with a null-for-missing
+    # convention: a column only one side has hashes as a typed NULL on the
+    # other, so after schema evolution a row whose only change is a value
+    # in the newly added column (or a value lost with a dropped column)
+    # still reports as an update.  Hashing only the intersection — the old
+    # behavior — silently dropped exactly those changes from the CDC feed.
+    all_cols = list(new.columns) + [c for c in old.columns if c not in set(new.columns)]
+
+    def row_hash(df: DataFrame):
+        have = set(df.columns)
+        parts = [
+            F.col(c)
+            if c in have
+            else F.lit(None).cast(
+                (new if c in set(new.columns) else old).schema[c].dataType
+            )
+            for c in all_cols
+        ]
+        return F.xxhash64(F.struct(*parts))
+
     oldh = old.select(F.col(key).alias("_k"), row_hash(old).alias("_h_old"))
     newh = new.select(F.col(key).alias("_k"), row_hash(new).alias("_h_new"))
     diff = (
@@ -822,8 +905,12 @@ def delete_versioned(
         try:
             # Rewrite ONLY the affected files (basePath keeps the partition
             # columns readable from the dir names), dropping doomed rows.
+            # basePath must be the REALPATH'd snapshot dir: ``affected``
+            # holds realpath'd file paths, and a symlinked ancestor in
+            # ``data_path`` would otherwise make Spark reject them as
+            # outside the base.
             kept = (
-                spark.read.option("basePath", data_path)
+                spark.read.option("basePath", abs_data)
                 .parquet(*sorted(affected))
                 .join(F.broadcast(keys), key, "left_anti")
             )

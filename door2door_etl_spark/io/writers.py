@@ -86,13 +86,27 @@ def write_bucketed_table(
         # <warehouse>/<name> name THIS table's location (a qualified or
         # non-default-db table lives under <warehouse>/<db>.db/<name>, and
         # guessing wrong could delete a DIFFERENT live table's data).
+        import os
         import shutil
         from urllib.parse import urlparse
 
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        stale = Path(warehouse) / table_name.lower()
-        if stale.exists():
-            shutil.rmtree(stale)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        # Only local/file warehouses: for any other scheme the .path of the
+        # URI is not a filesystem path and the guess could be wrong — leave
+        # the directory alone and let saveAsTable surface the conflict.
+        if wh.scheme in ("", "file"):
+            stale = Path(wh.path) / table_name.lower()
+            if stale.exists():
+                # Move aside rather than delete: the dir SHOULD be our own
+                # orphaned managed-table location, but if a user placed an
+                # unrelated directory under the same name, a rename is
+                # recoverable where an rmtree is not.  One backup slot per
+                # table name — a pre-existing backup is provably our own
+                # garbage from a previous move-aside and is reclaimed.
+                aside = stale.parent / f".{stale.name}__stale"
+                if aside.exists():
+                    shutil.rmtree(aside, ignore_errors=True)
+                os.rename(stale, aside)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -619,3 +619,70 @@ def test_apply_changes_syncs_replica(spark, tmp_path):
     # Idempotent replay.
     apply_changes(spark, rep, feed, key="k")
     assert _as_dict(spark, rep) == want
+
+
+def test_table_changes_sees_new_column_only_updates(spark, tmp_path):
+    """ADVICE r4: after schema evolution, a row whose ONLY change is a value
+    in the newly added column must still appear in the CDC feed (the old
+    intersection-hash silently dropped exactly those updates)."""
+    from door2door_etl_spark.io.versioned import table_changes
+
+    root = str(tmp_path / "tbl")
+    merge_versioned(
+        spark, root, _mk(spark, [(1, "a", "p1"), (2, "b", "p1")]), key="k",
+        vacuum_keep=99,
+    )
+    wider = spark.createDataFrame(
+        # k=1: every pre-existing column identical; only the new column
+        # carries information.  k=2 untouched.
+        [(1, "a", "p1", "extra")], "k int, v string, part string, note string"
+    )
+    merge_versioned(spark, root, wider, key="k", evolve_schema=True, vacuum_keep=99)
+    feed = table_changes(spark, root, key="k", from_version=1, to_version=2)
+    rows = {r["k"]: r["_change_type"] for r in feed.collect()}
+    assert rows == {1: "update"}
+
+
+def test_partition_scoped_merge_under_symlinked_lake_path(spark, tmp_path):
+    """ADVICE r4: with a symlinked ancestor in the lake path the touched-dir
+    bookkeeping must still be right — a partition emptied by the merge must
+    NOT be hard-linked back from the old snapshot (stale-row resurrection)."""
+    real = tmp_path / "real_lake"
+    real.mkdir()
+    link = tmp_path / "lake_link"
+    os.symlink(real, link)
+    root = str(link / "tbl")
+
+    merge_versioned(
+        spark, root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]),
+        key="k", partition_col="part", vacuum_keep=99,
+    )
+    # Move k=2 from p2 to p1: p2 becomes EMPTY; a mis-normalized relpath
+    # would treat p2 as untouched and resurrect the old (2, "b", "p2") row.
+    merge_versioned(
+        spark, root,
+        _mk(spark, [(2, "b2", "p1")]),
+        key="k", partition_col="part", vacuum_keep=99,
+    )
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b2", "p1")}
+
+
+def test_delete_versioned_under_symlinked_lake_path(spark, tmp_path):
+    """The file-level delete's basePath/affected-file bookkeeping under a
+    symlinked ancestor (the inverse normalization mix failed loudly)."""
+    from door2door_etl_spark.io.versioned import delete_versioned
+
+    real = tmp_path / "real_lake2"
+    real.mkdir()
+    link = tmp_path / "lake_link2"
+    os.symlink(real, link)
+    root = str(link / "tbl")
+    merge_versioned(
+        spark, root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")]),
+        key="k", partition_col="part", vacuum_keep=99,
+    )
+    n = delete_versioned(spark, root, spark.createDataFrame([(2,)], "k int"), key="k")
+    assert n == 1
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 3: ("c", "p2")}
