@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
         help="vacuum: committed snapshots to retain per table",
     )
     parser.add_argument(
+        "--min-age-hours", type=float, default=1.0,
+        help="vacuum: time retention floor — a beyond-keep snapshot is "
+             "only removed once older than this (protects long-running "
+             "readers; Delta's retention-duration rule)",
+    )
+    parser.add_argument(
         "-w", "--workflow-id", default=None,
         help="workflow id; required for a bare handler run (reference: executor.py -w)",
     )
@@ -114,7 +120,9 @@ def _run_maintenance(args) -> int:
     report: dict[str, dict] = {}
     if args.step == "vacuum":
         for root in roots:  # metadata-only: no Spark session needed
-            removed = VersionedParquetTable(str(root)).vacuum(keep=args.keep_versions)
+            removed = VersionedParquetTable(str(root)).vacuum(
+                keep=args.keep_versions, min_age_hours=args.min_age_hours
+            )
             report[root.name] = {"removed_snapshots": removed}
     else:
         from pyspark.sql import SparkSession

@@ -1,0 +1,682 @@
+"""Object-store manifest mode for the versioned commit protocol.
+
+:mod:`door2door_etl_spark.io.versioned` commits with three POSIX-isms —
+the claim *rename* (fails-if-exists), the *hardlink farm* that shares
+untouched partitions between snapshots, and the *root symlink* that keeps
+pointer-unaware readers working.  None of those exist on an object store,
+and at the stated 100 TB north star the table lives on S3.  This module is
+the same optimistic-concurrency protocol re-expressed in the only
+primitives an object store offers (reference analog: the warehouse's
+server-side transaction, src/helper/postgres.py:157-189; public design
+analog: the Delta log / Iceberg metadata commit):
+
+Layout (a plain directory — NO symlinks, NO hardlinks anywhere)::
+
+    warehouse/vehicle_location/
+      _current                        # cache: "data-v00000002" (optional)
+      _manifests/
+        data-v00000001.json           # the COMMIT RECORDS (immutable)
+        data-v00000002.json
+      _files/
+        part=2022-11-24T10/part-00000-<uuidA>.snappy.parquet
+        part=2022-11-24T11/part-00000-<uuidB>.snappy.parquet
+
+* **Data files are immutable and uniquely named.** Spark part-file names
+  embed a per-write UUID, so concurrent writers never collide.  Files are
+  written to a hidden staging dir, then moved into ``_files/`` preserving
+  their ``col=value`` partition relpath — visible to nobody until a
+  manifest references them.
+* **The manifest create IS the claim.** A writer computes its merge
+  against manifest ``N`` and claims EXACTLY ``N+1`` by creating
+  ``data-v{N+1}.json`` with put-if-absent semantics
+  (:meth:`FsOps.put_if_absent`): local backend ``open(O_CREAT|O_EXCL)``;
+  an S3 backend uses a conditional ``PUT If-None-Match: *`` (supported
+  natively since 2024) — exactly the primitive Delta uses for its log
+  record.  A loser recomputes against the winner's snapshot and retries.
+* **File reuse replaces the hardlink farm.** A manifest lists the
+  relative data paths that make up its snapshot; an hourly merge into an
+  hour-partitioned 100 TB table writes one partition's worth of new files
+  and RE-LISTS the other ~8,700 partitions' existing paths — a pure
+  metadata operation, cheaper than even the local mode's hardlinks.
+* **Readers resolve via the manifest — only.** :meth:`ManifestTable.read`
+  scans exactly the listed files (``basePath`` recovers the partition
+  columns from the dir names).  A naive ``spark.read.parquet(root)`` fails
+  LOUDLY (``_files``/``_manifests`` are underscore-hidden from Spark's
+  listing), never silently reads a mix of versions — the honest posture,
+  since object stores cannot support pointer-unaware readers at all.
+* **Durability.** The local backend fsyncs every data file before the
+  claim and the manifest before publication, so a claimed snapshot
+  survives a power cut (same guarantee as :mod:`.versioned`); an object
+  store gives read-after-write consistency on PUT by contract.
+
+Everything else — MERGE semantics, NULL-key rejection, schema-drift
+policy, snapshot isolation, time travel, retention-floored vacuum — is
+identical to the local mode and shares its tests' expectations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .versioned import ConcurrentWriteError, changes_between
+
+_MANIFEST_RE = re.compile(r"^data-v(\d{8})\.json$")
+
+
+def _manifest_name(n: int) -> str:
+    return f"data-v{n:08d}.json"
+
+
+def _parse_manifest_version(name: str) -> int | None:
+    m = _MANIFEST_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+@runtime_checkable
+class FsOps(Protocol):
+    """The minimal storage contract the manifest protocol needs — the
+    whole point of the abstraction is that every method has a native
+    object-store implementation:
+
+    ============== ======================= ============================
+    method         local backend           S3 backend (sketch)
+    ============== ======================= ============================
+    put_if_absent  open(O_CREAT|O_EXCL)    PUT with If-None-Match: *
+    put_bytes      temp + os.replace       PUT (last-writer-wins cache)
+    read_bytes     open/read               GET
+    move_file      os.rename + fsync       written in place by the S3A
+                                           magic committer, or one
+                                           server-side COPY + DELETE
+    list_names     os.listdir              LIST with prefix+delimiter
+    walk_files     os.walk                 LIST with prefix
+    delete_file    os.unlink               DELETE
+    file_age_s     stat().st_mtime         LastModified header
+    ============== ======================= ============================
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> bool: ...
+    def put_bytes(self, path: str, data: bytes) -> None: ...
+    def read_bytes(self, path: str) -> bytes | None: ...
+    def move_file(self, src: str, dst: str) -> None: ...
+    def list_names(self, dir_path: str) -> list[str]: ...
+    def walk_files(self, dir_path: str) -> list[str]: ...
+    def delete_file(self, path: str) -> None: ...
+    def file_age_s(self, path: str) -> float: ...
+
+
+class LocalFsOps:
+    """POSIX backend — doubles as the executable spec for an S3 backend.
+
+    Durability discipline: ``put_if_absent`` (the claim) and ``move_file``
+    (data-file placement) fsync both the file and its directory, so by
+    the time a manifest exists its data files are on disk — the same
+    claimed-implies-durable invariant :mod:`.versioned` enforces.
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        self._fsync_dir(os.path.dirname(path))
+        return True
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        self._fsync_dir(os.path.dirname(path))
+
+    def read_bytes(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def move_file(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        fd = os.open(src, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.rename(src, dst)
+        self._fsync_dir(os.path.dirname(dst))
+
+    def list_names(self, dir_path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(dir_path))
+        except OSError:
+            return []
+
+    def walk_files(self, dir_path: str) -> list[str]:
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(dir_path):
+            out.extend(os.path.join(dirpath, f) for f in files)
+        return sorted(out)
+
+    def delete_file(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+    def file_age_s(self, path: str) -> float:
+        try:
+            return time.time() - os.stat(path).st_mtime
+        except OSError:
+            return float("inf")
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        try:
+            dfd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
+@dataclass(frozen=True)
+class ManifestTable:
+    """A parquet table committed through per-version file manifests —
+    the object-store half of the versioned protocol (see module doc)."""
+
+    root: str
+    fs: FsOps = field(default_factory=LocalFsOps)
+
+    @property
+    def manifests_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    @property
+    def files_dir(self) -> str:
+        return os.path.join(self.root, "_files")
+
+    def current_version(self) -> int | None:
+        versions = [
+            v
+            for v in (
+                _parse_manifest_version(n)
+                for n in self.fs.list_names(self.manifests_dir)
+            )
+            if v is not None
+        ]
+        if versions:
+            return max(versions)
+        cached = self.fs.read_bytes(os.path.join(self.root, "_current"))
+        if cached:
+            return _parse_manifest_version(cached.decode().strip() + ".json")
+        return None
+
+    def manifest(self, version: int) -> dict:
+        raw = self.fs.read_bytes(
+            os.path.join(self.manifests_dir, _manifest_name(version))
+        )
+        if raw is None:
+            have = sorted(
+                n for n in self.fs.list_names(self.manifests_dir)
+                if _parse_manifest_version(n) is not None
+            )
+            raise ValueError(
+                f"version {version} of {self.root} is not retained "
+                f"(have: {have}); raise vacuum keep=/min_age_hours= to "
+                "retain more history"
+            )
+        return json.loads(raw)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot (or time-travel) read: scan exactly the files the
+        manifest lists.  An empty snapshot reproduces its schema from the
+        manifest record instead of failing schema inference."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"{self.root} has no committed manifest")
+        man = self.manifest(version)
+        if not man["files"]:
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.files_dir, rel) for rel in man["files"]]
+        return spark.read.option("basePath", self.files_dir).parquet(*paths)
+
+    def publish(self, version: int) -> None:
+        """Refresh the ``_current`` cache — pure convenience (readers
+        authoritative path is the manifest listing), FORWARD-ONLY."""
+        cached = self.fs.read_bytes(os.path.join(self.root, "_current"))
+        if cached:
+            prev = _parse_manifest_version(cached.decode().strip() + ".json")
+            if prev is not None and prev >= version:
+                return
+        self.fs.put_bytes(
+            os.path.join(self.root, "_current"),
+            _manifest_name(version).removesuffix(".json").encode(),
+        )
+
+    def _stage_and_place(
+        self, df_writer, staging: str
+    ) -> list[str]:
+        """Run a Spark write into ``staging`` and move every data file
+        into ``_files/`` preserving its partition relpath; returns the
+        new relative paths.  Files are invisible to readers until a
+        manifest lists them, so placement needs no atomicity."""
+        df_writer.parquet(staging)
+        new_rels: list[str] = []
+        for dirpath, _dirs, files in os.walk(staging):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fn), staging)
+                self.fs.move_file(
+                    os.path.join(dirpath, fn),
+                    os.path.join(self.files_dir, rel),
+                )
+                new_rels.append(rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        return sorted(new_rels)
+
+    def _claim(
+        self,
+        version: int,
+        rels: list[str],
+        schema: StructType,
+        partition_cols: list[str],
+    ) -> bool:
+        payload = json.dumps(
+            {
+                "version": version,
+                "files": sorted(rels),
+                "partition_cols": partition_cols,
+                "schema": json.dumps(schema.jsonValue()),
+            },
+            indent=None,
+            sort_keys=True,
+        ).encode()
+        return self.fs.put_if_absent(
+            os.path.join(self.manifests_dir, _manifest_name(version)), payload
+        )
+
+    def _drop_files(self, rels: list[str]) -> None:
+        for rel in rels:
+            self.fs.delete_file(os.path.join(self.files_dir, rel))
+
+    def vacuum(
+        self,
+        keep: int = 2,
+        min_age_hours: float = 1.0,
+        stale_staging_hours: float = 24.0,
+        gc_files: bool = True,
+    ) -> list[str]:
+        """Retention sweep with a TIME floor: a manifest is removed only
+        when it is BOTH older than the newest ``keep`` versions AND its
+        record is older than ``min_age_hours`` — so a long-running reader
+        that resolved a beyond-keep snapshot keeps its files until the
+        retention window closes (Delta's retention-duration rule).
+
+        With ``gc_files``, data files referenced by no retained manifest
+        are garbage-collected — but never before ``stale_staging_hours``
+        of age (an in-flight writer's just-placed files are always
+        younger).  File GC lists the whole ``_files`` tree, an O(table)
+        metadata walk, so per-commit auto-vacuum passes ``gc_files=False``
+        (trim manifests only) and full GC is a periodic maintenance call —
+        exactly Delta's explicit-VACUUM split.  Returns removed manifest
+        names + file relpaths."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        removed: list[str] = []
+        retained: list[int] = []
+        for name in self.fs.list_names(self.manifests_dir):
+            v = _parse_manifest_version(name)
+            if v is None:
+                continue
+            path = os.path.join(self.manifests_dir, name)
+            if v <= cur - max(1, keep) and self.fs.file_age_s(path) >= (
+                min_age_hours * 3600
+            ):
+                self.fs.delete_file(path)
+                removed.append(name)
+            else:
+                retained.append(v)
+        if gc_files:
+            referenced = {
+                rel for v in retained for rel in self.manifest(v)["files"]
+            }
+            for path in self.fs.walk_files(self.files_dir):
+                rel = os.path.relpath(path, self.files_dir)
+                if rel not in referenced and self.fs.file_age_s(path) >= (
+                    stale_staging_hours * 3600
+                ):
+                    self.fs.delete_file(path)
+                    removed.append(rel)
+            # Hidden Spark staging dirs abandoned by crashed writes.
+            for name in self.fs.list_names(self.root):
+                if name.startswith(".staging."):
+                    p = os.path.join(self.root, name)
+                    if os.path.isdir(p) and self.fs.file_age_s(p) >= (
+                        stale_staging_hours * 3600
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed.append(name)
+        return removed
+
+
+def merge_manifest(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+    evolve_schema: bool = False,
+    fs: FsOps | None = None,
+) -> int:
+    """MERGE-style upsert committed through the manifest protocol — the
+    object-store twin of :func:`door2door_etl_spark.io.versioned.merge_versioned`
+    with identical semantics (one row per key, new row wins, idempotent
+    replay, NULL keys rejected, schema drift rejected unless
+    ``evolve_schema``).
+
+    With ``partition_col``, only touched partitions are written as new
+    files; every untouched partition's existing files are RE-LISTED in
+    the new manifest (metadata-only — the object-store equivalent of the
+    local mode's hardlink farm, and the reason an hourly batch into a
+    100 TB table costs one partition, not the table).
+    """
+    from pyspark.sql import functions as F
+
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    source = source.dropDuplicates([key])
+    if source.filter(source[key].isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"merge into {root}: batch contains NULL values in merge key "
+            f"{key!r}; a NULL key cannot be matched for UPDATE and would "
+            "duplicate on every replay"
+        )
+    n_source = source.count()
+
+    for _attempt in range(max_retries):
+        base = table.current_version() or 0
+        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        new_rels: list[str] = []
+        try:
+            if base == 0:
+                writer = source.write.mode("overwrite")
+                if partition_col:
+                    writer = writer.partitionBy(partition_col)
+                new_rels = table._stage_and_place(writer, staging)
+                reused: list[str] = []
+                out_schema = source.schema
+                pcols = [partition_col] if partition_col else []
+            else:
+                man = table.manifest(base)
+                target = table.read(spark, base)
+                drifted = {f.name: f.dataType for f in source.schema.fields} != {
+                    f.name: f.dataType for f in target.schema.fields
+                }
+                if drifted and not evolve_schema:
+                    raise ValueError(
+                        f"merge into {root}: batch schema "
+                        f"{sorted((f.name, f.dataType.simpleString()) for f in source.schema.fields)} "
+                        f"!= table schema "
+                        f"{sorted((f.name, f.dataType.simpleString()) for f in target.schema.fields)}; "
+                        "pass evolve_schema=True to evolve the table"
+                    )
+                union_kw = {"allowMissingColumns": True} if evolve_schema else {}
+                partition_scoped = (
+                    partition_col
+                    and not drifted
+                    and man["partition_cols"] == [partition_col]
+                )
+                if partition_scoped:
+                    touched_raw = [
+                        r[0]
+                        for r in source.select(partition_col).distinct().collect()
+                    ]
+                    touched = [v for v in touched_raw if v is not None]
+                    include_null = len(touched) < len(touched_raw)
+
+                    def touched_pred(values: list, with_null: bool):
+                        pred = (
+                            F.coalesce(
+                                F.col(partition_col).isin(values), F.lit(False)
+                            )
+                            if values
+                            else F.lit(False)
+                        )
+                        if with_null:
+                            pred = pred | F.col(partition_col).isNull()
+                        return pred
+
+                    is_touched = touched_pred(touched, include_null)
+                    # A key whose partition changed has its old row in an
+                    # "untouched" partition; re-listing that partition's
+                    # files verbatim would keep a stale duplicate.
+                    stale_parts = [
+                        r[0]
+                        for r in target.filter(~is_touched)
+                        .join(source.select(key), on=key, how="left_semi")
+                        .select(partition_col)
+                        .distinct()
+                        .collect()
+                    ]
+                    if stale_parts:
+                        touched += [v for v in stale_parts if v is not None]
+                        include_null = include_null or any(
+                            v is None for v in stale_parts
+                        )
+                        is_touched = touched_pred(touched, include_null)
+                    merged_touched = (
+                        target.filter(is_touched)
+                        .join(source.select(key), on=key, how="left_anti")
+                        .unionByName(source, **union_kw)
+                    )
+                    # Which top-level partition dirs do the touched rows
+                    # live in?  Resolved from actual file paths (realpath
+                    # both sides), never re-encoded from values.
+                    from urllib.parse import unquote, urlparse
+
+                    abs_files = os.path.realpath(table.files_dir)
+                    touched_dirs = {
+                        os.path.relpath(
+                            os.path.realpath(unquote(urlparse(r[0]).path)),
+                            abs_files,
+                        ).split(os.sep, 1)[0]
+                        for r in target.filter(is_touched)
+                        .select(F.input_file_name())
+                        .distinct()
+                        .collect()
+                    }
+                    new_rels = table._stage_and_place(
+                        merged_touched.write.mode("overwrite").partitionBy(
+                            partition_col
+                        ),
+                        staging,
+                    )
+                    reused = [
+                        rel
+                        for rel in man["files"]
+                        if rel.split(os.sep, 1)[0] not in touched_dirs
+                    ]
+                    out_schema = merged_touched.schema
+                    pcols = [partition_col]
+                else:
+                    merged = target.join(
+                        source.select(key), on=key, how="left_anti"
+                    ).unionByName(source, **union_kw)
+                    writer = merged.write.mode("overwrite")
+                    if partition_col:
+                        writer = writer.partitionBy(partition_col)
+                    new_rels = table._stage_and_place(writer, staging)
+                    reused = []
+                    out_schema = merged.schema
+                    pcols = [partition_col] if partition_col else []
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            table._drop_files(new_rels)
+            raise
+
+        if table._claim(base + 1, reused + new_rels, out_schema, pcols):
+            table.publish(base + 1)
+            table.vacuum(
+                keep=vacuum_keep,
+                min_age_hours=vacuum_min_age_hours,
+                gc_files=False,  # O(table) file walk is a maintenance call
+            )
+            return n_source
+        # Lost the claim race: our files are referenced by nothing — drop
+        # them and recompute against the winner's snapshot.
+        table._drop_files(new_rels)
+    raise ConcurrentWriteError(
+        f"merge into {root} lost the version-claim race {max_retries} times"
+    )
+
+
+def delete_manifest(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key: str,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+    fs: FsOps | None = None,
+) -> int:
+    """File-level delete on a manifest table (right-to-be-forgotten):
+    only files containing a doomed key are rewritten; every other file is
+    re-listed verbatim.  Object-store twin of
+    :func:`door2door_etl_spark.io.versioned.delete_versioned`."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            return 0
+        man = table.manifest(base)
+        target = table.read(spark, base)
+        abs_files = os.path.realpath(table.files_dir)
+        with_file = target.withColumn("__file", F.input_file_name())
+        doomed = with_file.join(F.broadcast(keys), key, "left_semi")
+        affected_rel = {
+            os.path.relpath(
+                os.path.realpath(unquote(urlparse(r[0]).path)), abs_files
+            )
+            for r in doomed.select("__file").distinct().collect()
+        }
+        if not affected_rel:
+            return 0
+        n_deleted = doomed.count()
+        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        new_rels: list[str] = []
+        try:
+            kept = (
+                spark.read.option("basePath", abs_files)
+                .parquet(
+                    *sorted(os.path.join(abs_files, r) for r in affected_rel)
+                )
+                .join(F.broadcast(keys), key, "left_anti")
+            )
+            writer = kept.write.mode("overwrite")
+            if man["partition_cols"]:
+                writer = writer.partitionBy(*man["partition_cols"])
+            new_rels = table._stage_and_place(writer, staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            table._drop_files(new_rels)
+            raise
+        reused = [rel for rel in man["files"] if rel not in affected_rel]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if table._claim(
+            base + 1, reused + new_rels, schema, man["partition_cols"]
+        ):
+            table.publish(base + 1)
+            table.vacuum(
+                keep=vacuum_keep,
+                min_age_hours=vacuum_min_age_hours,
+                gc_files=False,
+            )
+            return n_deleted
+        table._drop_files(new_rels)
+    raise ConcurrentWriteError(
+        f"delete from {root} lost the version-claim race {max_retries} times"
+    )
+
+
+def table_changes_manifest(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+    fs: FsOps | None = None,
+) -> DataFrame:
+    """Change feed between two manifest versions — the object-store twin
+    of :func:`door2door_etl_spark.io.versioned.table_changes`, sharing its
+    diff core (slim key+hash shuffle, union-of-schemas null-for-missing
+    convention)."""
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    if to_version is None:
+        to_version = table.current_version()
+        if to_version is None:
+            raise ValueError(f"{root} has no committed manifest")
+    old = table.read(spark, from_version)
+    new = table.read(spark, to_version)
+    return changes_between(old, new, key)
+
+
+def apply_changes_manifest(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+    fs: FsOps | None = None,
+) -> dict:
+    """Apply a change feed to a manifest-mode replica (deletes first,
+    then one MERGE; idempotent on replay).  Twin of
+    :func:`door2door_etl_spark.io.versioned.apply_changes`."""
+    from pyspark.sql import functions as F
+
+    dels = changes.filter(F.col("_change_type") == "delete").select(key)
+    ups = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
+    n_del = (
+        delete_manifest(spark, root, dels, key, fs=fs)
+        if dels.limit(1).count()
+        else 0
+    )
+    n_up = (
+        merge_manifest(spark, root, ups, key, partition_col=partition_col, fs=fs)
+        if ups.limit(1).count()
+        else 0
+    )
+    return {"deleted": n_del, "upserted": n_up}

@@ -49,6 +49,14 @@ Layout (for a table rooted at ``warehouse/vehicle_location``)::
   rewrote the full table every merge).  On an object store the same role is
   played by a per-version file manifest; the hardlink farm is the faithful
   local-FS equivalent.
+
+This module is the POSIX mode of the protocol (symlink keeps naive readers
+working, hardlinks share partitions, rename is the claim).  The OBJECT-STORE
+mode — per-version file manifests whose put-if-absent create is the claim,
+file re-listing instead of hardlinks, no symlinks anywhere — lives in
+:mod:`door2door_etl_spark.io.manifest` with the same merge semantics and a
+pluggable :class:`~door2door_etl_spark.io.manifest.FsOps` backend (local
+now; S3 conditional-PUT later).
 """
 
 from __future__ import annotations
@@ -415,13 +423,26 @@ class VersionedParquetTable:
         self.versions_dir.mkdir(parents=True, exist_ok=True)
         return self.versions_dir / f".staging.{uuid.uuid4().hex}"
 
-    def vacuum(self, keep: int = 2, stale_staging_hours: float = 24.0) -> list[str]:
+    def vacuum(
+        self,
+        keep: int = 2,
+        stale_staging_hours: float = 24.0,
+        min_age_hours: float = 1.0,
+    ) -> list[str]:
         """Drop committed snapshots older than the newest ``keep``, plus
         ``.staging.*`` directories abandoned by failed writes more than
         ``stale_staging_hours`` ago (an in-flight writer's staging is
-        always younger than that).  Rolls the publication caches forward
-        first so the root symlink can never be left pointing at a snapshot
-        this call removes.  Returns removed names."""
+        always younger than that).
+
+        ``min_age_hours`` is the TIME retention floor (Delta's retention-
+        duration rule): a snapshot is removed only when it is BOTH beyond
+        ``keep`` versions old AND committed more than ``min_age_hours``
+        ago — so a long-running reader that resolved a beyond-keep
+        snapshot keeps its files until the window closes, instead of
+        breaking mid-scan when a burst of commits pushes its version past
+        ``keep``.  Rolls the publication caches forward first so the root
+        symlink can never be left pointing at a snapshot this call
+        removes.  Returns removed names."""
         import time
 
         cur = self.current_version()
@@ -429,10 +450,15 @@ class VersionedParquetTable:
             return []
         resolve_table_path(self.root)  # symlink/pointer → highest claim
         cutoff = time.time() - stale_staging_hours * 3600
+        age_cutoff = time.time() - min_age_hours * 3600
         removed: list[str] = []
         for entry in sorted(self.versions_dir.iterdir()):
             v = _parse_version(entry.name)
-            if v is not None and v <= cur - max(1, keep):
+            if (
+                v is not None
+                and v <= cur - max(1, keep)
+                and entry.stat().st_mtime <= age_cutoff
+            ):
                 shutil.rmtree(entry)
                 removed.append(entry.name)
             elif (
@@ -462,6 +488,7 @@ def merge_versioned(
     partition_col: str | None = None,
     max_retries: int = 5,
     vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
     evolve_schema: bool = False,
 ) -> int:
     """MERGE-style upsert committed through the versioned-manifest protocol.
@@ -652,7 +679,7 @@ def merge_versioned(
 
         if table.claim(staging, base + 1):
             table.publish(base + 1)
-            table.vacuum(keep=vacuum_keep)
+            table.vacuum(keep=vacuum_keep, min_age_hours=vacuum_min_age_hours)
             return n_source
         # Lost the claim race: drop our snapshot and recompute against the
         # winner's commit.
@@ -682,6 +709,7 @@ def compact_versioned(
     root: str,
     target_file_mb: int = 128,
     vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
     max_retries: int = 5,
 ) -> int:
     """Rewrite the current snapshot into ~``target_file_mb`` files as a NEW
@@ -730,7 +758,7 @@ def compact_versioned(
             raise
         if table.claim(staging, base + 1):
             table.publish(base + 1)
-            table.vacuum(keep=vacuum_keep)
+            table.vacuum(keep=vacuum_keep, min_age_hours=vacuum_min_age_hours)
             return len(
                 [
                     f
@@ -796,6 +824,13 @@ def table_changes(
             raise ValueError(f"{root} has no committed versions")
         to_version = cur
     new = read_version(spark, root, to_version)
+    return changes_between(old, new, key)
+
+
+def changes_between(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """The CDC diff core (see :func:`table_changes`), layout-agnostic —
+    shared by the POSIX-versioned and object-store-manifest modes."""
+    from pyspark.sql import functions as F
 
     # Diff over the UNION of both schemas with a null-for-missing
     # convention: a column only one side has hashes as a typed NULL on the
@@ -859,6 +894,7 @@ def delete_versioned(
     key: str,
     max_retries: int = 5,
     vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
 ) -> int:
     """Delete every row whose ``key`` appears in ``keys`` — the
     right-to-be-forgotten operation — committed through the versioned
@@ -937,7 +973,7 @@ def delete_versioned(
             raise
         if table.claim(staging, base + 1):
             table.publish(base + 1)
-            table.vacuum(keep=vacuum_keep)
+            table.vacuum(keep=vacuum_keep, min_age_hours=vacuum_min_age_hours)
             return n_deleted
         shutil.rmtree(staging, ignore_errors=True)
     raise ConcurrentWriteError(

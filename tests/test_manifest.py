@@ -1,0 +1,297 @@
+"""Object-store manifest mode (io/manifest.py): the versioned commit
+protocol re-expressed in object-store primitives — manifest-create as the
+claim (put-if-absent), file re-listing instead of hardlinks, and
+manifest-only reader resolution with no symlinks anywhere.
+
+Mirrors the guarantees tests/test_versioned.py pins for the POSIX layout;
+reference analog is the same server-side warehouse transaction
+(reference src/helper/postgres.py:157-189).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+from door2door_etl_spark.io.manifest import (
+    LocalFsOps,
+    ManifestTable,
+    apply_changes_manifest,
+    delete_manifest,
+    merge_manifest,
+    table_changes_manifest,
+)
+from door2door_etl_spark.io.versioned import ConcurrentWriteError
+
+
+def _mk(spark, rows, schema="k int, v string, part string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _as_dict(spark, root):
+    return {
+        r["k"]: (r["v"], r["part"])
+        for r in ManifestTable(root).read(spark).collect()
+    }
+
+
+def _no_links(root):
+    """Manifest mode must work where symlinks/hardlinks don't exist."""
+    for dirpath, dirs, files in os.walk(root):
+        for name in dirs + files:
+            p = os.path.join(dirpath, name)
+            assert not os.path.islink(p), f"symlink found: {p}"
+            if os.path.isfile(p):
+                assert os.stat(p).st_nlink == 1, f"hardlink found: {p}"
+
+
+def test_merge_creates_manifest_layout_resolves_without_links(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    table = ManifestTable(root)
+    assert table.current_version() == 1
+    assert _as_dict(spark, root) == {1: ("a", "p1")}
+    # The object-store contract: resolution uses ONLY listing + manifest
+    # contents — no symlink or hardlink anywhere in the tree.
+    _no_links(root)
+    # And a pointer-unaware naive read fails LOUDLY instead of silently
+    # reading a mix of versions (underscore dirs are hidden from Spark).
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA|Path does not exist"):
+        spark.read.parquet(root).collect()
+
+
+def test_upsert_semantics_and_idempotent_replay(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1"), (2, "b", "p1")]), key="k")
+    batch = _mk(spark, [(2, "B", "p1"), (3, "c", "p2")])
+    assert merge_manifest(spark, root, batch, key="k") == 2
+    want = {1: ("a", "p1"), 2: ("B", "p1"), 3: ("c", "p2")}
+    assert _as_dict(spark, root) == want
+    merge_manifest(spark, root, batch, key="k")
+    assert _as_dict(spark, root) == want
+    assert ManifestTable(root).current_version() == 3
+
+
+def test_partition_scoped_merge_relists_untouched_files(spark, tmp_path):
+    """A batch touching one partition must re-LIST (not rewrite) every
+    other partition's files: identical relpaths across manifests, and the
+    on-disk file count for untouched partitions does not grow."""
+    root = str(tmp_path / "tbl")
+    merge_manifest(
+        spark, root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")]),
+        key="k", partition_col="part",
+    )
+    table = ManifestTable(root)
+    m1 = table.manifest(1)
+    merge_manifest(
+        spark, root, _mk(spark, [(2, "B", "p2")]), key="k", partition_col="part"
+    )
+    m2 = table.manifest(2)
+    for part in ("part=p1", "part=p3"):
+        f1 = {f for f in m1["files"] if f.startswith(part)}
+        f2 = {f for f in m2["files"] if f.startswith(part)}
+        assert f1 == f2 and f1, f"{part} files were rewritten"
+    assert {f for f in m1["files"] if f.startswith("part=p2")}.isdisjoint(
+        {f for f in m2["files"] if f.startswith("part=p2")}
+    )
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("B", "p2"), 3: ("c", "p3")}
+
+
+def test_partition_move_empties_partition_no_resurrection(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_manifest(
+        spark, root, _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]),
+        key="k", partition_col="part",
+    )
+    # k=2 moves p2 -> p1: p2 is emptied; its old file must NOT be re-listed.
+    merge_manifest(
+        spark, root, _mk(spark, [(2, "b2", "p1")]), key="k", partition_col="part"
+    )
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b2", "p1")}
+    assert not any(
+        f.startswith("part=p2") for f in ManifestTable(root).manifest(2)["files"]
+    )
+
+
+def test_snapshot_isolation_reader_pinned_to_version(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k",
+                   vacuum_keep=99)
+    table = ManifestTable(root)
+    old_reader = table.read(spark, 1)  # resolved BEFORE the next commit
+    merge_manifest(spark, root, _mk(spark, [(1, "A", "p1"), (2, "b", "p1")]),
+                   key="k", vacuum_keep=99)
+    # The pinned reader still sees v1 exactly; a fresh read sees v2.
+    assert {r["k"]: r["v"] for r in old_reader.collect()} == {1: "a"}
+    assert _as_dict(spark, root) == {1: ("A", "p1"), 2: ("b", "p1")}
+
+
+def test_losing_the_claim_recomputes_against_winner(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+
+    original_claim = ManifestTable._claim
+    state = {"raced": False}
+
+    def racing_claim(self, version, rels, schema, pcols):
+        if not state["raced"]:
+            state["raced"] = True
+            # Competitor lands the same version number first.
+            comp = _mk(spark, [(1, "a", "p1"), (5, "competitor", "p2")])
+            staging = os.path.join(self.root, ".staging.competitor")
+            comp_rels = self._stage_and_place(
+                comp.write.mode("overwrite"), staging
+            )
+            assert original_claim(self, version, comp_rels, comp.schema, [])
+            # Our own claim of that version must now fail.
+            assert not original_claim(self, version, rels, schema, pcols)
+            return False
+        return original_claim(self, version, rels, schema, pcols)
+
+    monkeypatch.setattr(ManifestTable, "_claim", racing_claim)
+    merge_manifest(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    assert _as_dict(spark, root) == {
+        1: ("a", "p1"),
+        2: ("b", "p1"),
+        5: ("competitor", "p2"),
+    }
+
+
+def test_claim_exhaustion_raises(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    monkeypatch.setattr(ManifestTable, "_claim", lambda self, *a: False)
+    with pytest.raises(ConcurrentWriteError):
+        merge_manifest(spark, root, _mk(spark, [(2, "b", "p1")]), key="k",
+                       max_retries=2)
+
+
+def test_crash_between_claim_and_publish_resolves_forward(spark, tmp_path):
+    """_current is a CACHE: with it missing or stale, readers resolve the
+    highest manifest from the listing alone."""
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    merge_manifest(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    # Simulate a crash that left the cache at v1 (or absent entirely).
+    LocalFsOps().put_bytes(os.path.join(root, "_current"), b"data-v00000001")
+    assert ManifestTable(root).current_version() == 2
+    os.unlink(os.path.join(root, "_current"))
+    assert ManifestTable(root).current_version() == 2
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 2: ("b", "p1")}
+
+
+def test_vacuum_time_floor_and_file_gc(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        merge_manifest(spark, root, _mk(spark, [(1, f"v{i}", "p1")]), key="k",
+                       vacuum_keep=99)
+    table = ManifestTable(root)
+    assert table.current_version() == 4
+    # Young beyond-keep manifests SURVIVE a floored vacuum...
+    assert table.vacuum(keep=2, min_age_hours=1.0) == []
+    assert {1, 2, 3, 4} == {
+        v for v in range(1, 5) if table.manifest(v) is not None
+    }
+    # ...and are removed once the floor is lifted; their exclusively-
+    # referenced files are GC'd, the retained versions still read.
+    removed = table.vacuum(keep=2, min_age_hours=0.0, stale_staging_hours=0.0)
+    assert "data-v00000001.json" in removed and "data-v00000002.json" in removed
+    with pytest.raises(ValueError, match="not retained"):
+        table.manifest(1)
+    assert {r["v"] for r in table.read(spark, 3).collect()} == {"v2"}
+    assert _as_dict(spark, root) == {1: ("v3", "p1")}
+    # Every file still on disk is referenced by a retained manifest.
+    referenced = set(table.manifest(3)["files"]) | set(table.manifest(4)["files"])
+    on_disk = {
+        os.path.relpath(p, table.files_dir)
+        for p in LocalFsOps().walk_files(table.files_dir)
+    }
+    assert on_disk == referenced
+
+
+def test_schema_drift_rejected_then_evolves(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+    wider = spark.createDataFrame(
+        [(1, "a", "p1", "x")], "k int, v string, part string, note string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        merge_manifest(spark, root, wider, key="k")
+    merge_manifest(spark, root, wider, key="k", evolve_schema=True)
+    out = ManifestTable(root).read(spark)
+    assert out.where("k = 1").collect()[0]["note"] == "x"
+
+
+def test_null_merge_key_rejected(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_manifest(
+            spark, root, _mk(spark, [(None, "a", "p1")]), key="k"
+        )
+
+
+def test_delete_manifest_file_level_reuse(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    merge_manifest(
+        spark, root,
+        _mk(spark, [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")]),
+        key="k", partition_col="part", vacuum_keep=99,
+    )
+    table = ManifestTable(root)
+    m1 = table.manifest(1)
+    assert delete_manifest(
+        spark, root, spark.createDataFrame([(2,)], "k int"), key="k",
+        vacuum_keep=99,
+    ) == 1
+    m2 = table.manifest(2)
+    # p1's file is reused verbatim; p2's file (contained the doomed key)
+    # was rewritten under a new name.
+    p1_files = {f for f in m1["files"] if f.startswith("part=p1")}
+    assert p1_files and p1_files <= set(m2["files"])
+    assert _as_dict(spark, root) == {1: ("a", "p1"), 3: ("c", "p2")}
+    # No-match delete commits nothing.
+    v = table.current_version()
+    assert delete_manifest(
+        spark, root, spark.createDataFrame([(99,)], "k int"), key="k"
+    ) == 0
+    assert table.current_version() == v
+
+
+def test_cdc_feed_and_replica_apply(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    v1 = _mk(spark, [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")])
+    merge_manifest(spark, src, v1, key="k", vacuum_keep=99)
+    merge_manifest(spark, rep, v1, key="k", vacuum_keep=99)
+    merge_manifest(
+        spark, src, _mk(spark, [(2, "B", "p1"), (4, "d", "p2")]),
+        key="k", vacuum_keep=99,
+    )
+    delete_manifest(
+        spark, src, spark.createDataFrame([(3,)], "k int"), key="k",
+        vacuum_keep=99,
+    )
+    feed = table_changes_manifest(spark, src, key="k", from_version=1)
+    kinds = {r["k"]: r["_change_type"] for r in feed.collect()}
+    assert kinds == {2: "update", 4: "insert", 3: "delete"}
+    stats = apply_changes_manifest(spark, rep, feed, key="k")
+    assert stats == {"deleted": 1, "upserted": 2}
+    assert _as_dict(spark, rep) == _as_dict(spark, src)
+    # Idempotent replay.
+    apply_changes_manifest(spark, rep, feed, key="k")
+    assert _as_dict(spark, rep) == _as_dict(spark, src)
+
+
+def test_manifest_claim_is_put_if_absent(tmp_path):
+    """The claim primitive itself: second create of the same name loses,
+    content is unchanged — exactly the conditional-PUT contract an S3
+    backend must satisfy."""
+    fs = LocalFsOps()
+    p = str(tmp_path / "m" / "data-v00000001.json")
+    assert fs.put_if_absent(p, b"winner")
+    assert not fs.put_if_absent(p, b"loser")
+    assert fs.read_bytes(p) == b"winner"

@@ -128,7 +128,10 @@ def test_concurrent_commits_never_skipped_or_reverted(spark, tmp_path, monkeypat
         return original_claim(self, staging, version)
 
     monkeypatch.setattr(VersionedParquetTable, "claim", delayed_claim)
-    merge_versioned(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
+    merge_versioned(
+        spark, root, _mk(spark, [(2, "b", "p1")]), key="k",
+        vacuum_min_age_hours=0.0,  # assert immediate trim below
+    )
     monkeypatch.undo()
 
     table = VersionedParquetTable(root)
@@ -269,14 +272,43 @@ def test_partitioned_merge_with_null_partition_values(spark, tmp_path):
 def test_vacuum_drops_old_snapshots_keeps_current_and_previous(spark, tmp_path):
     root = str(tmp_path / "tbl")
     for i in range(4):
-        merge_versioned(spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k")
+        merge_versioned(
+            spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k",
+            vacuum_min_age_hours=0.0,
+        )
     table = VersionedParquetTable(root)
     names = sorted(
         e.name for e in table.versions_dir.iterdir() if e.name.startswith("data-v")
     )
-    # Default vacuum(keep=2) ran inside each merge: only v3 and v4 survive.
+    # vacuum(keep=2, no age floor) ran inside each merge: v3 + v4 survive.
     assert names == ["data-v00000003", "data-v00000004"]
     assert table.current_version() == 4
+
+
+def test_vacuum_time_retention_floor(spark, tmp_path):
+    """VERDICT r4 ask #4: a beyond-keep snapshot YOUNGER than the floor
+    survives vacuum (a long-running reader may still be scanning it); an
+    old one is removed."""
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        merge_versioned(
+            spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k",
+            vacuum_keep=99,
+        )
+    table = VersionedParquetTable(root)
+    # All four snapshots are seconds old: the default 1 h floor keeps them.
+    assert table.vacuum(keep=2) == []
+    # Backdate v1 beyond the floor: now it (and only it) is removable.
+    v1 = table.versions_dir / "data-v00000001"
+    old = 3 * 3600
+    import time as _t
+    os.utime(v1, (_t.time() - old, _t.time() - old))
+    removed = table.vacuum(keep=2, min_age_hours=1.0)
+    assert removed == ["data-v00000001"]
+    names = sorted(
+        e.name for e in table.versions_dir.iterdir() if e.name.startswith("data-v")
+    )
+    assert names == ["data-v00000002", "data-v00000003", "data-v00000004"]
 
 
 def test_compact_parquet_table_versioned_commit_and_backup_recovery(spark, tmp_path):
@@ -367,7 +399,10 @@ def test_cli_compact_and_vacuum_maintenance(spark, tmp_path, capsys):
     table = VersionedParquetTable(root)
     assert table.current_version() == 3
 
-    assert main(["-s", "vacuum", "--lake-root", str(lake), "--keep-versions", "1"]) == 0
+    assert main([
+        "-s", "vacuum", "--lake-root", str(lake), "--keep-versions", "1",
+        "--min-age-hours", "0",
+    ]) == 0
     vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["tables"]["tbl"]["removed_snapshots"] == [
         "data-v00000001", "data-v00000002"
