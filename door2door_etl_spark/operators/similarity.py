@@ -51,84 +51,119 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def brute_force_topk(
-    df: DataFrame,
-    query_id: int,
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Exact top-k by cosine to the vector with ``id_col == query_id``.
+def _literal_vec(query_vec: list[float]) -> Column:
+    """A query vector as a literal array column — constant-folded by
+    Catalyst, so the serving path plans ZERO extra scans for the query."""
+    return F.array(*[F.lit(float(x)) for x in query_vec])
 
-    The single query row is broadcast (a 1-row build side); ranking rounds to
-    6 decimals with the id as tie-break so the result set is deterministic
-    across engines and partitionings."""
+
+def _query_column(
+    df: DataFrame,
+    query_id,
+    query_vec: list[float] | None,
+    vec_col: str,
+    id_col: str,
+):
+    """Resolve the query for an ANN entry point.
+
+    Returns ``(scored_base_df, qcol)`` where ``qcol`` is a Column holding
+    the query vector for every row of ``scored_base_df``:
+
+    - ``query_vec`` given (the SERVING path): the vector becomes a literal
+      — no second scan of the table, no driver round-trip.  At 100 TB this
+      is the difference between a lookup and a table scan per query.
+    - ``query_id`` given (the by-id convenience): the 1-row query side is
+      broadcast-joined in, still one extra (column-pruned, pushed-down)
+      scan — fine interactively, wrong in a serving loop; pass the vector.
+    """
+    if (query_vec is None) == (query_id is None):
+        raise ValueError("pass exactly one of query_id / query_vec")
+    if query_vec is not None:
+        return df, _literal_vec(query_vec)
     query = df.filter(F.col(id_col) == F.lit(query_id)).select(
         F.col(vec_col).alias("__qvec")
     )
-    scored = (
-        df.filter(F.col(id_col) != F.lit(query_id))
-        .join(F.broadcast(query))
-        .select(
-            F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
-                "cosine"
-            ),
-        )
+    return df.join(F.broadcast(query)), F.col("__qvec")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_id: int | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec: list[float] | None = None,
+    exclude_id=None,
+) -> DataFrame:
+    """Exact top-k by cosine to ``query_id``'s vector (broadcast 1-row
+    build side) or to a caller-provided ``query_vec`` literal (serving
+    path: ONE scan total — plan-asserted in tests/test_plans.py).
+
+    Ranking rounds to 6 decimals with the id as tie-break so the result
+    set is deterministic across engines and partitionings."""
+    if exclude_id is None and query_id is not None:
+        exclude_id = query_id
+    base, qcol = _query_column(df, query_id, query_vec, vec_col, id_col)
+    if exclude_id is not None:
+        base = base.filter(F.col(id_col) != F.lit(exclude_id))
+    scored = base.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
 def cell_scores(
     df: DataFrame,
-    query_id: int,
+    query_id: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Coarse stage: score each cell by avg(query · member) = query · centroid
     (inner-product IVF scoring; linearity avoids materializing centroids)."""
-    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col(vec_col).alias("__qvec")
-    )
-    return (
-        df.join(F.broadcast(query))
-        .groupBy(cell_col)
-        .agg(F.round(F.avg(dot(F.col(vec_col), F.col("__qvec"))), 6).alias("cell_score"))
+    base, qcol = _query_column(df, query_id, query_vec, vec_col, id_col)
+    return base.groupBy(cell_col).agg(
+        F.round(F.avg(dot(F.col(vec_col), qcol)), 6).alias("cell_score")
     )
 
 
 def ivf_topk(
     df: DataFrame,
-    query_id: int,
+    query_id: int | None = None,
     k: int = 10,
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the ``nprobe`` best cells.
 
     Recall < 1 by construction (that is the IVF trade); determinism comes
     from rounded scores with id tie-breaks at both stages."""
-    cells = cell_scores(df, query_id, vec_col, id_col, cell_col)
+    cells = cell_scores(df, query_id, vec_col, id_col, cell_col, query_vec=query_vec)
     probe = (
         cells.orderBy(F.desc("cell_score"), F.col(cell_col)).limit(nprobe).select(cell_col)
     )
-    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col(vec_col).alias("__qvec")
-    )
-    scored = (
-        df.join(F.broadcast(probe), cell_col)
-        .filter(F.col(id_col) != F.lit(query_id))
-        .join(F.broadcast(query))
-        .select(
-            F.col(id_col),
-            F.col(cell_col),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
-                "cosine"
-            ),
+    members = df.join(F.broadcast(probe), cell_col)
+    if query_vec is not None:
+        base, qcol = members, _literal_vec(query_vec)
+    else:
+        # Fetch the query row from the FULL table (its own cell may not be
+        # probed), then exclude it from the candidates.
+        query = df.filter(F.col(id_col) == F.lit(query_id)).select(
+            F.col(vec_col).alias("__qvec")
         )
+        base = members.filter(F.col(id_col) != F.lit(query_id)).join(
+            F.broadcast(query)
+        )
+        qcol = F.col("__qvec")
+    scored = base.select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
@@ -170,6 +205,58 @@ def pq_codebooks_from_min_ids(
     vecs = [[float(x) for x in r[0]] for r in rows]
     sub = len(vecs[0]) // m
     return [[vecs[c][j * sub : (j + 1) * sub] for c in range(k)] for j in range(m)]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+    use_blas: bool = True,
+) -> list[list[list[float]]]:
+    """TRAINED PQ codebooks: one Lloyd's k-means per subspace over the
+    sliced subvectors (the composition FAISS's ``ProductQuantizer::train``
+    runs), via :func:`operators.clustering.kmeans_fit_predict`.
+
+    This is the accuracy story :func:`pq_codebooks_from_min_ids` lacks —
+    min-id codebooks are deterministic oracle twins but recall-meaningless
+    as quantizers; trained codebooks place the k centroids where the
+    subvector mass is, which is what makes ADC distances track true
+    distances (recall@k property-tested in tests/test_operators.py).
+
+    Scale shape: each subspace's training is the k-means trainer's plan —
+    map-only GEMM assignment, one groupBy per round, k tiny rows to the
+    driver — repeated m times over an m×-narrower column.  Train on a
+    sample in production (PQ training needs ~100k vectors, not the
+    corpus); the returned codebooks feed :func:`pq_encode` /
+    :func:`pq_adc_topk` / :func:`ivf_pq_topk` unchanged.
+    """
+    from door2door_etl_spark.operators.clustering import kmeans_fit_predict
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__subvec"),
+        )
+        _, centroids = kmeans_fit_predict(
+            sliced,
+            vec_col="__subvec",
+            id_col=id_col,
+            k=k,
+            dim=sub,
+            iterations=iterations,
+            use_blas=use_blas,
+        )
+        codebooks.append(centroids)
+    return codebooks
 
 
 PQ_DIST_SCALE = 10_000_000_000.0  # 1e10: floor-quantization grid for distances
@@ -311,12 +398,13 @@ def pq_adc_topk(
 def ivf_pq_topk(
     df: DataFrame,
     codebooks: list[list[list[float]]],
-    query_id: int,
+    query_id: int | None = None,
     k: int = 10,
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """The full two-stage ANN composition production indexes run (FAISS
     IVF-PQ shape): coarse IVF pruning to the ``nprobe`` best cells, then
@@ -329,53 +417,69 @@ def ivf_pq_topk(
     default layout for billion-vector serving.  Recall < 1 by construction
     (both stages trade it); the exact re-rank of the shortlist against raw
     vectors composes with :func:`brute_force_topk`.
+
+    Serving path: pass ``query_vec`` directly — PQ's query-side distance
+    table needs the vector as DRIVER-side literals, so the by-id form
+    must fetch it with a ``.first()`` (one column-pruned scan per call,
+    the interactive convenience only).
     """
-    cells = cell_scores(df, query_id, vec_col, id_col, cell_col)
+    if (query_vec is None) == (query_id is None):
+        raise ValueError("pass exactly one of query_id / query_vec")
+    if query_vec is None:
+        query_vec = [
+            float(x)
+            for x in df.filter(F.col(id_col) == F.lit(query_id))
+            .select(vec_col)
+            .first()[0]
+        ]
+    cells = cell_scores(
+        df, query_id=None, vec_col=vec_col, id_col=id_col, cell_col=cell_col,
+        query_vec=query_vec,
+    )
     probe = (
         cells.orderBy(F.desc("cell_score"), F.col(cell_col))
         .limit(nprobe)
         .select(cell_col)
     )
     members = df.join(F.broadcast(probe), cell_col)
-    qvec = [
-        float(x)
-        for x in df.filter(F.col(id_col) == F.lit(query_id)).select(vec_col).first()[0]
-    ]
     return pq_adc_topk(
-        members, codebooks, qvec, k, vec_col, id_col, exclude_id=query_id
+        members, codebooks, query_vec, k, vec_col, id_col, exclude_id=query_id
     )
 
 
 def pq_rerank_topk(
     df: DataFrame,
     codebooks: list[list[list[float]]],
-    query_id: int,
+    query_id: int | None = None,
     k: int = 10,
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """PQ shortlist → exact re-rank: score everything by cheap ADC
     distance, keep a ``shortlist`` of candidates, then compute TRUE cosine
     only for those — the standard two-phase retrieval that recovers
     almost all of brute-force recall while touching raw vectors for a
-    few dozen rows per query instead of the whole index."""
-    qrow = df.filter(F.col(id_col) == F.lit(query_id)).select(vec_col).first()
-    qvec = [float(x) for x in qrow[0]]
+    few dozen rows per query instead of the whole index.
+
+    Serving path: pass ``query_vec``; the by-id form costs one extra
+    column-pruned scan to fetch the vector driver-side."""
+    if (query_vec is None) == (query_id is None):
+        raise ValueError("pass exactly one of query_id / query_vec")
+    if query_vec is None:
+        qrow = df.filter(F.col(id_col) == F.lit(query_id)).select(vec_col).first()
+        query_vec = [float(x) for x in qrow[0]]
     short = pq_adc_topk(
-        df, codebooks, qvec, shortlist, vec_col, id_col, exclude_id=query_id
+        df, codebooks, query_vec, shortlist, vec_col, id_col, exclude_id=query_id
     ).select(id_col)
-    query = df.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col(vec_col).alias("__qvec")
-    )
     return (
         df.join(F.broadcast(short), id_col)
-        .join(F.broadcast(query))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_similarity(F.col(vec_col), _literal_vec(query_vec)), 6
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

@@ -491,3 +491,26 @@ def test_bucketed_range_join_avoids_nested_loop(spark, sf001):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_literal_query_ann_plans_single_scan(spark, sf001):
+    """VERDICT r4 ask #3: the serving-path ANN entry points (provided
+    query vector) must plan exactly ONE scan of the embeddings table —
+    the by-id convenience forms plan a second, column-pruned scan for the
+    query lookup, which a serving loop must not pay per query."""
+    from door2door_etl_spark.io import load_table
+    from door2door_etl_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf001, "embeddings")
+    qvec = [float(x) for x in emb.first()["embedding"]]
+
+    import re
+
+    def n_scans(plan: str) -> int:  # "(3) Scan parquet" detail headers
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    by_vec = formatted(brute_force_topk(emb, query_vec=qvec, k=5))
+    assert n_scans(by_vec) == 1
+    # Contrast: the by-id form needs the extra broadcast query-row scan.
+    by_id = formatted(brute_force_topk(emb, query_id=0, k=5))
+    assert n_scans(by_id) == 2
