@@ -1071,6 +1071,60 @@ class LshBandIndex:
             )
         return survivors
 
+    def compact(self) -> None:
+        """Rewrite the index back to ~one file group per bucket.
+
+        Every :meth:`admit` appends a file-set per bucket, so after months
+        of daily batches each bucket holds hundreds of small sorted files —
+        bucketing metadata stays valid and shuffle elision holds, but scan
+        cost (listing, footers, task scheduling) creeps linearly.  This
+        rewrites the table through a STAGING table + two catalog renames
+        (never a checkpoint/collect: at 100 TB the index must stream
+        straight from old files to new), preserving the bucket spec, so
+        the probe's no-Exchange plan property survives compaction
+        (plan-asserted in tests/test_plans.py).
+
+        The swap window: between the two renames the index name briefly
+        does not exist; a concurrent probe in that instant fails loudly
+        and retries — the same visibility contract Hive's
+        INSERT OVERWRITE has always had for catalog tables (the versioned
+        lakehouse protocol in io/versioned.py is the stronger alternative
+        when readers cannot tolerate that).
+        """
+        from door2door_etl_spark.io.writers import write_bucketed_table
+
+        staging = f"{self.table}__compacting"
+        backup = f"{self.table}__precompact"
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        # One task per bucket: repartition on the bucket columns is
+        # bucket-aligned (hashpartitioning == the bucket-id expression), so
+        # each task holds exactly one bucket and writes one file group.
+        # Bucketed READING must be off for this one plan: otherwise the
+        # scan advertises the very hashpartitioning the repartition asks
+        # for, Catalyst elides the shuffle as redundant, then disables the
+        # bucketed scan (nothing downstream needs it) — leaving arbitrary
+        # file splits that fan out to num_tasks x num_buckets files.
+        prev = self.spark.conf.get("spark.sql.sources.bucketing.enabled")
+        self.spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        try:
+            write_bucketed_table(
+                self.scan().repartition(self.num_buckets, "band_idx", "band_key"),
+                staging,
+                bucket_cols=["band_idx", "band_key"],
+                num_buckets=self.num_buckets,
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+        self.spark.sql(f"ALTER TABLE {self.table} RENAME TO {backup}")
+        try:
+            self.spark.sql(f"ALTER TABLE {staging} RENAME TO {self.table}")
+        except BaseException:
+            # Restore the original name before surfacing the failure.
+            self.spark.sql(f"ALTER TABLE {backup} RENAME TO {self.table}")
+            raise
+        self.spark.sql(f"DROP TABLE {backup}")
+
 
 def ngram_decontaminate(
     docs: DataFrame,

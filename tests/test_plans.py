@@ -514,3 +514,47 @@ def test_literal_query_ann_plans_single_scan(spark, sf001):
     # Contrast: the by-id form needs the extra broadcast query-row scan.
     by_id = formatted(brute_force_topk(emb, query_id=0, k=5))
     assert n_scans(by_id) == 2
+
+
+def test_lsh_band_index_compaction_preserves_shuffle_elision(spark, sf001):
+    """VERDICT r4 ask #5: after N admit() appends (each adds a file-set
+    per bucket) the index compacts back to ~num_buckets file groups, keeps
+    every row, and the probe's no-Exchange property still holds."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.dedup import LshBandIndex
+
+    docs = load_table(spark, sf001, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = LshBandIndex(spark, "t_lsh_compact_idx", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx.build(corpus)
+        idx.admit(docs.filter(F.col("doc_id") % 3 == 1))
+        idx.admit(docs.filter(F.col("doc_id") % 3 == 2))
+
+        wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+        loc = wh / "t_lsh_compact_idx"
+        files_before = len(list(loc.rglob("*.parquet")))
+        rows_before = idx.scan().count()
+        assert files_before > 2 * idx.num_buckets  # appends accreted files
+
+        idx.compact()
+
+        files_after = len(list(loc.rglob("*.parquet")))
+        assert files_after <= idx.num_buckets, (files_before, files_after)
+        assert idx.scan().count() == rows_before
+
+        # The probe still elides the index-side exchange post-compaction.
+        probe = idx.probe(idx._band_table(docs.filter(F.col("doc_id") % 7 == 0)))
+        plan = plan_of(probe)
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning(band_idx") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_lsh_compact_idx", "t_lsh_compact_idx__compacting",
+                  "t_lsh_compact_idx__precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
