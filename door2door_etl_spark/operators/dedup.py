@@ -950,9 +950,16 @@ def incremental_lsh_dedup(
             .distinct()
         )
         if intra_batch:
-            colliding = colliding.union(_intra_batch_colliding(bb, id_col)).distinct()
+            # No outer distinct: both branches are already distinct, a few
+            # cross-branch duplicate ids cannot change a LEFT ANTI join,
+            # and the dedup shuffle it saved was pure overhead (measured
+            # ~0.3 s at sf0.1 — most of the ADVICE-r3 checkpoint cost).
+            colliding = colliding.union(_intra_batch_colliding(bb, id_col))
         if persisted:
-            colliding = colliding.localCheckpoint(eager=True)
+            # coalesce(1): the id set is tiny, so one checkpoint block
+            # (instead of 2x shuffle_partitions) and exact size stats for
+            # the anti join's broadcast decision.
+            colliding = colliding.coalesce(1).localCheckpoint(eager=True)
     finally:
         if persisted:
             bb.unpersist()
