@@ -412,6 +412,15 @@ def merge_manifest(
     from pyspark.sql import functions as F
 
     table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    if os.path.islink(root) or os.path.isdir(
+        os.path.join(os.path.dirname(root.rstrip("/")) or ".",
+                     f".{os.path.basename(root.rstrip('/'))}__versions")
+    ):
+        raise ValueError(
+            f"{root} is a POSIX-versioned table (io/versioned.py layout); "
+            "merge it with merge_versioned — writing manifests beside a "
+            "symlink-published table would split its version history"
+        )
     source = source.dropDuplicates([key])
     if source.filter(source[key].isNull()).limit(1).count() > 0:
         raise ValueError(
@@ -680,3 +689,66 @@ def apply_changes_manifest(
         else 0
     )
     return {"deleted": n_del, "upserted": n_up}
+
+
+def compact_manifest(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 128,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+    max_retries: int = 5,
+    fs: FsOps | None = None,
+) -> int:
+    """Rewrite the current manifest snapshot into ~``target_file_mb``
+    files as a NEW committed version; returns the new file count — the
+    object-store twin of :func:`door2door_etl_spark.io.versioned.compact_versioned`.
+
+    Incremental merges accrete a file-set per batch and the manifest
+    lists every file (reader-side planning cost is O(files) paths through
+    the driver), so periodic compaction matters twice here: scan
+    throughput AND manifest size.  Obeys the same claim rule as the
+    merge — a merge landing mid-compaction wins the version and the
+    compaction recomputes over the merged data.
+    """
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            raise ValueError(f"{root} has no committed manifest to compact")
+        man = table.manifest(base)
+        df = table.read(spark, base)
+        pcols = man["partition_cols"]
+        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        new_rels: list[str] = []
+        try:
+            if pcols:
+                writer = (
+                    df.repartition(*pcols).write.mode("overwrite").partitionBy(*pcols)
+                )
+            else:
+                total_bytes = sum(
+                    os.path.getsize(os.path.join(table.files_dir, rel))
+                    for rel in man["files"]
+                    if os.path.exists(os.path.join(table.files_dir, rel))
+                )
+                n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+                writer = df.coalesce(n_target).write.mode("overwrite")
+            new_rels = table._stage_and_place(writer, staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            table._drop_files(new_rels)
+            raise
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if table._claim(base + 1, new_rels, schema, pcols):
+            table.publish(base + 1)
+            table.vacuum(
+                keep=vacuum_keep,
+                min_age_hours=vacuum_min_age_hours,
+                gc_files=False,
+            )
+            return len(new_rels)
+        table._drop_files(new_rels)
+    raise ConcurrentWriteError(
+        f"compaction of {root} lost the version-claim race {max_retries} times"
+    )

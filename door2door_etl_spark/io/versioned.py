@@ -534,6 +534,13 @@ def merge_versioned(
         )
     table = VersionedParquetTable(root)
     root_p = Path(root)
+    if (root_p / "_manifests").is_dir():
+        raise ValueError(
+            f"{root} is an object-store MANIFEST table "
+            "(io/manifest.py layout); merge it with merge_manifest — "
+            "adopting it as a POSIX-versioned legacy directory would "
+            "corrupt its manifest resolution"
+        )
     # Count before any commit: a source derived from the target re-executed
     # afterwards would read the NEW snapshot through the root symlink.
     n_source = source.count()

@@ -209,11 +209,13 @@ class MergeSink(Protocol):
     snapshots + a fsync'd pointer, so readers always see a complete
     committed snapshot, crashes auto-recover, and concurrent writers
     serialize optimistically via the POSIX version-claim rename.  On an
-    object store WITHOUT atomic rename-if-absent the claim is not safe
-    under concurrent writers — there, use a transactional table format
-    (Delta/Iceberg MERGE) or :class:`JdbcMergeSink` (the upsert statement
-    is one server-side transaction).  Either drops in behind this protocol
-    without touching pipeline code.
+    object store (no rename-if-absent, no symlinks/hardlinks) use
+    :class:`ManifestMergeSink` — the same protocol with a per-version
+    file manifest whose put-if-absent create is the claim
+    (:mod:`door2door_etl_spark.io.manifest`) — or
+    :class:`JdbcMergeSink` (the upsert statement is one server-side
+    transaction).  All three drop in behind this protocol without
+    touching pipeline code.
     """
 
     def merge(self, source: DataFrame, key: str) -> int:
@@ -232,6 +234,28 @@ class ParquetMergeSink:
 
     def merge(self, source: DataFrame, key: str) -> int:
         return merge_upsert_parquet(
+            self.spark, self.target_path, source, key, self.partition_col
+        )
+
+
+@dataclass(frozen=True)
+class ManifestMergeSink:
+    """Object-store MergeSink: delegates to
+    :func:`door2door_etl_spark.io.manifest.merge_manifest` (same MERGE
+    semantics as :class:`ParquetMergeSink`; per-version file manifests
+    replace symlinks/hardlinks, put-if-absent manifest create replaces the
+    claim rename — the layout a 100 TB lake on S3 actually needs).
+    Readers resolve through
+    :meth:`door2door_etl_spark.io.manifest.ManifestTable.read`."""
+
+    spark: SparkSession
+    target_path: str
+    partition_col: str | None = None
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        from door2door_etl_spark.io.manifest import merge_manifest
+
+        return merge_manifest(
             self.spark, self.target_path, source, key, self.partition_col
         )
 

@@ -225,11 +225,18 @@ def stream_upsert_to_warehouse(
     schema: EntitySchema,
     warehouse_root: str,
     checkpoint_dir: str,
+    sink=None,
 ):
     """foreachBatch MERGE: normalize each micro-batch with the same compiled
     schema plan the batch handler uses, then idempotently upsert.  Restarted
     or replayed micro-batches converge to the same table state (deterministic
-    key + MERGE — the streaming exactly-once pattern without a txn sink)."""
+    key + MERGE — the streaming exactly-once pattern without a txn sink).
+
+    ``sink`` is any :class:`door2door_etl_spark.io.writers.MergeSink`;
+    default is the local versioned-commit parquet path.  Pass a
+    ``ManifestMergeSink`` to stream onto an object-store manifest table, or
+    a ``JdbcMergeSink`` to land in a transactional warehouse — the
+    micro-batch loop is identical."""
     table = schema.target_table or schema.entity
     target = f"{warehouse_root}/{table}"
     filtered = events.filter(F.col("on") == schema.entity)
@@ -238,7 +245,10 @@ def stream_upsert_to_warehouse(
         silver = normalize(batch_df, schema)
         if silver.isEmpty():
             return
-        merge_upsert_parquet(spark, target, silver, key="event_generated_id")
+        if sink is not None:
+            sink.merge(silver, key="event_generated_id")
+        else:
+            merge_upsert_parquet(spark, target, silver, key="event_generated_id")
 
     return (
         filtered.writeStream.foreachBatch(upsert_batch)

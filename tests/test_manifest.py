@@ -295,3 +295,92 @@ def test_manifest_claim_is_put_if_absent(tmp_path):
     assert fs.put_if_absent(p, b"winner")
     assert not fs.put_if_absent(p, b"loser")
     assert fs.read_bytes(p) == b"winner"
+
+
+def test_streaming_upsert_onto_manifest_table(spark, tmp_path):
+    """The streaming foreachBatch MERGE lands on an object-store manifest
+    table through ManifestMergeSink — same idempotent-replay contract as
+    the POSIX-versioned sink, no symlinks anywhere."""
+    from door2door_etl_spark.io.writers import ManifestMergeSink
+    from door2door_etl_spark.schemas.registry import builtin_door2door_schemas
+    from door2door_etl_spark.streaming import (
+        stream_events,
+        stream_upsert_to_warehouse,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    lines = [
+        json.dumps({
+            "event": "update", "on": "vehicle",
+            "at": f"2022-11-24T10:{i:02d}:00.000Z",
+            "organization_id": "org-1",
+            "data": {
+                "id": f"00000000-0000-0000-0000-{i:012d}",
+                "location": {"lat": 52.0 + i, "lng": 13.0 + i,
+                             "at": f"2022-11-24T10:{i:02d}:00.000Z"},
+            },
+        })
+        for i in range(1, 4)
+    ]
+    (src / "a.json").write_text("\n".join(lines))
+    schema = builtin_door2door_schemas()["vehicle"]
+    warehouse = tmp_path / "warehouse"
+    target = str(warehouse / "vehicle_location")
+    sink = ManifestMergeSink(spark, target)
+
+    q = stream_upsert_to_warehouse(
+        spark, stream_events(spark, str(src)), schema, str(warehouse),
+        str(tmp_path / "ckpt1"), sink=sink,
+    )
+    q.awaitTermination(120)
+    table = ManifestTable(target)
+    assert table.read(spark).count() == 3
+    _no_links(target)
+
+    # Fresh-checkpoint replay of the same data converges, not duplicates.
+    q2 = stream_upsert_to_warehouse(
+        spark, stream_events(spark, str(src)), schema, str(warehouse),
+        str(tmp_path / "ckpt2"), sink=sink,
+    )
+    q2.awaitTermination(120)
+    assert table.read(spark).count() == 3
+
+
+def test_cross_mode_guards(spark, tmp_path):
+    """A table committed in one layout cannot be accidentally merged
+    through the other: both entry points refuse loudly."""
+    from door2door_etl_spark.io.versioned import merge_versioned
+
+    man = str(tmp_path / "man_tbl")
+    merge_manifest(spark, man, _mk(spark, [(1, "a", "p1")]), key="k")
+    with pytest.raises(ValueError, match="MANIFEST table"):
+        merge_versioned(spark, man, _mk(spark, [(2, "b", "p1")]), key="k")
+
+    posix = str(tmp_path / "posix_tbl")
+    merge_versioned(spark, posix, _mk(spark, [(1, "a", "p1")]), key="k")
+    with pytest.raises(ValueError, match="POSIX-versioned"):
+        merge_manifest(spark, posix, _mk(spark, [(2, "b", "p1")]), key="k")
+
+
+def test_compact_manifest_rewrites_filesets(spark, tmp_path):
+    """Compaction commits a NEW manifest whose snapshot holds fewer files
+    (partition layout preserved), reports zero CDC changes, and obeys the
+    same optimistic claim rule as the merge."""
+    from door2door_etl_spark.io.manifest import compact_manifest
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):  # each unpartitioned merge fans out to shuffle files
+        merge_manifest(
+            spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k",
+            vacuum_keep=99,
+        )
+    table = ManifestTable(root)
+    before = table.manifest(4)["files"]
+    assert len(before) > 1  # small-file accretion to compact away
+    n_files = compact_manifest(spark, root, vacuum_keep=99)
+    after = table.manifest(5)["files"]
+    assert len(after) == n_files < len(before)
+    assert _as_dict(spark, root) == {i: (f"v{i}", "p1") for i in range(4)}
+    # A compacted version diffs as zero changes.
+    assert table_changes_manifest(spark, root, "k", 4, 5).count() == 0
