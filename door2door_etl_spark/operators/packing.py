@@ -143,3 +143,148 @@ def sliding_token_chunks(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic epoch shuffle: add ``out_col`` = the row's 1-based
+    position in a seeded pseudorandom global order (the reproducible
+    training-order shuffle every epoch of a data pipeline needs — same
+    seed, same order, on any cluster size).
+
+    The order key is ``sha256(seed | id)`` — engine-portable, collision-
+    free on unique ids, and changing ``seed`` re-deals the whole order.
+    A global ``row_number() OVER (ORDER BY …)`` would serialize into one
+    task at scale, so this reuses :func:`contiguous_token_chunks`'s
+    two-phase distributed scan with unit weights and a unit budget: the
+    exclusive prefix count of rows IS the 0-based position.
+    """
+    keyed = df.withColumn(
+        "_shuffle_key",
+        F.sha2(
+            F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")), 256
+        ),
+    ).withColumn("_one", F.lit(1))
+    out = contiguous_token_chunks(keyed, "_shuffle_key", "_one", budget=1)
+    return (
+        out.withColumn(out_col, (F.col("chunk_id") + 1))
+        .drop("chunk_id", "_one", "_shuffle_key")
+    )
+
+
+def grouped_order_positions(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Add ``out_col`` = the row's 1-based rank of ``order_col`` WITHIN its
+    ``group_col`` group — ``row_number() OVER (PARTITION BY g ORDER BY o)``
+    semantics without the window's one-task-per-group trap (a handful of
+    length buckets over a 100 TB corpus would put billions of rows in one
+    task; here every partition stays range-sized).
+
+    Same two-phase shape as :func:`contiguous_token_chunks`, generalized to
+    per-group offsets: range-partition by (group, order), count rows per
+    (partition, group), prefix those counts per group on the driver
+    (``partitions x groups`` tiny rows), then a partition-local running
+    count that resets at group boundaries.  Requires unique ``order_col``
+    values within a group for a deterministic rank.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(group_col), F.col(order_col))
+        .sortWithinPartitions(group_col, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets: dict = {}
+    running: dict = {}
+    for row in sorted(counts, key=lambda r: (r[group_col], r["_pid"])):
+        g = row[group_col]
+        offsets[(int(row["_pid"]), g)] = running.get(g, 0)
+        running[g] = running.get(g, 0) + int(row["_n"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = None
+        cur_group = object()  # sentinel != any real value
+        run = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            pos = []
+            for g in pdf[group_col]:
+                if g != cur_group:
+                    cur_group = g
+                    run = b_offsets.value.get((pid, g), 0)
+                run += 1
+                pos.append(run)
+            out = pdf.drop(columns=["_pid"]).copy()
+            out[out_col] = pd.Series(pos, index=pdf.index, dtype="int64")
+            yield out
+
+    return ranged.mapInPandas(assign, schema=out_schema)
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length bucketed batching: assign every document to a
+    power-of-two token-length bucket, shuffle deterministically within the
+    bucket (seeded), and number fixed-size training batches —
+    ``(id, n_tokens, bucket, batch_idx, pos_in_batch)``.
+
+    This is the dynamic-batching prep step that keeps padding waste down
+    (batch members share a length scale) while keeping batch composition
+    reproducible across runs and cluster sizes.  The within-bucket rank
+    comes from :func:`grouped_order_positions` — the two-phase scan, not a
+    per-bucket window, because ~20 log2 buckets over a large corpus would
+    serialize into ~20 tasks under ``Window.partitionBy``.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    from door2door_etl_spark.operators.text import tokens
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.floor(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("long"),
+    ).withColumn(
+        "_key",
+        F.sha2(
+            F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")), 256
+        ),
+    )
+    pos = grouped_order_positions(base, "bucket", "_key")
+    return pos.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        ((F.col("pos") - 1) / batch_size).cast("long").alias("batch_idx"),
+        ((F.col("pos") - 1) % batch_size).cast("long").alias("pos_in_batch"),
+    )

@@ -221,3 +221,35 @@ def kmv_merge_estimate(
         .otherwise(n.cast("double"))
         .alias("est_distinct")
     )
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` — the threshold-selection step
+    of quality filtering (pick the p99 of a quality score per language,
+    filter against it).
+
+    ``exact=True`` uses ``percentile`` (exact linear interpolation, engine-
+    portable — the DuckDB ``quantile_cont`` twin hash-matches), which sorts
+    every group's values: fine up to memory-per-group, and the oracle
+    path.  ``exact=False`` is the 100 TB path: ``approx_percentile``'s
+    mergeable sketch aggregates map-side and shuffles only sketch state —
+    bounded error (1/accuracy), unbounded scale.  Output columns are
+    ``q_50``, ``q_90``, … (percent-scaled names so both variants share a
+    schema)."""
+    fn = (
+        (lambda q: F.percentile(F.col(value_col), F.lit(q)))
+        if exact
+        else (lambda q: F.approx_percentile(F.col(value_col), F.lit(q), F.lit(accuracy)))
+    )
+    aggs = [
+        F.round(fn(q).cast("double"), 6).alias(f"q_{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

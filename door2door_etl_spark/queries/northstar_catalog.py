@@ -1827,6 +1827,79 @@ FROM cum GROUP BY 1
 """
 
 
+# -- training-order prep (round-5 wave) -------------------------------------
+
+def q_training_order_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle (reproducible training order on
+    any cluster size) — see operators.packing.epoch_shuffle: two-phase
+    distributed position scan, never a one-task global window."""
+    from door2door_etl_spark.operators.packing import epoch_shuffle
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return epoch_shuffle(docs, seed=42).select("doc_id", "shuffle_pos")
+
+
+SQL_TRAINING_ORDER_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY sha256(concat('42|', CAST(doc_id AS VARCHAR))), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+def q_length_bucket_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length bucketed batching (dynamic-batching prep: batch
+    members share a length scale, composition reproducible) — see
+    operators.packing.length_bucketed_batches."""
+    from door2door_etl_spark.operators.packing import length_bucketed_batches
+
+    docs = load_table(spark, sf, "documents")
+    return length_bucketed_batches(docs, batch_size=8, seed=7)
+
+
+def _sql_length_bucket_batches() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(log2(CAST(greatest(n_tokens, 1) AS DOUBLE))) AS BIGINT) AS bucket,
+         sha256(concat('7|', CAST(doc_id AS VARCHAR))) AS k
+  FROM base),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id) AS rn
+  FROM b)
+SELECT doc_id, n_tokens, bucket,
+       CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+       CAST((rn - 1) % 8 AS BIGINT) AS pos_in_batch
+FROM r
+"""
+
+
+def q_quality_quantile_thresholds(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language quantile thresholds of document length — the
+    threshold-selection step of quality filtering.  Exact-percentile
+    oracle twin; operators.sketches.quantile_thresholds(exact=False) is
+    the mergeable-sketch 100 TB path."""
+    from door2door_etl_spark.operators.sketches import quantile_thresholds
+
+    docs = load_table(spark, sf, "documents")
+    return quantile_thresholds(docs, "n_chars", ["lang"])
+
+
+SQL_QUALITY_QUANTILE_THRESHOLDS = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 6) AS q_50,
+       round(quantile_cont(n_chars, 0.9), 6) AS q_90,
+       round(quantile_cont(n_chars, 0.99), 6) AS q_99
+FROM documents
+GROUP BY lang
+"""
+
+
 NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
     QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
@@ -1873,4 +1946,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES, "north-star multimodal/decode", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE, "north-star multimodal/resize", ("northstar", "multimodal")),
+    QueryDef("ns_training_order_shuffle", q_training_order_shuffle, SQL_TRAINING_ORDER_SHUFFLE, "north-star packing/epoch-shuffle", ("northstar", "packing")),
+    QueryDef("ns_length_bucket_batches", q_length_bucket_batches, _sql_length_bucket_batches(), "north-star packing/length-bucketed-batching", ("northstar", "packing")),
+    QueryDef("ns_quality_quantile_thresholds", q_quality_quantile_thresholds, SQL_QUALITY_QUANTILE_THRESHOLDS, "north-star text/quality-thresholds", ("northstar", "text")),
 ]

@@ -887,3 +887,96 @@ def test_incremental_lsh_dedup_cache_lifetime_bounded(spark):
     assert n_cached <= before + 1, (
         f"{n_cached} persistent RDDs after 5 batches (started at {before})"
     )
+
+
+# -- training-order prep (round 5) ------------------------------------------
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    from door2door_etl_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(df, seed=1).collect()}
+    # A permutation: every position 1..n exactly once.
+    assert sorted(a.values()) == list(range(1, 41))
+    # Deterministic under the same seed...
+    a2 = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(df, seed=1).collect()}
+    assert a == a2
+    # ...and a different seed re-deals the order.
+    b = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(df, seed=2).collect()}
+    assert a != b and sorted(b.values()) == list(range(1, 41))
+    spark.catalog.clearCache()  # packing caches are caller-owned
+
+
+def test_grouped_order_positions_matches_window(spark):
+    """The two-phase scan must equal row_number() OVER (PARTITION BY g
+    ORDER BY o) exactly — it exists to avoid that window's one-task-per-
+    group execution, not to change its semantics."""
+    from pyspark.sql import Window
+
+    from door2door_etl_spark.operators.packing import grouped_order_positions
+
+    rows = [(i, f"g{i % 3}", f"k{(i * 37) % 100:03d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, k string")
+    got = {
+        r["id"]: r["pos"]
+        for r in grouped_order_positions(df, "g", "k", num_partitions=5).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_length_bucketed_batches_properties(spark, docs):
+    from door2door_etl_spark.operators.packing import length_bucketed_batches
+
+    out = length_bucketed_batches(docs, batch_size=3, seed=5).collect()
+    assert len(out) == docs.count()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        # bucket really is the log2 length bucket
+        assert r["bucket"] == max(r["n_tokens"], 1).bit_length() - 1
+        assert 0 <= r["pos_in_batch"] < 3
+    for bucket, rows in by_bucket.items():
+        # batches are filled densely: batch b holds 3 docs before b+1 opens
+        idxs = sorted((r["batch_idx"], r["pos_in_batch"]) for r in rows)
+        expect = [(i // 3, i % 3) for i in range(len(rows))]
+        assert idxs == expect, f"bucket {bucket} not densely batched"
+    spark.catalog.clearCache()
+
+
+def test_quantile_thresholds_exact_vs_approx(spark, sf_dir):
+    """The approx (mergeable-sketch, 100 TB) path tracks the exact oracle
+    path within sketch tolerance."""
+    from door2door_etl_spark.io import load_table
+    from door2door_etl_spark.operators.sketches import quantile_thresholds
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = [0.5, 0.9, 0.99]
+    approx = {
+        r["lang"]: (r["q_50"], r["q_90"], r["q_99"])
+        for r in quantile_thresholds(d, "n_chars", ["lang"], qs, exact=False).collect()
+    }
+    # approx_percentile's guarantee is on RANK (within 1/accuracy of the
+    # target quantile), so bracket each approx value between the exact
+    # quantiles at q +/- 2% rank tolerance.
+    lo = {
+        r["lang"]: (r["q_48"], r["q_88"], r["q_97"])
+        for r in quantile_thresholds(
+            d, "n_chars", ["lang"], [0.48, 0.88, 0.97], exact=True
+        ).collect()
+    }
+    hi = {
+        r["lang"]: (r["q_52"], r["q_92"], r["q_100"])
+        for r in quantile_thresholds(
+            d, "n_chars", ["lang"], [0.52, 0.92, 1.0], exact=True
+        ).collect()
+    }
+    assert approx.keys() == lo.keys() == hi.keys()
+    for lang in approx:
+        for a, l, h in zip(approx[lang], lo[lang], hi[lang]):
+            assert l <= a <= h, (lang, l, a, h)
