@@ -117,16 +117,31 @@ def _run_maintenance(args) -> int:
         print(f"error: no warehouse tables under {warehouse}", file=sys.stderr)
         return 1
 
+    def is_manifest(root: Path) -> bool:
+        return (root / "_manifests").is_dir()
+
     report: dict[str, dict] = {}
     if args.step == "vacuum":
+        from door2door_etl_spark.io.manifest import ManifestTable
+
         for root in roots:  # metadata-only: no Spark session needed
-            removed = VersionedParquetTable(str(root)).vacuum(
-                keep=args.keep_versions, min_age_hours=args.min_age_hours
-            )
+            if is_manifest(root):
+                # Explicit maintenance is where the O(table) file GC runs
+                # (per-commit auto-vacuum only trims manifests).
+                removed = ManifestTable(str(root)).vacuum(
+                    keep=args.keep_versions,
+                    min_age_hours=args.min_age_hours,
+                    gc_files=True,
+                )
+            else:
+                removed = VersionedParquetTable(str(root)).vacuum(
+                    keep=args.keep_versions, min_age_hours=args.min_age_hours
+                )
             report[root.name] = {"removed_snapshots": removed}
     else:
         from pyspark.sql import SparkSession
 
+        from door2door_etl_spark.io.manifest import compact_manifest
         from door2door_etl_spark.io.writers import compact_parquet_table
         from door2door_etl_spark.session import build_session
 
@@ -136,9 +151,14 @@ def _run_maintenance(args) -> int:
         spark = active or build_session(app_name="door2door-maintenance")
         try:
             for root in roots:
-                n = compact_parquet_table(
-                    spark, str(root), target_file_mb=args.target_file_mb
-                )
+                if is_manifest(root):
+                    n = compact_manifest(
+                        spark, str(root), target_file_mb=args.target_file_mb
+                    )
+                else:
+                    n = compact_parquet_table(
+                        spark, str(root), target_file_mb=args.target_file_mb
+                    )
                 report[root.name] = {"files_after": n}
         finally:
             if active is None:

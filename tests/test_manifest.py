@@ -384,3 +384,29 @@ def test_compact_manifest_rewrites_filesets(spark, tmp_path):
     assert _as_dict(spark, root) == {i: (f"v{i}", "p1") for i in range(4)}
     # A compacted version diffs as zero changes.
     assert table_changes_manifest(spark, root, "k", 4, 5).count() == 0
+
+
+def test_cli_maintenance_detects_manifest_tables(spark, tmp_path, capsys):
+    """`-s vacuum` / `-s compact` route manifest-layout warehouse tables
+    through the manifest implementations (incl. the explicit file GC)."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    root = str(lake / "warehouse" / "tbl")
+    for i in range(3):
+        merge_manifest(spark, root, _mk(spark, [(i, f"v{i}", "p1")]), key="k",
+                       vacuum_keep=99)
+    assert main([
+        "-s", "vacuum", "--lake-root", str(lake), "--keep-versions", "1",
+        "--min-age-hours", "0",
+    ]) == 0
+    vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "data-v00000001.json" in vac["tables"]["tbl"]["removed_snapshots"]
+
+    assert main(["-s", "compact", "--lake-root", str(lake)]) == 0
+    comp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["tables"]["tbl"]["files_after"] >= 1
+    assert _as_dict(spark, root) == {i: (f"v{i}", "p1") for i in range(3)}
+    assert spark.range(1).count() == 1  # shared session survives
