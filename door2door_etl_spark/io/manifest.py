@@ -581,12 +581,64 @@ def delete_manifest(
     only files containing a doomed key are rewritten; every other file is
     re-listed verbatim.  Object-store twin of
     :func:`door2door_etl_spark.io.versioned.delete_versioned`."""
+    from pyspark.sql import functions as F
+
+    keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
+    return _file_level_delete_manifest(
+        spark,
+        root,
+        doom_of=lambda df: df.join(F.broadcast(keys), key, "left_semi"),
+        keep_of=lambda df: df.join(F.broadcast(keys), key, "left_anti"),
+        max_retries=max_retries,
+        vacuum_keep=vacuum_keep,
+        vacuum_min_age_hours=vacuum_min_age_hours,
+        fs=fs,
+    )
+
+
+def delete_where_manifest(
+    spark: SparkSession,
+    root: str,
+    condition,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+    fs: FsOps | None = None,
+) -> int:
+    """Predicate delete on a manifest table — object-store twin of
+    :func:`door2door_etl_spark.io.versioned.delete_where_versioned`
+    (same NULL discipline: NULL-evaluating rows are kept)."""
+    from pyspark.sql import functions as F
+
+    cond = condition if not isinstance(condition, str) else F.expr(condition)
+    doomed_pred = F.coalesce(cond, F.lit(False))
+    return _file_level_delete_manifest(
+        spark,
+        root,
+        doom_of=lambda df: df.filter(doomed_pred),
+        keep_of=lambda df: df.filter(~doomed_pred),
+        max_retries=max_retries,
+        vacuum_keep=vacuum_keep,
+        vacuum_min_age_hours=vacuum_min_age_hours,
+        fs=fs,
+    )
+
+
+def _file_level_delete_manifest(
+    spark: SparkSession,
+    root: str,
+    doom_of,
+    keep_of,
+    max_retries: int,
+    vacuum_keep: int,
+    vacuum_min_age_hours: float,
+    fs: FsOps | None,
+) -> int:
     from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
     table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
-    keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
     for _attempt in range(max_retries):
         base = table.current_version()
         if base is None:
@@ -595,7 +647,7 @@ def delete_manifest(
         target = table.read(spark, base)
         abs_files = os.path.realpath(table.files_dir)
         with_file = target.withColumn("__file", F.input_file_name())
-        doomed = with_file.join(F.broadcast(keys), key, "left_semi")
+        doomed = doom_of(with_file)
         affected_rel = {
             os.path.relpath(
                 os.path.realpath(unquote(urlparse(r[0]).path)), abs_files
@@ -608,12 +660,10 @@ def delete_manifest(
         staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         try:
-            kept = (
-                spark.read.option("basePath", abs_files)
-                .parquet(
+            kept = keep_of(
+                spark.read.option("basePath", abs_files).parquet(
                     *sorted(os.path.join(abs_files, r) for r in affected_rel)
                 )
-                .join(F.broadcast(keys), key, "left_anti")
             )
             writer = kept.write.mode("overwrite")
             if man["partition_cols"]:
@@ -752,3 +802,130 @@ def compact_manifest(
     raise ConcurrentWriteError(
         f"compaction of {root} lost the version-claim race {max_retries} times"
     )
+
+
+class S3FsOps:
+    """S3 backend for the manifest protocol — every :class:`FsOps` method
+    as one S3 API call, with the claim mapped to a **conditional PUT**
+    (``If-None-Match: *``, natively supported by S3 since 2024 — the same
+    primitive Delta's S3 commit coordinator uses).
+
+    Paths arriving from :class:`ManifestTable` are ``s3://bucket/key…``
+    URIs (pass ``root="s3://bucket/warehouse/tbl"``).  ``client`` is any
+    object with the boto3 S3-client surface — injected in tests as a
+    faithful fake (conditional-PUT semantics pinned there), a real
+    ``boto3.client("s3")`` in production (imported lazily; boto3 is not a
+    dependency of this engine, exactly as the reference treats it —
+    reference src/helper/s3.py:17-34).
+
+    Scope note, stated honestly: the commit protocol's METADATA half
+    (claim / publish / listing / vacuum / manifest IO) runs entirely
+    through this class and is unit-tested against the fake.  The data
+    plane — Spark reading ``s3a://`` paths listed by a manifest, and the
+    staging write — needs a live cluster with the hadoop-aws jars
+    (`io/objectstore.py` carries the s3a conf helpers); that half cannot
+    execute in this sandbox and is the one untested seam.
+    """
+
+    def __init__(self, client=None):
+        if client is None:
+            import boto3  # deferred: optional, production-only
+
+            client = boto3.client("s3")
+        self._s3 = client
+
+    @staticmethod
+    def _parse(path: str) -> tuple[str, str]:
+        from urllib.parse import urlparse
+
+        u = urlparse(path)
+        if u.scheme not in ("s3", "s3a"):
+            raise ValueError(f"S3FsOps expects s3:// paths, got {path!r}")
+        return u.netloc, u.path.lstrip("/")
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        bucket, key = self._parse(path)
+        try:
+            self._s3.put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
+            return True
+        except Exception as exc:  # botocore ClientError: 412 -> lost race
+            code = getattr(exc, "response", {}).get("ResponseMetadata", {}).get(
+                "HTTPStatusCode"
+            )
+            if code == 412 or "PreconditionFailed" in str(exc):
+                return False
+            raise
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._parse(path)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def read_bytes(self, path: str) -> bytes | None:
+        bucket, key = self._parse(path)
+        try:
+            return self._s3.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except Exception as exc:
+            if "NoSuchKey" in str(exc) or getattr(exc, "response", {}).get(
+                "Error", {}
+            ).get("Code") == "NoSuchKey":
+                return None
+            raise
+
+    def move_file(self, src: str, dst: str) -> None:
+        """Local staging file → S3 object (the post-write placement; with
+        the s3a magic committer Spark lands files in place and this is
+        never called for data files)."""
+        bucket, key = self._parse(dst)
+        with open(src, "rb") as f:
+            self._s3.put_object(Bucket=bucket, Key=key, Body=f.read())
+        os.unlink(src)
+
+    def list_names(self, dir_path: str) -> list[str]:
+        bucket, prefix = self._parse(dir_path)
+        prefix = prefix.rstrip("/") + "/"
+        out: set[str] = set()
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._s3.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                out.add(obj["Key"][len(prefix):])
+            for cp in resp.get("CommonPrefixes", []):
+                out.add(cp["Prefix"][len(prefix):].rstrip("/"))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(n for n in out if n)
+
+    def walk_files(self, dir_path: str) -> list[str]:
+        bucket, prefix = self._parse(dir_path)
+        prefix = prefix.rstrip("/") + "/"
+        out: list[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._s3.list_objects_v2(**kw)
+            out.extend(f"s3://{bucket}/{o['Key']}" for o in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(out)
+
+    def delete_file(self, path: str) -> None:
+        bucket, key = self._parse(path)
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+    def file_age_s(self, path: str) -> float:
+        bucket, key = self._parse(path)
+        try:
+            head = self._s3.head_object(Bucket=bucket, Key=key)
+        except Exception:
+            return float("inf")
+        lm = head["LastModified"]
+        return max(0.0, time.time() - lm.timestamp())

@@ -917,11 +917,70 @@ def delete_versioned(
     number of rows deleted; a batch matching nothing returns 0 without
     committing a new version.
     """
+    from pyspark.sql import functions as F
+
+    keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
+    return _file_level_delete(
+        spark,
+        root,
+        doom_of=lambda df: df.join(F.broadcast(keys), key, "left_semi"),
+        keep_of=lambda df: df.join(F.broadcast(keys), key, "left_anti"),
+        max_retries=max_retries,
+        vacuum_keep=vacuum_keep,
+        vacuum_min_age_hours=vacuum_min_age_hours,
+    )
+
+
+def delete_where_versioned(
+    spark: SparkSession,
+    root: str,
+    condition,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+) -> int:
+    """Predicate delete (``DELETE WHERE condition``) at file granularity —
+    TTL expiry, retention sweeps, policy scrubs.  Same machinery as
+    :func:`delete_versioned`: only files containing a matching row are
+    rewritten, everything else hard-links into the new snapshot.
+
+    NULL discipline: a row where ``condition`` evaluates NULL is KEPT —
+    SQL's DELETE only removes rows where the predicate is true, and the
+    kept-side filter uses ``NOT coalesce(cond, false)`` so three-valued
+    logic cannot silently drop (or double-count) null-evaluating rows.
+    """
+    from pyspark.sql import functions as F
+
+    cond = condition if not isinstance(condition, str) else F.expr(condition)
+    doomed_pred = F.coalesce(cond, F.lit(False))
+    return _file_level_delete(
+        spark,
+        root,
+        doom_of=lambda df: df.filter(doomed_pred),
+        keep_of=lambda df: df.filter(~doomed_pred),
+        max_retries=max_retries,
+        vacuum_keep=vacuum_keep,
+        vacuum_min_age_hours=vacuum_min_age_hours,
+    )
+
+
+def _file_level_delete(
+    spark: SparkSession,
+    root: str,
+    doom_of,
+    keep_of,
+    max_retries: int,
+    vacuum_keep: int,
+    vacuum_min_age_hours: float,
+) -> int:
+    """Shared core of the file-granular deletes: ``doom_of(df)`` selects
+    the rows to remove, ``keep_of(df)`` their complement (split so the
+    key-based path can use semi/anti joins and the predicate path
+    null-safe filters)."""
     from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
-    keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
     table = VersionedParquetTable(root)
     table.ensure_versioned()
     for _attempt in range(max_retries):
@@ -935,7 +994,7 @@ def delete_versioned(
         # join — above a multi-source plan the expression is rejected
         # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
         with_file = target.withColumn("__file", F.input_file_name())
-        doomed = with_file.join(F.broadcast(keys), key, "left_semi")
+        doomed = doom_of(with_file)
         affected = {
             os.path.realpath(unquote(urlparse(r[0]).path))
             for r in doomed.select("__file").distinct().collect()
@@ -952,10 +1011,8 @@ def delete_versioned(
             # holds realpath'd file paths, and a symlinked ancestor in
             # ``data_path`` would otherwise make Spark reject them as
             # outside the base.
-            kept = (
-                spark.read.option("basePath", abs_data)
-                .parquet(*sorted(affected))
-                .join(F.broadcast(keys), key, "left_anti")
+            kept = keep_of(
+                spark.read.option("basePath", abs_data).parquet(*sorted(affected))
             )
             writer = kept.write.mode("overwrite")
             if pcols:
@@ -1012,3 +1069,110 @@ def apply_changes(
         else 0
     )
     return {"deleted": n_del, "upserted": n_up}
+
+
+@dataclass(frozen=True)
+class ChangeFeedCursor:
+    """Durable change-feed consumer position — the subscriber half of CDC
+    (Delta's ``readChangeFeed`` + checkpoint analog, reference analog: the
+    warehouse watermark bookkeeping, src/helper/postgres.py:118-140).
+
+    Protocol: ``poll()`` returns every change between the last COMMITTED
+    cursor position and the table's current version; the consumer applies
+    them (``apply_changes`` / ``apply_changes_manifest`` are idempotent),
+    then calls ``commit(to_version)`` — write-temp + fsync + rename, so a
+    crash between apply and commit re-delivers the same window on the
+    next poll (at-least-once + idempotent apply = effectively-once).
+
+    Works over both table layouts (POSIX-versioned and object-store
+    manifest — detected by the ``_manifests`` dir).  Retention contract:
+    the source's vacuum ``keep``/``min_age_hours`` must exceed the
+    consumer's maximum lag, or ``poll`` raises the retained-versions
+    error from time travel — loudly, never a silent gap.
+    """
+
+    root: str
+    cursor_path: str
+
+    def last_committed(self) -> int | None:
+        try:
+            return int(Path(self.cursor_path).read_text().strip())
+        except (OSError, ValueError):
+            return None
+
+    def poll(self, spark: SparkSession, key: str):
+        """Returns ``(changes_df, to_version)`` for the window
+        (last_committed, current], or ``(None, last)`` when no new version
+        has landed.  A first poll on a fresh cursor starts from the
+        table's FIRST retained version (initial sync = apply the feed
+        from v_first to current after seeding the replica with v_first —
+        or simply full-copy and ``commit(current)``)."""
+        is_manifest = (Path(self.root) / "_manifests").is_dir()
+        if is_manifest:
+            from door2door_etl_spark.io.manifest import (
+                ManifestTable,
+                table_changes_manifest,
+            )
+
+            cur = ManifestTable(self.root).current_version()
+        else:
+            cur = VersionedParquetTable(self.root).current_version()
+        if cur is None:
+            return None, self.last_committed()
+        last = self.last_committed()
+        if last is not None and cur <= last:
+            return None, last
+        from_v = last if last is not None else self._first_retained(is_manifest)
+        if from_v is None or from_v >= cur:
+            return None, last
+        if is_manifest:
+            feed = table_changes_manifest(
+                spark, self.root, key=key, from_version=from_v, to_version=cur
+            )
+        else:
+            feed = table_changes(
+                spark, self.root, key=key, from_version=from_v, to_version=cur
+            )
+        return feed, cur
+
+    def _first_retained(self, is_manifest: bool) -> int | None:
+        if is_manifest:
+            from door2door_etl_spark.io.manifest import (
+                ManifestTable,
+                _parse_manifest_version,
+            )
+
+            t = ManifestTable(self.root)
+            versions = [
+                v
+                for v in (
+                    _parse_manifest_version(n)
+                    for n in t.fs.list_names(t.manifests_dir)
+                )
+                if v is not None
+            ]
+        else:
+            vdir = _versions_dir(self.root)
+            versions = [
+                v
+                for v in (
+                    _parse_version(e.name)
+                    for e in vdir.iterdir()
+                    if e.is_dir()
+                )
+                if v is not None
+            ] if vdir.is_dir() else []
+        return min(versions, default=None)
+
+    def commit(self, version: int) -> None:
+        """Durably advance the cursor — only after the window's changes
+        are fully applied downstream."""
+        p = Path(self.cursor_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.parent / f".{p.name}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        _fsync_dir(p.parent)

@@ -410,3 +410,214 @@ def test_cli_maintenance_detects_manifest_tables(spark, tmp_path, capsys):
     assert comp["tables"]["tbl"]["files_after"] >= 1
     assert _as_dict(spark, root) == {i: (f"v{i}", "p1") for i in range(3)}
     assert spark.range(1).count() == 1  # shared session survives
+
+
+def test_posix_and_manifest_modes_agree_on_batch_sequence(spark, tmp_path):
+    """Cross-mode invariant: the same MERGE/delete sequence through the
+    POSIX-versioned and object-store-manifest protocols yields identical
+    table contents at every step (they implement ONE semantics over two
+    storage layouts)."""
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+
+    posix = str(tmp_path / "posix")
+    man = str(tmp_path / "man")
+    batches = [
+        [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")],   # initial load
+        [(2, "B", "p2"), (4, "d", "p3")],                    # update + insert
+        [(3, "c2", "p1")],                                   # partition move
+        [(2, "B", "p2")],                                    # idempotent replay
+    ]
+    for rows in batches:
+        src = _mk(spark, rows)
+        merge_versioned(spark, posix, src, key="k", partition_col="part",
+                        vacuum_keep=99)
+        merge_manifest(spark, man, src, key="k", partition_col="part",
+                       vacuum_keep=99)
+        got_posix = {
+            r["k"]: (r["v"], r["part"])
+            for r in spark.read.parquet(posix).collect()
+        }
+        assert got_posix == _as_dict(spark, man), f"diverged after {rows}"
+
+    dooms = spark.createDataFrame([(2,), (4,)], "k int")
+    delete_versioned(spark, posix, dooms, key="k")
+    delete_manifest(spark, man, dooms, key="k")
+    got_posix = {
+        r["k"]: (r["v"], r["part"]) for r in spark.read.parquet(posix).collect()
+    }
+    assert got_posix == _as_dict(spark, man) == {
+        1: ("a", "p1"), 3: ("c2", "p1"),
+    }
+
+
+# -- S3 backend (metadata half, against a faithful fake client) -------------
+
+class _FakeS3Error(Exception):
+    def __init__(self, code, status=None):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status or 400},
+        }
+
+
+class _FakeS3Client:
+    """Dict-backed stand-in for boto3's S3 client covering exactly the
+    surface S3FsOps uses — crucially the conditional PUT
+    (If-None-Match: * -> 412 PreconditionFailed when the key exists),
+    which is the claim primitive."""
+
+    def __init__(self):
+        import threading
+
+        self.objects: dict = {}  # (bucket, key) -> (bytes, datetime)
+        self._lock = threading.Lock()
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        import datetime as dt
+
+        data = Body if isinstance(Body, bytes) else Body.read()
+        with self._lock:
+            if IfNoneMatch == "*" and (Bucket, Key) in self.objects:
+                raise _FakeS3Error("PreconditionFailed", 412)
+            self.objects[(Bucket, Key)] = (
+                data, dt.datetime.now(dt.timezone.utc)
+            )
+        return {}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        if (Bucket, Key) not in self.objects:
+            raise _FakeS3Error("NoSuchKey", 404)
+        return {"Body": io.BytesIO(self.objects[(Bucket, Key)][0])}
+
+    def head_object(self, Bucket, Key):
+        if (Bucket, Key) not in self.objects:
+            raise _FakeS3Error("404", 404)
+        return {"LastModified": self.objects[(Bucket, Key)][1]}
+
+    def delete_object(self, Bucket, Key):
+        self.objects.pop((Bucket, Key), None)
+        return {}
+
+    def list_objects_v2(self, Bucket, Prefix, Delimiter=None, **_):
+        contents, prefixes = [], set()
+        for (b, k), _v in sorted(self.objects.items()):
+            if b != Bucket or not k.startswith(Prefix):
+                continue
+            rest = k[len(Prefix):]
+            if Delimiter and Delimiter in rest:
+                prefixes.add(Prefix + rest.split(Delimiter, 1)[0] + Delimiter)
+            else:
+                contents.append({"Key": k})
+        return {
+            "Contents": contents,
+            "CommonPrefixes": [{"Prefix": p} for p in sorted(prefixes)],
+            "IsTruncated": False,
+        }
+
+
+def test_s3fsops_conditional_put_claim_semantics():
+    from door2door_etl_spark.io.manifest import S3FsOps
+
+    fs = S3FsOps(client=_FakeS3Client())
+    p = "s3://lake/warehouse/tbl/_manifests/data-v00000001.json"
+    assert fs.put_if_absent(p, b"winner")
+    assert not fs.put_if_absent(p, b"loser")
+    assert fs.read_bytes(p) == b"winner"
+    assert fs.read_bytes("s3://lake/warehouse/tbl/absent") is None
+
+
+def test_s3fsops_claim_race_under_threads():
+    """Many concurrent claimants per version number through the fake's
+    atomic conditional PUT: exactly one winner each, payloads untorn —
+    the contract a real S3 conditional PUT provides."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from door2door_etl_spark.io.manifest import S3FsOps
+
+    client = _FakeS3Client()
+    n_workers, n_versions = 8, 20
+
+    def worker(wid):
+        fs = S3FsOps(client=client)
+        wins = []
+        for v in range(1, n_versions + 1):
+            p = f"s3://lake/t/_manifests/data-v{v:08d}.json"
+            if fs.put_if_absent(p, _json.dumps({"w": wid, "v": v}).encode()):
+                wins.append(v)
+        return wins
+
+    with ThreadPoolExecutor(n_workers) as ex:
+        results = list(ex.map(worker, range(n_workers)))
+    all_wins = sorted(v for wins in results for v in wins)
+    assert all_wins == list(range(1, n_versions + 1))
+    fs = S3FsOps(client=client)
+    for v in range(1, n_versions + 1):
+        rec = _json.loads(
+            fs.read_bytes(f"s3://lake/t/_manifests/data-v{v:08d}.json")
+        )
+        assert rec["v"] == v
+
+
+def test_manifest_table_metadata_protocol_on_s3(tmp_path):
+    """ManifestTable's metadata half — claim, publish, version resolution,
+    manifest retention vacuum — runs unchanged over S3FsOps (fake client):
+    the protocol is storage-agnostic through the FsOps seam."""
+    from door2door_etl_spark.io.manifest import ManifestTable, S3FsOps
+
+    fs = S3FsOps(client=_FakeS3Client())
+    table = ManifestTable("s3://lake/warehouse/tbl", fs=fs)
+    assert table.current_version() is None
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    for v in range(1, 5):
+        # Stage a local "data file", place it via move_file, claim.
+        local = tmp_path / f"part-{v}.parquet"
+        local.write_bytes(b"data%d" % v)
+        dst = f"s3://lake/warehouse/tbl/_files/part-{v}.parquet"
+        fs.move_file(str(local), dst)
+        assert not local.exists()  # moved, not copied
+        assert table._claim(v, [f"part-{v}.parquet"], schema, [])
+        table.publish(v)
+    assert table.current_version() == 4
+    assert table.manifest(3)["files"] == ["part-3.parquet"]
+    # Re-claiming a taken version loses.
+    assert not table._claim(4, ["x"], schema, [])
+
+    # Retention: keep=2 with no age floor trims v1/v2 and GCs their files.
+    removed = table.vacuum(keep=2, min_age_hours=0.0, stale_staging_hours=0.0)
+    assert "data-v00000001.json" in removed and "data-v00000002.json" in removed
+    with pytest.raises(ValueError, match="not retained"):
+        table.manifest(1)
+    on_s3 = fs.walk_files("s3://lake/warehouse/tbl/_files")
+    assert on_s3 == [
+        "s3://lake/warehouse/tbl/_files/part-3.parquet",
+        "s3://lake/warehouse/tbl/_files/part-4.parquet",
+    ]
+
+
+def test_delete_where_manifest_predicate(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import delete_where_manifest
+
+    root = str(tmp_path / "tbl")
+    rows = [(1, "keep", "p1"), (2, "expired", "p1"), (3, None, "p2"),
+            (4, "keep", "p2")]
+    merge_manifest(spark, root, _mk(spark, rows), key="k",
+                   partition_col="part", vacuum_keep=99)
+    table = ManifestTable(root)
+    m1 = table.manifest(1)
+    assert delete_where_manifest(spark, root, "v = 'expired'") == 1
+    got = _as_dict(spark, root)
+    assert got == {1: ("keep", "p1"), 3: (None, "p2"), 4: ("keep", "p2")}
+    # p2's file (no matches) is re-listed verbatim; p1's was rewritten.
+    m2 = table.manifest(2)
+    p2_files = {f for f in m1["files"] if f.startswith("part=p2")}
+    assert p2_files and p2_files <= set(m2["files"])
+    assert {f for f in m1["files"] if f.startswith("part=p1")}.isdisjoint(
+        set(m2["files"])
+    )

@@ -980,3 +980,18 @@ def test_quantile_thresholds_exact_vs_approx(spark, sf_dir):
     for lang in approx:
         for a, l, h in zip(approx[lang], lo[lang], hi[lang]):
             assert l <= a <= h, (lang, l, a, h)
+
+
+def test_ivf_full_probe_recall_is_exact(spark, sf_dir):
+    """IVF with nprobe = ncells degenerates to brute force: recall 1.0 —
+    the sanity anchor for the nprobe/recall trade."""
+    from door2door_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ncells = emb.select("label").distinct().count()
+    brute = [r["vec_id"] for r in S.brute_force_topk(emb, query_id=3, k=8).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in S.ivf_topk(emb, query_id=3, k=8, nprobe=ncells).collect()
+    ]
+    assert ivf == brute

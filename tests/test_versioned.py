@@ -721,3 +721,96 @@ def test_delete_versioned_under_symlinked_lake_path(spark, tmp_path):
     n = delete_versioned(spark, root, spark.createDataFrame([(2,)], "k int"), key="k")
     assert n == 1
     assert _as_dict(spark, root) == {1: ("a", "p1"), 3: ("c", "p2")}
+
+
+def test_delete_where_predicate_file_level(spark, tmp_path):
+    """DELETE WHERE at file granularity: matching rows go, unaffected
+    files hard-link forward, and NULL-evaluating rows are KEPT (SQL
+    three-valued logic — the classic silent-drop bug)."""
+    from door2door_etl_spark.io.versioned import delete_where_versioned
+
+    root = str(tmp_path / "tbl")
+    rows = [(1, "keep", "p1"), (2, "expired", "p1"), (3, None, "p2"),
+            (4, "expired", "p2"), (5, "keep", "p3")]
+    merge_versioned(spark, root, _mk(spark, rows), key="k",
+                    partition_col="part", vacuum_keep=99)
+    table = VersionedParquetTable(root)
+    v1 = table.versions_dir / "data-v00000001"
+
+    n = delete_where_versioned(spark, root, "v = 'expired'")
+    assert n == 2
+    got = _as_dict(spark, root)
+    # k=3 (v NULL -> predicate NULL) survives; only true matches deleted.
+    assert got == {1: ("keep", "p1"), 3: (None, "p2"), 5: ("keep", "p3")}
+    # p3 had no match: its file carries forward by hardlink (same inode).
+    v2 = table.versions_dir / "data-v00000002"
+    ino = lambda d: sorted(
+        f.stat().st_ino for f in (d / "part=p3").glob("*.parquet")
+    )
+    assert ino(v2) == ino(v1)
+    # No-match predicate commits nothing.
+    v_before = table.current_version()
+    assert delete_where_versioned(spark, root, "v = 'nothing-has-this'") == 0
+    assert table.current_version() == v_before
+
+
+def test_change_feed_cursor_effectively_once_replication(spark, tmp_path):
+    """CDC subscriber loop: poll -> apply -> commit.  A crash between
+    apply and commit re-delivers the window (at-least-once), and the
+    idempotent apply makes replication effectively-once.  Works over both
+    table layouts."""
+    from door2door_etl_spark.io.versioned import (
+        ChangeFeedCursor,
+        apply_changes,
+        merge_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    cursor = ChangeFeedCursor(src, str(tmp_path / "cursors" / "rep.v"))
+
+    v1 = _mk(spark, [(1, "a", "p1"), (2, "b", "p1")])
+    merge_versioned(spark, src, v1, key="k", vacuum_keep=99)
+    merge_versioned(spark, rep, v1, key="k", vacuum_keep=99)  # initial sync
+    cursor.commit(1)
+
+    # No new version -> nothing to do.
+    feed, to_v = cursor.poll(spark, key="k")
+    assert feed is None and to_v == 1
+
+    merge_versioned(spark, src, _mk(spark, [(2, "B", "p1"), (3, "c", "p2")]),
+                    key="k", vacuum_keep=99)
+    merge_versioned(spark, src, _mk(spark, [(4, "d", "p2")]), key="k",
+                    vacuum_keep=99)
+
+    feed, to_v = cursor.poll(spark, key="k")
+    assert to_v == 3
+    apply_changes(spark, rep, feed, key="k")
+    # CRASH before commit: the next poll re-delivers the same window...
+    feed2, to_v2 = cursor.poll(spark, key="k")
+    assert to_v2 == 3
+    apply_changes(spark, rep, feed2, key="k")  # ...and replay is a no-op
+    cursor.commit(to_v2)
+
+    assert _as_dict(spark, rep) == _as_dict(spark, src) == {
+        1: ("a", "p1"), 2: ("B", "p1"), 3: ("c", "p2"), 4: ("d", "p2"),
+    }
+    assert cursor.poll(spark, key="k")[0] is None  # fully caught up
+
+
+def test_change_feed_cursor_over_manifest_table(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import merge_manifest
+    from door2door_etl_spark.io.versioned import ChangeFeedCursor
+
+    src = str(tmp_path / "src")
+    merge_manifest(spark, src, _mk(spark, [(1, "a", "p1")]), key="k",
+                   vacuum_keep=99)
+    merge_manifest(spark, src, _mk(spark, [(2, "b", "p1")]), key="k",
+                   vacuum_keep=99)
+    cursor = ChangeFeedCursor(src, str(tmp_path / "c.v"))
+    # Fresh cursor: window starts at the first retained manifest.
+    feed, to_v = cursor.poll(spark, key="k")
+    assert to_v == 2
+    assert {r["k"]: r["_change_type"] for r in feed.collect()} == {2: "insert"}
+    cursor.commit(to_v)
+    assert cursor.poll(spark, key="k")[0] is None
