@@ -146,6 +146,13 @@ def _fsync_tree(root: Path, skip_linked: bool = True) -> None:
     keeps the partition-scoped merge's fsync cost proportional to the
     touched partitions, not the table.  Legacy migration passes ``False``
     (its links point at never-fsync'd pre-protocol files).
+
+    Cost shape: one serial open+fsync per NEW file — proportional to what
+    the commit wrote, a small constant factor on the write itself.  A
+    full-table rewrite pays a full-table fsync pass; the partition-scoped
+    merge (the steady-state path) pays only its touched partitions.  The
+    object-store mode has no such pass at all (PUT is durable by
+    contract).
     """
     for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
         for fn in filenames:
