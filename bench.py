@@ -113,6 +113,20 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "supplier", "part",
               "nation", "region", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
+    # Warm the Python worker pool: the first mapInPandas/applyInPandas
+    # call forks one worker per core, each importing numpy+pandas (~8 s
+    # across 32 workers when cold — measured).  Production clusters keep
+    # long-lived reused workers, so that spawn is startup cost, not query
+    # cost; absorb it here rather than in whichever Arrow-path query the
+    # scheduler hits first.
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        _noop, "id long"
+    ).count()
 
     def force(df) -> int:
         """Count rows while forcing EVERY output expression to evaluate.
