@@ -83,6 +83,39 @@ def _parse_manifest_version(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+_JSON_SCALARS = (int, float, str, bool)
+
+
+def _file_stats(path: str, stats_col: str | None) -> dict:
+    """Row count + min/max of ``stats_col`` from the parquet FOOTER (no
+    data read): row-group statistics aggregated across groups.  Non-JSON
+    stat types (timestamps, decimals, binary) degrade to rows-only —
+    pruning then conservatively keeps the file."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    out: dict = {"rows": meta.num_rows, "min": None, "max": None}
+    if stats_col is None:
+        return out
+    col_idx = None
+    for i in range(len(meta.schema)):
+        if meta.schema.column(i).path == stats_col:
+            col_idx = i
+            break
+    if col_idx is None:
+        return out
+    mins, maxs = [], []
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return out  # any opaque group -> no safe pruning bound
+        mins.append(st.min)
+        maxs.append(st.max)
+    if mins and all(isinstance(v, _JSON_SCALARS) for v in mins + maxs):
+        out["min"], out["max"] = min(mins), max(maxs)
+    return out
+
+
 @runtime_checkable
 class FsOps(Protocol):
     """The minimal storage contract the manifest protocol needs — the
@@ -278,23 +311,33 @@ class ManifestTable:
         )
 
     def _stage_and_place(
-        self, df_writer, staging: str
+        self,
+        df_writer,
+        staging: str,
+        stats_col: str | None = None,
+        stats_out: dict | None = None,
     ) -> list[str]:
         """Run a Spark write into ``staging`` and move every data file
         into ``_files/`` preserving its partition relpath; returns the
         new relative paths.  Files are invisible to readers until a
-        manifest lists them, so placement needs no atomicity."""
+        manifest lists them, so placement needs no atomicity.
+
+        With ``stats_col``/``stats_out``, per-file statistics (row count
+        + min/max of the column, read off the parquet footer BEFORE the
+        move, while the file is still local) are collected into
+        ``stats_out[rel]`` — the Delta-style data-skipping metadata the
+        manifest commits alongside the file list."""
         df_writer.parquet(staging)
         new_rels: list[str] = []
         for dirpath, _dirs, files in os.walk(staging):
             for fn in files:
                 if fn.startswith(("_", ".")):
                     continue
-                rel = os.path.relpath(os.path.join(dirpath, fn), staging)
-                self.fs.move_file(
-                    os.path.join(dirpath, fn),
-                    os.path.join(self.files_dir, rel),
-                )
+                local = os.path.join(dirpath, fn)
+                rel = os.path.relpath(local, staging)
+                if stats_out is not None:
+                    stats_out[rel] = _file_stats(local, stats_col)
+                self.fs.move_file(local, os.path.join(self.files_dir, rel))
                 new_rels.append(rel)
         shutil.rmtree(staging, ignore_errors=True)
         return sorted(new_rels)
@@ -305,19 +348,89 @@ class ManifestTable:
         rels: list[str],
         schema: StructType,
         partition_cols: list[str],
+        stats: dict | None = None,
+        stats_col: str | None = None,
     ) -> bool:
-        payload = json.dumps(
-            {
-                "version": version,
-                "files": sorted(rels),
-                "partition_cols": partition_cols,
-                "schema": json.dumps(schema.jsonValue()),
-            },
-            indent=None,
-            sort_keys=True,
-        ).encode()
+        record = {
+            "version": version,
+            "files": sorted(rels),
+            "partition_cols": partition_cols,
+            "schema": json.dumps(schema.jsonValue()),
+        }
+        if stats is not None:
+            record["stats"] = stats
+            record["stats_col"] = stats_col
+        payload = json.dumps(record, indent=None, sort_keys=True).encode()
         return self.fs.put_if_absent(
             os.path.join(self.manifests_dir, _manifest_name(version)), payload
+        )
+
+    # -- manifest statistics (data skipping) --------------------------------
+
+    def count_rows(self, version: int | None = None) -> int | None:
+        """Total rows from manifest statistics alone — O(manifest), zero
+        data I/O, no Spark session.  Returns None when any listed file
+        lacks stats (older manifests; fall back to a scan)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return 0
+        man = self.manifest(version)
+        stats = man.get("stats", {})
+        if any(rel not in stats for rel in man["files"]):
+            return None
+        return sum(stats[rel]["rows"] for rel in man["files"])
+
+    def prune_files(self, lo, hi, version: int | None = None) -> list[str]:
+        """The rel paths whose ``stats_col`` [min, max] range overlaps
+        [lo, hi] — file skipping off manifest metadata, the scan-cost
+        half of what makes lakehouse formats fast (a point lookup on a
+        sorted/clustered key touches ~one file instead of the table).
+        Files without stats are conservatively kept."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return []
+        man = self.manifest(version)
+        stats = man.get("stats", {})
+
+        def keep(rel: str) -> bool:
+            s = stats.get(rel)
+            if not s or s.get("min") is None or s.get("max") is None:
+                return True  # no stats -> cannot skip safely
+            return not (s["max"] < lo or s["min"] > hi)
+
+        return [rel for rel in man["files"] if keep(rel)]
+
+    def read_range(
+        self, spark: SparkSession, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Rows with ``stats_col`` in [lo, hi], scanning ONLY the files
+        whose footer range overlaps (residual row filter applied on
+        top — stats prune files, not rows)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"{self.root} has no committed manifest")
+        man = self.manifest(version)
+        col = man.get("stats_col")
+        if col is None:
+            raise ValueError(
+                f"{self.root} v{version} carries no stats_col; read() + filter"
+            )
+        rels = self.prune_files(lo, hi, version)
+        if not rels:
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            return spark.createDataFrame([], schema).filter(
+                F.col(col).between(lo, hi)
+            )
+        paths = [os.path.join(self.files_dir, r) for r in rels]
+        return (
+            spark.read.option("basePath", self.files_dir)
+            .parquet(*paths)
+            .filter(F.col(col).between(lo, hi))
         )
 
     def _drop_files(self, rels: list[str]) -> None:
@@ -396,6 +509,7 @@ def merge_manifest(
     vacuum_min_age_hours: float = 1.0,
     evolve_schema: bool = False,
     fs: FsOps | None = None,
+    stats_col: str | None = None,
 ) -> int:
     """MERGE-style upsert committed through the manifest protocol — the
     object-store twin of :func:`door2door_etl_spark.io.versioned.merge_versioned`
@@ -429,17 +543,19 @@ def merge_manifest(
             "duplicate on every replay"
         )
     n_source = source.count()
+    scol = stats_col or key  # data-skipping stats: per-file key min/max
 
     for _attempt in range(max_retries):
         base = table.current_version() or 0
         staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
+        new_stats: dict = {}
         try:
             if base == 0:
                 writer = source.write.mode("overwrite")
                 if partition_col:
                     writer = writer.partitionBy(partition_col)
-                new_rels = table._stage_and_place(writer, staging)
+                new_rels = table._stage_and_place(writer, staging, scol, new_stats)
                 reused: list[str] = []
                 out_schema = source.schema
                 pcols = [partition_col] if partition_col else []
@@ -527,6 +643,8 @@ def merge_manifest(
                             partition_col
                         ),
                         staging,
+                        scol,
+                        new_stats,
                     )
                     reused = [
                         rel
@@ -542,7 +660,7 @@ def merge_manifest(
                     writer = merged.write.mode("overwrite")
                     if partition_col:
                         writer = writer.partitionBy(partition_col)
-                    new_rels = table._stage_and_place(writer, staging)
+                    new_rels = table._stage_and_place(writer, staging, scol, new_stats)
                     reused = []
                     out_schema = merged.schema
                     pcols = [partition_col] if partition_col else []
@@ -551,7 +669,24 @@ def merge_manifest(
             table._drop_files(new_rels)
             raise
 
-        if table._claim(base + 1, reused + new_rels, out_schema, pcols):
+        # Carry forward reused files' stats when the prior manifest's stats
+        # column matches; a prior different/absent stats column degrades
+        # those entries to rows-only (pruning keeps them conservatively).
+        prev_stats = (man.get("stats", {}) if base else {})
+        prev_scol = man.get("stats_col") if base else None
+        carried = {
+            r: (
+                prev_stats[r]
+                if prev_scol == scol
+                else {"rows": prev_stats[r]["rows"], "min": None, "max": None}
+            )
+            for r in reused
+            if r in prev_stats
+        }
+        if table._claim(
+            base + 1, reused + new_rels, out_schema, pcols,
+            stats={**carried, **new_stats}, stats_col=scol,
+        ):
             table.publish(base + 1)
             table.vacuum(
                 keep=vacuum_keep,
@@ -659,6 +794,8 @@ def _file_level_delete_manifest(
         n_deleted = doomed.count()
         staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
+        new_stats: dict = {}
+        scol = man.get("stats_col")
         try:
             kept = keep_of(
                 spark.read.option("basePath", abs_files).parquet(
@@ -668,15 +805,20 @@ def _file_level_delete_manifest(
             writer = kept.write.mode("overwrite")
             if man["partition_cols"]:
                 writer = writer.partitionBy(*man["partition_cols"])
-            new_rels = table._stage_and_place(writer, staging)
+            new_rels = table._stage_and_place(
+                writer, staging, scol, new_stats if scol else None
+            )
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             table._drop_files(new_rels)
             raise
         reused = [rel for rel in man["files"] if rel not in affected_rel]
         schema = StructType.fromJson(json.loads(man["schema"]))
+        prev_stats = man.get("stats", {})
+        carried = {r: prev_stats[r] for r in reused if r in prev_stats}
         if table._claim(
-            base + 1, reused + new_rels, schema, man["partition_cols"]
+            base + 1, reused + new_rels, schema, man["partition_cols"],
+            stats={**carried, **new_stats} if scol else None, stats_col=scol,
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -784,13 +926,18 @@ def compact_manifest(
                 )
                 n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
                 writer = df.coalesce(n_target).write.mode("overwrite")
-            new_rels = table._stage_and_place(writer, staging)
+            scol = man.get("stats_col")
+            new_stats: dict = {}
+            new_rels = table._stage_and_place(
+                writer, staging, scol, new_stats if scol else None
+            )
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             table._drop_files(new_rels)
             raise
         schema = StructType.fromJson(json.loads(man["schema"]))
-        if table._claim(base + 1, new_rels, schema, pcols):
+        if table._claim(base + 1, new_rels, schema, pcols,
+                        stats=new_stats if scol else None, stats_col=scol):
             table.publish(base + 1)
             table.vacuum(
                 keep=vacuum_keep,

@@ -137,7 +137,7 @@ def test_losing_the_claim_recomputes_against_winner(spark, tmp_path, monkeypatch
     original_claim = ManifestTable._claim
     state = {"raced": False}
 
-    def racing_claim(self, version, rels, schema, pcols):
+    def racing_claim(self, version, rels, schema, pcols, **kw):
         if not state["raced"]:
             state["raced"] = True
             # Competitor lands the same version number first.
@@ -148,9 +148,9 @@ def test_losing_the_claim_recomputes_against_winner(spark, tmp_path, monkeypatch
             )
             assert original_claim(self, version, comp_rels, comp.schema, [])
             # Our own claim of that version must now fail.
-            assert not original_claim(self, version, rels, schema, pcols)
+            assert not original_claim(self, version, rels, schema, pcols, **kw)
             return False
-        return original_claim(self, version, rels, schema, pcols)
+        return original_claim(self, version, rels, schema, pcols, **kw)
 
     monkeypatch.setattr(ManifestTable, "_claim", racing_claim)
     merge_manifest(spark, root, _mk(spark, [(2, "b", "p1")]), key="k")
@@ -164,7 +164,7 @@ def test_losing_the_claim_recomputes_against_winner(spark, tmp_path, monkeypatch
 def test_claim_exhaustion_raises(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "tbl")
     merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
-    monkeypatch.setattr(ManifestTable, "_claim", lambda self, *a: False)
+    monkeypatch.setattr(ManifestTable, "_claim", lambda self, *a, **kw: False)
     with pytest.raises(ConcurrentWriteError):
         merge_manifest(spark, root, _mk(spark, [(2, "b", "p1")]), key="k",
                        max_retries=2)
@@ -621,3 +621,51 @@ def test_delete_where_manifest_predicate(spark, tmp_path):
     assert {f for f in m1["files"] if f.startswith("part=p1")}.isdisjoint(
         set(m2["files"])
     )
+
+
+def test_manifest_stats_count_and_file_skipping(spark, tmp_path):
+    """Delta-style data skipping off manifest stats: O(1) row counts with
+    zero data I/O, and a key-range read scans only the files whose footer
+    range overlaps — carried forward for reused files across merges,
+    deletes, and compaction."""
+    from door2door_etl_spark.io.manifest import delete_manifest
+
+    root = str(tmp_path / "tbl")
+    # Three partitions with DISJOINT key ranges -> skippable files.
+    for lo, part in ((1, "p1"), (11, "p2"), (21, "p3")):
+        merge_manifest(
+            spark, root,
+            _mk(spark, [(k, f"v{k}", part) for k in range(lo, lo + 10)]),
+            key="k", partition_col="part", vacuum_keep=99,
+        )
+    table = ManifestTable(root)
+    man = table.manifest(3)
+    assert man["stats_col"] == "k"
+    # O(1) count from metadata alone.
+    assert table.count_rows() == 30
+    # Untouched partitions' stats were CARRIED, not recomputed: identical
+    # dict entries across manifests.
+    m2 = table.manifest(2)
+    for rel in m2["files"]:
+        if rel.startswith("part=p1"):
+            assert man["stats"][rel] == m2["stats"][rel]
+    # Point/range lookup prunes to the one overlapping file set.
+    pruned = table.prune_files(5, 6)
+    assert pruned and all(r.startswith("part=p1") for r in pruned)
+    got = {r["k"] for r in table.read_range(spark, 5, 6).collect()}
+    assert got == {5, 6}
+    # Full-range read through pruning equals the plain read.
+    assert table.read_range(spark, 1, 30).count() == 30
+
+    # Stats survive a file-level delete...
+    delete_manifest(spark, root, spark.createDataFrame([(15,)], "k int"),
+                    key="k", vacuum_keep=99)
+    assert table.count_rows() == 29
+    assert {r["k"] for r in table.read_range(spark, 14, 16).collect()} == {14, 16}
+    # ...and compaction.
+    from door2door_etl_spark.io.manifest import compact_manifest
+
+    compact_manifest(spark, root, vacuum_keep=99)
+    assert table.count_rows() == 29
+    pruned2 = table.prune_files(25, 26)
+    assert pruned2 and all(r.startswith("part=p3") for r in pruned2)
