@@ -891,6 +891,7 @@ def compact_manifest(
     vacuum_min_age_hours: float = 1.0,
     max_retries: int = 5,
     fs: FsOps | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current manifest snapshot into ~``target_file_mb``
     files as a NEW committed version; returns the new file count — the
@@ -902,6 +903,14 @@ def compact_manifest(
     throughput AND manifest size.  Obeys the same claim rule as the
     merge — a merge landing mid-compaction wins the version and the
     compaction recomputes over the merged data.
+
+    ``sort_by`` is CLUSTERED compaction (Delta's ``OPTIMIZE ... ZORDER``
+    little sibling): one range shuffle + in-partition sort, so the output
+    files carry DISJOINT ranges of the sort key and the manifest's
+    min/max stats make :meth:`ManifestTable.prune_files` precise — a
+    point lookup after clustering touches one file.  For multi-column
+    locality compose with the Morton-code column from
+    ``io.writers.write_zorder_parquet``'s interleave expressions.
     """
     table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
     for _attempt in range(max_retries):
@@ -915,9 +924,10 @@ def compact_manifest(
         new_rels: list[str] = []
         try:
             if pcols:
-                writer = (
-                    df.repartition(*pcols).write.mode("overwrite").partitionBy(*pcols)
-                )
+                shaped = df.repartition(*pcols)
+                if sort_by:
+                    shaped = shaped.sortWithinPartitions(*pcols, *sort_by)
+                writer = shaped.write.mode("overwrite").partitionBy(*pcols)
             else:
                 total_bytes = sum(
                     os.path.getsize(os.path.join(table.files_dir, rel))
@@ -925,7 +935,15 @@ def compact_manifest(
                     if os.path.exists(os.path.join(table.files_dir, rel))
                 )
                 n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-                writer = df.coalesce(n_target).write.mode("overwrite")
+                if sort_by:
+                    # Range shuffle on the cluster key: output files carry
+                    # disjoint key ranges -> precise stats pruning.
+                    shaped = df.repartitionByRange(
+                        n_target, *sort_by
+                    ).sortWithinPartitions(*sort_by)
+                else:
+                    shaped = df.coalesce(n_target)
+                writer = shaped.write.mode("overwrite")
             scol = man.get("stats_col")
             new_stats: dict = {}
             new_rels = table._stage_and_place(
