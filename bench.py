@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "ns_unigram_logprob",
     "ns_minhash_lsh_pairs_fast",
     "ns_ann_ivfpq_topk",
+    "ns_training_order_shuffle",
+    "ns_length_bucket_batches",
+    "ns_quality_quantile_thresholds",
 ]
 
 
