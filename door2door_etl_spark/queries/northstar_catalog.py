@@ -506,6 +506,61 @@ SELECT node AS doc_id, min(reach) AS canonical_id FROM walk GROUP BY 1
 """
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster resolution by CONTENT, not id: keep the LONGEST
+    member of each cluster (ties → lowest id) — the common production
+    alternative to min-id canonicalization (the longest duplicate usually
+    carries the most complete text).  Testdata pairs ids across tables
+    (embeddings.vec_id == documents.doc_id).
+
+    Scale shape: clusters are tiny relative to the corpus (only near-dup
+    members appear), so the doc-length join and the per-cluster top-1
+    window both run on the small side; the corpus is never re-shuffled."""
+    from door2door_etl_spark.operators.relational import topk_per_group
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    pairs = D.embedding_near_dup_pairs(emb, min_cosine=NEARDUP_MIN_COSINE)
+    clusters = D.connected_dedup_clusters(pairs, "id_a", "id_b")
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = topk_per_group(
+        joined, ["canonical_id"], [F.desc("n_chars"), F.col("doc_id")], 1
+    )
+    return best.select(
+        "canonical_id", F.col("doc_id").alias("kept_id"), "n_chars"
+    )
+
+
+def _sql_dedup_keep_longest() -> str:
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {NEARDUP_MIN_COSINE}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON w.node = e.b
+), clusters AS (
+  SELECT node AS doc_id, min(reach) AS canonical_id FROM walk GROUP BY 1
+), j AS (
+  SELECT c.canonical_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+), r AS (
+  SELECT canonical_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY canonical_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j)
+SELECT canonical_id, doc_id AS kept_id, n_chars FROM r WHERE rn = 1
+"""
+
+
 def q_dedup_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end dedup deliverable: corpus statistics after removing
     every non-canonical near-duplicate (cluster members that are not the
@@ -1949,4 +2004,5 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_training_order_shuffle", q_training_order_shuffle, SQL_TRAINING_ORDER_SHUFFLE, "north-star packing/epoch-shuffle", ("northstar", "packing")),
     QueryDef("ns_length_bucket_batches", q_length_bucket_batches, _sql_length_bucket_batches(), "north-star packing/length-bucketed-batching", ("northstar", "packing")),
     QueryDef("ns_quality_quantile_thresholds", q_quality_quantile_thresholds, SQL_QUALITY_QUANTILE_THRESHOLDS, "north-star text/quality-thresholds", ("northstar", "text")),
+    QueryDef("ns_dedup_keep_longest", q_dedup_keep_longest, _sql_dedup_keep_longest(), "north-star dedup/keep-longest-member", ("northstar", "dedup")),
 ]
