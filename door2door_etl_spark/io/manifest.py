@@ -510,6 +510,7 @@ def merge_manifest(
     evolve_schema: bool = False,
     fs: FsOps | None = None,
     stats_col: str | None = None,
+    constraints: list[str] | None = None,
 ) -> int:
     """MERGE-style upsert committed through the manifest protocol — the
     object-store twin of :func:`door2door_etl_spark.io.versioned.merge_versioned`
@@ -542,6 +543,9 @@ def merge_manifest(
             f"{key!r}; a NULL key cannot be matched for UPDATE and would "
             "duplicate on every replay"
         )
+    from .versioned import _check_constraints
+
+    _check_constraints(source, constraints, root)
     n_source = source.count()
     scol = stats_col or key  # data-skipping stats: per-file key min/max
 

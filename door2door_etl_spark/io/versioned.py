@@ -478,6 +478,26 @@ class VersionedParquetTable:
         return removed
 
 
+def _check_constraints(
+    source: DataFrame, constraints: list[str] | None, root: str
+) -> None:
+    """Delta-style CHECK constraints on the batch: every expression must
+    not evaluate FALSE for any row (SQL-standard CHECK semantics — NULL /
+    UNKNOWN passes, as for ``CHECK`` in the reference's DDL,
+    migrations/init.sql).  Rejecting before the commit keeps bad rows out
+    of every snapshot instead of laundering them through time travel."""
+    from pyspark.sql import functions as F
+
+    for expr in constraints or []:
+        bad = source.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(3).collect()
+        if bad:
+            sample = "; ".join(str(r.asDict()) for r in bad)
+            raise ValueError(
+                f"merge into {root}: CHECK constraint {expr!r} violated by "
+                f"{len(bad)}+ row(s), e.g. {sample}"
+            )
+
+
 def _snapshot_has_root_files(data_path: str) -> bool:
     """True when the snapshot stores data files at its top level (i.e. it
     was written unpartitioned) — the partition-scoped link optimization
@@ -497,6 +517,7 @@ def merge_versioned(
     vacuum_keep: int = 2,
     vacuum_min_age_hours: float = 1.0,
     evolve_schema: bool = False,
+    constraints: list[str] | None = None,
 ) -> int:
     """MERGE-style upsert committed through the versioned-manifest protocol.
 
@@ -539,6 +560,7 @@ def merge_versioned(
             f"{key!r}; a NULL key cannot be matched for UPDATE and would "
             "duplicate on every replay"
         )
+    _check_constraints(source, constraints, root)
     table = VersionedParquetTable(root)
     root_p = Path(root)
     if (root_p / "_manifests").is_dir():

@@ -231,10 +231,13 @@ class ParquetMergeSink:
     spark: SparkSession
     target_path: str
     partition_col: str | None = None
+    constraints: tuple[str, ...] = ()
 
     def merge(self, source: DataFrame, key: str) -> int:
-        return merge_upsert_parquet(
-            self.spark, self.target_path, source, key, self.partition_col
+        return merge_versioned(
+            self.spark, self.target_path, source, key=key,
+            partition_col=self.partition_col,
+            constraints=list(self.constraints) or None,
         )
 
 
@@ -251,12 +254,14 @@ class ManifestMergeSink:
     spark: SparkSession
     target_path: str
     partition_col: str | None = None
+    constraints: tuple[str, ...] = ()
 
     def merge(self, source: DataFrame, key: str) -> int:
         from door2door_etl_spark.io.manifest import merge_manifest
 
         return merge_manifest(
-            self.spark, self.target_path, source, key, self.partition_col
+            self.spark, self.target_path, source, key, self.partition_col,
+            constraints=list(self.constraints) or None,
         )
 
 

@@ -814,3 +814,29 @@ def test_change_feed_cursor_over_manifest_table(spark, tmp_path):
     assert {r["k"]: r["_change_type"] for r in feed.collect()} == {2: "insert"}
     cursor.commit(to_v)
     assert cursor.poll(spark, key="k")[0] is None
+
+
+def test_merge_check_constraints(spark, tmp_path):
+    """Delta-style CHECK constraints: FALSE rows reject the whole batch
+    before any commit; NULL/UNKNOWN passes (SQL CHECK semantics)."""
+    from door2door_etl_spark.io.manifest import ManifestTable, merge_manifest
+
+    root = str(tmp_path / "tbl")
+    ok = _mk(spark, [(1, "a", "p1"), (2, None, "p1")])  # NULL v: passes
+    merge_versioned(spark, root, ok, key="k",
+                    constraints=["k >= 0", "v != 'forbidden'"])
+    assert VersionedParquetTable(root).current_version() == 1
+
+    bad = _mk(spark, [(3, "forbidden", "p1")])
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        merge_versioned(spark, root, bad, key="k",
+                        constraints=["v != 'forbidden'"])
+    # Nothing committed: the violating batch never reached a snapshot.
+    assert VersionedParquetTable(root).current_version() == 1
+
+    # Manifest-mode twin.
+    man = str(tmp_path / "man")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        merge_manifest(spark, man, _mk(spark, [(1, "x", "p1")]), key="k",
+                       constraints=["k > 5"])
+    assert ManifestTable(man).current_version() is None
