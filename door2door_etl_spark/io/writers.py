@@ -224,9 +224,9 @@ class MergeSink(Protocol):
 
 @dataclass(frozen=True)
 class ParquetMergeSink:
-    """Parquet-lake MergeSink: delegates to :func:`merge_upsert_parquet`
+    """Parquet-lake MergeSink: delegates to :func:`merge_versioned`
     (anti-join ∪ union, partition-scoped write + hardlinked untouched
-    partitions, versioned-manifest commit)."""
+    partitions, versioned-manifest commit, optional CHECK constraints)."""
 
     spark: SparkSession
     target_path: str
