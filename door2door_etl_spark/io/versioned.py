@@ -1205,3 +1205,38 @@ class ChangeFeedCursor:
             os.fsync(f.fileno())
         os.replace(tmp, p)
         _fsync_dir(p.parent)
+
+
+def clone_versioned(src_root: str, dst_root: str, version: int | None = None) -> int:
+    """Zero-copy snapshot clone (Delta SHALLOW-CLONE analog, but SAFE):
+    materialize ``src``'s committed snapshot (or ``version``) as a brand-new
+    versioned table at ``dst_root`` via the hardlink farm — instant and
+    byte-free on any POSIX filesystem, yet the clone owns its own inode
+    links, so vacuuming either table can NEVER break the other (the hazard
+    Delta's shallow clones document away).  The clone starts life at v1
+    with independent history; typical uses are dev/test copies of a
+    production table and pre-migration backups.  Returns the clone's
+    version number (always 1).
+    """
+    src = VersionedParquetTable(src_root)
+    if version is None:
+        version = src.current_version()
+        if version is None:
+            raise ValueError(f"{src_root} has no committed snapshot to clone")
+    snap = src.versions_dir / _version_name(version)
+    if not snap.is_dir():
+        raise ValueError(
+            f"version {version} of {src_root} is not retained"
+        )
+    dst = VersionedParquetTable(dst_root)
+    if dst.current_version() is not None or Path(dst_root).exists():
+        raise ValueError(f"clone target {dst_root} already exists")
+    staging = dst._staging()
+    _hardlink_tree(snap, staging)
+    # Snapshot files were fsync'd by the commit that wrote them; the claim
+    # fsyncs only the new directory entries (hardlinks skipped).
+    if not dst.claim(staging, 1):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ConcurrentWriteError(f"clone target {dst_root} was created concurrently")
+    dst.publish(1)
+    return 1

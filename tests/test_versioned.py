@@ -840,3 +840,38 @@ def test_merge_check_constraints(spark, tmp_path):
         merge_manifest(spark, man, _mk(spark, [(1, "x", "p1")]), key="k",
                        constraints=["k > 5"])
     assert ManifestTable(man).current_version() is None
+
+
+def test_clone_versioned_zero_copy_independent_history(spark, tmp_path):
+    """Snapshot clone: instant (hardlinks, no data copy), contents equal
+    the source snapshot, and the two tables' histories and vacuums are
+    fully independent afterwards."""
+    from door2door_etl_spark.io.versioned import clone_versioned
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    merge_versioned(spark, src, _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]),
+                    key="k", partition_col="part", vacuum_keep=99)
+    clone_versioned(src, dst)
+
+    assert _as_dict(spark, dst) == _as_dict(spark, src)
+    # Zero-copy: the clone's v1 files share inodes with the source snapshot.
+    s_table, d_table = VersionedParquetTable(src), VersionedParquetTable(dst)
+    s_inodes = {f.stat().st_ino
+                for f in (s_table.versions_dir / "data-v00000001").rglob("*.parquet")}
+    d_inodes = {f.stat().st_ino
+                for f in (d_table.versions_dir / "data-v00000001").rglob("*.parquet")}
+    assert d_inodes == s_inodes
+
+    # Diverge both sides: neither sees the other's writes.
+    merge_versioned(spark, src, _mk(spark, [(3, "c", "p1")]), key="k",
+                    partition_col="part", vacuum_keep=99)
+    merge_versioned(spark, dst, _mk(spark, [(9, "z", "p9")]), key="k",
+                    partition_col="part", vacuum_keep=99)
+    assert 9 not in _as_dict(spark, src) and 3 not in _as_dict(spark, dst)
+    # Vacuum the source to the bone: the clone still reads fine (own links).
+    s_table.vacuum(keep=1, min_age_hours=0.0)
+    assert _as_dict(spark, dst)[1] == ("a", "p1")
+
+    with pytest.raises(ValueError, match="already exists"):
+        clone_versioned(src, dst)
