@@ -1098,3 +1098,34 @@ class S3FsOps:
             return float("inf")
         lm = head["LastModified"]
         return max(0.0, time.time() - lm.timestamp())
+
+
+def restore_manifest(
+    root: str, version: int, max_retries: int = 5, fs: FsOps | None = None
+) -> int:
+    """Rollback for manifest tables — PURE metadata: the new manifest
+    re-lists the restored snapshot's files (and carries its stats), no
+    data moves at any table size.  History is never rewritten; the bad
+    versions stay inspectable until vacuum.  Returns the new version."""
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            raise ValueError(f"{root} has no committed manifest")
+        man = table.manifest(version)  # raises if not retained
+        if version == base:
+            return base
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if table._claim(
+            base + 1,
+            list(man["files"]),
+            schema,
+            man["partition_cols"],
+            stats=man.get("stats"),
+            stats_col=man.get("stats_col"),
+        ):
+            table.publish(base + 1)
+            return base + 1
+    raise ConcurrentWriteError(
+        f"restore of {root} lost the version-claim race {max_retries} times"
+    )

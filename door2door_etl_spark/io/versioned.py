@@ -1240,3 +1240,32 @@ def clone_versioned(src_root: str, dst_root: str, version: int | None = None) ->
         raise ConcurrentWriteError(f"clone target {dst_root} was created concurrently")
     dst.publish(1)
     return 1
+
+
+def restore_versioned(root: str, version: int, max_retries: int = 5) -> int:
+    """Rollback (Delta RESTORE analog): commit retained snapshot
+    ``version`` as the NEW current version — the bad-batch recovery op.
+    History is never rewritten: the restore is just another commit (a
+    hardlink farm of the old snapshot claims base+1), so readers keep
+    their isolation guarantees, the version chain stays contiguous, and
+    the bad versions remain inspectable until vacuum.  Returns the new
+    version number."""
+    table = VersionedParquetTable(root)
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            raise ValueError(f"{root} has no committed snapshots")
+        snap = table.versions_dir / _version_name(version)
+        if not snap.is_dir():
+            raise ValueError(f"version {version} of {root} is not retained")
+        if version == base:
+            return base  # already current: restoring is a no-op
+        staging = table._staging()
+        _hardlink_tree(snap, staging)
+        if table.claim(staging, base + 1):
+            table.publish(base + 1)
+            return base + 1
+        shutil.rmtree(staging, ignore_errors=True)
+    raise ConcurrentWriteError(
+        f"restore of {root} lost the version-claim race {max_retries} times"
+    )

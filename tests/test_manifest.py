@@ -708,3 +708,22 @@ def test_clustered_compaction_makes_pruning_precise(spark, tmp_path):
     pruned = table.prune_files(50, 50)
     assert len(pruned) == 1 or n == 1
     assert {r["k"] for r in table.read_range(spark, 48, 52).collect()} == set(range(48, 53))
+
+
+def test_restore_manifest_pure_metadata_rollback(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import restore_manifest
+
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "good", "p1")]), key="k",
+                   vacuum_keep=99)
+    merge_manifest(spark, root, _mk(spark, [(1, "BAD", "p1")]), key="k",
+                   vacuum_keep=99)
+    table = ManifestTable(root)
+    files_before = set(LocalFsOps().walk_files(table.files_dir))
+    assert restore_manifest(root, 1) == 3
+    # PURE metadata: not a single data file was created or moved.
+    assert set(LocalFsOps().walk_files(table.files_dir)) == files_before
+    assert _as_dict(spark, root) == {1: ("good", "p1")}
+    # v3 re-lists v1's files verbatim, stats included.
+    assert table.manifest(3)["files"] == table.manifest(1)["files"]
+    assert table.count_rows() == 1

@@ -875,3 +875,25 @@ def test_clone_versioned_zero_copy_independent_history(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already exists"):
         clone_versioned(src, dst)
+
+
+def test_restore_rolls_back_without_rewriting_history(spark, tmp_path):
+    """RESTORE: a bad batch is rolled back by committing the good snapshot
+    as a NEW version — chain contiguous, bad version still inspectable,
+    and a subsequent merge builds on the restored state."""
+    from door2door_etl_spark.io.versioned import read_version, restore_versioned
+
+    root = str(tmp_path / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "good", "p1")]), key="k",
+                    vacuum_keep=99)
+    merge_versioned(spark, root, _mk(spark, [(1, "BAD", "p1"), (2, "BAD", "p1")]),
+                    key="k", vacuum_keep=99)
+    assert restore_versioned(root, 1) == 3
+    assert _as_dict(spark, root) == {1: ("good", "p1")}
+    # The bad version is still there for forensics (until vacuum).
+    assert {r["v"] for r in read_version(spark, root, 2).collect()} == {"BAD"}
+    # Restoring the current version is a no-op.
+    assert restore_versioned(root, 3) == 3
+    merge_versioned(spark, root, _mk(spark, [(5, "next", "p1")]), key="k",
+                    vacuum_keep=99)
+    assert _as_dict(spark, root) == {1: ("good", "p1"), 5: ("next", "p1")}
