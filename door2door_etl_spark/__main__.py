@@ -27,9 +27,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "-s", "--step", default="all",
-        choices=["all", "ingestor", "handler", "compact", "vacuum"],
+        choices=["all", "ingestor", "handler", "compact", "vacuum", "restore"],
         help="which step(s) to run (reference: executor.py -s); compact/"
-             "vacuum are lake-maintenance steps over the warehouse tables",
+             "vacuum/restore are lake-maintenance steps over the warehouse "
+             "tables",
     )
     parser.add_argument(
         "--table", default=None,
@@ -43,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--keep-versions", type=int, default=2,
         help="vacuum: committed snapshots to retain per table",
+    )
+    parser.add_argument(
+        "--to-version", type=int, default=None,
+        help="restore: retained snapshot version to roll the table back to",
     )
     parser.add_argument(
         "--min-age-hours", type=float, default=1.0,
@@ -69,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     from door2door_etl_spark.pipeline import run_workflow
     from door2door_etl_spark.session import build_session
 
-    if args.step in ("compact", "vacuum"):
+    if args.step in ("compact", "vacuum", "restore"):
         return _run_maintenance(args)
 
     fetch_hour = (
@@ -121,7 +126,22 @@ def _run_maintenance(args) -> int:
         return (root / "_manifests").is_dir()
 
     report: dict[str, dict] = {}
-    if args.step == "vacuum":
+    if args.step == "restore":
+        # Rollback is metadata-only in BOTH layouts: no Spark session.
+        if not args.table or args.to_version is None:
+            print("error: restore requires --table and --to-version",
+                  file=sys.stderr)
+            return 1
+        from door2door_etl_spark.io.manifest import restore_manifest
+        from door2door_etl_spark.io.versioned import restore_versioned
+
+        root = roots[0]
+        if is_manifest(root):
+            new_v = restore_manifest(str(root), args.to_version)
+        else:
+            new_v = restore_versioned(str(root), args.to_version)
+        report[root.name] = {"restored_to": args.to_version, "new_version": new_v}
+    elif args.step == "vacuum":
         from door2door_etl_spark.io.manifest import ManifestTable
 
         for root in roots:  # metadata-only: no Spark session needed

@@ -897,3 +897,23 @@ def test_restore_rolls_back_without_rewriting_history(spark, tmp_path):
     merge_versioned(spark, root, _mk(spark, [(5, "next", "p1")]), key="k",
                     vacuum_keep=99)
     assert _as_dict(spark, root) == {1: ("good", "p1"), 5: ("next", "p1")}
+
+
+def test_cli_restore_step(spark, tmp_path, capsys):
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    root = str(lake / "warehouse" / "tbl")
+    merge_versioned(spark, root, _mk(spark, [(1, "good", "p1")]), key="k",
+                    vacuum_keep=99)
+    merge_versioned(spark, root, _mk(spark, [(1, "BAD", "p1")]), key="k",
+                    vacuum_keep=99)
+    assert main([
+        "-s", "restore", "--lake-root", str(lake), "--table", "tbl",
+        "--to-version", "1",
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["tbl"] == {"restored_to": 1, "new_version": 3}
+    assert _as_dict(spark, root) == {1: ("good", "p1")}
