@@ -558,3 +558,20 @@ def test_lsh_band_index_compaction_preserves_shuffle_elision(spark, sf001):
         for t in ("t_lsh_compact_idx", "t_lsh_compact_idx__compacting",
                   "t_lsh_compact_idx__precompact"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_epoch_shuffle_single_range_exchange_no_global_sort(spark, sf001):
+    """The epoch shuffle must not plan the one-task global-window trap: the
+    only exchange is the RANGE partitioning on the shuffle key (plus no
+    SinglePartition exchange anywhere), so position assignment scales with
+    partitions."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.packing import epoch_shuffle
+
+    docs = load_table(spark, sf001, "documents").select("doc_id")
+    plan = plan_of(epoch_shuffle(docs, seed=1))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, (
+        "global one-task exchange found:\n" + plan
+    )
+    spark.catalog.clearCache()
