@@ -484,3 +484,55 @@ def pq_rerank_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def multi_query_topk(
+    df: DataFrame,
+    queries,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched exact top-k: neighbors for a SET of queries in ONE corpus
+    scan — the serving shape (queries arrive in batches; per-query loops
+    would rescan the corpus |Q| times).  ``queries`` is either a list of
+    ids (fetched from the table, broadcast) or a dict ``{query_id:
+    vector}`` (pure literals — zero extra scans, the batch twin of the
+    ``query_vec`` overloads).  Returns ``(query_id, id, cosine, rk)``
+    with rk 1..k per query.
+
+    Scale shape: broadcast-nested-loop of corpus x Q is map-only (Q is a
+    batch, not a table); the only shuffle is the per-query top-k window,
+    WindowGroupLimit-pruned map-side.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if isinstance(queries, dict):
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in queries.items()],
+            f"query_id long, __qvec array<double>",
+        )
+        exclude = F.col(id_col) != F.col("query_id")
+    else:
+        qdf = df.filter(F.col(id_col).isin(list(queries))).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        exclude = F.col(id_col) != F.col("query_id")
+    scored = (
+        df.crossJoin(F.broadcast(qdf))
+        .filter(exclude)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "cosine", "rk")
+    )

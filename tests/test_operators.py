@@ -995,3 +995,24 @@ def test_ivf_full_probe_recall_is_exact(spark, sf_dir):
         for r in S.ivf_topk(emb, query_id=3, k=8, nprobe=ncells).collect()
     ]
     assert ivf == brute
+
+
+def test_multi_query_topk_by_id_and_by_vec(spark, sf_dir):
+    """Batched ANN serving operator: by-id and literal-vector query
+    batches produce the identical ranking, in ONE corpus scan."""
+    from door2door_etl_spark.io import load_table
+    from door2door_etl_spark.operators.similarity import multi_query_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [3, 17]
+    by_id = multi_query_topk(emb, qids, k=4).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    by_vec = multi_query_topk(emb, vecs, k=4).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rk"], r["vec_id"], r["cosine"]) for r in rows
+    )
+    assert key(by_id) == key(by_vec)
+    assert len(by_id) == 8  # 2 queries x k
