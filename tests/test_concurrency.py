@@ -185,3 +185,50 @@ def test_streaming_merge_races_batch_merge(spark, tmp_path, monkeypatch):
     # ...and the version chain advanced past both writers with no gaps.
     table = VersionedParquetTable(target)
     assert table.current_version() == base_version + 2
+
+
+def test_two_process_concurrent_merge_manifest(spark, tmp_path):
+    """The manifest protocol's cross-process claim: two independent Spark
+    drivers merge into the same MANIFEST table; all batches land, the
+    version chain is contiguous, no files leak."""
+    from door2door_etl_spark.io.manifest import ManifestTable
+
+    root = str(tmp_path / "tbl")
+    n_batches = 3
+    worker = Path(__file__).parent / "_concurrent_merge_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), root, str(wid), str(n_batches),
+             "manifest"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd=str(tmp_path),
+        )
+        for wid in (1, 2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{err.decode()[-2000:]}"
+
+    table = ManifestTable(root)
+    rows = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    want = {
+        wid * 1000 + i: f"w{wid}b{i}"
+        for wid in (1, 2)
+        for i in range(n_batches)
+    }
+    assert rows == want
+    assert table.current_version() == 2 * n_batches
+    # Every manifest claim landed exactly once: contiguous 1..6 among
+    # retained versions (default auto-vacuum keeps the young ones).
+    from door2door_etl_spark.io.manifest import LocalFsOps, _parse_manifest_version
+
+    versions = sorted(
+        v for v in (
+            _parse_manifest_version(n)
+            for n in LocalFsOps().list_names(str(Path(root) / "_manifests"))
+        ) if v is not None
+    )
+    assert versions == list(range(1, 2 * n_batches + 1))
+    # Exact metadata row count agrees with the data.
+    assert table.count_rows() == len(want)
