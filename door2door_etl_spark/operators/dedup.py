@@ -1164,3 +1164,68 @@ def ngram_decontaminate(
         .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact SEGMENT dedup, the C4 recipe (Raffel et al., JMLR
+    2020 §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once") adapted to word-window segments: split each
+    document into consecutive ``seg_words``-word segments, keep only the
+    FIRST occurrence (ordered by ``(id, seg_idx)``) of every distinct
+    segment corpus-wide, and reassemble the surviving text per document.
+
+    Returns ``(id_col, segs_total, segs_kept, clean_text)`` — one row per
+    input document (a fully-duplicated document survives with
+    ``clean_text = ''`` so the caller decides whether to drop it).
+
+    Scale design: segmentation is map-side array arithmetic (no
+    per-word explode — documents explode into ~n_words/seg_words segment
+    rows, not n_words word rows).  First-occurrence detection is a
+    ``groupBy(segment).min(struct(id, idx))`` — NOT a window row_number —
+    so Spark's map-side partial aggregation collapses a
+    duplicated-everywhere segment to one row per map task before the
+    shuffle; a viral boilerplate segment never funnels all its copies
+    into a single window task.  The flag-back join is keyed on the same
+    segment text (AQE skew-split applies), and reassembly shuffles by
+    ``id_col``.  Reference analog: the handler's whole-record dedup,
+    /root/reference/src/handler/handler.py:95-97, at sub-document grain.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(seg_words) + F.lit(1), seg_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg_text")
+    )
+    firsts = exploded.groupBy("seg_text").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("_first")
+    )
+    flagged = exploded.join(firsts, "seg_text").withColumn(
+        "_kept",
+        (F.col(id_col) == F.col(f"_first.{id_col}"))
+        & (F.col("seg_idx") == F.col("_first.seg_idx")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("segs_total"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).cast("int").alias("segs_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("seg_idx", "seg_text"))
+                    )
+                ),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

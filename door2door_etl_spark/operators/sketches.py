@@ -223,6 +223,191 @@ def kmv_merge_estimate(
     )
 
 
+def _h52(col: Column, salt: str = "") -> Column:
+    """The portable 52-bit integer hash behind :func:`uniform_hash` —
+    exposed raw for sketches that need integer bit-arithmetic (HLL bucket
+    split, CMS column index) rather than a [0,1) deviate."""
+    h = F.sha2(F.concat(col.cast("string"), F.lit(salt)), 256)
+    return F.conv(F.substring(h, 1, HASH_HEX_DIGITS), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with PORTABLE integer registers.
+#
+# Spark's approx_count_distinct is a HyperLogLog++ whose registers are
+# engine-private (xxhash64-based, non-reproducible in any other system), so
+# its sketches can neither be oracle-checked nor exchanged with other
+# engines.  This variant derives everything from the repo-wide portable
+# 52-bit sha256 hash: bucket = top p bits, rank = leading-zero count of the
+# remaining (52-p) bits + 1.  Registers are small exact integers — a
+# register TABLE hash-matches across engines bit for bit, and merging
+# sketches (MAX per bucket) is exact, so rolled-up estimates equal
+# direct-pass estimates register for register.
+#
+# Scale: the sketch state per group is <= 2^p rows of two small ints; the
+# shuffle carries (group, bucket) partial maxes, never base rows.  Reference
+# analog: the watermark/monitoring aggregates over the warehouse
+# (/root/reference/src/helper/postgres.py:88-129) are exact COUNTs; this is
+# the bounded-state form those monitors need at 100 TB.
+# ---------------------------------------------------------------------------
+
+HLL_HASH_BITS = 52
+
+
+def hll_register_table(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL registers: ``(group_cols…, bucket int, register int)``.
+
+    Only non-empty buckets appear (register >= 1); an absent bucket means
+    register 0.  ``p`` picks m = 2^p buckets (standard error 1.04/sqrt(m)).
+    Pure column expressions — one sha256 per row, one bounded-key shuffle.
+    """
+    wbits = HLL_HASH_BITS - p
+    h = _h52(F.col(col), salt)
+    bucket = F.shiftright(h, wbits).cast("int")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # bin() renders without leading zeros, so rank-of-first-1-bit is an
+    # exact integer expression: wbits - bit_length(w) + 1 (w=0 -> wbits+1).
+    rank = F.when(w > 0, F.lit(wbits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(wbits + 1)
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.cast("int").alias("register"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_merge(sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge fine-grained register tables up to ``rollup_cols`` — MAX per
+    bucket, the lossless HLL union.  Output schema matches
+    :func:`hll_register_table` at the coarser grain exactly."""
+    return sketches.groupBy(*rollup_cols, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Estimate distinct counts from a register table:
+    ``(group_cols…, buckets_used int, est_distinct double)``.
+
+    Flajolet et al.'s raw estimator alpha_m * m^2 / sum_j 2^(-M_j) with the
+    small-range linear-counting correction.  The harmonic sum is computed
+    as an EXACT integer (sum of 2^(rmax - M_j), empty buckets at 2^rmax),
+    so the only float ops are one multiply/divide on identical literals —
+    deterministic across engines.
+    """
+    m = 1 << p
+    rmax = HLL_HASH_BITS - p + 1  # deepest possible register
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    # numerator = alpha * m^2 * 2^rmax, spelled with exact integer literals
+    numer = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << rmax))
+    n_used = F.count(F.lit(1))
+    s_present = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - register)"))
+    s_total = s_present + (F.lit(m) - n_used) * F.lit(1 << rmax)
+    raw = numer / s_total.cast("double")
+    zeros = (F.lit(m) - n_used).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
+    ).otherwise(F.round(raw, 4))
+    return registers.groupBy(*group_cols).agg(
+        n_used.cast("int").alias("buckets_used"), est.alias("est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode–Muthukrishnan) with portable integer registers.
+#
+# The frequency twin of the HLL above: register(r, c) = total count of items
+# whose r-th hash lands in column c.  Registers are exact integers, merge by
+# SUM (lossless), and a point estimate min_r register(r, h_r(x)) upper-bounds
+# the true count with error <= N·e/width at confidence 1-e^-depth.  At
+# 100 TB the sketch is the only way to answer "how often does this token /
+# URL / n-gram appear" without keeping a billion-row exact table hot.
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Per-group CMS registers: ``(group_cols…, row int, col int, cnt bigint)``.
+
+    One scan: each item row explodes into ``depth`` (row, col) cells, then
+    one bounded-key shuffle (|keys| <= groups x depth x width) with full
+    map-side partial aggregation.  Only non-zero cells appear.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (_h52(F.col(item_col), f"{salt}{r}") % F.lit(width))
+                .cast("int")
+                .alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(cells).alias("_rc"))
+        .select(*group_cols, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge fine-grained CMS tables up to ``rollup_cols`` — SUM per cell,
+    the lossless CMS union."""
+    return sketches.groupBy(*rollup_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_point_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Estimate each item's frequency from a (grouping-free) CMS register
+    table: ``items`` columns + ``est_cnt bigint`` = min over the depth rows
+    of the addressed registers (absent register = 0).
+
+    The sketch side is tiny (<= depth x width rows) and broadcasts; the
+    probe is a map-side join per hash row — no shuffle of ``items``.
+    """
+    out = items
+    for r in range(depth):
+        probe = (
+            sketch.filter(F.col("row") == r)
+            .select(F.col("col").alias(f"_c{r}"), F.col("cnt").alias(f"_cnt{r}"))
+        )
+        out = out.withColumn(
+            f"_c{r}", (_h52(F.col(item_col), f"{salt}{r}") % F.lit(width)).cast("int")
+        ).join(F.broadcast(probe), f"_c{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_cnt{r}"), F.lit(0)) for r in range(depth)]
+    )
+    return out.withColumn("est_cnt", est.cast("bigint")).drop(
+        *[f"_c{r}" for r in range(depth)], *[f"_cnt{r}" for r in range(depth)]
+    )
+
+
 def quantile_thresholds(
     df: DataFrame,
     value_col: str,

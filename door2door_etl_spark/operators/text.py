@@ -488,3 +488,51 @@ def predict_language_charngram(col: Column) -> Column:
     """Argmax language by char-bigram profile mass; same contract and
     shared tie-break fold as :func:`predict_language`."""
     return _argmax_language(charngram_language_scores(col))
+
+
+# Gopher rule-based document filter (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", Table A1).
+GOPHER_STOPWORDS = ["the", "a", "to", "of", "and"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 50_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality rules: word-count bounds, mean-word-length
+    bounds, alphabetic-word fraction, and a required-stopword floor, plus the
+    composite ``keep`` verdict.  Thresholds follow the published Table A1
+    shape (scaled to this corpus's short synthetic documents).
+
+    Adds columns ``word_count, mean_word_len, alpha_frac, stop_hits, keep``.
+    Entirely map-side higher-order array functions over the repo tokenizer
+    contract — no explode, no shuffle, no Python; the 100 TB plan is a
+    single scan.  Ratios are rounded BEFORE comparison so the keep verdict
+    is bit-stable across engines.
+    """
+    toks = tokens(F.col(text_col))
+    wc = F.size(toks)
+    char_sum = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = F.round(char_sum.cast("double") / wc, 4)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$")))
+    alpha_frac = F.round(alpha.cast("double") / wc, 4)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    out = (
+        df.withColumn("word_count", wc)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits)
+    )
+    keep = (
+        F.col("word_count").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+        & (F.col("alpha_frac") >= F.lit(min_alpha_frac))
+        & (F.col("stop_hits") >= F.lit(min_stop_hits))
+    )
+    return out.withColumn("keep", keep)

@@ -12,6 +12,7 @@ from door2door_etl_spark.queries.analyst_catalog import ANALYST_QUERIES
 from door2door_etl_spark.queries.defs import QueryDef
 from door2door_etl_spark.queries.northstar_catalog import NORTHSTAR_QUERIES
 from door2door_etl_spark.queries.relational_catalog import RELATIONAL_QUERIES
+from door2door_etl_spark.queries.training_catalog import TRAINING_QUERIES
 
 def _interleave(*families: list[QueryDef]) -> list[QueryDef]:
     """Round-robin the query families so ANY prefix of the catalog covers
@@ -36,6 +37,7 @@ _ALL: list[QueryDef] = _interleave(
     NORTHSTAR_QUERIES,
     ANALYST_QUERIES,
     ADVANCED_QUERIES,
+    TRAINING_QUERIES,
 )
 
 QUERIES: dict[str, QueryDef] = {q.name: q for q in _ALL}

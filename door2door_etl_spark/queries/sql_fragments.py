@@ -70,6 +70,16 @@ def sql_uniform_hash(expr: str, salt: str) -> str:
     )
 
 
+def sql_h52(expr: str, salt: str) -> str:
+    """DuckDB side of operators.sketches._h52: the raw 52-bit integer hash
+    (same contract as sql_uniform_hash without the [0,1) scaling) — the
+    building block for HLL bucket/rank splits and CMS column indexing."""
+    return (
+        f"CAST(concat('0x', substr(sha256(CAST({expr} AS VARCHAR) "
+        f"|| '{salt}'), 1, 13)) AS BIGINT)"
+    )
+
+
 def dec_sum(expr: str, alias: str, scale: int = 2) -> str:
     """Deterministic money-sum: per-row cast to DECIMAL(20,6) (exact sum,
     no float accumulation-order drift), then double + round for a stable

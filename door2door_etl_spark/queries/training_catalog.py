@@ -1,0 +1,326 @@
+"""Training-data operator catalog, wave 4 (round 5 extension): corpus-wide
+segment dedup (the C4 recipe), Gopher rule-based quality filtering, and the
+portable-register sketch family (HyperLogLog, Count-Min) with mergeable
+rollups.
+
+Same contract as every other catalog: each query is Spark-first (built-in
+column expressions, bounded-key shuffles, no Python in the hot path) and
+carries a DuckDB oracle built from the shared portable-hash fragments, so
+the driver hash-compares values bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.readers import load_table
+from door2door_etl_spark.operators.dedup import segment_dedup
+from door2door_etl_spark.operators.sketches import (
+    cms_merge,
+    cms_point_estimate,
+    cms_sketch_table,
+    hll_estimate,
+    hll_merge,
+    hll_register_table,
+)
+from door2door_etl_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    gopher_quality_flags,
+    tokens,
+)
+from door2door_etl_spark.queries.defs import QueryDef
+from door2door_etl_spark.queries.sql_fragments import sql_h52, sql_tokens
+
+SEG_WORDS = 10
+
+
+def q_segment_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide segment dedup: first occurrence of every
+    distinct 10-word segment survives, documents reassembled
+    (operators.dedup.segment_dedup — groupBy-min first-occurrence, skew-safe
+    map-side partial agg, no window funnel)."""
+    docs = load_table(spark, sf, "documents")
+    return segment_dedup(docs, seg_words=SEG_WORDS)
+
+
+SQL_SEGMENT_DEDUP_CORPUS = f"""
+WITH segs AS (
+  SELECT doc_id, s.seg_idx,
+         array_to_string(
+           (string_split(text, ' '))[s.seg_idx * {SEG_WORDS} + 1
+                                     : s.seg_idx * {SEG_WORDS} + {SEG_WORDS}],
+           ' ') AS seg_text
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(len(string_split(text, ' ')) / {SEG_WORDS}.0)
+                       AS INT) - 1)) AS seg_idx) s
+), ranked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (PARTITION BY seg_text
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id,
+       count(*) AS segs_total,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS segs_kept,
+       coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher Table-A1 rule filter: per-document word-count/mean-length/
+    alphabetic-fraction/stopword rules + composite keep verdict — one
+    map-only scan (operators.text.gopher_quality_flags)."""
+    docs = load_table(spark, sf, "documents")
+    return gopher_quality_flags(docs).select(
+        "doc_id", "word_count", "mean_word_len", "alpha_frac", "stop_hits", "keep"
+    )
+
+
+def _sql_gopher_quality_rules() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS word_count,
+         round(CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                   'sum') AS DOUBLE) / len(toks), 4)
+           AS mean_word_len,
+         round(CAST(len(list_filter(toks,
+                  x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+               / len(toks), 4) AS alpha_frac,
+         CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT)
+           AS stop_hits
+  FROM t)
+SELECT doc_id, word_count, mean_word_len, alpha_frac, stop_hits,
+       (word_count BETWEEN 30 AND 50000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+FROM s
+"""
+
+
+# --- HyperLogLog ---------------------------------------------------------
+
+HLL_P = 6  # m = 64 buckets
+_WBITS = 52 - HLL_P  # 46
+_WSPACE = 1 << _WBITS
+_RMAX = _WBITS + 1  # 47
+_POW_RMAX = 1 << _RMAX
+
+
+def _sql_hll_registers(grain: str) -> str:
+    """Register CTE body shared by both HLL oracles; ``grain`` is the
+    SELECT-list prefix (e.g. ``event_type``)."""
+    h = sql_h52("user_id", "hll")
+    return f"""
+h AS (
+  SELECT {grain}, {h} AS h FROM events
+), br AS (
+  SELECT {grain}, CAST(h >> {_WBITS} AS INT) AS bucket,
+         CAST(CASE WHEN (h % {_WSPACE}) > 0
+                   THEN {_RMAX} - length(bin(h % {_WSPACE}))
+                   ELSE {_RMAX} END AS INT) AS register
+  FROM h
+), regs AS (
+  SELECT {grain}, bucket, max(register) AS register FROM br
+  GROUP BY ALL
+)"""
+
+
+def q_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable-register HyperLogLog sketch of distinct users per event
+    type: the register TABLE itself (engine-exchangeable, unlike
+    approx_count_distinct's private state) — operators.sketches.
+    hll_register_table."""
+    ev = load_table(spark, sf, "events")
+    return hll_register_table(ev, ["event_type"], "user_id", p=HLL_P)
+
+
+SQL_HLL_REGISTERS = f"""
+WITH {_sql_hll_registers('event_type')}
+SELECT event_type, bucket, register FROM regs
+"""
+
+
+def q_hll_rollup_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-HLL rollup: per-(event_type, day) sketches merged up to
+    event_type (MAX per bucket — lossless), then the Flajolet estimator
+    with linear-counting small-range correction.  The oracle computes
+    registers directly at the coarse grain, pinning that rollup loses
+    nothing (operators.sketches.hll_merge / hll_estimate)."""
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_register_table(ev, ["event_type", "day"], "user_id", p=HLL_P)
+    merged = hll_merge(daily, ["event_type"])
+    return hll_estimate(merged, ["event_type"], p=HLL_P)
+
+
+SQL_HLL_ROLLUP_ESTIMATE = f"""
+WITH {_sql_hll_registers('event_type')}, agg AS (
+  SELECT event_type, count(*) AS n_used,
+         sum(CAST(1 AS BIGINT) << ({_RMAX} - register)) AS s_present
+  FROM regs GROUP BY 1)
+SELECT event_type, CAST(n_used AS INT) AS buckets_used,
+       CASE WHEN (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST({_POW_RMAX} AS DOUBLE))
+                   / CAST(s_present + (64 - n_used) * CAST({_POW_RMAX} AS BIGINT) AS DOUBLE)
+                 <= 160.0
+              AND (64 - n_used) > 0
+            THEN round(64.0 * ln(64.0 / CAST(64 - n_used AS DOUBLE)), 4)
+            ELSE round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST({_POW_RMAX} AS DOUBLE))
+                   / CAST(s_present + (64 - n_used) * CAST({_POW_RMAX} AS BIGINT) AS DOUBLE), 4)
+       END AS est_distinct
+FROM agg
+"""
+
+
+# --- Count-Min sketch ----------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+CMS_TOPK = 10
+
+
+def _doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+
+
+def q_cms_token_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min token-frequency sketch per language: the exact-integer
+    register table (lang, row, col, cnt) — mergeable by SUM, bounded at
+    depth x width cells per group (operators.sketches.cms_sketch_table)."""
+    return cms_sketch_table(
+        _doc_tokens(spark, sf), ["lang"], "token", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
+def _sql_cms_cells(grain: str) -> str:
+    # sql_h52 inlines the salt inside a literal; splice rr via concat instead
+    h = (
+        "CAST(concat('0x', substr(sha256(CAST(token AS VARCHAR) || 'cms' "
+        "|| CAST(rr AS VARCHAR)), 1, 13)) AS BIGINT)"
+    )
+    sel = f"{grain}, " if grain else ""
+    return f"""
+tok AS (
+  SELECT lang, unnest({sql_tokens('text')}) AS token FROM documents
+), cells AS (
+  SELECT {sel}rr AS row,
+         CAST({h} % {CMS_WIDTH} AS INT) AS col
+  FROM tok, LATERAL (SELECT unnest([0, 1, 2]) AS rr) t2
+)"""
+
+
+SQL_CMS_TOKEN_SKETCH = f"""
+WITH {_sql_cms_cells('lang')}
+SELECT lang, row, col, count(*) AS cnt FROM cells GROUP BY 1, 2, 3
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter frequency check: merge the per-language CMS up to a
+    global sketch (SUM — lossless), then estimate the top-10 exact tokens'
+    counts from the sketch alone and report the overcount (the CMS
+    guarantee: est >= exact always).  The probe is a broadcast of the
+    <= depth x width register table — the corpus is never rescanned
+    (operators.sketches.cms_merge / cms_point_estimate)."""
+    toks = _doc_tokens(spark, sf)
+    sketch = cms_merge(
+        cms_sketch_table(toks, ["lang"], "token", depth=CMS_DEPTH, width=CMS_WIDTH),
+        [],
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(CMS_TOPK)
+    )
+    est = cms_point_estimate(
+        sketch, top, "token", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    def probe(r: int) -> str:
+        h = (
+            f"CAST(concat('0x', substr(sha256(CAST(token AS VARCHAR) "
+            f"|| 'cms{r}'), 1, 13)) AS BIGINT)"
+        )
+        return (
+            f"coalesce((SELECT cnt FROM sk WHERE row = {r} "
+            f"AND col = CAST({h} % {CMS_WIDTH} AS INT)), 0)"
+        )
+
+    probes = ", ".join(probe(r) for r in range(CMS_DEPTH))
+    return f"""
+WITH {_sql_cms_cells('')}, sk AS (
+  SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS exact_cnt FROM tok GROUP BY 1
+), top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT {CMS_TOPK}
+)
+SELECT token, exact_cnt,
+       CAST(least({probes}) AS BIGINT) AS est_cnt,
+       CAST(least({probes}) - exact_cnt AS BIGINT) AS overcount
+FROM top
+"""
+
+
+TRAINING_QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ns_segment_dedup_corpus",
+        q_segment_dedup_corpus,
+        SQL_SEGMENT_DEDUP_CORPUS,
+        "north-star dedup/segment-c4",
+        ("northstar", "dedup"),
+    ),
+    QueryDef(
+        "ns_gopher_quality_rules",
+        q_gopher_quality_rules,
+        _sql_gopher_quality_rules(),
+        "north-star text/gopher-rules",
+        ("northstar", "text"),
+    ),
+    QueryDef(
+        "ns_hll_registers",
+        q_hll_registers,
+        SQL_HLL_REGISTERS,
+        "north-star sketch/hll-registers",
+        ("northstar", "sketch"),
+    ),
+    QueryDef(
+        "ns_hll_rollup_estimate",
+        q_hll_rollup_estimate,
+        SQL_HLL_ROLLUP_ESTIMATE,
+        "north-star sketch/hll-mergeable-rollup",
+        ("northstar", "sketch"),
+    ),
+    QueryDef(
+        "ns_cms_token_sketch",
+        q_cms_token_sketch,
+        SQL_CMS_TOKEN_SKETCH,
+        "north-star sketch/cms-registers",
+        ("northstar", "sketch"),
+    ),
+    QueryDef(
+        "ns_cms_heavy_hitters",
+        q_cms_heavy_hitters,
+        _sql_cms_heavy_hitters(),
+        "north-star sketch/cms-heavy-hitters",
+        ("northstar", "sketch"),
+    ),
+]

@@ -1016,3 +1016,113 @@ def test_multi_query_topk_by_id_and_by_vec(spark, sf_dir):
     )
     assert key(by_id) == key(by_vec)
     assert len(by_id) == 8  # 2 queries x k
+
+
+def test_hll_registers_estimate_and_lossless_merge(spark):
+    from door2door_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_table,
+    )
+
+    rows = [(f"u{i}", "a" if i % 2 == 0 else "b", i % 3) for i in range(3000)]
+    df = spark.createDataFrame(rows, "uid string, grp string, part int")
+
+    direct = hll_register_table(df, ["grp"], "uid")
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_estimate(direct, ["grp"]).collect()
+    }
+    # 1500 distinct per group; m=64 -> stderr ~13%, allow 3 sigma
+    for grp in ("a", "b"):
+        assert abs(est[grp] - 1500) / 1500 < 0.4, est
+
+    # merging fine-grained sketches is lossless: identical register tables
+    fine = hll_register_table(df, ["grp", "part"], "uid")
+    merged = hll_merge(fine, ["grp"])
+    sym_diff = direct.exceptAll(merged).union(merged.exceptAll(direct))
+    assert sym_diff.count() == 0
+
+
+def test_cms_upper_bounds_and_lossless_merge(spark):
+    from door2door_etl_spark.operators.sketches import (
+        cms_merge,
+        cms_point_estimate,
+        cms_sketch_table,
+    )
+
+    rows = []
+    for i, (tok, n) in enumerate([("alpha", 400), ("beta", 90), ("gamma", 7)]):
+        rows += [(tok, "g1" if j % 2 else "g2") for j in range(n)]
+    rows += [(f"rare{i}", "g1") for i in range(200)]
+    df = spark.createDataFrame(rows, "token string, grp string")
+
+    grouped = cms_sketch_table(df, ["grp"], "token")
+    merged = cms_merge(grouped, [])
+    direct = cms_sketch_table(df, [], "token")
+    sym_diff = merged.exceptAll(direct).union(direct.exceptAll(merged))
+    assert sym_diff.count() == 0  # SUM-merge is lossless
+
+    items = spark.createDataFrame(
+        [("alpha", 400), ("beta", 90), ("gamma", 7), ("never-seen", 0)],
+        "token string, true_cnt long",
+    )
+    est = {
+        r["token"]: (r["est_cnt"], r["true_cnt"])
+        for r in cms_point_estimate(merged, items, "token").collect()
+    }
+    for tok, (got, true) in est.items():
+        assert got >= true, (tok, got, true)  # CMS never undercounts
+    # the dominant token's estimate is tight: collisions add at most the
+    # residual mass (297 rows) in the worst row
+    assert est["alpha"][0] <= 400 + 297
+
+
+def test_segment_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from door2door_etl_spark.operators.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    tail = "t0 t1 t2"  # short final segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),
+            (2, f"{seg_b} {seg_c} {tail}"),  # seg_b duplicates doc 1
+            (3, seg_c),  # seg_c duplicates doc 2
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    assert (out[1]["segs_total"], out[1]["segs_kept"]) == (2, 2)
+    assert out[1]["clean_text"] == f"{seg_a} {seg_b}"
+    assert (out[2]["segs_total"], out[2]["segs_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == f"{seg_c} {tail}"  # kept segs keep order
+    assert (out[3]["segs_total"], out[3]["segs_kept"]) == (1, 0)
+    assert out[3]["clean_text"] == ""  # fully-duplicated doc survives empty
+
+    # a duplicate-free corpus passes through byte-identical
+    unique = spark.createDataFrame(
+        [(1, seg_a), (2, f"{seg_b} {tail}")], "doc_id int, text string"
+    )
+    clean = {r["doc_id"]: r["clean_text"] for r in segment_dedup(unique).collect()}
+    assert clean == {1: seg_a, 2: f"{seg_b} {tail}"}
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    from door2door_etl_spark.operators.text import gopher_quality_flags
+
+    good = "the cat sat upon the soft mat and looked over to the large dog " * 4
+    too_short = "the a of and to"
+    no_stopwords = " ".join(f"word{i}" for i in range(40))
+    long_words = " ".join("supercalifragilistic" for _ in range(40)) + " the a"
+    docs = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, no_stopwords), (4, long_words)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # word count below floor
+    assert out[3]["keep"] is False  # zero required stopwords
+    assert out[4]["keep"] is False  # mean word length above ceiling
+    assert out[1]["word_count"] == 56 and out[1]["stop_hits"] >= 2
