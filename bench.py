@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "ns_training_order_shuffle",
     "ns_length_bucket_batches",
     "ns_quality_quantile_thresholds",
+    "ns_segment_dedup_corpus",
+    "ns_gopher_quality_rules",
+    "ns_hll_rollup_estimate",
+    "ns_cms_heavy_hitters",
 ]
 
 

@@ -27,10 +27,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "-s", "--step", default="all",
-        choices=["all", "ingestor", "handler", "compact", "vacuum", "restore"],
+        choices=["all", "ingestor", "handler", "compact", "vacuum", "restore",
+                 "purge"],
         help="which step(s) to run (reference: executor.py -s); compact/"
-             "vacuum/restore are lake-maintenance steps over the warehouse "
-             "tables",
+             "vacuum/restore/purge are lake-maintenance steps over the "
+             "warehouse tables (purge materializes deletion vectors on "
+             "manifest tables — the GDPR erasure endpoint)",
     )
     parser.add_argument(
         "--table", default=None,
@@ -74,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     from door2door_etl_spark.pipeline import run_workflow
     from door2door_etl_spark.session import build_session
 
-    if args.step in ("compact", "vacuum", "restore"):
+    if args.step in ("compact", "vacuum", "restore", "purge"):
         return _run_maintenance(args)
 
     fetch_hour = (
@@ -161,7 +163,10 @@ def _run_maintenance(args) -> int:
     else:
         from pyspark.sql import SparkSession
 
-        from door2door_etl_spark.io.manifest import compact_manifest
+        from door2door_etl_spark.io.manifest import (
+            compact_manifest,
+            purge_deletes_manifest,
+        )
         from door2door_etl_spark.io.writers import compact_parquet_table
         from door2door_etl_spark.session import build_session
 
@@ -171,15 +176,21 @@ def _run_maintenance(args) -> int:
         spark = active or build_session(app_name="door2door-maintenance")
         try:
             for root in roots:
-                if is_manifest(root):
+                if args.step == "purge":
+                    if not is_manifest(root):
+                        continue  # POSIX tables delete copy-on-write; no DVs
+                    n = purge_deletes_manifest(spark, str(root))
+                    report[root.name] = {"files_rewritten": n}
+                elif is_manifest(root):
                     n = compact_manifest(
                         spark, str(root), target_file_mb=args.target_file_mb
                     )
+                    report[root.name] = {"files_after": n}
                 else:
                     n = compact_parquet_table(
                         spark, str(root), target_file_mb=args.target_file_mb
                     )
-                report[root.name] = {"files_after": n}
+                    report[root.name] = {"files_after": n}
         finally:
             if active is None:
                 spark.stop()

@@ -49,6 +49,15 @@ Layout (a plain directory — NO symlinks, NO hardlinks anywhere)::
   survives a power cut (same guarantee as :mod:`.versioned`); an object
   store gives read-after-write consistency on PUT by contract.
 
+* **Merge-on-read deletes (deletion vectors).** ``delete_manifest`` /
+  ``delete_where_manifest`` with ``mode="dv"`` commit a parquet sidecar
+  of (file relpath, row_index) pairs instead of rewriting data files —
+  the Delta/Iceberg-v2 DV shape.  Readers mask the rows with a broadcast
+  anti-join on the scan's ``_metadata`` columns; merges and rewrite
+  deletes carry DVs forward for files they re-list;
+  :func:`purge_deletes_manifest` (or any full rewrite/compaction)
+  materializes them physically.
+
 Everything else — MERGE semantics, NULL-key rejection, schema-drift
 policy, snapshot isolation, time travel, retention-floored vacuum — is
 identical to the local mode and shares its tests' expectations.
@@ -72,6 +81,18 @@ from pyspark.sql.types import StructType
 from .versioned import ConcurrentWriteError, changes_between
 
 _MANIFEST_RE = re.compile(r"^data-v(\d{8})\.json$")
+
+
+def _dv_file_key():
+    """Column: a data file's identity for deletion vectors — its relpath
+    under the layout's ``_files/`` dir, cut from the scan's
+    ``_metadata.file_path`` URI (greedy prefix keeps the LAST marker, in
+    case a user's root path itself contains ``/_files/``)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), "^.*/_files/(.*)$", 1
+    )
 
 
 def _manifest_name(n: int) -> str:
@@ -284,7 +305,9 @@ class ManifestTable:
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot (or time-travel) read: scan exactly the files the
-        manifest lists.  An empty snapshot reproduces its schema from the
+        manifest lists, minus any rows masked by the snapshot's deletion
+        vectors (merge-on-read DELETE — see :func:`delete_manifest`
+        ``mode="dv"``).  An empty snapshot reproduces its schema from the
         manifest record instead of failing schema inference."""
         if version is None:
             version = self.current_version()
@@ -295,7 +318,41 @@ class ManifestTable:
             schema = StructType.fromJson(json.loads(man["schema"]))
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.files_dir, rel) for rel in man["files"]]
-        return spark.read.option("basePath", self.files_dir).parquet(*paths)
+        df = spark.read.option("basePath", self.files_dir).parquet(*paths)
+        return self._apply_dvs(spark, df, man)
+
+    def _apply_dvs(self, spark: SparkSession, df: DataFrame, man: dict) -> DataFrame:
+        """Mask deletion-vector rows out of a scan of this manifest's
+        files.  DV rows address (file relpath under ``_files/``,
+        row_index); the relpath is cut from the scan's own
+        ``_metadata.file_path`` URI at the layout's fixed ``/_files/``
+        marker — NOT the bare part-file name (one Spark task writes the
+        SAME part name into every partition dir it touches) and NOT a
+        filesystem-normalized path (writer and reader both derive the key
+        from the identical URI representation, so symlinked ancestors and
+        percent-encoding cancel out).  The DV set is small (it only ever
+        holds deletes not yet compacted away), so the anti-join
+        broadcasts; data files are never rewritten or shuffled."""
+        from pyspark.sql import functions as F
+
+        dv_rels = man.get("dvs") or []
+        if not dv_rels:
+            return df
+        # No dedup: anti-join semantics are insensitive to duplicate build
+        # rows (and DV pairs are disjoint by construction — each delete
+        # dooms only still-live rows), so the DV side stays shuffle-free.
+        dv = spark.read.parquet(
+            *[os.path.join(self.files_dir, r) for r in dv_rels]
+        ).select("__dv_file", "__dv_row")
+        with_meta = df.withColumns(
+            {
+                "__dv_file": _dv_file_key(),
+                "__dv_row": F.col("_metadata.row_index"),
+            }
+        )
+        return with_meta.join(
+            F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
+        ).drop("__dv_file", "__dv_row")
 
     def publish(self, version: int) -> None:
         """Refresh the ``_current`` cache — pure convenience (readers
@@ -350,6 +407,7 @@ class ManifestTable:
         partition_cols: list[str],
         stats: dict | None = None,
         stats_col: str | None = None,
+        dvs: list[str] | None = None,
     ) -> bool:
         record = {
             "version": version,
@@ -360,6 +418,8 @@ class ManifestTable:
         if stats is not None:
             record["stats"] = stats
             record["stats_col"] = stats_col
+        if dvs:
+            record["dvs"] = sorted(dvs)
         payload = json.dumps(record, indent=None, sort_keys=True).encode()
         return self.fs.put_if_absent(
             os.path.join(self.manifests_dir, _manifest_name(version)), payload
@@ -376,6 +436,8 @@ class ManifestTable:
             if version is None:
                 return 0
         man = self.manifest(version)
+        if man.get("dvs"):
+            return None  # masked rows make footer counts an overcount
         stats = man.get("stats", {})
         if any(rel not in stats for rel in man["files"]):
             return None
@@ -427,10 +489,9 @@ class ManifestTable:
                 F.col(col).between(lo, hi)
             )
         paths = [os.path.join(self.files_dir, r) for r in rels]
-        return (
-            spark.read.option("basePath", self.files_dir)
-            .parquet(*paths)
-            .filter(F.col(col).between(lo, hi))
+        pruned = spark.read.option("basePath", self.files_dir).parquet(*paths)
+        return self._apply_dvs(spark, pruned, man).filter(
+            F.col(col).between(lo, hi)
         )
 
     def _drop_files(self, rels: list[str]) -> None:
@@ -477,7 +538,10 @@ class ManifestTable:
                 retained.append(v)
         if gc_files:
             referenced = {
-                rel for v in retained for rel in self.manifest(v)["files"]
+                rel
+                for v in retained
+                for m in (self.manifest(v),)
+                for rel in [*m["files"], *m.get("dvs", [])]
             }
             for path in self.fs.walk_files(self.files_dir):
                 rel = os.path.relpath(path, self.files_dir)
@@ -632,12 +696,24 @@ def merge_manifest(
                     from urllib.parse import unquote, urlparse
 
                     abs_files = os.path.realpath(table.files_dir)
+                    # Dir resolution must run on a RAW single-source scan:
+                    # input_file_name() rejects multi-source plans, and
+                    # target may carry a DV anti-join (masked rows' files
+                    # still belong to their touched dir anyway).
+                    raw_scan = spark.read.option(
+                        "basePath", table.files_dir
+                    ).parquet(
+                        *[
+                            os.path.join(table.files_dir, rel)
+                            for rel in man["files"]
+                        ]
+                    )
                     touched_dirs = {
                         os.path.relpath(
                             os.path.realpath(unquote(urlparse(r[0]).path)),
                             abs_files,
                         ).split(os.sep, 1)[0]
-                        for r in target.filter(is_touched)
+                        for r in raw_scan.filter(is_touched)
                         .select(F.input_file_name())
                         .distinct()
                         .collect()
@@ -690,6 +766,11 @@ def merge_manifest(
         if table._claim(
             base + 1, reused + new_rels, out_schema, pcols,
             stats={**carried, **new_stats}, stats_col=scol,
+            # Re-listed files keep their deletion vectors; DV rows aimed at
+            # rewritten (no-longer-listed) files are inert — part names are
+            # never reused, so they can't false-match.  A full rewrite
+            # (reused == []) materializes every DV and drops them.
+            dvs=(man.get("dvs") if base and reused else None),
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -715,18 +796,39 @@ def delete_manifest(
     vacuum_keep: int = 2,
     vacuum_min_age_hours: float = 1.0,
     fs: FsOps | None = None,
+    mode: str = "rewrite",
 ) -> int:
-    """File-level delete on a manifest table (right-to-be-forgotten):
-    only files containing a doomed key are rewritten; every other file is
-    re-listed verbatim.  Object-store twin of
-    :func:`door2door_etl_spark.io.versioned.delete_versioned`."""
+    """Delete by key on a manifest table (right-to-be-forgotten).
+
+    ``mode="rewrite"`` (copy-on-write): only files containing a doomed key
+    are rewritten; every other file is re-listed verbatim.  Object-store
+    twin of :func:`door2door_etl_spark.io.versioned.delete_versioned`.
+
+    ``mode="dv"`` (merge-on-read, the Delta/Iceberg-v2 deletion-vector
+    shape): NO data file is touched — the commit writes a small parquet
+    deletion vector of (part-file name, row_index) pairs and the manifest
+    references it; readers mask those rows with a broadcast anti-join.
+    At 100 TB this turns a scattered 1000-key delete from rewriting up to
+    1000 files into writing one KB-scale sidecar.  Compaction, any full
+    rewrite, or :func:`purge_deletes_manifest` materializes the masks
+    physically (the GDPR erasure endpoint — until purge, bytes remain in
+    the data files even though no read can return them)."""
     from pyspark.sql import functions as F
 
     keys = keys.select(key).dropDuplicates([key]).filter(F.col(key).isNotNull())
+    doom = lambda df: df.join(F.broadcast(keys), key, "left_semi")  # noqa: E731
+    if mode == "dv":
+        return _dv_delete_manifest(
+            spark, root, doom, max_retries=max_retries,
+            vacuum_keep=vacuum_keep,
+            vacuum_min_age_hours=vacuum_min_age_hours, fs=fs,
+        )
+    if mode != "rewrite":
+        raise ValueError(f"unknown delete mode {mode!r}; use 'rewrite' or 'dv'")
     return _file_level_delete_manifest(
         spark,
         root,
-        doom_of=lambda df: df.join(F.broadcast(keys), key, "left_semi"),
+        doom_of=doom,
         keep_of=lambda df: df.join(F.broadcast(keys), key, "left_anti"),
         max_retries=max_retries,
         vacuum_keep=vacuum_keep,
@@ -743,14 +845,25 @@ def delete_where_manifest(
     vacuum_keep: int = 2,
     vacuum_min_age_hours: float = 1.0,
     fs: FsOps | None = None,
+    mode: str = "rewrite",
 ) -> int:
     """Predicate delete on a manifest table — object-store twin of
     :func:`door2door_etl_spark.io.versioned.delete_where_versioned`
-    (same NULL discipline: NULL-evaluating rows are kept)."""
+    (same NULL discipline: NULL-evaluating rows are kept).  ``mode="dv"``
+    commits a deletion vector instead of rewriting files (see
+    :func:`delete_manifest`)."""
     from pyspark.sql import functions as F
 
     cond = condition if not isinstance(condition, str) else F.expr(condition)
     doomed_pred = F.coalesce(cond, F.lit(False))
+    if mode == "dv":
+        return _dv_delete_manifest(
+            spark, root, lambda df: df.filter(doomed_pred),
+            max_retries=max_retries, vacuum_keep=vacuum_keep,
+            vacuum_min_age_hours=vacuum_min_age_hours, fs=fs,
+        )
+    if mode != "rewrite":
+        raise ValueError(f"unknown delete mode {mode!r}; use 'rewrite' or 'dv'")
     return _file_level_delete_manifest(
         spark,
         root,
@@ -783,9 +896,19 @@ def _file_level_delete_manifest(
         if base is None:
             return 0
         man = table.manifest(base)
-        target = table.read(spark, base)
+        if not man["files"]:
+            return 0
         abs_files = os.path.realpath(table.files_dir)
-        with_file = target.withColumn("__file", F.input_file_name())
+        # File identity comes from the scan's _metadata column (captured
+        # BEFORE the DV anti-join — input_file_name() is only reliable
+        # inside the scan stage), and DV-masked rows are excluded so an
+        # already-deleted row can't re-doom its file.
+        raw = spark.read.option("basePath", table.files_dir).parquet(
+            *[os.path.join(table.files_dir, rel) for rel in man["files"]]
+        )
+        with_file = table._apply_dvs(
+            spark, raw.withColumn("__file", F.col("_metadata.file_path")), man
+        )
         doomed = doom_of(with_file)
         affected_rel = {
             os.path.relpath(
@@ -801,9 +924,15 @@ def _file_level_delete_manifest(
         new_stats: dict = {}
         scol = man.get("stats_col")
         try:
+            # DV-mask the raw affected-file scan too: a rewrite-delete on a
+            # file carrying deletion vectors must not resurrect DV'd rows.
             kept = keep_of(
-                spark.read.option("basePath", abs_files).parquet(
-                    *sorted(os.path.join(abs_files, r) for r in affected_rel)
+                table._apply_dvs(
+                    spark,
+                    spark.read.option("basePath", abs_files).parquet(
+                        *sorted(os.path.join(abs_files, r) for r in affected_rel)
+                    ),
+                    man,
                 )
             )
             writer = kept.write.mode("overwrite")
@@ -823,6 +952,7 @@ def _file_level_delete_manifest(
         if table._claim(
             base + 1, reused + new_rels, schema, man["partition_cols"],
             stats={**carried, **new_stats} if scol else None, stats_col=scol,
+            dvs=(man.get("dvs") if reused else None),
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -834,6 +964,186 @@ def _file_level_delete_manifest(
         table._drop_files(new_rels)
     raise ConcurrentWriteError(
         f"delete from {root} lost the version-claim race {max_retries} times"
+    )
+
+
+def _dv_delete_manifest(
+    spark: SparkSession,
+    root: str,
+    doom_of,
+    max_retries: int,
+    vacuum_keep: int,
+    vacuum_min_age_hours: float,
+    fs: FsOps | None,
+) -> int:
+    """Merge-on-read delete: commit a deletion-vector sidecar addressing
+    (part-file name, row_index) pairs; data files untouched.  The new
+    manifest re-lists every file verbatim and appends the DV relpath —
+    an O(deleted rows) commit regardless of table size."""
+    from pyspark.sql import functions as F
+
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            return 0
+        man = table.manifest(base)
+        if not man["files"]:
+            return 0
+        scan = spark.read.option("basePath", table.files_dir).parquet(
+            *[os.path.join(table.files_dir, rel) for rel in man["files"]]
+        )
+        with_meta = scan.withColumns(
+            {
+                "__dv_file": _dv_file_key(),
+                "__dv_row": F.col("_metadata.row_index"),
+            }
+        )
+        dv_rels_old = man.get("dvs") or []
+        if dv_rels_old:
+            old_dv = spark.read.parquet(
+                *[os.path.join(table.files_dir, r) for r in dv_rels_old]
+            ).select("__dv_file", "__dv_row")
+            live = with_meta.join(
+                F.broadcast(old_dv), ["__dv_file", "__dv_row"], "left_anti"
+            )
+        else:
+            live = with_meta
+        doomed = doom_of(live).select("__dv_file", "__dv_row")
+        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        new_rels: list[str] = []
+        try:
+            doomed.write.mode("overwrite").parquet(staging)
+            dv_prefix = os.path.join("dvs", uuid.uuid4().hex)
+            n_deleted = 0
+            for dirpath, _dirs, files in os.walk(staging):
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    local = os.path.join(dirpath, fn)
+                    n_deleted += _file_stats(local, None)["rows"]
+                    rel = os.path.join(
+                        dv_prefix, os.path.relpath(local, staging)
+                    )
+                    table.fs.move_file(
+                        local, os.path.join(table.files_dir, rel)
+                    )
+                    new_rels.append(rel)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            table._drop_files(new_rels)
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
+        if n_deleted == 0:
+            table._drop_files(new_rels)
+            return 0
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if table._claim(
+            base + 1, list(man["files"]), schema, man["partition_cols"],
+            stats=man.get("stats"), stats_col=man.get("stats_col"),
+            dvs=dv_rels_old + new_rels,
+        ):
+            table.publish(base + 1)
+            table.vacuum(
+                keep=vacuum_keep,
+                min_age_hours=vacuum_min_age_hours,
+                gc_files=False,
+            )
+            return n_deleted
+        table._drop_files(new_rels)
+    raise ConcurrentWriteError(
+        f"DV delete from {root} lost the version-claim race {max_retries} times"
+    )
+
+
+def purge_deletes_manifest(
+    spark: SparkSession,
+    root: str,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+    fs: FsOps | None = None,
+) -> int:
+    """Materialize deletion vectors physically: rewrite ONLY the files a
+    DV actually masks, re-list the rest, and commit with no DVs — after
+    which (and a vacuum) the deleted bytes are gone from storage, which
+    is what an erasure request ultimately requires.  Returns the number
+    of files rewritten."""
+    from pyspark.sql import functions as F
+
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    for _attempt in range(max_retries):
+        base = table.current_version()
+        if base is None:
+            return 0
+        man = table.manifest(base)
+        dv_rels = man.get("dvs") or []
+        if not dv_rels:
+            return 0
+        from urllib.parse import unquote
+
+        # DV keys are URI-cut relpaths (possibly percent-encoded); decode
+        # before comparing with the manifest's filesystem relpaths.
+        masked_rels = {
+            unquote(r[0])
+            for r in spark.read.parquet(
+                *[os.path.join(table.files_dir, r) for r in dv_rels]
+            )
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        }
+        affected = [rel for rel in man["files"] if rel in masked_rels]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        scol = man.get("stats_col")
+        if not affected:
+            # Every DV row is inert (its file was already rewritten) —
+            # dropping the DV list is a pure-metadata commit.
+            if table._claim(
+                base + 1, list(man["files"]), schema, man["partition_cols"],
+                stats=man.get("stats"), stats_col=scol,
+            ):
+                table.publish(base + 1)
+                return 0
+            continue
+        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        new_rels: list[str] = []
+        new_stats: dict = {}
+        try:
+            kept = table._apply_dvs(
+                spark,
+                spark.read.option("basePath", table.files_dir).parquet(
+                    *[os.path.join(table.files_dir, r) for r in affected]
+                ),
+                man,
+            )
+            writer = kept.write.mode("overwrite")
+            if man["partition_cols"]:
+                writer = writer.partitionBy(*man["partition_cols"])
+            new_rels = table._stage_and_place(
+                writer, staging, scol, new_stats if scol else None
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            table._drop_files(new_rels)
+            raise
+        reused = [rel for rel in man["files"] if rel not in affected]
+        prev_stats = man.get("stats", {})
+        carried = {r: prev_stats[r] for r in reused if r in prev_stats}
+        if table._claim(
+            base + 1, reused + new_rels, schema, man["partition_cols"],
+            stats={**carried, **new_stats} if scol else None, stats_col=scol,
+        ):
+            table.publish(base + 1)
+            table.vacuum(
+                keep=vacuum_keep,
+                min_age_hours=vacuum_min_age_hours,
+                gc_files=False,
+            )
+            return len(affected)
+        table._drop_files(new_rels)
+    raise ConcurrentWriteError(
+        f"purge of {root} lost the version-claim race {max_retries} times"
     )
 
 
@@ -1123,6 +1433,7 @@ def restore_manifest(
             man["partition_cols"],
             stats=man.get("stats"),
             stats_col=man.get("stats_col"),
+            dvs=man.get("dvs"),
         ):
             table.publish(base + 1)
             return base + 1

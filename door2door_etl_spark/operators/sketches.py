@@ -388,24 +388,25 @@ def cms_point_estimate(
     table: ``items`` columns + ``est_cnt bigint`` = min over the depth rows
     of the addressed registers (absent register = 0).
 
-    The sketch side is tiny (<= depth x width rows) and broadcasts; the
-    probe is a map-side join per hash row — no shuffle of ``items``.
-    """
-    out = items
+    The sketch is bounded at depth x width cells BY CONSTRUCTION, so it is
+    collected once (an O(1)-state driver fetch, like the k-means centroid
+    pull) and folded into literal ``map()`` expressions — the probe is then
+    pure map-side column arithmetic: zero joins, zero extra scans of either
+    side.  The earlier join formulation re-ran the full sketch aggregation
+    once per hash row (depth x the corpus scan); literals also follow the
+    PQ lesson — built as ONE parsed expression string per row, not
+    hundreds of py4j Column objects."""
+    cells = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    ests = []
     for r in range(depth):
-        probe = (
-            sketch.filter(F.col("row") == r)
-            .select(F.col("col").alias(f"_c{r}"), F.col("cnt").alias(f"_cnt{r}"))
+        map_sql = "map(" + ",".join(
+            f"{c},{cells.get((r, c), 0)}L" for c in range(width)
+        ) + ")"
+        col_idx = (_h52(F.col(item_col), f"{salt}{r}") % F.lit(width)).cast("int")
+        ests.append(
+            F.coalesce(F.element_at(F.expr(map_sql), col_idx), F.lit(0).cast("long"))
         )
-        out = out.withColumn(
-            f"_c{r}", (_h52(F.col(item_col), f"{salt}{r}") % F.lit(width)).cast("int")
-        ).join(F.broadcast(probe), f"_c{r}", "left")
-    est = F.least(
-        *[F.coalesce(F.col(f"_cnt{r}"), F.lit(0)) for r in range(depth)]
-    )
-    return out.withColumn("est_cnt", est.cast("bigint")).drop(
-        *[f"_c{r}" for r in range(depth)], *[f"_cnt{r}" for r in range(depth)]
-    )
+    return items.withColumn("est_cnt", F.least(*ests).cast("bigint"))
 
 
 def quantile_thresholds(

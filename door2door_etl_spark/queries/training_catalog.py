@@ -280,7 +280,69 @@ FROM top
 """
 
 
+# --- tokenizer vocabulary coverage ---------------------------------------
+
+VOCAB_SIZE = 40
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary induction + coverage audit: build the top-V
+    token vocabulary from global counts (count desc, token asc tiebreak),
+    then per-language OOV statistics — the coverage check run before
+    committing to a tokenizer vocab.  The vocab is a TakeOrdered top-V
+    (never a full sort) broadcast back over one token pass; two scans
+    total, no large shuffle."""
+    toks = _doc_tokens(spark, sf)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_SIZE)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT lang, unnest({sql_tokens('text')}) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+  ORDER BY cnt DESC, token LIMIT {VOCAB_SIZE}
+)
+SELECT lang, count(*) AS total_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY lang
+"""
+
+
 TRAINING_QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ns_vocab_coverage",
+        q_vocab_coverage,
+        SQL_VOCAB_COVERAGE,
+        "north-star text/vocab-oov-audit",
+        ("northstar", "text"),
+    ),
     QueryDef(
         "ns_segment_dedup_corpus",
         q_segment_dedup_corpus,

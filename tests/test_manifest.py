@@ -727,3 +727,141 @@ def test_restore_manifest_pure_metadata_rollback(spark, tmp_path):
     # v3 re-lists v1's files verbatim, stats included.
     assert table.manifest(3)["files"] == table.manifest(1)["files"]
     assert table.count_rows() == 1
+
+
+# --- deletion vectors (merge-on-read delete) ------------------------------
+
+
+def test_dv_delete_masks_rows_without_touching_files(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import delete_where_manifest
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", f"p{i % 2}") for i in range(20)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k", partition_col="part")
+    table = ManifestTable(root)
+    files_before = {
+        (rel, os.stat(os.path.join(table.files_dir, rel)).st_mtime_ns)
+        for rel in table.manifest(1)["files"]
+    }
+
+    n = delete_where_manifest(spark, root, "k >= 15", mode="dv")
+    assert n == 5
+    man = table.manifest(2)
+    # data files are IDENTICAL (same set, same mtimes) — only a DV sidecar
+    # plus the new manifest were written
+    files_after = {
+        (rel, os.stat(os.path.join(table.files_dir, rel)).st_mtime_ns)
+        for rel in man["files"]
+    }
+    assert files_after == files_before
+    assert man.get("dvs"), "manifest must reference the deletion vector"
+    # readers mask the rows
+    assert set(_as_dict(spark, root)) == set(range(15))
+    # footer-based count is honestly refused while DVs are outstanding
+    assert table.count_rows() is None
+    # time travel still sees the pre-delete snapshot
+    assert len(table.read(spark, 1).collect()) == 20
+
+
+def test_dv_delete_by_key_idempotent_and_stacking(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", "p0") for i in range(10)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k")
+    doomed1 = spark.createDataFrame([(1,), (2,)], "k int")
+    assert delete_manifest(spark, root, doomed1, "k", mode="dv") == 2
+    # replaying the same delete is a no-op (rows already masked)
+    assert delete_manifest(spark, root, doomed1, "k", mode="dv") == 0
+    # a second, different DV delete stacks on the first
+    doomed2 = spark.createDataFrame([(2,), (3,)], "k int")
+    assert delete_manifest(spark, root, doomed2, "k", mode="dv") == 1
+    assert set(_as_dict(spark, root)) == set(range(10)) - {1, 2, 3}
+
+
+def test_dv_survives_partition_scoped_merge_and_rewrite_delete(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import delete_where_manifest
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", f"p{i % 2}") for i in range(10)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k", partition_col="part")
+    delete_where_manifest(spark, root, "k = 4", mode="dv")  # k=4 in p0
+    # merge touching ONLY p1 re-lists p0's files -> must carry the DV
+    merge_manifest(
+        spark, root, _mk(spark, [(1, "new", "p1")]), key="k", partition_col="part"
+    )
+    d = _as_dict(spark, root)
+    assert 4 not in d and d[1] == ("new", "p1")
+    # a rewrite-mode delete on the DV'd partition must not resurrect k=4
+    doomed = spark.createDataFrame([(0,)], "k int")
+    delete_manifest(spark, root, doomed, "k", mode="rewrite")
+    assert set(_as_dict(spark, root)) == set(range(10)) - {4, 0}
+
+
+def test_purge_materializes_dvs_and_only_rewrites_masked_files(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import (
+        delete_where_manifest,
+        purge_deletes_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", f"p{i % 2}") for i in range(20)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k", partition_col="part")
+    table = ManifestTable(root)
+    delete_where_manifest(spark, root, "k = 6", mode="dv")  # p0 only
+    man2 = table.manifest(2)
+    p1_before = {
+        (rel, os.stat(os.path.join(table.files_dir, rel)).st_mtime_ns)
+        for rel in man2["files"]
+        if rel.startswith("part=p1")
+    }
+    rewritten = purge_deletes_manifest(spark, root)
+    assert rewritten >= 1
+    man3 = table.manifest(3)
+    assert not man3.get("dvs")
+    # untouched partition's files re-listed verbatim
+    p1_after = {
+        (rel, os.stat(os.path.join(table.files_dir, rel)).st_mtime_ns)
+        for rel in man3["files"]
+        if rel.startswith("part=p1")
+    }
+    assert p1_after == p1_before
+    assert set(_as_dict(spark, root)) == set(range(20)) - {6}
+    # stats-based count works again once DVs are gone
+    assert table.count_rows() == 19
+
+
+def test_dv_delete_cdc_and_vacuum_gc(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import delete_where_manifest
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", "p0") for i in range(8)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k")
+    delete_where_manifest(spark, root, "k >= 6", mode="dv")
+    # CDC between v1 and v2 reports the masked rows as deletes
+    ch = table_changes_manifest(spark, root, "k", from_version=1)
+    assert {
+        r["k"] for r in ch.filter("_change_type = 'delete'").collect()
+    } == {6, 7}
+    # vacuum keeps DV files of retained manifests; after the DV manifest
+    # itself ages out, GC may sweep the sidecar
+    table = ManifestTable(root)
+    removed = table.vacuum(keep=1, min_age_hours=0, stale_staging_hours=0)
+    dv_rel = table.manifest(2)["dvs"][0]
+    assert os.path.exists(os.path.join(table.files_dir, dv_rel))
+    assert "data-v00000001.json" in removed
+
+
+def test_cli_purge_step(spark, tmp_path, capsys):
+    from door2door_etl_spark.__main__ import main
+    from door2door_etl_spark.io.manifest import delete_where_manifest
+
+    lake = tmp_path / "lake"
+    root = str(lake / "warehouse" / "tbl")
+    rows = [(i, f"v{i}", "p0") for i in range(6)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k")
+    delete_where_manifest(spark, root, "k = 2", mode="dv")
+    assert main(["-s", "purge", "--lake-root", str(lake)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"]["tbl"]["files_rewritten"] >= 1
+    table = ManifestTable(root)
+    assert not table.manifest(table.current_version()).get("dvs")
+    assert set(_as_dict(spark, root)) == {0, 1, 3, 4, 5}

@@ -575,3 +575,25 @@ def test_epoch_shuffle_single_range_exchange_no_global_sort(spark, sf001):
         "global one-task exchange found:\n" + plan
     )
     spark.catalog.clearCache()
+
+
+def test_dv_read_masks_via_broadcast_anti_join_no_shuffle(spark, tmp_path):
+    """Deletion-vector application must never shuffle the data scan: the
+    DV side broadcasts and the mask is a BroadcastHashJoin LeftAnti —
+    at 100 TB a DV'd read costs the scan plus a KB-scale broadcast."""
+    from door2door_etl_spark.io.manifest import (
+        ManifestTable,
+        delete_where_manifest,
+        merge_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"p{i % 2}") for i in range(20)],
+        "k int, v string, part string",
+    )
+    merge_manifest(spark, root, df, key="k", partition_col="part")
+    delete_where_manifest(spark, root, "k >= 15", mode="dv")
+    plan = plan_of(ManifestTable(root).read(spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
