@@ -439,3 +439,98 @@ def quantile_thresholds(
         for q in quantiles
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter with portable integer bit registers.
+#
+# The membership twin of the HLL/CMS families above: the filter is stored
+# as the SET of set bit positions — <= m small-int rows per group,
+# mergeable by union-distinct (lossless, same as ORing bitmaps), and
+# engine-portable since the bit positions derive from the repo's 52-bit
+# sha256 hash.  Spark's own BloomFilter (df.stat.bloomFilter) is an opaque
+# binary blob with engine-private hashing — unusable for cross-engine
+# checks or as a TABLE other systems can probe.  At 100 TB the filter
+# answers "might this URL / doc-hash / key exist" with a bounded-size
+# broadcast instead of a join against the corpus.
+# ---------------------------------------------------------------------------
+
+
+def bloom_bit_table(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    m: int = 256,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Per-group Bloom bit table: ``(group_cols…, bit int)`` — the distinct
+    bit positions set by hashing each value ``k`` ways into ``[0, m)``.
+    One scan, one bounded-key shuffle (|keys| <= groups x m) with map-side
+    partial dedup."""
+    bits = F.array(
+        *[
+            (_h52(F.col(col), f"{salt}{j}") % F.lit(m)).cast("int")
+            for j in range(k)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(bits).alias("bit"))
+        .dropDuplicates([*group_cols, "bit"])
+    )
+
+
+def bloom_merge(blooms: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge fine-grained bit tables up to ``rollup_cols`` — union-distinct
+    per bit, the lossless Bloom OR."""
+    return blooms.select(*rollup_cols, "bit").dropDuplicates(
+        [*rollup_cols, "bit"]
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: str,
+    m: int = 256,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe a (grouping-free) Bloom bit table: ``items`` columns +
+    ``maybe_present`` (true = possibly in the set, false = DEFINITELY not
+    — the Bloom guarantee of zero false negatives).
+
+    The bit set is bounded at ``m`` rows by construction, so it is
+    collected once and folded into a literal array — the probe is pure
+    map-side column arithmetic (k ``array_contains`` tests), no join, no
+    extra scan of either side."""
+    bits = sorted(r["bit"] for r in bloom.select("bit").collect())
+    lit_bits = F.array(*[F.lit(int(b)) for b in bits]) if bits else F.array().cast("array<int>")
+    present = None
+    for j in range(k):
+        test = F.array_contains(
+            lit_bits, (_h52(F.col(col), f"{salt}{j}") % F.lit(m)).cast("int")
+        )
+        present = test if present is None else (present & test)
+    return items.withColumn("maybe_present", present)
+
+
+def group_reservoir_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, n: int, salt: str = "reservoir"
+) -> DataFrame:
+    """Deterministic uniform ``n``-sample WITHOUT replacement per group:
+    keep each group's ``n`` smallest portable hash deviates — the
+    bottom-k formulation of reservoir sampling (same deviate trick as
+    Efraimidis–Spirakis with unit weights), reproducible across engines,
+    reruns, and repartitionings.  Executes as WindowGroupLimit: every
+    partial bounds its per-group state at ``n`` rows, so a group with a
+    billion rows costs the same memory as one with ten.  Adds column
+    ``sample_rank`` (1-based, by deviate)."""
+    from pyspark.sql import Window
+
+    u = uniform_hash(F.col(key_col), salt)
+    w = Window.partitionBy(*group_cols).orderBy(u.alias("_u"))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )

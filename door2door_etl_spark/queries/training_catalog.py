@@ -30,7 +30,11 @@ from door2door_etl_spark.operators.text import (
     tokens,
 )
 from door2door_etl_spark.queries.defs import QueryDef
-from door2door_etl_spark.queries.sql_fragments import sql_h52, sql_tokens
+from door2door_etl_spark.queries.sql_fragments import (
+    sql_h52,
+    sql_tokens,
+    sql_uniform_hash,
+)
 
 SEG_WORDS = 10
 
@@ -386,3 +390,132 @@ TRAINING_QUERIES: list[QueryDef] = [
         ("northstar", "sketch"),
     ),
 ]
+
+
+# --- Bloom filter + reservoir sampling (wave 4b) --------------------------
+
+BLOOM_M = 256
+BLOOM_K = 3
+
+
+def _sql_bloom_bit(j: int) -> str:
+    h = sql_h52("doc_id", f"bloom{j}")
+    return f"CAST({h} % {BLOOM_M} AS INT)"
+
+
+def q_bloom_bit_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable Bloom filter as a TABLE: per-language set-bit positions
+    over doc_id (k=3 hashes into m=256 bits) — mergeable by
+    union-distinct, engine-exchangeable unlike Spark's opaque
+    df.stat.bloomFilter blob (operators.sketches.bloom_bit_table)."""
+    from door2door_etl_spark.operators.sketches import bloom_bit_table
+
+    docs = load_table(spark, sf, "documents")
+    return bloom_bit_table(docs, ["lang"], "doc_id", m=BLOOM_M, k=BLOOM_K)
+
+
+SQL_BLOOM_BIT_TABLE = f"""
+SELECT DISTINCT lang, b AS bit FROM (
+  SELECT lang,
+         unnest([{_sql_bloom_bit(0)}, {_sql_bloom_bit(1)}, {_sql_bloom_bit(2)}])
+           AS b
+  FROM documents)
+"""
+
+
+def q_bloom_membership_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom membership audit: build per-source filters over the English
+    docs, merge to one global filter (union-distinct — the Bloom OR),
+    probe EVERY document map-side via the literal bit array, and report
+    per-language maybe-present counts.  The Bloom guarantee is visible in
+    the result: every 'en' row probes positive (zero false negatives);
+    other languages' positives are the measured FP rate
+    (operators.sketches.bloom_merge / bloom_probe)."""
+    from door2door_etl_spark.operators.sketches import (
+        bloom_bit_table,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    per_source = bloom_bit_table(
+        docs.filter(F.col("lang") == "en"), ["source"], "doc_id",
+        m=BLOOM_M, k=BLOOM_K,
+    )
+    glob = bloom_merge(per_source, [])
+    probed = bloom_probe(glob, docs, "doc_id", m=BLOOM_M, k=BLOOM_K)
+    return probed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("maybe_present"),
+    )
+
+
+SQL_BLOOM_MEMBERSHIP_AUDIT = f"""
+WITH bits AS (
+  SELECT DISTINCT b AS bit FROM (
+    SELECT unnest([{_sql_bloom_bit(0)}, {_sql_bloom_bit(1)},
+                   {_sql_bloom_bit(2)}]) AS b
+    FROM documents WHERE lang = 'en')
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN {_sql_bloom_bit(0)} IN (SELECT bit FROM bits)
+                      AND {_sql_bloom_bit(1)} IN (SELECT bit FROM bits)
+                      AND {_sql_bloom_bit(2)} IN (SELECT bit FROM bits)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS maybe_present
+FROM documents GROUP BY lang
+"""
+
+RESERVOIR_N = 5
+
+
+def q_group_reservoir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language reservoir sample (n=5, bottom-k of the
+    portable hash deviate): uniform without replacement, reproducible
+    across engines/reruns/partitionings, WindowGroupLimit-bounded state
+    (operators.sketches.group_reservoir_sample)."""
+    from door2door_etl_spark.operators.sketches import group_reservoir_sample
+
+    docs = load_table(spark, sf, "documents")
+    return group_reservoir_sample(docs, ["lang"], "doc_id", RESERVOIR_N).select(
+        "lang", "sample_rank", "doc_id", "n_chars"
+    )
+
+
+SQL_GROUP_RESERVOIR_SAMPLE = f"""
+SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {sql_uniform_hash('doc_id', 'reservoir')}) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {RESERVOIR_N}
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_bloom_bit_table",
+            q_bloom_bit_table,
+            SQL_BLOOM_BIT_TABLE,
+            "north-star sketch/bloom-registers",
+            ("northstar", "sketch"),
+        ),
+        QueryDef(
+            "ns_bloom_membership_audit",
+            q_bloom_membership_audit,
+            SQL_BLOOM_MEMBERSHIP_AUDIT,
+            "north-star sketch/bloom-merge-probe",
+            ("northstar", "sketch"),
+        ),
+        QueryDef(
+            "ns_group_reservoir_sample",
+            q_group_reservoir_sample,
+            SQL_GROUP_RESERVOIR_SAMPLE,
+            "north-star sampling/group-reservoir",
+            ("northstar", "sampling"),
+        ),
+    ]
+)

@@ -1126,3 +1126,55 @@ def test_gopher_quality_flags_each_rule(spark):
     assert out[3]["keep"] is False  # zero required stopwords
     assert out[4]["keep"] is False  # mean word length above ceiling
     assert out[1]["word_count"] == 56 and out[1]["stop_hits"] >= 2
+
+
+def test_bloom_no_false_negatives_and_lossless_merge(spark):
+    from door2door_etl_spark.operators.sketches import (
+        bloom_bit_table,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    members = [(f"m{i}", "g1" if i % 2 else "g2") for i in range(200)]
+    df = spark.createDataFrame(members, "item string, grp string")
+    grouped = bloom_bit_table(df, ["grp"], "item")
+    merged = bloom_merge(grouped, [])
+    direct = bloom_bit_table(df, [], "item")
+    sym = merged.exceptAll(direct).union(direct.exceptAll(merged))
+    assert sym.count() == 0  # union-distinct merge == direct build
+
+    probe_items = spark.createDataFrame(
+        [(f"m{i}", True) for i in range(200)]
+        + [(f"absent{i}", False) for i in range(500)],
+        "item string, is_member boolean",
+    )
+    got = bloom_probe(merged, probe_items, "item").collect()
+    fp = 0
+    for r in got:
+        if r["is_member"]:
+            assert r["maybe_present"], "Bloom false negative!"
+        elif r["maybe_present"]:
+            fp += 1
+    # m=256, k=3, n=200 -> fill ~0.9, FP rate is high but must be < 1:
+    # some absents still probe negative, proving the filter discriminates
+    assert 0 < fp < 500
+
+
+def test_group_reservoir_sample_uniform_and_stable(spark):
+    from door2door_etl_spark.operators.sketches import group_reservoir_sample
+
+    rows = [(i, "a" if i < 500 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    s1 = group_reservoir_sample(df, ["grp"], "id", 7)
+    got = s1.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append((r["sample_rank"], r["id"]))
+    assert sorted(g for g in by_grp) == ["a", "b"]
+    assert len(by_grp["a"]) == 7 and len(by_grp["b"]) == 7
+    assert sorted(r for r, _ in by_grp["a"]) == list(range(1, 8))
+    # stable across repartitioning (the property df.sample cannot give)
+    s2 = group_reservoir_sample(df.repartition(13), ["grp"], "id", 7)
+    assert {(r["grp"], r["sample_rank"], r["id"]) for r in s2.collect()} == {
+        (r["grp"], r["sample_rank"], r["id"]) for r in got
+    }
