@@ -1,6 +1,7 @@
 from door2door_etl_spark.streaming.pipeline import (
     stream_dedup_by_key,
     stream_events,
+    stream_hll_maintenance,
     stream_hourly_counts,
     stream_sessionize,
     stream_stream_interval_join,
@@ -10,6 +11,7 @@ from door2door_etl_spark.streaming.pipeline import (
 __all__ = [
     "stream_dedup_by_key",
     "stream_events",
+    "stream_hll_maintenance",
     "stream_hourly_counts",
     "stream_sessionize",
     "stream_stream_interval_join",

@@ -358,3 +358,72 @@ def stream_incremental_lsh_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll_maintenance(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    table_root: str,
+    checkpoint_dir: str,
+    p: int = 6,
+    salt: str = "hll",
+):
+    """Incrementally maintained HyperLogLog register table over a stream:
+    each micro-batch's registers are MAX-merged into a persistent sketch
+    table, so "distinct users per event type, ever" stays queryable in
+    O(groups x 2^p) rows without re-scanning history — the streaming form
+    of ``operators.sketches.hll_register_table``.
+
+    Why HLL (and Bloom), not CMS, is the streaming-native sketch here:
+    foreachBatch delivery is at-least-once, and MAX/union merges are
+    IDEMPOTENT — replaying a batch re-merges the same registers to the
+    same values, so no batch-id ledger is needed.  A SUM-merged sketch
+    (CMS) would double-count on replay and needs the MERGE-key ledger the
+    warehouse sink uses.
+
+    State is committed through the versioned MERGE protocol keyed on
+    (group…, bucket) — snapshot isolation means a reader never sees a
+    half-merged sketch, and the commit itself tolerates a concurrent
+    batch writer.  Scale: the shuffled state per batch is register
+    partials (<= groups x 2^p rows), never event rows.
+    """
+    from pyspark.errors import AnalysisException
+
+    from door2door_etl_spark.operators.sketches import (
+        hll_merge,
+        hll_register_table,
+    )
+
+    def read_state() -> DataFrame | None:
+        try:
+            cur = spark.read.parquet(table_root)
+        except AnalysisException:
+            return None  # before the first commit
+        return cur.select(*group_cols, "bucket", "register")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_regs = hll_register_table(batch_df, group_cols, col, p=p, salt=salt)
+        current = read_state()
+        combined = (
+            hll_merge(current.unionByName(batch_regs), group_cols)
+            if current is not None
+            else batch_regs
+        )
+        keyed = combined.withColumn(
+            "sketch_key",
+            F.concat_ws(
+                "\x1f",
+                *[F.col(c).cast("string") for c in group_cols],
+                F.col("bucket").cast("string"),
+            ),
+        )
+        merge_upsert_parquet(spark, table_root, keyed, key="sketch_key")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

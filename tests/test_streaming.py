@@ -461,3 +461,67 @@ def test_sessionize_stream_batch_parity(spark, tmp_path):
     }
     assert stream_set == batch_set
     assert len(batch_set) == 4  # 2 sessions per org
+
+
+def test_stream_hll_maintenance_exact_merge_and_replay(spark, tmp_path):
+    """Streaming HLL maintenance: after all batches, the persisted sketch
+    must EQUAL the direct batch computation over the full data (MAX-merge
+    is lossless), and replaying the same data from a fresh checkpoint must
+    leave it unchanged (MAX-merge is idempotent — the reason HLL, not CMS,
+    is the streaming-native sketch)."""
+    import json as _json
+
+    from door2door_etl_spark.operators.sketches import hll_register_table
+    from door2door_etl_spark.streaming.pipeline import stream_hll_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"g": "a" if i % 2 else "b", "u": f"user{i % 37}"} for i in range(300)]
+    for part in range(3):  # three files -> multiple micro-batches possible
+        with open(src / f"f{part}.json", "w") as f:
+            for r in rows[part::3]:
+                f.write(_json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("g string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    table = str(tmp_path / "sketch")
+    q = stream_hll_maintenance(
+        spark, stream, ["g"], "u", table, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        [(r["g"], r["u"]) for r in rows], "g string, u string"
+    )
+    expect = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_register_table(batch_df, ["g"], "u").collect()
+    }
+    got = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in spark.read.parquet(table)
+        .select("g", "bucket", "register")
+        .collect()
+    }
+    assert got == expect  # streamed merge == direct batch sketch
+
+    # full replay from a fresh checkpoint: idempotent, state unchanged
+    stream2 = (
+        spark.readStream.schema("g string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = stream_hll_maintenance(
+        spark, stream2, ["g"], "u", table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in spark.read.parquet(table)
+        .select("g", "bucket", "register")
+        .collect()
+    }
+    assert got2 == expect
