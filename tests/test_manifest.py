@@ -865,3 +865,33 @@ def test_cli_purge_step(spark, tmp_path, capsys):
     table = ManifestTable(root)
     assert not table.manifest(table.current_version()).get("dvs")
     assert set(_as_dict(spark, root)) == {0, 1, 3, 4, 5}
+
+
+def test_partition_evolution_via_full_rewrite(spark, tmp_path):
+    """Changing a table's partition column on a later merge falls out of
+    the protocol for free: the partition-scoped fast path requires the
+    manifest's partition_cols to match, so a different column triggers a
+    FULL rewrite under the new layout — one commit, correct data, old
+    snapshot still time-travelable under the old layout (Iceberg-style
+    partition evolution via rewrite, stated honestly)."""
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", f"p{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "k int, v string, part string")
+    merge_manifest(spark, root, df.withColumn("half", df.k % 2), key="k",
+                   partition_col="part")
+    table = ManifestTable(root)
+    assert table.manifest(1)["partition_cols"] == ["part"]
+
+    # re-partition the table by "half" with one merge (same schema)
+    upd = spark.createDataFrame(
+        [(1, "new", "p1")], "k int, v string, part string"
+    )
+    merge_manifest(spark, root, upd.withColumn("half", upd.k % 2), key="k",
+                   partition_col="half")
+    man2 = table.manifest(2)
+    assert man2["partition_cols"] == ["half"]
+    assert all(rel.startswith("half=") for rel in man2["files"]), man2["files"]
+    d = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert d[1] == "new" and len(d) == 10
+    # old layout still readable via time travel
+    assert len(table.read(spark, 1).collect()) == 10

@@ -597,3 +597,55 @@ def test_dv_read_masks_via_broadcast_anti_join_no_shuffle(spark, tmp_path):
     plan = plan_of(ManifestTable(root).read(spark))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_hll_single_bounded_shuffle_with_partial_agg(spark, sf001):
+    """HLL register build: ONE hash-partitioned exchange whose payload is
+    (group, bucket) partial maxes — partial aggregation must appear below
+    the exchange so a billion-row group ships <= 64 rows per map task."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.sketches import hll_register_table
+
+    ev = load_table(spark, sf001, "events")
+    df = hll_register_table(ev, ["event_type"], "user_id")
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial_max below the exchange, final max above
+    assert "partial_max" in plan.lower() or plan.count("HashAggregate") >= 2, plan
+
+
+def test_segment_dedup_no_window_operator(spark, sf001):
+    """First-occurrence detection must compile to groupBy-min + join —
+    NEVER a Window (a viral segment would funnel every copy into one
+    window task; the agg form collapses them map-side)."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf001, "documents")
+    plan = plan_of(segment_dedup(docs))
+    assert "Window" not in plan, plan
+
+
+def test_bloom_and_cms_probes_are_join_free(spark, sf001):
+    """Sketch point probes fold the driver-collected bounded register set
+    into literal expressions: the probe plan must contain NO join and NO
+    exchange — pure map-side arithmetic over the items."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.sketches import (
+        bloom_bit_table,
+        bloom_probe,
+        cms_point_estimate,
+        cms_sketch_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf001, "documents")
+    items = docs.select(F.col("doc_id").cast("string").alias("item"))
+    bloom = bloom_bit_table(docs, [], "doc_id")
+    cms = cms_sketch_table(docs, [], "doc_id")
+    for probed in (
+        bloom_probe(bloom, items, "item"),
+        cms_point_estimate(cms, items, "item"),
+    ):
+        plan = plan_of(probed)
+        assert "Join" not in plan and "Exchange" not in plan, plan

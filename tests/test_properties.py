@@ -650,3 +650,55 @@ def test_property_posix_and_manifest_modes_equivalent(spark, tmp_path_factory, b
     }
     assert got_posix == got_man          # the two protocols never diverge
     assert got_posix.keys() == model.keys()  # key set matches the model
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=st.lists(st.integers(0, 10**9), min_size=5, max_size=60, unique=True))
+def test_sketch_registers_match_python_sha(spark, keys):
+    """HLL buckets/ranks, CMS columns, and Bloom bits all agree with a
+    direct Python sha256 reference — the cross-engine register contract
+    for the whole portable sketch family, pinned on random inputs."""
+    import hashlib as _hl
+
+    from pyspark.sql import Row as _Row
+
+    from door2door_etl_spark.operators.sketches import (
+        bloom_bit_table,
+        cms_sketch_table,
+        hll_register_table,
+    )
+
+    def h52(x, salt):
+        return int(_hl.sha256(f"{x}{salt}".encode()).hexdigest()[:13], 16)
+
+    df = spark.createDataFrame([_Row(id=k) for k in keys])
+
+    # HLL: bucket = top 6 bits, rank = LZ count of the low 46 bits + 1
+    expect_hll = {}
+    for k in keys:
+        h = h52(k, "hll")
+        bucket, w = h >> 46, h % (1 << 46)
+        rank = (47 - w.bit_length()) if w else 47
+        expect_hll[bucket] = max(expect_hll.get(bucket, 0), rank)
+    got_hll = {
+        r["bucket"]: r["register"]
+        for r in hll_register_table(df, [], "id").collect()
+    }
+    assert got_hll == expect_hll
+
+    # CMS: cell (r, h_r(x) % 64) accumulates the count
+    expect_cms = {}
+    for k in keys:
+        for r in range(3):
+            cell = (r, h52(k, f"cms{r}") % 64)
+            expect_cms[cell] = expect_cms.get(cell, 0) + 1
+    got_cms = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch_table(df, [], "id").collect()
+    }
+    assert got_cms == expect_cms
+
+    # Bloom: distinct set bits over k=3 hashes into 256
+    expect_bloom = {h52(k, f"bloom{j}") % 256 for k in keys for j in range(3)}
+    got_bloom = {r["bit"] for r in bloom_bit_table(df, [], "id").collect()}
+    assert got_bloom == expect_bloom
