@@ -534,3 +534,42 @@ def group_reservoir_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened domain mixing (the multilingual-LM sampling
+    recipe: sample domains proportional to n^alpha instead of n, so
+    high-resource domains stop drowning the tail).
+
+    With target shares p_g ∝ n_g^alpha and the max feasible no-upsampling
+    total T = min_g(n_g / p_g), the per-group keep rate collapses to the
+    closed form  rate_g = (n_min / n_g)^(1 - alpha)  — alpha=1 keeps the
+    natural mix (rate 1 everywhere), alpha=0 equalizes every group down
+    to the smallest.  Deterministic via the portable hash threshold.
+
+    Scale: group counts are one tiny aggregate broadcast back onto the
+    corpus; the corpus passes through a single map-side filter — no data
+    shuffle (same shape as :func:`quota_mix_sample`, without needing the
+    shares up front)."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "_rate", F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha))
+        )
+        .select(group_col, "_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(uniform_hash(F.col(key_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -519,3 +519,120 @@ TRAINING_QUERIES.extend(
         ),
     ]
 )
+
+
+MIX_ALPHA = 0.5
+
+
+def q_temperature_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened language mix (alpha=0.5): deterministically
+    downsample high-resource languages toward n^alpha shares — rate_g =
+    (n_min/n_g)^(1-alpha), one broadcast of 5 rates, one map-side filter
+    (operators.sketches.temperature_mix_sample)."""
+    from door2door_etl_spark.operators.sketches import temperature_mix_sample
+
+    docs = load_table(spark, sf, "documents")
+    kept = temperature_mix_sample(docs, "lang", "doc_id", alpha=MIX_ALPHA)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+SQL_TEMPERATURE_MIX_SAMPLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+), nmin AS (
+  SELECT min(n) AS nmin FROM counts
+), rates AS (
+  SELECT lang, pow(nmin / n, 1.0 - {MIX_ALPHA}) AS rate FROM counts, nmin
+)
+SELECT d.lang, count(*) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {sql_uniform_hash('d.doc_id', 'tmix')} < r.rate
+GROUP BY d.lang
+"""
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_temperature_mix_sample",
+        q_temperature_mix_sample,
+        SQL_TEMPERATURE_MIX_SAMPLE,
+        "north-star sampling/temperature-mix",
+        ("northstar", "sampling"),
+    )
+)
+
+
+def q_perplexity_filter_report(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity filter, composed end-to-end in one lazy
+    plan: score every document under the self-trained unigram LM
+    (operators.text.unigram_logprob), pick a per-language p10 threshold
+    (exact percentile — the oracle-checkable twin of the mergeable
+    approx_percentile path), and report per-language survivors.  The
+    threshold table is 5 rows broadcast back over the scores — the
+    corpus shuffles only for the LM scoring itself."""
+    from door2door_etl_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, sf, "documents")
+    scored = unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile(F.col("unigram_log2p"), F.lit(0.1)), 6).alias(
+            "p10_threshold"
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "p10_threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("unigram_log2p") >= F.col("p10_threshold"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def _sql_perplexity_filter_report() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+corpus AS (SELECT tok, count(*) AS c_corpus FROM toks GROUP BY 1),
+total AS (SELECT log2(CAST(sum(c_corpus) AS DOUBLE)) AS log2_total FROM corpus),
+dc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    CAST(sum(CAST(CAST(cnt AS DOUBLE) * log2(CAST(c_corpus AS DOUBLE))
+                  AS DECIMAL(28,10))) AS DOUBLE) AS s
+  FROM dc JOIN corpus USING (tok) GROUP BY doc_id),
+scored AS (
+  SELECT d.lang, a.doc_id,
+         round(a.s / CAST(a.n_tokens AS DOUBLE) - t.log2_total, 6)
+           AS unigram_log2p
+  FROM agg a CROSS JOIN total t JOIN documents d USING (doc_id)),
+thr AS (
+  SELECT lang, round(quantile_cont(unigram_log2p, 0.1), 6) AS p10_threshold
+  FROM scored GROUP BY 1)
+SELECT s.lang, t.p10_threshold, count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.unigram_log2p >= t.p10_threshold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM scored s JOIN thr t USING (lang)
+GROUP BY s.lang, t.p10_threshold
+"""
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_perplexity_filter_report",
+        q_perplexity_filter_report,
+        _sql_perplexity_filter_report(),
+        "north-star text/perplexity-filter-composite",
+        ("northstar", "text"),
+    )
+)

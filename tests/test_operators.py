@@ -1178,3 +1178,23 @@ def test_group_reservoir_sample_uniform_and_stable(spark):
     assert {(r["grp"], r["sample_rank"], r["id"]) for r in s2.collect()} == {
         (r["grp"], r["sample_rank"], r["id"]) for r in got
     }
+
+
+def test_temperature_mix_flattens_toward_alpha_shares(spark):
+    from door2door_etl_spark.operators.sketches import temperature_mix_sample
+
+    rows = [(f"d{i}", "big") for i in range(1600)] + [
+        (f"s{i}", "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    # alpha=0.5: big keeps sqrt(100/1600)=0.25 of its rows, small keeps all
+    kept = temperature_mix_sample(df, "grp", "id", alpha=0.5)
+    counts = {
+        r["grp"]: r["n"]
+        for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["small"] == 100  # smallest group never downsampled
+    assert 320 <= counts["big"] <= 480  # ~400 expected, Bernoulli spread
+    # alpha=1 keeps the natural mix untouched
+    natural = temperature_mix_sample(df, "grp", "id", alpha=1.0)
+    assert natural.count() == 1700
