@@ -1,4 +1,6 @@
 from door2door_etl_spark.streaming.pipeline import (
+    read_cms_state,
+    stream_cms_maintenance,
     stream_dedup_by_key,
     stream_events,
     stream_hll_maintenance,
@@ -9,6 +11,8 @@ from door2door_etl_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "read_cms_state",
+    "stream_cms_maintenance",
     "stream_dedup_by_key",
     "stream_events",
     "stream_hll_maintenance",

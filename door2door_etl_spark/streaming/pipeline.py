@@ -427,3 +427,64 @@ def stream_hll_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_maintenance(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    item_col: str,
+    table_root: str,
+    checkpoint_dir: str,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "cms",
+):
+    """Incrementally maintained Count-Min sketch over a stream — the
+    NON-idempotent-merge case :func:`stream_hll_maintenance` calls out,
+    solved with a batch ledger: state rows are keyed by
+    ``(batch_id, row, col)``, so an at-least-once replay of batch N
+    OVERWRITES batch N's own cells (MERGE upsert — idempotent) instead of
+    double-counting into a global cell.  Structured Streaming's
+    checkpoint guarantees batch ids are stable across restarts, which is
+    exactly what makes the ledger sound.
+
+    Read-side estimates SUM across batch rows (CMS merge is SUM —
+    :func:`read_cms_state` returns the collapsed global sketch).  State
+    is O(batches x depth x width) rows; periodic compaction folds old
+    batches together if the stream runs for years (sum rows into a
+    single negative batch_id via one MERGE).
+    """
+    from door2door_etl_spark.operators.sketches import cms_sketch_table
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_sketch_table(
+            batch_df, [], item_col, depth=depth, width=width, salt=salt
+        ).withColumn("batch_id", F.lit(batch_id))
+        keyed = cells.withColumn(
+            "cell_key",
+            F.concat_ws(
+                "\x1f",
+                F.col("batch_id").cast("string"),
+                F.col("row").cast("string"),
+                F.col("col").cast("string"),
+            ),
+        )
+        merge_upsert_parquet(spark, table_root, keyed, key="cell_key")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_state(spark: SparkSession, table_root: str) -> DataFrame:
+    """Collapse a maintained CMS ledger to the global sketch
+    ``(row, col, cnt)`` — SUM across batch rows (the lossless CMS
+    merge); feed to ``operators.sketches.cms_point_estimate``."""
+    return (
+        spark.read.parquet(table_root)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

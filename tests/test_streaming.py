@@ -525,3 +525,57 @@ def test_stream_hll_maintenance_exact_merge_and_replay(spark, tmp_path):
         .collect()
     }
     assert got2 == expect
+
+
+def test_stream_cms_maintenance_ledger_replay_safe(spark, tmp_path):
+    """Streaming CMS via batch ledger: collapsed state equals the direct
+    batch sketch over all data, and replaying every batch from a fresh
+    checkpoint leaves counts unchanged — the ledger (MERGE on
+    (batch_id, row, col)) is what makes a SUM-merged sketch safe under
+    at-least-once delivery."""
+    import json as _json
+
+    from door2door_etl_spark.operators.sketches import cms_sketch_table
+    from door2door_etl_spark.streaming.pipeline import (
+        read_cms_state,
+        stream_cms_maintenance,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    toks = [f"tok{i % 23}" for i in range(400)]
+    for part in range(2):
+        with open(src / f"f{part}.json", "w") as f:
+            for t in toks[part::2]:
+                f.write(_json.dumps({"tok": t}) + "\n")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("tok string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_cms_maintenance(
+            spark, stream, "tok", str(tmp_path / "sketch"), str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    direct = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch_table(
+            spark.createDataFrame([(t,) for t in toks], "tok string"), [], "tok"
+        ).collect()
+    }
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in read_cms_state(spark, str(tmp_path / "sketch")).collect()
+    }
+    assert got == direct
+
+    run("ck2")  # full replay, fresh checkpoint: same batch ids, same cells
+    got2 = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in read_cms_state(spark, str(tmp_path / "sketch")).collect()
+    }
+    assert got2 == direct
