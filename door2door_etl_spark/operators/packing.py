@@ -288,3 +288,58 @@ def length_bucketed_batches(
         ((F.col("pos") - 1) / batch_size).cast("long").alias("batch_idx"),
         ((F.col("pos") - 1) % batch_size).cast("long").alias("pos_in_batch"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+) -> dict:
+    """Export an epoch-shuffled corpus as exactly ``num_shards`` parquet
+    shards plus a JSON manifest — the handoff artifact a training
+    dataloader consumes (deterministic order, fixed shard count, known
+    per-shard row counts).
+
+    Shard assignment is ``(shuffle_pos - 1) * num_shards // total`` over
+    :func:`epoch_shuffle`'s seeded global positions: contiguous position
+    ranges -> shards are balanced to within one row AND reading shards in
+    filename order replays the exact shuffled order.  The write is one
+    range-free ``partitionBy`` on the shard column (shard count bounds
+    output files); the manifest records counts from one bounded aggregate
+    — nothing about the data passes through the driver.
+
+    Returns the manifest dict (also written to ``<out_dir>/manifest.json``):
+    ``{"num_shards", "total_rows", "seed", "rows_per_shard": {shard: n}}``.
+    """
+    import json as _json
+    import os as _os
+
+    shuffled = epoch_shuffle(df, seed=seed, id_col=id_col)
+    total = shuffled.count()
+    # exact integer division — no double-rounding at any total
+    with_shard = shuffled.withColumn(
+        "shard",
+        F.expr(f"(CAST(shuffle_pos AS BIGINT) - 1) * {num_shards} div {max(total, 1)}"),
+    )
+    (
+        with_shard.repartition("shard")
+        .sortWithinPartitions("shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in with_shard.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "num_shards": num_shards,
+        "total_rows": total,
+        "seed": seed,
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(num_shards)},
+    }
+    with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, sort_keys=True)
+    return manifest

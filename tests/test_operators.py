@@ -1198,3 +1198,45 @@ def test_temperature_mix_flattens_toward_alpha_shares(spark):
     # alpha=1 keeps the natural mix untouched
     natural = temperature_mix_sample(df, "grp", "id", alpha=1.0)
     assert natural.count() == 1700
+
+
+def test_write_training_shards_balanced_and_order_preserving(spark, tmp_path):
+    import json as _json
+
+    from door2door_etl_spark.operators.packing import (
+        epoch_shuffle,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(103)], "doc_id int, text string")
+    out = str(tmp_path / "shards")
+    man = write_training_shards(df, out, num_shards=4, seed=7)
+    assert man["total_rows"] == 103 and man["num_shards"] == 4
+    sizes = sorted(man["rows_per_shard"].values())
+    assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1  # balanced
+    assert _json.load(open(tmp_path / "shards" / "manifest.json")) == man
+
+    # reading shards in shard order, each sorted by shuffle_pos, replays
+    # the exact seeded global order
+    got = [
+        r["doc_id"]
+        for s in range(4)
+        for r in spark.read.parquet(f"{out}/shard={s}")
+        .orderBy("shuffle_pos")
+        .collect()
+    ]
+    expect = [
+        r["doc_id"]
+        for r in epoch_shuffle(df, seed=7).orderBy("shuffle_pos").collect()
+    ]
+    assert got == expect
+    # a different seed re-deals the order
+    man2 = write_training_shards(df, str(tmp_path / "s2"), num_shards=4, seed=8)
+    got2 = [
+        r["doc_id"]
+        for s in range(4)
+        for r in spark.read.parquet(f"{tmp_path}/s2/shard={s}")
+        .orderBy("shuffle_pos")
+        .collect()
+    ]
+    assert got2 != got and sorted(got2) == sorted(got)
