@@ -557,43 +557,60 @@ def connected_dedup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
-def _nibble(hex_col: Column, idx: int) -> Column:
-    """Value 0-15 of the idx-th (0-based) hex digit."""
-    return F.instr(F.lit("0123456789abcdef"), F.substring(hex_col, idx + 1, 1)) - 1
+def _simhash_voted(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """Per-doc bit votes ``v0..v{bits-1}`` for SimHash: bit b of a token =
+    bit (b mod 4) of hex nibble (b div 4) of md5(token); votes weighted by
+    token multiplicity; the groupBy partial-aggregates map-side so the
+    shuffle is one row per doc.
 
+    Two construction disciplines, both measured wins:
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash per document from md5(token) bit votes.
-
-    Bit b of a token = bit (b mod 4) of hex nibble (b div 4) of the first 8
-    hex chars of md5(token).  Votes are weighted by token multiplicity
-    (explode keeps duplicates); vote > 0 ⇒ bit set.  The groupBy partial-
-    aggregates map-side, so the shuffle is one row per doc.
-
-    The nibbles are pre-projected ONCE per token row (below), not inlined
-    into each vote: aggregate expressions don't share subexpressions, so
-    the inlined form evaluated md5 + hex extraction per BIT — 32-64× per
-    row, the dominant query cost (measured ~2× end-to-end at sf0.1).
-    Projection codegen CSEs the md5 across the nibble columns."""
+    - nibbles are pre-projected ONCE per token row — aggregate expressions
+      don't share subexpressions, so inlining evaluated md5 per BIT
+      (32-64x per row; ~2x end-to-end at sf0.1).
+    - every expression is ONE parsed SQL string, not composed py4j Column
+      objects — the round-4 PQ lesson again: the Column form spent 1.5 s
+      of pure DRIVER time per call building ~1000 py4j objects, 4x the
+      query's actual execution cost at sf0.1.
+    """
     from door2door_etl_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.md5(F.col("tok"))
-    nib = tok.select(
-        F.col(id_col), *[_nibble(h, i).alias(f"n{i}") for i in range(8)]
+    nib = tok.selectExpr(
+        id_col,
+        *[
+            f"(instr('0123456789abcdef', substring(md5(tok), {i + 1}, 1)) - 1)"
+            f" AS n{i}"
+            for i in range(bits // 4)
+        ],
     )
     votes = [
-        F.sum(
-            (F.floor(F.col(f"n{b // 4}") / F.lit(2 ** (b % 4))) % 2) * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(32)
+        F.expr(f"sum((floor(n{b // 4} / {2 ** (b % 4)}) % 2) * 2 - 1) AS v{b}")
+        for b in range(bits)
     ]
-    voted = nib.groupBy(id_col).agg(*votes)
-    simhash = None
-    for b in range(32):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = bit if simhash is None else simhash + bit
-    return voted.select(F.col(id_col), simhash.alias("simhash"))
+    return nib.groupBy(id_col).agg(*votes)
+
+
+def _pack_votes_sql(bit_range) -> str:
+    """One SQL expression folding vote columns into a non-negative long
+    (vote > 0 => bit i set)."""
+    return " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i, b in enumerate(bit_range)
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document from md5(token) bit votes — see
+    :func:`_simhash_voted` for the vote construction and its two
+    driver-cost disciplines."""
+    voted = _simhash_voted(df, text_col, id_col, bits=32)
+    return voted.selectExpr(
+        id_col, f"({_pack_votes_sql(range(32))}) AS simhash"
+    )
 
 
 def simhash_near_pairs(
@@ -639,37 +656,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     band/bit extraction on non-negative values — no two's-complement edge
     at bit 63, and the representation is portable to any SQL engine.
 
-    Nibbles are pre-projected once per token row (see :func:`simhash32` —
-    inlining them into the votes evaluates md5 per bit, 64× per row)."""
-    from door2door_etl_spark.operators.text import tokens
-
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.md5(F.col("tok"))
-    nib = tok.select(
-        F.col(id_col), *[_nibble(h, i).alias(f"n{i}") for i in range(16)]
-    )
-    votes = [
-        F.sum(
-            (F.floor(F.col(f"n{b // 4}") / F.lit(2 ** (b % 4))) % 2) * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    voted = nib.groupBy(id_col).agg(*votes)
-
-    def pack(bit_range: range) -> Column:
-        acc = None
-        for i, b in enumerate(bit_range):
-            bit = (
-                F.when(F.col(f"v{b}") > 0, F.lit(2**i).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            acc = bit if acc is None else acc + bit
-        return acc
-
-    return voted.select(
-        F.col(id_col),
-        pack(range(32, 64)).alias("sh_hi"),
-        pack(range(0, 32)).alias("sh_lo"),
+    Vote construction and both driver-cost disciplines (nibble
+    pre-projection, string-parsed expressions): :func:`_simhash_voted`."""
+    voted = _simhash_voted(df, text_col, id_col, bits=64)
+    return voted.selectExpr(
+        id_col,
+        f"({_pack_votes_sql(range(32, 64))}) AS sh_hi",
+        f"({_pack_votes_sql(range(0, 32))}) AS sh_lo",
     )
 
 
