@@ -636,3 +636,52 @@ TRAINING_QUERIES.append(
         ("northstar", "text"),
     )
 )
+
+
+OVERSIZE_BYTES = 300
+
+
+def q_multimodal_asset_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Asset-store audit over the multimodal column pair: per source,
+    asset counts, byte totals/extremes, distinct payload digests (exact —
+    dedup potential), and oversized-payload counts — the storage-planning
+    aggregate a binary-asset lake runs before a dedup/resize pass.  One
+    scan, meta derived map-side (operators.multimodal.attach_binary_content)."""
+    from door2door_etl_spark.operators.multimodal import attach_binary_content
+
+    docs = load_table(spark, sf, "documents")
+    assets = attach_binary_content(docs, "text", "text", "text/plain")
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
+        F.min(F.col("meta.n_bytes")).alias("min_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        F.countDistinct(F.col("meta.content_sha")).alias("distinct_payloads"),
+        F.sum(
+            F.when(F.col("meta.n_bytes") > OVERSIZE_BYTES, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("oversized"),
+    )
+
+
+SQL_MULTIMODAL_ASSET_AUDIT = f"""
+SELECT source, count(*) AS n_assets,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes,
+       count(DISTINCT sha256(text)) AS distinct_payloads,
+       CAST(sum(CASE WHEN octet_length(CAST(text AS BLOB)) > {OVERSIZE_BYTES}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS oversized
+FROM documents GROUP BY source
+"""
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_multimodal_asset_audit",
+        q_multimodal_asset_audit,
+        SQL_MULTIMODAL_ASSET_AUDIT,
+        "north-star multimodal/asset-audit",
+        ("northstar", "multimodal"),
+    )
+)

@@ -895,3 +895,39 @@ def test_partition_evolution_via_full_rewrite(spark, tmp_path):
     assert d[1] == "new" and len(d) == 10
     # old layout still readable via time travel
     assert len(table.read(spark, 1).collect()) == 10
+
+
+def test_dv_delete_losing_claim_recomputes_against_winner(spark, tmp_path, monkeypatch):
+    """A DV delete that loses the version-claim race must recompute its
+    doomed set against the winner's snapshot — if a racing merge UPDATED a
+    doomed row (new row in a new file), the stale DV would address the old
+    file only and the retry must re-derive positions from the new state."""
+    from door2door_etl_spark.io.manifest import delete_where_manifest
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, i * 10, "p0") for i in range(8)]
+    merge_manifest(
+        spark, root, spark.createDataFrame(rows, "k int, v int, part string"),
+        key="k",
+    )
+    original_claim = ManifestTable._claim
+    state = {"raced": False}
+
+    def racing_claim(self, version, rels, schema, pcols, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # A merge lands first: k=6 gets v=5 (no longer doomed by v>=60),
+            # k=5 gets v=99 (newly doomed).
+            comp = spark.createDataFrame(
+                [(6, 5, "p0"), (5, 99, "p0")], "k int, v int, part string"
+            )
+            merge_manifest(spark, self.root, comp, key="k")
+            return original_claim(self, version, rels, schema, pcols, **kw)
+        return original_claim(self, version, rels, schema, pcols, **kw)
+
+    monkeypatch.setattr(ManifestTable, "_claim", racing_claim)
+    n = delete_where_manifest(spark, root, "v >= 60", mode="dv")
+    # doomed against the WINNER's state: 7 (70) and 5 (99); NOT 6 (now 5)
+    assert n == 2
+    d = {r["k"]: r["v"] for r in ManifestTable(root).read(spark).collect()}
+    assert d == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40, 6: 5}
