@@ -931,3 +931,21 @@ def test_dv_delete_losing_claim_recomputes_against_winner(spark, tmp_path, monke
     assert n == 2
     d = {r["k"]: r["v"] for r in ManifestTable(root).read(spark).collect()}
     assert d == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40, 6: 5}
+
+
+def test_compact_materializes_deletion_vectors(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import (
+        compact_manifest,
+        delete_where_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}", "p0") for i in range(12)]
+    merge_manifest(spark, root, _mk(spark, rows), key="k")
+    delete_where_manifest(spark, root, "k >= 9", mode="dv")
+    compact_manifest(spark, root)
+    table = ManifestTable(root)
+    man = table.manifest(table.current_version())
+    assert not man.get("dvs")  # compaction rewrote everything -> DVs gone
+    assert set(_as_dict(spark, root)) == set(range(9))
+    assert table.count_rows() == 9  # footer counts valid again
