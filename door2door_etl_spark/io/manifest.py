@@ -408,12 +408,15 @@ class ManifestTable:
         stats: dict | None = None,
         stats_col: str | None = None,
         dvs: list[str] | None = None,
+        op: str = "write",
     ) -> bool:
         record = {
             "version": version,
             "files": sorted(rels),
             "partition_cols": partition_cols,
             "schema": json.dumps(schema.jsonValue()),
+            "op": op,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         if stats is not None:
             record["stats"] = stats
@@ -424,6 +427,31 @@ class ManifestTable:
         return self.fs.put_if_absent(
             os.path.join(self.manifests_dir, _manifest_name(version)), payload
         )
+
+    def describe_history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per RETAINED version, newest first —
+        ``{version, op, committed_at, n_files, n_dvs, rows}`` (``rows``
+        None when any file lacks stats or DVs mask the count).  Pure
+        metadata: reads the manifest records only, no Spark session, no
+        data I/O.  Versions trimmed by vacuum are absent — history depth
+        IS the retention window, stated honestly."""
+        out = []
+        for name in sorted(self.fs.list_names(self.manifests_dir), reverse=True):
+            v = _parse_manifest_version(name)
+            if v is None:
+                continue
+            man = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": man.get("op", "write"),
+                    "committed_at": man.get("committed_at"),
+                    "n_files": len(man["files"]),
+                    "n_dvs": len(man.get("dvs", [])),
+                    "rows": self.count_rows(v),
+                }
+            )
+        return out
 
     # -- manifest statistics (data skipping) --------------------------------
 
@@ -771,6 +799,7 @@ def merge_manifest(
             # never reused, so they can't false-match.  A full rewrite
             # (reused == []) materializes every DV and drops them.
             dvs=(man.get("dvs") if base and reused else None),
+            op="merge",
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -953,6 +982,7 @@ def _file_level_delete_manifest(
             base + 1, reused + new_rels, schema, man["partition_cols"],
             stats={**carried, **new_stats} if scol else None, stats_col=scol,
             dvs=(man.get("dvs") if reused else None),
+            op="delete",
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -1042,6 +1072,7 @@ def _dv_delete_manifest(
             base + 1, list(man["files"]), schema, man["partition_cols"],
             stats=man.get("stats"), stats_col=man.get("stats_col"),
             dvs=dv_rels_old + new_rels,
+            op="dv-delete",
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -1101,7 +1132,7 @@ def purge_deletes_manifest(
             # dropping the DV list is a pure-metadata commit.
             if table._claim(
                 base + 1, list(man["files"]), schema, man["partition_cols"],
-                stats=man.get("stats"), stats_col=scol,
+                stats=man.get("stats"), stats_col=scol, op="purge",
             ):
                 table.publish(base + 1)
                 return 0
@@ -1133,6 +1164,7 @@ def purge_deletes_manifest(
         if table._claim(
             base + 1, reused + new_rels, schema, man["partition_cols"],
             stats={**carried, **new_stats} if scol else None, stats_col=scol,
+            op="purge",
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -1269,7 +1301,8 @@ def compact_manifest(
             raise
         schema = StructType.fromJson(json.loads(man["schema"]))
         if table._claim(base + 1, new_rels, schema, pcols,
-                        stats=new_stats if scol else None, stats_col=scol):
+                        stats=new_stats if scol else None, stats_col=scol,
+                        op="compact"):
             table.publish(base + 1)
             table.vacuum(
                 keep=vacuum_keep,
@@ -1434,6 +1467,7 @@ def restore_manifest(
             stats=man.get("stats"),
             stats_col=man.get("stats_col"),
             dvs=man.get("dvs"),
+            op=f"restore(v{version})",
         ):
             table.publish(base + 1)
             return base + 1

@@ -949,3 +949,27 @@ def test_compact_materializes_deletion_vectors(spark, tmp_path):
     assert not man.get("dvs")  # compaction rewrote everything -> DVs gone
     assert set(_as_dict(spark, root)) == set(range(9))
     assert table.count_rows() == 9  # footer counts valid again
+
+
+def test_describe_history_records_operations(spark, tmp_path):
+    from door2door_etl_spark.io.manifest import (
+        compact_manifest,
+        delete_where_manifest,
+        purge_deletes_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(i, f"v{i}", "p0") for i in range(6)]), key="k")
+    merge_manifest(spark, root, _mk(spark, [(6, "x", "p0")]), key="k")
+    delete_where_manifest(spark, root, "k = 0", mode="dv")
+    purge_deletes_manifest(spark, root)
+    compact_manifest(spark, root, vacuum_keep=10)
+
+    hist = ManifestTable(root).describe_history()
+    by_v = {h["version"]: h for h in hist}
+    assert [h["version"] for h in hist] == sorted(by_v, reverse=True)
+    assert by_v[3]["op"] == "dv-delete" and by_v[3]["n_dvs"] == 1
+    assert by_v[3]["rows"] is None  # DV masks footer counts
+    assert by_v[4]["op"] == "purge" and by_v[4]["n_dvs"] == 0
+    assert by_v[5]["op"] == "compact" and by_v[5]["rows"] == 6
+    assert all(h["committed_at"] for h in hist)
