@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "-s", "--step", default="all",
         choices=["all", "ingestor", "handler", "compact", "vacuum", "restore",
-                 "purge"],
+                 "purge", "history"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     from door2door_etl_spark.pipeline import run_workflow
     from door2door_etl_spark.session import build_session
 
-    if args.step in ("compact", "vacuum", "restore", "purge"):
+    if args.step in ("compact", "vacuum", "restore", "purge", "history"):
         return _run_maintenance(args)
 
     fetch_hour = (
@@ -128,7 +128,17 @@ def _run_maintenance(args) -> int:
         return (root / "_manifests").is_dir()
 
     report: dict[str, dict] = {}
-    if args.step == "restore":
+    if args.step == "history":
+        # Pure metadata in both layouts: no Spark session.
+        from door2door_etl_spark.io.manifest import ManifestTable
+
+        for root in roots:
+            if is_manifest(root):
+                hist = ManifestTable(str(root)).describe_history()
+            else:
+                hist = VersionedParquetTable(str(root)).describe_history()
+            report[root.name] = {"history": hist}
+    elif args.step == "restore":
         # Rollback is metadata-only in BOTH layouts: no Spark session.
         if not args.table or args.to_version is None:
             print("error: restore requires --table and --to-version",

@@ -306,6 +306,42 @@ class VersionedParquetTable:
     def is_versioned(self) -> bool:
         return self.current_version() is not None
 
+    def describe_history(self) -> list[dict]:
+        """DESCRIBE HISTORY for the POSIX layout: one dict per retained
+        snapshot dir, newest first — ``{version, committed_at, n_files,
+        current}``.  The layout stores no operation record (the manifest
+        mode does — its commit record is a JSON document; this one is a
+        directory rename), so history here is what the filesystem attests:
+        snapshot mtime and file census.  Pure metadata — no Spark session.
+        """
+        import time as _time
+
+        cur = self.current_version()
+        out = []
+        for name in sorted(os.listdir(self.versions_dir), reverse=True):
+            m = _VERSION_RE.match(name)
+            if not m:
+                continue
+            v = int(m.group(1))
+            p = self.versions_dir / name
+            n_files = sum(
+                1
+                for dp, _dn, fns in os.walk(p)
+                for fn in fns
+                if not fn.startswith(("_", "."))
+            )
+            out.append(
+                {
+                    "version": v,
+                    "committed_at": _time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(p.stat().st_mtime)
+                    ),
+                    "n_files": n_files,
+                    "current": v == cur,
+                }
+            )
+        return out
+
     # -- commit protocol -----------------------------------------------------
 
     def _migrate_legacy(self) -> None:

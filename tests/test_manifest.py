@@ -973,3 +973,17 @@ def test_describe_history_records_operations(spark, tmp_path):
     assert by_v[4]["op"] == "purge" and by_v[4]["n_dvs"] == 0
     assert by_v[5]["op"] == "compact" and by_v[5]["rows"] == 6
     assert all(h["committed_at"] for h in hist)
+
+
+def test_cli_history_step(spark, tmp_path, capsys):
+    from door2door_etl_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    root = str(lake / "warehouse" / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p0")]), key="k")
+    merge_manifest(spark, root, _mk(spark, [(2, "b", "p0")]), key="k")
+    assert main(["-s", "history", "--lake-root", str(lake)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hist = out["tables"]["tbl"]["history"]
+    assert [h["version"] for h in hist] == [2, 1]
+    assert all(h["op"] == "merge" for h in hist)

@@ -917,3 +917,20 @@ def test_cli_restore_step(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["tbl"] == {"restored_to": 1, "new_version": 3}
     assert _as_dict(spark, root) == {1: ("good", "p1")}
+
+
+def test_describe_history_posix_layout(spark, tmp_path):
+    from door2door_etl_spark.io.versioned import (
+        VersionedParquetTable,
+        merge_versioned,
+    )
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k int, v string")
+    merge_versioned(spark, root, df1, key="k")
+    merge_versioned(spark, root, df2, key="k")
+    hist = VersionedParquetTable(root).describe_history()
+    assert [h["version"] for h in hist] == [2, 1]
+    assert hist[0]["current"] and not hist[1]["current"]
+    assert all(h["n_files"] >= 1 and h["committed_at"] for h in hist)
