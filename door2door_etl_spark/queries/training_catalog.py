@@ -685,3 +685,42 @@ TRAINING_QUERIES.append(
         ("northstar", "multimodal"),
     )
 )
+
+
+PROFILE_COLS = ["event_id", "user_id", "event_type"]
+
+
+def q_table_profile_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract profiling of the events table: per-column row/null/
+    exact-distinct counts and stringified extremes, all from ONE scan and
+    ONE aggregate (operators.relational.profile_columns) — the
+    table-health report the reference's monitor queries approximate
+    (reference src/helper/postgres.py:88-129)."""
+    from door2door_etl_spark.operators.relational import profile_columns
+
+    ev = load_table(spark, sf, "events")
+    return profile_columns(ev, PROFILE_COLS)
+
+
+def _sql_table_profile_report() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column, count(*) AS n_rows,
+            count(*) - count({c}) AS n_null,
+            count(DISTINCT {c}) AS n_distinct,
+            CAST(min({c}) AS VARCHAR) AS min_value,
+            CAST(max({c}) AS VARCHAR) AS max_value
+     FROM events"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_table_profile_report",
+        q_table_profile_report,
+        _sql_table_profile_report(),
+        "north-star profiling/column-contract-report",
+        ("northstar", "profiling"),
+    )
+)

@@ -1240,3 +1240,19 @@ def test_write_training_shards_balanced_and_order_preserving(spark, tmp_path):
         .collect()
     ]
     assert got2 != got and sorted(got2) == sorted(got)
+
+
+def test_profile_columns_single_scan_known_answers(spark):
+    from door2door_etl_spark.operators.relational import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], "x int, s string"
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["x", "s"]).collect()}
+    assert got["x"]["n_rows"] == 4 and got["x"]["n_null"] == 1
+    assert got["x"]["n_distinct"] == 3
+    assert (got["x"]["min_value"], got["x"]["max_value"]) == ("1", "3")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    # one scan: the plan contains exactly one relation
+    plan = profile_columns(df, ["x", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") + plan.count("Relation") == 1
