@@ -3,6 +3,7 @@ from door2door_etl_spark.streaming.pipeline import (
     stream_cms_maintenance,
     stream_dedup_by_key,
     stream_events,
+    stream_heavy_hitters,
     stream_hll_maintenance,
     stream_hourly_counts,
     stream_sessionize,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_cms_maintenance",
     "stream_dedup_by_key",
     "stream_events",
+    "stream_heavy_hitters",
     "stream_hll_maintenance",
     "stream_hourly_counts",
     "stream_sessionize",

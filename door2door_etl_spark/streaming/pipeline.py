@@ -488,3 +488,68 @@ def read_cms_state(spark: SparkSession, table_root: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    item_col: str,
+    capacity: int = 64,
+    k: int = 10,
+):
+    """Stateful streaming heavy hitters: a per-key Space-Saving summary
+    (Metwally et al., ICDT'05) maintained with ``applyInPandasWithState``,
+    emitting each key's current top-``k`` leaderboard every micro-batch.
+
+    State per key is BOUNDED at ``capacity`` (item, count) pairs no matter
+    how many distinct items stream past — the property a naive
+    groupBy-count stream cannot give (its state grows with the item
+    universe).  Space-Saving guarantees: estimated counts never
+    undercount, and any item with true frequency > N/capacity is present
+    in the summary.  Batch items fold in by value_counts (vectorized),
+    iterated in (count desc, item) order so admission/eviction is
+    deterministic for a given batch sequence.
+
+    Second custom arbitrary-state operator beside
+    :func:`stream_sessionize` — leaderboards depend on all history, not a
+    clock, so neither windows nor watermark aggregations express them.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, item string, est_count long, rank int"
+    )
+    state_schema = "items array<string>, counts array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts = state.get
+            tbl = dict(zip(items, counts))
+        else:
+            tbl = {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        vc = batch[item_col].value_counts()
+        for item, cnt in sorted(vc.items(), key=lambda x: (-x[1], x[0])):
+            if item in tbl:
+                tbl[item] += int(cnt)
+            elif len(tbl) < capacity:
+                tbl[item] = int(cnt)
+            else:
+                victim = min(tbl.items(), key=lambda x: (x[1], x[0]))
+                del tbl[victim[0]]
+                tbl[item] = victim[1] + int(cnt)
+        state.update((list(tbl.keys()), [int(v) for v in tbl.values()]))
+        top = sorted(tbl.items(), key=lambda x: (-x[1], x[0]))[:k]
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(top),
+                "item": [t for t, _ in top],
+                "est_count": [c for _, c in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -579,3 +579,54 @@ def test_stream_cms_maintenance_ledger_replay_safe(spark, tmp_path):
         for r in read_cms_state(spark, str(tmp_path / "sketch")).collect()
     }
     assert got2 == direct
+
+
+def test_stream_heavy_hitters_bounded_state_no_undercount(spark, tmp_path):
+    """Space-Saving leaderboard: with capacity >= distinct items the
+    counts are EXACT across micro-batches; with tight capacity the
+    summary stays bounded, never undercounts a surviving item, and still
+    surfaces every true heavy hitter."""
+    import json as _json
+
+    from door2door_etl_spark.streaming.pipeline import stream_heavy_hitters
+
+    src = tmp_path / "src"
+    src.mkdir()
+    true_counts = {"alpha": 50, "beta": 30, "gamma": 12} | {
+        f"rare{i}": 1 for i in range(40)
+    }
+    rows = [it for it, n in true_counts.items() for _ in range(n)]
+    # two files -> state must carry across micro-batches
+    for part in range(2):
+        with open(src / f"f{part}.json", "w") as f:
+            for it in rows[part::2]:
+                f.write(_json.dumps({"g": "k1", "item": it}) + "\n")
+
+    def run(capacity, out):
+        stream = (
+            spark.readStream.schema("g string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            stream_heavy_hitters(stream, "g", "item", capacity=capacity, k=5)
+            .writeStream.format("memory")
+            .queryName(out)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{out}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df = spark.table(out)
+        # the FINAL leaderboard = rows of the last emission: per item keep
+        # the max est_count (emissions only grow)
+        rows_ = df.groupBy("item").agg(F.max("est_count").alias("c")).collect()
+        return {r["item"]: r["c"] for r in rows_}
+
+    exact = run(capacity=100, out="o1")  # room for everything -> exact
+    assert exact["alpha"] == 50 and exact["beta"] == 30 and exact["gamma"] == 12
+
+    tight = run(capacity=8, out="o2")  # 43 distinct items, 8 slots
+    for it in ("alpha", "beta", "gamma"):  # heavy items must survive
+        assert it in tight and tight[it] >= true_counts[it], (it, tight)
