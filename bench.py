@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "ns_gopher_quality_rules",
     "ns_hll_rollup_estimate",
     "ns_cms_heavy_hitters",
+    "ns_bloom_membership_audit",
+    "ns_vocab_coverage",
+    "ns_temperature_mix_sample",
+    "ns_perplexity_filter_report",
+    "ns_table_profile_report",
 ]
 
 
