@@ -536,3 +536,127 @@ def gopher_quality_flags(
         & (F.col("stop_hits") >= F.lit(min_stop_hits))
     )
     return out.withColumn("keep", keep)
+
+
+# --- BPE tokenizer induction ----------------------------------------------
+
+def _apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE BPE merge (left, right) to a
+    symbol array, as a pure aggregate fold: scan symbols, and whenever the
+    accumulator ends with ``left`` and the next symbol is ``right``,
+    replace the tail with the merged symbol.  No UDF; one fold per merge."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+) -> list[dict]:
+    """Byte-pair-encoding merge induction over a corpus (Sennrich et al.,
+    ACL'16) — the tokenizer-training step of an LLM data pipeline, as a
+    distributed iterative algorithm.
+
+    Shape: ONE distributed pass builds the word-frequency table (the only
+    stage that touches corpus-scale data — at 100 TB this is a token
+    explode + groupBy, shuffling vocabulary-bounded keys); every merge
+    iteration then runs on the VOCABULARY (tens of thousands of rows, not
+    billions): count adjacent symbol pairs weighted by word frequency,
+    pick the (count desc, pair asc) argmax via TakeOrdered, and fold the
+    merge into the symbol arrays map-side.  The driver holds one (left,
+    right) pair per iteration — never data.
+
+    Ties break deterministically (count desc, then lexicographic pair), so
+    the learned merge sequence is reproducible across partitionings and
+    engines.  Returns ``[{rank, left, right, merged, pair_count}, ...]``.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+    )
+    # The vocab table is tiny by construction; coalesce it to a few blocks
+    # (per-round job overhead would otherwise dominate: every iteration
+    # schedules tasks over the corpus-derived partitioning) and
+    # localCheckpoint each round to keep the lineage flat across
+    # iterations (k-means trainer discipline).
+    vocab = (
+        words.select("freq", "syms").coalesce(4).localCheckpoint(eager=True)
+    )
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        # sequence() inverts when size < 2 (descending step) — guard
+        # single-symbol words to an empty pair list instead.
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["cnt"]
+        merges.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "pair_count": int(cnt),
+            }
+        )
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge sequence to encode text: per token, split to
+    characters and fold each merge in rank order — ``num_merges`` chained
+    map-side folds, no shuffle, no UDF.  Adds ``out_col``
+    (array<string> of subword units, token boundaries preserved)."""
+    def encode_word(word: Column) -> Column:
+        syms = F.split(word, "")
+        for m in merges:
+            syms = _apply_merge(syms, m["left"], m["right"])
+        return syms
+
+    encoded = F.flatten(
+        F.transform(tokens(F.col(text_col)), encode_word)
+    )
+    return df.withColumn(out_col, encoded)

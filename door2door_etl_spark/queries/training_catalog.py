@@ -724,3 +724,37 @@ TRAINING_QUERIES.append(
         ("northstar", "profiling"),
     )
 )
+
+
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer induction over the corpus: the first 8 learned merge
+    rules with their weighted pair counts (operators.text.bpe_train — the
+    distributed iterative algorithm; corpus-scale data is touched exactly
+    once to build the word-frequency table, every iteration runs on the
+    vocabulary).  Genuinely iterative -> no single-statement SQL oracle;
+    exactness is pinned by the classic Sennrich known-answer test."""
+    from door2door_etl_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train(docs, BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_bpe_merges",
+        q_bpe_merges,
+        None,  # iterative: rows-only check; known-answer test pins values
+        "north-star text/bpe-tokenizer-induction",
+        ("northstar", "text"),
+    )
+)

@@ -1256,3 +1256,26 @@ def test_profile_columns_single_scan_known_answers(spark):
     # one scan: the plan contains exactly one relation
     plan = profile_columns(df, ["x", "s"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") + plan.count("Relation") == 1
+
+
+def test_bpe_train_matches_sennrich_example_and_encode_roundtrips(spark):
+    from door2door_etl_spark.operators.text import bpe_encode, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(text,)], "text string")
+    merges = bpe_train(df, 4)
+    got = [(m["left"], m["right"], m["pair_count"]) for m in merges]
+    # es(9) -> est(9) -> lo(7) -> low(7): the ACL'16 worked example with
+    # the deterministic (count desc, pair asc) tie-break
+    assert got == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7), ("lo", "w", 7)]
+
+    enc = bpe_encode(df, merges).select("bpe_tokens").first()[0]
+    assert enc[:5] == ["low"] * 5
+    assert "est" in enc  # newest -> n,e,w,est at 4 merges
+    # lossless: concatenating subwords reproduces the character stream
+    assert "".join(enc) == text.replace(" ", "")
+
+    # encoding with zero merges = character split
+    chars = bpe_encode(df, []).select("bpe_tokens").first()[0]
+    assert "".join(chars) == text.replace(" ", "")
+    assert all(len(c) == 1 for c in chars)
