@@ -27,6 +27,7 @@ from door2door_etl_spark.operators.sketches import (
 from door2door_etl_spark.operators.text import (
     GOPHER_STOPWORDS,
     gopher_quality_flags,
+    token_count,
     tokens,
 )
 from door2door_etl_spark.queries.defs import QueryDef
@@ -756,5 +757,59 @@ TRAINING_QUERIES.append(
         None,  # iterative: rows-only check; known-answer test pins values
         "north-star text/bpe-tokenizer-induction",
         ("northstar", "text"),
+    )
+)
+
+
+def q_dataset_card_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card summary: the one-row corpus statistics block a
+    published dataset ships with — sizes, token totals, language/source
+    diversity, and the exact duplicate rate — computed in ONE aggregate
+    over one scan (token counts via the map-side tokenizer, dup rate via
+    countDistinct of the content digest)."""
+    docs = load_table(spark, sf, "documents")
+    tc = token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc.cast("bigint")).alias("total_tokens"),
+        F.round(F.sum(tc.cast("bigint")).cast("double") / F.count(F.lit(1)), 4)
+        .alias("avg_tokens_per_doc"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.sha2(F.col("text"), 256)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def _sql_dataset_card_report() -> str:
+    toks = sql_tokens("text")
+    return f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       round(CAST(sum(len({toks})) AS DOUBLE) / count(*), 4)
+         AS avg_tokens_per_doc,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT sha256(text)) AS distinct_texts,
+       round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 6)
+         AS exact_dup_rate,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_dataset_card_report",
+        q_dataset_card_report,
+        _sql_dataset_card_report(),
+        "north-star profiling/dataset-card",
+        ("northstar", "profiling"),
     )
 )

@@ -987,3 +987,42 @@ def test_cli_history_step(spark, tmp_path, capsys):
     hist = out["tables"]["tbl"]["history"]
     assert [h["version"] for h in hist] == [2, 1]
     assert all(h["op"] == "merge" for h in hist)
+
+
+def test_reproducible_training_order_from_pinned_snapshot(spark, tmp_path):
+    """Dataset reproducibility = (manifest version, shuffle seed): training
+    order derived from a PINNED snapshot is byte-stable even after the
+    corpus evolves underneath — the lakehouse layer and the epoch shuffle
+    composing into the reproducibility contract an LLM training run needs."""
+    from door2door_etl_spark.operators.packing import epoch_shuffle
+
+    root = str(tmp_path / "corpus")
+    v1_rows = [(i, f"doc text {i}", "p0") for i in range(30)]
+    merge_manifest(
+        spark, root,
+        spark.createDataFrame(v1_rows, "doc_id int, text string, part string"),
+        key="doc_id",
+    )
+    table = ManifestTable(root)
+    v1 = table.current_version()
+
+    def order(version):
+        df = table.read(spark, version)
+        return [
+            r["doc_id"]
+            for r in epoch_shuffle(df, seed=13).orderBy("shuffle_pos").collect()
+        ]
+
+    o1 = order(v1)
+    # corpus evolves: new docs + an update land as v2
+    merge_manifest(
+        spark, root,
+        spark.createDataFrame(
+            [(100, "new", "p0"), (3, "updated", "p0")],
+            "doc_id int, text string, part string",
+        ),
+        key="doc_id",
+    )
+    assert order(v1) == o1  # pinned snapshot -> identical order
+    o2 = order(table.current_version())
+    assert set(o2) == set(range(30)) | {100} and o2 != o1
