@@ -316,6 +316,8 @@ class VersionedParquetTable:
         """
         import time as _time
 
+        if not self.versions_dir.is_dir():
+            return []  # never committed through the protocol (or a typo)
         cur = self.current_version()
         out = []
         for name in sorted(os.listdir(self.versions_dir), reverse=True):

@@ -1188,7 +1188,11 @@ def segment_dedup(
     ``id_col``.  Reference analog: the handler's whole-record dedup,
     /root/reference/src/handler/handler.py:95-97, at sub-document grain.
     """
-    words = F.split(F.col(text_col), " ")
+    # NULL text would make the whole segment expression NULL and the
+    # posexplode emit zero rows — silently dropping the document; coalesce
+    # keeps the one-row-per-input-document contract (a NULL/empty doc
+    # yields one empty segment, deduped like any other).
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_segs = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - F.lit(1)),

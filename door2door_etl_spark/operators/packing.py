@@ -304,42 +304,61 @@ def write_training_shards(
 
     Shard assignment is ``(shuffle_pos - 1) * num_shards // total`` over
     :func:`epoch_shuffle`'s seeded global positions: contiguous position
-    ranges -> shards are balanced to within one row AND reading shards in
-    filename order replays the exact shuffled order.  The write is one
-    range-free ``partitionBy`` on the shard column (shard count bounds
-    output files); the manifest records counts from one bounded aggregate
-    — nothing about the data passes through the driver.
+    ranges -> shards are balanced to within one row AND reading shard dirs
+    in filename order replays the exact shuffled order — shard values are
+    ZERO-PADDED (``shard=03``) so lexicographic dir order IS numeric order
+    at any shard count.  The shuffled frame is persisted across the
+    count / write / per-shard-count passes (the epoch shuffle's
+    corpus-wide scan runs ONCE, not three times) and unpersisted before
+    returning; the manifest records counts from one bounded aggregate —
+    nothing about the data passes through the driver.
 
-    Returns the manifest dict (also written to ``<out_dir>/manifest.json``):
+    Returns the manifest dict (also written to ``<out_dir>/_manifest.json``
+    — underscore-prefixed so Spark's file listing skips it and a
+    whole-dataset ``spark.read.parquet(out_dir)`` still works):
     ``{"num_shards", "total_rows", "seed", "rows_per_shard": {shard: n}}``.
     """
     import json as _json
     import os as _os
 
-    shuffled = epoch_shuffle(df, seed=seed, id_col=id_col)
-    total = shuffled.count()
-    # exact integer division — no double-rounding at any total
-    with_shard = shuffled.withColumn(
-        "shard",
-        F.expr(f"(CAST(shuffle_pos AS BIGINT) - 1) * {num_shards} div {max(total, 1)}"),
-    )
-    (
-        with_shard.repartition("shard")
-        .sortWithinPartitions("shuffle_pos")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
-    counts = {
-        int(r["shard"]): r["n"]
-        for r in with_shard.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    width = len(str(max(num_shards - 1, 0)))
+    shuffled = epoch_shuffle(df, seed=seed, id_col=id_col).persist()
+    try:
+        total = shuffled.count()
+        # exact integer division — no double-rounding at any total
+        with_shard = shuffled.withColumn(
+            "shard",
+            F.lpad(
+                F.expr(
+                    f"CAST((CAST(shuffle_pos AS BIGINT) - 1) * {num_shards} "
+                    f"div {max(total, 1)} AS STRING)"
+                ),
+                width,
+                "0",
+            ),
+        )
+        (
+            with_shard.repartition("shard")
+            .sortWithinPartitions("shuffle_pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        counts = {
+            r["shard"]: r["n"]
+            for r in with_shard.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        shuffled.unpersist()
+    keys = [str(k).zfill(width) for k in range(num_shards)]
     manifest = {
         "num_shards": num_shards,
         "total_rows": total,
         "seed": seed,
-        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(num_shards)},
+        "rows_per_shard": {k: counts.get(k, 0) for k in keys},
     }
-    with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
+    with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, sort_keys=True)
     return manifest

@@ -503,9 +503,16 @@ def bloom_probe(
     The bit set is bounded at ``m`` rows by construction, so it is
     collected once and folded into a literal array — the probe is pure
     map-side column arithmetic (k ``array_contains`` tests), no join, no
-    extra scan of either side."""
-    bits = sorted(r["bit"] for r in bloom.select("bit").collect())
-    lit_bits = F.array(*[F.lit(int(b)) for b in bits]) if bits else F.array().cast("array<int>")
+    extra scan of either side.  The literal is ONE parsed expression
+    string (the repo's driver-cost discipline — m=256 individual
+    ``F.lit`` objects would re-introduce the py4j build cost this family
+    documents avoiding)."""
+    bits = sorted(int(r["bit"]) for r in bloom.select("bit").collect())
+    lit_bits = (
+        F.expr("array(" + ",".join(map(str, bits)) + ")")
+        if bits
+        else F.expr("CAST(array() AS array<int>)")
+    )
     present = None
     for j in range(k):
         test = F.array_contains(
@@ -561,10 +568,16 @@ def temperature_mix_sample(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
     nmin = counts.agg(F.min("_n").alias("_nmin"))
+    # pow() is not correctly rounded and differs in the last ulp across
+    # engines; round the rate BEFORE the threshold compare so the keep
+    # decision is bit-stable (same discipline as gopher_quality_flags).
     rates = (
         counts.crossJoin(F.broadcast(nmin))
         .withColumn(
-            "_rate", F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha))
+            "_rate",
+            F.round(
+                F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha)), 9
+            ),
         )
         .select(group_col, "_rate")
     )

@@ -546,7 +546,7 @@ WITH counts AS (
 ), nmin AS (
   SELECT min(n) AS nmin FROM counts
 ), rates AS (
-  SELECT lang, pow(nmin / n, 1.0 - {MIX_ALPHA}) AS rate FROM counts, nmin
+  SELECT lang, round(pow(nmin / n, 1.0 - {MIX_ALPHA}), 9) AS rate FROM counts, nmin
 )
 SELECT d.lang, count(*) AS n_kept,
        CAST(sum(d.n_chars) AS BIGINT) AS chars_kept

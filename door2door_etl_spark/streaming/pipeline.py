@@ -517,10 +517,14 @@ def stream_heavy_hitters(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Derive key/item types from the input schema — hardcoding 'string'
+    # would crash Arrow conversion inside the executor for e.g. int keys.
+    types = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    key_t, item_t = types[key_col], types[item_col]
     out_schema = (
-        f"{key_col} string, item string, est_count long, rank int"
+        f"{key_col} {key_t}, item {item_t}, est_count long, rank int"
     )
-    state_schema = "items array<string>, counts array<long>"
+    state_schema = f"items array<{item_t}>, counts array<long>"
 
     def update(key, pdfs, state: GroupState):
         if state.exists:

@@ -1210,20 +1210,26 @@ def test_write_training_shards_balanced_and_order_preserving(spark, tmp_path):
 
     df = spark.createDataFrame([(i, f"t{i}") for i in range(103)], "doc_id int, text string")
     out = str(tmp_path / "shards")
-    man = write_training_shards(df, out, num_shards=4, seed=7)
-    assert man["total_rows"] == 103 and man["num_shards"] == 4
+    man = write_training_shards(df, out, num_shards=12, seed=7)
+    assert man["total_rows"] == 103 and man["num_shards"] == 12
     sizes = sorted(man["rows_per_shard"].values())
     assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1  # balanced
-    assert _json.load(open(tmp_path / "shards" / "manifest.json")) == man
+    assert _json.load(open(tmp_path / "shards" / "_manifest.json")) == man
+    # the manifest must not break a whole-dataset read (underscore-hidden)
+    assert spark.read.parquet(out).count() == 103
 
-    # reading shards in shard order, each sorted by shuffle_pos, replays
-    # the exact seeded global order
+    # reading shard DIRS in lexicographic filename order replays the exact
+    # seeded global order — zero-padding makes that hold past 10 shards
+    import os as _os
+
+    shard_dirs = sorted(
+        d for d in _os.listdir(out) if d.startswith("shard=")
+    )
+    assert shard_dirs[:3] == ["shard=00", "shard=01", "shard=02"]
     got = [
         r["doc_id"]
-        for s in range(4)
-        for r in spark.read.parquet(f"{out}/shard={s}")
-        .orderBy("shuffle_pos")
-        .collect()
+        for d in shard_dirs
+        for r in spark.read.parquet(f"{out}/{d}").orderBy("shuffle_pos").collect()
     ]
     expect = [
         r["doc_id"]
@@ -1231,11 +1237,13 @@ def test_write_training_shards_balanced_and_order_preserving(spark, tmp_path):
     ]
     assert got == expect
     # a different seed re-deals the order
-    man2 = write_training_shards(df, str(tmp_path / "s2"), num_shards=4, seed=8)
+    write_training_shards(df, str(tmp_path / "s2"), num_shards=12, seed=8)
     got2 = [
         r["doc_id"]
-        for s in range(4)
-        for r in spark.read.parquet(f"{tmp_path}/s2/shard={s}")
+        for d in sorted(
+            x for x in _os.listdir(tmp_path / "s2") if x.startswith("shard=")
+        )
+        for r in spark.read.parquet(f"{tmp_path}/s2/{d}")
         .orderBy("shuffle_pos")
         .collect()
     ]

@@ -934,3 +934,12 @@ def test_describe_history_posix_layout(spark, tmp_path):
     assert [h["version"] for h in hist] == [2, 1]
     assert hist[0]["current"] and not hist[1]["current"]
     assert all(h["n_files"] >= 1 and h["committed_at"] for h in hist)
+
+
+def test_describe_history_plain_directory_degrades_gracefully(tmp_path):
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+
+    plain = tmp_path / "never_committed"
+    plain.mkdir()
+    assert VersionedParquetTable(str(plain)).describe_history() == []
+    assert VersionedParquetTable(str(tmp_path / "missing")).describe_history() == []
