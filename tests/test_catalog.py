@@ -31,6 +31,9 @@ def test_contract_shape():
         # (ns_minhash_lsh_pairs) is the oracle-checked path and the hash-
         # family parity property test pins the fast path to it.
         "ns_minhash_lsh_pairs_fast",
+        # genuinely iterative (per-round argmax + fold): no single-statement
+        # SQL oracle; the Sennrich worked example pins exact values.
+        "ns_bpe_merges",
     }
     assert len(qs) == len(QUERIES)
 
