@@ -813,3 +813,139 @@ TRAINING_QUERIES.append(
         ("northstar", "profiling"),
     )
 )
+
+
+CTX_BUCKET_CAP = 512
+
+
+def q_packing_efficiency_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: per power-of-two
+    token-length bucket, document counts, real tokens, padded slots
+    (bucket ceiling x docs), and the waste fraction — the measurement that
+    justifies (or resizes) the bucketing scheme before a training run.
+    One scan; bucket = 2^ceil(log2(len)) capped at the context size."""
+    docs = load_table(spark, sf, "documents")
+    tc = token_count(F.col("text"))
+    bucket = F.least(
+        F.lit(CTX_BUCKET_CAP),
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(tc, F.lit(1)).cast("double")))).cast("int"),
+    )
+    return (
+        docs.select(tc.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("real_tokens"),
+            (F.count(F.lit(1)) * F.first("bucket")).cast("bigint").alias("padded_slots"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("n_tok").cast("bigint")).cast("double")
+                / (F.count(F.lit(1)) * F.first("bucket")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+def _sql_packing_efficiency_report() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH t AS (
+  SELECT len({toks}) AS n_tok FROM documents
+), b AS (
+  SELECT n_tok,
+         least({CTX_BUCKET_CAP},
+               CAST(pow(2.0, ceil(log2(CAST(greatest(n_tok, 1) AS DOUBLE))))
+                    AS INT)) AS bucket
+  FROM t)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_slots,
+       round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+                   / CAST(count(*) * bucket AS DOUBLE), 6) AS waste_frac
+FROM b GROUP BY bucket
+"""
+
+
+def q_corpus_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus diversity per language: type-token ratio and distinct-
+    trigram ratio — low values flag TEMPLATED/repetitive sources before
+    they skew training.  Two bounded-key aggregations over one logical
+    token/shingle pass."""
+    from door2door_etl_spark.operators.text import shingles
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    tok_stats = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+    )
+    tris = docs.select(
+        "lang", F.explode(shingles(F.col("text"), 3)).alias("tri")
+    )
+    tri_stats = tris.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_trigrams"),
+        F.countDistinct("tri").alias("distinct_trigrams"),
+    )
+    return (
+        tok_stats.join(tri_stats, "lang")
+        .select(
+            "lang",
+            "total_tokens",
+            "distinct_tokens",
+            F.round(
+                F.col("distinct_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("distinct_trigrams").cast("double") / F.col("total_trigrams"),
+                6,
+            ).alias("distinct_trigram_ratio"),
+        )
+    )
+
+
+def _sql_corpus_ngram_diversity() -> str:
+    from door2door_etl_spark.queries.sql_fragments import sql_shingles
+
+    toks = sql_tokens("text")
+    tris = sql_shingles("text", 3)
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest({toks}) AS tok FROM documents
+), ts AS (
+  SELECT lang, count(*) AS total_tokens,
+         count(DISTINCT tok) AS distinct_tokens
+  FROM tok GROUP BY 1
+), tri AS (
+  SELECT lang, unnest({tris}) AS tri FROM documents
+), trs AS (
+  SELECT lang, count(*) AS total_trigrams,
+         count(DISTINCT tri) AS distinct_trigrams
+  FROM tri GROUP BY 1)
+SELECT lang, total_tokens, distinct_tokens,
+       round(CAST(distinct_tokens AS DOUBLE) / total_tokens, 6)
+         AS type_token_ratio,
+       round(CAST(distinct_trigrams AS DOUBLE) / total_trigrams, 6)
+         AS distinct_trigram_ratio
+FROM ts JOIN trs USING (lang)
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_packing_efficiency_report",
+            q_packing_efficiency_report,
+            _sql_packing_efficiency_report(),
+            "north-star packing/padding-waste-audit",
+            ("northstar", "packing"),
+        ),
+        QueryDef(
+            "ns_corpus_ngram_diversity",
+            q_corpus_ngram_diversity,
+            _sql_corpus_ngram_diversity(),
+            "north-star text/corpus-diversity",
+            ("northstar", "text"),
+        ),
+    ]
+)
