@@ -302,7 +302,9 @@ def diagnose_key_skew(
     )
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
     """Data-profiling report: one row per column — ``(column, n_rows,
     n_null, n_distinct, min_value, max_value)`` with extremes rendered as
     strings so heterogeneous column types share one schema.
@@ -322,7 +324,11 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.lit(c).alias("column"),
                 F.count(F.lit(1)).alias("n_rows"),
                 (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_null"),
-                F.countDistinct(F.col(c)).alias("n_distinct"),
+                (
+                    F.approx_count_distinct(F.col(c))
+                    if approx
+                    else F.countDistinct(F.col(c))
+                ).alias("n_distinct"),
                 F.min(F.col(c)).cast("string").alias("min_value"),
                 F.max(F.col(c)).cast("string").alias("max_value"),
             ).alias(f"_m_{c}")

@@ -1287,3 +1287,13 @@ def test_bpe_train_matches_sennrich_example_and_encode_roundtrips(spark):
     chars = bpe_encode(df, []).select("bpe_tokens").first()[0]
     assert "".join(chars) == text.replace(" ", "")
     assert all(len(c) == 1 for c in chars)
+
+
+def test_profile_columns_approx_path_brackets_exact(spark):
+    from door2door_etl_spark.operators.relational import profile_columns
+
+    df = spark.createDataFrame([(i % 500,) for i in range(5000)], "x int")
+    exact = profile_columns(df, ["x"]).first()
+    approx = profile_columns(df, ["x"], approx=True).first()
+    assert exact["n_distinct"] == 500
+    assert abs(approx["n_distinct"] - 500) / 500 < 0.15  # rsd 5%, 3 sigma
