@@ -345,19 +345,23 @@ def write_training_shards(
             .parquet(out_dir)
         )
         counts = {
-            r["shard"]: r["n"]
+            # Manifest keys are PLAIN integer strings ("0".."15"), matching
+            # str() of the shard partition column a whole-dataset read
+            # returns (Spark's partition type inference parses "shard=03"
+            # back to int 3); only the DIR names stay zero-padded, for
+            # lexicographic replay order.
+            str(int(r["shard"])): r["n"]
             for r in with_shard.groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
     finally:
         shuffled.unpersist()
-    keys = [str(k).zfill(width) for k in range(num_shards)]
     manifest = {
         "num_shards": num_shards,
         "total_rows": total,
         "seed": seed,
-        "rows_per_shard": {k: counts.get(k, 0) for k in keys},
+        "rows_per_shard": {str(k): counts.get(str(k), 0) for k in range(num_shards)},
     }
     with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, sort_keys=True)

@@ -312,9 +312,11 @@ def profile_columns(
     The whole profile is ONE aggregate over ONE scan: every column's
     metrics are computed as parallel aggregate expressions, packed into an
     array of structs, and exploded into rows — profiling k columns costs
-    the same scan as profiling one.  ``n_distinct`` is exact here (the
-    oracle-checkable form); at 100 TB swap in the mergeable HLL register
-    table from ``operators.sketches`` per column.  Reference analog: the
+    the same scan as profiling one.  ``n_distinct`` is EXACT by default
+    (a full distinct per column — the oracle-checkable form);
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct``'s
+    mergeable HLL state (~5% rsd) aggregates map-side so the profile never
+    shuffles more than sketch partials.  Reference analog: the
     monitoring queries the pipeline runs over its warehouse tables,
     /root/reference/src/helper/postgres.py:88-129."""
     aggs = []

@@ -163,15 +163,23 @@ def shingles(col: Column, n: int = 5) -> Column:
     through lambda bodies), which is O(tokens²) per document — measured as
     the dominant cost of every shingle-based operator at sf0.1."""
 
-    def build(toks: Column) -> Column:
-        k = F.size(toks)
-        idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
-        return F.when(
-            k >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.transform(
+        F.array(tokens(col)), lambda toks: shingles_from_tokens(toks, n)
+    )[0]
 
-    return F.transform(F.array(tokens(col)), build)[0]
+
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Shingle construction from an ALREADY-materialized token array —
+    the building block :func:`shingles` binds its tokens into, exposed so
+    callers that need both tokens and shingles derive them from ONE
+    tokenize (the tokenizer regex is the dominant cost of every
+    shingle-based operator)."""
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
+    return F.when(
+        k >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def fingerprint(col: Column, n: int = 5) -> Column:

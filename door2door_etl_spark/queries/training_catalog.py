@@ -53,12 +53,13 @@ SQL_SEGMENT_DEDUP_CORPUS = f"""
 WITH segs AS (
   SELECT doc_id, s.seg_idx,
          array_to_string(
-           (string_split(text, ' '))[s.seg_idx * {SEG_WORDS} + 1
+           (string_split(coalesce(text, ''), ' '))[s.seg_idx * {SEG_WORDS} + 1
                                      : s.seg_idx * {SEG_WORDS} + {SEG_WORDS}],
            ' ') AS seg_text
   FROM documents,
        LATERAL (SELECT unnest(generate_series(0,
-                  CAST(ceil(len(string_split(text, ' ')) / {SEG_WORDS}.0)
+                  CAST(ceil(len(string_split(coalesce(text, ''), ' '))
+                            / {SEG_WORDS}.0)
                        AS INT) - 1)) AS seg_idx) s
 ), ranked AS (
   SELECT doc_id, seg_idx, seg_text,
@@ -830,16 +831,20 @@ def q_packing_efficiency_report(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(CTX_BUCKET_CAP),
         F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(tc, F.lit(1)).cast("double")))).cast("int"),
     )
+    # over-cap documents are truncated at the context size in practice, so
+    # the consumed-token side is capped at the bucket — otherwise the top
+    # bucket's waste goes negative and masks the resize decision.
+    consumed = F.least(tc, bucket).cast("bigint")
     return (
-        docs.select(tc.alias("n_tok"), bucket.alias("bucket"))
+        docs.select(consumed.alias("used_tok"), bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_tok").cast("bigint")).alias("real_tokens"),
+            F.sum("used_tok").alias("used_tokens"),
             (F.count(F.lit(1)) * F.first("bucket")).cast("bigint").alias("padded_slots"),
             F.round(
                 F.lit(1.0)
-                - F.sum(F.col("n_tok").cast("bigint")).cast("double")
+                - F.sum("used_tok").cast("double")
                 / (F.count(F.lit(1)) * F.first("bucket")).cast("double"),
                 6,
             ).alias("waste_frac"),
@@ -859,9 +864,9 @@ WITH t AS (
                     AS INT)) AS bucket
   FROM t)
 SELECT bucket, count(*) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(sum(least(n_tok, bucket)) AS BIGINT) AS used_tokens,
        CAST(count(*) * bucket AS BIGINT) AS padded_slots,
-       round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+       round(1.0 - CAST(sum(least(n_tok, bucket)) AS DOUBLE)
                    / CAST(count(*) * bucket AS DOUBLE), 6) AS waste_frac
 FROM b GROUP BY bucket
 """
@@ -870,22 +875,42 @@ FROM b GROUP BY bucket
 def q_corpus_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus diversity per language: type-token ratio and distinct-
     trigram ratio — low values flag TEMPLATED/repetitive sources before
-    they skew training.  Two bounded-key aggregations over one logical
-    token/shingle pass."""
-    from door2door_etl_spark.operators.text import shingles
+    they skew training.  ONE corpus scan: tokens and trigrams derive from
+    the same materialized token array, tagged into a single exploded
+    stream aggregated once per (lang, kind)."""
+    from door2door_etl_spark.operators.text import shingles_from_tokens
 
     docs = load_table(spark, sf, "documents")
-    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
-    tok_stats = toks.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("total_tokens"),
-        F.countDistinct("tok").alias("distinct_tokens"),
+    # ONE tokenize, ONE scan, ONE explode: tokens and trigrams are both
+    # derived from the same materialized token array and tagged into a
+    # single exploded stream (two independent aggregations would scan and
+    # re-tokenize the corpus twice).
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    tagged = docs.select(
+        "lang",
+        F.explode(
+            F.transform(F.array(toks), lambda t: F.concat(
+                F.transform(t, lambda x: F.struct(F.lit("tok").alias("kind"), x.alias("v"))),
+                F.transform(
+                    shingles_from_tokens(t, 3),
+                    lambda x: F.struct(F.lit("tri").alias("kind"), x.alias("v")),
+                ),
+            ))[0]
+        ).alias("e"),
+    ).select("lang", F.col("e.kind").alias("kind"), F.col("e.v").alias("v"))
+    stats = tagged.groupBy("lang", "kind").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("v").alias("distinct"),
     )
-    tris = docs.select(
-        "lang", F.explode(shingles(F.col("text"), 3)).alias("tri")
+    tok_stats = stats.filter(F.col("kind") == "tok").select(
+        "lang",
+        F.col("total").alias("total_tokens"),
+        F.col("distinct").alias("distinct_tokens"),
     )
-    tri_stats = tris.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("total_trigrams"),
-        F.countDistinct("tri").alias("distinct_trigrams"),
+    tri_stats = stats.filter(F.col("kind") == "tri").select(
+        "lang",
+        F.col("total").alias("total_trigrams"),
+        F.col("distinct").alias("distinct_trigrams"),
     )
     return (
         tok_stats.join(tri_stats, "lang")
@@ -907,8 +932,8 @@ def q_corpus_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_corpus_ngram_diversity() -> str:
     from door2door_etl_spark.queries.sql_fragments import sql_shingles
 
-    toks = sql_tokens("text")
-    tris = sql_shingles("text", 3)
+    toks = sql_tokens("coalesce(text, '')")
+    tris = sql_shingles("coalesce(text, '')", 3)
     return f"""
 WITH tok AS (
   SELECT lang, unnest({toks}) AS tok FROM documents

@@ -1297,3 +1297,36 @@ def test_profile_columns_approx_path_brackets_exact(spark):
     approx = profile_columns(df, ["x"], approx=True).first()
     assert exact["n_distinct"] == 500
     assert abs(approx["n_distinct"] - 500) / 500 < 0.15  # rsd 5%, 3 sigma
+
+
+def test_segment_dedup_null_text_parity_with_oracle(spark, tmp_path):
+    """The NULL-text contract is pinned on BOTH engines: the Spark operator
+    keeps a NULL-text doc as one empty-segment row, and the DuckDB oracle
+    (coalesce-fixed) produces the identical result — the catalog data has
+    no NULLs, so without this test the symmetry claim would be untested
+    for the very input the coalesce fix targets."""
+    import duckdb
+
+    from door2door_etl_spark.operators.dedup import segment_dedup
+    from door2door_etl_spark.queries.training_catalog import (
+        SQL_SEGMENT_DEDUP_CORPUS,
+    )
+
+    rows = [(1, "w0 w1 w2"), (2, None), (3, "w0 w1 w2 tail")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pq = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+
+    got = {
+        r["doc_id"]: (r["segs_total"], r["segs_kept"], r["clean_text"])
+        for r in segment_dedup(docs).collect()
+    }
+    assert got[2] == (1, 1, "")  # NULL doc survives as one empty segment
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(SQL_SEGMENT_DEDUP_CORPUS).fetchall()
+    }
+    assert oracle == got
