@@ -1026,3 +1026,27 @@ def test_reproducible_training_order_from_pinned_snapshot(spark, tmp_path):
     assert order(v1) == o1  # pinned snapshot -> identical order
     o2 = order(table.current_version())
     assert set(o2) == set(range(30)) | {100} and o2 != o1
+
+
+def test_file_gc_never_sweeps_young_unclaimed_staging_output(spark, tmp_path):
+    """An in-flight writer's placed-but-unclaimed data files must survive
+    an explicit gc_files vacuum: the age floor (stale_staging_hours) is
+    what makes concurrent maintenance safe — only files old enough that
+    no live writer could still be about to claim them are swept."""
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p0")]), key="k")
+    table = ManifestTable(root)
+    # simulate a concurrent writer mid-commit: files placed, claim pending
+    staging = os.path.join(root, ".staging.inflight")
+    placed = table._stage_and_place(
+        _mk(spark, [(9, "pending", "p0")]).write.mode("overwrite"), staging
+    )
+    assert placed
+    removed = table.vacuum(keep=1, min_age_hours=0, gc_files=True)
+    for rel in placed:  # young unreferenced files survive the sweep
+        assert os.path.exists(os.path.join(table.files_dir, rel)), removed
+    # once past the age floor they are garbage and go
+    removed2 = table.vacuum(
+        keep=1, min_age_hours=0, stale_staging_hours=0, gc_files=True
+    )
+    assert set(placed) <= set(removed2)
