@@ -86,12 +86,14 @@ _MANIFEST_RE = re.compile(r"^data-v(\d{8})\.json$")
 def _dv_file_key():
     """Column: a data file's identity for deletion vectors — its relpath
     under the layout's ``_files/`` dir, cut from the scan's
-    ``_metadata.file_path`` URI (greedy prefix keeps the LAST marker, in
-    case a user's root path itself contains ``/_files/``)."""
+    ``_metadata.file_path`` URI at the LAST ``/_files/`` marker (in case
+    a user's root path itself contains one).  ``substring_index(…, -1)``
+    rather than a regexp: same cut, a fraction of the per-row cost on a
+    column evaluated for every scanned row of a DV'd table."""
     from pyspark.sql import functions as F
 
-    return F.regexp_extract(
-        F.col("_metadata.file_path"), "^.*/_files/(.*)$", 1
+    return F.substring_index(
+        F.col("_metadata.file_path"), "/_files/", -1
     )
 
 
