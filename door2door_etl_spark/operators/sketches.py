@@ -586,3 +586,65 @@ def temperature_mix_sample(
         .filter(uniform_hash(F.col(key_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: int = 0,
+    salt: str = "negsample",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for every anchor row, ``k`` pseudo-random OTHER rows drawn by portable
+    hash — reproducible across engines/reruns/partitionings, unlike any
+    rand()-based pairing.
+
+    Mechanics: rows get stable 1-based positions from the seeded epoch
+    shuffle (two-phase distributed scan — no one-task window), each
+    (anchor, j) addresses position ``1 + h52(anchor|j|salt) % N``, and one
+    position-keyed join resolves ids.  Anchor==negative collisions are
+    dropped (probability k/N), so output has AT MOST k rows per anchor —
+    document, don't silently resample.  Scale: the join is uniformly
+    keyed by construction; everything else is map-side.
+
+    Returns ``(id_col, neg_rank int, negative_id)``.
+    """
+    from door2door_etl_spark.operators.packing import epoch_shuffle
+
+    pos = epoch_shuffle(df.select(id_col), seed=seed, id_col=id_col)
+    n = pos.count()
+    targets = pos.select(F.col(id_col)).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("neg_rank"),
+                        (
+                            _h52(
+                                F.concat_ws(
+                                    "|", F.col(id_col).cast("string"), F.lit(str(j))
+                                ),
+                                salt,
+                            )
+                            % F.lit(n)
+                            + 1
+                        ).alias("target_pos"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.neg_rank").alias("neg_rank"), F.col("t.target_pos").alias("target_pos"))
+    resolved = targets.join(
+        pos.select(
+            F.col(id_col).alias("negative_id"),
+            F.col("shuffle_pos").alias("target_pos"),
+        ),
+        "target_pos",
+    )
+    return (
+        resolved.filter(F.col(id_col) != F.col("negative_id"))
+        .select(id_col, "neg_rank", "negative_id")
+    )

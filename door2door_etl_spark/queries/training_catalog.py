@@ -974,3 +974,123 @@ TRAINING_QUERIES.extend(
         ),
     ]
 )
+
+
+# --- contrastive negative sampling ----------------------------------------
+
+NEG_K = 4
+NEG_SEED = 0
+
+
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic uniform negatives for contrastive training: every
+    embedding row draws 4 pseudo-random OTHER rows via the portable hash
+    over seeded shuffle positions — reproducible pairing no rand() can
+    give (operators.sketches.negative_samples; anchor==negative
+    collisions drop, so <= k rows per anchor)."""
+    from door2door_etl_spark.operators.sketches import negative_samples
+
+    emb = load_table(spark, sf, "embeddings")
+    return negative_samples(emb, "vec_id", k=NEG_K, seed=NEG_SEED)
+
+
+def _sql_negative_samples() -> str:
+    h = (
+        "CAST(concat('0x', substr(sha256(CAST(e.vec_id AS VARCHAR) || '|' "
+        "|| CAST(j.neg_rank AS VARCHAR) || 'negsample'), 1, 13)) AS BIGINT)"
+    )
+    ranks = ", ".join(str(j) for j in range(NEG_K))
+    return f"""
+WITH pos AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY sha256('{NEG_SEED}' || '|' || CAST(vec_id AS VARCHAR)))
+           AS p
+  FROM embeddings
+), n AS (SELECT count(*) AS n FROM embeddings),
+tgt AS (
+  SELECT e.vec_id, j.neg_rank,
+         {h} % (SELECT n FROM n) + 1 AS target_pos
+  FROM embeddings e,
+       LATERAL (SELECT unnest([{ranks}]) AS neg_rank) j)
+SELECT t.vec_id, CAST(t.neg_rank AS INT) AS neg_rank,
+       p.vec_id AS negative_id
+FROM tgt t JOIN pos p ON p.p = t.target_pos
+WHERE t.vec_id != p.vec_id
+"""
+
+
+HARDNEG_QUERIES = [0, 1, 2]
+HARDNEG_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining: for each query embedding, the top-5 most
+    cosine-similar vectors with a DIFFERENT label — the contrastive pairs
+    that actually teach a model (uniform negatives are trivially easy).
+    The 3-row query side broadcasts against the corpus; per-query top-k
+    runs as WindowGroupLimit (operators.relational.topk_per_group)."""
+    from door2door_etl_spark.operators.relational import topk_per_group
+    from door2door_etl_spark.operators.similarity import cosine_similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(HARDNEG_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 8
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.desc("cosine"), F.col("vec_id")], HARDNEG_K
+    ).select("query_id", "vec_id", "cosine")
+
+
+def _sql_hard_negatives() -> str:
+    from door2door_etl_spark.queries.sql_fragments import sql_cosine
+
+    ids = ", ".join(str(i) for i in HARDNEG_QUERIES)
+    cos = sql_cosine("e.embedding", "q.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding, label FROM embeddings
+  WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 8) AS cosine
+  FROM embeddings e JOIN q ON e.label != q.label
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {HARDNEG_K}
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_negative_samples",
+            q_negative_samples,
+            _sql_negative_samples(),
+            "north-star sampling/contrastive-uniform-negatives",
+            ("northstar", "sampling"),
+        ),
+        QueryDef(
+            "ns_hard_negatives",
+            q_hard_negatives,
+            _sql_hard_negatives(),
+            "north-star similarity/hard-negative-mining",
+            ("northstar", "similarity"),
+        ),
+    ]
+)

@@ -1330,3 +1330,27 @@ def test_segment_dedup_null_text_parity_with_oracle(spark, tmp_path):
         for r in con.sql(SQL_SEGMENT_DEDUP_CORPUS).fetchall()
     }
     assert oracle == got
+
+
+def test_negative_samples_deterministic_no_self_pairs(spark):
+    from door2door_etl_spark.operators.sketches import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id int")
+    s1 = negative_samples(df, "id", k=3, seed=5)
+    rows = s1.collect()
+    by_anchor = {}
+    for r in rows:
+        assert r["id"] != r["negative_id"]  # never a self-pair
+        by_anchor.setdefault(r["id"], []).append(r["neg_rank"])
+    assert all(len(v) <= 3 for v in by_anchor.values())
+    assert sum(len(v) for v in by_anchor.values()) >= 200 * 3 - 10
+    # stable under repartitioning (the property rand() pairing cannot give)
+    s2 = negative_samples(df.repartition(17), "id", k=3, seed=5)
+    assert {(r["id"], r["neg_rank"], r["negative_id"]) for r in s2.collect()} == {
+        (r["id"], r["neg_rank"], r["negative_id"]) for r in rows
+    }
+    # a different seed re-deals the pairing
+    s3 = negative_samples(df, "id", k=3, seed=6)
+    assert {(r["id"], r["neg_rank"], r["negative_id"]) for r in s3.collect()} != {
+        (r["id"], r["neg_rank"], r["negative_id"]) for r in rows
+    }
