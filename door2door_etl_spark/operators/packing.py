@@ -150,6 +150,7 @@ def epoch_shuffle(
     seed: int,
     id_col: str = "doc_id",
     out_col: str = "shuffle_pos",
+    persist_input: bool = True,
 ) -> DataFrame:
     """Deterministic epoch shuffle: add ``out_col`` = the row's 1-based
     position in a seeded pseudorandom global order (the reproducible
@@ -162,6 +163,11 @@ def epoch_shuffle(
     task at scale, so this reuses :func:`contiguous_token_chunks`'s
     two-phase distributed scan with unit weights and a unit budget: the
     exclusive prefix count of rows IS the 0-based position.
+
+    ``persist_input`` passes through to the two-phase scan (see
+    :func:`contiguous_token_chunks`): pass ``False`` when the result is
+    consumed exactly once — a single-consumer caller otherwise leaks a
+    cached relation it has no handle to release.
     """
     keyed = df.withColumn(
         "_shuffle_key",
@@ -169,7 +175,9 @@ def epoch_shuffle(
             F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")), 256
         ),
     ).withColumn("_one", F.lit(1))
-    out = contiguous_token_chunks(keyed, "_shuffle_key", "_one", budget=1)
+    out = contiguous_token_chunks(
+        keyed, "_shuffle_key", "_one", budget=1, persist_input=persist_input
+    )
     return (
         out.withColumn(out_col, (F.col("chunk_id") + 1))
         .drop("chunk_id", "_one", "_shuffle_key")

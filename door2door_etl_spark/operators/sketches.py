@@ -608,15 +608,29 @@ def negative_samples(
     document, don't silently resample.  Scale: the join is uniformly
     keyed by construction; everything else is map-side.
 
+    NULL anchor ids are rejected (same posture as the MERGE key check:
+    concat_ws silently drops NULLs, which would silently desynchronize
+    the Spark and oracle hash inputs).
+
     Returns ``(id_col, neg_rank int, negative_id)``.
     """
     from door2door_etl_spark.operators.packing import epoch_shuffle
 
-    pos = epoch_shuffle(df.select(id_col), seed=seed, id_col=id_col)
-    n = pos.count()
-    targets = pos.select(F.col(id_col)).select(
+    if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"negative_samples: NULL values in {id_col!r}; a NULL anchor "
+            "cannot be hashed portably and would silently vanish"
+        )
+    # Count and anchors come from the raw input — only position RESOLUTION
+    # needs the shuffle lineage, and it is consumed exactly once, so the
+    # two-phase scan's cache is disabled (nothing would reuse it).
+    n = df.count()
+    pos = epoch_shuffle(
+        df.select(id_col), seed=seed, id_col=id_col, persist_input=False
+    )
+    targets = df.select(
         id_col,
-        F.explode(
+        F.inline(
             F.array(
                 *[
                     F.struct(
@@ -635,8 +649,8 @@ def negative_samples(
                     for j in range(k)
                 ]
             )
-        ).alias("t"),
-    ).select(id_col, F.col("t.neg_rank").alias("neg_rank"), F.col("t.target_pos").alias("target_pos"))
+        ),
+    )
     resolved = targets.join(
         pos.select(
             F.col(id_col).alias("negative_id"),

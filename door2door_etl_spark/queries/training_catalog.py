@@ -995,9 +995,10 @@ def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_negative_samples() -> str:
-    h = (
-        "CAST(concat('0x', substr(sha256(CAST(e.vec_id AS VARCHAR) || '|' "
-        "|| CAST(j.neg_rank AS VARCHAR) || 'negsample'), 1, 13)) AS BIGINT)"
+    # one portable-hash contract, one helper (sql_h52) — never re-encoded
+    h = sql_h52(
+        "CAST(e.vec_id AS VARCHAR) || '|' || CAST(j.neg_rank AS VARCHAR)",
+        "negsample",
     )
     ranks = ", ".join(str(j) for j in range(NEG_K))
     return f"""

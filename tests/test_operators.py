@@ -1354,3 +1354,10 @@ def test_negative_samples_deterministic_no_self_pairs(spark):
     assert {(r["id"], r["neg_rank"], r["negative_id"]) for r in s3.collect()} != {
         (r["id"], r["neg_rank"], r["negative_id"]) for r in rows
     }
+    # no leaked cached relations: the single-consumer shuffle runs uncached
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # NULL anchors are rejected loudly, not silently desynchronized
+    with pytest.raises(ValueError, match="NULL"):
+        negative_samples(
+            spark.createDataFrame([(1,), (None,)], "id int"), "id", k=2
+        ).collect()
