@@ -1355,11 +1355,14 @@ def test_negative_samples_deterministic_no_self_pairs(spark):
     assert {(r["id"], r["neg_rank"], r["negative_id"]) for r in s3.collect()} != {
         (r["id"], r["neg_rank"], r["negative_id"]) for r in rows
     }
-    # no leaked cached relations: the single-consumer shuffle runs uncached
-    # (census is RELATIVE — the shared session may carry other tests' caches)
+    # no leaked cached relations: the single-consumer shuffle runs uncached.
+    # Census is an upper bound relative to the test's start — the shared
+    # session may carry other tests' caches AND the ContextCleaner may
+    # asynchronously release them mid-test, so only an INCREASE would
+    # indicate a leak from this operator.
     assert (
         spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        == cached_before
+        <= cached_before
     )
     # NULL anchors are rejected loudly, not silently desynchronized
     with pytest.raises(ValueError, match="NULL"):
