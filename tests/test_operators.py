@@ -878,13 +878,16 @@ def test_incremental_lsh_dedup_cache_lifetime_bounded(spark):
         incremental_lsh_dedup(batch, corpus).count()
         del batch
     gc.collect()  # drop py4j refs so the context cleaner can run
-    for _ in range(20):  # cleaner is async; poll briefly
-        if spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1:
+    # The cleaner is async and this session is shared with ~400 tests, so
+    # poll generously and allow +2 slack: a real per-batch leak would add
+    # ~5+ entries (one per batch), which the bound still catches.
+    for _ in range(40):
+        if spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 2:
             break
         time.sleep(0.5)
         gc.collect()
     n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert n_cached <= before + 1, (
+    assert n_cached <= before + 2, (
         f"{n_cached} persistent RDDs after 5 batches (started at {before})"
     )
 
