@@ -82,6 +82,10 @@ from .versioned import ConcurrentWriteError, changes_between
 
 _MANIFEST_RE = re.compile(r"^data-v(\d{8})\.json$")
 
+# Column names the DV-masking read path injects and drops; user tables
+# must not carry them (enforced at the _claim commit gate).
+_DV_RESERVED = {"__dv_file", "__dv_row"}
+
 
 def _dv_file_key():
     """Column: a data file's identity for deletion vectors — its relpath
@@ -412,6 +416,16 @@ class ManifestTable:
         dvs: list[str] | None = None,
         op: str = "write",
     ) -> bool:
+        # Reject DV-reserved names at the commit gate: every commit path
+        # funnels through here, and a table that carried __dv_file /
+        # __dv_row would have those columns silently overwritten and
+        # dropped by the DV-masking anti-join on every read.
+        reserved = _DV_RESERVED & set(schema.fieldNames())
+        if reserved:
+            raise ValueError(
+                "column names reserved for deletion-vector bookkeeping: "
+                + ", ".join(sorted(reserved))
+            )
         record = {
             "version": version,
             "files": sorted(rels),

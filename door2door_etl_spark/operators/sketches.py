@@ -532,11 +532,18 @@ def group_reservoir_sample(
     reruns, and repartitionings.  Executes as WindowGroupLimit: every
     partial bounds its per-group state at ``n`` rows, so a group with a
     billion rows costs the same memory as one with ten.  Adds column
-    ``sample_rank`` (1-based, by deviate)."""
+    ``sample_rank`` (1-based, by deviate).
+
+    ``key_col`` is the secondary sort, so two DISTINCT keys whose hash
+    deviates collide still rank deterministically.  ``key_col`` values
+    must be unique within a group (same contract as
+    ``contiguous_token_chunks``): duplicate keys are indistinguishable
+    to the (deviate, key) ordering, so their relative rank — and hence
+    the sampled set at the boundary — would be partition-order luck."""
     from pyspark.sql import Window
 
     u = uniform_hash(F.col(key_col), salt)
-    w = Window.partitionBy(*group_cols).orderBy(u.alias("_u"))
+    w = Window.partitionBy(*group_cols).orderBy(u.alias("_u"), F.col(key_col))
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
@@ -563,7 +570,11 @@ def temperature_mix_sample(
     Scale: group counts are one tiny aggregate broadcast back onto the
     corpus; the corpus passes through a single map-side filter — no data
     shuffle (same shape as :func:`quota_mix_sample`, without needing the
-    shares up front)."""
+    shares up front).
+
+    A NULL ``group_col`` forms its own domain (null-safe rate join —
+    same posture as the merge path's null-partition handling); NULL
+    rows are sampled at their group's rate, never silently dropped."""
     counts = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
@@ -579,12 +590,15 @@ def temperature_mix_sample(
                 F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha)), 9
             ),
         )
-        .select(group_col, "_rate")
+        .select(F.col(group_col).alias("_mix_grp"), "_rate")
     )
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(group_col).eqNullSafe(F.col("_mix_grp")),
+        )
         .filter(uniform_hash(F.col(key_col), salt) < F.col("_rate"))
-        .drop("_rate")
+        .drop("_mix_grp", "_rate")
     )
 
 

@@ -490,7 +490,8 @@ SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY {sql_uniform_hash('doc_id', 'reservoir')}) AS sample_rank
+           ORDER BY {sql_uniform_hash('doc_id', 'reservoir')}, doc_id
+         ) AS sample_rank
   FROM documents)
 WHERE sample_rank <= {RESERVOIR_N}
 """
@@ -551,7 +552,7 @@ WITH counts AS (
 )
 SELECT d.lang, count(*) AS n_kept,
        CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
-FROM documents d JOIN rates r ON d.lang = r.lang
+FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
 WHERE {sql_uniform_hash('d.doc_id', 'tmix')} < r.rate
 GROUP BY d.lang
 """

@@ -234,6 +234,18 @@ def test_null_merge_key_rejected(spark, tmp_path):
         )
 
 
+def test_dv_reserved_column_names_rejected(spark, tmp_path):
+    """A table carrying __dv_file/__dv_row would be silently clobbered
+    then dropped by the DV-masking read; the commit gate refuses it."""
+    root = str(tmp_path / "tbl")
+    bad = spark.createDataFrame(
+        [(1, "f0", "p1")], "k int, __dv_file string, part string"
+    )
+    with pytest.raises(ValueError, match="__dv_file"):
+        merge_manifest(spark, root, bad, key="k")
+    assert ManifestTable(root).current_version() is None
+
+
 def test_delete_manifest_file_level_reuse(spark, tmp_path):
     root = str(tmp_path / "tbl")
     merge_manifest(

@@ -1203,6 +1203,25 @@ def test_temperature_mix_flattens_toward_alpha_shares(spark):
     assert natural.count() == 1700
 
 
+def test_temperature_mix_null_group_is_its_own_domain(spark):
+    from door2door_etl_spark.operators.sketches import temperature_mix_sample
+
+    rows = [(f"d{i}", "big") for i in range(1600)] + [
+        (f"n{i}", None) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    kept = temperature_mix_sample(df, "grp", "id", alpha=0.5)
+    counts = {
+        r["grp"]: r["n"]
+        for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # NULL is the smallest domain -> rate 1.0, never silently dropped
+    assert counts[None] == 100
+    assert 320 <= counts["big"] <= 480
+    # and output schema is unchanged (no helper columns leak)
+    assert kept.columns == df.columns
+
+
 def test_write_training_shards_balanced_and_order_preserving(spark, tmp_path):
     import json as _json
 
