@@ -668,3 +668,102 @@ def bpe_encode(
         F.transform(tokens(F.col(text_col)), encode_word)
     )
     return df.withColumn(out_col, encoded)
+
+
+def bpe_encode_scalable(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Production-scale twin of :func:`bpe_encode`: apply a learned merge
+    sequence via ONE Arrow-batched ``mapInPandas`` stage instead of
+    ``num_merges`` chained Catalyst folds.
+
+    The fold twin is UDF-free but its expression tree grows linearly in
+    the merge count — a real 30k-100k-merge vocabulary blows past
+    Catalyst/Janino method-size limits long before that.  Here the merge
+    table rides along as a plain ``{(left, right): rank}`` dict in the
+    task closure (~1 MB at 30k merges), and each word is encoded with the
+    canonical greedy min-rank loop (Sennrich ACL'16 ``apply_bpe`` /
+    GPT-2 ``bpe()`` shape): repeatedly merge all leftmost-non-overlapping
+    occurrences of the lowest-ranked adjacent pair until none applies.
+    For merge lists produced by :func:`bpe_train` this yields the same
+    encoding as folding the merges in rank order (pinned by the
+    equivalence tests); duplicate (left, right) pairs keep their FIRST
+    rank.
+
+    Scale: embarrassingly parallel — no shuffle, no driver state, cost
+    per word independent of vocabulary size (rank lookups are O(1); the
+    loop runs once per merge actually applied).  A per-batch distinct-word
+    cache collapses the Zipf head, so a billion-token partition encodes
+    roughly its unique-word count.  Python enters Arrow-batched only —
+    the package's sanctioned slow-path entry (same posture as the BLAS
+    cosine and multimodal plumbing).
+
+    Tokenization matches :func:`tokens` (lowercase, split on
+    ``[^a-z0-9]+``); NULL text yields NULL, same as the fold twin.
+    """
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks: dict[tuple[str, str], int] = {}
+    for m in merges:
+        ranks.setdefault((m["left"], m["right"]), int(m["rank"]))
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+    token_re = re.compile(TOKEN_SPLIT_REGEX)
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) >= 2:
+            best_rank = None
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, (syms[i], syms[i + 1])
+            if best is None:
+                break
+            left, right = best
+            merged, out, i = left + right, [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+
+        def encode_text(text):
+            if text is None:
+                return None
+            out: list[str] = []
+            for word in token_re.split(text.lower()):
+                if not word:
+                    continue
+                enc = cache.get(word)
+                if enc is None:
+                    enc = encode_word(word)
+                    cache[word] = enc
+                out.extend(enc)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(encode_text)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1391,3 +1391,70 @@ def test_negative_samples_deterministic_no_self_pairs(spark):
         negative_samples(
             spark.createDataFrame([(1,), (None,)], "id int"), "id", k=2
         ).collect()
+
+
+def test_bpe_encode_scalable_matches_fold_on_worked_example(spark):
+    from door2door_etl_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_scalable,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(text,), (None,)], "text string")
+    merges = bpe_train(df, 4)
+    fold = [r["bpe_tokens"] for r in bpe_encode(df, merges).collect()]
+    fast = [r["bpe_tokens"] for r in bpe_encode_scalable(df, merges).collect()]
+    assert fast == fold
+    assert fast[1] is None  # NULL text stays NULL in both twins
+
+    # >=1,000 merges: pad the learned sequence with inert vocabulary
+    # entries (symbols this corpus never produces) interleaved around the
+    # real rules — the fold twin cannot build an expression this deep, so
+    # the 4-rule fold output IS the expected encoding.
+    padded = []
+    rank = 0
+    for i, m in enumerate(merges):
+        for j in range(375):
+            padded.append(
+                {"rank": rank, "left": f"zq{i}_{j}x", "right": f"zq{i}_{j}y",
+                 "merged": f"zq{i}_{j}xzq{i}_{j}y"}
+            )
+            rank += 1
+        padded.append({**m, "rank": rank})
+        rank += 1
+    assert len(padded) >= 1500
+    fast_padded = [
+        r["bpe_tokens"] for r in bpe_encode_scalable(df, padded).collect()
+    ]
+    assert fast_padded == fold
+
+
+def test_bpe_encode_scalable_equivalence_property(spark):
+    """Fold-in-rank-order and greedy-min-rank agree on a corpus with
+    genuinely interacting merges (chains, overlaps, repeats)."""
+    import random
+
+    from door2door_etl_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_scalable,
+        bpe_train,
+    )
+
+    rng = random.Random(42)
+    vocab = ["aba", "abab", "bab", "aabb", "abba", "baab", "aaab", "abc",
+             "cab", "bca", "aa", "bb", "ab", "ba", "abcabc", "aabbaa"]
+    docs = [
+        (" ".join(rng.choices(vocab, k=rng.randint(3, 12))),)
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    merges = bpe_train(df, 40)
+    assert len(merges) >= 10  # the tiny alphabet must actually chain
+    fold = [r["bpe_tokens"] for r in bpe_encode(df, merges).collect()]
+    fast = [r["bpe_tokens"] for r in bpe_encode_scalable(df, merges).collect()]
+    assert fast == fold
+    # lossless on every row
+    text_of = [d[0] for d in docs]
+    for enc, t in zip(fast, text_of):
+        assert "".join(enc) == t.replace(" ", "")
