@@ -5,10 +5,11 @@ uses a cell id to block ANN search; these centroids are how a deployment
 derives that cell id from raw vectors in-engine).
 
 Spark-first shape, same as MLlib's implementation strategy:
-- **Assignment** never joins: the k centroids are driver-side literals
-  folded into one codegen-able expression per row (k·dim squared-diff
-  terms), so each iteration's assignment is a map-only pass over the
-  vectors — no shuffle, no Python.
+- **Assignment** never joins: the k centroids are driver-side literal
+  arrays folded into one loop-shaped expression per row (``zip_with`` +
+  ``aggregate`` per centroid — constant generated-code size in dim, so no
+  janino method-size fallback at any k·dim), and each iteration's
+  assignment is a map-only pass over the vectors — no shuffle, no Python.
 - **Update** is one groupBy per iteration (k·dim partial sums map-side
   combined), collecting k tiny rows to the driver for the next round's
   literals.
@@ -24,35 +25,34 @@ Cross-engine determinism (the DuckDB oracle unrolls the same iterations):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000.0
 
 
-def _dist2(vec_col: str, centroid: list[float], dim: int) -> F.Column:
-    """Squared L2 distance to a literal centroid, ascending-dim left fold."""
-    terms = [
-        F.pow(F.element_at(F.col(vec_col), d + 1).cast("double") - F.lit(centroid[d]), 2)
-        for d in range(dim)
-    ]
-    return reduce(lambda a, b: a + b, terms)
+def _dist2_sql(vec_col: str, centroid: list[float]) -> str:
+    """Squared L2 distance to a literal centroid, ascending-dim left fold —
+    loop-shaped (``zip_with`` + ``aggregate`` over a literal array) rather
+    than ``dim`` unrolled squared-diff terms: the unrolled form generated
+    ~150 Java lines per centroid and blew janino's 64 KB method limit at
+    k·dim = 256 (an ERROR-level codegen fallback in an otherwise green
+    run), while the loop form stays constant-size regardless of dim.  The
+    fold order is identical (aggregate is a left fold, zero start is exact
+    for non-negative terms), so the DuckDB oracle hash is unchanged.
+    ``repr(x)D`` literals round-trip doubles exactly."""
+    lits = ",".join(f"{x!r}D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        "(a, b) -> pow(CAST(a AS DOUBLE) - b, 2)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]], dim: int) -> DataFrame:
-    if len(centroids) * dim > 512:
-        import warnings
-
-        warnings.warn(
-            f"exact k-means assignment with k*dim={len(centroids) * dim} > 512 "
-            "builds a literal expression tree that exceeds janino's 64 KB "
-            "codegen limit and falls back to interpreted evaluation; use the "
-            "BLAS path (use_blas=True, the default) for production k*dim",
-            stacklevel=3,
-        )
-    dists = F.array(*[_dist2(vec_col, c, dim) for c in centroids])
+    dists = F.expr(
+        "array(" + ",".join(_dist2_sql(vec_col, c) for c in centroids) + ")"
+    )
     # array_position returns the FIRST index with the min → ties break to
     # the lowest centroid id (mirrored by row_number ORDER BY dist, cid).
     return df.withColumn("cluster", F.array_position(dists, F.array_min(dists)).cast("int"))
@@ -107,10 +107,11 @@ def kmeans_fit_predict(
 
     ``use_blas`` (default ``True``) runs assignment on the Arrow/GEMM path
     (see ``_assign_blas``) — same algorithm, constant plan-compile cost,
-    the production choice for any real k·dim (a k≥4096 quantizer is
-    infeasible on the expression path).  ``use_blas=False`` keeps the pure
-    expression path as the small-k oracle-parity twin; it warns above
-    k·dim ≈ 512 where its literal tree exceeds janino's codegen limit.
+    the production choice for any real k·dim (one GEMM per Arrow batch vs
+    k loop-expressions per row).  ``use_blas=False`` keeps the pure
+    expression path as the oracle-parity twin — loop-shaped since round 6,
+    so it no longer trips janino's method-size limit at any k·dim; its
+    remaining cost is the k·dim literal in the plan, data not code.
 
     Raises if any cluster empties mid-run (the oracle unrolls the same
     recurrence and has no empty-cluster rule; with a deterministic init on
