@@ -832,6 +832,113 @@ def merge_manifest(
     )
 
 
+def append_manifest(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    partition_col: str | None = None,
+    max_retries: int = 5,
+    vacuum_keep: int = 2,
+    vacuum_min_age_hours: float = 1.0,
+    fs: FsOps | None = None,
+    stats_col: str | None = None,
+) -> int:
+    """Atomic APPEND commit through the manifest protocol: stage the
+    batch as new data files, then claim ONE new version listing every
+    prior file (pure metadata — nothing is rewritten or moved) plus the
+    new ones.  Readers see all of the batch or none of it; a crash at any
+    point leaves the previous version current, with at worst orphaned
+    staged files for vacuum.
+
+    This is the commit shape for tables whose rows accrete rather than
+    upsert — ledgers, and composite state like the LSH band index where
+    a batch's band rows AND its admitted-id rows must land in the SAME
+    version (two separate appends reintroduce the torn-state window the
+    protocol exists to kill).  First call creates the table.
+
+    Returns the committed version number.
+    """
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    if os.path.islink(root) or os.path.isdir(
+        os.path.join(os.path.dirname(root.rstrip("/")) or ".",
+                     f".{os.path.basename(root.rstrip('/'))}__versions")
+    ):
+        raise ValueError(
+            f"{root} is a POSIX-versioned table (io/versioned.py layout); "
+            "writing manifests beside a symlink-published table would "
+            "split its version history"
+        )
+    scol = stats_col
+
+    for _attempt in range(max_retries):
+        base = table.current_version() or 0
+        man = table.manifest(base) if base else None
+        if man is not None:
+            target_schema = StructType.fromJson(json.loads(man["schema"]))
+            if {f.name: f.dataType for f in source.schema.fields} != {
+                f.name: f.dataType for f in target_schema.fields
+            }:
+                raise ValueError(
+                    f"append into {root}: batch schema "
+                    f"{sorted((f.name, f.dataType.simpleString()) for f in source.schema.fields)} "
+                    f"!= table schema "
+                    f"{sorted((f.name, f.dataType.simpleString()) for f in target_schema.fields)}"
+                )
+            if man["partition_cols"] != ([partition_col] if partition_col else []):
+                raise ValueError(
+                    f"append into {root}: partition_col {partition_col!r} != "
+                    f"table partitioning {man['partition_cols']}"
+                )
+            if scol is None:
+                scol = man.get("stats_col")
+        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        new_rels: list[str] = []
+        new_stats: dict = {}
+        try:
+            writer = source.write.mode("overwrite")
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            new_rels = table._stage_and_place(
+                writer, staging, scol, new_stats if scol else None
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            table._drop_files(new_rels)
+            raise
+        reused = man["files"] if man else []
+        prev_stats = man.get("stats", {}) if man else {}
+        prev_scol = man.get("stats_col") if man else None
+        carried = {
+            r: (
+                prev_stats[r]
+                if prev_scol == scol
+                else {"rows": prev_stats[r]["rows"], "min": None, "max": None}
+            )
+            for r in reused
+            if r in prev_stats
+        }
+        if table._claim(
+            base + 1, reused + new_rels, source.schema,
+            [partition_col] if partition_col else [],
+            stats={**carried, **new_stats} if scol else None, stats_col=scol,
+            # Appends never rewrite a listed file, so prior DVs stay aimed
+            # at live files and carry forward verbatim.
+            dvs=(man.get("dvs") if man else None),
+            op="append",
+        ):
+            table.publish(base + 1)
+            table.vacuum(
+                keep=vacuum_keep,
+                min_age_hours=vacuum_min_age_hours,
+                gc_files=False,
+            )
+            return base + 1
+        table._drop_files(new_rels)
+    raise ConcurrentWriteError(
+        f"append into {root} lost the version-claim race {max_retries} times"
+    )
+
+
 def delete_manifest(
     spark: SparkSession,
     root: str,
@@ -1286,9 +1393,17 @@ def compact_manifest(
         new_rels: list[str] = []
         try:
             if pcols:
-                shaped = df.repartition(*pcols)
                 if sort_by:
-                    shaped = shaped.sortWithinPartitions(*pcols, *sort_by)
+                    # Range shuffle over (partition cols, cluster key):
+                    # clustering parallelism is NOT bounded by the number
+                    # of partition values (repartition(*pcols) would put
+                    # each partition's entire data through one task — at
+                    # scale, one reducer per partition value).
+                    shaped = df.repartitionByRange(
+                        *pcols, *sort_by
+                    ).sortWithinPartitions(*pcols, *sort_by)
+                else:
+                    shaped = df.repartition(*pcols)
                 writer = shaped.write.mode("overwrite").partitionBy(*pcols)
             else:
                 total_bytes = sum(

@@ -1126,6 +1126,161 @@ class LshBandIndex:
         self.spark.sql(f"DROP TABLE {backup}")
 
 
+@dataclass(frozen=True)
+class ManifestLshBandIndex:
+    """MinHash band index versioned through the object-store manifest
+    protocol — the transactional twin of :class:`LshBandIndex`.
+
+    The bucketed-catalog index is the zero-exchange probe layout, but its
+    :meth:`~LshBandIndex.admit` mutates durable state in two unrelated
+    steps (band ``saveAsTable`` append; the caller's corpus write) — a
+    crash between them leaves bands for documents the corpus never
+    admitted, exactly the torn-state class ``io/manifest.py`` was built
+    to kill.  Here both relations live in ONE manifest table (unified
+    schema ``(rel, doc_id, band_idx, band_key)``, partitioned by ``rel``:
+    ``'band'`` rows carry the LSH bands, ``'id'`` rows are the
+    admitted-document set) and every :meth:`admit` lands them in a SINGLE
+    :func:`door2door_etl_spark.io.manifest.append_manifest` commit —
+    readers see a batch's bands and its admissions together or not at
+    all, snapshots are isolated, and a crash at any point leaves the
+    prior version current (invariant pinned by the crash-window tests:
+    ``distinct(band.doc_id) == id set`` at every committed version).
+
+    Probe scale shape: WITHOUT bucket metadata the index must not be
+    shuffled, so the probe streams the index MAP-SIDE past two broadcast
+    hash joins — batch band keys broadcast onto the index scan (left
+    semi), the matched-key set (O(collisions), tiny) broadcast back onto
+    the batch.  Data moved is O(collisions), never O(index); the only
+    exchange carries matched keys (plan-asserted: no SortMergeJoin, no
+    index-side Exchange).  :meth:`compact` is the protocol's CLUSTERED
+    compaction on ``(band_idx, band_key)``, so post-compaction files
+    carry disjoint key ranges for stats pruning — and compaction is
+    itself a commit, racing admits safely instead of a rename window.
+    """
+
+    spark: SparkSession
+    root: str
+    num_hashes: int = 16
+    bands: int = 4
+    shingle_n: int = 3
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    hash_fn: str = "sha256"
+
+    def _band_table(self, docs: DataFrame) -> DataFrame:
+        return minhash_band_table(
+            docs,
+            self.text_col,
+            self.id_col,
+            self.num_hashes,
+            self.bands,
+            self.shingle_n,
+            self.hash_fn,
+        )
+
+    def _unified(self, bands_df: DataFrame, ids_df: DataFrame) -> DataFrame:
+        b = bands_df.select(
+            F.lit("band").alias("rel"),
+            F.col(self.id_col),
+            F.col("band_idx"),
+            F.col("band_key"),
+        )
+        i = ids_df.select(
+            F.lit("id").alias("rel"),
+            F.col(self.id_col),
+            F.lit(None).cast("int").alias("band_idx"),
+            F.lit(None).cast("string").alias("band_key"),
+        )
+        return b.unionByName(i)
+
+    def _commit(self, bands_df: DataFrame, ids_df: DataFrame) -> int:
+        from door2door_etl_spark.io.manifest import append_manifest
+
+        return append_manifest(
+            self.spark,
+            self.root,
+            self._unified(bands_df, ids_df),
+            partition_col="rel",
+            stats_col="band_key",
+        )
+
+    def build(self, corpus: DataFrame) -> int:
+        """First commit: the full corpus's bands + its id set, atomically."""
+        return self._commit(
+            self._band_table(corpus),
+            corpus.select(self.id_col).distinct(),
+        )
+
+    def _read(self) -> DataFrame:
+        from door2door_etl_spark.io.manifest import ManifestTable
+
+        return ManifestTable(self.root).read(self.spark)
+
+    def scan(self) -> DataFrame:
+        """The band relation of the current snapshot."""
+        return self._read().filter(F.col("rel") == "band").select(
+            self.id_col, "band_idx", "band_key"
+        )
+
+    def admitted_ids(self) -> DataFrame:
+        """The admitted-document set of the current snapshot."""
+        return self._read().filter(F.col("rel") == "id").select(self.id_col)
+
+    def probe(self, batch_bands: DataFrame) -> DataFrame:
+        """Batch band rows colliding with the index.  The index is only
+        ever STREAMED: batch keys broadcast onto its scan, matched keys
+        broadcast back — no index-side exchange at any size."""
+        batch_keys = batch_bands.select("band_idx", "band_key").distinct()
+        hit_keys = (
+            self.scan()
+            .join(F.broadcast(batch_keys), ["band_idx", "band_key"], "left_semi")
+            .select("band_idx", "band_key")
+            .distinct()
+        )
+        return batch_bands.join(
+            F.broadcast(hit_keys), ["band_idx", "band_key"], "left_semi"
+        )
+
+    def admit(
+        self, batch: DataFrame, intra_batch: bool = True, update_index: bool = True
+    ) -> DataFrame:
+        """Admission-filter ``batch`` (same semantics as
+        :func:`incremental_lsh_dedup` / :meth:`LshBandIndex.admit`) and,
+        with ``update_index``, commit the survivors' band rows AND their
+        ids as ONE manifest version."""
+        from pyspark import StorageLevel
+
+        bb = self._band_table(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            colliding = self.probe(bb).select(self.id_col).distinct()
+            if intra_batch:
+                colliding = colliding.union(
+                    _intra_batch_colliding(bb, self.id_col)
+                ).distinct()
+            survivors = batch.join(
+                colliding, self.id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            if update_index:
+                survivor_bands = bb.join(
+                    survivors.select(self.id_col), self.id_col, "left_semi"
+                ).localCheckpoint(eager=True)
+        finally:
+            bb.unpersist()
+        if update_index:
+            self._commit(survivor_bands, survivors.select(self.id_col))
+        return survivors
+
+    def compact(self) -> int:
+        """Clustered compaction as a manifest commit: files come out
+        range-disjoint on ``(band_idx, band_key)`` (precise stats
+        pruning), and the swap is a claim, not a catalog-rename window."""
+        from door2door_etl_spark.io.manifest import compact_manifest
+
+        return compact_manifest(
+            self.spark, self.root, sort_by=["band_idx", "band_key"]
+        )
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

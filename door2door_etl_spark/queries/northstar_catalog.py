@@ -1592,6 +1592,31 @@ def q_incremental_lsh_dedup_indexed(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def q_incremental_lsh_dedup_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Same admission semantics again, probed against the MANIFEST-VERSIONED
+    band index (operators.dedup.ManifestLshBandIndex) — the transactional
+    layout where a batch's bands and its admitted-id set land as ONE
+    manifest commit (atomicity crash-window-tested) and the probe streams
+    the index map-side through broadcast joins (no index shuffle,
+    plan-asserted in tests/test_plans.py).  Sharing the inline oracle pins
+    that this physical layout cannot drift the semantics either."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % INGEST_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    idx = D.ManifestLshBandIndex(
+        spark,
+        tempfile.mkdtemp(prefix="ns_lsh_manifest_idx_"),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+    )
+    idx.build(corpus)
+    kept = idx.admit(batch, update_index=False)
+    return kept.select("doc_id", "lang", "source")
+
+
 # -- SemDeDup: semantic dedup inside learned k-means cells ------------------
 
 SEMDEDUP_MIN_COSINE = NEARDUP_MIN_COSINE
@@ -1965,6 +1990,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),
     QueryDef("ns_incremental_lsh_dedup", q_incremental_lsh_dedup, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest", ("northstar", "dedup")),
     QueryDef("ns_incremental_lsh_dedup_indexed", q_incremental_lsh_dedup_indexed, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest (bucketed persisted index)", ("northstar", "dedup")),
+    QueryDef("ns_incremental_lsh_dedup_manifest", q_incremental_lsh_dedup_manifest, _sql_incremental_lsh_dedup(), "north-star dedup/incremental-ingest (manifest-versioned index, atomic admit)", ("northstar", "dedup")),
     QueryDef("ns_minhash_signatures", q_minhash_signatures, _sql_minhash_signatures(), "north-star dedup/minhash", ("northstar", "dedup")),
     QueryDef("ns_lsh_band_buckets", q_lsh_band_buckets, _sql_lsh_band_buckets(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),
     QueryDef("ns_minhash_lsh_pairs", q_minhash_lsh_pairs, _sql_minhash_lsh_pairs(), "north-star dedup/minhash-lsh", ("northstar", "dedup")),

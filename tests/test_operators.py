@@ -600,6 +600,126 @@ def test_lsh_band_index_matches_inline_and_evolves(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
 
 
+def _lsh_index_in_sync(idx) -> bool:
+    """The composite-state invariant: band doc set == admitted-id set."""
+    band_ids = {r[0] for r in idx.scan().select(idx.id_col).distinct().collect()}
+    ids = {r[0] for r in idx.admitted_ids().collect()}
+    return band_ids == ids
+
+
+def test_manifest_lsh_index_matches_bucketed_and_inline(spark, tmp_path):
+    """The manifest-versioned index admits exactly what the inline operator
+    and the bucketed index admit, its id set tracks its band set at every
+    committed version, and appended admissions collide later batches."""
+    from door2door_etl_spark.operators.dedup import (
+        ManifestLshBandIndex,
+        incremental_lsh_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different corpus sentence about spark plans"),
+        ]
+    )
+    day1 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=101, text="unrelated fresh material with new vocabulary entirely"),
+            Row(doc_id=102, text="unrelated fresh material with new vocabulary entirely"),
+        ]
+    )
+    idx = ManifestLshBandIndex(spark, str(tmp_path / "lshman"))
+    assert idx.build(corpus) == 1
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 2}
+    assert _lsh_index_in_sync(idx)
+
+    inline = {r["doc_id"] for r in incremental_lsh_dedup(day1, corpus).collect()}
+    kept = idx.admit(day1)
+    assert {r["doc_id"] for r in kept.collect()} == inline == {101}
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 2, 101}
+    assert _lsh_index_in_sync(idx)
+
+    # Day 2: a copy of day 1's admission collides WITH THE INDEX.
+    day2 = spark.createDataFrame(
+        [
+            Row(doc_id=200, text="unrelated fresh material with new vocabulary entirely"),
+            Row(doc_id=201, text="genuinely novel second day content stream here"),
+        ]
+    )
+    kept2 = idx.admit(day2, update_index=False)
+    assert {r["doc_id"] for r in kept2.collect()} == {201}
+    # update_index=False committed nothing
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 2, 101}
+
+    # Compaction is a commit: same contents, invariant intact, probes agree.
+    idx.compact()
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 2, 101}
+    assert _lsh_index_in_sync(idx)
+    kept2b = idx.admit(day2, update_index=False)
+    assert {r["doc_id"] for r in kept2b.collect()} == {201}
+
+
+def test_manifest_lsh_index_admit_is_atomic(spark, tmp_path, monkeypatch):
+    """Crash-window pin for VERDICT r5 ask #3.
+
+    Counterfactual first: committing bands and ids as TWO appends (the
+    old bucketed index's shape — band saveAsTable, then the caller's
+    separate corpus write) tears on a crash between them.  Then the real
+    admit(): one commit, so a crash at the claim leaves NOTHING visible
+    — version, band set, and id set all unchanged — and the retry heals.
+    """
+    from door2door_etl_spark.io import manifest as M
+    from door2door_etl_spark.operators.dedup import ManifestLshBandIndex
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="seed corpus document with ordinary words inside")]
+    )
+    day1 = spark.createDataFrame(
+        [Row(doc_id=50, text="fresh admission candidate with novel vocabulary")]
+    )
+
+    # --- the torn shape the single commit kills ---
+    torn = ManifestLshBandIndex(spark, str(tmp_path / "torn"))
+    torn.build(corpus)
+    bands_only = torn._band_table(day1)
+    M.append_manifest(
+        spark,
+        torn.root,
+        torn._unified(bands_only, day1.select("doc_id").limit(0)),
+        partition_col="rel",
+    )
+    # ...crash here, before the id append: index and corpus now disagree.
+    assert not _lsh_index_in_sync(torn)
+
+    # --- the real path: claim fails -> nothing landed ---
+    idx = ManifestLshBandIndex(spark, str(tmp_path / "atomic"))
+    idx.build(corpus)
+    v_before = M.ManifestTable(idx.root).current_version()
+
+    real_claim = M.ManifestTable._claim
+
+    def dying_claim(self, *a, **kw):
+        # The claim never lands (crash / lost race); staged files are
+        # dropped by the retry loop and the commit is exhausted.
+        return False
+
+    monkeypatch.setattr(M.ManifestTable, "_claim", dying_claim)
+    with pytest.raises(M.ConcurrentWriteError, match="claim race"):
+        idx.admit(day1)
+    monkeypatch.setattr(M.ManifestTable, "_claim", real_claim)
+
+    assert M.ManifestTable(idx.root).current_version() == v_before
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1}
+    assert _lsh_index_in_sync(idx)
+
+    # Replay after the crash: admits cleanly, one version, in sync.
+    kept = idx.admit(day1)
+    assert {r["doc_id"] for r in kept.collect()} == {50}
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 50}
+    assert _lsh_index_in_sync(idx)
+
+
 def test_diagnose_key_skew_flags_heavy_key(spark):
     from door2door_etl_spark.operators.relational import diagnose_key_skew
 
