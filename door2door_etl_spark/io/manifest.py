@@ -113,33 +113,73 @@ def _parse_manifest_version(name: str) -> int | None:
 _JSON_SCALARS = (int, float, str, bool)
 
 
-def _file_stats(path: str, stats_col: str | None) -> dict:
-    """Row count + min/max of ``stats_col`` from the parquet FOOTER (no
-    data read): row-group statistics aggregated across groups.  Non-JSON
-    stat types (timestamps, decimals, binary) degrade to rows-only —
-    pruning then conservatively keeps the file."""
+def _norm_stats_cols(sc) -> list[str]:
+    """Normalize the ``stats_col`` API surface (None | str | list) to a
+    column list — callers keep passing a single column; multi-predicate
+    tables pass a list (Delta keeps min/max for the first N columns; here
+    the list is declared)."""
+    if sc is None:
+        return []
+    if isinstance(sc, str):
+        return [sc]
+    return list(sc)
+
+
+def _man_stats_cols(man: dict) -> list[str]:
+    """The committed manifest's stats column list — reads the current
+    ``stats_cols`` key and the pre-round-6 single ``stats_col`` alike."""
+    sc = man.get("stats_cols")
+    if sc:
+        return list(sc)
+    c = man.get("stats_col")
+    return [c] if c else []
+
+
+def _col_range(entry: dict, col: str, man_cols: list[str]):
+    """``(min, max)`` for ``col`` from one per-file stats entry, or None
+    when no safe bound exists.  Handles both entry formats: the current
+    ``{"rows", "cols": {col: {min, max}}}`` and the legacy single-column
+    ``{"rows", "min", "max"}`` (valid only for the manifest's legacy
+    stats column)."""
+    cols = entry.get("cols")
+    if cols is not None:
+        r = cols.get(col)
+        if r and r.get("min") is not None:
+            return r["min"], r["max"]
+        return None
+    if man_cols and col == man_cols[0] and entry.get("min") is not None:
+        return entry["min"], entry["max"]
+    return None
+
+
+def _file_stats(path: str, stats_cols=None) -> dict:
+    """Row count + per-column min/max for the declared stats columns from
+    the parquet FOOTER (no data read): row-group statistics aggregated
+    across groups.  A column with non-JSON stat types (timestamps,
+    decimals, binary) or any opaque row group is omitted — pruning then
+    conservatively keeps the file for predicates on it."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata
-    out: dict = {"rows": meta.num_rows, "min": None, "max": None}
-    if stats_col is None:
-        return out
-    col_idx = None
-    for i in range(len(meta.schema)):
-        if meta.schema.column(i).path == stats_col:
-            col_idx = i
-            break
-    if col_idx is None:
-        return out
-    mins, maxs = [], []
-    for rg in range(meta.num_row_groups):
-        st = meta.row_group(rg).column(col_idx).statistics
-        if st is None or not st.has_min_max:
-            return out  # any opaque group -> no safe pruning bound
-        mins.append(st.min)
-        maxs.append(st.max)
-    if mins and all(isinstance(v, _JSON_SCALARS) for v in mins + maxs):
-        out["min"], out["max"] = min(mins), max(maxs)
+    out: dict = {"rows": meta.num_rows, "cols": {}}
+    by_path = {meta.schema.column(i).path: i for i in range(len(meta.schema))}
+    for col in _norm_stats_cols(stats_cols):
+        col_idx = by_path.get(col)
+        if col_idx is None:
+            continue
+        mins, maxs = [], []
+        safe = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                safe = False  # any opaque group -> no safe pruning bound
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if safe and mins and all(
+            isinstance(v, _JSON_SCALARS) for v in mins + maxs
+        ):
+            out["cols"][col] = {"min": min(mins), "max": max(maxs)}
     return out
 
 
@@ -436,7 +476,7 @@ class ManifestTable:
         }
         if stats is not None:
             record["stats"] = stats
-            record["stats_col"] = stats_col
+            record["stats_cols"] = _norm_stats_cols(stats_col)
         if dvs:
             record["dvs"] = sorted(dvs)
         payload = json.dumps(record, indent=None, sort_keys=True).encode()
@@ -487,33 +527,81 @@ class ManifestTable:
             return None
         return sum(stats[rel]["rows"] for rel in man["files"])
 
-    def prune_files(self, lo, hi, version: int | None = None) -> list[str]:
-        """The rel paths whose ``stats_col`` [min, max] range overlaps
-        [lo, hi] — file skipping off manifest metadata, the scan-cost
-        half of what makes lakehouse formats fast (a point lookup on a
+    def prune_files(
+        self, lo, hi, version: int | None = None, col: str | None = None
+    ) -> list[str]:
+        """The rel paths whose ``col`` [min, max] range overlaps [lo, hi]
+        — file skipping off manifest metadata, the scan-cost half of what
+        makes lakehouse formats fast (a point lookup on a
         sorted/clustered key touches ~one file instead of the table).
-        Files without stats are conservatively kept."""
+        ``col`` defaults to the table's first stats column.  Files
+        without stats for ``col`` are conservatively kept."""
         if version is None:
             version = self.current_version()
             if version is None:
                 return []
         man = self.manifest(version)
+        return self._prune(man, {col or (self._stats_cols(man) or [None])[0]: (lo, hi)})
+
+    @staticmethod
+    def _stats_cols(man: dict) -> list[str]:
+        return _man_stats_cols(man)
+
+    def _prune(self, man: dict, preds: dict) -> list[str]:
+        """Files surviving EVERY predicate's overlap test — per-column
+        intersection, each unknown range keeping the file for that
+        predicate only."""
         stats = man.get("stats", {})
+        man_cols = _man_stats_cols(man)
 
         def keep(rel: str) -> bool:
             s = stats.get(rel)
-            if not s or s.get("min") is None or s.get("max") is None:
+            if not s:
                 return True  # no stats -> cannot skip safely
-            return not (s["max"] < lo or s["min"] > hi)
+            for c, (lo, hi) in preds.items():
+                if c is None:
+                    continue
+                r = _col_range(s, c, man_cols)
+                if r is not None and (r[1] < lo or r[0] > hi):
+                    return False
+            return True
 
         return [rel for rel in man["files"] if keep(rel)]
 
     def read_range(
-        self, spark: SparkSession, lo, hi, version: int | None = None
+        self,
+        spark: SparkSession,
+        lo,
+        hi,
+        version: int | None = None,
+        col: str | None = None,
     ) -> DataFrame:
-        """Rows with ``stats_col`` in [lo, hi], scanning ONLY the files
-        whose footer range overlaps (residual row filter applied on
-        top — stats prune files, not rows)."""
+        """Rows with ``col`` (default: first stats column) in [lo, hi],
+        scanning ONLY the files whose footer range overlaps."""
+        cols = None
+        if col is None:
+            if version is None:
+                v = self.current_version()
+            else:
+                v = version
+            if v is None:
+                raise ValueError(f"{self.root} has no committed manifest")
+            cols = _man_stats_cols(self.manifest(v))
+            if not cols:
+                raise ValueError(
+                    f"{self.root} v{v} carries no stats columns; read() + filter"
+                )
+        return self.read_where(spark, {col or cols[0]: (lo, hi)}, version)
+
+    def read_where(
+        self, spark: SparkSession, preds: dict, version: int | None = None
+    ) -> DataFrame:
+        """Rows satisfying EVERY ``col: (lo, hi)`` predicate, scanning
+        only the files whose per-column footer ranges all overlap —
+        multi-predicate data skipping (the common time + key lookup
+        prunes on both), residual row filters applied on top (stats prune
+        files, not rows).  Predicates on columns without stats scan
+        conservatively and filter row-wise."""
         from pyspark.sql import functions as F
 
         if version is None:
@@ -521,22 +609,19 @@ class ManifestTable:
             if version is None:
                 raise ValueError(f"{self.root} has no committed manifest")
         man = self.manifest(version)
-        col = man.get("stats_col")
-        if col is None:
-            raise ValueError(
-                f"{self.root} v{version} carries no stats_col; read() + filter"
-            )
-        rels = self.prune_files(lo, hi, version)
+
+        def residual(df: DataFrame) -> DataFrame:
+            for c, (lo, hi) in preds.items():
+                df = df.filter(F.col(c).between(lo, hi))
+            return df
+
+        rels = self._prune(man, preds)
         if not rels:
             schema = StructType.fromJson(json.loads(man["schema"]))
-            return spark.createDataFrame([], schema).filter(
-                F.col(col).between(lo, hi)
-            )
+            return residual(spark.createDataFrame([], schema))
         paths = [os.path.join(self.files_dir, r) for r in rels]
         pruned = spark.read.option("basePath", self.files_dir).parquet(*paths)
-        return self._apply_dvs(spark, pruned, man).filter(
-            F.col(col).between(lo, hi)
-        )
+        return residual(self._apply_dvs(spark, pruned, man))
 
     def _drop_files(self, rels: list[str]) -> None:
         for rel in rels:
@@ -617,7 +702,7 @@ def merge_manifest(
     vacuum_min_age_hours: float = 1.0,
     evolve_schema: bool = False,
     fs: FsOps | None = None,
-    stats_col: str | None = None,
+    stats_col: str | list[str] | None = None,
     constraints: list[str] | None = None,
 ) -> int:
     """MERGE-style upsert committed through the manifest protocol — the
@@ -797,12 +882,12 @@ def merge_manifest(
         # column matches; a prior different/absent stats column degrades
         # those entries to rows-only (pruning keeps them conservatively).
         prev_stats = (man.get("stats", {}) if base else {})
-        prev_scol = man.get("stats_col") if base else None
+        prev_scols = _man_stats_cols(man) if base else []
         carried = {
             r: (
                 prev_stats[r]
-                if prev_scol == scol
-                else {"rows": prev_stats[r]["rows"], "min": None, "max": None}
+                if prev_scols == _norm_stats_cols(scol)
+                else {"rows": prev_stats[r]["rows"], "cols": {}}
             )
             for r in reused
             if r in prev_stats
@@ -841,7 +926,7 @@ def append_manifest(
     vacuum_keep: int = 2,
     vacuum_min_age_hours: float = 1.0,
     fs: FsOps | None = None,
-    stats_col: str | None = None,
+    stats_col: str | list[str] | None = None,
 ) -> int:
     """Atomic APPEND commit through the manifest protocol: stage the
     batch as new data files, then claim ONE new version listing every
@@ -890,7 +975,7 @@ def append_manifest(
                     f"table partitioning {man['partition_cols']}"
                 )
             if scol is None:
-                scol = man.get("stats_col")
+                scol = _man_stats_cols(man) or None
         staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         new_stats: dict = {}
@@ -907,12 +992,12 @@ def append_manifest(
             raise
         reused = man["files"] if man else []
         prev_stats = man.get("stats", {}) if man else {}
-        prev_scol = man.get("stats_col") if man else None
+        prev_scols = _man_stats_cols(man) if man else []
         carried = {
             r: (
                 prev_stats[r]
-                if prev_scol == scol
-                else {"rows": prev_stats[r]["rows"], "min": None, "max": None}
+                if prev_scols == _norm_stats_cols(scol)
+                else {"rows": prev_stats[r]["rows"], "cols": {}}
             )
             for r in reused
             if r in prev_stats
@@ -1074,7 +1159,7 @@ def _file_level_delete_manifest(
         staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         new_stats: dict = {}
-        scol = man.get("stats_col")
+        scol = _man_stats_cols(man) or None
         try:
             # DV-mask the raw affected-file scan too: a rewrite-delete on a
             # file carrying deletion vectors must not resurrect DV'd rows.
@@ -1193,7 +1278,7 @@ def _dv_delete_manifest(
         schema = StructType.fromJson(json.loads(man["schema"]))
         if table._claim(
             base + 1, list(man["files"]), schema, man["partition_cols"],
-            stats=man.get("stats"), stats_col=man.get("stats_col"),
+            stats=man.get("stats"), stats_col=_man_stats_cols(man) or None,
             dvs=dv_rels_old + new_rels,
             op="dv-delete",
         ):
@@ -1249,7 +1334,7 @@ def purge_deletes_manifest(
         }
         affected = [rel for rel in man["files"] if rel in masked_rels]
         schema = StructType.fromJson(json.loads(man["schema"]))
-        scol = man.get("stats_col")
+        scol = _man_stats_cols(man) or None
         if not affected:
             # Every DV row is inert (its file was already rewritten) —
             # dropping the DV list is a pure-metadata commit.
@@ -1421,7 +1506,7 @@ def compact_manifest(
                 else:
                     shaped = df.coalesce(n_target)
                 writer = shaped.write.mode("overwrite")
-            scol = man.get("stats_col")
+            scol = _man_stats_cols(man) or None
             new_stats: dict = {}
             new_rels = table._stage_and_place(
                 writer, staging, scol, new_stats if scol else None
@@ -1596,7 +1681,7 @@ def restore_manifest(
             schema,
             man["partition_cols"],
             stats=man.get("stats"),
-            stats_col=man.get("stats_col"),
+            stats_col=_man_stats_cols(man) or None,
             dvs=man.get("dvs"),
             op=f"restore(v{version})",
         ):

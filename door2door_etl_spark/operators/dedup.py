@@ -1201,7 +1201,7 @@ class ManifestLshBandIndex:
             self.root,
             self._unified(bands_df, ids_df),
             partition_col="rel",
-            stats_col="band_key",
+            stats_col=["band_idx", "band_key"],
         )
 
     def build(self, corpus: DataFrame) -> int:

@@ -652,7 +652,7 @@ def test_manifest_stats_count_and_file_skipping(spark, tmp_path):
         )
     table = ManifestTable(root)
     man = table.manifest(3)
-    assert man["stats_col"] == "k"
+    assert man["stats_cols"] == ["k"]
     # O(1) count from metadata alone.
     assert table.count_rows() == 30
     # Untouched partitions' stats were CARRIED, not recomputed: identical
@@ -712,7 +712,8 @@ def test_clustered_compaction_makes_pruning_precise(spark, tmp_path):
     # range shuffle: n_target >= 1 — if only one file, pruning trivially
     # returns it; assert instead on disjointness of per-file ranges.
     ranges = sorted(
-        (s["min"], s["max"]) for s in man["stats"].values()
+        (s["cols"]["k"]["min"], s["cols"]["k"]["max"])
+        for s in man["stats"].values()
     )
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges after clustering: {ranges}"
@@ -1062,3 +1063,54 @@ def test_file_gc_never_sweeps_young_unclaimed_staging_output(spark, tmp_path):
         keep=1, min_age_hours=0, stale_staging_hours=0, gc_files=True
     )
     assert set(placed) <= set(removed2)
+
+
+def test_multi_column_stats_two_predicate_pruning(spark, tmp_path):
+    """VERDICT r5 ask #4: stats over a DECLARED COLUMN LIST.  Files laid
+    out so that each single predicate keeps 2 of 4 files but the
+    conjunction (the common time + key lookup) prunes to exactly 1; stats
+    for re-listed files carry forward O(commit), not recomputed."""
+    from door2door_etl_spark.io.manifest import append_manifest
+
+    root = str(tmp_path / "tbl")
+    quadrants = [
+        (0, range(0, 50)),
+        (0, range(50, 100)),
+        (1, range(0, 50)),
+        (1, range(50, 100)),
+    ]
+    for hr, ks in quadrants:
+        batch = spark.createDataFrame(
+            [(hr, k, f"v{hr}-{k}") for k in ks], "hr int, k int, v string"
+        ).coalesce(1)
+        append_manifest(spark, root, batch, stats_col=["hr", "k"],
+                        vacuum_keep=99)
+    table = ManifestTable(root)
+    man = table.manifest(table.current_version())
+    assert man["stats_cols"] == ["hr", "k"]
+    assert len(man["files"]) == 4
+
+    # Each single predicate keeps half the files...
+    assert len(table.prune_files(1, 1, col="hr")) == 2
+    assert len(table.prune_files(60, 60, col="k")) == 2
+    # ...the conjunction prunes to ONE.
+    assert len(table._prune(man, {"hr": (1, 1), "k": (60, 60)})) == 1
+    got = table.read_where(spark, {"hr": (1, 1), "k": (60, 60)}).collect()
+    assert [(r["hr"], r["k"], r["v"]) for r in got] == [(1, 60, "v1-60")]
+    # read_range still works on the FIRST declared column by default.
+    assert table.read_range(spark, 0, 0).count() == 100  # hr=0 rows
+
+    # Carried forward, not recomputed: the next append re-lists the four
+    # files with byte-identical stats entries.
+    append_manifest(
+        spark, root,
+        spark.createDataFrame([(2, 500, "late")], "hr int, k int, v string"),
+        vacuum_keep=99,
+    )
+    man5 = table.manifest(table.current_version())
+    assert man5["stats_cols"] == ["hr", "k"]  # inherited, not re-declared
+    for rel in man["files"]:
+        assert man5["stats"][rel] == man["stats"][rel]
+    # And a predicate outside every range scans zero files but still
+    # returns the correct empty result.
+    assert table.read_where(spark, {"hr": (9, 9), "k": (1, 1)}).count() == 0
