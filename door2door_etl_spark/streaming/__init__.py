@@ -6,6 +6,7 @@ from door2door_etl_spark.streaming.pipeline import (
     stream_heavy_hitters,
     stream_hll_maintenance,
     stream_hourly_counts,
+    stream_replicate_manifest_table,
     stream_sessionize,
     stream_stream_interval_join,
     stream_upsert_to_warehouse,
@@ -19,6 +20,7 @@ __all__ = [
     "stream_heavy_hitters",
     "stream_hll_maintenance",
     "stream_hourly_counts",
+    "stream_replicate_manifest_table",
     "stream_sessionize",
     "stream_stream_interval_join",
     "stream_upsert_to_warehouse",
