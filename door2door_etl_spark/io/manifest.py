@@ -183,6 +183,53 @@ def _file_stats(path: str, stats_cols=None) -> dict:
     return out
 
 
+def _is_object_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _staged_files(fs, staging: str) -> list[tuple[str, str]]:
+    """``(staged path, relpath under staging)`` for every data file a
+    Spark write left in ``staging`` — local dir walk or object-store
+    prefix listing; Spark bookkeeping files (``_SUCCESS``, hidden) are
+    skipped either way."""
+    out: list[tuple[str, str]] = []
+    if _is_object_uri(staging):
+        prefix = staging.rstrip("/") + "/"
+        for pth in fs.walk_files(staging):
+            if pth.rsplit("/", 1)[-1].startswith(("_", ".")):
+                continue
+            out.append((pth, pth[len(prefix):]))
+    else:
+        for dirpath, _dirs, files in os.walk(staging):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                local = os.path.join(dirpath, fn)
+                out.append((local, os.path.relpath(local, staging)))
+    return out
+
+
+def _discard_staging(fs, staging: str) -> None:
+    if _is_object_uri(staging):
+        for pth in fs.walk_files(staging):
+            fs.delete_file(pth)
+    else:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _file_stats_src(fs, path: str, stats_cols=None) -> dict:
+    """:func:`_file_stats` for a staged file wherever it lives: local
+    files read the footer in place; object-store files are fetched via
+    ``fs.read_bytes`` (whole object — staged files are one batch's
+    output; a ranged footer GET is the refinement when batches grow)."""
+    if _is_object_uri(path):
+        import io as _io
+
+        data = fs.read_bytes(path)
+        return _file_stats(_io.BytesIO(data), stats_cols)
+    return _file_stats(path, stats_cols)
+
+
 @runtime_checkable
 class FsOps(Protocol):
     """The minimal storage contract the manifest protocol needs — the
@@ -213,6 +260,7 @@ class FsOps(Protocol):
     def walk_files(self, dir_path: str) -> list[str]: ...
     def delete_file(self, path: str) -> None: ...
     def file_age_s(self, path: str) -> float: ...
+    def file_size(self, path: str) -> int: ...
 
 
 class LocalFsOps:
@@ -289,6 +337,12 @@ class LocalFsOps:
         except OSError:
             return float("inf")
 
+    def file_size(self, path: str) -> int:
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+
     @staticmethod
     def _fsync_dir(path: str) -> None:
         try:
@@ -308,6 +362,15 @@ class ManifestTable:
 
     root: str
     fs: FsOps = field(default_factory=LocalFsOps)
+
+    def __post_init__(self):
+        # One normalization point for object-store tables: s3:// becomes
+        # s3a:// here, so every derived path (manifests, files, staging)
+        # is readable by BOTH Spark (hadoop s3a connector) and S3FsOps
+        # (which parses s3 and s3a alike).  Local paths pass through.
+        from .objectstore import normalize_object_uri
+
+        object.__setattr__(self, "root", normalize_object_uri(self.root))
 
     @property
     def manifests_dir(self) -> str:
@@ -432,17 +495,12 @@ class ManifestTable:
         manifest commits alongside the file list."""
         df_writer.parquet(staging)
         new_rels: list[str] = []
-        for dirpath, _dirs, files in os.walk(staging):
-            for fn in files:
-                if fn.startswith(("_", ".")):
-                    continue
-                local = os.path.join(dirpath, fn)
-                rel = os.path.relpath(local, staging)
-                if stats_out is not None:
-                    stats_out[rel] = _file_stats(local, stats_col)
-                self.fs.move_file(local, os.path.join(self.files_dir, rel))
-                new_rels.append(rel)
-        shutil.rmtree(staging, ignore_errors=True)
+        for src, rel in _staged_files(self.fs, staging):
+            if stats_out is not None:
+                stats_out[rel] = _file_stats_src(self.fs, src, stats_col)
+            self.fs.move_file(src, os.path.join(self.files_dir, rel))
+            new_rels.append(rel)
+        _discard_staging(self.fs, staging)
         return sorted(new_rels)
 
     def _claim(
@@ -683,7 +741,16 @@ class ManifestTable:
             for name in self.fs.list_names(self.root):
                 if name.startswith(".staging."):
                     p = os.path.join(self.root, name)
-                    if os.path.isdir(p) and self.fs.file_age_s(p) >= (
+                    if _is_object_uri(p):
+                        # Object stores have no dirs: GC each staged
+                        # object past the age floor individually.
+                        for pth in self.fs.walk_files(p):
+                            if self.fs.file_age_s(pth) >= (
+                                stale_staging_hours * 3600
+                            ):
+                                self.fs.delete_file(pth)
+                                removed.append(pth)
+                    elif os.path.isdir(p) and self.fs.file_age_s(p) >= (
                         stale_staging_hours * 3600
                     ):
                         shutil.rmtree(p, ignore_errors=True)
@@ -744,7 +811,7 @@ def merge_manifest(
 
     for _attempt in range(max_retries):
         base = table.current_version() or 0
-        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         new_stats: dict = {}
         try:
@@ -874,7 +941,7 @@ def merge_manifest(
                     out_schema = merged.schema
                     pcols = [partition_col] if partition_col else []
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            _discard_staging(table.fs, staging)
             table._drop_files(new_rels)
             raise
 
@@ -976,7 +1043,7 @@ def append_manifest(
                 )
             if scol is None:
                 scol = _man_stats_cols(man) or None
-        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         new_stats: dict = {}
         try:
@@ -987,7 +1054,7 @@ def append_manifest(
                 writer, staging, scol, new_stats if scol else None
             )
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            _discard_staging(table.fs, staging)
             table._drop_files(new_rels)
             raise
         reused = man["files"] if man else []
@@ -1156,7 +1223,7 @@ def _file_level_delete_manifest(
         if not affected_rel:
             return 0
         n_deleted = doomed.count()
-        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         new_stats: dict = {}
         scol = _man_stats_cols(man) or None
@@ -1179,7 +1246,7 @@ def _file_level_delete_manifest(
                 writer, staging, scol, new_stats if scol else None
             )
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            _discard_staging(table.fs, staging)
             table._drop_files(new_rels)
             raise
         reused = [rel for rel in man["files"] if rel not in affected_rel]
@@ -1248,30 +1315,22 @@ def _dv_delete_manifest(
         else:
             live = with_meta
         doomed = doom_of(live).select("__dv_file", "__dv_row")
-        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         try:
             doomed.write.mode("overwrite").parquet(staging)
             dv_prefix = os.path.join("dvs", uuid.uuid4().hex)
             n_deleted = 0
-            for dirpath, _dirs, files in os.walk(staging):
-                for fn in files:
-                    if fn.startswith(("_", ".")):
-                        continue
-                    local = os.path.join(dirpath, fn)
-                    n_deleted += _file_stats(local, None)["rows"]
-                    rel = os.path.join(
-                        dv_prefix, os.path.relpath(local, staging)
-                    )
-                    table.fs.move_file(
-                        local, os.path.join(table.files_dir, rel)
-                    )
-                    new_rels.append(rel)
+            for src, srel in _staged_files(table.fs, staging):
+                n_deleted += _file_stats_src(table.fs, src, None)["rows"]
+                rel = os.path.join(dv_prefix, srel)
+                table.fs.move_file(src, os.path.join(table.files_dir, rel))
+                new_rels.append(rel)
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            _discard_staging(table.fs, staging)
             table._drop_files(new_rels)
             raise
-        shutil.rmtree(staging, ignore_errors=True)
+        _discard_staging(table.fs, staging)
         if n_deleted == 0:
             table._drop_files(new_rels)
             return 0
@@ -1345,7 +1404,7 @@ def purge_deletes_manifest(
                 table.publish(base + 1)
                 return 0
             continue
-        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         new_stats: dict = {}
         try:
@@ -1363,7 +1422,7 @@ def purge_deletes_manifest(
                 writer, staging, scol, new_stats if scol else None
             )
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            _discard_staging(table.fs, staging)
             table._drop_files(new_rels)
             raise
         reused = [rel for rel in man["files"] if rel not in affected]
@@ -1474,7 +1533,7 @@ def compact_manifest(
         man = table.manifest(base)
         df = table.read(spark, base)
         pcols = man["partition_cols"]
-        staging = os.path.join(root, f".staging.{uuid.uuid4().hex}")
+        staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         try:
             if pcols:
@@ -1492,9 +1551,8 @@ def compact_manifest(
                 writer = shaped.write.mode("overwrite").partitionBy(*pcols)
             else:
                 total_bytes = sum(
-                    os.path.getsize(os.path.join(table.files_dir, rel))
+                    table.fs.file_size(os.path.join(table.files_dir, rel))
                     for rel in man["files"]
-                    if os.path.exists(os.path.join(table.files_dir, rel))
                 )
                 n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
                 if sort_by:
@@ -1512,7 +1570,7 @@ def compact_manifest(
                 writer, staging, scol, new_stats if scol else None
             )
         except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
+            _discard_staging(table.fs, staging)
             table._drop_files(new_rels)
             raise
         schema = StructType.fromJson(json.loads(man["schema"]))
@@ -1549,10 +1607,13 @@ class S3FsOps:
     Scope note, stated honestly: the commit protocol's METADATA half
     (claim / publish / listing / vacuum / manifest IO) runs entirely
     through this class and is unit-tested against the fake.  The data
-    plane — Spark reading ``s3a://`` paths listed by a manifest, and the
-    staging write — needs a live cluster with the hadoop-aws jars
-    (`io/objectstore.py` carries the s3a conf helpers); that half cannot
-    execute in this sandbox and is the one untested seam.
+    plane — Spark staging writes to ``s3a://`` and manifest-listed reads
+    — is implemented (ManifestTable normalizes object roots to ``s3a``;
+    staging placement lists/moves/stats through FsOps, never the local
+    filesystem) and exercised end-to-end by the OPT-IN live test
+    ``tests/test_s3_live.py`` (``-m s3``, skipped unless an endpoint +
+    hadoop-aws jars are available); this sandbox has neither, so the
+    live half runs only where a real MinIO/S3 is configured.
     """
 
     def __init__(self, client=None):
@@ -1631,6 +1692,11 @@ class S3FsOps:
 
     def walk_files(self, dir_path: str) -> list[str]:
         bucket, prefix = self._parse(dir_path)
+        # Echo the CALLER's scheme (s3 or s3a) back in the results:
+        # callers derive relative paths by string-prefix arithmetic
+        # against the directory they listed, which silently breaks if
+        # the scheme flips mid-round-trip.
+        scheme = dir_path.split("://", 1)[0]
         prefix = prefix.rstrip("/") + "/"
         out: list[str] = []
         token = None
@@ -1639,7 +1705,10 @@ class S3FsOps:
             if token:
                 kw["ContinuationToken"] = token
             resp = self._s3.list_objects_v2(**kw)
-            out.extend(f"s3://{bucket}/{o['Key']}" for o in resp.get("Contents", []))
+            out.extend(
+                f"{scheme}://{bucket}/{o['Key']}"
+                for o in resp.get("Contents", [])
+            )
             if not resp.get("IsTruncated"):
                 break
             token = resp.get("NextContinuationToken")
@@ -1657,6 +1726,15 @@ class S3FsOps:
             return float("inf")
         lm = head["LastModified"]
         return max(0.0, time.time() - lm.timestamp())
+
+    def file_size(self, path: str) -> int:
+        bucket, key = self._parse(path)
+        try:
+            return int(
+                self._s3.head_object(Bucket=bucket, Key=key)["ContentLength"]
+            )
+        except Exception:
+            return 0
 
 
 def restore_manifest(

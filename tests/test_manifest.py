@@ -507,7 +507,10 @@ class _FakeS3Client:
     def head_object(self, Bucket, Key):
         if (Bucket, Key) not in self.objects:
             raise _FakeS3Error("404", 404)
-        return {"LastModified": self.objects[(Bucket, Key)][1]}
+        return {
+            "LastModified": self.objects[(Bucket, Key)][1],
+            "ContentLength": len(self.objects[(Bucket, Key)][0]),
+        }
 
     def delete_object(self, Bucket, Key):
         self.objects.pop((Bucket, Key), None)
