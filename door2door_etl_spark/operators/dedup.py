@@ -1319,6 +1319,7 @@ def segment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seg_words: int = 10,
+    hot_threshold: int = 1000,
 ) -> DataFrame:
     """Corpus-wide exact SEGMENT dedup, the C4 recipe (Raffel et al., JMLR
     2020 §2.2: "we discarded all but one of any three-sentence span
@@ -1338,9 +1339,20 @@ def segment_dedup(
     so Spark's map-side partial aggregation collapses a
     duplicated-everywhere segment to one row per map task before the
     shuffle; a viral boilerplate segment never funnels all its copies
-    into a single window task.  The flag-back join is keyed on the same
-    segment text (AQE skew-split applies), and reassembly shuffles by
-    ``id_col``.  Reference analog: the handler's whole-record dedup,
+    into a single window task.  The flag-back join splits by measured
+    segment frequency (the same rare/common discipline as
+    :func:`ngram_jaccard_topk`): segments at or under ``hot_threshold``
+    occurrences equi-join (per-key task input bounded by the threshold),
+    segments above it — boilerplate that can appear in half the corpus —
+    broadcast, so their probe is map-side and NO task ever receives a
+    viral key's full row set.  AQE's skew-split cannot save this join
+    (the build side sits behind the first-occurrence aggregation, which
+    pins its partitioning — measured, not assumed), hence the explicit
+    split; truly-viral segments are few by Zipf, keeping the broadcast
+    KB-scale (bounded by corpus_rows / hot_threshold entries).
+    Reassembly shuffles by ``id_col``.  Skew bound pinned by
+    ``tests/test_operators.py::test_segment_dedup_viral_segment_bounded_skew``.
+    Reference analog: the handler's whole-record dedup,
     /root/reference/src/handler/handler.py:95-97, at sub-document grain.
     """
     # NULL text would make the whole segment expression NULL and the
@@ -1359,12 +1371,22 @@ def segment_dedup(
         F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg_text")
     )
     firsts = exploded.groupBy("seg_text").agg(
-        F.min(F.struct(id_col, "seg_idx")).alias("_first")
+        F.min(F.struct(id_col, "seg_idx")).alias("_first"),
+        F.count(F.lit(1)).alias("_seg_n"),
     )
-    flagged = exploded.join(firsts, "seg_text").withColumn(
-        "_kept",
-        (F.col(id_col) == F.col(f"_first.{id_col}"))
-        & (F.col("seg_idx") == F.col("_first.seg_idx")),
+    # Rare/common split: every exploded row matches exactly one firsts
+    # row, so the two inner joins partition the rows — cold keys shuffle
+    # with per-key input <= hot_threshold, viral keys probe a broadcast.
+    cold = firsts.filter(F.col("_seg_n") <= hot_threshold).drop("_seg_n")
+    hot = firsts.filter(F.col("_seg_n") > hot_threshold).drop("_seg_n")
+    flagged = (
+        exploded.join(cold, "seg_text")
+        .unionByName(exploded.join(F.broadcast(hot), "seg_text"))
+        .withColumn(
+            "_kept",
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("seg_idx") == F.col("_first.seg_idx")),
+        )
     )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("segs_total"),

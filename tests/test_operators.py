@@ -1578,3 +1578,59 @@ def test_bpe_encode_scalable_equivalence_property(spark):
     text_of = [d[0] for d in docs]
     for enc, t in zip(fast, text_of):
         assert "".join(enc) == t.replace(" ", "")
+
+
+def test_segment_dedup_viral_segment_bounded_skew(spark):
+    """VERDICT r5 ask #7: a boilerplate segment in 50% of documents.
+
+    AQE's skew-split cannot reach this join (the first-occurrence
+    aggregate pins the build side's partitioning — verified by probing
+    the executed plan for skew=true with forced-low thresholds: none),
+    so the operator splits by measured frequency.  Pins: (a) the viral
+    segment rides the BROADCAST path while cold keys keep per-key join
+    input <= hot_threshold; (b) results are identical to the single-join
+    path; (c) first-occurrence semantics hold for the viral segment."""
+    from door2door_etl_spark.operators.dedup import segment_dedup
+
+    boiler = " ".join(f"boilerplate{w}" for w in range(10))
+    rows = []
+    for i in range(2000):
+        uniq = " ".join(f"doc{i}word{w}" for w in range(10))
+        rows.append((i, (boiler + " " + uniq) if i % 2 == 0 else uniq))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    split = segment_dedup(df, hot_threshold=100)
+    got = sorted(map(tuple, split.collect()))
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan  # viral key is map-side
+
+    # Identical to the single-join path (threshold above every count).
+    plain = segment_dedup(df, hot_threshold=10**9)
+    assert got == sorted(map(tuple, plain.collect()))
+
+    # First-occurrence semantics: doc 0 keeps the boilerplate, every
+    # other even doc keeps only its unique tail.
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1:3] == (2, 2)
+    for i in (2, 500, 1998):
+        assert by_id[i][1:3] == (2, 1)
+        assert "boilerplate" not in by_id[i][3]
+    for i in (1, 999):
+        assert by_id[i][1:3] == (1, 1)
+
+    # Cold keys are bounded BY CONSTRUCTION: every segment whose count
+    # exceeds the threshold left the equi-join for the broadcast side —
+    # here exactly the boilerplate — so no equi-join task can receive
+    # more than hot_threshold rows of any one key.
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * F.lit(10) + F.lit(1), 10), " "),
+    )
+    counts = (
+        df.select(F.explode(segs).alias("seg"))
+        .groupBy("seg").count()
+    )
+    hot_keys = [r["seg"] for r in counts.filter(F.col("count") > 100).collect()]
+    assert hot_keys == [boiler]
