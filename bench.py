@@ -83,6 +83,25 @@ BENCH_QUERIES = [
     "ns_table_profile_report",
 ]
 
+# Scale-stress tier (`--sf sf1`): the top headline queries across the
+# scan-agg / join / streaming-rollup / dedup / text / ANN families —
+# the set whose scaling vs sf0.1 shows whether plans stay linear when
+# scans fan out over many files instead of one row group.
+BENCH_SF1_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customer",
+    "etl_hourly_rollup",
+    "rel_sessionize_stats",
+    "ns_dedup_exact",
+    "ns_minhash_signatures",
+    "ns_ngram_jaccard_topk",
+    "ns_incremental_lsh_dedup",
+    "ns_segment_dedup_corpus",
+    "ns_ann_bruteforce_topk",
+    "ns_kmeans_ivf_centroids_blas",
+]
+
 
 def _jvm_stats(spark) -> dict[str, float]:
     """Heap + cumulative GC counters from the driver JVM (single-JVM
@@ -109,8 +128,26 @@ def main() -> None:
     # `python bench.py <query> [<query> ...]` re-times just those queries in
     # a fresh session — the isolated re-run that separates a real plan
     # regression from accumulated session heap pressure.
-    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
-    queries = subset or BENCH_QUERIES
+    # `python bench.py --sf sf1` is the SCALE-STRESS tier: the locally
+    # generated 10x dataset (tools/gen_sf1.py; multi-file tables, so scans
+    # actually fan out across cores) timed on the top headline queries.
+    args = sys.argv[1:]
+    if "--sf" in args:
+        i = args.index("--sf")
+        tier = args[i + 1]
+        args = args[:i] + args[i + 2:]
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", str(REPO / "bench_data" / tier)
+        )
+        if not Path(sf_dir).is_dir():
+            raise SystemExit(
+                f"{sf_dir} missing — generate it once: python tools/gen_sf1.py"
+            )
+        default_queries = BENCH_SF1_QUERIES
+    else:
+        default_queries = BENCH_QUERIES
+    subset = [a for a in args if not a.startswith("-")]
+    queries = subset or default_queries
     unknown = [q for q in queries if q not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
