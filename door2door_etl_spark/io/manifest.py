@@ -217,6 +217,19 @@ def _discard_staging(fs, staging: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def _reject_dv_reserved(source: DataFrame) -> None:
+    """Entry gate for writer-facing commits: rejecting __dv_file/__dv_row
+    BEFORE staging means a deterministic failure costs nothing and
+    strands no placed files (the _claim check stays as the backstop for
+    every other path)."""
+    reserved = _DV_RESERVED & set(source.columns)
+    if reserved:
+        raise ValueError(
+            "column names reserved for deletion-vector bookkeeping: "
+            + ", ".join(sorted(reserved))
+        )
+
+
 def _file_stats_src(fs, path: str, stats_cols=None) -> dict:
     """:func:`_file_stats` for a staged file wherever it lives: local
     files read the footer in place; object-store files are fetched via
@@ -636,20 +649,19 @@ class ManifestTable:
     ) -> DataFrame:
         """Rows with ``col`` (default: first stats column) in [lo, hi],
         scanning ONLY the files whose footer range overlaps."""
-        cols = None
-        if col is None:
+        if version is None:
+            version = self.current_version()
             if version is None:
-                v = self.current_version()
-            else:
-                v = version
-            if v is None:
                 raise ValueError(f"{self.root} has no committed manifest")
-            cols = _man_stats_cols(self.manifest(v))
+        if col is None:
+            cols = _man_stats_cols(self.manifest(version))
             if not cols:
                 raise ValueError(
-                    f"{self.root} v{v} carries no stats columns; read() + filter"
+                    f"{self.root} v{version} carries no stats columns; "
+                    "read() + filter"
                 )
-        return self.read_where(spark, {col or cols[0]: (lo, hi)}, version)
+            col = cols[0]
+        return self.read_where(spark, {col: (lo, hi)}, version)
 
     def read_where(
         self, spark: SparkSession, preds: dict, version: int | None = None
@@ -796,6 +808,7 @@ def merge_manifest(
             "merge it with merge_versioned — writing manifests beside a "
             "symlink-published table would split its version history"
         )
+    _reject_dv_reserved(source)
     source = source.dropDuplicates([key])
     if source.filter(source[key].isNull()).limit(1).count() > 0:
         raise ValueError(
@@ -1020,6 +1033,7 @@ def append_manifest(
             "writing manifests beside a symlink-published table would "
             "split its version history"
         )
+    _reject_dv_reserved(source)
     scol = stats_col
 
     for _attempt in range(max_retries):
@@ -1663,10 +1677,20 @@ class S3FsOps:
             raise
 
     def move_file(self, src: str, dst: str) -> None:
-        """Local staging file → S3 object (the post-write placement; with
-        the s3a magic committer Spark lands files in place and this is
-        never called for data files)."""
+        """Staged file → final object.  An object-store source (the
+        normal case: Spark staged it via s3a) moves SERVER-SIDE — one
+        COPY + one DELETE, no bytes through this process; a local source
+        (metadata files, tests) uploads then unlinks."""
         bucket, key = self._parse(dst)
+        if _is_object_uri(src):
+            sbucket, skey = self._parse(src)
+            self._s3.copy_object(
+                Bucket=bucket,
+                Key=key,
+                CopySource={"Bucket": sbucket, "Key": skey},
+            )
+            self._s3.delete_object(Bucket=sbucket, Key=skey)
+            return
         with open(src, "rb") as f:
             self._s3.put_object(Bucket=bucket, Key=key, Body=f.read())
         os.unlink(src)

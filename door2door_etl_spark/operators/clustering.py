@@ -40,10 +40,19 @@ def _dist2_sql(vec_col: str, centroid: list[float]) -> str:
     run), while the loop form stays constant-size regardless of dim.  The
     fold order is identical (aggregate is a left fold, zero start is exact
     for non-negative terms), so the DuckDB oracle hash is unchanged.
-    ``repr(x)D`` literals round-trip doubles exactly."""
+    ``repr(x)D`` literals round-trip doubles exactly; non-finite
+    components have no SQL literal form, so they are rejected loudly
+    (use the BLAS path, which propagates them numerically)."""
+    import math
+
+    if not all(math.isfinite(x) for x in centroid):
+        raise ValueError(
+            "non-finite centroid component on the expression path; "
+            "use use_blas=True for data whose means can be inf/nan"
+        )
     lits = ",".join(f"{x!r}D" for x in centroid)
     return (
-        f"aggregate(zip_with({vec_col}, array({lits}), "
+        f"aggregate(zip_with(`{vec_col}`, array({lits}), "
         "(a, b) -> pow(CAST(a AS DOUBLE) - b, 2)), "
         "0.0D, (acc, x) -> acc + x)"
     )

@@ -568,6 +568,7 @@ def stream_replicate_manifest_table(
     partition_col: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    fs=None,
 ):
     """Streaming CDC replication: tail a manifest table's commit log as a
     MICRO-BATCH SOURCE and apply its change feed to a replica — the
@@ -607,7 +608,9 @@ def stream_replicate_manifest_table(
         table_changes_manifest,
     )
 
-    src = ManifestTable(source_root)
+    src = ManifestTable(source_root, fs=fs) if fs is not None else ManifestTable(
+        source_root
+    )
     reader = spark.readStream.format("text").schema("value string")
     if max_files_per_trigger is not None:
         # Bound commits-per-batch (smaller diff windows, finer-grained
@@ -629,10 +632,12 @@ def stream_replicate_manifest_table(
             )
         else:
             changes = table_changes_manifest(
-                spark, source_root, key=key, from_version=lo, to_version=hi
+                spark, source_root, key=key, from_version=lo, to_version=hi,
+                fs=fs,
             )
         apply_changes_manifest(
-            spark, replica_root, changes, key, partition_col=partition_col
+            spark, replica_root, changes, key, partition_col=partition_col,
+            fs=fs,
         )
 
     writer = (

@@ -504,6 +504,18 @@ class _FakeS3Client:
             raise _FakeS3Error("NoSuchKey", 404)
         return {"Body": io.BytesIO(self.objects[(Bucket, Key)][0])}
 
+    def copy_object(self, Bucket, Key, CopySource):
+        import datetime as dt
+
+        src = (CopySource["Bucket"], CopySource["Key"])
+        with self._lock:
+            if src not in self.objects:
+                raise _FakeS3Error("NoSuchKey", 404)
+            self.objects[(Bucket, Key)] = (
+                self.objects[src][0], dt.datetime.now(dt.timezone.utc)
+            )
+        return {}
+
     def head_object(self, Bucket, Key):
         if (Bucket, Key) not in self.objects:
             raise _FakeS3Error("404", 404)
@@ -614,6 +626,28 @@ def test_manifest_table_metadata_protocol_on_s3(tmp_path):
         "s3://lake/warehouse/tbl/_files/part-3.parquet",
         "s3://lake/warehouse/tbl/_files/part-4.parquet",
     ]
+
+
+def test_s3fsops_object_to_object_move_is_server_side(tmp_path):
+    """The staging placement's normal case on a real object store: Spark
+    staged the file via s3a, so move_file must COPY+DELETE server-side —
+    never open() the source as a local path."""
+    from door2door_etl_spark.io.manifest import S3FsOps
+
+    fs = S3FsOps(client=_FakeS3Client())
+    fs.put_bytes("s3a://lake/tbl/.staging.x/part-0.parquet", b"staged")
+    fs.move_file(
+        "s3a://lake/tbl/.staging.x/part-0.parquet",
+        "s3a://lake/tbl/_files/part-0.parquet",
+    )
+    assert fs.read_bytes("s3a://lake/tbl/_files/part-0.parquet") == b"staged"
+    assert fs.read_bytes("s3a://lake/tbl/.staging.x/part-0.parquet") is None
+    # local -> object upload still works (metadata files, tests)
+    local = tmp_path / "m.json"
+    local.write_bytes(b"{}")
+    fs.move_file(str(local), "s3://lake/tbl/_manifests/m.json")
+    assert fs.read_bytes("s3://lake/tbl/_manifests/m.json") == b"{}"
+    assert not local.exists()
 
 
 def test_delete_where_manifest_predicate(spark, tmp_path):
