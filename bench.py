@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "ns_temperature_mix_sample",
     "ns_perplexity_filter_report",
     "ns_table_profile_report",
+    "ns_incremental_lsh_dedup_manifest",
 ]
 
 # Scale-stress tier (`--sf sf1`): the top headline queries across the
