@@ -676,3 +676,48 @@ def negative_samples(
         resolved.filter(F.col(id_col) != F.col("negative_id"))
         .select(id_col, "neg_rank", "negative_id")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    salt: str = "tbudget",
+) -> DataFrame:
+    """Deterministic per-group TOKEN-BUDGET sampling: walk each group's
+    rows in portable-hash order (deviate, then key — reproducible across
+    engines, reruns, and partitionings) and keep rows while the group's
+    running token total stays within ``budget_tokens`` — the
+    budgeted-mixture primitive ("give me ~N tokens per domain") that
+    rate-based sampling (:func:`quota_mix_sample` /
+    :func:`temperature_mix_sample`) only hits in expectation.
+
+    Adds ``cum_tokens`` (running total INCLUDING the row).  Token counts
+    are non-negative, so the running total is monotone and the kept set
+    is exactly the maximal prefix under budget; groups under budget keep
+    everything.  ``key_col`` must be unique within a group (same
+    contract as :func:`group_reservoir_sample`).
+
+    Scale: one window per group — parallel across groups, a group's cost
+    is its own sort (the sessionize bound).  At extreme per-group
+    cardinality the refinement is a two-phase cut: hash-threshold
+    pre-filter at rate ≈ budget/total_tokens with a safety margin (the
+    pre-filter keeps exactly the low-deviate rows the prefix examines),
+    then this exact window over the ~budget-sized survivor set.
+    """
+    from pyspark.sql import Window
+
+    from door2door_etl_spark.operators.text import token_count
+
+    u = uniform_hash(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(u, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count(F.col(text_col))).over(w)
+    return df.withColumn("cum_tokens", cum.cast("bigint")).filter(
+        F.col("cum_tokens") <= budget_tokens
+    )

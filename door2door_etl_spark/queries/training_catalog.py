@@ -1096,3 +1096,217 @@ TRAINING_QUERIES.extend(
         ),
     ]
 )
+
+
+TOKEN_BUDGET = 3000
+
+
+def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language token-budget cut (budget=3000): deterministic maximal
+    prefix in portable-hash order whose running token total stays within
+    budget — the budgeted-mixture primitive rate-sampling only hits in
+    expectation (operators.sketches.token_budget_sample)."""
+    from door2door_etl_spark.operators.sketches import token_budget_sample
+
+    docs = load_table(spark, sf, "documents")
+    kept = token_budget_sample(docs, "lang", "doc_id", TOKEN_BUDGET)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").cast("bigint").alias("tokens_used"),
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH ordered AS (
+  SELECT lang, doc_id,
+         sum(len({sql_tokens('text')})) OVER (
+           PARTITION BY lang
+           ORDER BY {sql_uniform_hash('doc_id', 'tbudget')}, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+FROM ordered WHERE cum_tokens <= {TOKEN_BUDGET} GROUP BY lang
+"""
+
+
+CONTAM_SHINGLE_N = 3
+
+
+def q_cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix at shingle grain: for every pair
+    of sources, how many distinct word 3-grams appear in BOTH — the
+    provenance signal that tells a pipeline which feeds mirror each
+    other (and therefore which dedup/decontamination pass pays for
+    itself).  Scale: per-(shingle, source) distinct collapses map-side
+    before the shuffle; the self-join runs on the shingle, and a shingle
+    in k sources fans out k(k-1)/2 pairs — bounded by the source count
+    squared, never by the corpus."""
+    from door2door_etl_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf, "documents")
+    hs = docs.select(
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), CONTAM_SHINGLE_N))
+        ).alias("s"),
+        "source",
+    ).distinct()
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (
+        a.join(b, "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def _sql_cross_source_duplication() -> str:
+    from door2door_etl_spark.queries.sql_fragments import sql_shingles
+
+    sh = sql_shingles("text", CONTAM_SHINGLE_N)
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT unnest(list_distinct({sh})) AS s, source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(*) AS n_shared_shingles
+FROM hs a JOIN hs b ON a.s = b.s AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_token_budget_sample",
+            q_token_budget_sample,
+            SQL_TOKEN_BUDGET_SAMPLE,
+            "north-star sampling/token-budget-prefix",
+            ("northstar", "sampling"),
+        ),
+        QueryDef(
+            "ns_cross_source_duplication",
+            q_cross_source_duplication,
+            _sql_cross_source_duplication(),
+            "north-star dedup/cross-source-contamination",
+            ("northstar", "dedup"),
+        ),
+    ]
+)
+
+
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_RARE_MAX = 20
+WINNOW_MIN_SHARED = 5
+
+
+def _sql_winnow_fps() -> str:
+    """Shared CTE body: the DuckDB twin of operators.text.winnow_fingerprints
+    (sha256 char-8-gram hashes, window-of-4 minima, distinct per doc)."""
+    return f"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(s) - {WINNOW_K - 1}, 1)),
+                        i -> sha256(substr(s, i, {WINNOW_K}))) AS hs
+  FROM norm
+), fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+           j -> list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min'))) AS fp
+  FROM grams
+)"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint profile (Schleimer et al. SIGMOD'03): per
+    document, the count of distinct selected fingerprints and the
+    lexicographic minimum — the position-independent local-overlap
+    signature between exact hashing and MinHash
+    (operators.text.winnow_fingerprints; map-side array arithmetic,
+    no shuffle until this aggregate)."""
+    from door2door_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf, "documents")
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_sql_winnow_fps()}
+SELECT doc_id, CAST(count(*) AS INT) AS n_fps, min(fp) AS min_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+def q_winnow_shared_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-copy pairs by shared winnowing fingerprints: drop stop-grams
+    (fingerprints in more than {rare_max} documents — the common-phrase
+    noise floor), pair documents on the surviving RARE fingerprints, and
+    keep pairs sharing at least {min_shared}.  The winnowing guarantee
+    makes this catch any shared run of w+k-1 = 11+ normalized chars;
+    the rare-split bounds the join fanout at rare_max^2 per fingerprint
+    (same skew discipline as ngram_jaccard_topk / segment_dedup)."""
+    from door2door_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf, "documents")
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= WINNOW_RARE_MAX)
+        .select("fp")
+    )
+    r = fps.join(rare, "fp", "left_semi")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+SQL_WINNOW_SHARED_PAIRS = f"""
+WITH {_sql_winnow_fps()}, rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_RARE_MAX}
+), r AS (
+  SELECT f.doc_id, f.fp FROM fps f WHERE f.fp IN (SELECT fp FROM rare)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS INT) AS n_shared
+FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_winnow_fingerprints",
+            q_winnow_fingerprints,
+            SQL_WINNOW_FINGERPRINTS,
+            "north-star text/winnowing-fingerprints",
+            ("northstar", "text"),
+        ),
+        QueryDef(
+            "ns_winnow_shared_pairs",
+            q_winnow_shared_pairs,
+            SQL_WINNOW_SHARED_PAIRS,
+            "north-star dedup/winnowing-near-copy-pairs",
+            ("northstar", "dedup"),
+        ),
+    ]
+)

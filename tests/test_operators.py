@@ -1634,3 +1634,76 @@ def test_segment_dedup_viral_segment_bounded_skew(spark):
     )
     hot_keys = [r["seg"] for r in counts.filter(F.col("count") > 100).collect()]
     assert hot_keys == [boiler]
+
+
+def test_token_budget_sample_exact_prefix_and_stability(spark):
+    from door2door_etl_spark.operators.sketches import token_budget_sample
+
+    rows = [
+        (f"d{i}", "a" if i < 60 else "b", "tok " * (5 + i % 7))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string, text string")
+    kept = token_budget_sample(df, "grp", "id", 100)
+    got = kept.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for g, rs in by_grp.items():
+        assert max(r["cum_tokens"] for r in rs) <= 100
+    # maximal prefix: adding ANY unkept row in hash order would cross
+    # the budget — equivalently the max cum_tokens is within the last
+    # row's token count of the budget, per group
+    for g in ("a", "b"):
+        used = max(r["cum_tokens"] for r in by_grp[g])
+        assert used > 100 - 12  # 11 is the max per-row token count
+    # under-budget group keeps everything
+    small = spark.createDataFrame(
+        [("x", "solo", "just three tokens")], "id string, grp string, text string"
+    )
+    assert token_budget_sample(small, "grp", "id", 100).count() == 1
+    # repartition-stable
+    kept2 = token_budget_sample(df.repartition(13), "grp", "id", 100)
+    assert {(r["id"], r["cum_tokens"]) for r in kept2.collect()} == {
+        (r["id"], r["cum_tokens"]) for r in got
+    }
+
+
+def test_winnow_fingerprints_guarantee_and_contracts(spark):
+    """Winnowing's core property (Schleimer et al. SIGMOD'03): any match
+    of length >= w + k - 1 normalized chars shares a fingerprint; plus
+    the short/NULL-doc one-row contract and the xxhash64 twin's
+    structural parity."""
+    from door2door_etl_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"alpha preamble words {shared} first tail content"),
+        (2, f"completely different opening {shared} other ending"),
+        (3, "nothing in common with either document at all here"),
+        (4, "xy"),          # shorter than k
+        (5, None),          # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = winnow_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: the long shared run yields at least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    # no spurious sharing with the unrelated doc beyond chance: the
+    # unrelated doc must NOT contain the shared run's fingerprints
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
+    # short and NULL docs fingerprint their whole normalized text (1 row)
+    assert len(by_doc[4]) == 1 and len(by_doc[5]) == 1
+    # deterministic across repartitionings
+    fps2 = winnow_fingerprints(df.repartition(7), k=8, w=4)
+    assert {(r["doc_id"], r["fp"]) for r in fps2.collect()} == {
+        (r["doc_id"], r["fp"]) for r in fps.collect()
+    }
+    # the production twin selects the same POSITIONS (same structure):
+    # same fingerprint count per doc for the long docs
+    fx = winnow_fingerprints(df, k=8, w=4, hash_fn="xxhash64")
+    cx = {r["doc_id"]: r["n"] for r in
+          fx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(cx) == set(by_doc)
