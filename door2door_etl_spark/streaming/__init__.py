@@ -6,6 +6,7 @@ from door2door_etl_spark.streaming.pipeline import (
     stream_heavy_hitters,
     stream_hll_maintenance,
     stream_hourly_counts,
+    stream_manifest_lsh_admission,
     stream_replicate_manifest_table,
     stream_sessionize,
     stream_stream_interval_join,
@@ -20,6 +21,7 @@ __all__ = [
     "stream_heavy_hitters",
     "stream_hll_maintenance",
     "stream_hourly_counts",
+    "stream_manifest_lsh_admission",
     "stream_replicate_manifest_table",
     "stream_sessionize",
     "stream_stream_interval_join",

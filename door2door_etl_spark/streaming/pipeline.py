@@ -648,3 +648,55 @@ def stream_replicate_manifest_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_manifest_lsh_admission(
+    docs_stream: DataFrame,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous-ingest LSH admission with a SELF-UPDATING index: each
+    micro-batch is admission-filtered against (and atomically appended
+    to) a :class:`~door2door_etl_spark.operators.dedup.ManifestLshBandIndex`
+    — the streaming completion of the manifest-versioned index story.
+    Where :func:`stream_incremental_lsh_dedup` probes a STATIC corpus
+    index, here today's admissions collide tomorrow's batch, and every
+    update lands bands + admitted ids in ONE manifest commit.
+
+    Replay safety (foreachBatch is at-least-once): rows whose id is
+    already in the index's admitted set are ALREADY-ADMITTED — they pass
+    straight through to the batch output without re-probing or
+    re-committing, so a replayed batch reproduces its output instead of
+    colliding with its own first delivery.  The remaining (genuinely
+    new) rows run the shared admission rule; on a full-batch replay the
+    previously-dropped subset re-drops identically (index collisions
+    now hit the first delivery's admissions; intra-batch relations
+    among the replayed rows are unchanged), so the per-batch overwrite
+    converges — effectively-once without a streaming state store, the
+    state being the index's own versioned commits.
+
+    Output: ``out_dir/batch_id=N`` per micro-batch (overwritten on
+    replay), rows = admitted members of the batch.
+    """
+
+    id_col = index.id_col
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = index.admitted_ids()
+        seen = batch_df.join(ids, id_col, "left_semi")
+        new = batch_df.join(ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.limit(1).count() == 0:
+            kept = seen
+        else:
+            kept = seen.unionByName(index.admit(new))
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -630,3 +630,94 @@ def test_stream_heavy_hitters_bounded_state_no_undercount(spark, tmp_path):
     tight = run(capacity=8, out="o2")  # 43 distinct items, 8 slots
     for it in ("alpha", "beta", "gamma"):  # heavy items must survive
         assert it in tight and tight[it] >= true_counts[it], (it, tight)
+
+
+def test_stream_manifest_lsh_admission_self_updating_and_replay_safe(
+    spark, tmp_path
+):
+    """Streaming admission with the self-updating manifest index: day-2
+    duplicates of day-1 ADMISSIONS collide (the index grew), the
+    bands/ids invariant holds after every batch, and a crash-replay of
+    the last batch (removed checkpoint commit marker) reproduces the
+    same output without self-collision or index duplication."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.operators.dedup import ManifestLshBandIndex
+    from door2door_etl_spark.streaming import stream_manifest_lsh_admission
+
+    idx = ManifestLshBandIndex(spark, str(tmp_path / "lshidx"))
+    idx.build(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today")]
+        )
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_day(name, rows):
+        import json as _json
+
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = stream_manifest_lsh_admission(stream, idx, out, ckpt)
+        q.awaitTermination()
+        q.stop()
+
+    def admitted():
+        return {r[0] for r in idx.admitted_ids().collect()}
+
+    def out_ids():
+        import glob as _g
+
+        dirs = _g.glob(f"{out}/batch_id=*")
+        got = set()
+        for d in dirs:
+            for r in spark.read.parquet(d).select("doc_id").collect():
+                got.add(r[0])
+        return got
+
+    # Day 1: 100 dups corpus, 101/102 dup pair (greedy min-id keeps 101)
+    write_day("day1.json", [
+        {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 101, "text": "unrelated fresh material with new vocabulary entirely"},
+        {"doc_id": 102, "text": "unrelated fresh material with new vocabulary entirely"},
+    ])
+    run()
+    assert admitted() == {1, 101}
+    assert out_ids() == {101}
+
+    # Day 2: 200 dups day-1's ADMISSION (collides via the grown index)
+    write_day("day2.json", [
+        {"doc_id": 200, "text": "unrelated fresh material with new vocabulary entirely"},
+        {"doc_id": 201, "text": "genuinely novel second day content stream here"},
+    ])
+    run()
+    assert admitted() == {1, 101, 201}
+    assert out_ids() == {101, 201}
+
+    # Crash-replay of the last batch: same output, no index duplication.
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert admitted() == {1, 101, 201}
+    assert out_ids() == {101, 201}
+    # invariant: band doc set == id set (no torn/duplicate admissions)
+    band_ids = {r[0] for r in idx.scan().select("doc_id").distinct().collect()}
+    assert band_ids == {1, 101, 201}
