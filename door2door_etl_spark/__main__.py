@@ -27,7 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "-s", "--step", default="all",
-        choices=["all", "ingestor", "handler", "compact", "vacuum", "restore",
+        choices=["all", "ingestor", "handler", "compact", "autocompact",
+                 "vacuum", "restore",
                  "purge", "history"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
@@ -76,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     from door2door_etl_spark.pipeline import run_workflow
     from door2door_etl_spark.session import build_session
 
-    if args.step in ("compact", "vacuum", "restore", "purge", "history"):
+    if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
+                     "history"):
         return _run_maintenance(args)
 
     fetch_hour = (
@@ -191,6 +193,23 @@ def _run_maintenance(args) -> int:
                         continue  # POSIX tables delete copy-on-write; no DVs
                     n = purge_deletes_manifest(spark, str(root))
                     report[root.name] = {"files_rewritten": n}
+                elif args.step == "autocompact":
+                    # Policy-gated: compact only tables whose metadata says
+                    # the rewrite pays (file count / mean size thresholds) —
+                    # the cron-safe form of -s compact.
+                    if not is_manifest(root):
+                        continue  # policy reads manifest metadata
+                    from door2door_etl_spark.io.manifest import (
+                        compaction_advice,
+                    )
+
+                    advice = compaction_advice(str(root))
+                    if advice["recommend"]:
+                        advice["files_after"] = compact_manifest(
+                            spark, str(root),
+                            target_file_mb=args.target_file_mb,
+                        )
+                    report[root.name] = advice
                 elif is_manifest(root):
                     n = compact_manifest(
                         spark, str(root), target_file_mb=args.target_file_mb

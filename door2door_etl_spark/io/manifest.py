@@ -1792,3 +1792,48 @@ def restore_manifest(
     raise ConcurrentWriteError(
         f"restore of {root} lost the version-claim race {max_retries} times"
     )
+
+
+def compaction_advice(
+    root: str,
+    max_files: int = 64,
+    small_file_mb: float = 8.0,
+    fs: FsOps | None = None,
+) -> dict:
+    """Metadata-only compaction policy for a manifest table: decide from
+    the CURRENT manifest (file count) and per-file sizes whether a
+    rewrite pays — the cron-safe guard that keeps ``-s autocompact``
+    from burning a full table rewrite on an already-healthy layout.
+
+    Recommends compaction when the snapshot lists more than
+    ``max_files`` files OR its mean data-file size is under
+    ``small_file_mb`` (with more than one file).  Costs one manifest
+    read plus O(files) size lookups (``stat`` locally, HEAD on S3) —
+    never a data scan.
+
+    Returns ``{version, n_files, total_mb, avg_mb, recommend, reason}``.
+    """
+    table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
+    version = table.current_version()
+    if version is None:
+        return {"version": None, "n_files": 0, "total_mb": 0.0,
+                "avg_mb": 0.0, "recommend": False, "reason": "no commits"}
+    man = table.manifest(version)
+    files = man["files"]
+    total = sum(
+        table.fs.file_size(os.path.join(table.files_dir, rel))
+        for rel in files
+    )
+    n = len(files)
+    total_mb = round(total / 1048576.0, 3)
+    avg_mb = round(total_mb / n, 3) if n else 0.0
+    if n > max_files:
+        rec, reason = True, f"{n} files > max_files={max_files}"
+    elif n > 1 and avg_mb < small_file_mb:
+        rec, reason = True, (
+            f"avg file {avg_mb} MB < small_file_mb={small_file_mb}"
+        )
+    else:
+        rec, reason = False, "layout healthy"
+    return {"version": version, "n_files": n, "total_mb": total_mb,
+            "avg_mb": avg_mb, "recommend": rec, "reason": reason}

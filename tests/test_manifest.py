@@ -1151,3 +1151,39 @@ def test_multi_column_stats_two_predicate_pruning(spark, tmp_path):
     # And a predicate outside every range scans zero files but still
     # returns the correct empty result.
     assert table.read_where(spark, {"hr": (9, 9), "k": (1, 1)}).count() == 0
+
+
+def test_autocompact_policy_gates_on_metadata(spark, tmp_path, capsys):
+    """compaction_advice recommends only when the layout is unhealthy,
+    and the CLI autocompact step compacts exactly those tables."""
+    from door2door_etl_spark.__main__ import main as cli_main
+    from door2door_etl_spark.io.manifest import compaction_advice
+
+    lake = tmp_path / "lake"
+    wh = lake / "warehouse"
+    wh.mkdir(parents=True)
+    root = str(wh / "accrete")
+    # 6 tiny appends -> >1 file, avg well under the small-file floor
+    from door2door_etl_spark.io.manifest import ManifestTable, append_manifest
+
+    for i in range(6):
+        append_manifest(
+            spark,
+            root,
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string").coalesce(1),
+            vacuum_keep=99,
+        )
+    before = compaction_advice(root)
+    assert before["recommend"] and before["n_files"] == 6
+
+    rc = cli_main(["-s", "autocompact", "--lake-root", str(lake)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"recommend": true' in out
+    after = compaction_advice(root)
+    assert not after["recommend"], after
+    assert ManifestTable(root).read(spark).count() == 6
+    # healthy table: second run is a metadata-only no-op
+    rc = cli_main(["-s", "autocompact", "--lake-root", str(lake)])
+    assert rc == 0
+    assert '"recommend": false' in capsys.readouterr().out

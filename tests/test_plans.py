@@ -681,3 +681,37 @@ def test_manifest_lsh_index_probe_streams_index_map_side(spark, sf001, tmp_path)
     assert_streamed()
     idx.compact()
     assert_streamed()
+
+
+def test_winnow_plan_hashes_each_gram_once(spark, sf001):
+    """The winnowing rewrite's load-bearing property: gram hashing sits
+    ABOVE the Generate (one sha256 per exploded position row), window
+    minima are one per-doc window, and no nested higher-order lambda
+    re-evaluates the hash array per window (the O(grams x window) shape
+    measured at 305 s before the rewrite)."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf001, "documents")
+    fps = winnow_fingerprints(docs)
+    plan = plan_of(fps)
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") >= 1
+    assert "Window" in plan
+    # the hash must NOT appear inside a transform/lambda (array form)
+    assert "lambdafunction(sha2" not in plan.lower().replace(" ", ""), plan
+
+
+def test_token_budget_sample_is_per_group_window(spark, sf001):
+    """Budget sampling must be one window per group (parallel across
+    groups) — never a global one-task window."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.sketches import token_budget_sample
+
+    docs = load_table(spark, sf001, "documents")
+    kept = token_budget_sample(docs, "lang", "doc_id", 1000)
+    plan = plan_of(kept)
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    assert all("lang" in w for w in win_specs), plan
