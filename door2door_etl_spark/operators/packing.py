@@ -374,3 +374,65 @@ def write_training_shards(
     with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, sort_keys=True)
     return manifest
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    buckets: int = 4,
+    out_col: str = "train_pos",
+    persist_input: bool = True,
+) -> DataFrame:
+    """Curriculum training order: quantile-bucket the difficulty score
+    (easy first), deterministically shuffle WITHIN each bucket, and
+    assign 1-based global positions — the curriculum-learning schedule
+    (Bengio et al., ICML'09) as a reproducible data-pipeline transform.
+
+    Mechanics: exact interpolated percentiles cut ``score_col`` into
+    ``buckets`` difficulty tiers (one tiny aggregate, thresholds folded
+    back as literals); the order key is the tier index concatenated with
+    the seeded portable shuffle hash, pushed through the SAME two-phase
+    distributed prefix scan as :func:`epoch_shuffle` — no global
+    ``row_number`` window, no one-task sort.  Same seed, same schedule,
+    on any cluster size; changing ``seed`` re-deals within tiers while
+    the easy→hard progression stands.
+
+    Adds ``difficulty_bucket`` (0-based tier, 0 = easiest) and
+    ``out_col``.  Ties at a threshold land in the LOWER tier (``>``
+    comparisons), matching the SQL oracle's rendering.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.agg(
+        *[
+            F.percentile(F.col(score_col), F.lit(q)).alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    bucket = None
+    for i in range(len(qs)):
+        t = (F.col(score_col) > F.lit(float(cuts_row[f"q{i}"]))).cast("int")
+        bucket = t if bucket is None else bucket + t
+    if bucket is None:
+        bucket = F.lit(0)
+    keyed = df.withColumn("difficulty_bucket", bucket).withColumn(
+        "_curr_key",
+        F.concat_ws(
+            "|",
+            F.lpad(F.col("difficulty_bucket").cast("string"), 4, "0"),
+            F.sha2(
+                F.concat_ws(
+                    "|", F.lit(str(seed)), F.col(id_col).cast("string")
+                ),
+                256,
+            ),
+        ),
+    ).withColumn("_one", F.lit(1))
+    out = contiguous_token_chunks(
+        keyed, "_curr_key", "_one", budget=1, persist_input=persist_input
+    )
+    return (
+        out.withColumn(out_col, F.col("chunk_id") + 1)
+        .drop("chunk_id", "_one", "_curr_key")
+    )

@@ -1310,3 +1310,67 @@ TRAINING_QUERIES.extend(
         ),
     ]
 )
+
+
+CURR_BUCKETS = 4
+CURR_SEED = 42
+
+
+def q_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum training schedule (Bengio et al. ICML'09): token-count
+    difficulty quantile-bucketed easy-first, seeded shuffle within each
+    tier, 1-based global positions via the two-phase distributed prefix
+    scan — never a one-task global window
+    (operators.packing.curriculum_order)."""
+    from door2door_etl_spark.operators.packing import curriculum_order
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "difficulty", token_count(F.col("text"))
+    )
+    out = curriculum_order(
+        docs, "difficulty", seed=CURR_SEED, buckets=CURR_BUCKETS,
+        persist_input=False,
+    )
+    return out.select(
+        F.col("train_pos").cast("bigint").alias("train_pos"),
+        "doc_id",
+        F.col("difficulty_bucket").cast("int").alias("difficulty_bucket"),
+    )
+
+
+def _sql_curriculum_order() -> str:
+    toks = f"len({sql_tokens('text')})"
+    qs = ", ".join(str(i / CURR_BUCKETS) for i in range(1, CURR_BUCKETS))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {toks} AS difficulty FROM documents
+), cuts AS (
+  SELECT quantile_cont(difficulty, [{qs}]) AS t FROM scored
+), bucketed AS (
+  SELECT s.doc_id,
+         CAST({" + ".join(
+             f"(CASE WHEN s.difficulty > c.t[{i}] THEN 1 ELSE 0 END)"
+             for i in range(1, CURR_BUCKETS)
+         )} AS INT)
+           AS difficulty_bucket
+  FROM scored s, cuts c
+)
+SELECT row_number() OVER (
+         ORDER BY concat(lpad(CAST(difficulty_bucket AS VARCHAR), 4, '0'),
+                         '|', sha256('{CURR_SEED}' || '|'
+                                     || CAST(doc_id AS VARCHAR)))
+       ) AS train_pos,
+       doc_id, difficulty_bucket
+FROM bucketed
+"""
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_curriculum_order",
+        q_curriculum_order,
+        _sql_curriculum_order(),
+        "north-star packing/curriculum-schedule",
+        ("northstar", "packing"),
+    )
+)

@@ -1707,3 +1707,33 @@ def test_winnow_fingerprints_guarantee_and_contracts(spark):
     cx = {r["doc_id"]: r["n"] for r in
           fx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(cx) == set(by_doc)
+
+
+def test_curriculum_order_easy_first_and_seed_redeal(spark):
+    from door2door_etl_spark.operators.packing import curriculum_order
+
+    rows = [(i, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, score double")
+    out = curriculum_order(df, "score", seed=1, buckets=4,
+                           persist_input=False).collect()
+    by_pos = sorted(out, key=lambda r: r["train_pos"])
+    # positions are a 1..n permutation
+    assert [r["train_pos"] for r in by_pos] == list(range(1, 201))
+    # easy-first: bucket sequence is nondecreasing along the schedule
+    bseq = [r["difficulty_bucket"] for r in by_pos]
+    assert bseq == sorted(bseq)
+    assert set(bseq) == {0, 1, 2, 3}
+    # same seed -> same schedule; new seed re-deals within tiers only
+    again = curriculum_order(df, "score", seed=1, buckets=4,
+                             persist_input=False).collect()
+    assert {(r["doc_id"], r["train_pos"]) for r in again} == {
+        (r["doc_id"], r["train_pos"]) for r in out
+    }
+    redeal = curriculum_order(df, "score", seed=2, buckets=4,
+                              persist_input=False).collect()
+    assert {(r["doc_id"], r["difficulty_bucket"]) for r in redeal} == {
+        (r["doc_id"], r["difficulty_bucket"]) for r in out
+    }
+    assert {(r["doc_id"], r["train_pos"]) for r in redeal} != {
+        (r["doc_id"], r["train_pos"]) for r in out
+    }
