@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "ns_perplexity_filter_report",
     "ns_table_profile_report",
     "ns_incremental_lsh_dedup_manifest",
+    "ns_winnow_shared_pairs",
+    "ns_token_budget_sample",
+    "ns_curriculum_order",
+    "ns_cross_source_duplication",
 ]
 
 # Scale-stress tier (`--sf sf1`): the top headline queries across the

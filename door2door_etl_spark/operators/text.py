@@ -825,10 +825,14 @@ def winnow_fingerprints(
         F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_i", "pos"),
     )
     gram = F.substring(F.col("_s"), F.col("pos"), k)
+    # 16 hex chars = 64 bits: a quarter of the full digest's shuffle
+    # bytes with the same selection structure (prefix truncation keeps
+    # lexicographic order; a 64-bit prefix tie between distinct grams is
+    # astronomically rare and both engines truncate identically).
     h = (
         F.xxhash64(gram).cast("string")
         if hash_fn == "xxhash64"
-        else F.sha2(gram, 256)
+        else F.substring(F.sha2(gram, 256), 1, 16)
     )
     hashed = positions.select(
         F.col(id_col), F.col("pos"), F.col("_nw"), h.alias("_h")

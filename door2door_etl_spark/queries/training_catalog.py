@@ -1212,7 +1212,7 @@ norm AS (
 ), grams AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(length(s) - {WINNOW_K - 1}, 1)),
-                        i -> sha256(substr(s, i, {WINNOW_K}))) AS hs
+                        i -> substr(sha256(substr(s, i, {WINNOW_K})), 1, 16)) AS hs
   FROM norm
 ), fps AS (
   SELECT DISTINCT doc_id,
@@ -1255,10 +1255,18 @@ def q_winnow_shared_pairs(spark: SparkSession, sf: str) -> DataFrame:
     makes this catch any shared run of w+k-1 = 11+ normalized chars;
     the rare-split bounds the join fanout at rare_max^2 per fingerprint
     (same skew discipline as ngram_jaccard_topk / segment_dedup)."""
+    from pyspark import StorageLevel
+
     from door2door_etl_spark.operators.text import winnow_fingerprints
 
     docs = load_table(spark, sf, "documents")
-    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    # The fingerprint relation feeds THREE subtrees (the stop-gram
+    # count, and both sides of the pair self-join); uncached, each one
+    # re-runs the whole explode+hash+window pipeline.  ~24 B/row, so the
+    # cache is trivially resident; bench's clearCache releases it.
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_n"))
