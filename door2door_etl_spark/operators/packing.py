@@ -48,13 +48,15 @@ def contiguous_token_chunks(
     """Add ``chunk_id``: the token-budget chunk of each row under a global
     ``order_col`` ordering (unique keys required for determinism).
 
-    ``persist_input`` caches the range-partitioned frame: the offsets pass
-    (phase 2) and the output pass both consume it, and without a cache each
-    re-executes the ENTIRE upstream plan — ruinous when packing sits at the
-    end of a filter/dedup pipeline.  The cached frame is just
-    (key, weight, …) — narrow by construction — so this is the right
-    default even at corpus scale; pass False only when the input is a bare
-    scan.  Caller owns the cache lifetime (``spark.catalog.clearCache()``)."""
+    The range-partitioned frame is ALWAYS cached — both the offsets pass
+    (phase 2) and the output pass must consume one identical
+    partitioning, and the plan-level cache entry is what guarantees it
+    (see the correctness note below).  The cached frame is just
+    (key, weight, …) — narrow by construction — so this holds even at
+    corpus scale.  ``persist_input`` is retained for API stability and
+    signals only the caller's cache-lifetime intent; the cache itself is
+    not optional.  Caller owns the release
+    (``spark.catalog.clearCache()``)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -63,10 +65,23 @@ def contiguous_token_chunks(
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
     )
-    if persist_input:
-        from pyspark.storagelevel import StorageLevel
+    # The cache is CORRECTNESS, not an optimization: the offsets job
+    # (phase 2) and the output job must read the SAME partitioning, but
+    # each action re-plans the query and repartitionByRange re-SAMPLES
+    # its boundaries per plan — two uncached executions can disagree,
+    # applying phase-2 offsets to different partitions (measured at sf1
+    # with a skewed 4-prefix curriculum key: interleaved position blocks,
+    # output not even a permutation; sf0.01 masked it because the sample
+    # saw the whole input).  The cache-manager entry is what both
+    # consumers share at PLAN level, so an UNCACHED mode cannot exist;
+    # ``persist_input=False`` now only records the caller's promise to
+    # release promptly (spark.catalog.clearCache()) — it no longer skips
+    # the persist.  (A localCheckpoint variant was tried and rejected:
+    # its blocks are pinned by UI-retained query plans with no
+    # deterministic release, where clearCache frees the persist path.)
+    from pyspark.storagelevel import StorageLevel
 
-        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     totals = (
         ranged.groupBy("_pid")
         .agg(F.sum(F.col(weight_col).cast("long")).alias("_tot"))

@@ -1497,11 +1497,12 @@ def test_negative_samples_deterministic_no_self_pairs(spark):
     assert {(r["id"], r["neg_rank"], r["negative_id"]) for r in s3.collect()} != {
         (r["id"], r["neg_rank"], r["negative_id"]) for r in rows
     }
-    # no leaked cached relations: the single-consumer shuffle runs uncached.
-    # Census is an upper bound relative to the test's start — the shared
-    # session may carry other tests' caches AND the ContextCleaner may
-    # asynchronously release them mid-test, so only an INCREASE would
-    # indicate a leak from this operator.
+    # Cache contract since the prefix-scan boundary fix (the sf1 sweep
+    # showed two independently-planned executions sampling DIFFERENT
+    # range boundaries — silent position corruption — so the two-phase
+    # scan now always persists its partitioning): the operator may leave
+    # a cache-manager entry, and clearCache() releases it fully.
+    spark.catalog.clearCache()
     assert (
         spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         <= cached_before

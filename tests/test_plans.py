@@ -226,12 +226,17 @@ def test_pack_chunks_single_range_shuffle(spark):
     df = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
     )
-    # persist_input=False: assert the raw plan shape (the cache variant
-    # wraps the same plan in an InMemoryRelation, hiding the exchange text).
-    out = contiguous_token_chunks(df, "k", "w", 50, num_partitions=4, persist_input=False)
+    # The scan is always cached (plan-shared partitioning is correctness
+    # since the sf1 boundary-resample bug), so the physical plan hides
+    # the exchange inside the InMemoryRelation; assert the range shuffle
+    # on the ANALYZED plan (pre-cache-substitution) and the absence of
+    # any hash exchange on the physical side.
+    out = contiguous_token_chunks(df, "k", "w", 50, num_partitions=4)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("RepartitionByExpression") == 1, analyzed
     plan = plan_of(out)
-    assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
+    spark.catalog.clearCache()
 
 
 def test_q9_broadcasts_all_dimension_legs(spark, sf001):

@@ -702,3 +702,31 @@ def test_sketch_registers_match_python_sha(spark, keys):
     expect_bloom = {h52(k, f"bloom{j}") % 256 for k in keys for j in range(3)}
     got_bloom = {r["bit"] for r in bloom_bit_table(df, [], "id").collect()}
     assert got_bloom == expect_bloom
+
+
+def test_prefix_scan_positions_stable_without_managed_cache(spark):
+    """Regression (found by the sf1 oracle sweep): with
+    persist_input=False, the offsets job and the output job re-planned
+    repartitionByRange independently and could sample DIFFERENT range
+    boundaries — phase-2 offsets then applied to the wrong partitions
+    and the output was not even a permutation.  A skewed few-prefix key
+    at enough rows makes the divergence overwhelmingly likely; the fix
+    pins one materialized partitioning for both consumers."""
+    import hashlib
+
+    from door2door_etl_spark.operators.packing import contiguous_token_chunks
+
+    n = 40_000
+    rows = [
+        (f"{i % 4:04d}|" + hashlib.sha256(str(i).encode()).hexdigest(), 1, i)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, w int, id int")
+    out = contiguous_token_chunks(
+        df, "k", "w", budget=1, num_partitions=32, persist_input=False
+    ).collect()
+    pos = sorted(r["chunk_id"] for r in out)
+    assert pos == list(range(n)), "positions must be an exact 0..n-1 permutation"
+    by_pos = sorted(out, key=lambda r: r["chunk_id"])
+    keys = [r["k"] for r in by_pos]
+    assert keys == sorted(keys), "positions must follow the key order"

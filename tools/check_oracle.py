@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [query_name ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,7 +23,12 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with SPARK_GRAFT_ORACLE_SF_DIR to oracle-check another tier
+# (e.g. the generated bench_data/sf1 — DuckDB handles 6M-row lineitem
+# fine, giving correctness-at-scale evidence, not just sf0.01).
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -63,9 +69,10 @@ def main(names: list[str]) -> int:
     spark = build_session(app_name="oracle-check", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file tables (the sf1 tier)
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     targets = names or list(QUERIES)
     failures = []
