@@ -136,10 +136,14 @@ def _run_maintenance(args) -> int:
 
         for root in roots:
             if is_manifest(root):
-                hist = ManifestTable(str(root)).describe_history()
+                table = ManifestTable(str(root))
+                report[root.name] = {
+                    "history": table.describe_history(),
+                    "schema_evolution": table.schema_evolution(),
+                }
             else:
                 hist = VersionedParquetTable(str(root)).describe_history()
-            report[root.name] = {"history": hist}
+                report[root.name] = {"history": hist}
     elif args.step == "restore":
         # Rollback is metadata-only in BOTH layouts: no Spark session.
         if not args.table or args.to_version is None:

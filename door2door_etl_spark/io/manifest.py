@@ -580,6 +580,45 @@ class ManifestTable:
             )
         return out
 
+    def schema_evolution(self) -> list[dict]:
+        """Per-retained-version schema DIFF, oldest first:
+        ``{version, op, added: {col: type}, removed: {col: type},
+        retyped: {col: (old, new)}}`` — the audit that answers "when did
+        this column appear / change type" without replaying data.  Pure
+        metadata (each manifest embeds its committed schema); the first
+        retained version reports its full schema as ``added``."""
+        versions = sorted(
+            v
+            for v in (
+                _parse_manifest_version(n)
+                for n in self.fs.list_names(self.manifests_dir)
+            )
+            if v is not None
+        )
+        out: list[dict] = []
+        prev: dict[str, str] = {}
+        for v in versions:
+            man = self.manifest(v)
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            cur = {f.name: f.dataType.simpleString() for f in schema.fields}
+            out.append(
+                {
+                    "version": v,
+                    "op": man.get("op", "write"),
+                    "added": {c: t for c, t in cur.items() if c not in prev},
+                    "removed": {
+                        c: t for c, t in prev.items() if c not in cur
+                    },
+                    "retyped": {
+                        c: (prev[c], cur[c])
+                        for c in cur
+                        if c in prev and prev[c] != cur[c]
+                    },
+                }
+            )
+            prev = cur
+        return out
+
     # -- manifest statistics (data skipping) --------------------------------
 
     def count_rows(self, version: int | None = None) -> int | None:

@@ -1187,3 +1187,23 @@ def test_autocompact_policy_gates_on_metadata(spark, tmp_path, capsys):
     rc = cli_main(["-s", "autocompact", "--lake-root", str(lake)])
     assert rc == 0
     assert '"recommend": false' in capsys.readouterr().out
+
+
+def test_schema_evolution_report(spark, tmp_path):
+    """schema_evolution answers "when did this column appear / retype"
+    from manifest metadata alone."""
+    root = str(tmp_path / "tbl")
+    merge_manifest(spark, root, spark.createDataFrame(
+        [(1, "a")], "k int, v string"), key="k", vacuum_keep=99)
+    merge_manifest(spark, root, spark.createDataFrame(
+        [(2, "b", 3.5)], "k int, v string, score double"),
+        key="k", evolve_schema=True, vacuum_keep=99)
+    merge_manifest(spark, root, spark.createDataFrame(
+        [(3, "c", 4.5)], "k int, v string, score double"),
+        key="k", vacuum_keep=99)
+    evo = ManifestTable(root).schema_evolution()
+    assert [e["version"] for e in evo] == [1, 2, 3]
+    assert evo[0]["added"] == {"k": "int", "v": "string"}
+    assert evo[1]["added"] == {"score": "double"}
+    assert evo[1]["removed"] == {} and evo[1]["retyped"] == {}
+    assert evo[2]["added"] == {} and evo[2]["removed"] == {}
