@@ -29,6 +29,44 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
 )
+# Optional relative tolerance for FLOAT columns (e.g. "1e-7"): at the sf1
+# tier, 10x rows reorder double summation and the driver's exact value
+# hash over-rejects; with RTOL set, a hash mismatch falls back to a
+# sorted pairwise numeric comparison and reports OK~ when every float
+# agrees within tolerance and every non-float matches exactly.  The
+# driver's sf0.01 gate stays exact — never set this there.
+_rt = os.environ.get("SPARK_GRAFT_ORACLE_RTOL")
+RTOL = float(_rt) if _rt else None
+
+
+def _close_under_rtol(sdf: pd.DataFrame, odf: pd.DataFrame, rtol: float) -> bool:
+    import numpy as np
+
+    if len(sdf) != len(odf):
+        return False
+    s = sdf[sorted(sdf.columns)].copy()
+    o = odf[sorted(odf.columns)].copy()
+    float_cols = [c for c in s.columns if pd.api.types.is_float_dtype(s[c])]
+    other = [c for c in s.columns if c not in float_cols]
+    # Sort both sides by the exact-rendered non-float fields (ties then by
+    # the rounded floats) so rows pair up positionally.
+    def keyed(df):
+        k = df.copy()
+        for c in float_cols:
+            k[c] = k[c].astype(float).round(2)
+        return df.loc[k.sort_values(other + float_cols, kind="mergesort").index]
+
+    s, o = keyed(s).reset_index(drop=True), keyed(o).reset_index(drop=True)
+    for c in other:
+        if not (s[c].astype(str).values == o[c].astype(str).values).all():
+            return False
+    for c in float_cols:
+        a = s[c].astype(float).to_numpy()
+        b = o[c].astype(float).to_numpy()
+        ok = np.isclose(a, b, rtol=rtol, atol=1e-9, equal_nan=True)
+        if not ok.all():
+            return False
+    return True
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -103,9 +141,17 @@ def main(names: list[str]) -> int:
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        rtol_note = ""
         if not problems:
             hs, ho = value_hash(normalize(sdf)), value_hash(normalize(odf))
-            if hs != ho:
+            if hs != ho and RTOL is not None and _close_under_rtol(
+                sdf, odf, RTOL
+            ):
+                # Float-summation-order artifact (expected at the sf1
+                # tier: 10x rows reorder double accumulation) — values
+                # agree within the stated relative tolerance.
+                rtol_note = f" (hash differs; values within rtol={RTOL})"
+            elif hs != ho:
                 problems.append(f"value-hash spark={hs} oracle={ho}")
                 srows, orows = normalize(sdf), normalize(odf)
                 diff = [
@@ -120,7 +166,9 @@ def main(names: list[str]) -> int:
                 print(f"      {p}")
             failures.append(name)
         else:
-            print(f"OK    {name:38s} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            tag = "OK~  " if rtol_note else "OK   "
+            print(f"{tag} {name:38s} rows={len(sdf)}{rtol_note} "
+                  f"[{time.time()-t0:.1f}s]")
 
     print(f"\n{len(targets) - len(failures)}/{len(targets)} matched")
     if failures:
