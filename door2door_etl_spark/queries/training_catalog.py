@@ -1382,3 +1382,99 @@ TRAINING_QUERIES.append(
         ("northstar", "packing"),
     )
 )
+
+
+def q_mixed_language_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-language detection at SEGMENT grain: split each document
+    into 10-word segments, language-ID every segment with the same
+    stopword-argmax heuristic as the document-level predictor, and
+    report per document how many segments disagree with the whole-doc
+    prediction — the code-switching / boilerplate-contamination signal a
+    doc-level language filter cannot see.  Scale: segmentation is the
+    same map-side array arithmetic as segment_dedup (no per-word
+    explode), prediction is per exploded segment row (map-side), and the
+    only shuffle is the per-doc rollup."""
+    from door2door_etl_spark.operators.text import predict_language
+
+    docs = load_table(spark, sf, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(float(SEG_WORDS))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(SEG_WORDS) + F.lit(1), SEG_WORDS), " "
+        ),
+    )
+    seg_rows = docs.select(
+        "doc_id",
+        predict_language(F.col("text")).alias("doc_pred"),
+        F.explode(segs).alias("seg_text"),
+    ).withColumn("seg_pred", predict_language(F.col("seg_text")))
+    return seg_rows.groupBy("doc_id", "doc_pred").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segs"),
+        F.sum(
+            F.when(
+                (F.col("seg_pred") != F.col("doc_pred"))
+                & (F.col("seg_pred") != "und"),
+                1,
+            ).otherwise(0)
+        ).cast("int").alias("n_foreign_segs"),
+        F.sum(F.when(F.col("seg_pred") == "und", 1).otherwise(0))
+        .cast("int")
+        .alias("n_und_segs"),
+    )
+
+
+def _sql_mixed_language_report() -> str:
+    from door2door_etl_spark.operators import text as X
+
+    def lang_pred(col: str) -> str:
+        toks = f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+        hits = {
+            lang: (
+                f"len(list_filter({toks}, t2 -> t2 IN "
+                f"({', '.join(repr(w) for w in words)})))"
+            )
+            for lang, words in sorted(X.LANG_STOPWORDS.items())
+        }
+        best = f"greatest({', '.join(hits.values())})"
+        case = " ".join(
+            f"WHEN {expr} = {best} THEN '{lang}'"
+            for lang, expr in hits.items()
+        )
+        return f"(CASE WHEN {best} > 0 THEN (CASE {case} END) ELSE 'und' END)"
+
+    return f"""
+WITH segs AS (
+  SELECT doc_id, {lang_pred('text')} AS doc_pred,
+         array_to_string(
+           (string_split(coalesce(text, ''), ' '))[s.seg_idx * {SEG_WORDS} + 1
+                                     : s.seg_idx * {SEG_WORDS} + {SEG_WORDS}],
+           ' ') AS seg_text
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(len(string_split(coalesce(text, ''), ' '))
+                            / {SEG_WORDS}.0)
+                       AS INT) - 1)) AS seg_idx) s
+), scored AS (
+  SELECT doc_id, doc_pred, {lang_pred('seg_text')} AS seg_pred FROM segs
+)
+SELECT doc_id, doc_pred,
+       CAST(count(*) AS INT) AS n_segs,
+       CAST(sum(CASE WHEN seg_pred != doc_pred AND seg_pred != 'und'
+                     THEN 1 ELSE 0 END) AS INT) AS n_foreign_segs,
+       CAST(sum(CASE WHEN seg_pred = 'und' THEN 1 ELSE 0 END) AS INT)
+         AS n_und_segs
+FROM scored GROUP BY 1, 2
+"""
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_mixed_language_report",
+        q_mixed_language_report,
+        _sql_mixed_language_report(),
+        "north-star text/mixed-language-segments",
+        ("northstar", "text"),
+    )
+)
