@@ -176,6 +176,36 @@ def _run_maintenance(args) -> int:
                     keep=args.keep_versions, min_age_hours=args.min_age_hours
                 )
             report[root.name] = {"removed_snapshots": removed}
+    elif args.step == "autocompact":
+        # Policy first, session only if some table needs the rewrite —
+        # the healthy-lake cron case stays metadata-only (no JVM).
+        from door2door_etl_spark.io.manifest import (
+            compact_manifest,
+            compaction_advice,
+        )
+
+        advices = {
+            root: compaction_advice(str(root))
+            for root in roots
+            if is_manifest(root)
+        }
+        to_compact = [r for r, a in advices.items() if a["recommend"]]
+        if to_compact:
+            from pyspark.sql import SparkSession
+
+            from door2door_etl_spark.session import build_session
+
+            active = SparkSession.getActiveSession()
+            spark = active or build_session(app_name="door2door-maintenance")
+            try:
+                for root in to_compact:
+                    advices[root]["files_after"] = compact_manifest(
+                        spark, str(root), target_file_mb=args.target_file_mb
+                    )
+            finally:
+                if active is None:
+                    spark.stop()
+        report = {root.name: a for root, a in advices.items()}
     else:
         from pyspark.sql import SparkSession
 
@@ -197,23 +227,6 @@ def _run_maintenance(args) -> int:
                         continue  # POSIX tables delete copy-on-write; no DVs
                     n = purge_deletes_manifest(spark, str(root))
                     report[root.name] = {"files_rewritten": n}
-                elif args.step == "autocompact":
-                    # Policy-gated: compact only tables whose metadata says
-                    # the rewrite pays (file count / mean size thresholds) —
-                    # the cron-safe form of -s compact.
-                    if not is_manifest(root):
-                        continue  # policy reads manifest metadata
-                    from door2door_etl_spark.io.manifest import (
-                        compaction_advice,
-                    )
-
-                    advice = compaction_advice(str(root))
-                    if advice["recommend"]:
-                        advice["files_after"] = compact_manifest(
-                            spark, str(root),
-                            target_file_mb=args.target_file_mb,
-                        )
-                    report[root.name] = advice
                 elif is_manifest(root):
                     n = compact_manifest(
                         spark, str(root), target_file_mb=args.target_file_mb

@@ -1178,28 +1178,36 @@ class ManifestLshBandIndex:
             self.hash_fn,
         )
 
-    def _unified(self, bands_df: DataFrame, ids_df: DataFrame) -> DataFrame:
+    def _unified(
+        self, bands_df: DataFrame, ids_df: DataFrame, tag: str | None = None
+    ) -> DataFrame:
         b = bands_df.select(
             F.lit("band").alias("rel"),
             F.col(self.id_col),
             F.col("band_idx"),
             F.col("band_key"),
         )
+        # id rows repurpose the (otherwise NULL) band_key slot as an
+        # optional admission TAG — e.g. the streaming batch id — so a
+        # consumer can tell "admitted by THIS delivery" from "admitted
+        # earlier" (the replay-vs-redelivery distinction).
         i = ids_df.select(
             F.lit("id").alias("rel"),
             F.col(self.id_col),
             F.lit(None).cast("int").alias("band_idx"),
-            F.lit(None).cast("string").alias("band_key"),
+            F.lit(tag).cast("string").alias("band_key"),
         )
         return b.unionByName(i)
 
-    def _commit(self, bands_df: DataFrame, ids_df: DataFrame) -> int:
+    def _commit(
+        self, bands_df: DataFrame, ids_df: DataFrame, tag: str | None = None
+    ) -> int:
         from door2door_etl_spark.io.manifest import append_manifest
 
         return append_manifest(
             self.spark,
             self.root,
-            self._unified(bands_df, ids_df),
+            self._unified(bands_df, ids_df, tag),
             partition_col="rel",
             stats_col=["band_idx", "band_key"],
         )
@@ -1222,9 +1230,16 @@ class ManifestLshBandIndex:
             self.id_col, "band_idx", "band_key"
         )
 
-    def admitted_ids(self) -> DataFrame:
-        """The admitted-document set of the current snapshot."""
-        return self._read().filter(F.col("rel") == "id").select(self.id_col)
+    def admitted_ids(self, with_tags: bool = False) -> DataFrame:
+        """The admitted-document set of the current snapshot.  With
+        ``with_tags``, includes the admission tag column (``admit_tag``,
+        NULL for untagged admissions)."""
+        ids = self._read().filter(F.col("rel") == "id")
+        if with_tags:
+            return ids.select(
+                self.id_col, F.col("band_key").alias("admit_tag")
+            )
+        return ids.select(self.id_col)
 
     def probe(self, batch_bands: DataFrame) -> DataFrame:
         """Batch band rows colliding with the index.  The index is only
@@ -1242,12 +1257,19 @@ class ManifestLshBandIndex:
         )
 
     def admit(
-        self, batch: DataFrame, intra_batch: bool = True, update_index: bool = True
+        self,
+        batch: DataFrame,
+        intra_batch: bool = True,
+        update_index: bool = True,
+        tag: str | None = None,
     ) -> DataFrame:
         """Admission-filter ``batch`` (same semantics as
         :func:`incremental_lsh_dedup` / :meth:`LshBandIndex.admit`) and,
         with ``update_index``, commit the survivors' band rows AND their
-        ids as ONE manifest version."""
+        ids as ONE manifest version.  ``tag`` stamps the committed id
+        rows (see :meth:`admitted_ids` ``with_tags``) — the streaming
+        path uses the batch id so replay and re-delivery are
+        distinguishable."""
         from pyspark import StorageLevel
 
         bb = self._band_table(batch).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1267,7 +1289,7 @@ class ManifestLshBandIndex:
         finally:
             bb.unpersist()
         if update_index:
-            self._commit(survivor_bands, survivors.select(self.id_col))
+            self._commit(survivor_bands, survivors.select(self.id_col), tag)
         return survivors
 
     def compact(self) -> int:

@@ -180,9 +180,10 @@ def epoch_shuffle(
     exclusive prefix count of rows IS the 0-based position.
 
     ``persist_input`` passes through to the two-phase scan (see
-    :func:`contiguous_token_chunks`): pass ``False`` when the result is
-    consumed exactly once — a single-consumer caller otherwise leaks a
-    cached relation it has no handle to release.
+    :func:`contiguous_token_chunks`) — since the boundary-resample fix
+    the scan ALWAYS persists its range-partitioned frame (correctness),
+    so the flag records cache-lifetime intent only; release with
+    ``spark.catalog.clearCache()``.
     """
     keyed = df.withColumn(
         "_shuffle_key",
@@ -416,18 +417,31 @@ def curriculum_order(
 
     Adds ``difficulty_bucket`` (0-based tier, 0 = easiest) and
     ``out_col``.  Ties at a threshold land in the LOWER tier (``>``
-    comparisons), matching the SQL oracle's rendering.
+    comparisons), matching the SQL oracle's rendering.  NULL scores are
+    rejected loudly (a NULL has no defined tier and would silently
+    diverge from the SQL twin — same posture as the NULL-anchor check
+    in negative sampling); an empty frame returns empty; ``buckets=1``
+    degenerates to a pure epoch shuffle (everything tier 0).
     """
+    if df.filter(F.col(score_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"curriculum_order: NULL values in score column {score_col!r}; "
+            "a NULL difficulty has no tier — filter or impute first"
+        )
     qs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.agg(
-        *[
-            F.percentile(F.col(score_col), F.lit(q)).alias(f"q{i}")
-            for i, q in enumerate(qs)
-        ]
-    ).collect()[0]
+    if qs:
+        cuts_row = df.agg(
+            *[
+                F.percentile(F.col(score_col), F.lit(q)).alias(f"q{i}")
+                for i, q in enumerate(qs)
+            ]
+        ).collect()[0]
     bucket = None
     for i in range(len(qs)):
-        t = (F.col(score_col) > F.lit(float(cuts_row[f"q{i}"]))).cast("int")
+        cut = cuts_row[f"q{i}"]
+        if cut is None:  # empty input: no thresholds, all rows tier 0
+            continue
+        t = (F.col(score_col) > F.lit(float(cut))).cast("int")
         bucket = t if bucket is None else bucket + t
     if bucket is None:
         bucket = F.lit(0)

@@ -636,8 +636,10 @@ def negative_samples(
             "cannot be hashed portably and would silently vanish"
         )
     # Count and anchors come from the raw input — only position RESOLUTION
-    # needs the shuffle lineage, and it is consumed exactly once, so the
-    # two-phase scan's cache is disabled (nothing would reuse it).
+    # needs the shuffle lineage.  The two-phase scan always persists its
+    # narrow (id, key) frame (a correctness requirement of its offsets
+    # pass — see contiguous_token_chunks); release via
+    # spark.catalog.clearCache().
     n = df.count()
     pos = epoch_shuffle(
         df.select(id_col), seed=seed, id_col=id_col, persist_input=False

@@ -730,10 +730,9 @@ def q_text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_text_langid_confusion() -> str:
     toks = sql_tokens("text")
-    lang_hits = {
-        lang: f"len(list_filter(toks, t2 -> t2 IN ({', '.join(repr(w) for w in words)})))"
-        for lang, words in sorted(X.LANG_STOPWORDS.items())
-    }
+    from door2door_etl_spark.queries.sql_fragments import sql_lang_hits
+
+    lang_hits = sql_lang_hits("toks")
     best = f"greatest({', '.join(lang_hits.values())})"
     lang_case = " ".join(
         f"WHEN {expr} = best THEN '{lang}'" for lang, expr in lang_hits.items()

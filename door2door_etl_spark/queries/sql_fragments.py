@@ -96,3 +96,32 @@ def dec_avg(expr: str, alias: str, scale: int = 4) -> str:
         f"round(CAST(sum(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE) "
         f"/ count(*), {scale}) AS {alias}"
     )
+
+
+def sql_lang_hits(toks_expr: str) -> dict[str, str]:
+    """Per-language stopword hit-count expressions over an already-bound
+    token list — the ONE DuckDB rendering of text.LANG_STOPWORDS, shared
+    by every oracle that predicts a language (text-features, langid
+    confusion, mixed-language segments).  Keys arrive lang-sorted, which
+    is what makes the downstream CASE tie-break alphabetical, matching
+    text._argmax_language."""
+    from door2door_etl_spark.operators.text import LANG_STOPWORDS
+
+    return {
+        lang: (
+            f"len(list_filter({toks_expr}, t2 -> t2 IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+
+
+def sql_lang_pred(toks_expr: str) -> str:
+    """Full inline stopword-argmax prediction (ties alphabetical, zero
+    hits -> 'und') — for oracles that cannot bind ``best`` in a CTE."""
+    hits = sql_lang_hits(toks_expr)
+    best = f"greatest({', '.join(hits.values())})"
+    case = " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in hits.items()
+    )
+    return f"(CASE WHEN {best} > 0 THEN (CASE {case} END) ELSE 'und' END)"

@@ -1144,13 +1144,20 @@ def q_cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
     squared, never by the corpus."""
     from door2door_etl_spark.operators.dedup import shingles
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf, "documents")
+    # Both sides of the self-join (and nothing else) consume this
+    # explode+distinct relation; persist it rather than trusting
+    # ReuseExchange to dedup the two aggregate subtrees (AQE
+    # re-optimization can break that match — the same lesson as the
+    # winnow pair query).  bench's clearCache releases it.
     hs = docs.select(
         F.explode(
             F.array_distinct(shingles(F.col("text"), CONTAM_SHINGLE_N))
         ).alias("s"),
         "source",
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     a = hs.alias("a")
     b = hs.alias("b")
     return (
@@ -1426,23 +1433,10 @@ def q_mixed_language_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_mixed_language_report() -> str:
-    from door2door_etl_spark.operators import text as X
+    from door2door_etl_spark.queries.sql_fragments import sql_lang_pred
 
     def lang_pred(col: str) -> str:
-        toks = f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x != '')"
-        hits = {
-            lang: (
-                f"len(list_filter({toks}, t2 -> t2 IN "
-                f"({', '.join(repr(w) for w in words)})))"
-            )
-            for lang, words in sorted(X.LANG_STOPWORDS.items())
-        }
-        best = f"greatest({', '.join(hits.values())})"
-        case = " ".join(
-            f"WHEN {expr} = {best} THEN '{lang}'"
-            for lang, expr in hits.items()
-        )
-        return f"(CASE WHEN {best} > 0 THEN (CASE {case} END) ELSE 'und' END)"
+        return sql_lang_pred(sql_tokens(col))
 
     return f"""
 WITH segs AS (

@@ -664,16 +664,18 @@ def stream_manifest_lsh_admission(
     index, here today's admissions collide tomorrow's batch, and every
     update lands bands + admitted ids in ONE manifest commit.
 
-    Replay safety (foreachBatch is at-least-once): rows whose id is
-    already in the index's admitted set are ALREADY-ADMITTED — they pass
-    straight through to the batch output without re-probing or
-    re-committing, so a replayed batch reproduces its output instead of
-    colliding with its own first delivery.  The remaining (genuinely
-    new) rows run the shared admission rule; on a full-batch replay the
-    previously-dropped subset re-drops identically (index collisions
-    now hit the first delivery's admissions; intra-batch relations
-    among the replayed rows are unchanged), so the per-batch overwrite
-    converges — effectively-once without a streaming state store, the
+    Replay safety (foreachBatch is at-least-once): every admission is
+    committed TAGGED with its batch id, so the handler can tell a true
+    REPLAY (this batch's own prior delivery — its admissions carry THIS
+    batch id and must be re-emitted so the per-batch overwrite
+    converges) from RE-DELIVERY of a document admitted by an EARLIER
+    batch (an upstream re-publish landing under a new batch id — an
+    exact-duplicate id, dropped like any other duplicate instead of
+    being emitted twice).  Genuinely new rows run the shared admission
+    rule; on a full-batch replay the previously-dropped subset re-drops
+    identically (index collisions now hit the first delivery's
+    admissions; intra-batch relations among the replayed rows are
+    unchanged) — effectively-once without a streaming state store, the
     state being the index's own versioned commits.
 
     Output: ``out_dir/batch_id=N`` per micro-batch (overwritten on
@@ -683,15 +685,24 @@ def stream_manifest_lsh_admission(
     id_col = index.id_col
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ids = index.admitted_ids()
-        seen = batch_df.join(ids, id_col, "left_semi")
-        new = batch_df.join(ids, id_col, "left_anti").localCheckpoint(
-            eager=True
+        ids = index.admitted_ids(with_tags=True)
+        own = ids.filter(F.col("admit_tag") == str(batch_id)).select(id_col)
+        other = ids.filter(
+            (F.col("admit_tag") != str(batch_id))
+            | F.col("admit_tag").isNull()
+        ).select(id_col)
+        # replay of THIS batch: re-emit its own prior admissions
+        seen = batch_df.join(own, id_col, "left_semi")
+        # admitted by ANY other batch: exact-duplicate delivery -> drop
+        new = (
+            batch_df.join(own, id_col, "left_anti")
+            .join(other, id_col, "left_anti")
+            .localCheckpoint(eager=True)
         )
         if new.limit(1).count() == 0:
             kept = seen
         else:
-            kept = seen.unionByName(index.admit(new))
+            kept = seen.unionByName(index.admit(new, tag=str(batch_id)))
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (

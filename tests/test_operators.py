@@ -1738,3 +1738,21 @@ def test_curriculum_order_easy_first_and_seed_redeal(spark):
     assert {(r["doc_id"], r["train_pos"]) for r in redeal} != {
         (r["doc_id"], r["train_pos"]) for r in out
     }
+
+
+def test_curriculum_order_degenerate_inputs(spark):
+    from door2door_etl_spark.operators.packing import curriculum_order
+
+    empty = spark.createDataFrame([], "doc_id int, score double")
+    assert curriculum_order(empty, "score", persist_input=False).count() == 0
+    one_bucket = curriculum_order(
+        spark.createDataFrame([(1, 2.0), (2, 9.0)], "doc_id int, score double"),
+        "score", buckets=1, persist_input=False,
+    ).collect()
+    assert {r["difficulty_bucket"] for r in one_bucket} == {0}
+    assert sorted(r["train_pos"] for r in one_bucket) == [1, 2]
+    with pytest.raises(ValueError, match="NULL"):
+        curriculum_order(
+            spark.createDataFrame([(1, None)], "doc_id int, score double"),
+            "score", persist_input=False,
+        )

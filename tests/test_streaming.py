@@ -721,3 +721,19 @@ def test_stream_manifest_lsh_admission_self_updating_and_replay_safe(
     # invariant: band doc set == id set (no torn/duplicate admissions)
     band_ids = {r[0] for r in idx.scan().select("doc_id").distinct().collect()}
     assert band_ids == {1, 101, 201}
+
+    # RE-DELIVERY (not replay): an upstream re-publish lands doc 101 in a
+    # NEW batch — admitted by an earlier batch, it must be dropped as an
+    # exact duplicate, not emitted into a second batch directory.
+    write_day("day3.json", [
+        {"doc_id": 101, "text": "unrelated fresh material with new vocabulary entirely"},
+        {"doc_id": 301, "text": "a third day brings wholly original material again"},
+    ])
+    run()
+    assert admitted() == {1, 101, 201, 301}
+    assert out_ids() == {101, 201, 301}  # 101 appears once, from day 1
+    import glob as _g
+
+    day3_dirs = sorted(_g.glob(f"{out}/batch_id=*"))[-1]
+    day3_ids = {r[0] for r in spark.read.parquet(day3_dirs).select("doc_id").collect()}
+    assert day3_ids == {301}, day3_ids

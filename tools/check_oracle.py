@@ -48,12 +48,17 @@ def _close_under_rtol(sdf: pd.DataFrame, odf: pd.DataFrame, rtol: float) -> bool
     o = odf[sorted(odf.columns)].copy()
     float_cols = [c for c in s.columns if pd.api.types.is_float_dtype(s[c])]
     other = [c for c in s.columns if c not in float_cols]
-    # Sort both sides by the exact-rendered non-float fields (ties then by
-    # the rounded floats) so rows pair up positionally.
+    # Sort both sides by the exact-rendered non-float fields, breaking
+    # ties by FULL-precision float values: rounding the tie-break would
+    # mis-pair rows whose floats straddle a rounding boundary (one side
+    # 0.10499, the other 0.10501), turning an in-tolerance query into a
+    # spurious FAIL.  With full precision, mis-pairing needs two rows of
+    # one key group closer to each other than the cross-engine error —
+    # and then isclose still passes against either pairing.
     def keyed(df):
         k = df.copy()
         for c in float_cols:
-            k[c] = k[c].astype(float).round(2)
+            k[c] = k[c].astype(float)
         return df.loc[k.sort_values(other + float_cols, kind="mergesort").index]
 
     s, o = keyed(s).reset_index(drop=True), keyed(o).reset_index(drop=True)
@@ -169,6 +174,10 @@ def main(names: list[str]) -> int:
             tag = "OK~  " if rtol_note else "OK   "
             print(f"{tag} {name:38s} rows={len(sdf)}{rtol_note} "
                   f"[{time.time()-t0:.1f}s]")
+        # Release operator-managed caches (two-phase scans, pair-join
+        # relations) so a full sweep doesn't accumulate dozens of
+        # input-scale cached frames across 150 queries.
+        spark.catalog.clearCache()
 
     print(f"\n{len(targets) - len(failures)}/{len(targets)} matched")
     if failures:
