@@ -730,3 +730,63 @@ def test_prefix_scan_positions_stable_without_managed_cache(spark):
     by_pos = sorted(out, key=lambda r: r["chunk_id"])
     keys = [r["k"] for r in by_pos]
     assert keys == sorted(keys), "positions must follow the key order"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.text(alphabet="ab ", min_size=0, max_size=40),
+    right=st.text(alphabet="cd ", min_size=0, max_size=40),
+    shared=st.text(alphabet="xyz", min_size=11, max_size=24),
+)
+def test_winnowing_guarantee_property(spark, left, right, shared):
+    """The SIGMOD'03 guarantee under random context: any two documents
+    sharing a run of >= w + k - 1 normalized chars (k=8, w=4 -> 11)
+    share at least one fingerprint, wherever the run sits."""
+    from door2door_etl_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, f"{left} {shared} {right}"), (2, f"{right}{shared} {left}")],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(1, set()) & by_doc.get(2, set()), (left, shared, right)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lengths=st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    budget=st.integers(1, 200),
+)
+def test_token_budget_prefix_is_maximal_property(spark, lengths, budget):
+    """The kept set is exactly the MAXIMAL prefix of the hash order whose
+    running token total fits: every kept row's cumulative total is under
+    budget, and the first unkept row (if any) would overflow it."""
+    import hashlib
+
+    from door2door_etl_spark.operators.sketches import token_budget_sample
+
+    rows = [(str(i), "g", "tok " * n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "id string, grp string, text string")
+    kept = {
+        r["id"]: r["cum_tokens"]
+        for r in token_budget_sample(df, "grp", "id", budget).collect()
+    }
+    # reconstruct the portable order driver-side
+    def u(key):
+        return int(
+            hashlib.sha256((key + "tbudget").encode()).hexdigest()[:13], 16
+        )
+
+    order = sorted((u(str(i)), str(i)) for i in range(len(lengths)))
+    run = 0
+    expect = {}
+    for _, key in order:
+        n = lengths[int(key)]
+        if run + n > budget:
+            break
+        run += n
+        expect[key] = run
+    assert kept == expect, (lengths, budget)
