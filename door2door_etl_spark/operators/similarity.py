@@ -536,3 +536,195 @@ def multi_query_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", id_col, "cosine", "rk")
     )
+
+
+class ManifestVectorIndex:
+    """IVF-style vector index versioned through the object-store manifest
+    protocol — the ANN-serving twin of
+    :class:`~door2door_etl_spark.operators.dedup.ManifestLshBandIndex`.
+
+    One manifest table (partitioned by ``rel``) holds BOTH relations:
+
+    - ``rel='vector'``: the cell-assigned vectors ``(vec_id, cell,
+      embedding)``;
+    - ``rel='cellstat'``: MERGEABLE per-cell statistics — the per-dim
+      SUM vector and member count.  Stats are deltas: every ingest
+      appends its batch's sums, and readers fold rows per cell (sum of
+      sums, sum of counts) — the sketch-family merge discipline, which
+      is what keeps :meth:`add` append-only and therefore ONE atomic
+      commit (vectors + their stats land together or not at all).
+
+    Serving shape: cell scoring reads ONLY the cellstat rows (O(cells),
+    never the corpus — ``score(cell) = q·sum/n``, equal in exact math to
+    ``avg(q·member)``, the linearity `ivf_topk` exploits); the fine
+    stage reads only the ``nprobe`` chosen cells via
+    :meth:`ManifestTable.read_where` — with ``stats_col=['cell']`` and
+    :meth:`compact`'s clustered rewrite, per-cell reads PRUNE to the
+    files actually holding those cells (the lakehouse half of IVF: the
+    inverted list IS the file layout).  Embeddings are stored as
+    ``array<double>`` (the dot-product's working type).
+    """
+
+    REL_VEC = "vector"
+    REL_STAT = "cellstat"
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        dim: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        cell_col: str = "cell",
+    ):
+        self.spark = spark
+        self.root = root
+        self.dim = dim
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.cell_col = cell_col
+
+    # -- storage ------------------------------------------------------------
+
+    def _unified(self, vectors: DataFrame, cellstats: DataFrame) -> DataFrame:
+        v = vectors.select(
+            F.lit(self.REL_VEC).alias("rel"),
+            F.col(self.id_col).cast("long").alias("vec_id"),
+            F.col(self.cell_col).cast("int").alias("cell"),
+            F.expr(f"transform({self.vec_col}, x -> CAST(x AS DOUBLE))").alias(
+                "embedding"
+            ),
+            F.lit(None).cast("long").alias("n"),
+        )
+        s = cellstats.select(
+            F.lit(self.REL_STAT).alias("rel"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("sum_vec").alias("embedding"),
+            F.col("n").cast("long").alias("n"),
+        )
+        return v.unionByName(s)
+
+    def _cellstats_of(self, assigned: DataFrame) -> DataFrame:
+        """Per-cell (sum vector, count) — per-dim SUM aggregates (map-side
+        partial agg; the shuffle carries one row per (cell, partition))."""
+        grouped = assigned.selectExpr(
+            f"CAST({self.cell_col} AS INT) AS cell", self.vec_col
+        ).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.expr(
+                    f"sum(CAST(element_at({self.vec_col}, {d + 1}) AS DOUBLE))"
+                ).alias(f"s{d}")
+                for d in range(self.dim)
+            ],
+        )
+        return grouped.select(
+            "cell",
+            "n",
+            F.array(*[F.col(f"s{d}") for d in range(self.dim)]).alias(
+                "sum_vec"
+            ),
+        )
+
+    def _commit(self, vectors: DataFrame) -> int:
+        from door2door_etl_spark.io.manifest import append_manifest
+
+        return append_manifest(
+            self.spark,
+            self.root,
+            self._unified(vectors, self._cellstats_of(vectors)),
+            partition_col="rel",
+            stats_col=["cell"],
+        )
+
+    def build(self, vectors: DataFrame) -> int:
+        """First commit: vectors (already carrying ``cell_col``) + their
+        per-cell stat deltas, atomically."""
+        return self._commit(vectors)
+
+    def add(self, vectors: DataFrame) -> int:
+        """Ingest a batch: ONE append commit of vector rows + stat
+        deltas.  A crash at any point leaves the prior version current —
+        vectors can never land without their statistics (or vice
+        versa), so cell scores never drift from the membership."""
+        return self._commit(vectors)
+
+    # -- reads --------------------------------------------------------------
+
+    def _table(self):
+        from door2door_etl_spark.io.manifest import ManifestTable
+
+        return ManifestTable(self.root)
+
+    def cell_stats(self) -> DataFrame:
+        """Folded per-cell statistics: ``(cell, n, sum_vec)``."""
+        raw = (
+            self._table()
+            .read(self.spark)
+            .filter(F.col("rel") == self.REL_STAT)
+            .select("cell", "n", F.col("embedding").alias("sum_vec"))
+        )
+        return raw.groupBy("cell").agg(
+            F.sum("n").alias("n"),
+            F.array(
+                *[
+                    F.sum(F.element_at("sum_vec", d + 1)).alias(f"s{d}")
+                    for d in range(self.dim)
+                ]
+            ).alias("sum_vec"),
+        )
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """Serve one query: coarse stage over the folded cellstats
+        (O(cells) rows — collected to the driver, never the corpus),
+        fine stage = exact cosine over ONLY the probed cells' files."""
+        q = [float(x) for x in query_vec]
+        stats = self.cell_stats().collect()
+        scored = sorted(
+            (
+                (
+                    round(
+                        sum(a * b for a, b in zip(q, r["sum_vec"]))
+                        / float(r["n"]),
+                        6,
+                    ),
+                    r["cell"],
+                )
+                for r in stats
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cells = [c for _, c in scored[:nprobe]]
+        table = self._table()
+        parts = [
+            table.read_where(self.spark, {"cell": (c, c)}).filter(
+                F.col("rel") == self.REL_VEC
+            )
+            for c in cells
+        ]
+        members = parts[0]
+        for p in parts[1:]:
+            members = members.unionByName(p)
+        qcol = _literal_vec(q)
+        return (
+            members.select(
+                F.col("vec_id").alias(self.id_col),
+                F.col("cell"),
+                F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias(
+                    "cosine"
+                ),
+            )
+            .orderBy(F.desc("cosine"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def compact(self) -> int:
+        """Clustered compaction on ``cell``: files come out cell-disjoint,
+        so the fine stage's per-cell ``read_where`` prunes to the files
+        actually holding the probed cells."""
+        from door2door_etl_spark.io.manifest import compact_manifest
+
+        return compact_manifest(self.spark, self.root, sort_by=["cell"])

@@ -2038,3 +2038,73 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_quality_quantile_thresholds", q_quality_quantile_thresholds, SQL_QUALITY_QUANTILE_THRESHOLDS, "north-star text/quality-thresholds", ("northstar", "text")),
     QueryDef("ns_dedup_keep_longest", q_dedup_keep_longest, _sql_dedup_keep_longest(), "north-star dedup/keep-longest-member", ("northstar", "dedup")),
 ]
+
+
+EMB_DIM = 64
+
+
+def q_ann_manifest_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF serving through the MANIFEST-VERSIONED vector index
+    (operators.similarity.ManifestVectorIndex): vectors + mergeable
+    per-cell statistics in one atomically-committed table; the coarse
+    stage reads O(cells) stat rows (never the corpus), the fine stage
+    reads only the probed cells.  Same two-stage semantics as
+    ns_ann_ivf_topk with the query row excluded; the oracle mirrors the
+    index's sum-then-dot cell scoring exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.operators.similarity import ManifestVectorIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    root = os.path.join(tempfile.gettempdir(), "ns_ann_manifest_vecidx")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = ManifestVectorIndex(spark, root, dim=EMB_DIM, cell_col="label")
+    idx.build(emb.filter(F.col("vec_id") != ANN_QUERY_ID))
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == ANN_QUERY_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    return idx.topk(qvec, k=ANN_K, nprobe=IVF_NPROBE).select(
+        "vec_id", F.col("cell").alias("label"), "cosine"
+    )
+
+
+def _sql_ann_manifest_ivf_topk() -> str:
+    dims = ", ".join(
+        f"sum(CAST(e.embedding[{d + 1}] AS DOUBLE)) AS s{d}"
+        for d in range(EMB_DIM)
+    )
+    qdot = " + ".join(
+        f"CAST(q.qvec[{d + 1}] AS DOUBLE) * c.s{d}" for d in range(EMB_DIM)
+    )
+    cos = sql_cosine("e.embedding", "q.qvec")
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+cellstats AS (
+  SELECT e.label, count(*) AS n, {dims}
+  FROM embeddings e WHERE e.vec_id != {ANN_QUERY_ID} GROUP BY e.label),
+scores AS (
+  SELECT c.label, round(({qdot}) / c.n, 6) AS cell_score
+  FROM cellstats c, q),
+probe AS (SELECT label FROM scores ORDER BY cell_score DESC, label LIMIT {IVF_NPROBE})
+SELECT e.vec_id, e.label, round({cos}, 6) AS cosine
+FROM embeddings e, q
+WHERE e.label IN (SELECT label FROM probe) AND e.vec_id != {ANN_QUERY_ID}
+ORDER BY cosine DESC, e.vec_id
+LIMIT {ANN_K}
+"""
+
+
+NORTHSTAR_QUERIES.append(
+    QueryDef(
+        "ns_ann_manifest_ivf_topk",
+        q_ann_manifest_ivf_topk,
+        _sql_ann_manifest_ivf_topk(),
+        "north-star similarity/ivf-serving (manifest-versioned vector index, atomic ingest)",
+        ("northstar", "similarity"),
+    )
+)

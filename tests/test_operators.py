@@ -1756,3 +1756,82 @@ def test_curriculum_order_degenerate_inputs(spark):
             spark.createDataFrame([(1, None)], "doc_id int, score double"),
             "score", persist_input=False,
         )
+
+
+def test_manifest_vector_index_serves_ivf_topk_and_adds_atomically(
+    spark, tmp_path, monkeypatch
+):
+    """The manifest-versioned IVF index must (a) serve the same answers
+    as the inline ivf_topk on the same data, (b) ingest atomically —
+    vectors can never land without their cell statistics, (c) prune
+    per-cell reads to cell-disjoint files after clustered compaction."""
+    import random
+
+    from door2door_etl_spark.io import manifest as M
+    from door2door_etl_spark.operators.similarity import (
+        ManifestVectorIndex,
+        ivf_topk,
+    )
+
+    rng = random.Random(3)
+    dim, cells = 8, 4
+
+    def vec(c):
+        base = [0.0] * dim
+        base[c * 2] = 1.0
+        return [x + rng.uniform(-0.05, 0.05) for x in base]
+
+    rows = [(i, i % cells, vec(i % cells)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    idx = ManifestVectorIndex(
+        spark, str(tmp_path / "vecidx"), dim=dim, cell_col="label"
+    )
+    idx.build(df)
+
+    q = vec(1)
+    got = [(r["vec_id"], r["cosine"]) for r in idx.topk(q, k=5, nprobe=2).collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(df, k=5, nprobe=2, cell_col="label", query_vec=q).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    # Atomic add: a failed claim leaves version, vectors, and stats
+    # untouched; replay heals; stats always equal the membership.
+    v_before = M.ManifestTable(idx.root).current_version()
+    monkeypatch.setattr(M.ManifestTable, "_claim", lambda self, *a, **kw: False)
+    with pytest.raises(M.ConcurrentWriteError):
+        idx.add(spark.createDataFrame(
+            [(900, 1, q)], "vec_id long, label int, embedding array<double>"
+        ))
+    monkeypatch.undo()
+    assert M.ManifestTable(idx.root).current_version() == v_before
+    # add the QUERY VECTOR itself — it must come back as the top hit
+    idx.add(spark.createDataFrame(
+        [(900, 1, q)], "vec_id long, label int, embedding array<double>"
+    ))
+    stats = {r["cell"]: r["n"] for r in idx.cell_stats().collect()}
+    members = (
+        idx._table().read(spark).filter(F.col("rel") == "vector")
+        .groupBy("cell").count().collect()
+    )
+    assert stats == {r["cell"]: r["count"] for r in members}
+    assert stats[1] == 51  # the added vector counts in its cell
+
+    # The new vector is servable and cells prune to few files post-compact.
+    got2 = idx.topk(q, k=5, nprobe=1).collect()
+    assert got2[0]["vec_id"] == 900 and got2[0]["cosine"] == 1.0
+    # Force a multi-file clustered rewrite (AQE would coalesce this tiny
+    # table to one file per rel, which can't demonstrate pruning).
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        idx.compact()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    table = M.ManifestTable(idx.root)
+    man = table.manifest(table.current_version())
+    pruned = table._prune(man, {"cell": (2, 2)})
+    assert 0 < len(pruned) < len(man["files"]), (len(pruned), len(man["files"]))
+    got3 = idx.topk(q, k=5, nprobe=1).collect()
+    assert {r["vec_id"] for r in got3} == {r["vec_id"] for r in got2}
