@@ -630,10 +630,17 @@ class ManifestVectorIndex:
     def _commit(self, vectors: DataFrame) -> int:
         from door2door_etl_spark.io.manifest import append_manifest
 
+        # Pin ONE evaluation of the batch: the vector rows and their
+        # statistics derive from the same union plan, and a
+        # nondeterministic source (limit, sample, shuffle-order-dependent
+        # upstream) evaluated twice could commit stats for a different
+        # row set than its vectors — silently breaking the
+        # stats==membership invariant forever.
+        pinned = vectors.localCheckpoint(eager=True)
         return append_manifest(
             self.spark,
             self.root,
-            self._unified(vectors, self._cellstats_of(vectors)),
+            self._unified(pinned, self._cellstats_of(pinned)),
             partition_col="rel",
             stats_col=["cell"],
         )
@@ -682,23 +689,26 @@ class ManifestVectorIndex:
         (O(cells) rows — collected to the driver, never the corpus),
         fine stage = exact cosine over ONLY the probed cells' files."""
         q = [float(x) for x in query_vec]
-        stats = self.cell_stats().collect()
-        scored = sorted(
-            (
-                (
-                    round(
-                        sum(a * b for a, b in zip(q, r["sum_vec"]))
-                        / float(r["n"]),
-                        6,
-                    ),
-                    r["cell"],
-                )
-                for r in stats
-            ),
-            key=lambda t: (-t[0], t[1]),
+        # Score IN-ENGINE (F.round = HALF_UP, matching the oracle and
+        # every other scoring site — Python's round() is banker's and a
+        # knife-edge score could flip the probe choice), then collect
+        # the O(cells)-row result.
+        qcol = _literal_vec(q)
+        scored_df = (
+            self.cell_stats()
+            .withColumn(
+                "cell_score",
+                F.round(dot(F.col("sum_vec"), qcol) / F.col("n"), 6),
+            )
+            .orderBy(F.desc("cell_score"), F.col("cell"))
+            .limit(nprobe)
         )
-        cells = [c for _, c in scored[:nprobe]]
+        cells = [r["cell"] for r in scored_df.collect()]
         table = self._table()
+        if not cells:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, cell int, cosine double"
+            )
         parts = [
             table.read_where(self.spark, {"cell": (c, c)}).filter(
                 F.col("rel") == self.REL_VEC

@@ -2040,7 +2040,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
 ]
 
 
-EMB_DIM = 64
+EMB_DIM = KM_DIM  # one source for the embeddings-table dimension
 
 
 def q_ann_manifest_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
