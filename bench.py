@@ -105,6 +105,10 @@ BENCH_SF1_QUERIES = [
     "ns_segment_dedup_corpus",
     "ns_ann_bruteforce_topk",
     "ns_kmeans_ivf_centroids_blas",
+    "ns_winnow_shared_pairs",
+    "ns_token_budget_sample",
+    "ns_curriculum_order",
+    "ns_ann_manifest_ivf_topk",
 ]
 
 
