@@ -1835,3 +1835,41 @@ def test_manifest_vector_index_serves_ivf_topk_and_adds_atomically(
     assert 0 < len(pruned) < len(man["files"]), (len(pruned), len(man["files"]))
     got3 = idx.topk(q, k=5, nprobe=1).collect()
     assert {r["vec_id"] for r in got3} == {r["vec_id"] for r in got2}
+
+
+def test_manifest_vector_index_add_auto_assigns_nearest_cell(spark, tmp_path):
+    """add_auto lands each new vector in the cell whose centroid scores
+    it highest (the coarse-stage geometry), commits atomically, and the
+    vector is immediately servable via that cell."""
+    from door2door_etl_spark.operators.similarity import ManifestVectorIndex
+
+    dim = 4
+    base = []
+    for c in range(3):
+        for i in range(20):
+            v = [0.0] * dim
+            v[c] = 1.0 + (i % 5) * 0.01
+            base.append((c * 100 + i, c, v))
+    df = spark.createDataFrame(base, "vec_id long, label int, embedding array<double>")
+    idx = ManifestVectorIndex(spark, str(tmp_path / "vauto"), dim=dim, cell_col="label")
+    idx.build(df)
+
+    # a new vector clearly nearest cell 2's axis
+    new = spark.createDataFrame(
+        [(999, [0.0, 0.0, 0.97, 0.01])], "vec_id long, embedding array<double>"
+    )
+    idx.add_auto(new)
+    placed = (
+        idx._table().read(spark)
+        .filter((F.col("rel") == "vector") & (F.col("vec_id") == 999))
+        .select("cell").first()[0]
+    )
+    assert placed == 2
+    stats = {r["cell"]: r["n"] for r in idx.cell_stats().collect()}
+    assert stats == {0: 20, 1: 20, 2: 21}
+    top = idx.topk([0.0, 0.0, 0.97, 0.01], k=3, nprobe=1).collect()
+    assert top[0]["vec_id"] == 999 and top[0]["cosine"] == 1.0
+    # empty index rejects auto-assignment loudly
+    empty = ManifestVectorIndex(spark, str(tmp_path / "vempty"), dim=dim)
+    with pytest.raises(ValueError, match="empty index|no committed manifest"):
+        empty.add_auto(new)
