@@ -731,6 +731,35 @@ class ManifestVectorIndex:
             .limit(k)
         )
 
+    def add_auto(self, vectors: DataFrame) -> int:
+        """Ingest vectors WITHOUT a cell assignment: assign each to the
+        nearest stored centroid (centroid = folded sum/n — exactly the
+        coarse-stage geometry, so a vector lands in the cell that will
+        score it highest), then run the normal atomic commit.  The
+        assignment is one Arrow/GEMM pass over the batch against a
+        driver-held (cells x dim) matrix — the FAISS ``add`` shape: the
+        index grows without ever rescanning itself."""
+        from door2door_etl_spark.operators.clustering import _assign_blas
+
+        stats = self.cell_stats().collect()
+        if not stats:
+            raise ValueError(
+                f"{self.root}: cannot auto-assign into an empty index; "
+                "build() it first with explicitly-assigned cells"
+            )
+        cells = [int(r["cell"]) for r in stats]
+        centroids = [
+            [float(x) / float(r["n"]) for x in r["sum_vec"]] for r in stats
+        ]
+        assigned = _assign_blas(vectors, self.vec_col, centroids)
+        # _assign_blas emits 1-based positions into the centroid list;
+        # map back to the index's actual cell ids.
+        mapping = F.array(*[F.lit(c) for c in cells])
+        assigned = assigned.withColumn(
+            self.cell_col, F.element_at(mapping, F.col("cluster"))
+        ).drop("cluster")
+        return self._commit(assigned)
+
     def compact(self) -> int:
         """Clustered compaction on ``cell``: files come out cell-disjoint,
         so the fine stage's per-cell ``read_where`` prunes to the files
@@ -738,39 +767,3 @@ class ManifestVectorIndex:
         from door2door_etl_spark.io.manifest import compact_manifest
 
         return compact_manifest(self.spark, self.root, sort_by=["cell"])
-
-
-def _index_add_auto(index: "ManifestVectorIndex", vectors: DataFrame) -> int:
-    """Ingest vectors WITHOUT a cell assignment: assign each to the
-    nearest stored centroid (centroid = folded sum/n — exactly the
-    coarse-stage geometry, so a vector lands in the cell that will score
-    it highest), then run the normal atomic commit.  The assignment is
-    one Arrow/GEMM pass over the batch against a driver-held (cells x
-    dim) matrix — the FAISS ``add`` shape: the index grows without ever
-    rescanning itself.  Implemented as a module function so the
-    dataclass surface stays storage-focused."""
-    import numpy as np
-
-    from door2door_etl_spark.operators.clustering import _assign_blas
-
-    stats = index.cell_stats().collect()
-    if not stats:
-        raise ValueError(
-            f"{index.root}: cannot auto-assign into an empty index; "
-            "build() it first with explicitly-assigned cells"
-        )
-    cells = [int(r["cell"]) for r in stats]
-    centroids = [
-        [float(x) / float(r["n"]) for x in r["sum_vec"]] for r in stats
-    ]
-    assigned = _assign_blas(vectors, index.vec_col, centroids)
-    # _assign_blas emits 1-based positions into the centroid list; map
-    # back to the index's actual cell ids.
-    mapping = F.array(*[F.lit(c) for c in cells])
-    assigned = assigned.withColumn(
-        index.cell_col, F.element_at(mapping, F.col("cluster"))
-    ).drop("cluster")
-    return index._commit(assigned)
-
-
-ManifestVectorIndex.add_auto = _index_add_auto
