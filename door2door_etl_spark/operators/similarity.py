@@ -567,6 +567,7 @@ class ManifestVectorIndex:
 
     REL_VEC = "vector"
     REL_STAT = "cellstat"
+    REL_TOMB = "tombstone"
 
     def __init__(
         self,
@@ -718,6 +719,12 @@ class ManifestVectorIndex:
         members = parts[0]
         for p in parts[1:]:
             members = members.unionByName(p)
+        tombs = (
+            table.read(self.spark)
+            .filter(F.col("rel") == self.REL_TOMB)
+            .select("vec_id")
+        )
+        members = members.join(F.broadcast(tombs), "vec_id", "left_anti")
         qcol = _literal_vec(q)
         return (
             members.select(
@@ -759,6 +766,101 @@ class ManifestVectorIndex:
             self.cell_col, F.element_at(mapping, F.col("cluster"))
         ).drop("cluster")
         return self._commit(assigned)
+
+    def remove(self, ids: DataFrame) -> int:
+        """Merge-on-read removal, ONE atomic commit: tombstone rows for
+        the doomed ids plus NEGATIVE per-cell stat deltas for their
+        vectors — the deletion-vector idea re-expressed in the index's
+        own mergeable terms, so cell scores stay exactly consistent with
+        the effective membership at every version (a separate
+        delete-then-fix-stats sequence would tear).  Vectors disappear
+        from serving immediately (broadcast anti-join in the fine
+        stage); :meth:`apply_removals` purges them physically."""
+        from door2door_etl_spark.io.manifest import append_manifest
+
+        table = self._table()
+        live = table.read(self.spark)
+        doomed = (
+            live.filter(F.col("rel") == self.REL_VEC)
+            .join(
+                F.broadcast(ids.selectExpr(f"CAST({ids.columns[0]} AS LONG) AS vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            .select(
+                "vec_id",
+                F.col("cell").alias(self.cell_col),
+                F.col("embedding").alias(self.vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+        neg = self._cellstats_of(doomed).select(
+            F.lit(self.REL_STAT).alias("rel"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.col("cell"),
+            F.expr("transform(sum_vec, x -> -x)").alias("embedding"),
+            (-F.col("n")).cast("long").alias("n"),
+        )
+        tombs = doomed.select(
+            F.lit(self.REL_TOMB).alias("rel"),
+            F.col("vec_id"),
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit(None).cast("long").alias("n"),
+        )
+        return append_manifest(
+            self.spark,
+            self.root,
+            neg.unionByName(tombs),
+            partition_col="rel",
+            stats_col=["cell"],
+        )
+
+    def apply_removals(self) -> int:
+        """Physically purge tombstoned vectors: rewrite the snapshot with
+        doomed vector rows, their tombstones, and fully-cancelled stat
+        deltas folded out — one clustered compaction-style commit whose
+        result reads identically to the masked view."""
+        table = self._table()
+        live = table.read(self.spark)
+        tombs = live.filter(F.col("rel") == self.REL_TOMB).select("vec_id")
+        vectors = (
+            live.filter(F.col("rel") == self.REL_VEC)
+            .join(F.broadcast(tombs), "vec_id", "left_anti")
+            .select(
+                "vec_id",
+                F.col("cell").alias(self.cell_col),
+                F.col("embedding").alias(self.vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Full rewrite: surviving vectors + freshly-folded stats become
+        # the ENTIRE next snapshot (claim lists only the new files).
+        man_table = self._table()
+        base = man_table.current_version() or 0
+        unified = self._unified(vectors, self._cellstats_of(vectors))
+        import os as _os
+        import uuid as _uuid
+
+        staging = _os.path.join(self.root, f".staging.{_uuid.uuid4().hex}")
+        stats: dict = {}
+        rels = man_table._stage_and_place(
+            unified.write.mode("overwrite").partitionBy("rel"),
+            staging,
+            ["cell"],
+            stats,
+        )
+        if not man_table._claim(
+            base + 1, rels, unified.schema, ["rel"],
+            stats=stats, stats_col=["cell"], op="purge",
+        ):
+            man_table._drop_files(rels)
+            raise RuntimeError(
+                f"{self.root}: lost the purge claim race; retry"
+            )
+        man_table.publish(base + 1)
+        man_table.vacuum(keep=2, min_age_hours=1.0, gc_files=False)
+        return base + 1
 
     def compact(self) -> int:
         """Clustered compaction on ``cell``: files come out cell-disjoint,

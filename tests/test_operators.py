@@ -1873,3 +1873,50 @@ def test_manifest_vector_index_add_auto_assigns_nearest_cell(spark, tmp_path):
     empty = ManifestVectorIndex(spark, str(tmp_path / "vempty"), dim=dim)
     with pytest.raises(ValueError, match="empty index|no committed manifest"):
         empty.add_auto(new)
+
+
+def test_manifest_vector_index_remove_and_purge(spark, tmp_path, monkeypatch):
+    """Merge-on-read removal: one commit drops the vector from serving
+    AND folds negative stat deltas (scores stay consistent with the
+    effective membership); apply_removals purges physically with an
+    identical read; a failed removal claim changes nothing."""
+    from door2door_etl_spark.io import manifest as M
+    from door2door_etl_spark.operators.similarity import ManifestVectorIndex
+
+    dim = 4
+    rows = []
+    for c in range(2):
+        for i in range(10):
+            v = [0.0] * dim
+            v[c] = 1.0 + i * 0.01
+            rows.append((c * 100 + i, c, v))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    idx = ManifestVectorIndex(spark, str(tmp_path / "vrm"), dim=dim, cell_col="label")
+    idx.build(df)
+
+    ids = spark.createDataFrame([(100,), (101,)], "vec_id long")
+    # crash window: failed claim leaves everything untouched
+    v0 = M.ManifestTable(idx.root).current_version()
+    monkeypatch.setattr(M.ManifestTable, "_claim", lambda self, *a, **kw: False)
+    with pytest.raises(M.ConcurrentWriteError):
+        idx.remove(ids)
+    monkeypatch.undo()
+    assert M.ManifestTable(idx.root).current_version() == v0
+
+    idx.remove(ids)
+    stats = {r["cell"]: r["n"] for r in idx.cell_stats().collect()}
+    assert stats == {0: 10, 1: 8}  # negative deltas folded
+    q = [0.0, 1.0, 0.0, 0.0]
+    served = {r["vec_id"] for r in idx.topk(q, k=10, nprobe=1).collect()}
+    assert served == {100 + i for i in range(2, 10)}  # doomed ids masked
+
+    masked = sorted(map(tuple, idx.topk(q, k=10, nprobe=1).collect()))
+    idx.apply_removals()
+    live = idx._table().read(spark)
+    assert live.filter(F.col("rel") == "tombstone").count() == 0
+    assert live.filter(
+        (F.col("rel") == "vector") & F.col("vec_id").isin(100, 101)
+    ).count() == 0
+    # one folded stat row per cell, same numbers
+    assert {r["cell"]: r["n"] for r in idx.cell_stats().collect()} == stats
+    assert sorted(map(tuple, idx.topk(q, k=10, nprobe=1).collect())) == masked
