@@ -1558,10 +1558,19 @@ def compact_manifest(
     max_retries: int = 5,
     fs: FsOps | None = None,
     sort_by: list[str] | None = None,
+    transform=None,
 ) -> int:
     """Rewrite the current manifest snapshot into ~``target_file_mb``
     files as a NEW committed version; returns the new file count — the
     object-store twin of :func:`door2door_etl_spark.io.versioned.compact_versioned`.
+
+    ``transform`` (optional ``DataFrame -> DataFrame``, schema-preserving)
+    is applied to the PINNED snapshot before the rewrite — the hook that
+    lets maintenance operations (e.g. the vector index's tombstone
+    fold-out) ride this function's hardened commit loop (version pinned
+    BEFORE the read so interleaved commits lose the claim and trigger a
+    recompute, staged files discarded on failure, claim retried, output
+    clustered) instead of hand-rolling stage/claim/publish.
 
     Incremental merges accrete a file-set per batch and the manifest
     lists every file (reader-side planning cost is O(files) paths through
@@ -1585,6 +1594,8 @@ def compact_manifest(
             raise ValueError(f"{root} has no committed manifest to compact")
         man = table.manifest(base)
         df = table.read(spark, base)
+        if transform is not None:
+            df = transform(df)
         pcols = man["partition_cols"]
         staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []

@@ -697,6 +697,9 @@ class ManifestVectorIndex:
         qcol = _literal_vec(q)
         scored_df = (
             self.cell_stats()
+            # cells emptied by remove() fold to n=0 until a purge: no
+            # members to serve, and the score would divide by zero.
+            .filter(F.col("n") > 0)
             .withColumn(
                 "cell_score",
                 F.round(dot(F.col("sum_vec"), qcol) / F.col("n"), 6),
@@ -744,27 +747,50 @@ class ManifestVectorIndex:
         coarse-stage geometry, so a vector lands in the cell that will
         score it highest), then run the normal atomic commit.  The
         assignment is one Arrow/GEMM pass over the batch against a
-        driver-held (cells x dim) matrix — the FAISS ``add`` shape: the
-        index grows without ever rescanning itself."""
-        from door2door_etl_spark.operators.clustering import _assign_blas
+        driver-held (cells x dim) matrix, maximizing v·centroid — the
+        SAME inner-product geometry the coarse probe ranks cells by, so
+        an added vector really does land where its own query scores
+        highest (an L2-argmin assignment would disagree whenever
+        centroid norms differ).  The FAISS ``add`` shape: the index
+        grows without ever rescanning itself.  Cells emptied by
+        :meth:`remove` (folded count <= 0) are skipped."""
+        import numpy as np
 
-        stats = self.cell_stats().collect()
+        from pyspark.sql import types as T
+
+        stats = [r for r in self.cell_stats().collect() if r["n"] > 0]
         if not stats:
             raise ValueError(
                 f"{self.root}: cannot auto-assign into an empty index; "
                 "build() it first with explicitly-assigned cells"
             )
-        cells = [int(r["cell"]) for r in stats]
-        centroids = [
-            [float(x) / float(r["n"]) for x in r["sum_vec"]] for r in stats
-        ]
-        assigned = _assign_blas(vectors, self.vec_col, centroids)
-        # _assign_blas emits 1-based positions into the centroid list;
-        # map back to the index's actual cell ids.
-        mapping = F.array(*[F.lit(c) for c in cells])
-        assigned = assigned.withColumn(
-            self.cell_col, F.element_at(mapping, F.col("cluster"))
-        ).drop("cluster")
+        cells = np.array([int(r["cell"]) for r in stats])
+        C = np.array(
+            [[float(x) / float(r["n"]) for x in r["sum_vec"]] for r in stats]
+        )
+        # Bind plain locals for the worker closure: capturing ``self``
+        # would drag the SparkSession into the pickle (SPARK-5063).
+        vec_col = self.vec_col
+        cell_col = self.cell_col
+        schema = T.StructType(
+            list(vectors.schema.fields)
+            + [T.StructField(cell_col, T.IntegerType())]
+        )
+
+        def go(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # argmax dot; np.argmax takes the first max, and cells
+                # arrive sorted ascending from the groupBy — ties break
+                # to the lowest cell id, mirroring the probe tie-break.
+                best = np.argmax(v @ C.T, axis=1)
+                out = pdf.copy()
+                out[cell_col] = cells[best].astype("int32")
+                yield out
+
+        assigned = vectors.mapInPandas(go, schema)
         return self._commit(assigned)
 
     def remove(self, ids: DataFrame) -> int:
@@ -780,6 +806,7 @@ class ManifestVectorIndex:
 
         table = self._table()
         live = table.read(self.spark)
+        already = live.filter(F.col("rel") == self.REL_TOMB).select("vec_id")
         doomed = (
             live.filter(F.col("rel") == self.REL_VEC)
             .join(
@@ -787,6 +814,10 @@ class ManifestVectorIndex:
                 "vec_id",
                 "left_semi",
             )
+            # idempotence: an id tombstoned by an earlier (possibly
+            # retried/concurrent) remove still has its live vector row;
+            # re-subtracting its stats would corrupt the cell counts.
+            .join(F.broadcast(already), "vec_id", "left_anti")
             .select(
                 "vec_id",
                 F.col("cell").alias(self.cell_col),
@@ -817,50 +848,36 @@ class ManifestVectorIndex:
         )
 
     def apply_removals(self) -> int:
-        """Physically purge tombstoned vectors: rewrite the snapshot with
-        doomed vector rows, their tombstones, and fully-cancelled stat
-        deltas folded out — one clustered compaction-style commit whose
-        result reads identically to the masked view."""
-        table = self._table()
-        live = table.read(self.spark)
-        tombs = live.filter(F.col("rel") == self.REL_TOMB).select("vec_id")
-        vectors = (
-            live.filter(F.col("rel") == self.REL_VEC)
-            .join(F.broadcast(tombs), "vec_id", "left_anti")
-            .select(
-                "vec_id",
-                F.col("cell").alias(self.cell_col),
-                F.col("embedding").alias(self.vec_col),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # Full rewrite: surviving vectors + freshly-folded stats become
-        # the ENTIRE next snapshot (claim lists only the new files).
-        man_table = self._table()
-        base = man_table.current_version() or 0
-        unified = self._unified(vectors, self._cellstats_of(vectors))
-        import os as _os
-        import uuid as _uuid
+        """Physically purge tombstoned vectors: a CLUSTERED compaction
+        whose transform folds out doomed vector rows, their tombstones,
+        and the cancelled stat deltas — riding
+        :func:`~door2door_etl_spark.io.manifest.compact_manifest`'s
+        hardened commit loop (snapshot pinned BEFORE the read, so an
+        interleaved add() makes the claim lose and the purge recompute;
+        staged files discarded on failure; ConcurrentWriteError after
+        exhausted retries), with cell-disjoint output files so per-cell
+        pruning is at its best immediately after the purge."""
+        from door2door_etl_spark.io.manifest import compact_manifest
 
-        staging = _os.path.join(self.root, f".staging.{_uuid.uuid4().hex}")
-        stats: dict = {}
-        rels = man_table._stage_and_place(
-            unified.write.mode("overwrite").partitionBy("rel"),
-            staging,
-            ["cell"],
-            stats,
-        )
-        if not man_table._claim(
-            base + 1, rels, unified.schema, ["rel"],
-            stats=stats, stats_col=["cell"], op="purge",
-        ):
-            man_table._drop_files(rels)
-            raise RuntimeError(
-                f"{self.root}: lost the purge claim race; retry"
+        def fold_out(snapshot: DataFrame) -> DataFrame:
+            tombs = snapshot.filter(F.col("rel") == self.REL_TOMB).select(
+                "vec_id"
             )
-        man_table.publish(base + 1)
-        man_table.vacuum(keep=2, min_age_hours=1.0, gc_files=False)
-        return base + 1
+            vectors = (
+                snapshot.filter(F.col("rel") == self.REL_VEC)
+                .join(F.broadcast(tombs), "vec_id", "left_anti")
+                .select(
+                    "vec_id",
+                    F.col("cell").alias(self.cell_col),
+                    F.col("embedding").alias(self.vec_col),
+                )
+                .localCheckpoint(eager=True)
+            )
+            return self._unified(vectors, self._cellstats_of(vectors))
+
+        return compact_manifest(
+            self.spark, self.root, sort_by=["cell"], transform=fold_out
+        )
 
     def compact(self) -> int:
         """Clustered compaction on ``cell``: files come out cell-disjoint,

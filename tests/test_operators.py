@@ -1920,3 +1920,64 @@ def test_manifest_vector_index_remove_and_purge(spark, tmp_path, monkeypatch):
     # one folded stat row per cell, same numbers
     assert {r["cell"]: r["n"] for r in idx.cell_stats().collect()} == stats
     assert sorted(map(tuple, idx.topk(q, k=10, nprobe=1).collect())) == masked
+
+
+def test_manifest_vector_index_remove_idempotent_and_auto_geometry(
+    spark, tmp_path
+):
+    """Review pins: (a) remove() of an already-tombstoned id is a no-op
+    (no double stat subtraction); (b) purging retains concurrency safety
+    via compact_manifest (version pinned before read); (c) add_auto uses
+    the PROBE's inner-product geometry — with unequal centroid norms a
+    vector lands in the cell its own query would rank first — and skips
+    cells emptied by removal."""
+    from door2door_etl_spark.operators.similarity import ManifestVectorIndex
+
+    dim = 2
+    rows = (
+        [(i, 0, [2.0 + i * 0.001, 0.0]) for i in range(5)]
+        + [(100 + i, 1, [0.0, 0.5 + i * 0.001]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    idx = ManifestVectorIndex(spark, str(tmp_path / "vgeo"), dim=dim, cell_col="label")
+    idx.build(df)
+
+    # (a) idempotent removal
+    ids = spark.createDataFrame([(0,)], "vec_id long")
+    idx.remove(ids)
+    idx.remove(ids)  # second call must be a no-op
+    stats = {r["cell"]: r["n"] for r in idx.cell_stats().collect()}
+    assert stats == {0: 4, 1: 5}
+
+    # (c) dot geometry: v=[0.9, 0] has smaller L2 distance to cell 1's
+    # centroid (~[0, 0.5]) than to cell 0's (~[2, 0]), but the PROBE
+    # ranks cell 0 first for it — add_auto must agree with the probe.
+    new = spark.createDataFrame([(999, [0.9, 0.0])], "vec_id long, embedding array<double>")
+    idx.add_auto(new)
+    placed = (
+        idx._table().read(spark)
+        .filter((F.col("rel") == "vector") & (F.col("vec_id") == 999))
+        .select("cell").first()[0]
+    )
+    assert placed == 0
+    top = idx.topk([0.9, 0.0], k=10, nprobe=1).collect()
+    by_id = {r["vec_id"]: r["cosine"] for r in top}
+    assert by_id.get(999) == 1.0  # servable through its own probe
+
+    # (c) emptied cells are skipped by auto-assignment
+    idx.remove(spark.createDataFrame([(100 + i,) for i in range(5)], "vec_id long"))
+    assert {r["cell"]: r["n"] for r in idx.cell_stats().collect()}[1] == 0
+    idx.add_auto(spark.createDataFrame([(998, [0.0, 1.0])], "vec_id long, embedding array<double>"))
+    placed2 = (
+        idx._table().read(spark)
+        .filter((F.col("rel") == "vector") & (F.col("vec_id") == 998))
+        .select("cell").first()[0]
+    )
+    assert placed2 == 0  # only live cell remains
+
+    # (b) purge folds everything out; reads identical to masked view
+    before = sorted(map(tuple, idx.topk([1.0, 0.0], k=10, nprobe=1).collect()))
+    idx.apply_removals()
+    assert sorted(map(tuple, idx.topk([1.0, 0.0], k=10, nprobe=1).collect())) == before
+    live = idx._table().read(spark)
+    assert live.filter(F.col("rel") == "tombstone").count() == 0
