@@ -286,18 +286,37 @@ class LocalFsOps:
     """
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
+        """Claim ``path`` ATOMICALLY with its full content: write to a
+        hidden temp name, fsync, then publish via ``os.link`` (EEXIST =
+        lost race, preserving the claim semantics).  A bare
+        O_EXCL-create-then-write would leave the manifest briefly
+        visible empty/partial — the CDC tailer's text source reading
+        ``_manifests/`` could capture a truncated line and fail
+        ``json.loads`` mid-stream.  Hidden (dot-prefixed) temp names are
+        invisible to Spark file sources and to ``_parse_manifest_version``."""
+        import uuid as _uuid
+
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(
+            d, f".tmp-{_uuid.uuid4().hex[:12]}-{os.path.basename(path)}"
+        )
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, data)
             os.fsync(fd)
         finally:
             os.close(fd)
-        self._fsync_dir(os.path.dirname(path))
-        return True
+        try:
+            os.link(tmp, path)
+            claimed = True
+        except FileExistsError:
+            claimed = False
+        finally:
+            os.unlink(tmp)
+        if claimed:
+            self._fsync_dir(d)
+        return claimed
 
     def put_bytes(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -1654,6 +1673,21 @@ def compact_manifest(
     )
 
 
+def _is_missing_key_error(exc: Exception) -> bool:
+    """True iff ``exc`` is S3's missing-object signal.  ``head_object``
+    reports a missing key as error code ``"404"``/``"NotFound"`` (no
+    body, so no ``NoSuchKey``); GETs report ``NoSuchKey``.  Everything
+    else — throttling, auth, network — must propagate."""
+    err = getattr(exc, "response", {}).get("Error", {})
+    code = err.get("Code", "")
+    if code in ("404", "NoSuchKey", "NotFound"):
+        return True
+    status = getattr(exc, "response", {}).get("ResponseMetadata", {}).get(
+        "HTTPStatusCode"
+    )
+    return status == 404
+
+
 class S3FsOps:
     """S3 backend for the manifest protocol — every :class:`FsOps` method
     as one S3 API call, with the claim mapped to a **conditional PUT**
@@ -1796,8 +1830,13 @@ class S3FsOps:
         bucket, key = self._parse(path)
         try:
             head = self._s3.head_object(Bucket=bucket, Key=key)
-        except Exception:
-            return float("inf")
+        except Exception as exc:
+            # Missing key only (see file_size): a transient HEAD error
+            # folding to age=inf would let vacuum GC a live in-flight
+            # file as "stale staging".
+            if _is_missing_key_error(exc):
+                return float("inf")
+            raise
         lm = head["LastModified"]
         return max(0.0, time.time() - lm.timestamp())
 
@@ -1807,8 +1846,15 @@ class S3FsOps:
             return int(
                 self._s3.head_object(Bucket=bucket, Key=key)["ContentLength"]
             )
-        except Exception:
-            return 0
+        except Exception as exc:
+            # ONLY a missing key folds to 0 (mirroring LocalFsOps'
+            # OSError-only handling).  Swallowing transient HEAD
+            # failures would make compaction_advice see avg_mb≈0 and
+            # recommend a full-table rewrite, and would collapse
+            # compact_manifest's n_target to one giant output file.
+            if _is_missing_key_error(exc):
+                return 0
+            raise
 
 
 def restore_manifest(

@@ -665,11 +665,11 @@ class ManifestVectorIndex:
 
         return ManifestTable(self.root)
 
-    def cell_stats(self) -> DataFrame:
+    def cell_stats(self, version: int | None = None) -> DataFrame:
         """Folded per-cell statistics: ``(cell, n, sum_vec)``."""
         raw = (
             self._table()
-            .read(self.spark)
+            .read(self.spark, version=version)
             .filter(F.col("rel") == self.REL_STAT)
             .select("cell", "n", F.col("embedding").alias("sum_vec"))
         )
@@ -688,15 +688,28 @@ class ManifestVectorIndex:
     ) -> DataFrame:
         """Serve one query: coarse stage over the folded cellstats
         (O(cells) rows — collected to the driver, never the corpus),
-        fine stage = exact cosine over ONLY the probed cells' files."""
+        fine stage = exact cosine over ONLY the probed cells' files.
+
+        The WHOLE query serves one pinned snapshot: the version is
+        resolved once at entry and threaded through the coarse stats
+        read, the per-cell fine reads, and the tombstone read — a
+        concurrent add/remove/apply_removals landing mid-query can
+        never mix cell scores from one version with membership from
+        another (and a racing compact+vacuum can't delete files out
+        from under a manifest we've already resolved, because the
+        vacuum time-floor retains just-read versions)."""
         q = [float(x) for x in query_vec]
+        table = self._table()
+        version = table.current_version()
+        if version is None:
+            raise ValueError(f"{self.root} has no committed manifest")
         # Score IN-ENGINE (F.round = HALF_UP, matching the oracle and
         # every other scoring site — Python's round() is banker's and a
         # knife-edge score could flip the probe choice), then collect
         # the O(cells)-row result.
         qcol = _literal_vec(q)
         scored_df = (
-            self.cell_stats()
+            self.cell_stats(version=version)
             # cells emptied by remove() fold to n=0 until a purge: no
             # members to serve, and the score would divide by zero.
             .filter(F.col("n") > 0)
@@ -708,13 +721,12 @@ class ManifestVectorIndex:
             .limit(nprobe)
         )
         cells = [r["cell"] for r in scored_df.collect()]
-        table = self._table()
         if not cells:
             return self.spark.createDataFrame(
                 [], f"{self.id_col} long, cell int, cosine double"
             )
         parts = [
-            table.read_where(self.spark, {"cell": (c, c)}).filter(
+            table.read_where(self.spark, {"cell": (c, c)}, version).filter(
                 F.col("rel") == self.REL_VEC
             )
             for c in cells
@@ -723,7 +735,7 @@ class ManifestVectorIndex:
         for p in parts[1:]:
             members = members.unionByName(p)
         tombs = (
-            table.read(self.spark)
+            table.read(self.spark, version=version)
             .filter(F.col("rel") == self.REL_TOMB)
             .select("vec_id")
         )
@@ -758,7 +770,14 @@ class ManifestVectorIndex:
 
         from pyspark.sql import types as T
 
-        stats = [r for r in self.cell_stats().collect() if r["n"] > 0]
+        # Sort by cell id: groupBy().collect() order is NOT guaranteed,
+        # and np.argmax takes the FIRST max — sorting makes the
+        # tie-break deterministic to the lowest cell id, mirroring the
+        # probe's (desc score, asc cell) ordering.
+        stats = sorted(
+            (r for r in self.cell_stats().collect() if r["n"] > 0),
+            key=lambda r: int(r["cell"]),
+        )
         if not stats:
             raise ValueError(
                 f"{self.root}: cannot auto-assign into an empty index; "
@@ -782,9 +801,10 @@ class ManifestVectorIndex:
                 if len(pdf) == 0:
                     continue
                 v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                # argmax dot; np.argmax takes the first max, and cells
-                # arrive sorted ascending from the groupBy — ties break
-                # to the lowest cell id, mirroring the probe tie-break.
+                # argmax dot; np.argmax takes the first max, and the
+                # centroid rows were explicitly sorted ascending by
+                # cell id — ties break to the lowest cell id,
+                # mirroring the probe tie-break.
                 best = np.argmax(v @ C.T, axis=1)
                 out = pdf.copy()
                 out[cell_col] = cells[best].astype("int32")

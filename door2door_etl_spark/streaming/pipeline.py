@@ -650,6 +650,30 @@ def stream_replicate_manifest_table(
     return writer.start()
 
 
+def _admission_run_id(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint run identifier, persisted IN the checkpoint
+    dir so it shares the checkpoint's lifetime: a restart from the same
+    checkpoint (true replay, same batch ids) resolves the same id; a
+    fresh checkpoint (batch ids restart at 0) mints a new one.  O_EXCL
+    claim + read-on-exists, same shape as the manifest claim."""
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = _os.path.join(checkpoint_dir, "_admission_run_id")
+    try:
+        fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        try:
+            rid = _uuid.uuid4().hex[:12]
+            _os.write(fd, rid.encode())
+        finally:
+            _os.close(fd)
+        return rid
+    except FileExistsError:
+        with open(marker) as fh:
+            return fh.read().strip()
+
+
 def stream_manifest_lsh_admission(
     docs_stream: DataFrame,
     index,
@@ -683,13 +707,18 @@ def stream_manifest_lsh_admission(
     """
 
     id_col = index.id_col
+    # Namespace tags per checkpoint lifetime: a NEW stream with a fresh
+    # checkpoint restarts batch ids at 0, and a bare batch-id tag would
+    # misclassify an earlier deployment's batch-0 admissions as THIS
+    # batch's own replay (re-emitting instead of dropping them).
+    run_id = _admission_run_id(checkpoint_dir)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"{run_id}:{batch_id}"
         ids = index.admitted_ids(with_tags=True)
-        own = ids.filter(F.col("admit_tag") == str(batch_id)).select(id_col)
+        own = ids.filter(F.col("admit_tag") == tag).select(id_col)
         other = ids.filter(
-            (F.col("admit_tag") != str(batch_id))
-            | F.col("admit_tag").isNull()
+            (F.col("admit_tag") != tag) | F.col("admit_tag").isNull()
         ).select(id_col)
         # replay of THIS batch: re-emit its own prior admissions
         seen = batch_df.join(own, id_col, "left_semi")
@@ -702,7 +731,7 @@ def stream_manifest_lsh_admission(
         if new.limit(1).count() == 0:
             kept = seen
         else:
-            kept = seen.unionByName(index.admit(new, tag=str(batch_id)))
+            kept = seen.unionByName(index.admit(new, tag=tag))
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (

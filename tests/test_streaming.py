@@ -717,6 +717,29 @@ def test_stream_manifest_lsh_admission_self_updating_and_replay_safe(
         os.remove(crc)
     run()
     assert admitted() == {1, 101, 201}
+
+    # NEW deployment: a fresh checkpoint restarts batch ids at 0, and
+    # batch 0 re-delivers every source file — including doc 101,
+    # admitted by the OLD run's batch 0.  Admission tags are namespaced
+    # per checkpoint lifetime, so 101 classifies as an exact-duplicate
+    # re-delivery (dropped), NOT as this batch's own replay (re-emitted)
+    # — the bare-batch-id misclassification regression.
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    q2 = stream_manifest_lsh_admission(stream2, idx, out2, ckpt2)
+    q2.awaitTermination()
+    q2.stop()
+    assert admitted() == {1, 101, 201}  # index unchanged: all dups drop
+    got2 = set()
+    for d in glob.glob(f"{out2}/batch_id=*"):
+        if not glob.glob(f"{d}/*.parquet"):
+            continue
+        for r in spark.read.parquet(d).select("doc_id").collect():
+            got2.add(r[0])
+    assert got2 == set()
     assert out_ids() == {101, 201}
     # invariant: band doc set == id set (no torn/duplicate admissions)
     band_ids = {r[0] for r in idx.scan().select("doc_id").distinct().collect()}
