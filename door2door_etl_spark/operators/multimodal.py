@@ -5,8 +5,10 @@ Model: an image/audio/video asset is a row with
 - ``meta: struct<modality, mime, n_bytes, content_sha>`` — typed metadata,
 and per-modality transforms run as Arrow-batched ``mapInPandas`` over the
 binary column.  The Spark-side plumbing (schema, partitioning, batch shape)
-is real and tested; the actual codec calls are stubbed because no
-image/audio library ships in this container — each stub is a clearly marked
+is real and tested.  WAV assets get a REAL decoder
+(:func:`decode_wav_features` — pure-Python RIFF/PCM16 parsing, oracle- and
+stdlib-``wave``-cross-checked); image codecs are stubbed because no imaging
+library ships in this container — each stub is a clearly marked
 ``NotImplementedError`` with a deterministic fake twin used by tests.
 
 Scale notes: binary payloads ride Parquet BYTE_ARRAY columns; transforms are
@@ -104,6 +106,85 @@ def extract_features(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def pcm16_wav_bytes(
+    samples: list[int], sample_rate: int, channels: int = 1
+) -> bytes:
+    """Encode PCM16 samples as a REAL RIFF/WAVE payload (stdlib ``wave``
+    writer — no external codec needed for this container format).  Used
+    by tests and the catalog to manufacture genuine WAV assets whose
+    decoded statistics an arithmetic oracle can predict."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL pure-Python WAV decode → feature extract: walk the RIFF chunk
+    list (word-aligned), parse the little-endian ``fmt `` fields, decode
+    the ``data`` chunk's PCM16 stream, and return
+
+    ``[channels, sample_rate, bits, n_frames, duration_s, mean, rms,
+    max_abs]``
+
+    padded/trimmed to ``n_features``.  This replaces one of the family's
+    codec stubs with an actual decoder — WAV is a container simple enough
+    to parse honestly without an audio library, and a header misread
+    (offset, endianness, chunk alignment) breaks the arithmetic oracle
+    downstream, so the parse is correctness-checked end to end.  Raises
+    ``ValueError`` on non-RIFF payloads or non-PCM16 encodings (quarantine
+    upstream, same posture as the schema readers)."""
+    import math
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    n_samp = len(data) // 2
+    samples = struct.unpack(f"<{n_samp}h", data[: 2 * n_samp])
+    n_frames = n_samp // max(channels, 1)
+    if n_samp:
+        mean = sum(samples) / n_samp
+        rms = math.sqrt(sum(s * s for s in samples) / n_samp)
+        peak = float(max(abs(s) for s in samples))
+    else:
+        mean = rms = peak = 0.0
+    feats = [
+        float(channels),
+        float(rate),
+        float(bits),
+        float(n_frames),
+        n_frames / rate if rate else 0.0,
+        mean,
+        rms,
+        peak,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:

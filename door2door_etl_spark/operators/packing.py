@@ -206,6 +206,7 @@ def grouped_order_positions(
     order_col: str,
     num_partitions: int | None = None,
     out_col: str = "pos",
+    max_driver_cells: int = 100_000,
 ) -> DataFrame:
     """Add ``out_col`` = the row's 1-based rank of ``order_col`` WITHIN its
     ``group_col`` group — ``row_number() OVER (PARTITION BY g ORDER BY o)``
@@ -219,6 +220,17 @@ def grouped_order_positions(
     (``partitions x groups`` tiny rows), then a partition-local running
     count that resets at group boundaries.  Requires unique ``order_col``
     values within a group for a deterministic rank.
+
+    The driver state is ``partitions x groups`` rows — tiny for the
+    designed use (length buckets, language tiers), but a HIGH-cardinality
+    ``group_col`` (per-language-per-source keys at 100 TB) would put
+    millions of rows on the driver.  When the cell count exceeds
+    ``max_driver_cells``, the operator warns and switches to the
+    hash-partitioned form: groups hash across shuffle partitions and the
+    rank is a window WITHIN each group — the trap this operator avoids
+    only bites at LOW group cardinality, so the two forms are
+    complementary by construction (identical output either way, pinned by
+    the 10k-group property test).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -231,9 +243,33 @@ def grouped_order_positions(
     from pyspark.storagelevel import StorageLevel
 
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    # limit(cap + 1): ONE job both counts and fetches — if the extra row
+    # came back the cap is blown (fall back); otherwise we already hold
+    # every cell and pay no separate count.
     counts = (
-        ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+        ranged.groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_driver_cells + 1)
+        .collect()
     )
+    if len(counts) > max_driver_cells:
+        import warnings
+
+        from pyspark.sql import Window
+
+        warnings.warn(
+            f"grouped_order_positions: over {max_driver_cells} distinct "
+            f"(partition, {group_col}) cells — too many for driver-side "
+            "prefix offsets; falling back to the hash-partitioned window "
+            "form (fine at high group cardinality; raise max_driver_cells "
+            "if this frame genuinely has few groups)",
+            stacklevel=2,
+        )
+        ranged.unpersist()
+        w = Window.partitionBy(group_col).orderBy(order_col)
+        return df.withColumn(
+            out_col, F.row_number().over(w).cast("long")
+        )
     offsets: dict = {}
     running: dict = {}
     for row in sorted(counts, key=lambda r: (r[group_col], r["_pid"])):

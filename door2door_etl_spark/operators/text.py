@@ -648,6 +648,246 @@ def bpe_train(
     return merges
 
 
+def _apply_merge_batch(symbols: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Apply a batch of pairwise SYMBOL-DISJOINT merges in ONE greedy
+    left-to-right fold: the combined merge table rides as a map literal
+    keyed ``left + '\\x00' + right`` (symbols are ``[a-z0-9]+``
+    concatenations, so NUL never collides), and each fold step does one
+    ``try_element_at`` lookup.  Because no two merges in the batch share
+    a symbol, their occurrences can never overlap — one combined pass is
+    exactly the composition of per-merge :func:`_apply_merge` folds, at
+    constant expression size regardless of batch width."""
+    mm = F.create_map(
+        *[F.lit(v) for (left, right) in pairs
+          for v in (left + "\x00" + right, left + right)]
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        key = F.concat_ws("\x00", F.element_at(acc, -1), x)
+        return F.when(
+            (F.size(acc) > 0) & F.try_element_at(mm, key).isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.try_element_at(mm, key)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        symbols, F.expr("CAST(array() AS array<string>)"), step
+    )
+
+
+def _bpe_greedy_apply(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver-side twin of :func:`_apply_merge`: greedy left-to-right,
+    merging every non-overlapping (left, right) adjacency."""
+    merged, out, i = left + right, [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_local_train(
+    word_freqs: list[tuple[list[str], int]], num_merges: int
+) -> list[dict]:
+    """Exact in-memory BPE merge induction over a (symbols, freq) vocab —
+    the classic indexed algorithm (Sennrich ACL'16 ``learn_bpe`` shape):
+    a lazy max-heap over pair counts plus an inverted pair→words index,
+    so each merge reprocesses only the words that contain it.  Tie-break
+    identical to the distributed trainer: count desc, then (left, right)
+    lexicographic asc — the heap entry ``(-count, pair)`` IS that order.
+    """
+    import heapq
+    from collections import Counter
+
+    words = [list(s) for s, _ in word_freqs]
+    freqs = [int(f) for _, f in word_freqs]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        for p, c in Counter(zip(syms, syms[1:])).items():
+            pair_counts[p] = pair_counts.get(p, 0) + c * freqs[i]
+            where.setdefault(p, set()).add(i)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        best = None
+        # Lazy invalidation: every count CHANGE pushed a fresh entry, so
+        # the live count of every pair is somewhere in the heap; stale
+        # entries simply fail the equality check and drop.
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (left, right), cnt = best
+        merges.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "pair_count": int(cnt),
+            }
+        )
+        for i in sorted(where.get((left, right), ())):
+            old_syms = words[i]
+            new_syms = _bpe_greedy_apply(old_syms, left, right)
+            if new_syms == old_syms:
+                continue
+            words[i] = new_syms
+            old = Counter(zip(old_syms, old_syms[1:]))
+            new = Counter(zip(new_syms, new_syms[1:]))
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if not d:
+                    continue
+                c2 = pair_counts.get(p, 0) + d * freqs[i]
+                if c2 > 0:
+                    pair_counts[p] = c2
+                    heapq.heappush(heap, (-c2, p))
+                else:
+                    pair_counts.pop(p, None)
+                if new.get(p, 0) == 0:
+                    w = where.get(p)
+                    if w is not None:
+                        w.discard(i)
+                else:
+                    where.setdefault(p, set()).add(i)
+        pair_counts.pop((left, right), None)
+        where.pop((left, right), None)
+    return merges
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    driver_vocab_rows: int = 2_000_000,
+    window: int = 512,
+) -> list[dict]:
+    """Scalable twin of :func:`bpe_train` — EXACTLY the same merge
+    sequence (same counts, same count-desc/pair-asc tie-break) without
+    one Spark job per merge.
+
+    Two regimes, split on the vocabulary size (merge induction is
+    inherently vocabulary-local; only the word count touches corpus-scale
+    data):
+
+    - **vocab ≤ driver_vocab_rows** (the overwhelmingly common case —
+      even a 100 TB corpus holds its tokenizer-training vocab in
+      low-GB driver memory after the distributed word count): collect
+      the (symbols, freq) table ONCE and run the exact indexed in-memory
+      algorithm (:func:`_bpe_local_train`).  Total Spark jobs: O(1)
+      regardless of ``num_merges``.
+
+    - **vocab beyond the cap**: batched rounds.  Each round collects the
+      top-``window`` pairs by (count desc, pair asc) and accepts the
+      MAXIMAL SORTED PREFIX that is pairwise symbol-disjoint, trimmed to
+      counts STRICTLY above the stop boundary.  Why that is exact:
+      symbol-disjoint merges have occurrence-disjoint applications, so
+      accepted pairs' counts are invariant under each other; every
+      changed or newly-created pair derives from a pair that interacts
+      with an accepted merge, which by the prefix rule ranks at or below
+      the stop row — its count is ≤ the boundary, strictly below every
+      accepted count, so the sequential trainer would pick the accepted
+      pairs in exactly this order no matter how the interacting counts
+      move.  The whole batch folds into the vocab in ONE combined-map
+      pass (:func:`_apply_merge_batch`).  Degenerates to top-1 per round
+      (= sequential) under total interaction, and always accepts at
+      least the global argmax.
+
+    Parity with :func:`bpe_train` is pinned by the worked-example and
+    ≥500-merge property tests; ``ns_bpe_merges``' known answer is
+    unchanged.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .select("freq", "syms")
+    )
+    vocab = words.coalesce(4).localCheckpoint(eager=True)
+    n_words = vocab.count()
+    if n_words <= driver_vocab_rows:
+        rows = vocab.collect()
+        return _bpe_local_train(
+            [(list(r["syms"]), int(r["freq"])) for r in rows], num_merges
+        )
+
+    merges: list[dict] = []
+    while len(merges) < num_merges:
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p.l"), F.col("p.r"))
+            .limit(window)
+            .collect()
+        )
+        if not top:
+            break
+        accepted: list[tuple[str, str, int]] = []
+        seen_syms: set[str] = set()
+        stop_cnt = None
+        for row in top:
+            left, right, cnt = row["p"]["l"], row["p"]["r"], int(row["cnt"])
+            if left in seen_syms or right in seen_syms:
+                stop_cnt = cnt
+                break
+            accepted.append((left, right, cnt))
+            seen_syms.update((left, right, left + right))
+        if stop_cnt is None:
+            # Window exhausted with no interaction observed: anything
+            # beyond the window counts ≤ the last collected row, so that
+            # is the conservative boundary.
+            stop_cnt = int(top[-1]["cnt"])
+        trimmed = [a for a in accepted if a[2] > stop_cnt]
+        if not trimmed:
+            # The global argmax alone is always exactly sequential.
+            trimmed = accepted[:1]
+        trimmed = trimmed[: num_merges - len(merges)]
+        for left, right, cnt in trimmed:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "left": left,
+                    "right": right,
+                    "merged": left + right,
+                    "pair_count": cnt,
+                }
+            )
+        vocab = vocab.withColumn(
+            "syms",
+            _apply_merge_batch(
+                F.col("syms"), [(l, r) for l, r, _ in trimmed]
+            ),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[dict],

@@ -1396,6 +1396,83 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Arithmetic oracle for the REAL WAV decoder: each document's asset is a
+# genuine RIFF/WAVE payload whose PCM16 samples are a pure function of
+# doc_id, so the decoded statistics are predictable WITHOUT parsing —
+# a header misread in decode_wav_features (offset, endianness, chunk
+# alignment, sample width) diverges from this prediction and fails the
+# value-hash.
+SQL_MULTIMODAL_WAV_DECODE = """
+WITH p AS (
+  SELECT doc_id, 40 + doc_id % 50 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+v AS (
+  SELECT doc_id, n,
+         CAST(((doc_id * 7919 + i * 104729) % 65536) - 32768 AS DOUBLE) AS x
+  FROM s)
+SELECT doc_id,
+       1 AS n_channels,
+       8000 AS sample_rate,
+       CAST(any_value(n) AS BIGINT) AS n_frames,
+       round(any_value(n) / 8000.0, 6) AS duration_s,
+       round(avg(x), 6) AS mean_amp,
+       round(sqrt(avg(x * x)), 6) AS rms,
+       max(abs(x)) AS peak
+FROM v GROUP BY doc_id
+"""
+
+WAV_RATE = 8000
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL codec decode in the multimodal family: manufacture a genuine
+    RIFF/WAVE PCM16 payload per document (samples are doc_id arithmetic —
+    operators.multimodal.pcm16_wav_bytes, stdlib wave writer), then run
+    the production decode→feature path (extract_features with the
+    pure-Python RIFF parser decode_wav_features) and emit the decoded
+    header fields + sample statistics.  The oracle predicts every value
+    arithmetically, so the DECODER is what's under test end to end."""
+    import pandas as pd  # noqa: F401  (mapInPandas batch type)
+
+    from door2door_etl_spark.operators.multimodal import (
+        decode_wav_features,
+        pcm16_wav_bytes,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 40 + d % 50
+                samples = [
+                    ((d * 7919 + i * 104729) % 65536) - 32768
+                    for i in range(n)
+                ]
+                payloads.append(pcm16_wav_bytes(samples, WAV_RATE))
+            out = pdf[["doc_id"]].copy()
+            out["content"] = payloads
+            yield out
+
+    assets = docs.mapInPandas(synth, "doc_id long, content binary")
+    feats = extract_features(
+        assets, n_features=8, decoder=decode_wav_features
+    )
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).cast("int").alias("n_channels"),
+        F.element_at("features", 2).cast("int").alias("sample_rate"),
+        F.element_at("features", 4).cast("long").alias("n_frames"),
+        F.round(F.element_at("features", 5), 6).alias("duration_s"),
+        F.round(F.element_at("features", 6), 6).alias("mean_amp"),
+        F.round(F.element_at("features", 7), 6).alias("rms"),
+        F.element_at("features", 8).alias("peak"),
+    )
+
+
 # -- iterative clustering (IVF centroid trainer) ----------------------------
 
 KM_K = 4
@@ -2033,6 +2110,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, "north-star multimodal/meta", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES, "north-star multimodal/decode", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE, "north-star multimodal/resize", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_wav_decode", q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE, "north-star multimodal/real-wav-codec-decode", ("northstar", "multimodal")),
     QueryDef("ns_training_order_shuffle", q_training_order_shuffle, SQL_TRAINING_ORDER_SHUFFLE, "north-star packing/epoch-shuffle", ("northstar", "packing")),
     QueryDef("ns_length_bucket_batches", q_length_bucket_batches, _sql_length_bucket_batches(), "north-star packing/length-bucketed-batching", ("northstar", "packing")),
     QueryDef("ns_quality_quantile_thresholds", q_quality_quantile_thresholds, SQL_QUALITY_QUANTILE_THRESHOLDS, "north-star text/quality-thresholds", ("northstar", "text")),

@@ -216,6 +216,71 @@ def test_decode_image_is_stubbed():
         decode_image(b"\x89PNG")
 
 
+def test_wav_decode_real_codec_roundtrip_and_rejection(spark):
+    """The pure-Python RIFF parser is a REAL decoder: it must agree with
+    the stdlib wave module on every header field, reproduce the exact
+    sample statistics, survive a stereo payload and a RIFF file with an
+    extra (odd-sized, word-aligned) chunk before data, and reject
+    non-WAV / non-PCM16 payloads."""
+    import io
+    import math
+    import struct
+    import wave as wavmod
+
+    from door2door_etl_spark.operators.multimodal import (
+        decode_wav_features,
+        extract_features,
+        pcm16_wav_bytes,
+    )
+
+    samples = [((i * 104729 + 7919) % 65536) - 32768 for i in range(90)]
+    payload = pcm16_wav_bytes(samples, 8000)
+
+    with wavmod.open(io.BytesIO(payload)) as w:
+        assert (w.getnchannels(), w.getframerate(), w.getsampwidth()) == (
+            1, 8000, 2,
+        )
+        assert w.getnframes() == 90
+
+    ch, rate, bits, n, dur, mean, rms, peak = decode_wav_features(payload)
+    assert (ch, rate, bits, n) == (1.0, 8000.0, 16.0, 90.0)
+    assert dur == 90 / 8000
+    assert mean == sum(samples) / len(samples)
+    assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert peak == max(abs(s) for s in samples)
+
+    # stereo: frames = samples / channels, stats over the full stream
+    stereo = pcm16_wav_bytes(samples, 16000, channels=2)
+    ch2, rate2, _, n2, dur2, mean2, _, _ = decode_wav_features(stereo)
+    assert (ch2, rate2, n2) == (2.0, 16000.0, 45.0)
+    assert dur2 == 45 / 16000 and mean2 == mean
+
+    # an odd-sized LIST chunk injected before fmt/data: the parser must
+    # skip it with word alignment, not mis-seat the chunk walk
+    body = payload[12:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    riffed = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    assert decode_wav_features(riffed) == decode_wav_features(payload)
+
+    for bad in (b"", b"RIFFxxxxWAVE", b"\x89PNG" + payload[4:]):
+        with pytest.raises(ValueError):
+            decode_wav_features(bad)
+    # non-PCM16 (8-bit) rejects rather than mis-decoding
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(64)))
+    with pytest.raises(ValueError):
+        decode_wav_features(buf.getvalue())
+
+    # and through the production plumbing: decoder rides extract_features
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, content binary")
+    feats = extract_features(df, n_features=8, decoder=decode_wav_features)
+    assert feats.first()["features"] == [ch, rate, bits, n, dur, mean, rms, peak]
+
+
 # -- wave-3 operators: asof join, sessionize, sketches -----------------------
 
 from datetime import datetime
@@ -1053,6 +1118,49 @@ def test_grouped_order_positions_matches_window(spark):
     spark.catalog.clearCache()
 
 
+def test_grouped_order_positions_high_cardinality_fallback(spark):
+    """10k distinct groups blow the driver-cell cap: the operator must
+    WARN and switch to the hash-partitioned window form, producing the
+    identical ranks (and the primary two-phase path must agree on the
+    same frame, so both regimes are pinned against the window oracle)."""
+    import warnings
+
+    from pyspark.sql import Window
+
+    from door2door_etl_spark.operators.packing import grouped_order_positions
+
+    n_groups = 10_000
+    rows = [
+        (i, i % n_groups, f"k{(i * 37) % 30011:05d}") for i in range(30_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g long, k string")
+    w = Window.partitionBy("g").orderBy("k")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fb = {
+            r["id"]: r["pos"]
+            for r in grouped_order_positions(
+                df, "g", "k", num_partitions=8, max_driver_cells=500
+            ).collect()
+        }
+    assert any("max_driver_cells" in str(c.message) for c in caught)
+    assert fb == want
+
+    primary = {
+        r["id"]: r["pos"]
+        for r in grouped_order_positions(
+            df, "g", "k", num_partitions=8
+        ).collect()
+    }
+    assert primary == want
+    spark.catalog.clearCache()
+
+
 def test_length_bucketed_batches_properties(spark, docs):
     from door2door_etl_spark.operators.packing import length_bucketed_batches
 
@@ -1429,6 +1537,58 @@ def test_bpe_train_matches_sennrich_example_and_encode_roundtrips(spark):
     chars = bpe_encode(df, []).select("bpe_tokens").first()[0]
     assert "".join(chars) == text.replace(" ", "")
     assert all(len(c) == 1 for c in chars)
+
+
+def test_bpe_train_batched_three_way_parity_and_job_budget(spark):
+    """The batched trainer (VERDICT r6 ask #2) must learn the EXACT merge
+    sequence of the sequential trainer — both its driver-exact regime and
+    its distributed disjoint-batched regime — while collapsing the
+    one-job-per-merge loop.  Three-way parity on the worked example, a
+    ≥500-merge property corpus (two independent implementations agreeing
+    merge-for-merge, anchored to the sequential trainer at 100 merges),
+    and the measured job budget: ≤ merges/20 Spark jobs for the default
+    path (the sequential loop is ~2 jobs per merge)."""
+    import random
+
+    from door2door_etl_spark.operators.text import bpe_train, bpe_train_batched
+
+    # Worked example: all paths reproduce the sequential sequence.
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    ex = spark.createDataFrame([(text,)], "text string")
+    seq = bpe_train(ex, 10)
+    assert bpe_train_batched(ex, 10) == seq
+    assert bpe_train_batched(ex, 10, driver_vocab_rows=0, window=8) == seq
+
+    # Property corpus: seeded random vocabulary rich enough for 500+
+    # genuine merges (the testdata corpus exhausts its fixed word list
+    # at 89), Zipf-ish frequencies via repeated sampling.
+    rng = random.Random(42)
+    words = sorted(
+        {
+            "".join(rng.choices("abcdefghijklmnopqrstuvwxyz",
+                                k=rng.randint(3, 12)))
+            for _ in range(1500)
+        }
+    )
+    rows = [(" ".join(rng.choices(words, k=25)),) for _ in range(800)]
+    corpus = spark.createDataFrame(rows, "text string").coalesce(4)
+    corpus = corpus.localCheckpoint(eager=True)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-drv", "batched driver path")
+    drv = bpe_train_batched(corpus, 500)
+    drv_jobs = len(sc.statusTracker().getJobIdsForGroup("bpe-drv"))
+    sc.setJobGroup(None, None)
+    assert len(drv) == 500
+    assert drv_jobs <= 500 / 20, drv_jobs
+
+    # Independent implementation agreement at the full 500 merges.
+    dist = bpe_train_batched(corpus, 500, driver_vocab_rows=0)
+    assert dist == drv
+
+    # Anchor to the sequential trainer (the original semantics) on a
+    # 100-merge prefix — a prefix of a longer run IS the shorter run.
+    assert bpe_train(corpus, 100) == drv[:100]
 
 
 def test_profile_columns_approx_path_brackets_exact(spark):
