@@ -751,6 +751,61 @@ class ManifestTable:
         pruned = spark.read.option("basePath", self.files_dir).parquet(*paths)
         return residual(self._apply_dvs(spark, pruned, man))
 
+    def export_snapshot(
+        self,
+        spark: SparkSession,
+        dest: str,
+        version: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Materialize a committed snapshot as PLAIN (hive-partitioned)
+        parquet for engines that don't speak this manifest protocol —
+        DuckDB, Trino, Hive, plain ``spark.read.parquet``:
+
+        - deletion vectors are APPLIED — DV-masked rows do not exist in
+          the export (external readers can't consult the DV sidecars);
+        - schema evolution is RESOLVED to the snapshot's recorded schema
+          (missing-in-older-files columns come out as typed NULLs, in
+          the recorded column order);
+        - no ``_manifests``/``_files`` layout, stats, or sidecar files —
+          the destination is a directory any parquet reader scans.
+
+        ``partition_by`` defaults to the snapshot's own partition
+        columns.  Refuses to overwrite an existing destination (exports
+        are immutable artifacts; write a new path per snapshot).
+        Returns ``{"version", "rows", "dest"}``.  Versioned-layer
+        tables (io.versioned) need no export — their snapshots are
+        already plain parquet directories (``resolve_table_path``)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"{self.root} has no committed manifest")
+        man = self.manifest(version)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        df = self.read(spark, version=version)
+        have = set(df.columns)
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        pcols = (
+            list(partition_by)
+            if partition_by is not None
+            else list(man.get("partition_cols") or [])
+        )
+        writer = df.write.mode("errorifexists")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(dest)
+        n = spark.read.parquet(dest).count()
+        return {"version": version, "rows": n, "dest": dest}
+
     def _drop_files(self, rels: list[str]) -> None:
         for rel in rels:
             self.fs.delete_file(os.path.join(self.files_dir, rel))

@@ -906,3 +906,69 @@ class ManifestVectorIndex:
         from door2door_etl_spark.io.manifest import compact_manifest
 
         return compact_manifest(self.spark, self.root, sort_by=["cell"])
+
+    def retrain(
+        self,
+        k: int | None = None,
+        iterations: int = 2,
+        use_blas: bool = True,
+    ) -> int:
+        """Recluster the whole index and SWAP atomically: after heavy
+        :meth:`add_auto`/:meth:`remove` churn the folded centroids drift
+        from the data (every added vector is assigned to a STALE
+        centroid, every removal shifts a mean), degrading the coarse
+        stage's recall.  This runs Lloyd k-means over the live vectors
+        (deterministic init — the ``k`` smallest ids) and commits the
+        re-assigned vectors + rebuilt stats as ONE clustered compaction
+        through the manifest protocol: readers see either the old layout
+        or the new one, never a mix; a racing ``add()`` wins the claim
+        and forces the retrain to recompute on the fresh snapshot
+        (compact_manifest's hardened loop); tombstones fold out in the
+        same swap.  ``k`` defaults to the current non-empty cell count.
+        Recall restoration is pinned by the lifecycle test's
+        recall@10 >= 0.9 bound against brute force, before and after
+        churn + retrain."""
+        from door2door_etl_spark.io.manifest import compact_manifest
+        from door2door_etl_spark.operators.clustering import kmeans_fit_predict
+
+        def recluster(snapshot: DataFrame) -> DataFrame:
+            tombs = snapshot.filter(F.col("rel") == self.REL_TOMB).select(
+                "vec_id"
+            )
+            live = (
+                snapshot.filter(F.col("rel") == self.REL_VEC)
+                .join(F.broadcast(tombs), "vec_id", "left_anti")
+                .select("vec_id", F.col("embedding").alias(self.vec_col))
+            )
+            n_cells = k
+            if n_cells is None:
+                n_cells = (
+                    snapshot.filter(F.col("rel") == self.REL_STAT)
+                    .groupBy("cell")
+                    .agg(F.sum("n").alias("n"))
+                    .filter(F.col("n") > 0)
+                    .count()
+                )
+                if n_cells == 0:
+                    raise ValueError(
+                        f"{self.root}: cannot retrain an empty index"
+                    )
+            assigned, _ = kmeans_fit_predict(
+                live,
+                vec_col=self.vec_col,
+                id_col="vec_id",
+                k=int(n_cells),
+                dim=self.dim,
+                iterations=iterations,
+                use_blas=use_blas,
+            )
+            vectors = assigned.select(
+                F.col("vec_id").alias(self.id_col),
+                (F.col("cluster") - 1).cast("int").alias(self.cell_col),
+                F.col(self.vec_col),
+            ).localCheckpoint(eager=True)
+            return self._unified(vectors, self._cellstats_of(vectors))
+
+        return compact_manifest(
+            self.spark, self.root, sort_by=["cell"], transform=recluster
+        )

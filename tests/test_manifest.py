@@ -15,6 +15,7 @@ import os
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from door2door_etl_spark.io.manifest import (
     LocalFsOps,
@@ -1207,3 +1208,66 @@ def test_schema_evolution_report(spark, tmp_path):
     assert evo[1]["added"] == {"score": "double"}
     assert evo[1]["removed"] == {} and evo[1]["retyped"] == {}
     assert evo[2]["added"] == {} and evo[2]["removed"] == {}
+
+
+def test_export_snapshot_plain_parquet_for_external_readers(spark, tmp_path):
+    """export_snapshot materializes a committed snapshot as PLAIN
+    hive-partitioned parquet: DuckDB (no engine code, no manifest
+    resolution) reads the export and matches the engine's own snapshot
+    read for a table with schema EVOLUTION and DV deletes in its
+    history; time travel exports the pre-delete version; an existing
+    destination is refused (exports are immutable artifacts)."""
+    import duckdb
+
+    root = str(tmp_path / "tbl")
+    merge_manifest(
+        spark, root,
+        _mk(spark, [(i, f"v{i}", f"p{i % 2}") for i in range(1, 7)]),
+        key="k", partition_col="part", vacuum_keep=99,
+    )
+    wider = spark.createDataFrame(
+        [(7, "v7", "p1", "x")], "k int, v string, part string, note string"
+    )
+    merge_manifest(
+        spark, root, wider, key="k", partition_col="part",
+        evolve_schema=True, vacuum_keep=99,
+    )
+    delete_manifest(
+        spark, root, spark.createDataFrame([(2,), (4,)], "k int"), "k",
+        mode="dv", vacuum_keep=99,
+    )
+    table = ManifestTable(root)
+    v = table.current_version()
+
+    dest = str(tmp_path / "export")
+    info = table.export_snapshot(spark, dest)
+    assert info["version"] == v and info["rows"] == 5  # 7 live - 2 DV-masked
+
+    def via_duckdb(path):
+        return sorted(
+            duckdb.sql(
+                f"SELECT k, v, part, note FROM read_parquet("
+                f"'{path}/*/*.parquet', hive_partitioning=true)"
+            ).fetchall()
+        )
+
+    def via_engine(version):
+        df = table.read(spark, version=version)
+        if "note" not in df.columns:
+            df = df.withColumn("note", F.lit(None).cast("string"))
+        return sorted(
+            tuple(r) for r in df.select("k", "v", "part", "note").collect()
+        )
+
+    assert via_duckdb(dest) == via_engine(v)
+    # the DV-doomed keys are physically absent from the export
+    assert {r[0] for r in via_duckdb(dest)} == {1, 3, 5, 6, 7}
+
+    # time travel: the pre-delete snapshot still exports whole
+    dest2 = str(tmp_path / "export_v2")
+    info2 = table.export_snapshot(spark, dest2, version=v - 1)
+    assert info2["rows"] == 7
+    assert via_duckdb(dest2) == via_engine(v - 1)
+
+    with pytest.raises(Exception, match="already exists|EXISTS"):
+        table.export_snapshot(spark, dest)

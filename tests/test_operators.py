@@ -2082,6 +2082,130 @@ def test_manifest_vector_index_remove_and_purge(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, idx.topk(q, k=10, nprobe=1).collect())) == masked
 
 
+def test_manifest_vector_index_recall_and_retrain_lifecycle(spark, tmp_path):
+    """Serving-quality pin for the manifest-served ANN path (VERDICT r6
+    ask #5): at the sf1 tier (20k x 64), recall@10 of the served topk vs
+    brute force is >= 0.9 after build, STAYS >= 0.9 through add_auto +
+    remove churn, and retrain() restores a fresh clustering via ONE
+    atomic manifest swap — version advances exactly once, tombstones and
+    doomed vectors fold out, per-cell stats equal the membership, and
+    recall holds on the post-churn corpus."""
+    import os
+
+    from door2door_etl_spark.io import manifest as M
+    from door2door_etl_spark.operators.clustering import kmeans_fit_predict
+    from door2door_etl_spark.operators.similarity import (
+        ManifestVectorIndex,
+        brute_force_topk,
+    )
+
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/bench_data/sf1")
+    if not os.path.exists(os.path.join(sf1, "embeddings.parquet")):
+        pytest.skip("sf1 stress tier not generated (tools/gen_sf1.py)")
+    emb = (
+        spark.read.parquet(os.path.join(sf1, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "embedding"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    assigned, _ = kmeans_fit_predict(emb, k=32, dim=64, iterations=2)
+    idx = ManifestVectorIndex(spark, str(tmp_path / "vrl"), dim=64)
+    idx.build(
+        assigned.select(
+            "vec_id",
+            (F.col("cluster") - 1).cast("int").alias("cell"),
+            "embedding",
+        )
+    )
+
+    qids = [1371 * i for i in range(1, 9)]  # all survive the churn below
+    qvecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def recall_at_10(live_df, nprobe):
+        tot = 0.0
+        for qv in qvecs.values():
+            true = {
+                r["vec_id"]
+                for r in brute_force_topk(live_df, query_vec=qv, k=10).collect()
+            }
+            got = {
+                r["vec_id"]
+                for r in idx.topk(qv, k=10, nprobe=nprobe).collect()
+            }
+            tot += len(true & got) / 10
+        return tot / len(qvecs)
+
+    assert recall_at_10(emb, nprobe=2) >= 0.9
+
+    # Churn: remove a 600-id slab, auto-ingest 400 perturbed near-copies
+    # under fresh ids (assigned to the then-stale centroids).
+    removed = emb.filter(F.col("vec_id") < 600).select("vec_id")
+    idx.remove(removed)
+    added = (
+        emb.filter((F.col("vec_id") >= 700) & (F.col("vec_id") < 1100))
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x + CASE WHEN i = "
+                "CAST(vec_id % 64 AS INT) THEN 0.05 ELSE 0.0 END)"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    idx.add_auto(added)
+    live = emb.filter(F.col("vec_id") >= 600).unionByName(added)
+    assert recall_at_10(live, nprobe=4) >= 0.9
+
+    # Retrain: ONE atomic swap commit.
+    v0 = M.ManifestTable(idx.root).current_version()
+    idx.retrain(k=32)
+    table = M.ManifestTable(idx.root)
+    assert table.current_version() == v0 + 1
+
+    snap = table.read(spark)
+    assert snap.filter(F.col("rel") == "tombstone").count() == 0
+    assert (
+        snap.filter((F.col("rel") == "vector") & (F.col("vec_id") < 600))
+        .count()
+        == 0
+    )
+    member_counts = {
+        r["cell"]: r["count"]
+        for r in snap.filter(F.col("rel") == "vector")
+        .groupBy("cell")
+        .count()
+        .collect()
+    }
+    stat_counts = {
+        r["cell"]: r["n"]
+        for r in idx.cell_stats().filter(F.col("n") > 0).collect()
+    }
+    assert member_counts == stat_counts
+    assert sum(member_counts.values()) == 20000 - 600 + 400
+    assert recall_at_10(live, nprobe=2) >= 0.9
+
+    # Empty-index retrain rejects loudly.
+    hollow = ManifestVectorIndex(spark, str(tmp_path / "hollow"), dim=4)
+    hollow.build(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0])],
+            "vec_id long, cell int, embedding array<double>",
+        )
+    )
+    hollow.remove(spark.createDataFrame([(1,)], "vec_id long"))
+    hollow.apply_removals()
+    with pytest.raises(ValueError, match="empty"):
+        hollow.retrain()
+
+
 def test_manifest_vector_index_remove_idempotent_and_auto_geometry(
     spark, tmp_path
 ):
