@@ -88,26 +88,11 @@ BENCH_QUERIES = [
     "ns_cross_source_duplication",
 ]
 
-# Scale-stress tier (`--sf sf1`): the top headline queries across the
-# scan-agg / join / streaming-rollup / dedup / text / ANN families —
-# the set whose scaling vs sf0.1 shows whether plans stay linear when
-# scans fan out over many files instead of one row group.
-BENCH_SF1_QUERIES = [
-    "tpch_q1_pricing_summary",
-    "tpch_q9_product_type_profit",
-    "tpch_q18_large_volume_customer",
-    "etl_hourly_rollup",
-    "rel_sessionize_stats",
-    "ns_dedup_exact",
-    "ns_minhash_signatures",
-    "ns_ngram_jaccard_topk",
-    "ns_incremental_lsh_dedup",
-    "ns_segment_dedup_corpus",
-    "ns_ann_bruteforce_topk",
-    "ns_kmeans_ivf_centroids_blas",
-    "ns_winnow_shared_pairs",
-    "ns_token_budget_sample",
-    "ns_curriculum_order",
+# Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline
+# set (VERDICT r6 ask #7) plus the manifest-served ANN path — every
+# headline query's sf1/sf0.1 wall ratio is scaling evidence, and anything
+# superlinear beyond the 10x row growth is a flagged regression.
+BENCH_SF1_QUERIES = BENCH_QUERIES + [
     "ns_ann_manifest_ivf_topk",
 ]
 

@@ -5,11 +5,15 @@ Model: an image/audio/video asset is a row with
 - ``meta: struct<modality, mime, n_bytes, content_sha>`` — typed metadata,
 and per-modality transforms run as Arrow-batched ``mapInPandas`` over the
 binary column.  The Spark-side plumbing (schema, partitioning, batch shape)
-is real and tested.  WAV assets get a REAL decoder
-(:func:`decode_wav_features` — pure-Python RIFF/PCM16 parsing, oracle- and
-stdlib-``wave``-cross-checked); image codecs are stubbed because no imaging
-library ships in this container — each stub is a clearly marked
-``NotImplementedError`` with a deterministic fake twin used by tests.
+is real and tested.  Two container formats get REAL pure-Python codecs:
+WAV (:func:`decode_wav_features` — RIFF/PCM16 parsing, oracle- and
+stdlib-``wave``-cross-checked) and 24-bit BMP (:func:`decode_bmp` /
+:func:`resize_bmp` — padded bottom-up BGR pixel array, arithmetic-oracle-
+checked decode AND nearest-neighbor resize).  Compressed codecs
+(PNG/JPEG/WebP) need an imaging library that doesn't ship in this
+container; :func:`decode_image` / :func:`resize_image` dispatch to the
+real BMP path and raise a clearly marked ``NotImplementedError``
+otherwise, with deterministic fake twins used by tests.
 
 Scale notes: binary payloads ride Parquet BYTE_ARRAY columns; transforms are
 embarrassingly parallel (mapInPandas, no shuffle); size-based repartitioning
@@ -58,12 +62,104 @@ def attach_binary_content(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an encoded image to pixels.  STUB — no imaging library in this
-    environment; wire Pillow/libvips here in production."""
+    """Decode an encoded image to a row-major pixel matrix.
+
+    BMP (24-bit uncompressed) decodes for REAL via the pure-Python parser
+    (:func:`decode_bmp`) — the same honest-container posture as the WAV
+    codec.  Compressed formats (PNG/JPEG/WebP) need an imaging library
+    that doesn't ship in this container; wire Pillow/libvips here in
+    production."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library (Pillow/libvips); "
-        "not available in this container"
+        "only BMP decodes without an imaging library (Pillow/libvips); "
+        "compressed formats are not available in this container"
     )
+
+
+def bmp24_bytes(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Encode row-major top-down (r, g, b) pixels as a REAL 24-bit
+    uncompressed BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows padded to
+    4 bytes) — the image twin of :func:`pcm16_wav_bytes`: tests and the
+    catalog manufacture genuine payloads whose decoded statistics an
+    arithmetic oracle predicts without parsing."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    row_size = (3 * width + 3) // 4 * 4
+    image_size = row_size * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + image_size, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    pad = b"\x00" * (row_size - 3 * width)
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # stored as BGR
+        rows.append(bytes(row) + pad)
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL pure-Python BMP decode: parse the BITMAPFILEHEADER (pixel-array
+    offset), the BITMAPINFOHEADER (dimensions, 24 bpp, BI_RGB only), and
+    the padded bottom-up BGR pixel array.  Returns
+    ``(width, height, row-major top-down [(r, g, b)])``.  Raises
+    ``ValueError`` on anything that isn't an uncompressed 24-bit BMP
+    (quarantine upstream, same posture as the schema readers).  A header
+    misread (offset, signedness, row padding, BGR order, bottom-up flip)
+    breaks the arithmetic oracle downstream, so the parse is
+    correctness-checked end to end."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    if off + row_size * height > len(payload):
+        raise ValueError("truncated pixel array")
+    out: list[tuple[int, int, int]] = []
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        base = off + src_y * row_size
+        for x in range(width):
+            i = base + 3 * x
+            b, g, r = payload[i], payload[i + 1], payload[i + 2]
+            out.append((r, g, b))
+    return width, height, out
+
+
+def decode_bmp_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL BMP decode → feature extract for :func:`extract_features`:
+    ``[width, height, bpp(24), n_pixels, mean_r, mean_g, mean_b,
+    mean_luma]`` (luma = Rec.601 integer-free (r+g+b)/3 stand-in kept
+    deliberately oracle-expressible), padded/trimmed to ``n_features``."""
+    width, height, px = decode_bmp(payload)
+    n = len(px)
+    if n:
+        mr = sum(p[0] for p in px) / n
+        mg = sum(p[1] for p in px) / n
+        mb = sum(p[2] for p in px) / n
+    else:
+        mr = mg = mb = 0.0
+    feats = [
+        float(width), float(height), 24.0, float(n),
+        mr, mg, mb, (mr + mg + mb) / 3.0,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
 
 
 def fake_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
@@ -188,12 +284,33 @@ def decode_wav_features(payload: bytes, n_features: int = 8) -> list[float]:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an encoded image.  STUB — no imaging library in this
-    environment; wire Pillow/libvips here in production."""
+    """Resize an encoded image.  BMP resizes for REAL
+    (:func:`resize_bmp`, nearest-neighbor, pure Python); compressed
+    formats need an imaging library that doesn't ship in this container —
+    wire Pillow/libvips here in production."""
+    if payload[:2] == b"BM":
+        return resize_bmp(payload, width, height)
     raise NotImplementedError(
-        "image resize requires an imaging library (Pillow/libvips); "
-        "not available in this container"
+        "only BMP resizes without an imaging library (Pillow/libvips); "
+        "compressed formats are not available in this container"
     )
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL BMP nearest-neighbor resize: decode → sample → re-encode.
+    Source pixel for target (x, y) is (floor(x*src_w/width),
+    floor(y*src_h/height)) — the standard NN mapping, chosen because a
+    SQL oracle can reproduce it arithmetically.  Degenerate sources
+    (zero-area) are returned unchanged."""
+    src_w, src_h, px = decode_bmp(payload)
+    if src_w == 0 or src_h == 0 or width <= 0 or height <= 0:
+        return payload
+    out = [
+        px[(y * src_h // height) * src_w + (x * src_w // width)]
+        for y in range(height)
+        for x in range(width)
+    ]
+    return bmp24_bytes(width, height, out)
 
 
 def fake_resize_bytes(payload: bytes, width: int, height: int) -> bytes:

@@ -20,6 +20,7 @@ from door2door_etl_spark.operators import text as X
 from door2door_etl_spark.operators.multimodal import (
     attach_binary_content,
     extract_features,
+    resize_assets,
 )
 from door2door_etl_spark.operators.clustering import kmeans_fit_predict
 from door2door_etl_spark.operators.packing import contiguous_token_chunks
@@ -27,7 +28,6 @@ from door2door_etl_spark.queries.defs import QueryDef
 from door2door_etl_spark.queries.sql_fragments import (
     sql_cosine,
     sql_dot,
-    sql_minhash_component,
     sql_shingles,
     sql_tokens,
     sql_uniform_hash,
@@ -68,15 +68,40 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_minhash_signatures() -> str:
+def _sql_minhash_sig_ctes(source: str, prefix: str = "") -> str:
+    """shingled → hashed → sigs CTE chain over ``source`` (any relation
+    with (doc_id, text)): sha256 ONCE per (doc, shingle) row, then every
+    Kirsch–Mitzenmacher component h_i = min((u1 + i*u2) mod 2^52) as a MIN
+    aggregate over the shared (u1, u2) pair.  Same contract as
+    sql_fragments.sql_minhash_component, restructured so the oracle is
+    tractable at the sf1 tier: the inline form re-hashed every shingle
+    2*NUM_HASHES times (sha inside each component's list_transform), which
+    at 500k docs is ~10 min of DuckDB sha256; this form is one sha per
+    shingle occurrence.  MIN over the unnested rows equals MIN over the
+    list (every doc has >= 1 shingle — sql_shingles' short-doc fallback —
+    so no doc_id is lost by the GROUP BY)."""
+    p = prefix
     sh = sql_shingles("text", SHINGLE_N)
-    comps = " || '|' || ".join(
-        f"CAST({sql_minhash_component('sh', i)} AS VARCHAR)"
+    comps = ", ".join(
+        f"min((u1 + {i} * u2) % 4503599627370496) AS h{i}"
         for i in range(NUM_HASHES)
     )
+    return f"""{p}shingled AS (SELECT doc_id, unnest({sh}) AS s FROM {source}),
+{p}hashed AS (SELECT doc_id, sha256(s) AS hh FROM {p}shingled),
+{p}uv AS (SELECT doc_id,
+            CAST(concat('0x', substr(hh, 1, 13)) AS BIGINT) AS u1,
+            CAST(concat('0x', substr(hh, 14, 13)) AS BIGINT) AS u2
+          FROM {p}hashed),
+{p}sigs AS (SELECT doc_id, {comps} FROM {p}uv GROUP BY doc_id)"""
+
+
+def _sql_minhash_signatures() -> str:
+    comps = " || '|' || ".join(
+        f"CAST(h{i} AS VARCHAR)" for i in range(NUM_HASHES)
+    )
     return f"""
-WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents)
-SELECT doc_id, sha256({comps}) AS sig_digest FROM shingled
+WITH {_sql_minhash_sig_ctes("documents")}
+SELECT doc_id, sha256({comps}) AS sig_digest FROM sigs
 """
 
 
@@ -95,20 +120,8 @@ def q_lsh_band_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_lsh_band_buckets() -> str:
-    sh = sql_shingles("text", SHINGLE_N)
-    band_rows = []
-    for b in range(BANDS):
-        comps = " || '|' || ".join(
-            f"CAST({sql_minhash_component('sh', b * ROWS_PER_BAND + i)} AS VARCHAR)"
-            for i in range(ROWS_PER_BAND)
-        )
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band_idx, sha256({comps}) AS band_key FROM shingled"
-        )
-    union = "\nUNION ALL\n".join(band_rows)
     return f"""
-WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
-bands AS ({union}),
+WITH {_sql_minhash_band_ctes("documents")},
 per_bucket AS (
   SELECT band_idx, band_key, count(*) AS bucket_size
   FROM bands GROUP BY 1, 2)
@@ -154,10 +167,6 @@ def _sql_minhash_band_ctes(source: str, prefix: str = "") -> str:
     can coexist in one query (incremental dedup joins a batch chain
     against a corpus chain)."""
     p = prefix
-    sh = sql_shingles("text", SHINGLE_N)
-    sig = ", ".join(
-        f"{sql_minhash_component('sh', i)} AS h{i}" for i in range(NUM_HASHES)
-    )
     band_rows = []
     for b in range(BANDS):
         comps = " || '|' || ".join(
@@ -168,8 +177,7 @@ def _sql_minhash_band_ctes(source: str, prefix: str = "") -> str:
             f" FROM {p}sigs"
         )
     union = "\nUNION ALL\n".join(band_rows)
-    return f"""{p}shingled AS (SELECT doc_id, {sh} AS sh FROM {source}),
-{p}sigs AS (SELECT doc_id, {sig} FROM {p}shingled),
+    return f"""{_sql_minhash_sig_ctes(source, prefix)},
 {p}bands AS ({union})"""
 
 
@@ -454,7 +462,19 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
 
 # -- embedding near-dup + similarity search ---------------------------------
 
-NEARDUP_MIN_COSINE = 0.2
+# Tier-parameterized (read ONCE at import, so the Spark query and the
+# oracle SQL are always built from the same value): the default 0.2 is
+# the driver's sf0.01 gate; the sf1 sweep sets
+# SPARK_GRAFT_NEARDUP_MIN_COSINE=0.9 because at 0.2 the 10x corpus
+# yields ~1.2M near-dup edges whose per-label components are dense —
+# the ENGINE's min-label-propagation handles that fine (O(diameter)
+# rounds), but the DuckDB oracle's recursive-CTE transitive closure is
+# O(sum comp^2 * degree) and unbounded-memory there.  A tighter
+# threshold keeps the oracle tractable while exercising the identical
+# pairs -> components -> canonicalize plan at 10x rows.
+NEARDUP_MIN_COSINE = float(
+    __import__("os").environ.get("SPARK_GRAFT_NEARDUP_MIN_COSINE", "0.2")
+)
 ANN_QUERY_ID = 0
 ANN_K = 10
 IVF_NPROBE = 2
@@ -1473,6 +1493,164 @@ def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Arithmetic oracle for the REAL BMP decoder: each document's asset is a
+# genuine 24-bit BMP whose (r, g, b) at (x, y) is a pure function of
+# doc_id, so the decoded dimensions and channel means are predictable
+# WITHOUT parsing — a misread of the pixel-array offset, row padding,
+# BGR order, or bottom-up flip diverges from this prediction and fails
+# the value-hash.
+SQL_MULTIMODAL_BMP_DECODE = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, w * h)) AS i
+  FROM p),
+v AS (
+  SELECT doc_id, w, h,
+         CAST((doc_id * 31 + (i // w) * 17 + (i % w) * 7) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 13 + (i // w) * 5 + (i % w) * 3) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 29 + (i // w) * 11 + (i % w) * 19) % 256 AS DOUBLE) AS b
+  FROM px)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+       round(avg(r), 6) AS mean_r,
+       round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b,
+       round((avg(r) + avg(g) + avg(b)) / 3, 6) AS mean_luma
+FROM v GROUP BY doc_id
+"""
+
+
+def _synth_bmp_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) with a genuine BMP per document — pixel (x, y) is
+    doc_id arithmetic, dimensions 4-8 x 3-6 (operators.multimodal
+    bmp24_bytes, the real encoder)."""
+    from door2door_etl_spark.operators.multimodal import bmp24_bytes
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = [
+                    (
+                        (d * 31 + y * 17 + x * 7) % 256,
+                        (d * 13 + y * 5 + x * 3) % 256,
+                        (d * 29 + y * 11 + x * 19) % 256,
+                    )
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(bmp24_bytes(w, h, pixels))
+            out = pdf[["doc_id"]].copy()
+            out["content"] = payloads
+            yield out
+
+    return docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, content binary"
+    )
+
+
+def q_multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image-codec decode in the multimodal family (the BMP twin of
+    ns_multimodal_wav_decode): manufacture a genuine 24-bit BMP per
+    document, run the production decode→feature path (extract_features
+    with the pure-Python pixel-array parser decode_bmp_features), and emit
+    decoded dimensions + channel means.  The oracle predicts every value
+    arithmetically, so the DECODER is what's under test end to end."""
+    from door2door_etl_spark.operators.multimodal import decode_bmp_features
+
+    docs = load_table(spark, sf, "documents")
+    feats = extract_features(
+        _synth_bmp_assets(docs), n_features=8, decoder=decode_bmp_features
+    )
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 4).cast("long").alias("n_pixels"),
+        F.round(F.element_at("features", 5), 6).alias("mean_r"),
+        F.round(F.element_at("features", 6), 6).alias("mean_g"),
+        F.round(F.element_at("features", 7), 6).alias("mean_b"),
+        F.round(F.element_at("features", 8), 6).alias("mean_luma"),
+    )
+
+
+BMP_RS_W = 3
+BMP_RS_H = 2
+
+# Oracle for the REAL nearest-neighbor BMP resize: target pixel (x, y)
+# samples source (x*w//3, y*h//2) — reproduced arithmetically over the
+# same doc_id pixel function, so a wrong NN index map, a re-encode that
+# flips rows, or a decode-after-resize mismatch all fail the value-hash.
+SQL_MULTIMODAL_BMP_RESIZE = f"""
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, {BMP_RS_W * BMP_RS_H})) AS i
+  FROM p),
+v AS (
+  SELECT doc_id,
+         ((i % {BMP_RS_W}) * w // {BMP_RS_W}) AS sx,
+         ((i // {BMP_RS_W}) * h // {BMP_RS_H}) AS sy,
+         w, h
+  FROM px),
+c AS (
+  SELECT doc_id,
+         CAST((doc_id * 31 + sy * 17 + sx * 7) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 13 + sy * 5 + sx * 3) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 29 + sy * 11 + sx * 19) % 256 AS DOUBLE) AS b
+  FROM v)
+SELECT doc_id,
+       {BMP_RS_W} AS width, {BMP_RS_H} AS height,
+       round(avg(r), 6) AS mean_r,
+       round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b
+FROM c GROUP BY doc_id
+"""
+
+
+def q_multimodal_bmp_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize end to end: synth BMP → resize_assets with the
+    pure-Python nearest-neighbor resize_bmp (meta recomputed in the same
+    mapInPandas batch) → decode the RESIZED payload back with
+    decode_bmp_features — so encoder, NN sampler, and decoder must all
+    round-trip for the arithmetic oracle to match."""
+    from door2door_etl_spark.operators.multimodal import (
+        decode_bmp_features,
+        resize_bmp,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    assets = _synth_bmp_assets(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/bmp").alias("mime"),
+            F.octet_length("content").cast("long").alias("n_bytes"),
+            F.sha2("content", 256).alias("content_sha"),
+        ),
+    )
+    resized = resize_assets(assets, BMP_RS_W, BMP_RS_H, resizer=resize_bmp)
+    feats = extract_features(
+        resized.select("doc_id", "content"),
+        n_features=8,
+        decoder=decode_bmp_features,
+    )
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.round(F.element_at("features", 5), 6).alias("mean_r"),
+        F.round(F.element_at("features", 6), 6).alias("mean_g"),
+        F.round(F.element_at("features", 7), 6).alias("mean_b"),
+    )
+
+
 # -- iterative clustering (IVF centroid trainer) ----------------------------
 
 KM_K = 4
@@ -2111,6 +2289,8 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES, "north-star multimodal/decode", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE, "north-star multimodal/resize", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_wav_decode", q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE, "north-star multimodal/real-wav-codec-decode", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_bmp_decode", q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE, "north-star multimodal/real-bmp-codec-decode", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_bmp_resize", q_multimodal_bmp_resize, SQL_MULTIMODAL_BMP_RESIZE, "north-star multimodal/real-bmp-nn-resize", ("northstar", "multimodal")),
     QueryDef("ns_training_order_shuffle", q_training_order_shuffle, SQL_TRAINING_ORDER_SHUFFLE, "north-star packing/epoch-shuffle", ("northstar", "packing")),
     QueryDef("ns_length_bucket_batches", q_length_bucket_batches, _sql_length_bucket_batches(), "north-star packing/length-bucketed-batching", ("northstar", "packing")),
     QueryDef("ns_quality_quantile_thresholds", q_quality_quantile_thresholds, SQL_QUALITY_QUANTILE_THRESHOLDS, "north-star text/quality-thresholds", ("northstar", "text")),

@@ -1296,8 +1296,13 @@ def q_winnow_shared_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# AS MATERIALIZED on fps: the fingerprint CTE feeds three subtrees (the
+# stop-gram count and both sides of the pair self-join); DuckDB 1.0
+# re-inlines multi-referenced CTEs, re-running the whole 8-gram
+# sha256+window pipeline per reference — at sf1 that's the difference
+# between a timeout and ~80 s.  Mirrors the Spark side's .persist().
 SQL_WINNOW_SHARED_PAIRS = f"""
-WITH {_sql_winnow_fps()}, rare AS (
+WITH {_sql_winnow_fps().replace("), fps AS (", "), fps AS MATERIALIZED (")}, rare AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_RARE_MAX}
 ), r AS (
   SELECT f.doc_id, f.fp FROM fps f WHERE f.fp IN (SELECT fp FROM rare)

@@ -281,6 +281,81 @@ def test_wav_decode_real_codec_roundtrip_and_rejection(spark):
     assert feats.first()["features"] == [ch, rate, bits, n, dur, mean, rms, peak]
 
 
+def test_bmp_codec_roundtrip_resize_and_rejection(spark):
+    """The pure-Python BMP codec is REAL: encode → decode round-trips
+    pixels exactly (incl. the padded odd-width rows and the bottom-up
+    storage flip), a hand-built TOP-DOWN (negative-height) payload decodes
+    to the same pixels, nearest-neighbor resize matches the index-map
+    reference, decode_image/resize_image dispatch BMP to the real path and
+    reject compressed formats, and malformed payloads raise."""
+    import struct
+
+    from door2door_etl_spark.operators.multimodal import (
+        bmp24_bytes,
+        decode_bmp,
+        decode_bmp_features,
+        decode_image,
+        extract_features,
+        resize_bmp,
+        resize_image,
+    )
+
+    w, h = 5, 3  # odd width: 15-byte rows pad to 16
+    px = [((i * 37) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(w * h)]
+    payload = bmp24_bytes(w, h, px)
+    row_size = (3 * w + 3) // 4 * 4
+    assert len(payload) == 54 + row_size * h
+    assert decode_bmp(payload) == (w, h, px)
+    assert decode_image(payload) == (w, h, px)
+
+    # hand-build the same image TOP-DOWN (negative height, rows not
+    # flipped): decoder must honor the sign and return identical pixels
+    hdr = payload[:14]
+    dib = struct.pack("<Iii", 40, w, -h) + payload[14 + 12:54]
+    rows = [payload[54 + y * row_size: 54 + (y + 1) * row_size] for y in range(h)]
+    top_down = hdr + dib + b"".join(reversed(rows))
+    assert decode_bmp(top_down) == (w, h, px)
+
+    feats = decode_bmp_features(payload)
+    n = w * h
+    assert feats[:4] == [float(w), float(h), 24.0, float(n)]
+    assert feats[4] == sum(p[0] for p in px) / n
+    assert feats[7] == (feats[4] + feats[5] + feats[6]) / 3
+
+    # nearest-neighbor resize vs the index-map reference
+    tw, th = 3, 2
+    resized = resize_bmp(payload, tw, th)
+    rw, rh, rpx = decode_bmp(resized)
+    assert (rw, rh) == (tw, th)
+    ref = [
+        px[(y * h // th) * w + (x * w // tw)]
+        for y in range(th)
+        for x in range(tw)
+    ]
+    assert rpx == ref
+    assert resize_image(payload, tw, th) == resized
+    # upscale hits every source pixel at least once (NN is surjective here)
+    up_w, up_h, up_px = decode_bmp(resize_bmp(payload, 10, 6))
+    assert (up_w, up_h) == (10, 6) and set(up_px) == set(px)
+
+    for bad in (b"", b"\x89PNG\r\n", b"BMxx")  :
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image(bad)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)
+    # 8-bit / RLE BMPs reject rather than mis-decoding
+    bad_bpp = payload[:28] + struct.pack("<H", 8) + payload[30:]
+    with pytest.raises(ValueError):
+        decode_bmp(bad_bpp)
+    with pytest.raises(ValueError):
+        decode_bmp(payload[:40])  # truncated pixel array
+
+    # and through the production plumbing: decoder rides extract_features
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, content binary")
+    out = extract_features(df, n_features=8, decoder=decode_bmp_features)
+    assert out.first()["features"] == feats
+
+
 # -- wave-3 operators: asof join, sessionize, sketches -----------------------
 
 from datetime import datetime
