@@ -1479,3 +1479,171 @@ TRAINING_QUERIES.append(
         ("northstar", "text"),
     )
 )
+
+
+# -- model-based quality classifier (hashed-BoW logistic regression) --------
+
+CLF_DIM = 64
+CLF_ITERS = 2
+CLF_LR = 1.0
+CLF_LABEL_TOKEN = "dup"  # rare (~5% of docs): the quality-flag class
+
+
+def _clf_features_and_labels(spark: SparkSession, sf: str):
+    from door2door_etl_spark.operators.classifier import hashed_features
+    from door2door_etl_spark.operators.text import tokens as tok_expr
+
+    docs = load_table(spark, sf, "documents")
+    feats = hashed_features(docs, dim=CLF_DIM, binary=True, intercept=True)
+    labels = docs.select(
+        "doc_id",
+        F.array_contains(tok_expr(F.col("text")), CLF_LABEL_TOKEN)
+        .cast("double")
+        .alias("y"),
+    )
+    return docs, feats, labels
+
+
+def _clf_scored(spark: SparkSession, sf: str) -> DataFrame:
+    from door2door_etl_spark.operators.classifier import (
+        score_logreg,
+        train_logreg,
+    )
+
+    docs, feats, labels = _clf_features_and_labels(spark, sf)
+    w = train_logreg(
+        feats, labels, iterations=CLF_ITERS, lr=CLF_LR, class_balanced=True
+    )
+    return score_logreg(docs, feats, w), labels
+
+
+def q_quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END model-based quality filter: train the hashed
+    set-of-words logistic regression (full-batch GD, CLF_ITERS
+    class-balanced steps — the rare-class correction a 5%-positive
+    quality flag needs) on the corpus, then score every document with the
+    learned weights — the fastText-style linear quality-classifier pass
+    of a CCNet/GPT-3-shaped pipeline (operators.classifier).  The label
+    is content-derived (document mentions CLF_LABEL_TOKEN), so the model
+    has a real signal to find; pred is decided on the MARGIN sign
+    (exact), not the rounded score, so the boundary is float-robust."""
+    scored, _ = _clf_scored(spark, sf)
+    return scored.select(
+        "doc_id", F.round("score", 6).alias("score"), "pred"
+    )
+
+
+def q_quality_classifier_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The curator's view of the same trained filter: the confusion
+    matrix (true label x predicted keep/drop) with per-cell mean scores —
+    the evidence that two balanced GD steps with an intercept actually
+    separate the rare class on this corpus (perfect 2-cell diagonal at
+    sf0.01) rather than collapsing to the prior."""
+    scored, labels = _clf_scored(spark, sf)
+    joined = scored.join(labels, "doc_id")
+    return joined.groupBy(
+        F.col("y").cast("int").alias("label"), "pred"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    )
+
+
+def _sql_clf_ctes() -> str:
+    """The full training run, unrolled: presence featurization →
+    class-balance weights → CLF_ITERS gradient steps (step 1 closed-form:
+    p = 0.5 exactly at w = 0) → final margins.  Each stage is the literal
+    SQL rendering of one train_logreg line, over the same portable sha-52
+    feature hash (sql_h52 twin of sketches._h52); the iteration chain is
+    GENERATED so the oracle stays in lockstep with CLF_ITERS."""
+    toks = sql_tokens("text")
+    f_idx = f"({sql_h52('tok', 'feat')}) % {CLF_DIM}"
+    parts = [f"""feats AS MATERIALIZED (
+  SELECT doc_id, {f_idx} AS feature, 1.0 AS value
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, -1 AS feature, 1.0 AS value FROM documents
+), lab0 AS (
+  SELECT doc_id,
+         CASE WHEN list_contains({toks}, '{CLF_LABEL_TOKEN}')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+), cnt AS (
+  SELECT sum(y) AS npos, sum(1.0 - y) AS nneg FROM lab0
+), labels AS MATERIALIZED (
+  SELECT doc_id, y,
+         1.0 / (2.0 * CASE WHEN y = 1.0 THEN cnt.npos ELSE cnt.nneg END) AS c
+  FROM lab0, cnt
+), g1 AS (
+  SELECT feature, sum(f.value * (0.5 - l.y) * l.c) AS g
+  FROM feats f JOIN labels l USING (doc_id) GROUP BY 1
+), w1 AS (
+  SELECT feature, -{CLF_LR} * g AS w FROM g1
+)"""]
+    prev_w = "w1"
+    for k in range(2, CLF_ITERS + 1):
+        parts.append(f""", m{k} AS (
+  SELECT f.doc_id, sum(f.value * {prev_w}.w) AS m
+  FROM feats f JOIN {prev_w} USING (feature) GROUP BY 1
+), e{k} AS (
+  SELECT l.doc_id,
+         (1.0 / (1.0 + exp(-coalesce(m{k}.m, 0.0))) - l.y) * l.c AS e
+  FROM labels l LEFT JOIN m{k} USING (doc_id)
+), g{k} AS (
+  SELECT feature, sum(f.value * e{k}.e) AS g
+  FROM feats f JOIN e{k} USING (doc_id) GROUP BY 1
+), w{k} AS (
+  SELECT coalesce({prev_w}.feature, g{k}.feature) AS feature,
+         coalesce({prev_w}.w, 0.0) - {CLF_LR} * coalesce(g{k}.g, 0.0) AS w
+  FROM {prev_w} FULL JOIN g{k} USING (feature)
+)""")
+        prev_w = f"w{k}"
+    parts.append(f""", mf AS (
+  SELECT f.doc_id, sum(f.value * {prev_w}.w) AS m
+  FROM feats f JOIN {prev_w} USING (feature) GROUP BY 1
+), scored AS (
+  SELECT d.doc_id,
+         1.0 / (1.0 + exp(-coalesce(mf.m, 0.0))) AS score,
+         coalesce(mf.m, 0.0) >= 0 AS pred
+  FROM documents d LEFT JOIN mf USING (doc_id)
+)""")
+    return "".join(parts)
+
+
+def _sql_quality_classifier_scores() -> str:
+    return f"""
+WITH {_sql_clf_ctes()}
+SELECT doc_id, round(score, 6) AS score, pred FROM scored
+"""
+
+
+def _sql_quality_classifier_report() -> str:
+    return f"""
+WITH {_sql_clf_ctes()}
+SELECT CAST(l.y AS INT) AS label, s.pred,
+       count(*) AS n_docs,
+       round(avg(s.score), 6) AS mean_score
+FROM scored s JOIN labels l USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_quality_classifier_scores",
+            q_quality_classifier_scores,
+            _sql_quality_classifier_scores(),
+            "north-star text/model-quality-classifier-scores",
+            ("northstar", "text"),
+        ),
+        QueryDef(
+            "ns_quality_classifier_report",
+            q_quality_classifier_report,
+            _sql_quality_classifier_report(),
+            "north-star text/model-quality-classifier-report",
+            ("northstar", "text"),
+        ),
+    ]
+)

@@ -2340,3 +2340,132 @@ def test_manifest_vector_index_remove_idempotent_and_auto_geometry(
     assert sorted(map(tuple, idx.topk([1.0, 0.0], k=10, nprobe=1).collect())) == before
     live = idx._table().read(spark)
     assert live.filter(F.col("rel") == "tombstone").count() == 0
+
+
+# -- model-based quality classifier ------------------------------------------
+
+
+def test_logreg_classifier_matches_reference_and_separates(spark):
+    """train_logreg/score_logreg against an independent pure-Python
+    reference (same sha-52 hashing trick, same full-batch GD) on a
+    synthetic two-language corpus: per-doc scores agree to float noise,
+    the learned filter actually separates the classes after two steps,
+    feature-less docs score exactly 0.5 with pred True, and the weight
+    join broadcasts (the 100 TB shape: weights are dim-bounded)."""
+    import hashlib
+    import math
+    import re
+
+    from door2door_etl_spark.operators.classifier import (
+        hashed_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    dim, iters, lr = 16, 2, 1.0
+    en = ["the cat sat on the mat", "the dog ate the bone",
+          "a man and the sea", "the quick brown fox", "to be or not to be"]
+    de = ["der hund und die katze", "die sonne scheint heute",
+          "ein mann und das meer", "der schnelle braune fuchs",
+          "sein oder nicht sein"]
+    rows = (
+        [(i, t, 1.0) for i, t in enumerate(en)]
+        + [(100 + i, t, 0.0) for i, t in enumerate(de)]
+        + [(999, "", 0.0)]  # zero-token doc: no features at all
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y double")
+
+    # independent reference: same portable contract, plain dict math
+    def ref():
+        feats, ys = {}, {}
+        for i, t, y in rows:
+            toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+            ys[i] = y
+            if not toks:
+                continue
+            x = {}
+            for w in toks:
+                f = int(hashlib.sha256((w + "feat").encode()).hexdigest()[:13], 16) % dim
+                x[f] = x.get(f, 0.0) + 1.0 / len(toks)
+            feats[i] = x
+        w = {}
+        for _ in range(iters):
+            grad = {}
+            for i, x in feats.items():
+                m = sum(w.get(f, 0.0) * v for f, v in x.items())
+                p = 1.0 / (1.0 + math.exp(-m))
+                for f, v in x.items():
+                    grad[f] = grad.get(f, 0.0) + (p - ys[i]) * v
+            for f, g in grad.items():
+                w[f] = w.get(f, 0.0) - lr * g
+        out = {}
+        for i, _, _ in rows:
+            m = sum(w.get(f, 0.0) * v for f, v in feats.get(i, {}).items())
+            out[i] = (1.0 / (1.0 + math.exp(-m)), m >= 0)
+        return out
+
+    expected = ref()
+    feats = hashed_features(docs, dim=dim)
+    labels = docs.select("doc_id", "y")
+    w = train_logreg(feats, labels, iterations=iters, lr=lr)
+    scored = score_logreg(docs, feats, w)
+    got = {r["doc_id"]: (r["score"], r["pred"]) for r in scored.collect()}
+
+    # the production quality-filter configuration (presence features,
+    # intercept, class-balanced gradients) against its own reference
+    def ref_balanced():
+        feats, ys = {}, {}
+        for i, t, y in rows:
+            toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+            ys[i] = y
+            x = {
+                int(hashlib.sha256((w + "feat").encode()).hexdigest()[:13], 16) % dim: 1.0
+                for w in set(toks)
+            }
+            x[-1] = 1.0
+            feats[i] = x
+        npos = sum(ys.values())
+        nneg = len(ys) - npos
+        cw = {1.0: 1.0 / (2 * npos), 0.0: 1.0 / (2 * nneg)}
+        w = {}
+        for _ in range(iters):
+            grad = {}
+            for i, x in feats.items():
+                m = sum(w.get(f, 0.0) * v for f, v in x.items())
+                p = 1.0 / (1.0 + math.exp(-m))
+                for f, v in x.items():
+                    grad[f] = grad.get(f, 0.0) + cw[ys[i]] * (p - ys[i]) * v
+            for f, g in grad.items():
+                w[f] = w.get(f, 0.0) - lr * g
+        out = {}
+        for i, _, _ in rows:
+            m = sum(w.get(f, 0.0) * v for f, v in feats[i].items())
+            out[i] = (1.0 / (1.0 + math.exp(-m)), m >= 0)
+        return out
+
+    bal_exp = ref_balanced()
+    bfeats = hashed_features(docs, dim=dim, binary=True, intercept=True)
+    bw = train_logreg(bfeats, labels, iterations=iters, lr=lr, class_balanced=True)
+    bscored = score_logreg(docs, bfeats, bw)
+    bgot = {r["doc_id"]: (r["score"], r["pred"]) for r in bscored.collect()}
+    for i, (escore, epred) in bal_exp.items():
+        assert abs(bgot[i][0] - escore) < 1e-9, (i, bgot[i], escore)
+        assert bgot[i][1] == epred
+    # intercept covers the zero-token doc too: exactly one feature row
+    assert bfeats.filter("doc_id = 999").count() == 1
+
+    assert set(got) == {i for i, _, _ in rows}
+    for i, (escore, epred) in expected.items():
+        assert abs(got[i][0] - escore) < 1e-9, (i, got[i], escore)
+        assert got[i][1] == epred
+    # the empty doc sits exactly at the neutral point
+    assert got[999] == (0.5, True)
+    # two GD steps must actually separate the synthetic classes
+    en_scores = [got[i][0] for i, _, y in rows if y == 1.0]
+    de_scores = [got[i][0] for i, _, y in rows if y == 0.0 and i != 999]
+    assert min(en_scores) > max(de_scores)
+
+    # scale shape: the weight side of the margin join is an explicit
+    # broadcast — per-doc state never centralizes
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
