@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "ns_token_budget_sample",
     "ns_curriculum_order",
     "ns_cross_source_duplication",
+    "ns_multimodal_bmp_decode",
+    "ns_quality_classifier_scores",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline

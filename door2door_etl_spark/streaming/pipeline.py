@@ -740,3 +740,70 @@ def stream_manifest_lsh_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_filter(
+    docs_stream: DataFrame,
+    weights: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    binary: bool = True,
+    intercept: bool = True,
+    min_score: float = 0.5,
+):
+    """Deploy a trained quality classifier on the ingest stream: the
+    serving twin of operators.classifier (train offline on the corpus,
+    score every incoming document, keep the ones above ``min_score``).
+
+    ``weights`` is the STATIC trained weight relation (feature, w) from
+    train_logreg — dim-bounded, so the per-batch margin join always
+    broadcasts.  The featurization config (dim/binary/intercept) must
+    match training; the margin is exact arithmetic, and min_score = 0.5
+    reproduces the batch operator's margin-sign ``pred``.
+
+    foreachBatch rather than a stream-static join because the margin is a
+    per-document aggregate over the batch's own exploded feature rows —
+    not expressible as a single stream-static join without an unbounded
+    aggregation state.  foreachBatch delivery is at-least-once, so each
+    batch OVERWRITES its own ``batch_id=N`` subdirectory (replay rewrites
+    the same files — effectively-once, same discipline as
+    stream_decontaminate).  No streaming state store; per-batch cost is
+    one broadcast join + one partial aggregation.
+    """
+    from door2door_etl_spark.operators.classifier import (
+        hashed_features,
+        score_logreg,
+    )
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        feats = hashed_features(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            dim=dim,
+            binary=binary,
+            intercept=intercept,
+        )
+        scored = score_logreg(batch_df, feats, weights, id_col=id_col)
+        # sigmoid is monotone, so at the default 0.5 the exact margin-sign
+        # `pred` decides (float-robust boundary); other thresholds compare
+        # the score directly.
+        keep = (
+            F.col("pred")
+            if min_score == 0.5
+            else (F.col("score") >= F.lit(min_score))
+        )
+        kept = batch_df.join(
+            scored.filter(keep).select(id_col), id_col, "left_semi"
+        )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -760,3 +760,74 @@ def test_stream_manifest_lsh_admission_self_updating_and_replay_safe(
     day3_dirs = sorted(_g.glob(f"{out}/batch_id=*"))[-1]
     day3_ids = {r[0] for r in spark.read.parquet(day3_dirs).select("doc_id").collect()}
     assert day3_ids == {301}, day3_ids
+
+
+def test_stream_quality_filter_serves_trained_weights(spark, tmp_path):
+    """Deploying the trained quality classifier on a stream keeps exactly
+    the documents the BATCH operator keeps (same featurization config,
+    same margin-sign decision), and a checkpoint replay with no new input
+    appends nothing (effectively-once sink)."""
+    from door2door_etl_spark.operators.classifier import (
+        hashed_features,
+        score_logreg,
+        train_logreg,
+    )
+    from door2door_etl_spark.streaming.pipeline import stream_quality_filter
+
+    # train offline: tiny separable corpus; y = 1 is the KEEP (quality)
+    # class, and the junk docs all mention "noise"
+    corpus = [
+        (1, "clean prose about spark tables", 1.0),
+        (2, "noise noise garbage tokens", 0.0),
+        (3, "another clean document here", 1.0),
+        (4, "mostly noise and junk", 0.0),
+        (5, "clean analytical writing", 1.0),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, y double")
+    cfg = dict(dim=32, binary=True, intercept=True)
+    feats = hashed_features(docs, **cfg)
+    w = train_logreg(
+        feats, docs.select("doc_id", "y"), iterations=2, lr=1.0,
+        class_balanced=True,
+    )
+
+    # batch truth: which incoming docs does the batch scorer keep (pred)?
+    incoming = [
+        (10, "clean prose about spark tables again"),
+        (11, "noise garbage junk noise"),
+        (12, "a clean fresh document"),
+        (13, ""),
+    ]
+    inc_df = spark.createDataFrame(incoming, "doc_id long, text string")
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in score_logreg(
+            inc_df, hashed_features(inc_df, **cfg), w
+        ).filter("pred").collect()
+    )
+
+    src = tmp_path / "clf_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in incoming
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = tmp_path / "clf_out"
+    q = stream_quality_filter(
+        stream, w, str(out), str(tmp_path / "ckpt_clf"), **cfg
+    )
+    q.awaitTermination(120)
+    stream_kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert stream_kept == batch_kept
+    # the filter actually separates: junk doc 11 dropped, clean ones kept
+    assert 11 not in stream_kept and 10 in stream_kept and 12 in stream_kept
+
+    q2 = stream_quality_filter(
+        stream, w, str(out), str(tmp_path / "ckpt_clf"), **cfg
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == len(stream_kept)
