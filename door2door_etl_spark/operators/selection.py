@@ -1,0 +1,172 @@
+"""Data selection: DSIR-style importance resampling (Xie et al.,
+NeurIPS 2023, arXiv:2302.03169) — pick the raw-corpus documents that look
+most like a small target corpus, the standard pretraining-data selection
+step between crawling and tokenization.
+
+Reference parity: the reference repo has no selection surface (SURVEY.md
+§2) — this is part of the north-star LLM-data-pipeline pack, on the same
+portable contract as the sketches (sha-52 hashing, tokenizer regex,
+exact-rational probabilities) so every stage has an exact DuckDB twin.
+
+Method (faithful to the paper, deterministic throughout):
+1. featurize both corpora as HASHED n-grams (unigrams + word bigrams
+   into ``dim`` buckets — the hashing trick bounds model size regardless
+   of vocabulary);
+2. fit two add-one-smoothed bag-of-ngrams models p (target) and q (raw);
+3. per raw document, log importance weight
+   ``log w(x) = sum_b count_x(b) * (log p(b) - log q(b))``;
+4. resample via Gumbel top-k (weighted sampling WITHOUT replacement):
+   ``score = log w(x) + Gumbel(0,1)`` with the Gumbel noise derived from
+   the document id through the portable uniform hash — reproducible
+   noise, same draw in any engine.
+
+Spark-first scale shape (100 TB posture): the n-gram models are
+``dim``-bounded relations (one groupBy each), the log-ratio table always
+broadcasts, the per-doc weight is one broadcast join + one partial
+aggregation over the exploded gram rows, and the Gumbel top-k is an
+ordered limit (TakeOrderedAndProject) — no driver state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.operators.sketches import _h52, uniform_hash
+from door2door_etl_spark.operators.text import shingles_from_tokens, tokens
+
+DSIR_SALT = "dsir"
+
+
+def _grams(col: Column) -> Column:
+    """Unigrams + word bigrams of the portable tokenizer.  Bigrams use the
+    same space-joined rendering (and short-doc fallback) as the shingle
+    contract, so the DuckDB twin is sql_tokens || sql_shingles(n=2).
+    The token array is BOUND ONCE via the single-element transform lambda
+    (same discipline as text.shingles — Catalyst does not CSE through
+    lambda bodies, and an unbound reference re-tokenizes per shingle)."""
+    return F.transform(
+        F.array(tokens(col)),
+        lambda toks: F.concat(toks, shingles_from_tokens(toks, 2)),
+    )[0]
+
+
+def hashed_gram_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """(id, bucket, cnt): per-document hashed n-gram counts."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(_grams(F.col(text_col))).alias("_g")
+        )
+        # the shingle short-doc fallback renders a ZERO-token document as
+        # one "" gram; for a language model that phantom gram is noise
+        # (and would make empty docs non-neutral), so drop it — real
+        # grams are never empty (tokens are non-empty by construction)
+        .filter(F.col("_g") != "")
+        .groupBy(id_col, (_h52(F.col("_g"), salt) % dim).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_counts(gram_rows: DataFrame) -> DataFrame:
+    """(bucket, c): corpus-level bucket counts — only observed buckets get
+    a row, so the model relation never exceeds min(dim, observed)."""
+    return gram_rows.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """(id, log_w): per-raw-document DSIR log importance weight
+    ``sum_b count(b) * (log p_target(b) - log q_raw(b))`` with add-one
+    smoothing: ``p(b) = (c_b + 1) / (total + dim)``.
+
+    The ratio table is dim-bounded and broadcast; a bucket unseen in a
+    corpus takes that corpus's smoothed floor ``log(1/(total+dim))``
+    (folded in from the one-row totals relation — the floors are
+    corpus-level scalars).  Every raw gram bucket is observed in q by
+    construction, so only the target floor ever reads.  Documents with
+    no grams at all (empty text) get log_w = 0 — neutral, neither
+    boosted nor buried."""
+    raw_rows = hashed_gram_rows(raw, text_col, id_col, dim, salt)
+    tgt_rows = hashed_gram_rows(target, text_col, id_col, dim, salt)
+    p = _bucket_counts(tgt_rows).select("bucket", F.col("c").alias("cp"))
+    q = _bucket_counts(raw_rows).select("bucket", F.col("c").alias("cq"))
+    totals = (
+        tgt_rows.agg(F.sum("cnt").alias("_tp"))
+        .crossJoin(raw_rows.agg(F.sum("cnt").alias("_tq")))
+    )
+    ratio = (
+        p.join(q, "bucket", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("cp", F.lit(0)) + 1).cast("double")
+                    / (F.col("_tp") + F.lit(dim))
+                )
+                - F.log(
+                    (F.coalesce("cq", F.lit(0)) + 1).cast("double")
+                    / (F.col("_tq") + F.lit(dim))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    weights = (
+        raw_rows.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"))
+    )
+    return raw.select(id_col).join(weights, id_col, "left").select(
+        id_col, F.coalesce("log_w", F.lit(0.0)).alias("log_w")
+    )
+
+
+def gumbel_noise(col: Column, salt: str = "gumbel") -> Column:
+    """Reproducible Gumbel(0,1) draw per key from the portable uniform
+    hash: g = -log(-log(u)).  u is a 52-bit dyadic rational in (0, 1)
+    after the +0.5/2^52 half-step (u = 0 would blow up the outer log);
+    the same expression renders in DuckDB, so resampling is engine-exact."""
+    from door2door_etl_spark.operators.sketches import HASH_SPACE
+
+    u = uniform_hash(col, salt) + F.lit(0.5 / HASH_SPACE)
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    salt: str = DSIR_SALT,
+    temperature: float = 1.0,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Gumbel top-k importance resampling: the ``k`` raw documents with the
+    highest ``log_w / temperature + Gumbel(0,1)`` — equivalent to weighted
+    sampling without replacement from softmax(log_w / temperature)
+    (Gumbel-max trick), fully deterministic through the hash-derived
+    noise.  ``gumbel=False`` degrades to plain deterministic top-k by
+    weight.  Ordered limit ⇒ TakeOrderedAndProject, no global sort."""
+    lw = dsir_log_weights(raw, target, text_col, id_col, dim, salt)
+    score = F.col("log_w") / F.lit(temperature)
+    if gumbel:
+        score = score + gumbel_noise(F.col(id_col))
+    return (
+        lw.select(id_col, "log_w", score.alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

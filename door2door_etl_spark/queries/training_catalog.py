@@ -1647,3 +1647,133 @@ TRAINING_QUERIES.extend(
         ),
     ]
 )
+
+
+# -- DSIR importance resampling (data selection) ----------------------------
+
+DSIR_DIM = 256
+DSIR_K = 50
+DSIR_TARGET_SOURCE = "src0"
+
+
+def _dsir_corpora(spark: SparkSession, sf: str):
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    raw = docs.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    return raw, target
+
+
+def q_dsir_log_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS'23): hashed
+    unigram+bigram bag-of-ngrams models of the target corpus (one source)
+    and the raw rest, add-one smoothed; per raw document the log
+    likelihood ratio sum_b count(b)*(log p(b) - log q(b))
+    (operators.selection.dsir_log_weights — dim-bounded broadcast ratio
+    table, one partial aggregation)."""
+    from door2door_etl_spark.operators.selection import dsir_log_weights
+
+    raw, target = _dsir_corpora(spark, sf)
+    lw = dsir_log_weights(raw, target, dim=DSIR_DIM)
+    return lw.select("doc_id", F.round("log_w", 6).alias("log_w"))
+
+
+def q_dsir_gumbel_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The selection step: Gumbel top-k importance resampling — weighted
+    sampling WITHOUT replacement from softmax(log_w) via the Gumbel-max
+    trick, with the noise derived from doc_id through the portable
+    uniform hash so the draw is engine-exact and replayable
+    (operators.selection.dsir_select; ordered limit ⇒
+    TakeOrderedAndProject, no global sort)."""
+    from door2door_etl_spark.operators.selection import dsir_select
+
+    raw, target = _dsir_corpora(spark, sf)
+    sel = dsir_select(raw, target, k=DSIR_K, dim=DSIR_DIM)
+    return sel.select(
+        "doc_id",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_dsir_ctes() -> str:
+    """tg/rg gram rows → p/q bucket models → broadcastable ratio → lw:
+    the literal SQL rendering of operators.selection.dsir_log_weights
+    over the same portable contract (sql_tokens ++ sql_shingles(2) grams,
+    sql_h52 bucketing, add-one smoothing, ln ratios)."""
+    from door2door_etl_spark.queries.sql_fragments import sql_shingles
+
+    grams = (
+        f"list_concat({sql_tokens('text')}, {sql_shingles('text', 2)})"
+    )
+    bucket = f"({sql_h52('g', 'dsir')}) % {DSIR_DIM}"
+    return f"""tgt AS (
+  SELECT doc_id, text FROM documents WHERE source = '{DSIR_TARGET_SOURCE}'
+), rawc AS (
+  SELECT doc_id, text FROM documents WHERE source <> '{DSIR_TARGET_SOURCE}'
+), tg AS MATERIALIZED (
+  SELECT doc_id, {bucket} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM tgt) WHERE g <> ''
+  GROUP BY 1, 2
+), rg AS MATERIALIZED (
+  SELECT doc_id, {bucket} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM rawc) WHERE g <> ''
+  GROUP BY 1, 2
+), p AS (
+  SELECT bucket, sum(cnt) AS cp FROM tg GROUP BY 1
+), q AS (
+  SELECT bucket, sum(cnt) AS cq FROM rg GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(cnt) FROM tg) AS tp, (SELECT sum(cnt) FROM rg) AS tq
+), ratio AS (
+  SELECT bucket,
+         ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) / (tot.tp + {DSIR_DIM}))
+       - ln(CAST(coalesce(cq, 0) + 1 AS DOUBLE) / (tot.tq + {DSIR_DIM}))
+           AS log_ratio
+  FROM p FULL JOIN q USING (bucket), tot
+), w AS (
+  SELECT rg.doc_id, sum(rg.cnt * ratio.log_ratio) AS log_w
+  FROM rg JOIN ratio USING (bucket) GROUP BY 1
+), lw AS (
+  SELECT r.doc_id, coalesce(w.log_w, 0.0) AS log_w
+  FROM rawc r LEFT JOIN w USING (doc_id)
+)"""
+
+
+def _sql_dsir_log_weights() -> str:
+    return f"""
+WITH {_sql_dsir_ctes()}
+SELECT doc_id, round(log_w, 6) AS log_w FROM lw
+"""
+
+
+def _sql_dsir_gumbel_topk() -> str:
+    u = sql_uniform_hash("doc_id", "gumbel")
+    return f"""
+WITH {_sql_dsir_ctes()},
+scored AS (
+  SELECT doc_id, log_w,
+         log_w + (-ln(-ln({u} + 0.5 / 4503599627370496.0))) AS score
+  FROM lw)
+SELECT doc_id, round(log_w, 6) AS log_w, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
+TRAINING_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_dsir_log_weights",
+            q_dsir_log_weights,
+            _sql_dsir_log_weights(),
+            "north-star selection/dsir-importance-weights",
+            ("northstar", "selection"),
+        ),
+        QueryDef(
+            "ns_dsir_gumbel_topk",
+            q_dsir_gumbel_topk,
+            _sql_dsir_gumbel_topk(),
+            "north-star selection/dsir-gumbel-topk-resample",
+            ("northstar", "selection"),
+        ),
+    ]
+)

@@ -2469,3 +2469,95 @@ def test_logreg_classifier_matches_reference_and_separates(spark):
     # broadcast — per-doc state never centralizes
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_matches_reference_and_ranks_targetlike_docs(spark):
+    """dsir_log_weights/dsir_select against an independent pure-Python
+    reference (same sha-52 gram hashing, add-one smoothing, Gumbel-max
+    noise): per-doc weights agree to float noise, target-like raw docs
+    outrank off-target ones, the empty doc is weight-neutral, selection
+    is deterministic across runs, and the plan uses a broadcast ratio
+    join + TakeOrderedAndProject (no global sort)."""
+    import hashlib
+    import math
+    import re
+
+    from door2door_etl_spark.operators.selection import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    dim = 64
+    target = [(100 + i, "apple banana cherry apple banana") for i in range(4)]
+    raw = [
+        (1, "apple banana cherry fruit salad"),   # target-like
+        (2, "apple banana apple banana cherry"),  # very target-like
+        (3, "stock market index futures trading"),
+        (4, "quantum flux capacitor manifold"),
+        (5, ""),                                  # no grams: neutral
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+
+    def grams(t):
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        if not toks:
+            return []
+        bi = (
+            [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else [" ".join(toks)]
+        )
+        return toks + bi
+
+    def bucket(g):
+        return int(hashlib.sha256((g + "dsir").encode()).hexdigest()[:13], 16) % dim
+
+    def ref_weights():
+        from collections import Counter
+
+        tcnt, rcnt, per_doc = Counter(), Counter(), {}
+        for _, t in target:
+            tcnt.update(bucket(g) for g in grams(t))
+        for i, t in raw:
+            c = Counter(bucket(g) for g in grams(t))
+            per_doc[i] = c
+            rcnt.update(c)
+        tp, tq = sum(tcnt.values()), sum(rcnt.values())
+        out = {}
+        for i, c in per_doc.items():
+            out[i] = sum(
+                n * (
+                    math.log((tcnt.get(b, 0) + 1) / (tp + dim))
+                    - math.log((rcnt.get(b, 0) + 1) / (tq + dim))
+                )
+                for b, n in c.items()
+            )
+        return out
+
+    expected = ref_weights()
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_log_weights(rdf, tdf, dim=dim).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i, e in expected.items():
+        assert abs(got[i] - e) < 1e-9, (i, got[i], e)
+    assert got[5] == 0.0
+    # target-like docs outrank off-target ones
+    assert min(got[1], got[2]) > max(got[3], got[4])
+
+    # deterministic Gumbel selection: two runs agree row-for-row; the
+    # no-noise variant is the plain weight top-k
+    s1 = dsir_select(rdf, tdf, k=3, dim=dim).collect()
+    s2 = dsir_select(rdf, tdf, k=3, dim=dim).collect()
+    assert s1 == s2
+    plain = dsir_select(rdf, tdf, k=2, dim=dim, gumbel=False).collect()
+    assert [r["doc_id"] for r in plain] == sorted(
+        expected, key=lambda i: (-expected[i], i)
+    )[:2]
+
+    sel = dsir_select(rdf, tdf, k=3, dim=dim)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
