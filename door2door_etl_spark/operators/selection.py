@@ -1,7 +1,9 @@
 """Data selection: DSIR-style importance resampling (Xie et al.,
 NeurIPS 2023, arXiv:2302.03169) — pick the raw-corpus documents that look
-most like a small target corpus, the standard pretraining-data selection
-step between crawling and tokenization.
+most like a small target corpus — and DoReMi-style domain reweighting
+(Xie et al., NeurIPS 2023, arXiv:2305.10429) — turn per-domain excess
+loss into a sampling distribution.  Together they are the standard
+pretraining-data selection steps between crawling and tokenization.
 
 Reference parity: the reference repo has no selection surface (SURVEY.md
 §2) — this is part of the north-star LLM-data-pipeline pack, on the same
@@ -169,4 +171,116 @@ def dsir_select(
         lw.select(id_col, "log_w", score.alias("score"))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
+    )
+
+
+def domain_excess_loss(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, excess_loss): per-domain excess loss of
+    the CORPUS-wide unigram model over the domain's OWN unigram model on
+    the domain's tokens — per-token, add-one smoothed over the shared
+    corpus vocabulary:
+
+        excess(d) = NLL_corpus(d) - NLL_domain(d)
+                  = (1/T_d) * sum_tok c_d(tok) *
+                      (log p_d(tok) - log p_corpus(tok))
+
+    i.e. a smoothed estimate of KL(domain || corpus): how much a generic
+    model underfits this domain.  This is the proxy-loss signal DoReMi
+    (Xie et al., NeurIPS 2023, arXiv:2305.10429) feeds its domain
+    reweighting; here the proxy is the engine's own unigram LM rather
+    than a trained transformer, which keeps the whole computation exact
+    and oracle-checkable.
+
+    Scale shape: one token explode, two vocabulary-keyed aggregations
+    (domain x token, token), one join between them on token, then
+    domain-sized relations only."""
+    tok_rows = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    dom_counts = tok_rows.groupBy("domain", "tok").agg(
+        F.count(F.lit(1)).alias("cd")
+    )
+    corpus_counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    scalars = corpus_counts.agg(
+        F.sum("cc").alias("_tc"), F.count(F.lit(1)).alias("_v")
+    )
+    dom_totals = dom_counts.groupBy("domain").agg(F.sum("cd").alias("td"))
+    per_tok = (
+        dom_counts.join(corpus_counts, "tok")
+        .join(F.broadcast(dom_totals), "domain")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "domain",
+            "td",
+            (
+                F.col("cd")
+                * (
+                    F.log(
+                        (F.col("cd") + 1).cast("double")
+                        / (F.col("td") + F.col("_v"))
+                    )
+                    - F.log(
+                        (F.col("cc") + 1).cast("double")
+                        / (F.col("_tc") + F.col("_v"))
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    n_docs = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_tok.groupBy("domain")
+        .agg(
+            F.any_value("td").alias("n_tokens"),
+            (F.sum("term") / F.any_value("td")).alias("excess_loss"),
+        )
+        .join(n_docs, "domain")
+        .select("domain", "n_docs", "n_tokens", "excess_loss")
+    )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+    uniform_mix: float = 0.2,
+) -> DataFrame:
+    """DoReMi-style domain reweighting: exponentiate the per-domain
+    excess loss (multiplicative-weights step, step size ``eta``),
+    normalize to a distribution, and smooth with ``uniform_mix`` of the
+    uniform distribution — the paper's final mixing step, which keeps
+    every domain sampled:
+
+        alpha_d ∝ exp(eta * excess(d));
+        weight_d = (1 - u) * alpha_d + u / n_domains
+
+    Returns (domain, n_docs, n_tokens, excess_loss, weight); weights sum
+    to 1.  Everything after the excess-loss aggregation runs on a
+    domain-sized relation (a one-row softmax normalizer broadcast —
+    no driver state, no collect)."""
+    ex = domain_excess_loss(docs, domain_col, text_col)
+    scored = ex.select(
+        "domain", "n_docs", "n_tokens", "excess_loss",
+        F.exp(F.lit(eta) * F.col("excess_loss")).alias("_a"),
+    )
+    norm = scored.agg(
+        F.sum("_a").alias("_z"), F.count(F.lit(1)).alias("_k")
+    )
+    return scored.crossJoin(F.broadcast(norm)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        "excess_loss",
+        (
+            F.lit(1.0 - uniform_mix) * (F.col("_a") / F.col("_z"))
+            + F.lit(uniform_mix) / F.col("_k")
+        ).alias("weight"),
     )

@@ -1777,3 +1777,82 @@ TRAINING_QUERIES.extend(
         ),
     ]
 )
+
+
+# -- DoReMi-style domain reweighting ----------------------------------------
+
+DOREMI_ETA = 1.0
+DOREMI_UNIFORM = 0.2
+
+
+def q_doremi_domain_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture optimization: per-source excess loss (corpus
+    unigram model vs the domain's own — a smoothed KL(domain || corpus))
+    exponentiated into multiplicative weights and smoothed with 20%
+    uniform, following the DoReMi reweighting form
+    (operators.selection.doremi_domain_weights).  The output is the
+    sampling distribution a mixture sampler (ns_domain_mix_sample /
+    ns_temperature_mix_sample) would consume."""
+    from door2door_etl_spark.operators.selection import doremi_domain_weights
+
+    docs = load_table(spark, sf, "documents")
+    w = doremi_domain_weights(
+        docs, domain_col="source", eta=DOREMI_ETA, uniform_mix=DOREMI_UNIFORM
+    )
+    return w.select(
+        F.col("domain"),
+        "n_docs",
+        "n_tokens",
+        F.round("excess_loss", 6).alias("excess_loss"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _sql_doremi_domain_weights() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH tok_rows AS MATERIALIZED (
+  SELECT source AS domain, unnest({toks}) AS tok FROM documents
+), dom_counts AS MATERIALIZED (
+  SELECT domain, tok, count(*) AS cd FROM tok_rows GROUP BY 1, 2
+), corpus_counts AS (
+  SELECT tok, count(*) AS cc FROM tok_rows GROUP BY 1
+), scal AS (
+  SELECT CAST(sum(cc) AS BIGINT) AS tc, count(*) AS v FROM corpus_counts
+), dom_tot AS (
+  SELECT domain, CAST(sum(cd) AS BIGINT) AS td FROM dom_counts GROUP BY 1
+), per AS (
+  SELECT d.domain, any_value(t.td) AS td,
+         sum(d.cd * (ln(CAST(d.cd + 1 AS DOUBLE) / (t.td + s.v))
+                   - ln(CAST(c.cc + 1 AS DOUBLE) / (s.tc + s.v)))) AS term_sum
+  FROM dom_counts d
+  JOIN corpus_counts c USING (tok)
+  JOIN dom_tot t USING (domain), scal s
+  GROUP BY 1
+), nd AS (
+  SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1
+), ex AS (
+  SELECT domain, n_docs, td AS n_tokens, term_sum / td AS excess
+  FROM per JOIN nd USING (domain)
+), sc AS (
+  SELECT *, exp({DOREMI_ETA} * excess) AS a FROM ex
+), nrm AS (
+  SELECT sum(a) AS z, count(*) AS k FROM sc
+)
+SELECT domain, n_docs, n_tokens,
+       round(excess, 6) AS excess_loss,
+       round((1 - {DOREMI_UNIFORM}) * (a / z) + {DOREMI_UNIFORM} / k, 6)
+         AS weight
+FROM sc, nrm
+"""
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_doremi_domain_weights",
+        q_doremi_domain_weights,
+        _sql_doremi_domain_weights(),
+        "north-star selection/doremi-domain-reweighting",
+        ("northstar", "selection"),
+    )
+)

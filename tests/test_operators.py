@@ -2561,3 +2561,82 @@ def test_dsir_matches_reference_and_ranks_targetlike_docs(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doremi_domain_weights_reference_and_invariants(spark):
+    """doremi_domain_weights against an independent pure-Python reference
+    (token counts, smoothed KL, exponentiated weights, uniform mix) on a
+    corpus with one distinctive domain and two near-identical ones:
+    values match to float noise, weights sum to 1, the distinctive
+    domain gets the largest weight, and every domain keeps at least
+    uniform_mix / k mass (the DoReMi smoothing guarantee)."""
+    import math
+    import re
+    from collections import Counter
+
+    from door2door_etl_spark.operators.selection import (
+        domain_excess_loss,
+        doremi_domain_weights,
+    )
+
+    rows = [
+        ("wiki", "the cat sat on the mat"),
+        ("wiki", "the dog ate the bone"),
+        ("web", "the cat sat near the mat"),
+        ("web", "the dog ate a bone"),
+        ("code", "def foo return bar import baz"),
+        ("code", "class qux import foo def bar"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    eta, umix = 1.0, 0.2
+
+    def ref():
+        toks = {
+            d: [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+            for d, t in [(d, " ".join(t for dd, t in rows if dd == d))
+                         for d in {r[0] for r in rows}]
+        }
+        corpus = Counter()
+        dom = {}
+        for d, ts in toks.items():
+            dom[d] = Counter(ts)
+            corpus.update(ts)
+        tc, v = sum(corpus.values()), len(corpus)
+        ex = {}
+        for d, c in dom.items():
+            td = sum(c.values())
+            ex[d] = sum(
+                n * (math.log((n2 + 1) / (td + v)) - math.log((corpus[t] + 1) / (tc + v)))
+                for t, n in c.items()
+                for n2 in [c[t]]
+            ) / td
+        z = sum(math.exp(eta * e) for e in ex.values())
+        k = len(ex)
+        return ex, {
+            d: (1 - umix) * math.exp(eta * e) / z + umix / k
+            for d, e in ex.items()
+        }
+
+    exp_ex, exp_w = ref()
+    got = {
+        r["domain"]: r
+        for r in doremi_domain_weights(
+            docs, domain_col="source", eta=eta, uniform_mix=umix
+        ).collect()
+    }
+    assert set(got) == set(exp_w)
+    for d in exp_w:
+        assert abs(got[d]["excess_loss"] - exp_ex[d]) < 1e-9, d
+        assert abs(got[d]["weight"] - exp_w[d]) < 1e-9, d
+    total = sum(r["weight"] for r in got.values())
+    assert abs(total - 1.0) < 1e-9
+    # the distinctive domain dominates; smoothing floor holds for all
+    assert max(got, key=lambda d: got[d]["weight"]) == "code"
+    for d in got:
+        assert got[d]["weight"] >= umix / len(got) - 1e-12
+
+    # excess loss is (approximately) a KL: non-negative on clearly
+    # separated domains
+    ex_df = {r["domain"]: r["excess_loss"]
+             for r in domain_excess_loss(docs, "source").collect()}
+    assert ex_df["code"] > 0
