@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "ns_cross_source_duplication",
     "ns_multimodal_bmp_decode",
     "ns_quality_classifier_scores",
+    "ns_dsir_gumbel_topk",
+    "ns_doremi_domain_weights",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline

@@ -210,3 +210,26 @@ def score_logreg(
         _sigmoid(F.coalesce("m", F.lit(0.0))).alias("score"),
         (F.coalesce("m", F.lit(0.0)) >= 0).alias("pred"),
     )
+
+
+def dense_weights(
+    spark, weights: DataFrame, dim: int, intercept: bool = True
+) -> DataFrame:
+    """Densify a sparse weight relation to EXACTLY one row per possible
+    feature (buckets 0..dim-1, plus the -1 intercept): absent features
+    get weight 0.0 — the same "absent == 0" semantics the sparse margin
+    join already implements.
+
+    This is the publishing form for a model registry built on a keyed
+    MERGE protocol (io.manifest.merge_manifest with key='feature'): a
+    dense relation makes every committed model version a FULL
+    replacement — a retrain that dropped a feature overwrites its row
+    with 0.0 instead of leaving the stale weight live — while staying
+    dim-bounded and broadcastable."""
+    lo = -1 if intercept else 0
+    all_feats = spark.range(lo, dim).select(
+        F.col("id").alias("feature")
+    )
+    return all_feats.join(weights, "feature", "left").select(
+        "feature", F.coalesce("w", F.lit(0.0)).alias("w")
+    )

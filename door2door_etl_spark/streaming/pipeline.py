@@ -807,3 +807,79 @@ def stream_quality_filter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_filter_hot_reload(
+    docs_stream: DataFrame,
+    weights_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    binary: bool = True,
+    intercept: bool = True,
+    min_score: float = 0.5,
+    fs=None,
+):
+    """:func:`stream_quality_filter` with the model served from a MODEL
+    REGISTRY: ``weights_root`` is a manifest table (io.manifest) holding
+    the trained weight relation, committed densely
+    (operators.classifier.dense_weights + merge_manifest key='feature' —
+    every version a full replacement).
+
+    Each micro-batch resolves the LATEST COMMITTED version once and
+    scores with that pinned snapshot, so a retrain landing mid-stream
+    swaps the model atomically BETWEEN batches, never within one, and
+    every output row carries ``model_version`` for provenance.  Replays
+    of a batch re-resolve the version — with the overwrite-per-batch
+    sink that makes the replay adopt the NEWEST model, which is the
+    desired behavior for a quality filter (re-scoring with a better
+    model is an upgrade, not a correctness violation; pin to a fixed
+    version via stream_quality_filter with a read_version snapshot if
+    bitwise replay matters more than freshness)."""
+    from door2door_etl_spark.io.manifest import ManifestTable
+    from door2door_etl_spark.operators.classifier import (
+        hashed_features,
+        score_logreg,
+    )
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = (
+            ManifestTable(weights_root, fs=fs)
+            if fs is not None
+            else ManifestTable(weights_root)
+        )
+        version = table.current_version()
+        if version is None:
+            raise ValueError(
+                f"no committed model at {weights_root}; train and "
+                "merge_manifest a dense weight relation first"
+            )
+        weights = table.read(spark, version).select("feature", "w")
+        feats = hashed_features(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            dim=dim,
+            binary=binary,
+            intercept=intercept,
+        )
+        scored = score_logreg(batch_df, feats, weights, id_col=id_col)
+        keep = (
+            F.col("pred")
+            if min_score == 0.5
+            else (F.col("score") >= F.lit(min_score))
+        )
+        kept = batch_df.join(
+            scored.filter(keep).select(id_col), id_col, "left_semi"
+        ).withColumn("model_version", F.lit(version))
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -831,3 +831,90 @@ def test_stream_quality_filter_serves_trained_weights(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == len(stream_kept)
+
+
+def test_stream_quality_filter_hot_reloads_committed_model(spark, tmp_path):
+    """Model registry lifecycle: the streaming filter serves whatever
+    model version is COMMITTED to the manifest table at each batch — a
+    retrain merged mid-stream (dense weight relation, full replacement)
+    swaps the decision between batches, output rows carry the serving
+    model_version, and the stale model's weights are gone (a feature
+    dropped by retrain reads 0, not its old value)."""
+    from door2door_etl_spark.io.manifest import ManifestTable
+    from door2door_etl_spark.operators.classifier import (
+        dense_weights,
+        hashed_features,
+        train_logreg,
+    )
+    from door2door_etl_spark.io.manifest import merge_manifest
+    from door2door_etl_spark.streaming.pipeline import (
+        stream_quality_filter_hot_reload,
+    )
+
+    cfg = dict(dim=32, binary=True, intercept=True)
+    corpus = [
+        (1, "clean prose about spark tables", 1.0),
+        (2, "noise noise garbage tokens", 0.0),
+        (3, "another clean document here", 1.0),
+        (4, "mostly noise and junk", 0.0),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, y double")
+    root = str(tmp_path / "model_registry")
+
+    def publish(labels_df):
+        w = train_logreg(
+            hashed_features(docs, **cfg), labels_df,
+            iterations=2, lr=1.0, class_balanced=True,
+        )
+        merge_manifest(
+            spark, root, dense_weights(spark, w, cfg["dim"]), key="feature"
+        )
+        return ManifestTable(root).current_version()
+
+    v1 = publish(docs.select("doc_id", "y"))
+
+    src = tmp_path / "hot_in"
+    src.mkdir()
+    incoming = [(10, "clean spark prose"), (11, "junk noise garbage")]
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in incoming)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out, ckpt = tmp_path / "hot_out", tmp_path / "hot_ckpt"
+    q = stream_quality_filter_hot_reload(stream, root, str(out), str(ckpt), **cfg)
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(out)).collect()
+    assert sorted(r["doc_id"] for r in first) == [10]
+    assert {r["model_version"] for r in first} == {v1}
+
+    # retrain with INVERTED labels (keep junk) and publish: version advances
+    v2 = publish(
+        docs.select("doc_id", (F.lit(1.0) - F.col("y")).alias("y"))
+    )
+    assert v2 > v1
+    # densified replacement: every feature row belongs to the new model —
+    # no stale weight survives under the old value
+    w_now = {
+        r["feature"]: r["w"]
+        for r in ManifestTable(root).read(spark).collect()
+    }
+    assert len(w_now) == cfg["dim"] + 1  # all buckets + intercept
+
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i + 100, "text": t})
+                  for i, t in incoming)
+    )
+    q2 = stream_quality_filter_hot_reload(stream, root, str(out), str(ckpt), **cfg)
+    q2.awaitTermination(120)
+    second = [
+        r for r in spark.read.parquet(str(out)).collect()
+        if r["doc_id"] >= 100
+    ]
+    # the new model keeps the junk doc and drops the clean one
+    assert sorted(r["doc_id"] for r in second) == [111]
+    assert {r["model_version"] for r in second} == {v2}
+    # batch 0's output is untouched (its files still carry v1)
+    untouched = [
+        r for r in spark.read.parquet(str(out)).collect() if r["doc_id"] < 100
+    ]
+    assert {r["model_version"] for r in untouched} == {v1}
