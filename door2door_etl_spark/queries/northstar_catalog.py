@@ -299,10 +299,14 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(JACCARD_TOPK)
 
 
-def _sql_ngram_jaccard_topk() -> str:
+def _sql_jaccard_pairs_ctes(prefix: str = "") -> str:
+    """The exact-Jaccard pair chain (doc_sets → rare-shingle blocking →
+    candidate pairs → in-row set intersection), name-prefixable so it can
+    coexist with the MinHash band chain in one query (the recall report
+    composes both)."""
+    p = prefix
     sh = sql_shingles("text", SHINGLE_N)
-    return f"""
-WITH doc_sets AS (
+    return f"""{p}doc_sets AS (
   -- 52-bit shingle hashes, bit-identical to the Spark side's
   -- conv(substr(sha2(s,256),1,13),16,10) (hash_shingles=True)
   SELECT doc_id,
@@ -310,28 +314,100 @@ WITH doc_sets AS (
       list_distinct({sh}),
       s -> CAST(concat('0x', substr(sha256(s), 1, 13)) AS BIGINT))) AS sh_set
   FROM documents),
-sh AS (SELECT doc_id, unnest(sh_set) AS s FROM doc_sets),
-dfreq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
-rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
-         WHERE dfreq.c <= {JACCARD_MAX_DF}),
-cands AS (
+{p}sh AS (SELECT doc_id, unnest(sh_set) AS s FROM {p}doc_sets),
+{p}dfreq AS (SELECT s, count(*) AS c FROM {p}sh GROUP BY 1),
+{p}rare AS (SELECT {p}sh.doc_id, {p}sh.s FROM {p}sh JOIN {p}dfreq USING (s)
+         WHERE {p}dfreq.c <= {JACCARD_MAX_DF}),
+{p}cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
-inter AS (
+  FROM {p}rare a JOIN {p}rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+{p}inter AS (
   -- candidate-bounded intersection: cands joined to the per-doc distinct
   -- shingle ARRAY per side, intersected in-row — O(|cands|·set_size),
   -- never O(sum df^2), and no per-shingle pair rows materialize
   SELECT c.id_a, c.id_b,
     len(list_intersect(za.sh_set, zb.sh_set)) AS inter_cnt,
     len(za.sh_set) AS size_a, len(zb.sh_set) AS size_b
-  FROM cands c
-  JOIN doc_sets za ON za.doc_id = c.id_a
-  JOIN doc_sets zb ON zb.doc_id = c.id_b)
-SELECT id_a, id_b,
-  round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard
-FROM inter
+  FROM {p}cands c
+  JOIN {p}doc_sets za ON za.doc_id = c.id_a
+  JOIN {p}doc_sets zb ON zb.doc_id = c.id_b),
+{p}jpairs AS (
+  SELECT id_a, id_b,
+         round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard
+  FROM {p}inter)"""
+
+
+def _sql_ngram_jaccard_topk() -> str:
+    return f"""
+WITH {_sql_jaccard_pairs_ctes()}
+SELECT id_a, id_b, jaccard FROM jpairs
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT {JACCARD_TOPK}
+"""
+
+
+LSH_TRUTH_JACCARD = 0.5
+
+
+def q_lsh_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-quality evidence: measure the MinHash-LSH banding against
+    exact-Jaccard ground truth ON THE SAME CORPUS — truth = rare-blocked
+    pairs with exact Jaccard >= {theta}, prediction = LSH band-collision
+    candidates.  One zero-safe row: truth size, candidate volume, hits,
+    recall, and the candidate volume the exact path needed — the
+    accuracy/cost trade a curator reads before trusting banded dedup at
+    scale.  (Both inputs are the already-verified operators; this query
+    verifies their RELATIONSHIP.)"""
+    docs = load_table(spark, sf, "documents")
+    truth = D.ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF, persist_shingles=True
+    ).filter(F.col("jaccard") >= LSH_TRUTH_JACCARD)
+    cands = D.minhash_similarity_pairs(
+        docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N
+    ).select("id_a", "id_b")
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_truth.select(F.col("n").alias("n_truth"))
+        .crossJoin(n_cands.select(F.col("n").alias("n_lsh_candidates")))
+        .crossJoin(n_hits.select(F.col("n").alias("n_hits")))
+        .select(
+            "n_truth",
+            "n_lsh_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_truth"), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )
+
+
+def _sql_lsh_recall_report() -> str:
+    return f"""
+WITH {_sql_minhash_lsh_cands_ctes("documents")},
+{_sql_jaccard_pairs_ctes("j_")},
+truth AS (
+  SELECT id_a, id_b FROM j_jpairs WHERE jaccard >= {LSH_TRUTH_JACCARD}
+), hits AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cands c
+                WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+)
+SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cands) AS n_lsh_candidates,
+  (SELECT count(*) FROM hits) AS n_hits,
+  CASE WHEN (SELECT count(*) FROM truth) > 0
+       THEN round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                  / (SELECT count(*) FROM truth), 6)
+       ELSE 1.0 END AS recall
 """
 
 
@@ -2291,6 +2367,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_multimodal_wav_decode", q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE, "north-star multimodal/real-wav-codec-decode", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_bmp_decode", q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE, "north-star multimodal/real-bmp-codec-decode", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_bmp_resize", q_multimodal_bmp_resize, SQL_MULTIMODAL_BMP_RESIZE, "north-star multimodal/real-bmp-nn-resize", ("northstar", "multimodal")),
+    QueryDef("ns_lsh_recall_report", q_lsh_recall_report, _sql_lsh_recall_report(), "north-star dedup/lsh-recall-vs-exact-jaccard", ("northstar", "dedup")),
     QueryDef("ns_training_order_shuffle", q_training_order_shuffle, SQL_TRAINING_ORDER_SHUFFLE, "north-star packing/epoch-shuffle", ("northstar", "packing")),
     QueryDef("ns_length_bucket_batches", q_length_bucket_batches, _sql_length_bucket_batches(), "north-star packing/length-bucketed-batching", ("northstar", "packing")),
     QueryDef("ns_quality_quantile_thresholds", q_quality_quantile_thresholds, SQL_QUALITY_QUANTILE_THRESHOLDS, "north-star text/quality-thresholds", ("northstar", "text")),

@@ -2640,3 +2640,31 @@ def test_doremi_domain_weights_reference_and_invariants(spark):
     ex_df = {r["domain"]: r["excess_loss"]
              for r in domain_excess_loss(docs, "source").collect()}
     assert ex_df["code"] > 0
+
+
+def test_lsh_recall_report_shapes(spark, sf_dir):
+    """The recall report is zero-safe (corpus with no near-dups: empty
+    truth set reports recall 1.0 by convention) and on the testdata
+    corpus the banding achieves full recall of the exact-Jaccard truth
+    pairs with a bounded candidate set."""
+    from door2door_etl_spark.queries.northstar_catalog import (
+        q_lsh_recall_report,
+    )
+
+    row = q_lsh_recall_report(spark, sf_dir).first()
+    assert row["n_hits"] <= row["n_truth"]
+    assert row["n_hits"] <= row["n_lsh_candidates"]
+    assert row["recall"] == 1.0  # banding catches every >= 0.5 pair here
+
+    # no-near-dup corpus: truth empty, recall defined as 1.0
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [(i, f"completely unique document number {i} about topic {i * 7}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row0 = q_lsh_recall_report(spark, d).first()
+    assert row0["n_truth"] == 0 and row0["recall"] == 1.0
