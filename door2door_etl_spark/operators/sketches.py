@@ -723,3 +723,112 @@ def token_budget_sample(
     return df.withColumn("cum_tokens", cum.cast("bigint")).filter(
         F.col("cum_tokens") <= budget_tokens
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log₂ histogram with PORTABLE integer bins.
+#
+# The quantile member of the portable-sketch family (HLL / CMS / Bloom /
+# KMV above): per-group bin-count tables that are LOSSLESSLY mergeable by
+# summing counts (rollup-able across shards/days/sources — the property
+# approx_percentile's opaque binary sketch cannot give), with bounded
+# RELATIVE error 2^-sub_bits.  Binning is pure integer arithmetic — the
+# most-significant-bit position comes from the length of the minimal
+# binary rendering (Spark ``F.bin``, DuckDB ``bin``), never floating
+# log(), so Spark and any SQL oracle bin bit-identically.
+# ---------------------------------------------------------------------------
+
+
+def hdr_bin_expr(col: Column, sub_bits: int = 4) -> Column:
+    """The HDR bucket index of a non-negative integer value, exactly:
+
+    - values < 2^sub_bits sit in their own exact bin (index = value);
+    - larger values split each power-of-two range into 2^sub_bits
+      sub-buckets: with m = bit-length(v) and level L = m - 1 - sub_bits,
+      the index is ``L * 2^sub_bits + (v >> L)`` (the shifted value lands
+      in [2^sub_bits, 2^(sub_bits+1)), so consecutive levels tile the
+      index space contiguously and the map stays monotone).
+
+    Monotone in v, so histogram order == value order; negative values
+    clamp to bin 0 (callers wanting signed support store sign separately).
+    The sub-bucket shift uses power-of-two double division (exact for
+    values < 2^52 — every count/length/latency this engine bins); a SQL
+    twin can use integer ``>>`` directly.
+    """
+    s = sub_bits
+    sub = 1 << s
+    v = F.greatest(col.cast("long"), F.lit(0))
+    m = F.length(F.bin(v))  # bit-length; integer-exact in any engine
+    lvl = (m - 1 - F.lit(s)).cast("long")
+    big = lvl * F.lit(sub) + F.floor(
+        v / F.pow(F.lit(2.0), lvl.cast("double"))
+    ).cast("long")
+    return F.when(v < F.lit(sub), v).otherwise(big)
+
+
+def hdr_bin_lower_expr(bin_col: Column, sub_bits: int = 4) -> Column:
+    """Inverse of :func:`hdr_bin_expr`: the smallest value in the bin —
+    the deterministic integer representative quantile estimates report
+    (true quantile lies in [lower, lower * (1 + 2^-sub_bits)))."""
+    s = sub_bits
+    sub = 1 << s
+    lvl = F.floor(bin_col / F.lit(sub)).cast("long") - F.lit(1)
+    subidx = (bin_col % F.lit(sub)) + F.lit(sub)
+    big = subidx * F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+    return F.when(bin_col < F.lit(sub), bin_col).otherwise(big)
+
+
+def hdr_histogram_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-group HDR bin table ``(group_cols…, bin long, cnt long)`` —
+    one scan, one bounded-key shuffle (|keys| <= groups x ~64*2^sub_bits
+    for long values) with map-side partial aggregation.  Merge two
+    tables by unioning and summing ``cnt`` per (group, bin) — lossless."""
+    return (
+        df.groupBy(
+            *group_cols, hdr_bin_expr(F.col(value_col), sub_bits).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-group quantile estimates from an HDR bin table: for each q,
+    the LOWER BOUND of the first bin whose cumulative count reaches
+    ``ceil(q * n)`` (nearest-rank definition on the binned distribution).
+    Output columns ``q_50``-style, plus ``n``; estimates carry the
+    sketch's relative-error bound 2^-sub_bits.
+
+    Runs as one partitioned window (cumulative sum ordered by bin — bins
+    are monotone in value) + one aggregation; never sorts raw values."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in quantiles:
+        rank = F.ceil(F.lit(q) * F.col("_n"))
+        hit = F.when(
+            F.col("_cum") >= rank, F.col("bin")
+        )
+        aggs.append(
+            hdr_bin_lower_expr(F.min(hit), sub_bits)
+            .cast("long")
+            .alias(f"q_{int(round(q * 100))}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -1856,3 +1856,68 @@ TRAINING_QUERIES.append(
         ("northstar", "selection"),
     )
 )
+
+
+# -- HDR histogram quantile sketch ------------------------------------------
+
+HDR_SUB_BITS = 4
+
+
+def q_hdr_quantiles_chars(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-quantile evidence: per-language p50/p90/p99 of document
+    length from the portable HDR log2 histogram sketch
+    (operators.sketches.hdr_histogram_table / hdr_quantiles) — the
+    rollup-able quantile path for 100 TB (bin tables merge by summing,
+    unlike approx_percentile's opaque sketch), binning bit-identical in
+    any engine (bit-length arithmetic, no floating log)."""
+    from door2door_etl_spark.operators.sketches import (
+        hdr_histogram_table,
+        hdr_quantiles,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    hist = hdr_histogram_table(docs, ["lang"], "n_chars", sub_bits=HDR_SUB_BITS)
+    return hdr_quantiles(
+        hist, ["lang"], quantiles=[0.5, 0.9, 0.99], sub_bits=HDR_SUB_BITS
+    )
+
+
+def _sql_hdr_quantiles_chars() -> str:
+    s = HDR_SUB_BITS
+    sub = 1 << s
+    lower = (
+        f"CASE WHEN {{b}} < {sub} THEN {{b}} "
+        f"ELSE ({sub} + {{b}} % {sub}) << (({{b}} // {sub}) - 1) END"
+    )
+    sels = []
+    for q in (0.5, 0.9, 0.99):
+        b = f"min(CASE WHEN cum >= ceil({q} * n) THEN bin END)"
+        sels.append(
+            f"CAST({lower.format(b=b)} AS BIGINT) AS q_{int(q * 100)}"
+        )
+    return f"""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN greatest(n_chars, 0) < {sub} THEN greatest(n_chars, 0)
+              ELSE (length(bin(n_chars)) - 1 - {s}) * {sub}
+                   + (n_chars >> (length(bin(n_chars)) - 1 - {s})) END AS bin
+  FROM documents),
+g AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (SELECT lang, bin, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM g)
+SELECT lang, CAST(any_value(n) AS BIGINT) AS n, {", ".join(sels)}
+FROM c GROUP BY lang
+"""
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_hdr_quantiles_chars",
+        q_hdr_quantiles_chars,
+        _sql_hdr_quantiles_chars(),
+        "north-star sketches/hdr-histogram-quantiles",
+        ("northstar", "sketches"),
+    )
+)

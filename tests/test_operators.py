@@ -2668,3 +2668,84 @@ def test_lsh_recall_report_shapes(spark, sf_dir):
     docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     row0 = q_lsh_recall_report(spark, d).first()
     assert row0["n_truth"] == 0 and row0["recall"] == 1.0
+
+
+def test_hdr_histogram_bins_merge_and_quantile_bounds(spark):
+    """The HDR sketch against a pure-Python reference: bin indices match
+    the integer-arithmetic definition everywhere (both branches, branch
+    boundary, powers of two, zero, negatives), lower-bound inversion
+    round-trips, two shard histograms merge losslessly into the full
+    corpus histogram, and every quantile estimate brackets the true
+    value within the 2^-sub_bits relative-error contract."""
+    from door2door_etl_spark.operators.sketches import (
+        hdr_bin_expr,
+        hdr_bin_lower_expr,
+        hdr_histogram_table,
+        hdr_quantiles,
+    )
+
+    s, sub = 4, 16
+
+    def ref_bin(v):
+        v = max(v, 0)
+        if v < sub:
+            return v
+        m = v.bit_length()
+        return (m - 1 - s) * sub + (v >> (m - 1 - s))
+
+    def ref_lower(b):
+        if b < sub:
+            return b
+        return (sub + b % sub) << (b // sub - 1)
+
+    probes = (
+        [-5, 0, 1, 15, 16, 17, 31, 32, 33, 63, 64, 100, 1023, 1024, 1025]
+        + [2**k for k in (10, 20, 40)]
+        + [2**k - 1 for k in (10, 20, 40)]
+        + [123456789, 2**50 + 12345]
+    )
+    df = spark.createDataFrame([(v,) for v in probes], "v long")
+    got = df.select(
+        "v",
+        hdr_bin_expr(F.col("v"), s).alias("b"),
+        hdr_bin_lower_expr(hdr_bin_expr(F.col("v"), s), s).cast("long").alias("lo"),
+    ).collect()
+    for r in got:
+        assert r["b"] == ref_bin(r["v"]), (r["v"], r["b"], ref_bin(r["v"]))
+        assert r["lo"] == ref_lower(ref_bin(r["v"]))
+        if r["v"] >= 0:
+            assert r["lo"] <= max(r["v"], 0) < max(r["lo"], 1) * (1 + 2**-s) + 1
+
+    # lossless merge: shard histograms sum to the full histogram
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 100000) for _ in range(2000)]
+    full = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    h_full = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in hdr_histogram_table(full, ["g"], "v", s).collect()
+    }
+    half1 = spark.createDataFrame([("g", v) for v in vals[:1000]], "g string, v long")
+    half2 = spark.createDataFrame([("g", v) for v in vals[1000:]], "g string, v long")
+    h1 = hdr_histogram_table(half1, ["g"], "v", s)
+    h2 = hdr_histogram_table(half2, ["g"], "v", s)
+    merged = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in h1.unionByName(h2)
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == h_full
+
+    # quantile bracket: estimate <= true nearest-rank quantile < estimate*(1+2^-s)
+    est = hdr_quantiles(
+        hdr_histogram_table(full, ["g"], "v", s), ["g"], [0.5, 0.9, 0.99], s
+    ).first()
+    svals = sorted(vals)
+    for q in (50, 90, 99):
+        true_q = svals[-(-q * len(svals) // 100) - 1]  # ceil(q*n/100) rank
+        lo = est[f"q_{q}"]
+        assert lo <= true_q <= lo * (1 + 2**-s), (q, lo, true_q)
+    assert est["n"] == len(vals)
