@@ -883,3 +883,60 @@ def stream_quality_filter_hot_reload(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hdr_maintenance(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    table_root: str,
+    checkpoint_dir: str,
+    sub_bits: int = 4,
+):
+    """Incrementally maintained HDR histogram over a stream — same
+    batch-ledger discipline as :func:`stream_cms_maintenance` (HDR merge
+    is SUM, i.e. non-idempotent, so an at-least-once replay must
+    overwrite its own batch's rows, never re-add them): state rows are
+    keyed by ``(batch_id, group..., bin)`` and MERGE-upserted per batch.
+
+    Read back with :func:`read_hdr_state` and feed
+    ``operators.sketches.hdr_quantiles`` — streaming ingestion thereby
+    keeps per-group quantile estimates continuously fresh with
+    O(batches x groups x bins) state and no raw-value retention."""
+    from door2door_etl_spark.operators.sketches import hdr_histogram_table
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bins = hdr_histogram_table(
+            batch_df, group_cols, value_col, sub_bits=sub_bits
+        ).withColumn("batch_id", F.lit(batch_id))
+        keyed = bins.withColumn(
+            "cell_key",
+            F.concat_ws(
+                "\x1f",
+                F.col("batch_id").cast("string"),
+                *[F.col(c).cast("string") for c in group_cols],
+                F.col("bin").cast("string"),
+            ),
+        )
+        merge_upsert_parquet(spark, table_root, keyed, key="cell_key")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hdr_state(
+    spark: SparkSession, table_root: str, group_cols: list[str]
+) -> DataFrame:
+    """Collapse a maintained HDR ledger to the global per-group bin table
+    ``(group..., bin, cnt)`` — SUM across batch rows (the lossless HDR
+    merge); feed to ``operators.sketches.hdr_quantiles``."""
+    return (
+        spark.read.parquet(table_root)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

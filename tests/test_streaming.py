@@ -918,3 +918,68 @@ def test_stream_quality_filter_hot_reloads_committed_model(spark, tmp_path):
         r for r in spark.read.parquet(str(out)).collect() if r["doc_id"] < 100
     ]
     assert {r["model_version"] for r in untouched} == {v1}
+
+
+def test_stream_hdr_maintenance_matches_batch_and_survives_replay(spark, tmp_path):
+    """Streaming HDR upkeep: after two micro-batches the collapsed ledger
+    equals the batch operator's histogram over all data, quantiles from
+    the maintained state match the batch path, and re-running the query
+    on the same checkpoint (no new input) changes nothing (ledger keys
+    make SUM-merge replay-safe)."""
+    from door2door_etl_spark.operators.sketches import (
+        hdr_histogram_table,
+        hdr_quantiles,
+    )
+    from door2door_etl_spark.streaming.pipeline import (
+        read_hdr_state,
+        stream_hdr_maintenance,
+    )
+
+    src = tmp_path / "hdr_in"
+    src.mkdir()
+    rows1 = [{"g": "a", "v": i * 7 % 997} for i in range(300)]
+    rows2 = [{"g": "a", "v": i * 13 % 997} for i in range(300)] + [
+        {"g": "b", "v": i} for i in range(50)
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    root, ckpt = str(tmp_path / "hdr_state"), str(tmp_path / "hdr_ckpt")
+    q = stream_hdr_maintenance(spark, stream, ["g"], "v", root, ckpt)
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in rows1 + rows2], "g string, v long"
+    )
+    expect = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in hdr_histogram_table(all_rows, ["g"], "v").collect()
+    }
+    state = read_hdr_state(spark, root, ["g"])
+    got = {(r["g"], r["bin"]): r["cnt"] for r in state.collect()}
+    assert got == expect
+
+    eq = {
+        r["g"]: (r["q_50"], r["q_90"], r["n"])
+        for r in hdr_quantiles(state, ["g"], [0.5, 0.9]).collect()
+    }
+    bq = {
+        r["g"]: (r["q_50"], r["q_90"], r["n"])
+        for r in hdr_quantiles(
+            hdr_histogram_table(all_rows, ["g"], "v"), ["g"], [0.5, 0.9]
+        ).collect()
+    }
+    assert eq == bq
+
+    # replay with the same checkpoint: no new input, state unchanged
+    q2 = stream_hdr_maintenance(spark, stream, ["g"], "v", root, ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in read_hdr_state(spark, root, ["g"]).collect()
+    }
+    assert got2 == expect
