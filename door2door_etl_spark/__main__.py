@@ -29,11 +29,36 @@ def main(argv: list[str] | None = None) -> int:
         "-s", "--step", default="all",
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
-                 "purge", "history"],
+                 "purge", "history", "train-quality-filter"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
-             "manifest tables — the GDPR erasure endpoint)",
+             "manifest tables — the GDPR erasure endpoint); "
+             "train-quality-filter trains the hashed-BoW classifier on "
+             "--source documents and publishes dense weights to the "
+             "<lake-root>/models/quality_filter registry",
+    )
+    parser.add_argument(
+        "--label-token", default="dup",
+        help="train-quality-filter: documents containing this token are "
+             "the positive class (or use --label-col)",
+    )
+    parser.add_argument(
+        "--label-col", default=None,
+        help="train-quality-filter: existing 0/1 label column (overrides "
+             "--label-token)",
+    )
+    parser.add_argument(
+        "--clf-dim", type=int, default=64,
+        help="train-quality-filter: hashed feature dimension",
+    )
+    parser.add_argument(
+        "--clf-iterations", type=int, default=2,
+        help="train-quality-filter: gradient-descent steps",
+    )
+    parser.add_argument(
+        "--clf-lr", type=float, default=1.0,
+        help="train-quality-filter: learning rate",
     )
     parser.add_argument(
         "--table", default=None,
@@ -77,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
     from door2door_etl_spark.pipeline import run_workflow
     from door2door_etl_spark.session import build_session
 
+    if args.step == "train-quality-filter":
+        if not args.source:
+            parser.error("--source (documents parquet) is required for "
+                         "train-quality-filter")
+        return _run_train_quality_filter(args)
+
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history"):
         return _run_maintenance(args)
@@ -101,6 +132,89 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
     print(json.dumps(summary, default=str))
     return 0
+
+
+def _run_train_quality_filter(args) -> int:
+    """Train the hashed-BoW logistic-regression quality filter on a
+    document corpus and PUBLISH it to the lake's model registry
+    (``<lake-root>/models/quality_filter`` — a manifest table of dense
+    per-feature weights, every commit a full model replacement that
+    streaming serving hot-reloads; see
+    streaming.pipeline.stream_quality_filter_hot_reload).  Prints one
+    JSON summary: registry version, corpus/label counts, and the
+    training-set confusion matrix."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.io.manifest import ManifestTable, merge_manifest
+    from door2door_etl_spark.operators.classifier import (
+        dense_weights,
+        hashed_features,
+        score_logreg,
+        train_logreg,
+    )
+    from door2door_etl_spark.operators.text import tokens
+    from door2door_etl_spark.session import build_session
+
+    # Reuse an embedding caller's session (tests, notebooks) and leave its
+    # lifecycle to them; standalone invocation builds and owns one — the
+    # same discipline as _run_maintenance (stopping a getOrCreate-shared
+    # session would kill the caller's).
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-train-quality-filter")
+    try:
+        docs = spark.read.parquet(args.source)
+        if args.label_col:
+            labels = docs.select(
+                "doc_id", F.col(args.label_col).cast("double").alias("y")
+            )
+        else:
+            labels = docs.select(
+                "doc_id",
+                F.array_contains(tokens(F.col("text")), args.label_token)
+                .cast("double")
+                .alias("y"),
+            )
+        cfg = dict(dim=args.clf_dim, binary=True, intercept=True)
+        feats = hashed_features(docs, **cfg)
+        w = train_logreg(
+            feats, labels, iterations=args.clf_iterations, lr=args.clf_lr,
+            class_balanced=True,
+        )
+        registry = os.path.join(args.lake_root, "models", "quality_filter")
+        merge_manifest(
+            spark, registry, dense_weights(spark, w, args.clf_dim),
+            key="feature",
+        )
+        version = ManifestTable(registry).current_version()
+        scored = score_logreg(docs, feats, w)
+        cm = (
+            scored.join(labels, "doc_id")
+            .groupBy((F.col("y") == 1.0).alias("label"), "pred")
+            .count()
+            .collect()
+        )
+        confusion = {
+            f"{'pos' if r['label'] else 'neg'}_"
+            f"{'kept' if r['pred'] else 'dropped'}": r["count"]
+            for r in cm
+        }
+        n_pos = sum(v for k, v in confusion.items() if k.startswith("pos"))
+        print(json.dumps({
+            "step": "train-quality-filter",
+            "registry": registry,
+            "registry_version": version,
+            "n_docs": sum(confusion.values()),
+            "n_positive": n_pos,
+            "confusion": confusion,
+        }))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
 
 
 def _run_maintenance(args) -> int:

@@ -983,3 +983,70 @@ def test_stream_hdr_maintenance_matches_batch_and_survives_replay(spark, tmp_pat
         for r in read_hdr_state(spark, root, ["g"]).collect()
     }
     assert got2 == expect
+
+
+def test_cli_train_quality_filter_publishes_servable_model(spark, tmp_path, capsys):
+    """`-s train-quality-filter` trains on a parquet corpus, publishes a
+    dense model to <lake>/models/quality_filter, prints the JSON summary,
+    and the published version is immediately servable by the hot-reload
+    streaming filter; a second run advances the registry version."""
+    from door2door_etl_spark.__main__ import main
+    from door2door_etl_spark.io.manifest import ManifestTable
+    from door2door_etl_spark.streaming.pipeline import (
+        stream_quality_filter_hot_reload,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean prose about tables"),
+            (2, "junk with the marker token here"),
+            (3, "more clean analytical prose"),
+            (4, "marker junk and noise"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = tmp_path / "docs.parquet"
+    docs.write.parquet(str(corpus))
+    lake = tmp_path / "lake"
+
+    rc = main([
+        "-s", "train-quality-filter", "--source", str(corpus),
+        "--lake-root", str(lake), "--label-token", "marker",
+        "--clf-dim", "32",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["registry_version"] == 1
+    assert summary["n_docs"] == 4 and summary["n_positive"] == 2
+    registry = str(lake / "models" / "quality_filter")
+    assert ManifestTable(registry).current_version() == 1
+
+    # published model serves the stream: marker docs are the KEPT class
+    # (label-token semantics: positives are what the filter selects)
+    src = tmp_path / "cli_in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(
+        json.dumps(d) for d in (
+            {"doc_id": 10, "text": "clean fresh prose"},
+            {"doc_id": 11, "text": "marker junk again"},
+        )
+    ))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = tmp_path / "cli_out"
+    q = stream_quality_filter_hot_reload(
+        stream, registry, str(out), str(tmp_path / "cli_ckpt"),
+        dim=32, binary=True, intercept=True,
+    )
+    q.awaitTermination(120)
+    kept = [(r["doc_id"], r["model_version"])
+            for r in spark.read.parquet(str(out)).collect()]
+    assert kept == [(11, 1)]
+
+    # retrain run: version advances
+    rc2 = main([
+        "-s", "train-quality-filter", "--source", str(corpus),
+        "--lake-root", str(lake), "--label-token", "marker",
+        "--clf-dim", "32",
+    ])
+    assert rc2 == 0
+    assert ManifestTable(registry).current_version() == 2
