@@ -133,7 +133,14 @@ def train_logreg(
     corpus ever get a row (absent == 0)."""
     from pyspark import StorageLevel
 
-    feats = features.persist(StorageLevel.MEMORY_AND_DISK)
+    # Respect a caller-managed cache: if the features relation is already
+    # persisted (e.g. the caller scores with it afterwards), reuse it and
+    # leave its lifecycle to the caller instead of unpersisting their
+    # cache out from under them.
+    caller_cached = features.storageLevel.useMemory or features.storageLevel.useDisk
+    feats = features if caller_cached else features.persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if class_balanced:
         counts = labels.agg(
             F.sum("y").alias("_npos"),
@@ -191,7 +198,8 @@ def train_logreg(
         # truncates the growing iteration lineage (same discipline as the
         # k-means trainer).
         w = w.localCheckpoint(eager=True)
-    feats.unpersist()
+    if not caller_cached:
+        feats.unpersist()
     return w
 
 

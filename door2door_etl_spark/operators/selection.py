@@ -100,8 +100,18 @@ def dsir_log_weights(
     construction, so only the target floor ever reads.  Documents with
     no grams at all (empty text) get log_w = 0 — neutral, neither
     boosted nor buried."""
-    raw_rows = hashed_gram_rows(raw, text_col, id_col, dim, salt)
-    tgt_rows = hashed_gram_rows(target, text_col, id_col, dim, salt)
+    from pyspark import StorageLevel
+
+    # Both gram relations feed multiple subtrees (bucket model + totals;
+    # raw additionally the per-doc weight join): uncached, every consumer
+    # re-tokenizes and re-hashes the corpus — measured as 6 full document
+    # scans in the uncached plan.  ~16 B/row, trivially resident.
+    raw_rows = hashed_gram_rows(raw, text_col, id_col, dim, salt).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tgt_rows = hashed_gram_rows(target, text_col, id_col, dim, salt).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     p = _bucket_counts(tgt_rows).select("bucket", F.col("c").alias("cp"))
     q = _bucket_counts(raw_rows).select("bucket", F.col("c").alias("cq"))
     totals = (
@@ -198,14 +208,20 @@ def domain_excess_loss(
     Scale shape: one token explode, two vocabulary-keyed aggregations
     (domain x token, token), one join between them on token, then
     domain-sized relations only."""
+    from pyspark import StorageLevel
+
     tok_rows = docs.select(
         F.col(domain_col).alias("domain"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
+    # dom_counts feeds the corpus model, the domain totals, AND the
+    # per-token loss join; persist the (domain x token)-bounded relation
+    # so the corpus tokenize+explode runs once, not per consumer.
     dom_counts = tok_rows.groupBy("domain", "tok").agg(
         F.count(F.lit(1)).alias("cd")
-    )
-    corpus_counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the corpus model is the domain model summed out — no second scan
+    corpus_counts = dom_counts.groupBy("tok").agg(F.sum("cd").alias("cc"))
     scalars = corpus_counts.agg(
         F.sum("cc").alias("_tc"), F.count(F.lit(1)).alias("_v")
     )

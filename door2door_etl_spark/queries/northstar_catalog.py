@@ -358,13 +358,28 @@ def q_lsh_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     accuracy/cost trade a curator reads before trusting banded dedup at
     scale.  (Both inputs are the already-verified operators; this query
     verifies their RELATIONSHIP.)"""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf, "documents")
-    truth = D.ngram_jaccard_pairs(
-        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF, persist_shingles=True
-    ).filter(F.col("jaccard") >= LSH_TRUTH_JACCARD)
-    cands = D.minhash_similarity_pairs(
-        docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N
-    ).select("id_a", "id_b")
+    # truth and cands each feed two consumers (their count + the hit
+    # join); uncached, each consumer re-runs the whole shingle/banding
+    # pipeline — measured as 24 document scans in the uncached plan.
+    # Both relations are near-dup-pair-sized (tiny).
+    truth = (
+        D.ngram_jaccard_pairs(
+            docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF,
+            persist_shingles=True,
+        )
+        .filter(F.col("jaccard") >= LSH_TRUTH_JACCARD)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cands = (
+        D.minhash_similarity_pairs(
+            docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_cands = cands.agg(F.count(F.lit(1)).alias("n")).select("n")

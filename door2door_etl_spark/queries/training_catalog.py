@@ -1510,7 +1510,13 @@ def _clf_scored(spark: SparkSession, sf: str) -> DataFrame:
         train_logreg,
     )
 
+    from pyspark import StorageLevel
+
     docs, feats, labels = _clf_features_and_labels(spark, sf)
+    # features feed TRAINING and the final scoring pass; persist once at
+    # this level (train_logreg detects the caller-managed cache and
+    # leaves its lifecycle here — bench/oracle clearCache releases it).
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     w = train_logreg(
         feats, labels, iterations=CLF_ITERS, lr=CLF_LR, class_balanced=True
     )
