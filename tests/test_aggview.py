@@ -1,0 +1,215 @@
+"""Incremental aggregate-view maintenance (pipeline/aggview.py).
+
+Parity model: after every maintenance window the view must equal the full
+``GROUP BY`` recompute on the source's current snapshot — the counting
+algorithm's invariant — including under updates that move rows between
+groups, deletes that empty a group, at-least-once window redelivery, and
+an object-store-manifest source layout.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from door2door_etl_spark.io.manifest import delete_manifest, merge_manifest
+from door2door_etl_spark.io.versioned import (
+    VersionedParquetTable,
+    delete_versioned,
+    merge_versioned,
+)
+from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="id string, status string, amount double"
+    )
+
+
+def _view(tmp, src):
+    return IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp / "view"),
+        key="id",
+        group_cols=["status"],
+        sum_cols=["amount"],
+    )
+
+
+def _assert_parity(spark, view):
+    got = sorted(
+        (
+            (r["status"], r["n_rows"], round(r["sum_amount"] or 0.0, 9))
+            for r in view.read(spark).collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (
+                None if r["status"] is None else str(r["status"]),
+                r["n_rows"],
+                round(r["sum_amount"] or 0.0, 9),
+            )
+            for r in view.full_recompute_frame(spark).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+
+
+def test_aggview_seed_then_delta_parity(spark, tmp_path):
+    src = tmp_path / "src"
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(
+            spark,
+            [
+                ("a", "open", 10.0),
+                ("b", "open", 5.0),
+                ("c", "done", 2.5),
+                ("d", None, 1.0),
+            ],
+        ),
+        key="id",
+    )
+    view = _view(tmp_path, src)
+
+    out = view.refresh(spark)
+    assert out["action"] == "seed"
+    _assert_parity(spark, view)
+
+    # Window 2: insert, plain update, group-moving update, delete.
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(
+            spark,
+            [
+                ("e", "open", 7.0),   # insert
+                ("a", "open", 11.0),  # update amount in place
+                ("c", "open", 2.5),   # update moves c: done -> open
+            ],
+        ),
+        key="id",
+    )
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("b",)], "id string"), key="id"
+    )
+    out = view.refresh(spark)
+    assert out["action"] == "delta"
+    _assert_parity(spark, view)
+    # "done" lost its only member -> tombstoned out of read()
+    assert "done" not in {r["status"] for r in view.read(spark).collect()}
+
+    assert view.refresh(spark)["action"] == "noop"
+
+
+def test_aggview_redelivered_window_is_skipped(spark, tmp_path):
+    src = tmp_path / "src"
+    merge_versioned(
+        spark, str(src), _rows(spark, [("a", "open", 1.0)]), key="id"
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+    seeded_at = view._cursor().last_committed()
+
+    merge_versioned(
+        spark, str(src), _rows(spark, [("b", "open", 2.0)]), key="id"
+    )
+    view.refresh(spark)
+    before = sorted(map(tuple, view.read(spark).collect()))
+
+    # Crash between view commit and cursor commit: rewind the cursor so
+    # the SAME window is redelivered.
+    Path(view._cursor().cursor_path).write_text(str(seeded_at))
+    out = view.refresh(spark)
+    assert out["action"] == "replay-skip"
+    assert sorted(map(tuple, view.read(spark).collect())) == before
+    assert view._cursor().last_committed() > seeded_at
+    _assert_parity(spark, view)
+
+
+def test_aggview_null_group_distinct_from_literal_null_string(spark, tmp_path):
+    src = tmp_path / "src"
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(spark, [("a", None, 1.0), ("b", "null", 2.0)]),
+        key="id",
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+    rows = {r["status"]: r["n_rows"] for r in view.read(spark).collect()}
+    assert rows == {None: 1, "null": 1}
+    _assert_parity(spark, view)
+
+
+def test_aggview_sum_ignores_nulls(spark, tmp_path):
+    src = tmp_path / "src"
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(spark, [("a", "open", None), ("b", "open", 3.0)]),
+        key="id",
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+    merge_versioned(  # update the null-amount row to a value
+        spark, str(src), _rows(spark, [("a", "open", 4.0)]), key="id"
+    )
+    view.refresh(spark)
+    _assert_parity(spark, view)
+    (row,) = view.read(spark).collect()
+    assert row["n_rows"] == 2 and row["sum_amount"] == pytest.approx(7.0)
+
+
+def test_aggview_manifest_source_layout(spark, tmp_path):
+    src = tmp_path / "msrc"
+    merge_manifest(
+        spark,
+        str(src),
+        _rows(spark, [("a", "open", 1.0), ("b", "done", 2.0)]),
+        key="id",
+    )
+    view = _view(tmp_path, src)
+    assert view.refresh(spark)["action"] == "seed"
+    _assert_parity(spark, view)
+
+    merge_manifest(
+        spark, str(src), _rows(spark, [("c", "done", 4.0)]), key="id"
+    )
+    delete_manifest(
+        spark, str(src), spark.createDataFrame([("a",)], "id string"), key="id"
+    )
+    assert view.refresh(spark)["action"] == "delta"
+    _assert_parity(spark, view)
+
+
+def test_aggview_multi_window_converges(spark, tmp_path):
+    """Several maintenance windows in sequence stay exactly convergent."""
+    src = tmp_path / "src"
+    view = _view(tmp_path, src)
+    merge_versioned(
+        spark, str(src), _rows(spark, [("r0", "g0", 0.5)]), key="id"
+    )
+    view.refresh(spark)
+    for i in range(1, 4):
+        merge_versioned(
+            spark,
+            str(src),
+            _rows(
+                spark,
+                [
+                    (f"r{i}", f"g{i % 2}", float(i)),
+                    (f"r{i - 1}", f"g{(i + 1) % 2}", float(i) / 2),
+                ],
+            ),
+            key="id",
+        )
+        out = view.refresh(spark)
+        assert out["action"] == "delta"
+        _assert_parity(spark, view)
