@@ -22,6 +22,8 @@ Operators:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -354,6 +356,115 @@ def unigram_logprob(
         F.round(
             F.col("_s") / F.col("n_tokens").cast("double") - F.col("_log2_total"), 6
         ).alias("unigram_log2p"),
+    )
+
+
+def bigram_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document mean log2-probability under a SELF-TRAINED bigram
+    Stupid-Backoff model (Brants et al., EMNLP '07) — one order up from
+    :func:`unigram_logprob` toward the KenLM filter CCNet actually runs.
+
+    Score(w_i | w_{i-1}) = c(w_{i-1} w_i)/c(w_{i-1}) when the bigram
+    survives count-cutoff pruning (``c >= min_count`` — the same pruning
+    large-scale LM training applies, and what makes backoff REAL on a
+    self-trained corpus: singleton bigrams fall back), else
+    ``alpha * c(w_i)/C``.  The document's first token scores as a plain
+    unigram ``c(w_1)/C``; the mean is over all T tokens.
+
+    Scale: the token relation is built once and persisted (three
+    consumers: unigram counts, bigram counts, doc scoring); all model
+    relations are token/bigram-keyed aggregations with map-side combine,
+    bounded by vocabulary size; doc scoring joins doc-bigram COUNTS (not
+    instances) against the pruned model; the corpus total joins as one
+    broadcast scalar.  Per-term DECIMAL(28,10) quantization before the
+    sum keeps the result bit-stable across partitionings and engines.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = F.size("_t")
+    pairs = F.zip_with(
+        F.slice(F.col("_t"), 1, n - 1),
+        F.expr("slice(_t, 2, size(_t) - 1)"),
+        lambda x, y: F.concat_ws("\x1f", x, y),
+    )
+    toks = docs.select(F.col(id_col), F.explode("_t").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(
+        F.log2(F.sum("c_uni").cast("double")).alias("_log2_c")
+    )
+    bigr = docs.select(F.col(id_col), F.explode(pairs).alias("big"))
+    model = (
+        bigr.groupBy("big")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .filter(F.col("c_big") >= min_count)
+    )
+    doc_big = bigr.groupBy(id_col, "big").agg(F.count(F.lit(1)).alias("cnt"))
+    split = F.split(F.col("big"), "\x1f", 2)
+    scored = (
+        doc_big.join(model, "big", "left")
+        .withColumn("_x", split.getItem(0))
+        .withColumn("_y", split.getItem(1))
+        .join(uni.select(F.col("tok").alias("_x"), F.col("c_uni").alias("c_ctx")), "_x")
+        .join(uni.select(F.col("tok").alias("_y"), F.col("c_uni").alias("c_y")), "_y")
+    )
+    term = (
+        F.col("cnt").cast("double")
+        * F.when(
+            F.col("c_big").isNotNull(),
+            F.log2(F.col("c_big").cast("double"))
+            - F.log2(F.col("c_ctx").cast("double")),
+        ).otherwise(
+            F.lit(float(math.log2(alpha)))
+            + F.log2(F.col("c_y").cast("double"))
+            - F.col("_log2_c")
+        )
+    ).cast("decimal(28,10)")
+    big_terms = (
+        scored.crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.sum(term).alias("_s_big"))
+    )
+    firsts = (
+        docs.select(
+            F.col(id_col),
+            F.col("_t").getItem(0).alias("tok"),
+            n.cast("long").alias("n_tokens"),
+        )
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.log2(F.col("c_uni").cast("double")) - F.col("_log2_c"))
+            .cast("decimal(28,10)")
+            .alias("_s_first"),
+        )
+    )
+    return (
+        firsts.join(big_terms, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                (
+                    F.col("_s_first")
+                    + F.coalesce(F.col("_s_big"), F.lit(0).cast("decimal(28,10)"))
+                ).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("bigram_log2p"),
+        )
     )
 
 

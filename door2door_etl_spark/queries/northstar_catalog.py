@@ -1285,6 +1285,57 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return X.unigram_logprob(load_table(spark, sf, "documents"))
 
 
+def q_bigram_backoff_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean log2-probability under the self-trained bigram
+    Stupid-Backoff model with count-cutoff pruning (the CCNet/KenLM
+    quality filter one order up from ns_unigram_logprob) — see
+    operators.text.bigram_backoff_logprob."""
+    return X.bigram_backoff_logprob(load_table(spark, sf, "documents"))
+
+
+def _sql_bigram_backoff_logprob(alpha: float = 0.4, min_count: int = 2) -> str:
+    import math
+
+    toks = sql_tokens("text")
+    log2_alpha = repr(math.log2(alpha))  # identical double literal both sides
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents WHERE len({toks}) > 0),
+toks AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+uni AS MATERIALIZED (SELECT tok, count(*) AS c_uni FROM toks GROUP BY 1),
+total AS (SELECT log2(CAST(sum(c_uni) AS DOUBLE)) AS log2_c FROM uni),
+bigr AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(t)),
+                i -> t[i-1] || chr(31) || t[i])) AS big
+  FROM docs),
+model AS (SELECT big, count(*) AS c_big FROM bigr
+          GROUP BY 1 HAVING count(*) >= {min_count}),
+doc_big AS (SELECT doc_id, big, count(*) AS cnt FROM bigr GROUP BY 1, 2),
+scored AS (
+  SELECT db.doc_id,
+         CAST(CAST(db.cnt AS DOUBLE) * (CASE WHEN m.c_big IS NOT NULL
+              THEN log2(CAST(m.c_big AS DOUBLE)) - log2(CAST(ux.c_uni AS DOUBLE))
+              ELSE {log2_alpha} + log2(CAST(uy.c_uni AS DOUBLE)) - total.log2_c END)
+              AS DECIMAL(28,10)) AS term
+  FROM doc_big db
+  LEFT JOIN model m USING (big)
+  JOIN uni ux ON ux.tok = split_part(db.big, chr(31), 1)
+  JOIN uni uy ON uy.tok = split_part(db.big, chr(31), 2)
+  CROSS JOIN total),
+bt AS (SELECT doc_id, sum(term) AS s_big FROM scored GROUP BY 1),
+firsts AS (
+  SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+         CAST(log2(CAST(u.c_uni AS DOUBLE)) - total.log2_c
+              AS DECIMAL(28,10)) AS s_first
+  FROM docs d JOIN uni u ON u.tok = d.t[1] CROSS JOIN total)
+SELECT f.doc_id, f.n_tokens,
+       round(CAST(f.s_first + coalesce(bt.s_big, CAST(0 AS DECIMAL(28,10)))
+             AS DOUBLE) / CAST(f.n_tokens AS DOUBLE), 6) AS bigram_log2p
+FROM firsts f LEFT JOIN bt USING (doc_id)
+"""
+
+
 def _sql_unigram_logprob() -> str:
     toks = sql_tokens("text")
     return f"""
@@ -2337,6 +2388,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
     QueryDef("ns_text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE, "north-star text/normalization", ("northstar", "text")),
     QueryDef("ns_unigram_logprob", q_unigram_logprob, _sql_unigram_logprob(), "north-star text/quality-unigram-lm", ("northstar", "text")),
+    QueryDef("ns_bigram_backoff_logprob", q_bigram_backoff_logprob, _sql_bigram_backoff_logprob(), "north-star text/quality-bigram-lm (Stupid Backoff, count-cutoff pruning)", ("northstar", "text")),
     QueryDef("ns_dup_ngram_fraction", q_dup_ngram_fraction, _sql_dup_ngram_fraction(), "north-star dedup/cross-doc-duplication", ("northstar", "dedup")),
     QueryDef("ns_pii_redaction", q_pii_redaction, _sql_pii_redaction(), "north-star text/pii-redaction", ("northstar", "text")),
     QueryDef("ns_semdedup_corpus", q_semdedup_corpus, _sql_semdedup_corpus(), "north-star dedup/semantic (SemDeDup)", ("northstar", "dedup")),

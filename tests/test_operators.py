@@ -922,6 +922,61 @@ def test_unigram_logprob_known_answer(spark):
     assert got == {1: (3, -1.333333), 2: (1, -2.0)}
 
 
+def test_bigram_backoff_logprob_matches_pure_python(spark):
+    """Independent reference: counts + Stupid-Backoff scoring recomputed in
+    plain Python over a corpus engineered to exercise BOTH paths — repeated
+    bigrams that survive the min_count=2 cutoff AND singleton bigrams that
+    back off to alpha-weighted unigrams — plus a one-token doc (no bigrams)
+    and an empty doc (dropped)."""
+    import math
+
+    from door2door_etl_spark.operators.text import bigram_backoff_logprob
+
+    texts = {
+        1: "the cat sat on the cat mat",
+        2: "the cat sat again",
+        3: "dog",
+        4: "",
+        5: "on the cat",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    alpha, min_count = 0.4, 2
+
+    toks = {k: v.split() for k, v in texts.items() if v}
+    uni, big = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(t, t[1:]):
+            big[(x, y)] = big.get((x, y), 0) + 1
+    C = sum(uni.values())
+    model = {k: c for k, c in big.items() if c >= min_count}
+
+    def score(t):
+        s = math.log2(uni[t[0]]) - math.log2(C)
+        for x, y in zip(t, t[1:]):
+            if (x, y) in model:
+                s += math.log2(model[(x, y)]) - math.log2(uni[x])
+            else:
+                s += math.log2(alpha) + math.log2(uni[y]) - math.log2(C)
+        return round(s / len(t), 6)
+
+    want = {k: (len(t), score(t)) for k, t in toks.items()}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bigram_log2p"])
+        for r in bigram_backoff_logprob(df, alpha=alpha, min_count=min_count).collect()
+    }
+    assert set(got) == set(want)  # empty doc 4 dropped
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+    # Both paths really fired: ('the','cat') is in the model, ('sat','again')
+    # is a singleton and backed off.
+    assert ("the", "cat") in model and ("sat", "again") not in model
+
+
 def test_quantize_int8_roundtrip_error_bound(spark):
     from door2door_etl_spark.operators.similarity import quantize_int8
 
