@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "ns_quality_classifier_scores",
     "ns_dsir_gumbel_topk",
     "ns_doremi_domain_weights",
+    "ns_bigram_backoff_logprob",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline
