@@ -585,7 +585,85 @@ WHERE {u} < rate
 """
 
 
+def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-maintained aggregate view, end-to-end through the lakehouse
+    commit protocol (pipeline.aggview.IncrementalAggView): seed a
+    versioned table from a deterministic subset of ``orders``, apply a
+    second wave of inserts (keys %3==0), group-moving updates (%7==0 →
+    status 'U', n_chars +4), and deletes (%11==0), then advance the
+    view INCREMENTALLY from the change feed — never rescanning groups the
+    window didn't touch.  The oracle reproduces the identical final state
+    in plain SQL, so a hash match proves the counting-algorithm delta path
+    (not a hidden full recompute) converges exactly.  Sums are over an
+    integer-valued column, so double accumulation is order-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+    from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf, "orders").select(
+        k.cast("string").alias("okey"),
+        k.alias("_k"),
+        F.col("o_orderstatus").alias("status"),
+        F.length("o_orderpriority").cast("double").alias("n_chars"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "ns_cdc_agg_view")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    cols = ["okey", "status", "n_chars"]
+
+    merge_versioned(
+        spark, src, orders.filter(F.col("_k") % 3 != 0).select(*cols), key="okey"
+    )
+    view = IncrementalAggView(
+        source_root=src,
+        view_root=os.path.join(root, "view"),
+        key="okey",
+        group_cols=["status"],
+        sum_cols=["n_chars"],
+    )
+    if view.refresh(spark)["action"] != "seed":
+        raise RuntimeError("cdc_agg_view: expected seed on first refresh")
+
+    inserts = orders.filter(F.col("_k") % 3 == 0)
+    updates = (
+        orders.filter((F.col("_k") % 7 == 0) & (F.col("_k") % 3 != 0))
+        .withColumn("status", F.lit("U"))
+        .withColumn("n_chars", F.col("n_chars") + 4)
+    )
+    merge_versioned(
+        spark, src, inserts.unionByName(updates).select(*cols), key="okey"
+    )
+    delete_versioned(
+        spark,
+        src,
+        orders.filter((F.col("_k") % 11 == 0) & (F.col("_k") % 3 != 0)).select("okey"),
+        key="okey",
+    )
+    if view.refresh(spark)["action"] != "delta":
+        raise RuntimeError("cdc_agg_view: expected an incremental delta window")
+    return view.read(spark)
+
+
+SQL_CDC_AGG_VIEW = """
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+              THEN 'U' ELSE o_orderstatus END AS status,
+         CAST(length(o_orderpriority)
+              + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+                     THEN 4 ELSE 0 END AS DOUBLE) AS n_chars
+  FROM orders
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0))
+SELECT status, count(*) AS n_rows, CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars
+FROM final GROUP BY 1
+"""
+
+
 ADVANCED_QUERIES: list[QueryDef] = [
+    QueryDef("ns_cdc_agg_view", q_cdc_agg_view, SQL_CDC_AGG_VIEW, "lakehouse CDC + incremental view maintenance (counting algorithm)", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
