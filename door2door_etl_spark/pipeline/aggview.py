@@ -67,9 +67,16 @@ class IncrementalAggView:
     change feed.
 
     ``sum_cols``: numeric source columns to SUM per group (NULLs
-    contribute nothing, matching SQL SUM).  The view table (always
-    POSIX-versioned, independent of the source's layout) holds one row
-    per group plus one ledger row per applied window.
+    contribute nothing, matching SQL SUM).  ``minmax_cols``: columns to
+    MIN/MAX per group — NOT purely delta-maintainable: inserts merge
+    incrementally (least/greatest), but a retraction that touches a
+    group's stored bound triggers a RECOMPUTE of that group's min/max
+    from the new snapshot, restricted to exactly the flagged groups (the
+    standard IVM treatment of non-summable aggregates; cost is
+    O(rows of flagged groups), zero when deletes never hit an extreme).
+    The view table (always POSIX-versioned, independent of the source's
+    layout) holds one row per group plus one ledger row per applied
+    window.
     """
 
     source_root: str
@@ -77,6 +84,7 @@ class IncrementalAggView:
     key: str
     group_cols: list[str]
     sum_cols: list[str] = field(default_factory=list)
+    minmax_cols: list[str] = field(default_factory=list)
 
     # -- source-layout dispatch -------------------------------------------
     def _is_manifest(self) -> bool:
@@ -114,9 +122,18 @@ class IncrementalAggView:
     # -- frames -----------------------------------------------------------
     def _agg(self, base: DataFrame) -> DataFrame:
         """The view definition applied to any frame (weights all +1)."""
-        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-            F.sum(c).alias(f"sum_{c}") for c in self.sum_cols
-        ]
+        aggs = (
+            [F.count(F.lit(1)).alias("n_rows")]
+            + [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+            + [
+                e
+                for c in self.minmax_cols
+                for e in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ]
+        )
         return base.groupBy(*self.group_cols).agg(*aggs)
 
     def full_recompute_frame(self, spark: SparkSession) -> DataFrame:
@@ -137,7 +154,16 @@ class IncrementalAggView:
         return df.filter(
             (~F.col("_group_key").startswith(_LEDGER_PREFIX))
             & (F.col("n_rows") > 0)
-        ).select(*self.group_cols, "n_rows", *[f"sum_{c}" for c in self.sum_cols])
+        ).select(
+            *self.group_cols,
+            "n_rows",
+            *[f"sum_{c}" for c in self.sum_cols],
+            *[
+                n
+                for c in self.minmax_cols
+                for n in (f"min_{c}", f"max_{c}")
+            ],
+        )
 
     # -- maintenance ------------------------------------------------------
     def _cursor(self) -> ChangeFeedCursor:
@@ -154,6 +180,10 @@ class IncrementalAggView:
         ] + [F.col("n_rows").cast("long").alias("n_rows")] + [
             F.col(f"sum_{c}").cast("double").alias(f"sum_{c}")
             for c in self.sum_cols
+        ] + [
+            F.col(n).cast("double").alias(n)
+            for c in self.minmax_cols
+            for n in (f"min_{c}", f"max_{c}")
         ]
         return out.select(*cols)
 
@@ -164,12 +194,17 @@ class IncrementalAggView:
             + [f"`{c}` string" for c in self.group_cols]
             + ["n_rows long"]
             + [f"`sum_{c}` double" for c in self.sum_cols]
+            + [
+                f"`{n}` double"
+                for c in self.minmax_cols
+                for n in (f"min_{c}", f"max_{c}")
+            ]
         )
         fields = (
             [tag]
             + [None] * len(self.group_cols)
             + [-1]
-            + [None] * len(self.sum_cols)
+            + [None] * (len(self.sum_cols) + 2 * len(self.minmax_cols))
         )
         return spark.createDataFrame([tuple(fields)], schema=", ".join(parts))
 
@@ -242,9 +277,23 @@ class IncrementalAggView:
         # evolution a sum column absent from the old snapshot simply
         # contributes nothing on the pre-image side.
         signed = post.unionByName(pre, allowMissingColumns=True)
-        delta_aggs = [F.sum("_w").alias("_d_n")] + [
-            F.sum(F.col("_w") * F.col(c)).alias(f"_d_sum_{c}") for c in self.sum_cols
-        ]
+        delta_aggs = (
+            [F.sum("_w").alias("_d_n")]
+            + [
+                F.sum(F.col("_w") * F.col(c)).alias(f"_d_sum_{c}")
+                for c in self.sum_cols
+            ]
+            + [
+                e
+                for c in self.minmax_cols
+                for e in (
+                    F.min(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_min_{c}"),
+                    F.max(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_max_{c}"),
+                    F.min(F.when(F.col("_w") == -1, F.col(c))).alias(f"_ret_min_{c}"),
+                    F.max(F.when(F.col("_w") == -1, F.col(c))).alias(f"_ret_max_{c}"),
+                )
+            ]
+        )
         delta = signed.groupBy(*self.group_cols).agg(*delta_aggs).withColumn(
             "_group_key", _group_key_expr(self.group_cols)
         )
@@ -256,6 +305,11 @@ class IncrementalAggView:
             "_group_key",
             F.col("n_rows").alias("_cur_n"),
             *[F.col(f"sum_{c}").alias(f"_cur_sum_{c}") for c in self.sum_cols],
+            *[
+                F.col(n).alias(f"_cur_{n}")
+                for c in self.minmax_cols
+                for n in (f"min_{c}", f"max_{c}")
+            ],
         )
         # Scale shape: the delta is O(touched groups) — broadcast its keys
         # to semi-restrict the (potentially huge) view in one streaming
@@ -264,11 +318,75 @@ class IncrementalAggView:
             F.broadcast(delta.select("_group_key")), "_group_key", "leftsemi"
         )
         joined = delta.join(F.broadcast(cur_touched), "_group_key", "left")
+
+        new_n = (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_d_n")).cast("long")
+        minmax_exprs = []
+        if self.minmax_cols:
+            # A retraction invalidates a stored bound only when it touches
+            # it; flagged groups recompute min/max from the NEW snapshot,
+            # restricted to exactly those groups (broadcast semi-join).
+            def _needs(c):
+                return F.col(f"_ret_min_{c}").isNotNull() & (
+                    F.col(f"_cur_min_{c}").isNull()
+                    | (F.col(f"_ret_min_{c}") <= F.col(f"_cur_min_{c}"))
+                    | (F.col(f"_ret_max_{c}") >= F.col(f"_cur_max_{c}"))
+                )
+
+            needs_any = None
+            for c in self.minmax_cols:
+                needs_any = _needs(c) if needs_any is None else (needs_any | _needs(c))
+            flagged = joined.filter(needs_any & (new_n > 0)).select(
+                "_group_key", F.lit(True).alias("_recomputed")
+            )
+            snap = self._read_source_version(spark, to_v)
+            rec = (
+                snap.withColumn("_group_key", _group_key_expr(self.group_cols))
+                .join(F.broadcast(flagged.select("_group_key")), "_group_key", "leftsemi")
+                .groupBy("_group_key")
+                .agg(
+                    *[
+                        e
+                        for c in self.minmax_cols
+                        for e in (
+                            F.min(c).cast("double").alias(f"_rec_min_{c}"),
+                            F.max(c).cast("double").alias(f"_rec_max_{c}"),
+                        )
+                    ]
+                )
+            )
+            joined = (
+                joined.join(F.broadcast(flagged), "_group_key", "left")
+                .join(F.broadcast(rec), "_group_key", "left")
+                .withColumn(
+                    "_recomputed", F.coalesce(F.col("_recomputed"), F.lit(False))
+                )
+            )
+            for c in self.minmax_cols:
+                minmax_exprs += [
+                    F.when(new_n == 0, F.lit(None).cast("double"))
+                    .when(F.col("_recomputed"), F.col(f"_rec_min_{c}"))
+                    .otherwise(
+                        F.least(
+                            F.col(f"_cur_min_{c}"),
+                            F.col(f"_ins_min_{c}").cast("double"),
+                        )
+                    )
+                    .alias(f"min_{c}"),
+                    F.when(new_n == 0, F.lit(None).cast("double"))
+                    .when(F.col("_recomputed"), F.col(f"_rec_max_{c}"))
+                    .otherwise(
+                        F.greatest(
+                            F.col(f"_cur_max_{c}"),
+                            F.col(f"_ins_max_{c}").cast("double"),
+                        )
+                    )
+                    .alias(f"max_{c}"),
+                ]
+
         updated = joined.select(
             "_group_key",
             *[F.col(c).cast("string").alias(c) for c in self.group_cols],
-            (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_d_n"))
-            .cast("long").alias("n_rows"),
+            new_n.alias("n_rows"),
             *[
                 (
                     F.coalesce(F.col(f"_cur_sum_{c}"), F.lit(0.0))
@@ -276,6 +394,7 @@ class IncrementalAggView:
                 ).cast("double").alias(f"sum_{c}")
                 for c in self.sum_cols
             ],
+            *minmax_exprs,
         )
         ledger = self._ledger_row(spark, from_v, to_v)
         batch = updated.unionByName(ledger)

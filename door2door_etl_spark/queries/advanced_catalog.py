@@ -624,6 +624,7 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
         key="okey",
         group_cols=["status"],
         sum_cols=["n_chars"],
+        minmax_cols=["n_chars"],
     )
     if view.refresh(spark)["action"] != "seed":
         raise RuntimeError("cdc_agg_view: expected seed on first refresh")
@@ -657,7 +658,8 @@ WITH final AS (
                      THEN 4 ELSE 0 END AS DOUBLE) AS n_chars
   FROM orders
   WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0))
-SELECT status, count(*) AS n_rows, CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars
+SELECT status, count(*) AS n_rows, CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
+       min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
 FROM final GROUP BY 1
 """
 

@@ -35,13 +35,20 @@ def _view(tmp, src):
         key="id",
         group_cols=["status"],
         sum_cols=["amount"],
+        minmax_cols=["amount"],
     )
 
 
 def _assert_parity(spark, view):
     got = sorted(
         (
-            (r["status"], r["n_rows"], round(r["sum_amount"] or 0.0, 9))
+            (
+                r["status"],
+                r["n_rows"],
+                round(r["sum_amount"] or 0.0, 9),
+                r["min_amount"],
+                r["max_amount"],
+            )
             for r in view.read(spark).collect()
         ),
         key=repr,
@@ -52,6 +59,8 @@ def _assert_parity(spark, view):
                 None if r["status"] is None else str(r["status"]),
                 r["n_rows"],
                 round(r["sum_amount"] or 0.0, 9),
+                r["min_amount"],
+                r["max_amount"],
             )
             for r in view.full_recompute_frame(spark).collect()
         ),
@@ -213,3 +222,75 @@ def test_aggview_multi_window_converges(spark, tmp_path):
         out = view.refresh(spark)
         assert out["action"] == "delta"
         _assert_parity(spark, view)
+
+
+def test_aggview_minmax_retraction_paths(spark, tmp_path):
+    """Both min/max maintenance paths: a delete of a NON-extreme value must
+    keep bounds without recompute; a delete of the stored MAX must trigger
+    the group-scoped recompute; an insert above the max merges in place."""
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+
+    src = tmp_path / "src"
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(
+            spark,
+            [("a", "g", 1.0), ("b", "g", 5.0), ("c", "g", 9.0)],
+        ),
+        key="id",
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+
+    # Delete the middle value: bounds survive the merge path.
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("b",)], "id string"), key="id"
+    )
+    view.refresh(spark)
+    (row,) = view.read(spark).collect()
+    assert (row["min_amount"], row["max_amount"]) == (1.0, 9.0)
+    _assert_parity(spark, view)
+
+    # Delete the max: recompute path must find the new max 1.0.
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("c",)], "id string"), key="id"
+    )
+    view.refresh(spark)
+    (row,) = view.read(spark).collect()
+    assert (row["min_amount"], row["max_amount"]) == (1.0, 1.0)
+    _assert_parity(spark, view)
+
+    # Insert a new extreme: merges without recompute.
+    merge_versioned(
+        spark, str(src), _rows(spark, [("d", "g", 42.0)]), key="id"
+    )
+    view.refresh(spark)
+    (row,) = view.read(spark).collect()
+    assert (row["min_amount"], row["max_amount"]) == (1.0, 42.0)
+    _assert_parity(spark, view)
+
+
+def test_aggview_group_emptied_then_revived_resets_bounds(spark, tmp_path):
+    """A tombstoned group revived by later inserts must NOT resurrect its
+    pre-tombstone min/max."""
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+
+    src = tmp_path / "src"
+    merge_versioned(
+        spark, str(src), _rows(spark, [("a", "g", 99.0)]), key="id"
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("a",)], "id string"), key="id"
+    )
+    view.refresh(spark)
+    assert view.read(spark).count() == 0
+    merge_versioned(
+        spark, str(src), _rows(spark, [("b", "g", 3.0)]), key="id"
+    )
+    view.refresh(spark)
+    (row,) = view.read(spark).collect()
+    assert (row["n_rows"], row["min_amount"], row["max_amount"]) == (1, 3.0, 3.0)
+    _assert_parity(spark, view)
