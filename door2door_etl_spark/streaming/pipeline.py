@@ -940,3 +940,47 @@ def read_hdr_state(
         .groupBy(*group_cols, "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_aggview_maintenance(
+    spark: SparkSession,
+    view,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous incremental view maintenance: tail a MANIFEST source
+    table's commit log (same micro-batch file source as
+    :func:`stream_replicate_manifest_table`) and advance an
+    :class:`~door2door_etl_spark.pipeline.aggview.IncrementalAggView`
+    once per discovered commit batch.
+
+    Unlike the replication stream, the commit stream here is purely a
+    NOTIFICATION channel — the refresh itself is driven by the view's own
+    durable cursor, and its window ledger commits atomically with the
+    group updates, so a redelivered notification (crash between refresh
+    and checkpoint commit) triggers a refresh that no-ops or
+    replay-skips.  Nothing about correctness depends on the stream's
+    delivery guarantees; the stream only bounds STALENESS.
+    """
+    import os as _os
+
+    from door2door_etl_spark.io.manifest import ManifestTable
+
+    src = ManifestTable(view.source_root)
+
+    def refresh_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        view.refresh(spark)
+
+    writer = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(src.manifests_dir)
+        .writeStream.foreachBatch(refresh_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"aggview:{_os.path.basename(view.view_root.rstrip('/'))}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1050,3 +1050,59 @@ def test_cli_train_quality_filter_publishes_servable_model(spark, tmp_path, caps
     ])
     assert rc2 == 0
     assert ManifestTable(registry).current_version() == 2
+
+
+def test_stream_aggview_maintenance_tracks_commits(spark, tmp_path):
+    """The commit-log-driven IVM stream: each drained commit batch advances
+    the view to full-recompute parity; re-running the drained stream (no new
+    commits) leaves the view untouched; notifications for already-applied
+    windows no-op via the view's own cursor."""
+    from door2door_etl_spark.io.manifest import delete_manifest, merge_manifest
+    from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+    from door2door_etl_spark.streaming.pipeline import stream_aggview_maintenance
+
+    src = str(tmp_path / "msrc")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(data):
+        return spark.createDataFrame(data, "id string, grp string, v double")
+
+    merge_manifest(
+        spark, src, rows([("a", "x", 1.0), ("b", "y", 2.0)]), key="id"
+    )
+    view = IncrementalAggView(
+        source_root=src,
+        view_root=str(tmp_path / "view"),
+        key="id",
+        group_cols=["grp"],
+        sum_cols=["v"],
+        minmax_cols=["v"],
+    )
+
+    def parity():
+        got = sorted(map(tuple, view.read(spark).collect()))
+        want = sorted(
+            (str(r["grp"]), r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in view.full_recompute_frame(spark).collect()
+        )
+        assert got == want
+
+    q = stream_aggview_maintenance(spark, view, ckpt)
+    q.awaitTermination(120)
+    parity()
+    v1 = sorted(map(tuple, view.read(spark).collect()))
+
+    # Drained restart with no new commits: nothing moves.
+    q = stream_aggview_maintenance(spark, view, ckpt)
+    q.awaitTermination(120)
+    assert sorted(map(tuple, view.read(spark).collect())) == v1
+
+    # New commits (insert + delete-the-max) drain into the view.
+    merge_manifest(spark, src, rows([("c", "x", 5.0)]), key="id")
+    delete_manifest(
+        spark, src, spark.createDataFrame([("b",)], "id string"), key="id"
+    )
+    q = stream_aggview_maintenance(spark, view, ckpt)
+    q.awaitTermination(120)
+    parity()
+    assert {r["grp"] for r in view.read(spark).collect()} == {"x"}
