@@ -399,7 +399,14 @@ def bigram_backoff_logprob(
         lambda x, y: F.concat_ws("\x1f", x, y),
     )
     toks = docs.select(F.col(id_col), F.explode("_t").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    # Vocab-sized and hit by five consumers (ctx join, backoff join, first
+    # tokens, corpus total) — persist so the token-explode aggregation runs
+    # once, not per consumer.
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = uni.agg(
         F.log2(F.sum("c_uni").cast("double")).alias("_log2_c")
     )
