@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ns_dsir_gumbel_topk",
     "ns_doremi_domain_weights",
     "ns_bigram_backoff_logprob",
+    "ns_curation_funnel",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline

@@ -1,0 +1,141 @@
+"""End-to-end corpus curation: the composed pretraining-data funnel.
+
+The reference stops at warehouse ETL (README.md:18-41); the north-star
+operator pack gives this engine every individual curation stage a
+100 TB training-data pipeline needs.  This module is the COMPOSITION —
+the RefinedWeb/FineWeb-shaped funnel users actually run:
+
+    normalize → language-id → quality rules → exact dedup →
+    MinHash-LSH near-dedup (connected-components canonical) →
+    benchmark decontamination → (optional) token-budget sampling
+
+Every stage delegates to the already-oracle-verified operator; this
+module adds the chaining discipline that matters at scale:
+
+* each stage boundary is persisted once (MEMORY_AND_DISK) so the funnel
+  is N sequential passes, never a recompute tree — and the stage counts
+  the funnel report needs come from the SAME persisted relations;
+* filters stay map-side where the operator allows (langid, quality are
+  pure column expressions; decontamination is a broadcast semi join);
+* the near-dup stage dedups the *candidate-pair graph*, never the
+  corpus (banded LSH + pointer-jumping components).
+
+``curate_corpus`` returns ``(kept, funnel)``: the surviving documents
+and a small stage/docs_in/docs_out report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from door2door_etl_spark.operators.dedup import (
+    connected_dedup_clusters,
+    exact_dedup_groups,
+    minhash_lsh_candidate_pairs,
+    ngram_decontaminate,
+)
+from door2door_etl_spark.operators.text import (
+    gopher_quality_flags,
+    normalize_text,
+    predict_language,
+)
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] | None = ("en",),
+    gopher: bool = True,
+    min_words: int = 30,
+    exact: bool = True,
+    neardup: bool = True,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    benchmark: DataFrame | None = None,
+    decon_shingle_n: int = 3,
+    budget_tokens: int | None = None,
+    budget_group_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """Run the curation funnel over ``docs``; every stage is optional.
+
+    Returns ``(kept, funnel)`` where ``funnel`` has one row per executed
+    stage: ``(stage, docs_in, docs_out)``.  Stage semantics match the
+    individual catalog operators exactly (same thresholds, same
+    canonical-id rules), so each stage of the funnel is independently
+    oracle-checkable — ``ns_curation_funnel`` pins the whole chain.
+    """
+    stages: list[tuple[str, int, int]] = []
+    cur = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_cur = cur.count()
+
+    def advance(name: str, nxt: DataFrame) -> None:
+        nonlocal cur, n_cur
+        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        n_nxt = nxt.count()
+        stages.append((name, n_cur, n_nxt))
+        cur.unpersist()
+        cur, n_cur = nxt, n_nxt
+
+    advance("normalize", normalize_text(cur, text_col, out_col=text_col))
+
+    if langs is not None:
+        advance(
+            "language_id",
+            cur.filter(predict_language(F.col(text_col)).isin(*langs)),
+        )
+
+    if gopher:
+        flagged = gopher_quality_flags(cur, text_col, min_words=min_words)
+        advance(
+            "quality_rules",
+            flagged.filter(F.col("keep")).drop(
+                "word_count", "mean_word_len", "alpha_frac", "stop_hits", "keep"
+            ),
+        )
+
+    if exact:
+        canon = exact_dedup_groups(cur, text_col, id_col).select(
+            F.col("canonical_id").alias(id_col)
+        )
+        advance("exact_dedup", cur.join(canon, id_col, "leftsemi"))
+
+    if neardup:
+        pairs = minhash_lsh_candidate_pairs(
+            cur, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
+        clusters = connected_dedup_clusters(pairs, "id_a", "id_b")
+        dropped = clusters.filter(
+            F.col("doc_id") != F.col("canonical_id")
+        ).select(F.col("doc_id").alias(id_col))
+        advance("near_dedup", cur.join(dropped, id_col, "left_anti"))
+
+    if benchmark is not None:
+        advance(
+            "decontaminate",
+            ngram_decontaminate(
+                cur, benchmark, text_col=text_col, id_col=id_col,
+                shingle_n=decon_shingle_n,
+            ),
+        )
+
+    if budget_tokens is not None:
+        from door2door_etl_spark.operators.sketches import token_budget_sample
+
+        advance(
+            "token_budget",
+            token_budget_sample(
+                cur, budget_group_col, id_col, budget_tokens, text_col=text_col
+            ).drop("cum_tokens"),
+        )
+
+    funnel = spark.createDataFrame(
+        stages, schema="stage string, docs_in long, docs_out long"
+    )
+    return cur, funnel

@@ -28,6 +28,7 @@ from door2door_etl_spark.queries.defs import QueryDef
 from door2door_etl_spark.queries.sql_fragments import (
     sql_cosine,
     sql_dot,
+    sql_lang_pred,
     sql_shingles,
     sql_tokens,
     sql_uniform_hash,
@@ -2138,6 +2139,103 @@ WHERE doc_id % {DECON_MOD} <> 0
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED pretraining-data funnel (pipeline.curation.curate_corpus):
+    normalize → language-id → Gopher rules → exact dedup → MinHash-LSH
+    near-dedup (connected-components canonical) → benchmark
+    decontamination, reported as per-stage (docs_in, docs_out).  The
+    oracle chains every stage's already-verified SQL twin through the
+    identical CTE pipeline, so a hash match pins the end-to-end
+    composition — stage ordering, intermediate frames, canonical rules —
+    not just each operator in isolation."""
+    from door2door_etl_spark.pipeline.curation import curate_corpus
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    _, funnel = curate_corpus(
+        spark,
+        corpus,
+        benchmark=bench,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        decon_shingle_n=DECON_N,
+    )
+    return funnel
+
+
+def _sql_curation_funnel() -> str:
+    from door2door_etl_spark.operators.text import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    norm = (
+        r"trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),"
+        r" '\s+', ' ', 'g'))"
+    )
+    toks = sql_tokens("text")
+    sh = sql_shingles("text", DECON_N)
+    return f"""
+WITH RECURSIVE corpus0 AS MATERIALIZED (
+  SELECT doc_id, {norm} AS text FROM documents WHERE doc_id % {DECON_MOD} <> 0),
+langk AS MATERIALIZED (
+  SELECT doc_id, text FROM corpus0 WHERE {sql_lang_pred(toks)} IN ('en')),
+g AS (SELECT doc_id, text, {toks} AS toks FROM langk),
+gopherk AS MATERIALIZED (
+  SELECT doc_id, text FROM g
+  WHERE CAST(len(toks) AS INT) BETWEEN 30 AND 50000
+    AND round(CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                  'sum') AS DOUBLE) / len(toks), 4)
+        BETWEEN 3.0 AND 10.0
+    AND round(CAST(len(list_filter(toks,
+              x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+        / len(toks), 4) >= 0.8
+    AND CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT) >= 2),
+exactk AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS cid
+    FROM gopherk)
+  WHERE doc_id = cid),
+{_sql_minhash_lsh_cands_ctes("exactk")},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM cands
+  UNION
+  SELECT id_b, id_a FROM cands),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON w.node = e.b),
+canon AS (SELECT node AS doc_id, min(reach) AS cid FROM walk GROUP BY 1),
+neark AS MATERIALIZED (
+  SELECT e.doc_id, e.text FROM exactk e LEFT JOIN canon c USING (doc_id)
+  WHERE c.cid IS NULL OR c.cid = e.doc_id),
+bench AS (
+  SELECT DISTINCT unnest({sh}) AS shingle
+  FROM documents WHERE doc_id % {DECON_MOD} = 0),
+cand_sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM neark),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM cand_sh JOIN bench ON s = shingle),
+deconk AS (
+  SELECT doc_id FROM neark
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT 'normalize' AS stage,
+       (SELECT count(*) FROM corpus0) AS docs_in,
+       (SELECT count(*) FROM corpus0) AS docs_out
+UNION ALL SELECT 'language_id',
+       (SELECT count(*) FROM corpus0), (SELECT count(*) FROM langk)
+UNION ALL SELECT 'quality_rules',
+       (SELECT count(*) FROM langk), (SELECT count(*) FROM gopherk)
+UNION ALL SELECT 'exact_dedup',
+       (SELECT count(*) FROM gopherk), (SELECT count(*) FROM exactk)
+UNION ALL SELECT 'near_dedup',
+       (SELECT count(*) FROM exactk), (SELECT count(*) FROM neark)
+UNION ALL SELECT 'decontaminate',
+       (SELECT count(*) FROM neark), (SELECT count(*) FROM deconk)
+"""
+
+
 def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source contamination audit: of each source's candidate docs, how
     many share an n-gram with the benchmark set, and the rate — the report
@@ -2425,6 +2523,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
     QueryDef("ns_kmeans_ivf_centroids_blas", q_kmeans_ivf_centroids_blas, None, "north-star similarity/kmeans (GEMM production path)", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
+    QueryDef("ns_curation_funnel", q_curation_funnel, _sql_curation_funnel(), "north-star composed curation pipeline (normalize→langid→gopher→exact→LSH-CC→decontaminate)", ("northstar", "pipeline")),
     QueryDef("ns_contamination_report", q_contamination_report, _sql_contamination_report(), "north-star dedup/decontamination-audit", ("northstar", "dedup")),
     QueryDef("ns_pack_token_chunks", q_pack_token_chunks, _sql_pack_token_chunks(), "north-star text/packing", ("northstar", "text")),
     QueryDef("ns_corpus_prep_pipeline", q_corpus_prep_pipeline, _sql_corpus_prep_pipeline(), "north-star end-to-end corpus prep", ("northstar", "pipeline")),

@@ -489,3 +489,96 @@ def test_write_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
     for f in globmod.glob(f"{path}/part-*.parquet"):
         vals = pq.read_table(f, columns=["k"])["k"].to_pylist()
         assert vals == sorted(vals)
+
+
+def test_curate_corpus_funnel_stages_and_semantics(spark):
+    """The composed curation funnel on a hand-built corpus where every
+    stage's effect is known exactly: language filter drops the Spanish doc,
+    Gopher rules drop the too-short doc, exact dedup keeps the min-id copy,
+    near-dedup keeps one member of the shingle-identical pair, and
+    decontamination drops the doc sharing a 3-gram with the benchmark."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.pipeline.curation import curate_corpus
+
+    en_long = (
+        "the quick brown fox jumps over the lazy dog and then walks to the "
+        "old house where it finds some food and water for the evening meal"
+    )
+    near_base = (
+        "a small boat sails across the calm lake while birds fly over the "
+        "green hills and the fisherman waits patiently for "
+    )
+    near_a = near_base + "a large trout to bite the shiny hook"
+    near_b = near_base + "a large trout to bite the shiny line"
+    es = (
+        "el perro y el gato que en la casa de la ciudad con un amigo muy "
+        "bueno y la comida es para el que la casa de la familia es de los "
+        "perros y el agua que es de la ciudad para los amigos de la casa"
+    )
+    contaminated = (
+        "meanwhile the children play in the park near the school and they "
+        "often sing this exact contaminated phrase overlaps benchmark today"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text=en_long),
+            Row(doc_id=2, source="web", text=en_long),      # exact dup of 1
+            Row(doc_id=3, source="web", text=near_a),
+            Row(doc_id=4, source="web", text=near_b),       # near dup of 3
+            Row(doc_id=5, source="web", text=es),           # not English
+            # English (stopword hits) but under min_words -> fails Gopher
+            Row(doc_id=6, source="web", text="the dog and the cat sat with me"),
+            Row(doc_id=7, source="web", text=contaminated),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="exact contaminated phrase overlaps the eval")]
+    )
+    kept, funnel = curate_corpus(
+        spark, docs, benchmark=bench, min_words=20, shingle_n=5
+    )
+    stages = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in funnel.collect()}
+    assert stages["normalize"] == (7, 7)
+    assert stages["language_id"] == (7, 6)      # -es
+    assert stages["quality_rules"] == (6, 5)    # -too-short
+    assert stages["exact_dedup"] == (5, 4)      # -dup of 1
+    assert stages["near_dedup"] == (4, 3)       # -near dup of 3
+    assert stages["decontaminate"] == (3, 2)    # -contaminated
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_curate_corpus_budget_stage(spark):
+    """Optional token-budget stage: per-source cap keeps the maximal
+    hash-order prefix; stages not requested don't appear in the funnel."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.pipeline.curation import curate_corpus
+    from door2door_etl_spark.operators.text import token_count
+
+    text = "the cat and the dog walk to the house near the river every day"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s" if i % 2 else "t", text=text) for i in range(12)]
+    )
+    kept, funnel = curate_corpus(
+        spark,
+        docs,
+        langs=None,
+        gopher=False,
+        exact=False,
+        neardup=False,
+        benchmark=None,
+        budget_tokens=30,
+    )
+    names = [r["stage"] for r in funnel.collect()]
+    assert names == ["normalize", "token_budget"]
+    import pyspark.sql.functions as F
+
+    per_source = {
+        r["source"]: r["toks"]
+        for r in kept.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("toks"))
+        .collect()
+    }
+    # 14 tokens/doc, budget 30 -> exactly 2 docs (28 tokens) per source.
+    assert per_source == {"s": 28, "t": 28}
