@@ -29,14 +29,17 @@ def main(argv: list[str] | None = None) -> int:
         "-s", "--step", default="all",
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
-                 "purge", "history", "train-quality-filter"],
+                 "purge", "history", "train-quality-filter", "curate"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
              "manifest tables — the GDPR erasure endpoint); "
              "train-quality-filter trains the hashed-BoW classifier on "
              "--source documents and publishes dense weights to the "
-             "<lake-root>/models/quality_filter registry",
+             "<lake-root>/models/quality_filter registry; "
+             "curate runs the composed pretraining-data funnel "
+             "(pipeline.curation.curate_corpus) over --source documents "
+             "and MERGEs survivors into <lake-root>/curated/documents",
     )
     parser.add_argument(
         "--label-token", default="dup",
@@ -59,6 +62,24 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--clf-lr", type=float, default=1.0,
         help="train-quality-filter: learning rate",
+    )
+    parser.add_argument(
+        "--benchmark", default=None,
+        help="curate: parquet path of the benchmark/eval set to "
+             "decontaminate against (omit to skip that stage)",
+    )
+    parser.add_argument(
+        "--langs", default="en",
+        help="curate: comma-separated language codes to keep "
+             "('-' disables the language stage)",
+    )
+    parser.add_argument(
+        "--min-words", type=int, default=30,
+        help="curate: Gopher rule word-count floor",
+    )
+    parser.add_argument(
+        "--budget-tokens", type=int, default=None,
+        help="curate: per-source token budget (omit to keep everything)",
     )
     parser.add_argument(
         "--table", default=None,
@@ -107,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--source (documents parquet) is required for "
                          "train-quality-filter")
         return _run_train_quality_filter(args)
+
+    if args.step == "curate":
+        if not args.source:
+            parser.error("--source (documents parquet) is required for curate")
+        return _run_curate(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history"):
@@ -210,6 +236,66 @@ def _run_train_quality_filter(args) -> int:
             "n_docs": sum(confusion.values()),
             "n_positive": n_pos,
             "confusion": confusion,
+        }))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_curate(args) -> int:
+    """Run the composed curation funnel over a document corpus and land
+    the result in the lake: survivors MERGE-upsert (idempotent, keyed by
+    doc_id) into ``<lake-root>/curated/documents`` — a versioned table,
+    so re-running the same curation is a no-op and downstream readers
+    always see a committed snapshot — and the per-stage funnel report is
+    appended to ``<lake-root>/curated/funnel`` with a run id.  Prints one
+    JSON summary line."""
+    import os
+    import uuid
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.io.versioned import merge_versioned
+    from door2door_etl_spark.pipeline.curation import curate_corpus
+    from door2door_etl_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-curate")
+    try:
+        docs = spark.read.parquet(args.source)
+        benchmark = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        langs = (
+            None if args.langs == "-"
+            else tuple(x for x in args.langs.split(",") if x)
+        )
+        kept, funnel = curate_corpus(
+            spark,
+            docs,
+            langs=langs,
+            min_words=args.min_words,
+            benchmark=benchmark,
+            budget_tokens=args.budget_tokens,
+        )
+        out_root = os.path.join(args.lake_root, "curated", "documents")
+        n_kept = merge_versioned(spark, out_root, kept, key="doc_id")
+        run_id = str(uuid.uuid4())
+        funnel_path = os.path.join(args.lake_root, "curated", "funnel")
+        funnel.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            funnel_path
+        )
+        stages = {
+            r["stage"]: [r["docs_in"], r["docs_out"]] for r in funnel.collect()
+        }
+        print(json.dumps({
+            "step": "curate",
+            "run_id": run_id,
+            "curated_table": out_root,
+            "n_kept": n_kept,
+            "funnel": stages,
         }))
         return 0
     finally:

@@ -582,3 +582,61 @@ def test_curate_corpus_budget_stage(spark):
     }
     # 14 tokens/doc, budget 30 -> exactly 2 docs (28 tokens) per source.
     assert per_source == {"s": 28, "t": 28}
+
+
+def test_cli_curate_lands_versioned_survivors(spark, tmp_path, capsys):
+    """`-s curate` runs the funnel over a parquet corpus, MERGEs survivors
+    into <lake>/curated/documents (idempotent: a second identical run
+    leaves the same rows), appends the funnel report, and prints one JSON
+    summary line."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.__main__ import main
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks to the "
+        "old house where it finds some food and water for the evening meal"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text=good),
+            Row(doc_id=2, source="web", text=good),       # exact dup
+            Row(doc_id=3, source="web", text="the cat sat"),  # fails Gopher
+        ]
+    )
+    corpus = tmp_path / "docs.parquet"
+    docs.write.parquet(str(corpus))
+    lake = tmp_path / "lake"
+
+    rc = main([
+        "-s", "curate", "--source", str(corpus), "--lake-root", str(lake),
+        "--min-words", "20",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["step"] == "curate" and summary["n_kept"] == 1
+    # langid keeps all 3 (every doc is English), Gopher drops the short
+    # doc, exact dedup collapses the duplicate pair.
+    assert summary["funnel"]["quality_rules"] == [3, 2]
+    assert summary["funnel"]["exact_dedup"] == [2, 1]
+
+    table = VersionedParquetTable(str(lake / "curated" / "documents"))
+    kept = table.read(spark).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    v1 = table.current_version()
+
+    # Idempotent replay: same curation, same survivors, one more version,
+    # same row count.
+    rc = main([
+        "-s", "curate", "--source", str(corpus), "--lake-root", str(lake),
+        "--min-words", "20",
+    ])
+    assert rc == 0
+    assert table.read(spark).count() == 1
+    assert table.current_version() == v1 + 1
+
+    funnel = spark.read.parquet(str(lake / "curated" / "funnel"))
+    assert funnel.select("run_id").distinct().count() == 2
