@@ -1425,3 +1425,145 @@ def segment_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """Corpus-wide exact SUBSTRING dedup at token grain — the ExactSubstr
+    recipe of Lee et al., ACL 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): any token span that also occurs elsewhere in
+    the corpus is removed from all but its first occurrence.  Lee et al.
+    find such spans with a suffix array; the distributed form here anchors
+    on ``k``-token grams — every occurrence of a duplicated span of length
+    >= k contains a duplicated k-gram at each of its start positions, so
+    marking the k-token window of every NON-FIRST occurrence of every
+    duplicated k-gram removes exactly the duplicated spans (first
+    occurrences survive verbatim; coverage of a longer span is the union
+    of its k-gram windows).
+
+    Tokens follow the shared portable contract (``operators.text.tokens``),
+    so ``clean_text`` is normalized-token text.  Returns one row per input
+    document — ``(id_col, n_tokens, n_removed, clean_text)`` — including
+    empty/NULL-text documents (``n_tokens = 0``), and a fully-duplicated
+    later copy survives as ``clean_text = ''`` for the caller to drop.
+
+    Scale design (same discipline as :func:`segment_dedup`):
+
+    - Tokenize + gram-hash are ONE map-side pass: the token array is bound
+      once via a single-element ``transform`` lambda (Catalyst does not CSE
+      through lambda bodies), and each position's k-gram digest is a
+      sha256 over an array slice — the explode emits one row per token,
+      never per (token x gram) pair.
+    - First-occurrence detection is ``groupBy(gram).min(struct(id, pos))``
+      with map-side partial aggregation, and only grams with >= 2
+      occurrences survive the aggregation's filter — the flag-back join's
+      build side holds duplicated grams only (Zipf-small), never the
+      corpus's full gram vocabulary.
+    - The flag-back join splits by measured gram frequency: grams at or
+      under ``hot_threshold`` occurrences equi-join (per-key task input
+      bounded), viral boilerplate grams broadcast so no task receives a
+      hot key's full occurrence set.
+    - Coverage is a per-document sliding-window MAX over the dup-start
+      flags (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` — positions
+      are dense, so the row frame IS the position range); the window's
+      hash exchange on ``id_col`` is reused by the final reassembly
+      groupBy — token rows shuffle once for the whole
+      coverage+reassembly phase.
+
+    Reference analog: the handler's whole-record dedup
+    (/root/reference/src/handler/handler.py:95-97) at sub-document,
+    cross-document span grain.
+    """
+    from door2door_etl_spark.operators.text import tokens
+
+    n_hex = 16  # 64-bit gram digests: collision-safe, 4x smaller shuffle keys
+    tok_expr = tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    def _rows(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(
+            n > F.lit(0),
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at(tk, i + 1).alias("token"),
+                    F.when(
+                        i <= n - F.lit(k),
+                        F.substring(
+                            F.sha2(F.concat_ws(" ", F.slice(tk, i + 1, k)), 256),
+                            1, n_hex,
+                        ),
+                    ).alias("gh"),
+                ),
+            ),
+        ).otherwise(F.array())
+    # Bind the token array ONCE (transform over a 1-element array), then
+    # explode_outer so zero-token documents keep their output row.
+    rows = df.select(
+        F.col(id_col),
+        F.explode_outer(F.transform(F.array(tok_expr), _rows)[0]).alias("t"),
+    ).select(id_col, F.col("t.pos").alias("pos"),
+             F.col("t.token").alias("token"), F.col("t.gh").alias("gh"))
+
+    occ = rows.filter(F.col("gh").isNotNull()).select(id_col, "pos", "gh")
+    dup_grams = (
+        occ.groupBy("gh")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_first"),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    cold = dup_grams.filter(F.col("_n") <= hot_threshold).drop("_n")
+    hot = dup_grams.filter(F.col("_n") > hot_threshold).drop("_n")
+    dup_starts = (
+        occ.join(cold, "gh")
+        .unionByName(occ.join(F.broadcast(hot), "gh"))
+        .filter(~((F.col(id_col) == F.col(f"_first.{id_col}"))
+                  & (F.col("pos") == F.col("_first.pos"))))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_dup_starts"))
+    )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    flagged = (
+        rows.join(dup_starts, id_col, "left")
+        .withColumn(
+            "_dup_start",
+            F.when(
+                F.array_contains(
+                    F.coalesce(F.col("_dup_starts"), F.array().cast("array<int>")),
+                    F.col("pos"),
+                ), 1,
+            ).otherwise(0),
+        )
+        .withColumn("_covered", F.max("_dup_start").over(w))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("token").cast("long").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("_covered"), F.lit(0))).cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("_covered") == 0) & F.col("token").isNotNull(),
+                            F.struct("pos", "token"),
+                        )
+                    )
+                ),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from door2door_etl_spark.io.readers import load_table
-from door2door_etl_spark.operators.dedup import segment_dedup
+from door2door_etl_spark.operators.dedup import segment_dedup, substring_dedup
 from door2door_etl_spark.operators.sketches import (
     cms_merge,
     cms_point_estimate,
@@ -341,6 +341,60 @@ GROUP BY lang
 """
 
 
+# --- exact substring dedup (Lee et al. 2022 ExactSubstr) -------------------
+
+SUBSTR_K = 8
+
+
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr corpus dedup: every non-first occurrence of a duplicated
+    token span is cut out, documents reassembled (operators.dedup.
+    substring_dedup — k-gram anchored suffix-array stand-in, map-side
+    partial agg over gram digests, rare/common flag-back split, one
+    token-row shuffle for coverage + reassembly)."""
+    docs = load_table(spark, sf, "documents")
+    return substring_dedup(docs, k=SUBSTR_K)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {{toks}} AS l FROM documents
+), trows AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS token,
+         CASE WHEN i <= len(l) - {SUBSTR_K} + 1
+              THEN substr(sha256(array_to_string(
+                     l[i:i+{SUBSTR_K - 1}], ' ')), 1, 16)
+         END AS gh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) s
+), flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN gh IS NOT NULL
+                   AND count(*) OVER (PARTITION BY gh) > 1
+                   AND row_number() OVER (PARTITION BY gh
+                                          ORDER BY doc_id, pos) > 1
+              THEN 1 ELSE 0 END AS dup_start
+  FROM trows
+), covered AS (
+  SELECT doc_id, pos, token,
+         max(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN {SUBSTR_K - 1} PRECEDING AND CURRENT ROW) AS cov
+  FROM flagged
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(cov) AS BIGINT) AS n_removed,
+         coalesce(string_agg(token, ' ' ORDER BY pos)
+                    FILTER (WHERE cov = 0), '') AS clean_text
+  FROM covered GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_removed, 0) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""".replace("{toks}", sql_tokens("text"))
+
+
 TRAINING_QUERIES: list[QueryDef] = [
     QueryDef(
         "ns_vocab_coverage",
@@ -348,6 +402,13 @@ TRAINING_QUERIES: list[QueryDef] = [
         SQL_VOCAB_COVERAGE,
         "north-star text/vocab-oov-audit",
         ("northstar", "text"),
+    ),
+    QueryDef(
+        "ns_substring_dedup",
+        q_substring_dedup,
+        SQL_SUBSTRING_DEDUP,
+        "north-star dedup/exact-substring (Lee et al. 2022)",
+        ("northstar", "dedup"),
     ),
     QueryDef(
         "ns_segment_dedup_corpus",

@@ -2804,3 +2804,84 @@ def test_hdr_histogram_bins_merge_and_quantile_bounds(spark):
         lo = est[f"q_{q}"]
         assert lo <= true_q <= lo * (1 + 2**-s), (q, lo, true_q)
     assert est["n"] == len(vals)
+
+
+def test_substring_dedup_matches_pure_python_reference(spark):
+    """ExactSubstr (Lee et al. 2022) k-gram form vs an independent
+    pure-Python implementation: cross-doc spans, exact copies, within-doc
+    repetition, sub-k docs, NULL text — (n_tokens, n_removed, clean_text)
+    all equal."""
+    import re as _re
+
+    from door2door_etl_spark.operators.dedup import substring_dedup
+
+    K = 3
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "XX alpha beta gamma delta epsilon YY ZZ"),  # shared 5-token span
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy
+        (4, "one two"),                                  # shorter than k
+        (5, None),                                       # NULL text
+        (6, "rep rep rep rep rep"),                      # within-doc repeats
+        (7, "tail case alpha beta gamma"),               # span at doc end
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in substring_dedup(df, k=K).collect()}
+
+    def toks(t):
+        return [x for x in _re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+
+    occurrences: dict[str, list[tuple[int, int]]] = {}
+    for did, t in docs:
+        tk = toks(t)
+        for p in range(len(tk) - K + 1):
+            occurrences.setdefault(" ".join(tk[p:p + K]), []).append((did, p))
+    dup_starts: dict[int, set[int]] = {}
+    for lst in occurrences.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for o in lst:
+                if o != first:
+                    dup_starts.setdefault(o[0], set()).add(o[1])
+    assert len(got) == len(docs)
+    for did, t in docs:
+        tk = toks(t)
+        cov = [False] * len(tk)
+        for s in dup_starts.get(did, ()):
+            for i in range(s, min(s + K, len(tk))):
+                cov[i] = True
+        kept = " ".join(w for w, c in zip(tk, cov) if not c)
+        r = got[did]
+        assert (r["n_tokens"], r["n_removed"], r["clean_text"]) == (
+            len(tk), sum(cov), kept,
+        ), did
+
+
+def test_substring_dedup_viral_gram_broadcast_and_parity(spark):
+    """Boilerplate k-gram in half the corpus: the hot gram rides the
+    broadcast flag-back path (plan-asserted), results identical to the
+    single-join path, and first occurrence survives verbatim."""
+    from door2door_etl_spark.operators.dedup import substring_dedup
+
+    boiler = " ".join(f"boiler{w}" for w in range(4))
+    rows = []
+    for i in range(600):
+        uniq = " ".join(f"doc{i}w{w}" for w in range(4))
+        rows.append((i, (boiler + " " + uniq) if i % 2 == 0 else uniq))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    split = substring_dedup(df, k=4, hot_threshold=50)
+    got = sorted(map(tuple, split.collect()))
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    plain = substring_dedup(df, k=4, hot_threshold=10**9)
+    assert got == sorted(map(tuple, plain.collect()))
+
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][3].startswith("boiler0 boiler1 boiler2 boiler3")
+    for i in (2, 300, 598):
+        assert "boiler" not in by_id[i][3]
+        assert by_id[i][1:3] == (8, 4)
+    for i in (1, 599):  # odd docs: unique text untouched
+        assert by_id[i][1:3] == (4, 0)
