@@ -832,3 +832,69 @@ def hdr_quantiles(
             .alias(f"q_{int(round(q * 100))}")
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def kmv_set_overlap(
+    sketches: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise SET-OPERATION estimates from stored KMV sketches alone —
+    the multiset-synopsis algebra of Beyer et al., SIGMOD 2007: for every
+    group pair (a < b), estimate Jaccard similarity, union size, and
+    intersection size WITHOUT rescanning base data.
+
+    For sketches K_A, K_B (each the k smallest distinct deviates of its
+    set): the combined sketch L = k smallest of K_A ∪ K_B is a valid KMV
+    sketch of A ∪ B (every deviate among the union's k smallest is among
+    its own side's k smallest), so ``union_est = (k-1)/max(L)`` — exact
+    when |L| < k.  ρ = |{u ∈ L : u ∈ K_A ∧ u ∈ K_B}| / |L| is an unbiased
+    Jaccard estimator (each L entry is a uniform distinct draw from A∪B,
+    and a draw lands in both sketches iff it is in A∩B), and
+    ``intersection_est = ρ · union_est``.  This is the set algebra HLL
+    registers cannot express (HLL only merges to unions).
+
+    Returns ``(group_a, group_b, jaccard_est, union_est,
+    intersection_est)`` for all group pairs, ordered ``group_a <
+    group_b``.  Scale: the sketch table has one k-double row per group —
+    the pairwise self-join broadcasts it; base data is never touched.
+    Deterministic across engines: deviates are the portable 52-bit sha
+    hash, and every arithmetic step is a single IEEE double op (no
+    accumulation-order sensitivity).
+    """
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("_ka")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("_kb")
+    )
+    comb = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ka"), F.col("_kb")))),
+        1, k,
+    )
+    paired = (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .withColumn("_l", comb)
+        .withColumn("_nl", F.size("_l"))
+        .withColumn(
+            "_in_both",
+            F.size(
+                F.array_intersect(
+                    F.col("_l"), F.array_intersect(F.col("_ka"), F.col("_kb"))
+                )
+            ),
+        )
+        .withColumn(
+            "_union_raw",
+            F.when(
+                F.col("_nl") >= k,
+                F.lit(float(k - 1)) / F.element_at("_l", -1),
+            ).otherwise(F.col("_nl").cast("double")),
+        )
+    )
+    rho = F.col("_in_both") / F.col("_nl")
+    return paired.select(
+        "group_a",
+        "group_b",
+        F.round(rho, 4).alias("jaccard_est"),
+        F.round(F.col("_union_raw"), 4).alias("union_est"),
+        F.round(rho * F.col("_union_raw"), 4).alias("intersection_est"),
+    )

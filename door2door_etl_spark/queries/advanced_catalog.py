@@ -168,6 +168,56 @@ def q_kmv_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_merge_estimate(daily, ["event_type"], k=64)
 
 
+def q_kmv_set_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set algebra (Beyer et al. SIGMOD 2007): pairwise distinct-user
+    Jaccard/union/intersection estimates between event types, computed
+    from the stored sketches alone — the set operation HLL registers
+    cannot express (operators.sketches.kmv_sketch_table +
+    kmv_set_overlap; sketch self-join is broadcast, base data scanned
+    once to build sketches)."""
+    from door2door_etl_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_sketch_table,
+    )
+
+    ev = load_table(spark, sf, "events")
+    sk = kmv_sketch_table(ev, ["event_type"], "user_id", k=64)
+    return kmv_set_overlap(sk, "event_type", k=64)
+
+
+SQL_KMV_SET_OVERLAP = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {sql_uniform_hash('user_id', 'kmv')} AS u
+  FROM events
+), ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed
+), sk AS (
+  SELECT event_type, list_sort(list(u)) AS sketch
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+), paired AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b,
+         list_sort(list_distinct(list_concat(a.sketch, b.sketch)))[1:64]
+           AS l,
+         len(list_intersect(
+           list_sort(list_distinct(list_concat(a.sketch, b.sketch)))[1:64],
+           list_intersect(a.sketch, b.sketch))) AS in_both
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), est AS (
+  SELECT group_a, group_b, in_both, len(l) AS nl,
+         CASE WHEN len(l) >= 64 THEN 63.0 / l[len(l)]
+              ELSE CAST(len(l) AS DOUBLE) END AS union_raw
+  FROM paired)
+SELECT group_a, group_b,
+       round(CAST(in_both AS DOUBLE) / nl, 4) AS jaccard_est,
+       round(union_raw, 4) AS union_est,
+       round(CAST(in_both AS DOUBLE) / nl * union_raw, 4)
+         AS intersection_est
+FROM est
+"""
+
+
 def q_hash_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 10% Bernoulli document sample by key hash —
     reproducible across engines/reruns/partitionings, unlike df.sample
@@ -671,6 +721,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),
     QueryDef("ns_kmv_sketch_rollup", q_kmv_sketch_rollup, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-mergeable-rollup", ("northstar", "sketch")),
+    QueryDef("ns_kmv_set_overlap", q_kmv_set_overlap, SQL_KMV_SET_OVERLAP, "north-star sketch/kmv-set-algebra (Beyer et al. 2007)", ("northstar", "sketch")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -2885,3 +2885,37 @@ def test_substring_dedup_viral_gram_broadcast_and_parity(spark):
         assert by_id[i][1:3] == (8, 4)
     for i in (1, 599):  # odd docs: unique text untouched
         assert by_id[i][1:3] == (4, 0)
+
+
+def test_kmv_set_overlap_exact_below_k_and_accurate_above(spark):
+    """KMV set algebra vs ground truth.  Below k the sketches ARE the
+    distinct sets, so jaccard/union/intersection are exact; above k the
+    estimates must land within the sketch's expected relative error
+    (~1/sqrt(k-2) ≈ 13% at k=64; pinned at 25% for slack)."""
+    from door2door_etl_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_sketch_table,
+    )
+
+    # Small case: |A|=30, |B|=25, |A∩B|=15 — all below k=64.
+    rows = [("a", f"k{i}") for i in range(30)] + [
+        ("b", f"k{i}") for i in range(15, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch_table(df, ["g"], "v", k=64)
+    r = kmv_set_overlap(sk, "g", k=64).collect()[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["union_est"] == 40.0
+    assert r["intersection_est"] == 15.0
+    assert r["jaccard_est"] == round(15 / 40, 4)
+
+    # Large case: |A|=|B|=4000, overlap 2000 → union 6000, J=1/3.
+    rows = [("a", f"x{i}") for i in range(4000)] + [
+        ("b", f"x{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch_table(df, ["g"], "v", k=64)
+    r = kmv_set_overlap(sk, "g", k=64).collect()[0]
+    assert abs(r["union_est"] - 6000) / 6000 < 0.25, r
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.15, r
+    assert abs(r["intersection_est"] - 2000) / 2000 < 0.40, r
