@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "ns_doremi_domain_weights",
     "ns_bigram_backoff_logprob",
     "ns_curation_funnel",
+    "ns_substring_dedup",
+    "ns_kmv_set_overlap",
+    "ns_pagerank_trade",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline

@@ -1,0 +1,128 @@
+"""Graph analytics operators: weighted PageRank.
+
+The connected-components primitive (pointer jumping) lives with its
+consumer in ``operators.dedup``; this module holds general graph
+measures.  First member: PageRank (Page et al. 1999) — the standard
+centrality measure a web-corpus curation pipeline uses for host-level
+quality ranks (a la Common Crawl's harmonic-centrality host lists).
+
+Design for 100 TB-scale graphs:
+
+- Each iteration is TWO bounded shuffles over the edge relation (join
+  ranks on src, re-aggregate by dst) plus one anti-join scalar for the
+  dangling mass — no driver-side state beyond loop control, so a
+  billion-edge graph iterates exactly like a thousand-edge one.
+- Rank vectors are persisted per iteration: ranks feed both the
+  contribution join and the dangling aggregate, and without the persist
+  the recompute tree doubles per iteration (2^t plans by iteration t).
+- Determinism across engines/partitionings: per-edge products are single
+  IEEE double ops; every SUM is accumulated in exact DECIMAL(38,18) and
+  cast back to double — float accumulation order can never move a bit,
+  so a DuckDB twin unrolled to the same iteration count hash-matches.
+
+Reference analog: the reference stops at warehouse ETL
+(/root/reference/README.md:18-41); this is north-star pack capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+_DEC = "decimal(38,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over ``edges``; returns ``(node, rank)``.
+
+    Semantics (the textbook formulation, dangling mass redistributed
+    uniformly): with N nodes (every distinct src or dst), transition
+    probability p(u→v) = w(u,v) / out_w(u), and per iteration
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·p(u,v)  +  Σ_{dangling u} r(u)/N )
+
+    ``weight_col=None`` means unweighted (w=1).  Ranks sum to 1 at every
+    iteration (up to the decimal quantization), so the result is a
+    probability distribution over nodes.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1.0))
+        .cast("double")
+        .alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+
+    # Out-weight-normalized transition probabilities: exact decimal sums,
+    # division done in double (decimal division scale rules differ across
+    # engines; double division does not).
+    out_w = e.groupBy("src").agg(
+        F.sum(F.col("w").cast(_DEC)).cast("double").alias("_ow")
+    )
+    trans = (
+        e.groupBy("src", "dst")
+        .agg(F.sum(F.col("w").cast(_DEC)).cast("double").alias("_w"))
+        .join(out_w, "src")
+        .select("src", "dst", (F.col("_w") / F.col("_ow")).alias("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src_nodes = trans.select(F.col("src").alias("node")).distinct()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
+                ).alias("_m")
+            )
+        )
+        contrib = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") * F.col("p")).cast(_DEC))
+                .cast("double")
+                .alias("_c")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_m") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nxt.count()
+        ranks.unpersist()
+        ranks = nxt
+    return ranks

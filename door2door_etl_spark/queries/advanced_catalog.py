@@ -714,6 +714,187 @@ FROM final GROUP BY 1
 """
 
 
+
+# --- weighted PageRank over the trade graph --------------------------------
+
+PAGERANK_ITERS = 6
+PAGERANK_D = 0.85
+
+
+def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank (Page et al. 1999) over the nation trade graph:
+    edges customer-nation -> supplier-nation weighted by lineitem revenue
+    (operators.graph.pagerank — per-iteration bounded shuffles, exact
+    DECIMAL contribution sums so the unrolled DuckDB twin hash-matches).
+    The host-centrality measure a web-corpus curation pipeline computes
+    over its link graph, exercised on the warehouse's own relations."""
+    from door2door_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    cn = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+    )
+    sn = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+    )
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            "src", "dst",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .alias("w"),
+        )
+    )
+    pr = pagerank(
+        e, weight_col="w", iterations=PAGERANK_ITERS, damping=PAGERANK_D
+    )
+    return pr.select(
+        F.col("node").alias("nation"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _sql_pagerank_trade() -> str:
+    """Unrolled-iteration DuckDB twin of q_pagerank_trade.  Float
+    constants are emitted as repr() strings cast to DOUBLE so both
+    engines compute with bit-identical IEEE values (a bare 0.85 literal
+    is a DECIMAL in DuckDB); every rank CTE is MATERIALIZED because each
+    is referenced twice per iteration (contribution join + dangling
+    mass) and DuckDB re-inlines multi-referenced CTEs."""
+    d = repr(PAGERANK_D)
+    one_minus_d = repr(1.0 - PAGERANK_D)
+    head = f"""
+WITH raw AS MATERIALIZED (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,18)) AS w
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+), outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM raw GROUP BY src
+), edges AS MATERIALIZED (
+  SELECT f.src, f.dst, CAST(f.fw AS DOUBLE) / o.ow AS p
+  FROM (SELECT src, dst, sum(w) AS fw FROM raw GROUP BY src, dst) f
+  JOIN outw o ON f.src = o.src
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM raw UNION SELECT dst FROM raw
+), nn AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, CAST('1.0' AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM nodes
+)"""
+    iters = []
+    for t in range(PAGERANK_ITERS):
+        iters.append(f""", dang{t} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(CAST(rank AS DECIMAL(38,18))), 0) AS DOUBLE)
+           AS m
+  FROM r{t} WHERE node NOT IN (SELECT src FROM outw)
+), r{t + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST('{one_minus_d}' AS DOUBLE) / (SELECT n FROM nn)
+         + CAST('{d}' AS DOUBLE) * (
+             coalesce(c.c, CAST('0.0' AS DOUBLE))
+             + (SELECT m FROM dang{t}) / (SELECT n FROM nn)
+           ) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(r.rank * e.p AS DECIMAL(38,18))) AS DOUBLE) AS c
+    FROM edges e JOIN r{t} r ON e.src = r.node GROUP BY e.dst) c
+  ON nd.node = c.node
+)""")
+    tail = (f"\nSELECT node AS nation, round(rank, 8) AS rank "
+            f"FROM r{PAGERANK_ITERS}")
+    return head + "".join(iters) + tail
+
+
+
+def q_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column profile of the events table: null counts,
+    typed value bounds, exact-decimal means, string-length bounds, KMV
+    distinct estimates — one report row per column
+    (operators.profile.profile_table; per-column one-row aggregates, KMV
+    k-bounded, no driver collection)."""
+    from door2door_etl_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf, "events")
+    return profile_table(ev)
+
+
+def _sql_profile_events() -> str:
+    """Per-column UNION ALL twin of q_profile_events over events
+    (event_id bigint, ts timestamp, user_id bigint, event_type string,
+    value double, props string)."""
+
+    def kmv(c: str) -> str:
+        u = sql_uniform_hash(c, "kmv")
+        return (
+            f"(SELECT round(63.0 / max(u), 4) FROM ("
+            f"SELECT u FROM (SELECT DISTINCT {u} AS u FROM events "
+            f"WHERE {c} IS NOT NULL) ORDER BY u LIMIT 64))"
+        )
+
+    def avg(c: str) -> str:
+        return (
+            f"round(CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) "
+            f"/ count({c}), 4)"
+        )
+
+    blocks = []
+    for c, dt in [("event_id", "bigint"), ("ts", "timestamp"),
+                  ("user_id", "bigint"), ("event_type", "string"),
+                  ("value", "double"), ("props", "string")]:
+        common = (
+            f"SELECT '{c}' AS \"column\", '{dt}' AS dtype, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        )
+        if dt == "bigint":
+            rest = (
+                f"{kmv(c)} AS distinct_est, "
+                f"CAST(min({c}) AS DOUBLE) AS min_num, "
+                f"CAST(max({c}) AS DOUBLE) AS max_num, "
+                f"{avg(c)} AS avg_num, "
+                f"CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len"
+            )
+        elif dt == "double":
+            rest = (
+                f"CAST(NULL AS DOUBLE) AS distinct_est, "
+                f"round(CAST(min({c}) AS DOUBLE), 6) AS min_num, "
+                f"round(CAST(max({c}) AS DOUBLE), 6) AS max_num, "
+                f"{avg(c)} AS avg_num, "
+                f"CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len"
+            )
+        elif dt == "timestamp":
+            rest = (
+                f"CAST(NULL AS DOUBLE) AS distinct_est, "
+                f"CAST(epoch_us(min({c})) AS DOUBLE) AS min_num, "
+                f"CAST(epoch_us(max({c})) AS DOUBLE) AS max_num, "
+                f"CAST(NULL AS DOUBLE) AS avg_num, "
+                f"CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len"
+            )
+        else:  # string
+            rest = (
+                f"{kmv(c)} AS distinct_est, "
+                f"CAST(NULL AS DOUBLE) AS min_num, "
+                f"CAST(NULL AS DOUBLE) AS max_num, "
+                f"CAST(NULL AS DOUBLE) AS avg_num, "
+                f"CAST(min(length({c})) AS INT) AS min_len, "
+                f"CAST(max(length({c})) AS INT) AS max_len"
+            )
+        blocks.append(common + rest + " FROM events")
+    return "\nUNION ALL\n".join(blocks)
+
+
 ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_cdc_agg_view", q_cdc_agg_view, SQL_CDC_AGG_VIEW, "lakehouse CDC + incremental view maintenance (counting algorithm)", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
@@ -722,6 +903,8 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),
     QueryDef("ns_kmv_sketch_rollup", q_kmv_sketch_rollup, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-mergeable-rollup", ("northstar", "sketch")),
     QueryDef("ns_kmv_set_overlap", q_kmv_set_overlap, SQL_KMV_SET_OVERLAP, "north-star sketch/kmv-set-algebra (Beyer et al. 2007)", ("northstar", "sketch")),
+    QueryDef("ns_pagerank_trade", q_pagerank_trade, _sql_pagerank_trade(), "north-star graph/weighted-pagerank (Page et al. 1999)", ("northstar", "graph")),
+    QueryDef("ns_profile_events", q_profile_events, _sql_profile_events(), "north-star profile/analyze-table", ("northstar", "profile")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -2919,3 +2919,78 @@ def test_kmv_set_overlap_exact_below_k_and_accurate_above(spark):
     assert abs(r["union_est"] - 6000) / 6000 < 0.25, r
     assert abs(r["jaccard_est"] - 1 / 3) < 0.15, r
     assert abs(r["intersection_est"] - 2000) / 2000 < 0.40, r
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """Weighted PageRank vs an independent reference on a graph with a
+    dangling node and parallel-weighted edges: bit-level agreement (every
+    sum is decimal-exact, every per-edge product a single double op), and
+    ranks form a probability distribution."""
+    from door2door_etl_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "a", 1.0), ("b", "e", 1.0),  # e dangles
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight_col="w", iterations=6).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e[:2]})
+    n, d = len(nodes), 0.85
+    outw: dict[str, float] = {}
+    for s, t, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(6):
+        m = sum(r[u] for u in nodes if u not in outw)
+        c = {u: 0.0 for u in nodes}
+        for s, t, w in edges:
+            c[t] += r[s] * (w / outw[s])
+        r = {u: (1 - d) / n + d * (c[u] + m / n) for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u] == pytest.approx(r[u], abs=1e-13), u
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_profile_table_typed_dispatch_and_nulls(spark):
+    """Column profiler: exact null/bound/mean stats per type, KMV distinct
+    exact in the below-k regime formula, NULLs where a metric does not
+    apply, one row per column in input order."""
+    import datetime as dt
+
+    from door2door_etl_spark.operators.profile import profile_table
+
+    rows = [
+        (1, "aa", 1.5, dt.datetime(2022, 11, 24, 10, 0, 0)),
+        (2, "bbbb", 2.5, dt.datetime(2022, 11, 24, 12, 0, 0)),
+        (None, None, None, None),
+        (2, "aa", -1.0, dt.datetime(2022, 11, 24, 10, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "i bigint, s string, v double, t timestamp"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert [r["column"] for r in profile_table(df).collect()] == [
+        "i", "s", "v", "t"
+    ]
+
+    i = prof["i"]
+    assert (i["n_rows"], i["n_nulls"]) == (4, 1)
+    assert (i["min_num"], i["max_num"], i["avg_num"]) == (1.0, 2.0, 1.6667)
+    assert i["min_len"] is None and i["distinct_est"] is not None
+
+    s = prof["s"]
+    assert (s["min_len"], s["max_len"]) == (2, 4)
+    assert s["min_num"] is None and s["avg_num"] is None
+
+    v = prof["v"]
+    assert (v["min_num"], v["max_num"], v["avg_num"]) == (-1.0, 2.5, 1.0)
+    assert v["distinct_est"] is None  # float hashing is engine-private
+
+    t = prof["t"]
+    assert t["min_num"] == 1669284000000000.0  # 2022-11-24T10:00Z in us
+    assert t["avg_num"] is None and t["distinct_est"] is None
