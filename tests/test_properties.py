@@ -790,3 +790,49 @@ def test_token_budget_prefix_is_maximal_property(spark, lengths, budget):
         run += n
         expect[key] = run
     assert kept == expect, (lengths, budget)
+
+
+# Tiny vocab so random docs collide into shared k-grams constantly.
+_sub_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_sub_docs, k=st.integers(min_value=2, max_value=4))
+def test_substring_dedup_matches_reference(spark, docs, k):
+    """ExactSubstr on randomized tiny-vocab corpora (maximal k-gram
+    collisions, empty docs, sub-k docs) == the pure-Python reference."""
+    from door2door_etl_spark.operators.dedup import substring_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in substring_dedup(df, k=k).collect()}
+
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for did, ws in enumerate(docs):
+        for p in range(len(ws) - k + 1):
+            occ.setdefault(" ".join(ws[p:p + k]), []).append((did, p))
+    dup: dict[int, set[int]] = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for o in lst:
+                if o != first:
+                    dup.setdefault(o[0], set()).add(o[1])
+    assert len(got) == len(docs)
+    for did, ws in enumerate(docs):
+        cov = [False] * len(ws)
+        for s in dup.get(did, ()):
+            for i in range(s, min(s + k, len(ws))):
+                cov[i] = True
+        r = got[did]
+        assert (r["n_tokens"], r["n_removed"], r["clean_text"]) == (
+            len(ws),
+            sum(cov),
+            " ".join(w for w, c in zip(ws, cov) if not c),
+        ), (did, docs, k)
