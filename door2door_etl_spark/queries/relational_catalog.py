@@ -724,6 +724,79 @@ FROM events GROUP BY 1, 2
 """
 
 
+
+def q_hourly_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 dense time axis: hourly event counts with EMPTY HOURS
+    zero-filled — the gap-fill/resample every monitoring dashboard needs
+    (the reference's hourly monitor silently skips empty hours,
+    postgres.py:88-106).  The axis is one sequence+explode row from the
+    min/max bounds (driver-free), the counts join is broadcast —
+    gap-fill costs one aggregate of the base data regardless of scale."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    axis = hourly.agg(
+        F.min("hour_start").alias("_mn"), F.max("hour_start").alias("_mx")
+    ).select(
+        F.explode(
+            F.expr("sequence(_mn, _mx, interval 1 hour)")
+        ).alias("hour_start")
+    )
+    return axis.join(F.broadcast(hourly), "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+SQL_HOURLY_GAPFILL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+), axis AS (
+  SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+    AS hour_start
+  FROM hourly
+)
+SELECT hour_start, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM axis LEFT JOIN hourly ON hour_start = h
+"""
+
+
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 UNPIVOT (melt) — the inverse of tpch_conditional_pivot: three
+    per-returnflag aggregates unpivoted to (l_returnflag, metric, value)
+    rows via DataFrame.unpivot (Catalyst Expand: one pass, no join)."""
+    li = load_table(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_discount")).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    )
+
+
+SQL_UNPIVOT_LINEITEM_METRICS = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 2)
+           AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 2)
+           AS sum_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE), 2)
+           AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_hour_window_filter", q_hour_window_filter, SQL_HOUR_WINDOW_FILTER, "P1,P4", ("etl",)),
     QueryDef("etl_watermark_max", q_watermark_max, SQL_WATERMARK_MAX, "S3,A1,P5", ("etl",)),
@@ -731,6 +804,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_surrogate_key_dedup", q_surrogate_key_dedup, SQL_SURROGATE_KEY_DEDUP, "F5,A3", ("etl",)),
     QueryDef("etl_latest_event_per_user", q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER, "§2.6-window", ("etl",)),
     QueryDef("etl_hourly_rollup", q_hourly_rollup, SQL_HOURLY_ROLLUP, "§2.8-window,A2", ("etl",)),
+    QueryDef("etl_hourly_gapfill", q_hourly_gapfill, SQL_HOURLY_GAPFILL, "§2.8-window gap-fill/resample", ("etl",)),
     QueryDef("etl_union_all_recombine", q_union_all_recombine, SQL_UNION_ALL_RECOMBINE, "§2.6-setops", ("etl",)),
     QueryDef("etl_hours_without_signup_anti", q_hours_without_signup_anti, SQL_HOURS_WITHOUT_SIGNUP_ANTI, "§2.4-anti", ("etl",)),
     QueryDef("etl_error_user_activity_semi", q_error_user_activity_semi, SQL_ERROR_USER_ACTIVITY_SEMI, "§2.4-semi", ("etl",)),
@@ -751,6 +825,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("tpch_rollup_returnflag", q_rollup_returnflag, SQL_ROLLUP_RETURNFLAG, "§2.5-rollup", ("tpch",)),
     QueryDef("tpch_distinct_agg", q_distinct_agg, SQL_DISTINCT_AGG, "§2.5-distinct", ("tpch",)),
     QueryDef("tpch_conditional_pivot", q_conditional_pivot, SQL_CONDITIONAL_PIVOT, "§2.5-agg", ("tpch",)),
+    QueryDef("tpch_unpivot_lineitem_metrics", q_unpivot_lineitem_metrics, SQL_UNPIVOT_LINEITEM_METRICS, "§2.6-set-ops unpivot", ("tpch",)),
     QueryDef("tpch_nation_customer_orders", q_nation_customer_orders, SQL_NATION_CUSTOMER_ORDERS, "§2.4-join", ("tpch",)),
     QueryDef("tpch_ship_latency_histogram", q_ship_latency_histogram, SQL_SHIP_LATENCY_HISTOGRAM, "F6,§2.4-join", ("tpch",)),
     QueryDef("tpch_monthly_revenue_running_total", q_monthly_revenue_running_total, SQL_MONTHLY_REVENUE_RUNNING_TOTAL, "§2.6-window", ("tpch",)),
