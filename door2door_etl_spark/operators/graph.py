@@ -12,9 +12,13 @@ Design for 100 TB-scale graphs:
   ranks on src, re-aggregate by dst) plus one anti-join scalar for the
   dangling mass — no driver-side state beyond loop control, so a
   billion-edge graph iterates exactly like a thousand-edge one.
-- Rank vectors are persisted per iteration: ranks feed both the
-  contribution join and the dangling aggregate, and without the persist
-  the recompute tree doubles per iteration (2^t plans by iteration t).
+- Rank vectors are ``localCheckpoint``-ed per iteration, not merely
+  persisted: ranks feed both the contribution join and the dangling
+  aggregate, so the LOGICAL plan doubles per iteration, and Catalyst
+  re-analyzes the whole tree each time even when every parent is cached
+  — measured as 1.5s → 67s per iteration by iteration 6 at sf0.1 under
+  plain persist.  Checkpointing truncates the lineage so every
+  iteration plans (and runs) in constant time.
 - Determinism across engines/partitionings: per-edge products are single
   IEEE double ops; every SUM is accumulated in exact DECIMAL(38,18) and
   cast back to double — float accumulation order can never move a bit,
@@ -83,8 +87,8 @@ def pagerank(
     )
     src_nodes = trans.select(F.col("src").alias("node")).distinct()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
     )
     base = (1.0 - damping) / n
     for _ in range(iterations):
@@ -120,9 +124,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        nxt.count()
-        ranks.unpersist()
         ranks = nxt
     return ranks
