@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
         "-s", "--step", default="all",
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
-                 "purge", "history", "train-quality-filter", "curate"],
+                 "purge", "history", "train-quality-filter", "curate",
+                 "fsck"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -39,7 +40,9 @@ def main(argv: list[str] | None = None) -> int:
              "<lake-root>/models/quality_filter registry; "
              "curate runs the composed pretraining-data funnel "
              "(pipeline.curation.curate_corpus) over --source documents "
-             "and MERGEs survivors into <lake-root>/curated/documents",
+             "and MERGEs survivors into <lake-root>/curated/documents; "
+             "fsck audits manifest tables (listed files exist, orphan "
+             "debris, --deep adds a distributed footer-row-count check)",
     )
     parser.add_argument(
         "--label-token", default="dup",
@@ -80,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--budget-tokens", type=int, default=None,
         help="curate: per-source token budget (omit to keep everything)",
+    )
+    parser.add_argument(
+        "--deep", action="store_true",
+        help="fsck: verify parquet footer row counts against manifest "
+             "stats (distributed; needs a Spark session)",
     )
     parser.add_argument(
         "--table", default=None,
@@ -135,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         return _run_curate(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
-                     "history"):
+                     "history", "fsck"):
         return _run_maintenance(args)
 
     fetch_hour = (
@@ -344,6 +352,29 @@ def _run_maintenance(args) -> int:
             else:
                 hist = VersionedParquetTable(str(root)).describe_history()
                 report[root.name] = {"history": hist}
+    elif args.step == "fsck":
+        from door2door_etl_spark.io.manifest import ManifestTable
+
+        spark = built = None
+        if args.deep:
+            from pyspark.sql import SparkSession
+
+            from door2door_etl_spark.session import build_session
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                spark = built = build_session(app_name="door2door-fsck")
+        try:
+            for root in roots:
+                if is_manifest(root):
+                    report[root.name] = ManifestTable(str(root)).fsck(
+                        spark, deep=args.deep
+                    )
+                else:
+                    report[root.name] = {"skipped": "not a manifest table"}
+        finally:
+            if built is not None:
+                built.stop()
     elif args.step == "restore":
         # Rollback is metadata-only in BOTH layouts: no Spark session.
         if not args.table or args.to_version is None:

@@ -806,6 +806,118 @@ class ManifestTable:
         n = spark.read.parquet(dest).count()
         return {"version": version, "rows": n, "dest": dest}
 
+    def fsck(
+        self,
+        spark: SparkSession | None = None,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> dict:
+        """Integrity audit of a committed snapshot — the lake's ``fsck``:
+
+        **Shallow** (metadata-plane, O(listed files) HEAD-equivalent
+        probes through FsOps — bounded, driver-side like every other
+        manifest operation): every data file and DV sidecar the manifest
+        lists must exist (``file_size > 0``; a parquet/DV file is never
+        legitimately empty, and on the S3 backend a 0 answer IS the
+        missing-key answer).  Also reports ORPHANS — files under
+        ``_files/`` referenced by NO retained manifest version (crashed
+        writers' debris; what ``vacuum(gc_files=True)`` would reclaim).
+
+        **Deep** (``deep=True``, needs ``spark``): verifies each listed
+        file's parquet FOOTER row count against the manifest's recorded
+        stats — executor-side via ``mapInPandas`` over the path list
+        (pyarrow reads only the footer, never row data), so a
+        million-file table audits at cluster parallelism, not driver
+        speed.  Catches silent truncation/replacement that existence
+        checks cannot.
+
+        Returns ``{"version", "files_listed", "files_missing", "dvs_missing",
+        "orphans", "rows_mismatched", "ok"}``; ``rows_mismatched`` is
+        ``[{"file", "stat_rows", "footer_rows"}...]`` (empty when shallow).
+        """
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"{self.root} has no committed manifest")
+        man = self.manifest(version)
+        files_missing = [
+            rel
+            for rel in man["files"]
+            if self.fs.file_size(os.path.join(self.files_dir, rel)) <= 0
+        ]
+        dvs_missing = [
+            rel
+            for rel in man.get("dvs", [])
+            if self.fs.file_size(os.path.join(self.files_dir, rel)) <= 0
+        ]
+        retained = sorted(
+            v
+            for v in (
+                _parse_manifest_version(n)
+                for n in self.fs.list_names(self.manifests_dir)
+            )
+            if v is not None
+        )
+        referenced = {
+            rel
+            for v in retained
+            for m in (self.manifest(v),)
+            for rel in [*m["files"], *m.get("dvs", [])]
+        }
+        orphans = sorted(
+            rel
+            for path in self.fs.walk_files(self.files_dir)
+            for rel in (os.path.relpath(path, self.files_dir),)
+            if rel not in referenced
+        )
+        rows_mismatched: list[dict] = []
+        if deep:
+            if spark is None:
+                raise ValueError("deep fsck needs a SparkSession")
+            stats = man.get("stats") or {}
+            todo = [
+                (os.path.join(self.files_dir, rel), rel, stats[rel]["rows"])
+                for rel in man["files"]
+                if rel not in files_missing and rel in stats
+            ]
+            if todo:
+                def _footer_rows(batches):
+                    import pandas as pd
+                    import pyarrow.parquet as pq
+
+                    for pdf in batches:
+                        got = [
+                            pq.ParquetFile(p).metadata.num_rows
+                            for p in pdf["path"]
+                        ]
+                        yield pd.DataFrame(
+                            {"file": pdf["rel"], "footer_rows": got}
+                        )
+
+                paths_df = spark.createDataFrame(
+                    [(p, rel) for p, rel, _ in todo], "path string, rel string"
+                ).repartition(min(len(todo), 64))
+                footer = {
+                    r["file"]: r["footer_rows"]
+                    for r in paths_df.mapInPandas(
+                        _footer_rows, "file string, footer_rows long"
+                    ).collect()
+                }
+                rows_mismatched = [
+                    {"file": rel, "stat_rows": want, "footer_rows": footer[rel]}
+                    for _, rel, want in todo
+                    if footer.get(rel) != want
+                ]
+        return {
+            "version": version,
+            "files_listed": len(man["files"]),
+            "files_missing": files_missing,
+            "dvs_missing": dvs_missing,
+            "orphans": orphans,
+            "rows_mismatched": rows_mismatched,
+            "ok": not (files_missing or dvs_missing or rows_mismatched),
+        }
+
     def _drop_files(self, rels: list[str]) -> None:
         for rel in rels:
             self.fs.delete_file(os.path.join(self.files_dir, rel))

@@ -1271,3 +1271,82 @@ def test_export_snapshot_plain_parquet_for_external_readers(spark, tmp_path):
 
     with pytest.raises(Exception, match="already exists|EXISTS"):
         table.export_snapshot(spark, dest)
+
+
+def test_fsck_clean_missing_orphan_and_deep_rowcount(spark, tmp_path):
+    """fsck: a freshly committed table audits clean; deleting a listed
+    data file -> files_missing; planting an unreferenced file ->
+    orphans (shallow stays ok — orphans are vacuum debris, not
+    corruption); replacing a data file with a different-row parquet of
+    the same name passes the existence check but fails the deep
+    footer-row audit."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "t")
+    merge_manifest(
+        spark, root, _mk(spark, [(1, "a", "p1"), (2, "b", "p2")]), key="k"
+    )
+    table = ManifestTable(root)
+    rep = table.fsck(spark, deep=True)
+    assert rep["ok"] and rep["files_listed"] >= 1
+    assert rep["files_missing"] == [] and rep["orphans"] == []
+    assert rep["rows_mismatched"] == []
+
+    # Orphan: unreferenced debris under _files/ — flagged, but still ok.
+    stray = os.path.join(table.files_dir, "stray-debris.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"x" * 16)
+    rep = table.fsck()
+    assert rep["orphans"] == ["stray-debris.parquet"] and rep["ok"]
+    os.unlink(stray)
+
+    # Silent replacement: same name, different rows — shallow ok,
+    # deep catches it.
+    man = table.manifest(table.current_version())
+    victim = os.path.join(table.files_dir, man["files"][0])
+    spark.createDataFrame(
+        [(9, "z", "p9"), (8, "y", "p8"), (7, "x", "p7")],
+        "k int, v string, part string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "fake"))
+    part = [
+        p for p in os.listdir(str(tmp_path / "fake")) if p.endswith(".parquet")
+    ][0]
+    shutil.copyfile(str(tmp_path / "fake" / part), victim)
+    assert table.fsck()["ok"]  # existence-only audit can't see it
+    rep = table.fsck(spark, deep=True)
+    assert not rep["ok"]
+    assert rep["rows_mismatched"][0]["footer_rows"] == 3
+
+    # Hard corruption: listed file gone.
+    os.unlink(victim)
+    rep = table.fsck()
+    assert rep["files_missing"] == [man["files"][0]] and not rep["ok"]
+
+
+def test_cli_fsck_reports_per_table(spark, tmp_path, capsys):
+    """`-s fsck` audits every manifest table under the warehouse and
+    prints one JSON summary line; --deep runs the footer-row check."""
+    import json as _json
+    import os
+
+    from door2door_etl_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    root = str(lake / "warehouse" / "events_agg")
+    merge_manifest(spark, root, _mk(spark, [(1, "a", "p1")]), key="k")
+
+    rc = main(["-s", "fsck", "--lake-root", str(lake), "--deep"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep = out["tables"]["events_agg"]
+    assert rep["ok"] and rep["rows_mismatched"] == []
+
+    table = ManifestTable(root)
+    man = table.manifest(table.current_version())
+    os.unlink(os.path.join(table.files_dir, man["files"][0]))
+    rc = main(["-s", "fsck", "--lake-root", str(lake)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep = out["tables"]["events_agg"]
+    assert not rep["ok"] and rep["files_missing"] == man["files"][:1]
+    assert rc == 0
