@@ -5,12 +5,19 @@ exact-decimal means, string-length bounds, and a portable KMV
 distinct-count estimate — with a fixed, type-dispatched metric set so the
 report is engine-portable (every metric has an exact DuckDB twin).
 
-Scale design: the typed stats for ALL columns come from per-column
-single-row aggregates over one relation (map-side partial aggregation;
-the shuffle carries one row per column), and each distinct estimate is a
-k-bounded KMV (``TakeOrderedAndProject``, never a full distinct).  The
-union of C+1 one-row frames is driver-free — the report is itself a
-DataFrame.  At 100 TB, profile from persisted sketch tables instead
+Scale design — the profile costs TWO scans of the table, independent of
+column count:
+
+1. ONE aggregate pass computes every column's typed stats as prefixed
+   one-row aggregates (map-side partial aggregation; the shuffle carries
+   one row), then an ``explode`` over that single row pivots it to one
+   report row per column — no per-column scan, no driver assembly.
+2. ONE exploded pass computes ALL KMV distinct estimates: each row emits
+   a (column, deviate) pair per eligible column, and a per-column
+   windowed top-k (``WindowGroupLimit`` — k-bounded state per column on
+   every partial) feeds the ``(k-1)/u_(k)`` estimator.
+
+At 100 TB, profile from persisted sketch tables instead
 (``kmv_sketch_table`` / ``hll_register_table`` roll up without
 rescanning); this operator is the direct-pass form.
 
@@ -50,92 +57,136 @@ def profile_table(
 
     Metrics outside a column's type dispatch are NULL.  ``distinct_est``
     counts distinct NON-NULL values (both engines filter nulls before
-    hashing — null ordering under LIMIT differs across engines).
-    ``avg_num`` is the exact-decimal mean over non-null values (NULL for
-    an all-null column).
+    hashing — null ordering under LIMIT differs across engines) with the
+    plain KMV estimator ``(k-1)/u_(k)``.  ``avg_num`` is the
+    exact-decimal mean over non-null values (NULL for an all-null
+    column).  Report row order follows the input column order.
     """
-    from door2door_etl_spark.operators.sketches import kmv_distinct_estimate
+    from pyspark.sql import Window
+
+    from door2door_etl_spark.operators.sketches import uniform_hash
 
     dtypes = dict(df.dtypes)
-    out: DataFrame | None = None
-    for c in cols or df.columns:
+    names = list(cols or df.columns)
+
+    # Pass 1: every column's typed stats in ONE aggregate.
+    exprs: list = []
+    per_col: dict[str, dict[str, object]] = {}
+    for i, c in enumerate(names):
         dt = dtypes[c]
         col = F.col(c)
-        exprs = [
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_nulls"),
+        p = f"_c{i}_"
+        exprs += [
+            F.count(F.lit(1)).cast("long").alias(p + "n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(p + "n_nulls"),
         ]
-        wants_distinct = False
+        avg = F.round(
+            F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col), 4
+        )
         if dt in _INT_KINDS:
-            wants_distinct = True
             exprs += [
-                F.min(col).cast("double").alias("min_num"),
-                F.max(col).cast("double").alias("max_num"),
-                F.round(
-                    F.sum(col.cast("decimal(38,6)")).cast("double")
-                    / F.count(col),
-                    4,
-                ).alias("avg_num"),
-                _null_i().alias("min_len"),
-                _null_i().alias("max_len"),
+                F.min(col).cast("double").alias(p + "min_num"),
+                F.max(col).cast("double").alias(p + "max_num"),
+                avg.alias(p + "avg_num"),
+                _null_i().alias(p + "min_len"),
+                _null_i().alias(p + "max_len"),
             ]
+            kind = "int"
         elif dt in ("double", "float"):
             exprs += [
-                F.round(F.min(col).cast("double"), 6).alias("min_num"),
-                F.round(F.max(col).cast("double"), 6).alias("max_num"),
-                F.round(
-                    F.sum(col.cast("decimal(38,6)")).cast("double")
-                    / F.count(col),
-                    4,
-                ).alias("avg_num"),
-                _null_i().alias("min_len"),
-                _null_i().alias("max_len"),
+                F.round(F.min(col).cast("double"), 6).alias(p + "min_num"),
+                F.round(F.max(col).cast("double"), 6).alias(p + "max_num"),
+                avg.alias(p + "avg_num"),
+                _null_i().alias(p + "min_len"),
+                _null_i().alias(p + "max_len"),
             ]
+            kind = "float"
         elif dt.startswith("timestamp"):
             exprs += [
-                F.unix_micros(F.min(col)).cast("double").alias("min_num"),
-                F.unix_micros(F.max(col)).cast("double").alias("max_num"),
-                _null_d().alias("avg_num"),
-                _null_i().alias("min_len"),
-                _null_i().alias("max_len"),
+                F.unix_micros(F.min(col)).cast("double").alias(p + "min_num"),
+                F.unix_micros(F.max(col)).cast("double").alias(p + "max_num"),
+                _null_d().alias(p + "avg_num"),
+                _null_i().alias(p + "min_len"),
+                _null_i().alias(p + "max_len"),
             ]
+            kind = "timestamp"
         elif dt == "string":
-            wants_distinct = True
             exprs += [
-                _null_d().alias("min_num"),
-                _null_d().alias("max_num"),
-                _null_d().alias("avg_num"),
-                F.min(F.length(col)).cast("int").alias("min_len"),
-                F.max(F.length(col)).cast("int").alias("max_len"),
+                _null_d().alias(p + "min_num"),
+                _null_d().alias(p + "max_num"),
+                _null_d().alias(p + "avg_num"),
+                F.min(F.length(col)).cast("int").alias(p + "min_len"),
+                F.max(F.length(col)).cast("int").alias(p + "max_len"),
             ]
+            kind = "string"
         else:  # arrays/structs/binary: presence stats only
             exprs += [
-                _null_d().alias("min_num"),
-                _null_d().alias("max_num"),
-                _null_d().alias("avg_num"),
-                _null_i().alias("min_len"),
-                _null_i().alias("max_len"),
+                _null_d().alias(p + "min_num"),
+                _null_d().alias(p + "max_num"),
+                _null_d().alias(p + "avg_num"),
+                _null_i().alias(p + "min_len"),
+                _null_i().alias(p + "max_len"),
             ]
-        one = df.agg(*exprs)
-        if wants_distinct:
-            est = kmv_distinct_estimate(
-                df.filter(col.isNotNull()), c, k=k
-            ).select("est_distinct")
-            one = one.crossJoin(F.broadcast(est))
-        else:
-            one = one.withColumn("est_distinct", _null_d())
-        one = one.select(
-            F.lit(c).alias("column"),
-            F.lit(dt).alias("dtype"),
-            "n_rows",
-            "n_nulls",
-            F.col("est_distinct").alias("distinct_est"),
-            "min_num",
-            "max_num",
-            "avg_num",
-            "min_len",
-            "max_len",
+            kind = "other"
+        per_col[c] = {"prefix": p, "dtype": dt, "kind": kind, "order": i}
+    one = df.agg(*exprs)
+    metrics = ["n_rows", "n_nulls", "min_num", "max_num", "avg_num",
+               "min_len", "max_len"]
+    report = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(per_col[c]["order"]).alias("_ord"),
+                        F.lit(c).alias("column"),
+                        F.lit(per_col[c]["dtype"]).alias("dtype"),
+                        *[
+                            F.col(str(per_col[c]["prefix"]) + m).alias(m)
+                            for m in metrics
+                        ],
+                    )
+                    for c in names
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    # Pass 2: all KMV distinct estimates from one exploded scan.
+    eligible = [c for c in names if per_col[c]["kind"] in ("int", "string")]
+    if eligible:
+        pairs = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                uniform_hash(F.col(c), "kmv").alias("u"),
+                            )
+                            for c in eligible
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select("x.column", "x.u")
+            .filter(F.col("u").isNotNull())
+            .dropDuplicates(["column", "u"])
         )
-        out = one if out is None else out.unionByName(one)
-    assert out is not None, "no columns to profile"
-    return out
+        w = Window.partitionBy("column").orderBy("u")
+        ests = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .groupBy("column")
+            .agg(
+                F.round(F.lit(float(k - 1)) / F.max("u"), 4).alias(
+                    "distinct_est"
+                )
+            )
+        )
+        report = report.join(F.broadcast(ests), "column", "left")
+    else:
+        report = report.withColumn("distinct_est", _null_d())
+    return report.orderBy("_ord").select(
+        "column", "dtype", "n_rows", "n_nulls", "distinct_est",
+        "min_num", "max_num", "avg_num", "min_len", "max_len",
+    )
