@@ -984,3 +984,129 @@ def stream_aggview_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(
+    docs_stream: DataFrame,
+    index,
+    lake_root: str,
+    checkpoint_dir: str,
+    *,
+    langs: tuple[str, ...] | None = ("en",),
+    gopher: bool = True,
+    min_words: int = 30,
+):
+    """Streaming curation funnel — the continuous-ingest twin of
+    :func:`door2door_etl_spark.pipeline.curation.curate_corpus`, landing
+    survivors in the SAME curated lake table the batch CLI step writes
+    (``<lake_root>/curated/documents``), so a batch bootstrap and a
+    continuous top-up compose.
+
+    Per micro-batch: normalize → language-id → Gopher quality rules (all
+    map-side column expressions, zero shuffle) → near-duplicate ADMISSION
+    against a self-updating
+    :class:`~door2door_etl_spark.operators.dedup.ManifestLshBandIndex`
+    (exact duplicates collide in every band, so a separate exact-digest
+    stage is redundant here — admission subsumes it) → MERGE-upsert into
+    the curated versioned table.
+
+    Replay safety, layered end to end (foreachBatch is at-least-once):
+
+    * the admission stage reuses :func:`stream_manifest_lsh_admission`'s
+      run-id-namespaced batch tags, so a true replay re-emits this
+      batch's own prior admissions while an upstream RE-publish of an
+      earlier batch's admission drops as an exact duplicate;
+    * the lake landing is a keyed MERGE (idempotent — replaying a batch
+      upserts the same rows onto themselves);
+    * the per-batch funnel report is an overwrite of
+      ``<lake_root>/curated/funnel_stream/batch_id=N`` — recomputed
+      deterministically on replay, so it converges too.
+
+    The stage semantics (thresholds, filter expressions, admission rule)
+    are byte-identical to the batch operators — parity is pinned by
+    ``test_stream_curate_matches_sequential_batch_admission``.
+    """
+    import os as _os
+
+    from door2door_etl_spark.io.versioned import merge_versioned
+    from door2door_etl_spark.operators.text import (
+        gopher_quality_flags,
+        normalize_text,
+        predict_language,
+    )
+
+    id_col, text_col = index.id_col, index.text_col
+    run_id = _admission_run_id(checkpoint_dir)
+    docs_root = _os.path.join(lake_root, "curated", "documents")
+    funnel_root = _os.path.join(lake_root, "curated", "funnel_stream")
+
+    def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stages: list[tuple[str, int, int]] = []
+        cur = batch_df.localCheckpoint(eager=True)
+        n_cur = cur.count()
+
+        def advance(name: str, nxt: DataFrame) -> None:
+            nonlocal cur, n_cur
+            nxt = nxt.localCheckpoint(eager=True)
+            n_nxt = nxt.count()
+            stages.append((name, n_cur, n_nxt))
+            cur, n_cur = nxt, n_nxt
+
+        advance("normalize", normalize_text(cur, text_col, out_col=text_col))
+        if langs is not None:
+            advance(
+                "language_id",
+                cur.filter(predict_language(F.col(text_col)).isin(*langs)),
+            )
+        if gopher:
+            flagged = gopher_quality_flags(cur, text_col, min_words=min_words)
+            advance(
+                "quality_rules",
+                flagged.filter(F.col("keep")).drop(
+                    "word_count", "mean_word_len", "alpha_frac",
+                    "stop_hits", "keep",
+                ),
+            )
+
+        # Near-dup admission with the shared replay-vs-redelivery rule.
+        tag = f"{run_id}:{batch_id}"
+        ids = index.admitted_ids(with_tags=True)
+        own = ids.filter(F.col("admit_tag") == tag).select(id_col)
+        other = ids.filter(
+            (F.col("admit_tag") != tag) | F.col("admit_tag").isNull()
+        ).select(id_col)
+        seen = cur.join(own, id_col, "left_semi")
+        new = (
+            cur.join(own, id_col, "left_anti")
+            .join(other, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            kept = seen
+        else:
+            kept = seen.unionByName(index.admit(new, tag=tag))
+        kept = kept.localCheckpoint(eager=True)
+        n_kept = kept.count()
+        stages.append(("near_dedup_admission", n_cur, n_kept))
+
+        if n_kept:
+            merge_versioned(spark, docs_root, kept, key=id_col)
+        funnel = spark.createDataFrame(
+            [
+                (run_id, batch_id, i, s, a, b)
+                for i, (s, a, b) in enumerate(stages)
+            ],
+            schema="run_id string, batch_id long, stage_idx int, "
+                   "stage string, docs_in long, docs_out long",
+        )
+        funnel.write.mode("overwrite").parquet(
+            f"{funnel_root}/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(curate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1106,3 +1106,133 @@ def test_stream_aggview_maintenance_tracks_commits(spark, tmp_path):
     q.awaitTermination(120)
     parity()
     assert {r["grp"] for r in view.read(spark).collect()} == {"x"}
+
+
+def test_stream_curate_matches_sequential_batch_admission(spark, tmp_path):
+    """stream_curate is the continuous twin of the batch funnel: per
+    micro-batch normalize -> langid -> Gopher -> LSH admission -> MERGE
+    into the curated lake.  Pins (a) stage semantics parity — replaying
+    the same day-batches through the BATCH operators (filters +
+    ManifestLshBandIndex.admit) yields the same curated set and the same
+    index state; (b) replay safety — crash-replaying the last batch
+    leaves the curated table's content unchanged; (c) the per-batch
+    funnel report."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+    from door2door_etl_spark.operators.dedup import ManifestLshBandIndex
+    from door2door_etl_spark.operators.text import (
+        gopher_quality_flags,
+        normalize_text,
+        predict_language,
+    )
+    from door2door_etl_spark.streaming import stream_curate
+
+    seed = Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today")
+    idx = ManifestLshBandIndex(spark, str(tmp_path / "lshidx"))
+    idx.build(spark.createDataFrame([seed]))
+    idx2 = ManifestLshBandIndex(spark, str(tmp_path / "lshidx2"))
+    idx2.build(spark.createDataFrame([seed]))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    good_a = ("the quick brown fox jumps over a lazy dog and runs to "
+              "the old forest today")
+    good_b = ("a small bird sits on the fence and sings of the bright "
+              "morning to everyone")
+    good_c = ("the river flows past a quiet village and carries many "
+              "boats to the distant sea")
+    day1 = [
+        {"doc_id": 10, "text": "der hund und die katze ist nicht da heute"},
+        {"doc_id": 11, "text": "the cat and dog"},
+        {"doc_id": 12, "text": good_a},
+        {"doc_id": 13, "text": good_a},        # intra-batch dup, min-id wins
+        {"doc_id": 14, "text": good_b},
+    ]
+    day2 = [
+        {"doc_id": 20, "text": good_a},        # collides with 12 via index
+        {"doc_id": 21, "text": good_c},        # novel -> admitted
+        {"doc_id": 12, "text": good_a},        # re-publish of an admission
+    ]
+
+    def write_day(name, rows):
+        import json as _json
+
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = stream_curate(stream, idx, lake, ckpt, min_words=5)
+        q.awaitTermination()
+        q.stop()
+
+    table = VersionedParquetTable(os.path.join(lake, "curated", "documents"))
+
+    def curated_ids():
+        return {r["doc_id"] for r in table.read(spark).collect()}
+
+    write_day("day1.json", day1)
+    run()
+    assert curated_ids() == {12, 14}
+    funnel0 = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in spark.read.parquet(
+            os.path.join(lake, "curated", "funnel_stream", "batch_id=0")
+        ).collect()
+    }
+    assert funnel0 == {
+        "normalize": (5, 5),
+        "language_id": (5, 4),
+        "quality_rules": (4, 3),
+        "near_dedup_admission": (3, 2),
+    }
+
+    write_day("day2.json", day2)
+    run()
+    assert curated_ids() == {12, 14, 21}
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 12, 14, 21}
+
+    # Crash-replay of the last batch: content converges (MERGE is keyed,
+    # admission tags re-emit this batch's own admissions).
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert curated_ids() == {12, 14, 21}
+    assert {r[0] for r in idx.admitted_ids().collect()} == {1, 12, 14, 21}
+
+    # Parity: the same day-batches through the BATCH-mode operators.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    batch_kept: set[int] = set()
+    for rows in (day1, day2):
+        b = spark.createDataFrame(
+            [Row(**r) for r in rows], schema="doc_id long, text string"
+        )
+        b = normalize_text(b, "text", out_col="text")
+        b = b.filter(predict_language(F.col("text")).isin("en"))
+        flagged = gopher_quality_flags(b, "text", min_words=5)
+        b = flagged.filter(F.col("keep")).drop(
+            "word_count", "mean_word_len", "alpha_frac", "stop_hits", "keep"
+        )
+        # drop re-publishes of already-admitted ids (the stream's
+        # exact-duplicate re-delivery rule), then admit the rest
+        b = b.join(idx2.admitted_ids(), "doc_id", "left_anti")
+        batch_kept |= {r["doc_id"] for r in idx2.admit(b).collect()}
+    assert batch_kept == curated_ids()
+    assert (
+        {r[0] for r in idx2.admitted_ids().collect()}
+        == {r[0] for r in idx.admitted_ids().collect()}
+    )
