@@ -135,6 +135,68 @@ def _man_stats_cols(man: dict) -> list[str]:
     return [c] if c else []
 
 
+# ---------------------------------------------------------------------------
+# File-level Bloom filters — point-lookup skipping where min/max can't.
+#
+# A stats column declared as ``bloom:<name>`` stores, per data file, a
+# small Bloom bitmap of the column's distinct values instead of a min/max
+# range.  Ranges prune range scans but are useless for point lookups on
+# high-cardinality unsorted keys (every file's [min, max] spans the whole
+# key space); the bloom answers "does this file possibly contain key K"
+# with zero false negatives, so an equality predicate in ``read_where``
+# skips every file whose bitmap lacks any of the key's k bit positions.
+# Delta/Iceberg ship the same idea as optional bloom index files; here
+# the bitmap lives inline in the manifest entry (m=4096 bits -> 512 bytes
+# -> 1 KiB hex per file per column, bounded metadata).
+#
+# The hash family is the repo's portable 52-bit sha256 hash with the
+# ``bloom{j}`` salts — bit-identical to operators/sketches.bloom_bit_table
+# (same value-to-string casting for int/string keys), so an external
+# engine, or the sketch family itself, can reproduce the positions.
+# Declared bloom columns should be string/integer key columns (floats
+# have no canonical cross-engine string form).
+# ---------------------------------------------------------------------------
+
+_BLOOM_PREFIX = "bloom:"
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_SALT = "bloom"  # operators/sketches bloom family salt
+
+
+def _split_stats_decl(cols: list[str]) -> tuple[list[str], list[str]]:
+    """Split a normalized stats declaration into (range cols, bloom cols)."""
+    plain = [c for c in cols if not c.startswith(_BLOOM_PREFIX)]
+    bloom = [c[len(_BLOOM_PREFIX):] for c in cols if c.startswith(_BLOOM_PREFIX)]
+    return plain, bloom
+
+
+def _bloom_hash52(value, salt: str) -> int:
+    """Driver-Python twin of operators/sketches._h52: sha256 of
+    (str(value) + salt), first 13 hex digits as an integer."""
+    import hashlib
+
+    return int(
+        hashlib.sha256((str(value) + salt).encode("utf-8")).hexdigest()[:13],
+        16,
+    )
+
+
+def _bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    return [_bloom_hash52(value, f"{_BLOOM_SALT}{j}") % m for j in range(k)]
+
+
+def _bloom_maybe_contains(b: dict, value) -> bool:
+    """Membership test against one per-file bloom entry — False means the
+    file DEFINITELY does not contain ``value``."""
+    raw = bytes.fromhex(b["hex"])
+    m, k = int(b.get("m", _BLOOM_M)), int(b.get("k", _BLOOM_K))
+    for j in range(k):
+        pos = _bloom_hash52(value, f"{_BLOOM_SALT}{j}") % m
+        if not (raw[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _col_range(entry: dict, col: str, man_cols: list[str]):
     """``(min, max)`` for ``col`` from one per-file stats entry, or None
     when no safe bound exists.  Handles both entry formats: the current
@@ -157,13 +219,34 @@ def _file_stats(path: str, stats_cols=None) -> dict:
     the parquet FOOTER (no data read): row-group statistics aggregated
     across groups.  A column with non-JSON stat types (timestamps,
     decimals, binary) or any opaque row group is omitted — pruning then
-    conservatively keeps the file for predicates on it."""
+    conservatively keeps the file for predicates on it.
+
+    ``bloom:<name>`` declarations additionally store a per-file Bloom
+    bitmap of the column's distinct values (see the bloom block above) —
+    the one stats flavor that DOES read data (one column of the file
+    being committed, the standard price of skipping metadata beyond the
+    footer; the file is still local/staged at this point)."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
     out: dict = {"rows": meta.num_rows, "cols": {}}
     by_path = {meta.schema.column(i).path: i for i in range(len(meta.schema))}
-    for col in _norm_stats_cols(stats_cols):
+    range_cols, bloom_cols = _split_stats_decl(_norm_stats_cols(stats_cols))
+    present_blooms = [c for c in bloom_cols if c in by_path]
+    if present_blooms:
+        tbl = pf.read(columns=present_blooms)
+        blooms: dict = {}
+        for c in present_blooms:
+            bits = bytearray(_BLOOM_M >> 3)
+            vals = set(tbl.column(c).to_pylist())
+            vals.discard(None)
+            for v in vals:
+                for pos in _bloom_positions(v):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            blooms[c] = {"m": _BLOOM_M, "k": _BLOOM_K, "hex": bits.hex()}
+        out["blooms"] = blooms
+    for col in range_cols:
         col_idx = by_path.get(col)
         if col_idx is None:
             continue
@@ -674,12 +757,17 @@ class ManifestTable:
 
     @staticmethod
     def _stats_cols(man: dict) -> list[str]:
-        return _man_stats_cols(man)
+        # Range defaults must skip bloom declarations: "bloom:<c>" is a
+        # stats flavor, not a data column a residual filter could touch.
+        return _split_stats_decl(_man_stats_cols(man))[0]
 
     def _prune(self, man: dict, preds: dict) -> list[str]:
         """Files surviving EVERY predicate's overlap test — per-column
         intersection, each unknown range keeping the file for that
-        predicate only."""
+        predicate only.  An EQUALITY predicate (``lo == hi``) on a column
+        with a committed ``bloom:<col>`` declaration additionally runs
+        the Bloom membership test — zero false negatives, so a skipped
+        file provably lacks the key."""
         stats = man.get("stats", {})
         man_cols = _man_stats_cols(man)
 
@@ -693,6 +781,10 @@ class ManifestTable:
                 r = _col_range(s, c, man_cols)
                 if r is not None and (r[1] < lo or r[0] > hi):
                     return False
+                if lo == hi and lo is not None:
+                    b = (s.get("blooms") or {}).get(c)
+                    if b and not _bloom_maybe_contains(b, lo):
+                        return False
             return True
 
         return [rel for rel in man["files"] if keep(rel)]
@@ -712,7 +804,7 @@ class ManifestTable:
             if version is None:
                 raise ValueError(f"{self.root} has no committed manifest")
         if col is None:
-            cols = _man_stats_cols(self.manifest(version))
+            cols = self._stats_cols(self.manifest(version))
             if not cols:
                 raise ValueError(
                     f"{self.root} v{version} carries no stats columns; "
@@ -729,7 +821,10 @@ class ManifestTable:
         multi-predicate data skipping (the common time + key lookup
         prunes on both), residual row filters applied on top (stats prune
         files, not rows).  Predicates on columns without stats scan
-        conservatively and filter row-wise."""
+        conservatively and filter row-wise.  An equality predicate
+        (``lo == hi``) on a ``bloom:<col>``-declared column also skips
+        every file whose Bloom bitmap excludes the key — the point-lookup
+        pruning min/max can't do on high-cardinality unsorted keys."""
         from pyspark.sql import functions as F
 
         if version is None:

@@ -895,7 +895,47 @@ def _sql_profile_events() -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookups served through the manifest lake's file-level BLOOM
+    skipping (io.manifest ``bloom:<col>`` stats): documents land as
+    hash-distributed files — every file's [min, max] doc_id range spans
+    the whole key space, so range stats can never skip — and each
+    equality ``read_where`` consults the per-file bitmaps, scanning only
+    the files whose Bloom possibly holds the key (zero false negatives;
+    pruning behavior pinned in tests/test_manifest.py).  The oracle reads
+    the raw table, so a hash match proves the bloom path loses no rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.manifest import ManifestTable, append_manifest
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "source")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    root = os.path.join(tempfile.gettempdir(), "ns_bloom_lookup_tbl")
+    shutil.rmtree(root, ignore_errors=True)
+    append_manifest(
+        spark, root, docs.repartition(8), stats_col=["bloom:doc_id"]
+    )
+    table = ManifestTable(root)
+    keys = [lo, lo + 17, hi]
+    out = table.read_where(spark, {"doc_id": (keys[0], keys[0])})
+    for k in keys[1:]:
+        out = out.unionByName(table.read_where(spark, {"doc_id": (k, k)}))
+    return out.orderBy("doc_id")
+
+
+SQL_BLOOM_POINT_LOOKUP = """
+WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d, b
+WHERE d.doc_id IN (b.lo, b.lo + 17, b.hi)
+ORDER BY d.doc_id
+"""
+
+
 ADVANCED_QUERIES: list[QueryDef] = [
+    QueryDef("ns_bloom_point_lookup", q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP, "lakehouse bloom-index point lookup (file skipping)", ("northstar", "lakehouse")),
     QueryDef("ns_cdc_agg_view", q_cdc_agg_view, SQL_CDC_AGG_VIEW, "lakehouse CDC + incremental view maintenance (counting algorithm)", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),

@@ -1350,3 +1350,98 @@ def test_cli_fsck_reports_per_table(spark, tmp_path, capsys):
     rep = out["tables"]["events_agg"]
     assert not rep["ok"] and rep["files_missing"] == man["files"][:1]
     assert rc == 0
+
+
+def test_bloom_stats_point_lookup_pruning(spark, tmp_path):
+    """``bloom:<col>`` stats: per-file Bloom bitmaps prune EQUALITY
+    lookups on a high-cardinality unsorted key where min/max ranges
+    cannot (every file's range spans the key space).  Pins the zero
+    false-negative guarantee over every committed key, compaction
+    recompute, the sketches-family bit parity, and conservative behavior
+    for range predicates on the same column."""
+    from door2door_etl_spark.io.manifest import (
+        _bloom_positions,
+        append_manifest,
+        compact_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    # 4 files; doc keys interleave so every file's [min, max] covers the
+    # whole space -> range stats alone can never skip a file.
+    batches = {
+        i: [f"doc-{j:04d}" for j in range(i, 400, 4)] for i in range(4)
+    }
+    for i, keys in batches.items():
+        batch = spark.createDataFrame(
+            [(k, i) for k in keys], "doc_key string, src int"
+        ).coalesce(1)
+        append_manifest(
+            spark, root, batch,
+            stats_col=["src", "bloom:doc_key"], vacuum_keep=99,
+        )
+    table = ManifestTable(root)
+    man = table.manifest(table.current_version())
+    assert man["stats_cols"] == ["src", "bloom:doc_key"]
+    assert len(man["files"]) == 4
+    for s in man["stats"].values():
+        b = s["blooms"]["doc_key"]
+        assert b["m"] == 4096 and b["k"] == 3 and len(b["hex"]) == 1024
+
+    # Zero false negatives: every committed key's owning file survives,
+    # and the lookup row comes back.
+    rel_of = {}
+    for rel, s in man["stats"].items():
+        rel_of[rel] = s
+    for i, keys in batches.items():
+        for k in (keys[0], keys[len(keys) // 2], keys[-1]):
+            kept = table._prune(man, {"doc_key": (k, k)})
+            got = table.read_where(spark, {"doc_key": (k, k)}).collect()
+            assert [(r["doc_key"], r["src"]) for r in got] == [(k, i)]
+            # bloom skipping beat the 4-file full scan
+            assert 1 <= len(kept) < 4
+
+    # An absent key prunes everything (no false negative risk the other
+    # way: absent may false-positive, but at 100 keys / 4096 bits the
+    # test keys come back empty).
+    assert table._prune(man, {"doc_key": ("doc-9999", "doc-9999")}) == []
+    assert table.read_where(
+        spark, {"doc_key": ("doc-9999", "doc-9999")}
+    ).count() == 0
+
+    # A RANGE predicate on the bloom column cannot use the bitmap and
+    # keeps all files (no range stats for it either).
+    assert len(
+        table._prune(man, {"doc_key": ("doc-0000", "doc-0399")})
+    ) == 4
+    # Conjunction with the range column still intersects.
+    k = batches[2][0]
+    assert len(table._prune(man, {"doc_key": (k, k), "src": (3, 3)})) <= 1
+
+    # Bit parity with the portable sketches bloom family (same hash,
+    # same salts, same m/k contract).
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.operators.sketches import bloom_bit_table
+
+    vals = ["doc-0000", "doc-0101", "doc-0202"]
+    df = spark.createDataFrame([(v,) for v in vals], "doc_key string")
+    expected = {
+        int(r["bit"])
+        for r in bloom_bit_table(
+            df.withColumn("g", F.lit(1)), ["g"], "doc_key", m=4096, k=3
+        ).collect()
+    }
+    got_bits = set()
+    for v in vals:
+        got_bits.update(_bloom_positions(v, m=4096, k=3))
+    assert got_bits == expected
+
+    # Compaction rewrites files and RECOMPUTES blooms: lookups still
+    # exact afterwards, and the new entries carry bitmaps.
+    compact_manifest(spark, root, target_file_mb=1)
+    man2 = table.manifest(table.current_version())
+    assert all("blooms" in s for s in man2["stats"].values())
+    k = batches[1][3]
+    got = table.read_where(spark, {"doc_key": (k, k)}).collect()
+    assert [(r["doc_key"], r["src"]) for r in got] == [(k, 1)]
+    assert table._prune(man2, {"doc_key": ("doc-9999", "doc-9999")}) == []
