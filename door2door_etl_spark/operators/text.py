@@ -1200,3 +1200,81 @@ def winnow_fingerprints(
         F.col("pos") <= F.col("_nw")
     )
     return wins.select(id_col, "fp").distinct()
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, the Okapi
+    formulation with the +1-inside-the-log IDF that keeps scores
+    non-negative): top-``k`` documents for a bag-of-terms query.
+
+    Scale shape for a 100 TB corpus and a bounded query:
+
+    * document length comes from ``size(tokens)`` map-side — no explode
+      needed for ``|d|``;
+    * the exploded token stream is filtered to the query's terms BEFORE
+      any aggregation, so the only shuffled relation is
+      (matching doc, query term) — O(postings of the query), never the
+      corpus token stream;
+    * per-term document frequencies are an aggregate of that same
+      filtered relation, joined back BROADCAST (<= |query| rows), and
+      the corpus-level N / avgdl scalars ride one broadcast row;
+    * the final ranking is ``ORDER BY score LIMIT k`` —
+      TakeOrderedAndProject, never a full sort.
+
+    Scores are rounded to 6 decimals BEFORE ranking with ``id_col`` as
+    the tie-break, so the top-k set is bit-stable across engines (the
+    catalog oracle reproduces it in DuckDB from the shared tokenizer
+    contract).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query")
+    toks = tokens(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(*query_terms))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -451,6 +451,47 @@ SELECT doc_id, token AS top_token, tfidf FROM ranked WHERE rk = 1
 """
 
 
+BM25_QUERY = ["window", "vector", "stream"]
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents corpus (operators.text
+    .bm25_topk): postings filtered to the query's terms before any
+    shuffle, doc-frequency and corpus scalars broadcast, final ranking a
+    TakeOrderedAndProject — classic IR serving re-expressed Spark-first."""
+    from door2door_etl_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, BM25_QUERY, k=10)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+SQL_BM25_TOPK = f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(w), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 SQL_FRONTEND_DIALECT_NEUTRAL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*) AS n_events,
@@ -950,6 +991,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),
     QueryDef("rel_rolling_7d_user_value", q_rolling_7d_user_value, SQL_ROLLING_7D_USER_VALUE, "§2.6-window-range", ("rel", "advanced")),
     QueryDef("ns_tfidf_top_term", q_tfidf_top_term, SQL_TFIDF_TOP_TERM, "north-star text/tfidf", ("northstar", "text")),
+    QueryDef("ns_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, "north-star text/bm25 ranked retrieval (Robertson-Zaragoza)", ("northstar", "text")),
     QueryDef("etl_sliding_window_counts", q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS, "§2.8-sliding-window", ("etl", "advanced")),
     QueryDef("etl_session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG, "§2.8-session-window", ("etl", "advanced")),
     QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),

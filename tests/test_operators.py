@@ -2994,3 +2994,71 @@ def test_profile_table_typed_dispatch_and_nulls(spark):
     t = prof["t"]
     assert t["min_num"] == 1669284000000000.0  # 2022-11-24T10:00Z in us
     assert t["avg_num"] is None and t["distinct_est"] is None
+
+
+def test_bm25_topk_matches_pure_python_reference(spark):
+    """bm25_topk vs an independent pure-Python BM25 (same tokenizer
+    contract, Robertson-Zaragoza +1-in-log IDF): identical ranking and
+    6-decimal scores on a corpus with repeated terms, varying doc
+    lengths, a term absent from the corpus, and a tie broken by doc_id.
+    Plan: broadcast df join + TakeOrderedAndProject, no global sort."""
+    import math
+    import re
+
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark shuffle join shuffle spark spark",
+        2: "window agg window filter scan",
+        3: "spark window spark window spark window spark window",
+        4: "scan scan scan scan scan scan scan scan scan scan scan scan",
+        5: "join filter",
+        6: "spark shuffle join shuffle spark spark",  # exact dup of 1 -> tie
+    }
+    query = ["spark", "window", "quantum"]  # quantum: df = 0
+    k1, b = 1.2, 0.75
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    n = len(corpus)
+    avgdl = sum(len(toks(t)) for t in corpus.values()) / n
+    df_t = {
+        q: sum(1 for t in corpus.values() if q in toks(t)) for q in query
+    }
+    expected = {}
+    for d, t in corpus.items():
+        tk = toks(t)
+        s = 0.0
+        for q in query:
+            tf = tk.count(q)
+            if tf == 0 or df_t[q] == 0:
+                continue
+            idf = math.log(1.0 + (n - df_t[q] + 0.5) / (df_t[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl)
+            )
+        if s > 0:
+            expected[d] = round(s, 6)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in corpus.items()]
+    )
+    out = bm25_topk(df, query, k=4)
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == [(d, s) for d, s in want], (got, want)
+    # the duplicate pair ties and breaks by doc_id
+    tied = [d for d, s in got if s == got[0][1]]
+    assert tied == sorted(tied)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
