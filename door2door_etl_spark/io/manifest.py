@@ -1840,6 +1840,9 @@ def compact_manifest(
     fs: FsOps | None = None,
     sort_by: list[str] | None = None,
     transform=None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
+    target_files: int | None = None,
 ) -> int:
     """Rewrite the current manifest snapshot into ~``target_file_mb``
     files as a NEW committed version; returns the new file count — the
@@ -1860,14 +1863,28 @@ def compact_manifest(
     merge — a merge landing mid-compaction wins the version and the
     compaction recomputes over the merged data.
 
-    ``sort_by`` is CLUSTERED compaction (Delta's ``OPTIMIZE ... ZORDER``
-    little sibling): one range shuffle + in-partition sort, so the output
-    files carry DISJOINT ranges of the sort key and the manifest's
-    min/max stats make :meth:`ManifestTable.prune_files` precise — a
-    point lookup after clustering touches one file.  For multi-column
-    locality compose with the Morton-code column from
-    ``io.writers.write_zorder_parquet``'s interleave expressions.
+    ``sort_by`` is CLUSTERED compaction: one range shuffle + in-partition
+    sort, so the output files carry DISJOINT ranges of the sort key and
+    the manifest's min/max stats make :meth:`ManifestTable.prune_files`
+    precise — a point lookup after clustering touches one file.
+
+    ``zorder_by`` is the multi-column sibling (Delta's ``OPTIMIZE ...
+    ZORDER BY`` as a manifest commit): rows are range-shuffled along the
+    Morton curve over the listed columns
+    (:func:`door2door_etl_spark.io.writers.with_zorder_code`), so EVERY
+    listed dimension gets partial per-file locality — predicates on any
+    one of them prune a real fraction of files, where a linear sort
+    prunes only its prefix column (trade pinned by
+    ``test_compact_zorder_multi_dim_pruning``).  Mutually exclusive with
+    ``sort_by``.
+
+    ``target_files`` overrides the size-based output file count (the
+    deterministic layout knob for tests and for engines that size by
+    parallelism rather than bytes); ignored for partitioned tables,
+    whose layout follows the partition/range shuffle.
     """
+    if sort_by and zorder_by:
+        raise ValueError("compact_manifest: sort_by and zorder_by are exclusive")
     table = ManifestTable(root, fs=fs) if fs is not None else ManifestTable(root)
     for _attempt in range(max_retries):
         base = table.current_version()
@@ -1881,8 +1898,16 @@ def compact_manifest(
         staging = os.path.join(table.root, f".staging.{uuid.uuid4().hex}")
         new_rels: list[str] = []
         try:
+            if zorder_by:
+                from door2door_etl_spark.io.writers import with_zorder_code
+
+                df = with_zorder_code(df, zorder_by, zorder_bits)
             if pcols:
-                if sort_by:
+                if zorder_by:
+                    shaped = df.repartitionByRange(
+                        *pcols, "_zorder"
+                    ).sortWithinPartitions(*pcols, "_zorder").drop("_zorder")
+                elif sort_by:
                     # Range shuffle over (partition cols, cluster key):
                     # clustering parallelism is NOT bounded by the number
                     # of partition values (repartition(*pcols) would put
@@ -1899,8 +1924,17 @@ def compact_manifest(
                     table.fs.file_size(os.path.join(table.files_dir, rel))
                     for rel in man["files"]
                 )
-                n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-                if sort_by:
+                n_target = target_files or max(
+                    1, round(total_bytes / (target_file_mb * 1024 * 1024))
+                )
+                if zorder_by:
+                    # Range shuffle along the Morton curve: each output
+                    # file covers a disjoint curve segment -> partial
+                    # min/max locality on EVERY z-ordered column.
+                    shaped = df.repartitionByRange(
+                        n_target, "_zorder"
+                    ).sortWithinPartitions("_zorder").drop("_zorder")
+                elif sort_by:
                     # Range shuffle on the cluster key: output files carry
                     # disjoint key ranges -> precise stats pruning.
                     shaped = df.repartitionByRange(

@@ -498,6 +498,27 @@ def write_zorder_parquet(
     At 100 TB this is the difference between "secondary-key scans read the
     whole table" and "any indexed dimension reads ~1/files_count of it".
     """
+    out = with_zorder_code(df, cols, bits)
+    ranged = (
+        out.repartitionByRange(target_partitions, F.col("_zorder"))
+        if target_partitions
+        else out.repartitionByRange(F.col("_zorder"))
+    )
+    (
+        ranged.sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def with_zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """``df`` plus a ``_zorder`` Morton-code column over ``cols`` — the
+    interleave stage of :func:`write_zorder_parquet`, exposed so other
+    layouts (manifest clustered compaction, bucketing experiments) can
+    range-shuffle on the same curve.  Pure shift/mask/or expressions over
+    equal-width ``bits``-bit buckets between each column's global min and
+    max (one broadcast scalar agg); no UDF, two stages total."""
     k = len(cols)
     if k < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_sorted_parquet")
@@ -531,18 +552,7 @@ def write_zorder_parquet(
         for j, c in enumerate(cols):
             bit = F.shiftright(F.col(f"_zb_{c}"), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
-    out = out.withColumn("_zorder", z)
-    ranged = (
-        out.repartitionByRange(target_partitions, F.col("_zorder"))
-        if target_partitions
-        else out.repartitionByRange(F.col("_zorder"))
-    )
-    (
-        ranged.sortWithinPartitions("_zorder")
-        .drop("_zorder", *[f"_zb_{c}" for c in cols])
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    return out.withColumn("_zorder", z).drop(*[f"_zb_{c}" for c in cols])
 
 
 def write_sorted_parquet(

@@ -1445,3 +1445,58 @@ def test_bloom_stats_point_lookup_pruning(spark, tmp_path):
     got = table.read_where(spark, {"doc_key": (k, k)}).collect()
     assert [(r["doc_key"], r["src"]) for r in got] == [(k, 1)]
     assert table._prune(man2, {"doc_key": ("doc-9999", "doc-9999")}) == []
+
+
+def test_compact_zorder_multi_dim_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER as a manifest commit: after z-order compaction a
+    predicate on EITHER dimension prunes a real fraction of files, where
+    linear-sort compaction prunes only its prefix column; rows survive
+    byte-identical and the exclusive-args guard holds."""
+    import pytest as _pytest
+
+    from door2door_etl_spark.io.manifest import append_manifest, compact_manifest
+
+    root = str(tmp_path / "tbl")
+    grid = [(x, y, x * 100 + y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(grid, "x int, y int, payload int")
+    append_manifest(spark, root, df, stats_col=["x", "y"], vacuum_keep=99)
+    table = ManifestTable(root)
+
+    with _pytest.raises(ValueError):
+        compact_manifest(spark, root, sort_by=["x"], zorder_by=["x", "y"])
+
+    # Linear sort on x: 16 files of disjoint x ranges; y spans everywhere.
+    compact_manifest(spark, root, sort_by=["x"], target_files=16,
+                     vacuum_keep=99)
+    man_lin = table.manifest(table.current_version())
+    n_lin = len(man_lin["files"])
+    assert n_lin >= 8
+    lin_x = len(table._prune(man_lin, {"x": (3, 4)}))
+    lin_y = len(table._prune(man_lin, {"y": (3, 4)}))
+    assert lin_x <= max(2, n_lin // 4)   # prefix column prunes hard
+    assert lin_y == n_lin                # secondary column: no pruning
+
+    # Z-order on (x, y): BOTH dimensions prune.
+    compact_manifest(spark, root, zorder_by=["x", "y"], target_files=16,
+                     vacuum_keep=99)
+    man_z = table.manifest(table.current_version())
+    n_z = len(man_z["files"])
+    assert n_z >= 8
+    z_x = len(table._prune(man_z, {"x": (3, 4)}))
+    z_y = len(table._prune(man_z, {"y": (3, 4)}))
+    assert z_x <= n_z // 2, (z_x, n_z)
+    assert z_y <= n_z // 2, (z_y, n_z)
+    # the conjunction (point-ish lookup) touches a small corner
+    z_pt = len(table._prune(man_z, {"x": (3, 4), "y": (3, 4)}))
+    assert z_pt <= max(2, n_z // 4), (z_pt, n_z)
+
+    # content unchanged by either rewrite, and read_where stays exact
+    got = sorted(
+        (r["x"], r["y"], r["payload"])
+        for r in table.read(spark).collect()
+    )
+    assert got == sorted(grid)
+    rows = table.read_where(spark, {"x": (3, 4), "y": (3, 4)}).collect()
+    assert sorted((r["x"], r["y"]) for r in rows) == sorted(
+        (x, y) for x, y, _ in grid if 3 <= x <= 4 and 3 <= y <= 4
+    )
