@@ -972,3 +972,43 @@ class ManifestVectorIndex:
         return compact_manifest(
             self.spark, self.root, sort_by=["cell"], transform=recluster
         )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fuse N retrieval lists into one top-``k`` by
+    ``sum over lists of 1 / (c + rank)`` — the standard hybrid-search
+    combiner (sparse BM25 + dense ANN) that needs no score calibration
+    because it consumes only RANKS.
+
+    Each input carries ``(id_col, rank)`` with 1-based ranks the caller
+    assigned from its own deterministic retrieval order (rounded score
+    desc, id asc — the contract every retrieval operator in this repo
+    already follows).  Inputs are bounded retrieval lists (top-N each),
+    so the union/groupBy here moves O(N·lists) rows — driver-scale
+    nothing at any corpus size; the expensive work already happened
+    inside the retrievers.  Output: ``(id_col, rrf_score, n_lists)``
+    ordered by fused score (rounded, id tie-break)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    fused = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("contrib"),
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    return (
+        fused.groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

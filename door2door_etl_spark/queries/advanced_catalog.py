@@ -467,8 +467,7 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
-SQL_BM25_TOPK = f"""
-WITH base AS (
+_BM25_CTES = f"""base AS (
   SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
 ), tok AS (
   SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
@@ -479,16 +478,83 @@ WITH base AS (
   SELECT term, count(*) AS df_t FROM tf GROUP BY 1
 ), stats AS (
   SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base
-), scored AS (
+), bm25_scored AS (
   SELECT tf.doc_id,
          ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
            * (tf.tf * 2.2)
            / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS w
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-)
+)"""
+
+SQL_BM25_TOPK = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, round(sum(w), 6) AS score
-FROM scored GROUP BY doc_id
+FROM bm25_scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+HYBRID_QUERY_ID = 42
+HYBRID_POOL = 20  # per-retriever candidate list size
+HYBRID_K = 10
+HYBRID_C = 60
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over documents + exact dense cosine over
+    embeddings (shared id space), fused with Reciprocal Rank Fusion
+    (operators.similarity.rrf_fuse).  Both retrieval lists are bounded
+    top-N with deterministic rounded-score/id orderings, so the windowed
+    rank assignment runs over N rows, not the corpus."""
+    from door2door_etl_spark.operators.similarity import brute_force_topk, rrf_fuse
+    from door2door_etl_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    sparse = bm25_topk(docs, BM25_QUERY, k=HYBRID_POOL)
+    sparse = sparse.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id"))),
+    ).select("doc_id", "rank")
+    dense = brute_force_topk(emb, query_id=HYBRID_QUERY_ID, k=HYBRID_POOL)
+    dense = dense.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.col("vec_id"))),
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], id_col="doc_id", k=HYBRID_K, c=HYBRID_C)
+
+
+def _sql_hybrid_rrf_topk() -> str:
+    from door2door_etl_spark.queries.sql_fragments import sql_cosine
+
+    cos = sql_cosine("e.embedding", "q.qvec")
+    return f"""
+WITH {_BM25_CTES},
+bm AS (
+  SELECT doc_id, round(sum(w), 6) AS score
+  FROM bm25_scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {HYBRID_POOL}
+), bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = {HYBRID_QUERY_ID}
+), dn AS (
+  SELECT e.vec_id AS doc_id, round({cos}, 6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id != {HYBRID_QUERY_ID}
+  ORDER BY cosine DESC, e.vec_id LIMIT {HYBRID_POOL}
+), dnr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM dn
+), u AS (
+  SELECT doc_id, 1.0 / ({HYBRID_C} + rank) AS contrib FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / ({HYBRID_C} + rank) AS contrib FROM dnr
+)
+SELECT doc_id, round(sum(contrib), 6) AS rrf_score, count(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_K}
 """
 
 
@@ -992,6 +1058,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_rolling_7d_user_value", q_rolling_7d_user_value, SQL_ROLLING_7D_USER_VALUE, "§2.6-window-range", ("rel", "advanced")),
     QueryDef("ns_tfidf_top_term", q_tfidf_top_term, SQL_TFIDF_TOP_TERM, "north-star text/tfidf", ("northstar", "text")),
     QueryDef("ns_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, "north-star text/bm25 ranked retrieval (Robertson-Zaragoza)", ("northstar", "text")),
+    QueryDef("ns_hybrid_rrf_topk", q_hybrid_rrf_topk, _sql_hybrid_rrf_topk(), "north-star similarity/hybrid RRF fusion (Cormack et al. 2009)", ("northstar", "similarity")),
     QueryDef("etl_sliding_window_counts", q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS, "§2.8-sliding-window", ("etl", "advanced")),
     QueryDef("etl_session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG, "§2.8-session-window", ("etl", "advanced")),
     QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),

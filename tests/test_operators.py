@@ -3062,3 +3062,44 @@ def test_bm25_topk_matches_pure_python_reference(spark):
 
     with _pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_rrf_fuse_matches_reference_and_contracts(spark):
+    """rrf_fuse vs hand-computed RRF on overlapping lists: fused order,
+    6-decimal scores, n_lists, the c parameter, and the empty-input
+    guard."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [Row(doc_id=1, rank=1), Row(doc_id=2, rank=2), Row(doc_id=3, rank=3)]
+    )
+    b = spark.createDataFrame(
+        [Row(doc_id=3, rank=1), Row(doc_id=4, rank=2), Row(doc_id=1, rank=3)]
+    )
+    got = [
+        (r["doc_id"], r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([a, b], k=3, c=60).collect()
+    ]
+    exp = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 62,
+    }
+    ranked = sorted(exp.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]
+    assert got == [
+        (d, round(s, 6), 2 if d in (1, 3) else 1) for d, s in ranked
+    ]
+    # doc 1 and 3 tie exactly (same rank multiset) -> id ascending
+    assert [d for d, *_ in got[:2]] == [1, 3]
+
+    # a different c changes the balance but keeps the guarantee that a
+    # doc in both lists with best ranks stays on top
+    top_c5 = rrf_fuse([a, b], k=1, c=5).collect()[0]["doc_id"]
+    assert top_c5 == 1
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
