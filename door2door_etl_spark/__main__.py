@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
                  "purge", "history", "train-quality-filter", "curate",
-                 "fsck"],
+                 "fsck", "convert"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -42,7 +42,16 @@ def main(argv: list[str] | None = None) -> int:
              "(pipeline.curation.curate_corpus) over --source documents "
              "and MERGEs survivors into <lake-root>/curated/documents; "
              "fsck audits manifest tables (listed files exist, orphan "
-             "debris, --deep adds a distributed footer-row-count check)",
+             "debris, --deep adds a distributed footer-row-count check); "
+             "convert adopts an existing plain parquet dir (--source) as "
+             "the manifest table <lake-root>/warehouse/<--table> via "
+             "hard links, zero data copied",
+    )
+    parser.add_argument(
+        "--stats-cols", default=None,
+        help="convert: comma-separated stats declarations for the adopted "
+             "table (plain columns for min/max, bloom:<col> for point-"
+             "lookup bitmaps)",
     )
     parser.add_argument(
         "--label-token", default="dup",
@@ -141,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
         if not args.source:
             parser.error("--source (documents parquet) is required for curate")
         return _run_curate(args)
+
+    if args.step == "convert":
+        if not args.source or not args.table:
+            parser.error("--source and --table are required for convert")
+        return _run_convert(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history", "fsck"):
@@ -304,6 +318,36 @@ def _run_curate(args) -> int:
             "curated_table": out_root,
             "n_kept": n_kept,
             "funnel": stages,
+        }))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_convert(args) -> int:
+    """Adopt an existing plain parquet directory as a manifest warehouse
+    table (io.manifest.convert_to_manifest): hard-linked files, footer
+    stats, one atomic claim.  Prints one JSON summary line."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.io.manifest import convert_to_manifest
+    from door2door_etl_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-convert")
+    try:
+        root = os.path.join(args.lake_root, "warehouse", args.table)
+        stats = (
+            [c for c in args.stats_cols.split(",") if c]
+            if args.stats_cols else None
+        )
+        n = convert_to_manifest(spark, args.source, root, stats_col=stats)
+        print(json.dumps({
+            "step": "convert", "table": args.table, "root": root,
+            "files_adopted": n, "stats_cols": stats or [],
         }))
         return 0
     finally:

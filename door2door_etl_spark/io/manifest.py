@@ -2229,3 +2229,82 @@ def compaction_advice(
         rec, reason = False, "layout healthy"
     return {"version": version, "n_files": n, "total_mb": total_mb,
             "avg_mb": avg_mb, "recommend": rec, "reason": reason}
+
+
+def convert_to_manifest(
+    spark: SparkSession,
+    src_dir: str,
+    root: str,
+    stats_col: str | list[str] | None = None,
+    vacuum_keep: int = 2,
+) -> int:
+    """Adopt an EXISTING plain (optionally hive-partitioned) parquet
+    directory as a manifest table — the ``CONVERT TO DELTA`` analog.
+
+    No data bytes move: every data file is HARD-LINKED into the table's
+    ``_files/`` layout preserving its partition relpath, per-file stats
+    come off the parquet footers (plus Bloom bitmaps for ``bloom:<col>``
+    declarations), partition columns are inferred from ``key=value``
+    path segments, and ONE manifest claim commits the whole adoption —
+    readers either see the full converted table or no table.  The source
+    directory is left untouched (links share the bytes), so a cutover
+    can keep legacy readers on ``src_dir`` while new readers move to the
+    manifest protocol; from then on merge/append/compact/DV operations
+    treat the adopted files as first-class.
+
+    Local filesystems only (hard links are the zero-copy primitive; an
+    object store has no rename-free adoption — copy into place with
+    ``append_manifest`` instead).  Fails if ``root`` already has a
+    committed manifest.
+    """
+    if _is_object_uri(src_dir) or _is_object_uri(root):
+        raise NotImplementedError(
+            "convert_to_manifest adopts via hard links and is local-only; "
+            "for object stores write through append_manifest"
+        )
+    table = ManifestTable(root)
+    if table.current_version() is not None:
+        raise ValueError(f"{root} already has a committed manifest")
+    # Schema (including hive partition columns) from ONE Spark read of
+    # the source layout.
+    df = spark.read.parquet(src_dir)
+    schema = df.schema
+    src = src_dir.rstrip("/")
+    pairs = _staged_files(LocalFsOps(), src)
+    if not pairs:
+        raise ValueError(f"{src_dir} contains no data files to adopt")
+    pcols: list[str] = []
+    for _path, rel in pairs:
+        segs = [s.split("=", 1)[0] for s in rel.split(os.sep)[:-1] if "=" in s]
+        if segs and not pcols:
+            pcols = segs
+        elif segs != pcols and (segs or pcols):
+            raise ValueError(
+                f"inconsistent hive partitioning under {src_dir}: "
+                f"{segs} vs {pcols}"
+            )
+    rels: list[str] = []
+    stats: dict = {}
+    for path, rel in sorted(pairs):
+        if stats_col:
+            stats[rel] = _file_stats(path, stats_col)
+        dest = os.path.join(table.files_dir, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            os.link(path, dest)
+        except FileExistsError:
+            # a prior crashed conversion left this link; same inode is
+            # fine, anything else is a foreign file collision
+            if not os.path.samefile(path, dest):
+                raise
+        except OSError:
+            shutil.copy2(path, dest)  # cross-device fallback
+        rels.append(rel)
+    if not table._claim(
+        1, rels, schema, pcols,
+        stats=stats if stats_col else None,
+        stats_col=stats_col, op="convert",
+    ):
+        raise ConcurrentWriteError(f"convert into {root} lost the claim race")
+    table.publish(1)
+    return len(rels)

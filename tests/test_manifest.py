@@ -1500,3 +1500,76 @@ def test_compact_zorder_multi_dim_pruning(spark, tmp_path):
     assert sorted((r["x"], r["y"]) for r in rows) == sorted(
         (x, y) for x, y, _ in grid if 3 <= x <= 4 and 3 <= y <= 4
     )
+
+
+def test_convert_to_manifest_adopts_parquet_in_place(spark, tmp_path):
+    """CONVERT-TO-DELTA analog: a plain hive-partitioned parquet dir is
+    adopted as a manifest table by hard links (zero data copied), one
+    atomic claim, footer stats + partition inference; the adopted table
+    is then a first-class merge/prune/fsck citizen and the source stays
+    readable."""
+    import os
+
+    import pytest as _pytest
+
+    from door2door_etl_spark.io.manifest import (
+        convert_to_manifest,
+        merge_manifest,
+    )
+
+    src = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [(d, k, d * 1000 + k, f"v{d}-{k}") for d in (1, 2) for k in range(50)],
+        "day int, k int, uid int, v string",
+    )
+    df.write.partitionBy("day").parquet(src)
+
+    root = str(tmp_path / "tbl")
+    n = convert_to_manifest(spark, src, root, stats_col=["k"])
+    assert n >= 2
+    table = ManifestTable(root)
+    man = table.manifest(1)
+    assert man["op"] == "convert" and man["partition_cols"] == ["day"]
+
+    got = sorted(
+        (r["day"], r["k"], r["v"]) for r in table.read(spark).collect()
+    )
+    assert got == sorted((d, k, f"v{d}-{k}") for d in (1, 2) for k in range(50))
+    assert set(table.read(spark).columns) == {"day", "k", "uid", "v"}
+
+    # zero-copy: every adopted file shares its inode with the source
+    rel0 = man["files"][0]
+    assert os.stat(os.path.join(root, "_files", rel0)).st_nlink == 2
+    # stats landed and prune
+    assert all(s["cols"]["k"]["min"] is not None for s in man["stats"].values())
+    assert len(table._prune(man, {"k": (0, 0)})) <= len(man["files"])
+
+    # first-class citizen: a keyed upsert MERGE lands on top of the
+    # adoption and only the touched partition's data rewrites
+    root2 = str(tmp_path / "tbl2")
+    convert_to_manifest(spark, src, root2, stats_col=["k"])
+    t2 = ManifestTable(root2)
+    pre = {r["uid"]: r["v"] for r in t2.read(spark).collect()}
+    assert pre[1000] == "v1-0"
+    merge_manifest(
+        spark, root2,
+        spark.createDataFrame(
+            [(0, 1000, "PATCHED", 1)], "k int, uid int, v string, day int"
+        ),
+        key="uid", partition_col="day",
+    )
+    post = {r["uid"]: r["v"] for r in t2.read(spark).collect()}
+    assert post[1000] == "PATCHED" and post[2000] == "v2-0"
+    assert len(post) == 100
+
+    # fsck: clean
+    report = table.fsck(spark)
+    assert report["ok"], report
+
+    # source untouched and still readable by plain Spark
+    assert spark.read.parquet(src).count() == 100
+
+    with _pytest.raises(ValueError):
+        convert_to_manifest(spark, src, root)  # already committed
+    with _pytest.raises(NotImplementedError):
+        convert_to_manifest(spark, "s3://bucket/x", str(tmp_path / "t3"))

@@ -640,3 +640,38 @@ def test_cli_curate_lands_versioned_survivors(spark, tmp_path, capsys):
 
     funnel = spark.read.parquet(str(lake / "curated" / "funnel"))
     assert funnel.select("run_id").distinct().count() == 2
+
+
+def test_cli_convert_adopts_legacy_parquet(spark, tmp_path, capsys):
+    """`-s convert` adopts a plain parquet dir as a manifest warehouse
+    table (hard links, stats incl. a bloom declaration) and the adopted
+    table serves point lookups through the protocol."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+    from door2door_etl_spark.io.manifest import ManifestTable
+
+    src = tmp_path / "legacy"
+    spark.createDataFrame(
+        [(i, f"u{i:03d}", i % 7) for i in range(200)],
+        "id long, user string, bucket int",
+    ).repartition(4).write.parquet(str(src))
+    lake = tmp_path / "lake"
+
+    rc = main([
+        "-s", "convert", "--source", str(src), "--lake-root", str(lake),
+        "--table", "legacy_users", "--stats-cols", "id,bloom:user",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["step"] == "convert" and summary["files_adopted"] >= 4
+
+    table = ManifestTable(str(lake / "warehouse" / "legacy_users"))
+    assert table.read(spark).count() == 200
+    man = table.manifest(table.current_version())
+    assert man["stats_cols"] == ["id", "bloom:user"]
+    got = table.read_where(spark, {"user": ("u042", "u042")}).collect()
+    assert [(r["id"], r["user"]) for r in got] == [(42, "u042")]
+    # the bloom pruned: not every file was listed for the point lookup
+    kept = table._prune(man, {"user": ("u042", "u042")})
+    assert 1 <= len(kept) < len(man["files"])
