@@ -995,6 +995,8 @@ def stream_curate(
     langs: tuple[str, ...] | None = ("en",),
     gopher: bool = True,
     min_words: int = 30,
+    benchmark: DataFrame | None = None,
+    decon_shingle_n: int = 3,
 ):
     """Streaming curation funnel — the continuous-ingest twin of
     :func:`door2door_etl_spark.pipeline.curation.curate_corpus`, landing
@@ -1003,8 +1005,10 @@ def stream_curate(
     continuous top-up compose.
 
     Per micro-batch: normalize → language-id → Gopher quality rules (all
-    map-side column expressions, zero shuffle) → near-duplicate ADMISSION
-    against a self-updating
+    map-side column expressions, zero shuffle) → optional benchmark
+    DECONTAMINATION (broadcast semi-join against the eval set's shingle
+    set — the eval suite is orders of magnitude smaller than the stream)
+    → near-duplicate ADMISSION against a self-updating
     :class:`~door2door_etl_spark.operators.dedup.ManifestLshBandIndex`
     (exact duplicates collide in every band, so a separate exact-digest
     stage is redundant here — admission subsumes it) → MERGE-upsert into
@@ -1066,6 +1070,16 @@ def stream_curate(
                 flagged.filter(F.col("keep")).drop(
                     "word_count", "mean_word_len", "alpha_frac",
                     "stop_hits", "keep",
+                ),
+            )
+        if benchmark is not None:
+            from door2door_etl_spark.operators.dedup import ngram_decontaminate
+
+            advance(
+                "decontaminate",
+                ngram_decontaminate(
+                    cur, benchmark, text_col=text_col, id_col=id_col,
+                    shingle_n=decon_shingle_n,
                 ),
             )
 

@@ -1155,23 +1155,31 @@ def test_stream_curate_matches_sequential_batch_admission(spark, tmp_path):
         {"doc_id": 13, "text": good_a},        # intra-batch dup, min-id wins
         {"doc_id": 14, "text": good_b},
     ]
+    contaminated = ("people travel from a far land to see the high tower "
+                    "and the golden gates of this city")
     day2 = [
         {"doc_id": 20, "text": good_a},        # collides with 12 via index
         {"doc_id": 21, "text": good_c},        # novel -> admitted
         {"doc_id": 12, "text": good_a},        # re-publish of an admission
+        {"doc_id": 22, "text": contaminated},  # shares a benchmark 3-gram
     ]
+    bench_rows = [Row(doc_id=900, text="a golden falcon circles the high tower")]
 
     def write_day(name, rows):
         import json as _json
 
         (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
 
+    benchmark = spark.createDataFrame(bench_rows)
+
     def run():
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .json(str(src))
         )
-        q = stream_curate(stream, idx, lake, ckpt, min_words=5)
+        q = stream_curate(
+            stream, idx, lake, ckpt, min_words=5, benchmark=benchmark
+        )
         q.awaitTermination()
         q.stop()
 
@@ -1193,6 +1201,7 @@ def test_stream_curate_matches_sequential_batch_admission(spark, tmp_path):
         "normalize": (5, 5),
         "language_id": (5, 4),
         "quality_rules": (4, 3),
+        "decontaminate": (3, 3),
         "near_dedup_admission": (3, 2),
     }
 
@@ -1227,6 +1236,9 @@ def test_stream_curate_matches_sequential_batch_admission(spark, tmp_path):
         b = flagged.filter(F.col("keep")).drop(
             "word_count", "mean_word_len", "alpha_frac", "stop_hits", "keep"
         )
+        from door2door_etl_spark.operators.dedup import ngram_decontaminate
+
+        b = ngram_decontaminate(b, benchmark)
         # drop re-publishes of already-admitted ids (the stream's
         # exact-duplicate re-delivery rule), then admit the rest
         b = b.join(idx2.admitted_ids(), "doc_id", "left_anti")
