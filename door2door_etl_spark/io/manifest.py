@@ -1842,6 +1842,7 @@ def compact_manifest(
     transform=None,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 8,
+    zorder_equal_depth: bool = False,
     target_files: int | None = None,
 ) -> int:
     """Rewrite the current manifest snapshot into ~``target_file_mb``
@@ -1876,7 +1877,9 @@ def compact_manifest(
     one of them prune a real fraction of files, where a linear sort
     prunes only its prefix column (trade pinned by
     ``test_compact_zorder_multi_dim_pruning``).  Mutually exclusive with
-    ``sort_by``.
+    ``sort_by``.  ``zorder_equal_depth`` switches bucket boundaries from
+    equal-width to approxQuantile cutpoints so SKEWED dimensions keep
+    per-file locality (see :func:`~door2door_etl_spark.io.writers.zorder_buckets`).
 
     ``target_files`` overrides the size-based output file count (the
     deterministic layout knob for tests and for engines that size by
@@ -1901,7 +1904,10 @@ def compact_manifest(
             if zorder_by:
                 from door2door_etl_spark.io.writers import with_zorder_code
 
-                df = with_zorder_code(df, zorder_by, zorder_bits)
+                df = with_zorder_code(
+                    df, zorder_by, zorder_bits,
+                    equal_depth=zorder_equal_depth,
+                )
             if pcols:
                 if zorder_by:
                     shaped = df.repartitionByRange(

@@ -512,13 +512,54 @@ def write_zorder_parquet(
     )
 
 
-def with_zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+def with_zorder_code(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    equal_depth: bool = False,
+    rel_err: float = 0.001,
+) -> DataFrame:
     """``df`` plus a ``_zorder`` Morton-code column over ``cols`` — the
     interleave stage of :func:`write_zorder_parquet`, exposed so other
     layouts (manifest clustered compaction, bucketing experiments) can
     range-shuffle on the same curve.  Pure shift/mask/or expressions over
-    equal-width ``bits``-bit buckets between each column's global min and
-    max (one broadcast scalar agg); no UDF, two stages total."""
+    :func:`zorder_buckets`; no UDF."""
+    out, names = zorder_buckets(df, cols, bits, equal_depth, rel_err)
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"_zb_{c}"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return out.withColumn("_zorder", z).drop(*names)
+
+
+def zorder_buckets(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    equal_depth: bool = False,
+    rel_err: float = 0.001,
+) -> tuple[DataFrame, list[str]]:
+    """Per-column ``bits``-bit bucket assignment (``_zb_<col>`` columns)
+    for the Morton interleave; returns ``(df + bucket cols, names)``.
+
+    ``equal_depth=False`` (default): equal-WIDTH buckets between each
+    column's global min/max — one tiny scalar agg broadcast back, two
+    stages total.  Fine for roughly uniform keys, but a skewed column
+    collapses most rows into a few buckets and the curve loses its
+    locality on that dimension.
+
+    ``equal_depth=True``: equal-DEPTH buckets from ``approxQuantile``
+    cutpoints (Greenwald-Khanna, one pass, all columns together; the
+    2^bits-1 cutpoints per column are bounded driver metadata, same
+    discipline as the k-means centroid collects).  Buckets then hold
+    ~equal ROW counts regardless of the value distribution, so skewed
+    keys keep per-dimension locality — the bucket test is one folded
+    ``aggregate`` over the cutpoint literal array (<= 2^bits comparisons
+    per row, JVM-side, ONE parsed expression per column per the repo's
+    driver-cost discipline).
+    """
     k = len(cols)
     if k < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_sorted_parquet")
@@ -530,13 +571,28 @@ def with_zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame
             f"bits*len(cols) = {bits * k} exceeds 63: reduce bits to "
             f"<= {63 // k} for {k} columns"
         )
+    n = 2**bits
+    names = [f"_zb_{c}" for c in cols]
+    if equal_depth:
+        probs = [i / n for i in range(1, n)]
+        cuts = dict(zip(cols, df.approxQuantile(list(cols), probs, rel_err)))
+        buckets = []
+        for c in cols:
+            qs = sorted(set(cuts[c]))  # heavy values repeat cutpoints
+            arr = "array(" + ",".join(repr(float(q)) for q in qs) + ")"
+            buckets.append(
+                F.expr(
+                    f"CAST(aggregate({arr}, 0, (acc, cut) -> acc + "
+                    f"IF(CAST(`{c}` AS DOUBLE) > cut, 1, 0)) AS LONG)"
+                ).alias(f"_zb_{c}")
+            )
+        return df.select(*df.columns, *buckets), names
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
     )
     buckets = []
     out = df.crossJoin(F.broadcast(stats))
-    n = 2**bits
     for c in cols:
         lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
@@ -546,13 +602,7 @@ def with_zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame
             .cast("long")
             .alias(f"_zb_{c}")
         )
-    out = out.select(*df.columns, *buckets)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(F.col(f"_zb_{c}"), i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
-    return out.withColumn("_zorder", z).drop(*[f"_zb_{c}" for c in cols])
+    return out.select(*df.columns, *buckets), names
 
 
 def write_sorted_parquet(

@@ -943,3 +943,42 @@ def test_describe_history_plain_directory_degrades_gracefully(tmp_path):
     plain.mkdir()
     assert VersionedParquetTable(str(plain)).describe_history() == []
     assert VersionedParquetTable(str(tmp_path / "missing")).describe_history() == []
+
+
+def test_zorder_equal_depth_balances_skewed_buckets(spark):
+    """zorder_buckets(equal_depth=True): on a heavily skewed column the
+    quantile cutpoints keep bucket row-counts near-uniform where
+    equal-width collapses most rows into one bucket (losing curve
+    locality on that dimension); both modes stay in [0, 2^bits) and the
+    Morton interleave built on top is identical in shape."""
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.io.writers import with_zorder_code, zorder_buckets
+
+    # x = i*i: quadratic skew toward small values; y uniform.
+    rows = [(i * i, i % 97) for i in range(1000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    bits, n = 3, 8
+
+    def histogram(equal_depth):
+        out, names = zorder_buckets(df, ["x", "y"], bits, equal_depth)
+        h = {
+            r["_zb_x"]: r["cnt"]
+            for r in out.groupBy("_zb_x").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert all(0 <= b < n for b in h), h
+        return h
+
+    ew = histogram(False)
+    ed = histogram(True)
+    # equal-width: sqrt shape -> lowest bucket swallows ~35% of rows
+    assert max(ew.values()) > 1000 / n * 2, ew
+    # equal-depth: every bucket within 2x of the uniform share
+    assert len(ed) == n and max(ed.values()) <= 1000 / n * 2, ed
+    assert min(ed.values()) >= 1000 / n / 2, ed
+
+    # interleave still produces a single long _zorder column in range
+    z = with_zorder_code(df, ["x", "y"], bits, equal_depth=True)
+    zmax = z.agg(F.max("_zorder")).first()[0]
+    assert 0 <= zmax < 2 ** (2 * bits)
+    assert z.columns == ["x", "y", "_zorder"]
