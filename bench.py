@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "ns_substring_dedup",
     "ns_kmv_set_overlap",
     "ns_pagerank_trade",
+    "ns_bm25_topk",
+    "ns_hybrid_rrf_topk",
+    "ns_bloom_point_lookup",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline
