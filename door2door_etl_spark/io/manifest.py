@@ -724,20 +724,43 @@ class ManifestTable:
     # -- manifest statistics (data skipping) --------------------------------
 
     def count_rows(self, version: int | None = None) -> int | None:
-        """Total rows from manifest statistics alone — O(manifest), zero
-        data I/O, no Spark session.  Returns None when any listed file
-        lacks stats (older manifests; fall back to a scan)."""
+        """Exact total rows WITHOUT scanning data — the metadata-only
+        ``SELECT count(*)`` every lakehouse format serves: per-file
+        footer counts from the manifest stats, minus the deletion-vector
+        pairs aimed at still-listed files (DV pairs are disjoint and
+        only ever doom live rows, so the subtraction is exact).  Cost is
+        O(manifest) plus O(DV sidecar bytes) — DVs are KB-scale by
+        design — and needs no Spark session.  Returns None when any
+        listed file lacks stats (older manifests; fall back to a scan)."""
         if version is None:
             version = self.current_version()
             if version is None:
                 return 0
         man = self.manifest(version)
-        if man.get("dvs"):
-            return None  # masked rows make footer counts an overcount
         stats = man.get("stats", {})
         if any(rel not in stats for rel in man["files"]):
             return None
-        return sum(stats[rel]["rows"] for rel in man["files"])
+        total = sum(stats[rel]["rows"] for rel in man["files"])
+        dv_rels = man.get("dvs") or []
+        if dv_rels:
+            import io as _io
+
+            import pyarrow.parquet as pq
+
+            live = set(man["files"])
+            for rel in dv_rels:
+                p = os.path.join(self.files_dir, rel)
+                if _is_object_uri(p):
+                    tbl = pq.read_table(
+                        _io.BytesIO(self.fs.read_bytes(p)),
+                        columns=["__dv_file"],
+                    )
+                else:
+                    tbl = pq.read_table(p, columns=["__dv_file"])
+                total -= sum(
+                    1 for f in tbl.column("__dv_file").to_pylist() if f in live
+                )
+        return total
 
     def prune_files(
         self, lo, hi, version: int | None = None, col: str | None = None

@@ -1573,3 +1573,39 @@ def test_convert_to_manifest_adopts_parquet_in_place(spark, tmp_path):
         convert_to_manifest(spark, src, root)  # already committed
     with _pytest.raises(NotImplementedError):
         convert_to_manifest(spark, "s3://bucket/x", str(tmp_path / "t3"))
+
+
+def test_count_rows_exact_under_deletion_vectors(spark, tmp_path):
+    """Metadata-only count(*) stays EXACT under DVs: footer totals minus
+    the live DV pairs, no Spark scan — and it agrees with the masked
+    read before and after purge folds the DVs out."""
+    from door2door_etl_spark.io.manifest import (
+        delete_where_manifest,
+        merge_manifest,
+        purge_deletes_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 5, f"r{i}") for i in range(100)], "id int, g int, v string"
+    )
+    merge_manifest(spark, root, df, key="id", stats_col="id")
+    table = ManifestTable(root)
+    assert table.count_rows() == 100
+
+    delete_where_manifest(spark, root, "g = 3", mode="dv")  # 20 rows
+    man = table.manifest(table.current_version())
+    assert man.get("dvs"), "expected a DV commit"
+    assert table.count_rows() == 80 == table.read(spark).count()
+
+    delete_where_manifest(spark, root, "id < 10 AND g != 3", mode="dv")
+    assert table.count_rows() == table.read(spark).count() == 72
+
+    purge_deletes_manifest(spark, root)
+    man = table.manifest(table.current_version())
+    assert not man.get("dvs")
+    assert table.count_rows() == 72
+
+    # history rows now exact at every retained version too
+    hist = {h["version"]: h["rows"] for h in table.describe_history()}
+    assert all(v is not None for v in hist.values()), hist
