@@ -808,8 +808,9 @@ def test_dv_delete_masks_rows_without_touching_files(spark, tmp_path):
     assert man.get("dvs"), "manifest must reference the deletion vector"
     # readers mask the rows
     assert set(_as_dict(spark, root)) == set(range(15))
-    # footer-based count is honestly refused while DVs are outstanding
-    assert table.count_rows() is None
+    # footer count stays EXACT while DVs are outstanding (live DV pairs
+    # subtracted from the sidecars, no data scan)
+    assert table.count_rows() == 15
     # time travel still sees the pre-delete snapshot
     assert len(table.read(spark, 1).collect()) == 20
 
@@ -1020,7 +1021,7 @@ def test_describe_history_records_operations(spark, tmp_path):
     by_v = {h["version"]: h for h in hist}
     assert [h["version"] for h in hist] == sorted(by_v, reverse=True)
     assert by_v[3]["op"] == "dv-delete" and by_v[3]["n_dvs"] == 1
-    assert by_v[3]["rows"] is None  # DV masks footer counts
+    assert by_v[3]["rows"] == 6  # DV-masked count stays exact (sidecar math)
     assert by_v[4]["op"] == "purge" and by_v[4]["n_dvs"] == 0
     assert by_v[5]["op"] == "compact" and by_v[5]["rows"] == 6
     assert all(h["committed_at"] for h in hist)
