@@ -1,0 +1,187 @@
+"""Inverted-index retrieval served through the manifest protocol.
+
+:func:`door2door_etl_spark.operators.text.bm25_topk` scores straight off
+the corpus — right for ad-hoc queries, wrong for a SERVING path that
+answers many queries against a slowly-growing corpus.  This module is the
+build-once/probe-many form: postings land in a manifest table once, and
+each query reads ONLY its terms' postings files (term-range stats +
+``bloom:term`` bitmaps prune the rest), so serving cost is O(postings of
+the query) regardless of corpus size — the classic search-engine shape
+(Zobel & Moffat, "Inverted files for text search engines", CSUR 2006)
+re-expressed as lakehouse metadata.
+
+Same composition discipline as the LSH band index and the IVF vector
+index (`operators/dedup.py` / `operators/similarity.py`): postings AND
+the corpus-stat delta land in ONE atomic commit per ingest, so a crash
+can never leave postings whose documents the stats don't count; readers
+see a consistent (postings, stats) snapshot at every version.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.operators.text import tokens
+
+
+@dataclass
+class ManifestBM25Index:
+    """Incremental BM25 inverted index as ONE manifest table.
+
+    Unified schema partitioned by ``rel``:
+
+    * ``rel='post'`` rows: ``(term, doc_id, tf, dl)`` — the postings;
+    * ``rel='stat'`` rows: ``(n_docs, n_tokens)`` — per-commit corpus
+      deltas, summed at probe time (the same mergeable-delta trick as
+      ``ManifestVectorIndex.cell_stats``), so ingest never rewrites a
+      global stats row.
+
+    Every :meth:`build`/:meth:`add` is a single
+    :func:`~door2door_etl_spark.io.manifest.append_manifest` commit with
+    ``stats_col=['term', 'bloom:term']``: term min/max ranges prune
+    after :meth:`compact` clusters postings by term, and the Bloom
+    bitmaps prune even the uncompacted accretion files.  :meth:`topk`
+    matches :func:`~door2door_etl_spark.operators.text.bm25_topk` over
+    the same corpus EXACTLY (same idf/tf expressions, same rounding and
+    tie-breaks — parity is the unit-test contract).
+    """
+
+    spark: SparkSession
+    root: str
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    k1: float = 1.2
+    b: float = 0.75
+
+    _SCHEMA = (
+        "rel string, term string, doc_id long, tf int, dl int, "
+        "n_docs long, n_tokens long"
+    )
+
+    def _unified(self, docs: DataFrame) -> DataFrame:
+        toks = tokens(F.col(self.text_col))
+        tok = docs.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        posts = tok.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("dl").cast("int").alias("dl"),
+        ).select(
+            F.lit("post").alias("rel"), "term", "doc_id", "tf", "dl",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("n_tokens"),
+        )
+        stat = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit("stat").alias("rel"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("tf"),
+            F.lit(None).cast("int").alias("dl"),
+            "n_docs", "n_tokens",
+        )
+        return posts.unionByName(stat)
+
+    def _commit(self, docs: DataFrame) -> int:
+        from door2door_etl_spark.io.manifest import append_manifest
+
+        return append_manifest(
+            self.spark,
+            self.root,
+            self._unified(docs),
+            partition_col="rel",
+            stats_col=["term", "bloom:term"],
+        )
+
+    def build(self, corpus: DataFrame) -> int:
+        """First commit: the corpus's postings + its stat delta, atomic."""
+        return self._commit(corpus)
+
+    def add(self, batch: DataFrame) -> int:
+        """Incremental ingest — postings and the stat delta in ONE
+        commit.  The caller owns id uniqueness (re-adding a document
+        would double-count it, same contract as any postings append)."""
+        return self._commit(batch)
+
+    def _table(self):
+        from door2door_etl_spark.io.manifest import ManifestTable
+
+        return ManifestTable(self.root)
+
+    def corpus_stats(self, version: int | None = None) -> tuple[int, float]:
+        """(n_docs, avgdl) folded from the stat deltas of one snapshot."""
+        stat = (
+            self._table()
+            .read(self.spark, version=version)
+            .filter(F.col("rel") == "stat")
+            .agg(F.sum("n_docs"), F.sum("n_tokens"))
+            .first()
+        )
+        n_docs = int(stat[0] or 0)
+        if n_docs == 0:
+            raise ValueError(f"{self.root}: empty index")
+        return n_docs, float(stat[1]) / n_docs
+
+    def topk(self, query_terms: list[str], k: int = 10) -> DataFrame:
+        """Serve one query: per-term pruned postings reads (term stats +
+        bloom bitmaps skip every file without the term), df from the
+        read postings themselves (exact — a term's postings are complete
+        across commits), then the shared BM25 expression.  The version
+        is PINNED once so postings and stats come from one snapshot."""
+        if not query_terms:
+            raise ValueError("ManifestBM25Index.topk: empty query")
+        table = self._table()
+        version = table.current_version()
+        if version is None:
+            raise ValueError(f"{self.root}: no committed index")
+        n_docs, avgdl = self.corpus_stats(version)
+        posts = None
+        for t in query_terms:
+            part = table.read_where(
+                self.spark, {"term": (t, t)}, version=version
+            ).filter(F.col("rel") == "post")
+            posts = part if posts is None else posts.unionByName(part)
+        posts = posts.select("term", "doc_id", "tf", "dl")
+        dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        scored = (
+            posts.join(F.broadcast(dfreq), "term")
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                ),
+            )
+            .withColumn(
+                "w",
+                F.col("idf")
+                * (F.col("tf") * (self.k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + self.k1
+                    * (1.0 - self.b + self.b * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.round(F.sum("w"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col("doc_id"))
+            .limit(k)
+        )
+
+    def compact(self) -> int:
+        """Clustered compaction on ``term``: postings files come out
+        range-disjoint, so term stats alone prune serving reads even
+        before the bloom test."""
+        from door2door_etl_spark.io.manifest import compact_manifest
+
+        return compact_manifest(self.spark, self.root, sort_by=["term"])

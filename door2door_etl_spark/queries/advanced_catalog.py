@@ -494,6 +494,26 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_bm25_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME BM25 ranking served from the manifest inverted index
+    (operators.search.ManifestBM25Index): postings + corpus-stat deltas
+    committed atomically at build, per-term pruned postings reads at
+    probe (term stats + bloom bitmaps).  Sharing ns_bm25_topk's oracle
+    pins that the indexed serving path cannot drift the scoring."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+
+    docs = load_table(spark, sf, "documents")
+    root = os.path.join(tempfile.gettempdir(), "ns_bm25_index")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = ManifestBM25Index(spark, root)
+    idx.build(docs)
+    return idx.topk(BM25_QUERY, k=10)
+
+
 HYBRID_QUERY_ID = 42
 HYBRID_POOL = 20  # per-retriever candidate list size
 HYBRID_K = 10
@@ -1059,6 +1079,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_tfidf_top_term", q_tfidf_top_term, SQL_TFIDF_TOP_TERM, "north-star text/tfidf", ("northstar", "text")),
     QueryDef("ns_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, "north-star text/bm25 ranked retrieval (Robertson-Zaragoza)", ("northstar", "text")),
     QueryDef("ns_hybrid_rrf_topk", q_hybrid_rrf_topk, _sql_hybrid_rrf_topk(), "north-star similarity/hybrid RRF fusion (Cormack et al. 2009)", ("northstar", "similarity")),
+    QueryDef("ns_bm25_indexed_topk", q_bm25_indexed_topk, SQL_BM25_TOPK, "north-star text/bm25 served from the manifest inverted index", ("northstar", "text")),
     QueryDef("etl_sliding_window_counts", q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS, "§2.8-sliding-window", ("etl", "advanced")),
     QueryDef("etl_session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG, "§2.8-session-window", ("etl", "advanced")),
     QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),

@@ -3103,3 +3103,65 @@ def test_rrf_fuse_matches_reference_and_contracts(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_manifest_bm25_index_serves_and_grows_atomically(spark, tmp_path):
+    """ManifestBM25Index parity + lifecycle: (a) topk == bm25_topk over
+    the same corpus (identical expressions, rounding, tie-breaks); (b)
+    incremental add = corpus union (stats deltas fold, df stays exact
+    across commits); (c) clustered compaction changes the layout, not
+    the ranking; (d) serving reads PRUNE: each term's probe lists fewer
+    files than the table holds."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.io.manifest import ManifestTable
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+    from door2door_etl_spark.operators.text import bm25_topk
+
+    vocab = ["spark", "window", "scan", "join", "filter", "agg", "sort",
+             "merge", "batch", "stream"]
+    docs1 = [
+        Row(doc_id=i, text=" ".join(vocab[j % len(vocab)]
+                                    for j in range(i, i + 8 + i % 5)))
+        for i in range(40)
+    ]
+    docs2 = [
+        Row(doc_id=100 + i, text=" ".join(vocab[(j * 3) % len(vocab)]
+                                          for j in range(i, i + 6 + i % 7)))
+        for i in range(25)
+    ]
+    d1 = spark.createDataFrame(docs1)
+    d2 = spark.createDataFrame(docs2)
+    query = ["spark", "scan", "quantum"]
+
+    idx = ManifestBM25Index(spark, str(tmp_path / "bm25idx"))
+    idx.build(d1)
+    got1 = [(r["doc_id"], r["score"]) for r in idx.topk(query, k=8).collect()]
+    want1 = [(r["doc_id"], r["score"])
+             for r in bm25_topk(d1, query, k=8).collect()]
+    assert got1 == want1
+
+    # incremental: one atomic commit; ranking == corpus-union scoring
+    idx.add(d2)
+    got2 = [(r["doc_id"], r["score"]) for r in idx.topk(query, k=8).collect()]
+    want2 = [(r["doc_id"], r["score"])
+             for r in bm25_topk(d1.unionByName(d2), query, k=8).collect()]
+    assert got2 == want2
+
+    # compaction: layout-only
+    idx.compact()
+    assert [
+        (r["doc_id"], r["score"]) for r in idx.topk(query, k=8).collect()
+    ] == want2
+
+    # pruning: a term's probe lists fewer files than the table holds
+    table = ManifestTable(idx.root)
+    man = table.manifest(table.current_version())
+    kept = table._prune(man, {"term": ("spark", "spark")})
+    assert 1 <= len(kept) < len(man["files"]), (len(kept), len(man["files"]))
+
+    # absent term contributes nothing; empty query rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        idx.topk([])
