@@ -61,7 +61,7 @@ class ManifestBM25Index:
         "n_docs long, n_tokens long"
     )
 
-    def _unified(self, docs: DataFrame) -> DataFrame:
+    def _unified(self, docs: DataFrame, tag: str | None = None) -> DataFrame:
         toks = tokens(F.col(self.text_col))
         tok = docs.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
@@ -76,12 +76,16 @@ class ManifestBM25Index:
             F.lit(None).cast("long").alias("n_docs"),
             F.lit(None).cast("long").alias("n_tokens"),
         )
+        # Stat rows repurpose the (otherwise NULL) term slot as an
+        # optional ingest TAG — the same trick as the LSH index's id
+        # rows — so a streaming maintainer can tell "this delivery
+        # already committed" from a fresh batch.
         stat = docs.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size(toks)).cast("long").alias("n_tokens"),
         ).select(
             F.lit("stat").alias("rel"),
-            F.lit(None).cast("string").alias("term"),
+            F.lit(tag).cast("string").alias("term"),
             F.lit(None).cast("long").alias("doc_id"),
             F.lit(None).cast("int").alias("tf"),
             F.lit(None).cast("int").alias("dl"),
@@ -89,13 +93,13 @@ class ManifestBM25Index:
         )
         return posts.unionByName(stat)
 
-    def _commit(self, docs: DataFrame) -> int:
+    def _commit(self, docs: DataFrame, tag: str | None = None) -> int:
         from door2door_etl_spark.io.manifest import append_manifest
 
         return append_manifest(
             self.spark,
             self.root,
-            self._unified(docs),
+            self._unified(docs, tag),
             partition_col="rel",
             stats_col=["term", "bloom:term"],
         )
@@ -104,11 +108,29 @@ class ManifestBM25Index:
         """First commit: the corpus's postings + its stat delta, atomic."""
         return self._commit(corpus)
 
-    def add(self, batch: DataFrame) -> int:
+    def add(self, batch: DataFrame, tag: str | None = None) -> int:
         """Incremental ingest — postings and the stat delta in ONE
-        commit.  The caller owns id uniqueness (re-adding a document
-        would double-count it, same contract as any postings append)."""
-        return self._commit(batch)
+        commit, optionally stamped with ``tag`` (see :meth:`has_tag`).
+        The caller owns id uniqueness (re-adding a document would
+        double-count it, same contract as any postings append — the
+        streaming maintainer uses tags for delivery-level dedup and an
+        upstream admission stage for document-level dedup)."""
+        return self._commit(batch, tag)
+
+    def has_tag(self, tag: str) -> bool:
+        """Whether an ingest stamped ``tag`` is already committed — the
+        replay test for at-least-once delivery (the stat partition is
+        O(commits) rows, pruned by partition directory)."""
+        table = self._table()
+        if table.current_version() is None:
+            return False
+        return (
+            table.read(self.spark)
+            .filter((F.col("rel") == "stat") & (F.col("term") == tag))
+            .limit(1)
+            .count()
+            > 0
+        )
 
     def _table(self):
         from door2door_etl_spark.io.manifest import ManifestTable

@@ -1124,3 +1124,40 @@ def stream_curate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_index_documents(
+    docs_stream: DataFrame,
+    index,
+    checkpoint_dir: str,
+):
+    """Continuous inverted-index maintenance: each micro-batch lands its
+    postings + corpus-stat delta as ONE
+    :class:`~door2door_etl_spark.operators.search.ManifestBM25Index`
+    commit, stamped with a run-id-namespaced batch tag.
+
+    Replay safety (foreachBatch is at-least-once): a crash between the
+    index commit and the checkpoint commit re-delivers the batch; the
+    tag test (:meth:`~door2door_etl_spark.operators.search.ManifestBM25Index.has_tag`)
+    skips the re-delivery, so postings are never double-counted.
+    DOCUMENT-level dedup is deliberately not this stream's job — an
+    upstream admission stage (:func:`stream_curate` /
+    :func:`stream_manifest_lsh_admission`) owns which documents exist;
+    this stream owns exactly-once INDEXING of whatever arrives.
+    """
+    run_id = _admission_run_id(checkpoint_dir)
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"{run_id}:{batch_id}"
+        if index.has_tag(tag):
+            return  # true replay: this delivery already committed
+        if batch_df.limit(1).count() == 0:
+            return
+        index.add(batch_df.localCheckpoint(eager=True), tag=tag)
+
+    return (
+        docs_stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

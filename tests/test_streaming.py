@@ -1248,3 +1248,75 @@ def test_stream_curate_matches_sequential_batch_admission(spark, tmp_path):
         {r[0] for r in idx2.admitted_ids().collect()}
         == {r[0] for r in idx.admitted_ids().collect()}
     )
+
+
+def test_stream_index_documents_replay_safe(spark, tmp_path):
+    """Continuous inverted-index maintenance: per-batch atomic postings+
+    stats commits tagged per delivery; after two days the served ranking
+    equals batch BM25 over the full corpus, and a crash-replay of the
+    last batch neither double-counts postings nor inflates the corpus
+    stats."""
+    import glob
+    import json as _json
+    import os
+
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+    from door2door_etl_spark.operators.text import bm25_topk
+    from door2door_etl_spark.streaming import stream_index_documents
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx = ManifestBM25Index(spark, str(tmp_path / "idx"))
+
+    day1 = [
+        {"doc_id": 1, "text": "spark shuffle join spark window"},
+        {"doc_id": 2, "text": "scan filter scan scan agg"},
+    ]
+    day2 = [
+        {"doc_id": 3, "text": "spark scan spark scan window window"},
+        {"doc_id": 4, "text": "merge batch stream sort"},
+    ]
+
+    def write_day(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = stream_index_documents(stream, idx, ckpt)
+        q.awaitTermination()
+        q.stop()
+
+    write_day("day1.json", day1)
+    run()
+    write_day("day2.json", day2)
+    run()
+
+    corpus = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in day1 + day2],
+        "doc_id long, text string",
+    )
+    query = ["spark", "scan"]
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(corpus, query, k=4).collect()]
+    got = [(r["doc_id"], r["score"])
+           for r in idx.topk(query, k=4).collect()]
+    assert got == want
+    n_docs, avgdl = idx.corpus_stats()
+    assert n_docs == 4
+
+    # crash-replay of the last batch: tag test skips the re-delivery
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert idx.corpus_stats()[0] == 4  # no stat inflation
+    got2 = [(r["doc_id"], r["score"])
+            for r in idx.topk(query, k=4).collect()]
+    assert got2 == want  # no posting double-count
