@@ -235,13 +235,17 @@ def _file_stats(path: str, stats_cols=None) -> dict:
     range_cols, bloom_cols = _split_stats_decl(_norm_stats_cols(stats_cols))
     present_blooms = [c for c in bloom_cols if c in by_path]
     if present_blooms:
+        import pyarrow.compute as pc
+
         tbl = pf.read(columns=present_blooms)
         blooms: dict = {}
         for c in present_blooms:
             bits = bytearray(_BLOOM_M >> 3)
-            vals = set(tbl.column(c).to_pylist())
-            vals.discard(None)
-            for v in vals:
+            # distinct first, Arrow-side: the Python hash loop runs once
+            # per distinct key, not once per row
+            for v in pc.unique(tbl.column(c).combine_chunks()).to_pylist():
+                if v is None:
+                    continue
                 for pos in _bloom_positions(v):
                     bits[pos >> 3] |= 1 << (pos & 7)
             blooms[c] = {"m": _BLOOM_M, "k": _BLOOM_K, "hex": bits.hex()}
