@@ -2306,16 +2306,17 @@ def convert_to_manifest(
     pairs = _staged_files(LocalFsOps(), src)
     if not pairs:
         raise ValueError(f"{src_dir} contains no data files to adopt")
-    pcols: list[str] = []
+    pcols: list[str] | None = None
     for _path, rel in pairs:
         segs = [s.split("=", 1)[0] for s in rel.split(os.sep)[:-1] if "=" in s]
-        if segs and not pcols:
+        if pcols is None:
             pcols = segs
-        elif segs != pcols and (segs or pcols):
+        elif segs != pcols:
             raise ValueError(
                 f"inconsistent hive partitioning under {src_dir}: "
                 f"{segs} vs {pcols}"
             )
+    pcols = pcols or []
     rels: list[str] = []
     stats: dict = {}
     for path, rel in sorted(pairs):

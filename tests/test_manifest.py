@@ -1610,3 +1610,23 @@ def test_count_rows_exact_under_deletion_vectors(spark, tmp_path):
     # history rows now exact at every retained version too
     hist = {h["version"]: h["rows"] for h in table.describe_history()}
     assert all(v is not None for v in hist.values()), hist
+
+
+def test_convert_to_manifest_rejects_mixed_layout(spark, tmp_path):
+    """A directory mixing root-level and hive-partitioned data files is
+    not a coherent table — conversion must refuse loudly, in whichever
+    order the files are scanned."""
+    import pytest as _pytest
+
+    from door2door_etl_spark.io.manifest import convert_to_manifest
+
+    src = tmp_path / "mixed"
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(
+        str(src)
+    )
+    spark.createDataFrame([(2, "b")], "id int, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "day=1"))
+
+    with _pytest.raises(ValueError, match="inconsistent hive partitioning"):
+        convert_to_manifest(spark, str(src), str(tmp_path / "t"))
