@@ -58,7 +58,7 @@ class ManifestBM25Index:
 
     _SCHEMA = (
         "rel string, term string, doc_id long, tf int, dl int, "
-        "n_docs long, n_tokens long"
+        "n_docs long, n_tokens long, n_text_docs long"
     )
 
     def _unified(self, docs: DataFrame, tag: str | None = None) -> DataFrame:
@@ -75,21 +75,27 @@ class ManifestBM25Index:
             F.lit("post").alias("rel"), "term", "doc_id", "tf", "dl",
             F.lit(None).cast("long").alias("n_docs"),
             F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_text_docs"),
         )
         # Stat rows repurpose the (otherwise NULL) term slot as an
         # optional ingest TAG — the same trick as the LSH index's id
         # rows — so a streaming maintainer can tell "this delivery
-        # already committed" from a fresh batch.
+        # already committed" from a fresh batch.  ``n_text_docs`` counts
+        # only docs with a tokenizable text (size() non-null), because
+        # ``bm25_topk``'s avgdl is ``avg(size)`` — NULL-text docs count
+        # toward N (idf) but not toward the length average; parity
+        # requires reproducing exactly that.
         stat = docs.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+            F.count(F.size(toks)).cast("long").alias("n_text_docs"),
         ).select(
             F.lit("stat").alias("rel"),
             F.lit(tag).cast("string").alias("term"),
             F.lit(None).cast("long").alias("doc_id"),
             F.lit(None).cast("int").alias("tf"),
             F.lit(None).cast("int").alias("dl"),
-            "n_docs", "n_tokens",
+            "n_docs", "n_tokens", "n_text_docs",
         )
         return posts.unionByName(stat)
 
@@ -143,13 +149,14 @@ class ManifestBM25Index:
             self._table()
             .read(self.spark, version=version)
             .filter(F.col("rel") == "stat")
-            .agg(F.sum("n_docs"), F.sum("n_tokens"))
+            .agg(F.sum("n_docs"), F.sum("n_tokens"), F.sum("n_text_docs"))
             .first()
         )
         n_docs = int(stat[0] or 0)
-        if n_docs == 0:
+        n_text = int(stat[2] or 0)
+        if n_docs == 0 or n_text == 0:
             raise ValueError(f"{self.root}: empty index")
-        return n_docs, float(stat[1]) / n_docs
+        return n_docs, float(stat[1]) / n_text
 
     def topk(self, query_terms: list[str], k: int = 10) -> DataFrame:
         """Serve one query: per-term pruned postings reads (term stats +

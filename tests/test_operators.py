@@ -3130,8 +3130,11 @@ def test_manifest_bm25_index_serves_and_grows_atomically(spark, tmp_path):
                                           for j in range(i, i + 6 + i % 7)))
         for i in range(25)
     ]
+    # NULL and empty texts: count toward N (idf) but only the empty one
+    # toward avgdl — the avg(size) parity edge
+    docs2 += [Row(doc_id=990, text=None), Row(doc_id=991, text="")]
     d1 = spark.createDataFrame(docs1)
-    d2 = spark.createDataFrame(docs2)
+    d2 = spark.createDataFrame(docs2, schema="doc_id long, text string")
     query = ["spark", "scan", "quantum"]
 
     idx = ManifestBM25Index(spark, str(tmp_path / "bm25idx"))
