@@ -190,3 +190,43 @@ def profile_table(
         "column", "dtype", "n_rows", "n_nulls", "distinct_est",
         "min_num", "max_num", "avg_num", "min_len", "max_len",
     )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """Per-column drift between two slices of the same relation — the
+    data-quality diff a pipeline runs between yesterday's and today's
+    partition before promoting a batch: null-fraction shift, mean shift,
+    distinct-count ratio, and bound movement, all derived from the two
+    :func:`profile_table` reports (bounded one-row-per-column relations,
+    so the join here is driver-scale regardless of table size; the cost
+    is the two profile passes).
+
+    Deltas are computed on the profiles' already-rounded metrics, so the
+    report is bit-reproducible cross-engine wherever the profiles are.
+    Output: ``(column, dtype, null_frac_old, null_frac_new, avg_delta,
+    distinct_ratio, min_delta, max_delta)``, NULL where the metric is
+    outside the column's type dispatch."""
+    po = profile_table(old, cols, k)
+    pn = profile_table(new, cols, k)
+    o, n = po.alias("o"), pn.alias("n")
+    frac = lambda side: F.round(  # noqa: E731
+        F.col(f"{side}.n_nulls").cast("double") / F.col(f"{side}.n_rows"), 6
+    )
+    return (
+        o.join(n, ["column", "dtype"])
+        .select(
+            "column",
+            "dtype",
+            frac("o").alias("null_frac_old"),
+            frac("n").alias("null_frac_new"),
+            F.round(F.col("n.avg_num") - F.col("o.avg_num"), 4).alias("avg_delta"),
+            F.round(
+                F.col("n.distinct_est") / F.col("o.distinct_est"), 4
+            ).alias("distinct_ratio"),
+            F.round(F.col("n.min_num") - F.col("o.min_num"), 4).alias("min_delta"),
+            F.round(F.col("n.max_num") - F.col("o.max_num"), 4).alias("max_delta"),
+        )
+        .orderBy("column")
+    )

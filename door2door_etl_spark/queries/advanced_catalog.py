@@ -957,16 +957,17 @@ def q_profile_events(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table(ev)
 
 
-def _sql_profile_events() -> str:
-    """Per-column UNION ALL twin of q_profile_events over events
-    (event_id bigint, ts timestamp, user_id bigint, event_type string,
-    value double, props string)."""
+def _sql_profile_events(src: str = "events") -> str:
+    """Per-column UNION ALL twin of q_profile_events over ``src`` (any
+    FROM-able fragment with the events shape: event_id bigint, ts
+    timestamp, user_id bigint, event_type string, value double,
+    props string)."""
 
     def kmv(c: str) -> str:
         u = sql_uniform_hash(c, "kmv")
         return (
             f"(SELECT round(63.0 / max(u), 4) FROM ("
-            f"SELECT u FROM (SELECT DISTINCT {u} AS u FROM events "
+            f"SELECT u FROM (SELECT DISTINCT {u} AS u FROM {src} "
             f"WHERE {c} IS NOT NULL) ORDER BY u LIMIT 64))"
         )
 
@@ -1018,8 +1019,41 @@ def _sql_profile_events() -> str:
                 f"CAST(min(length({c})) AS INT) AS min_len, "
                 f"CAST(max(length({c})) AS INT) AS max_len"
             )
-        blocks.append(common + rest + " FROM events")
+        blocks.append(common + rest + f" FROM {src}")
     return "\nUNION ALL\n".join(blocks)
+
+
+def q_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality drift report between two deterministic slices of the
+    events table (user_id parity as the stand-in for yesterday/today):
+    per-column null-fraction shift, mean shift, distinct ratio and bound
+    movement off two profile passes (operators.profile.profile_drift).
+    The oracle recomputes both profiles and the same deltas in SQL."""
+    from door2door_etl_spark.operators.profile import profile_drift
+
+    ev = load_table(spark, sf, "events")
+    return profile_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
+
+
+def _sql_profile_drift() -> str:
+    p_old = _sql_profile_events("(SELECT * FROM events WHERE user_id % 2 = 0)")
+    p_new = _sql_profile_events("(SELECT * FROM events WHERE user_id % 2 = 1)")
+    return f"""
+WITH p_old AS ({p_old}),
+p_new AS ({p_new})
+SELECT o."column" AS "column", o.dtype,
+       round(CAST(o.n_nulls AS DOUBLE) / o.n_rows, 6) AS null_frac_old,
+       round(CAST(n.n_nulls AS DOUBLE) / n.n_rows, 6) AS null_frac_new,
+       round(n.avg_num - o.avg_num, 4) AS avg_delta,
+       round(n.distinct_est / o.distinct_est, 4) AS distinct_ratio,
+       round(n.min_num - o.min_num, 4) AS min_delta,
+       round(n.max_num - o.max_num, 4) AS max_delta
+FROM p_old o JOIN p_new n ON o."column" = n."column" AND o.dtype = n.dtype
+ORDER BY o."column"
+"""
 
 
 def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1072,6 +1106,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_kmv_set_overlap", q_kmv_set_overlap, SQL_KMV_SET_OVERLAP, "north-star sketch/kmv-set-algebra (Beyer et al. 2007)", ("northstar", "sketch")),
     QueryDef("ns_pagerank_trade", q_pagerank_trade, _sql_pagerank_trade(), "north-star graph/weighted-pagerank (Page et al. 1999)", ("northstar", "graph")),
     QueryDef("ns_profile_events", q_profile_events, _sql_profile_events(), "north-star profile/analyze-table", ("northstar", "profile")),
+    QueryDef("ns_profile_drift", q_profile_drift, _sql_profile_drift(), "north-star profile/drift report (two-slice data-quality diff)", ("northstar", "profile")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),
