@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
                  "purge", "history", "train-quality-filter", "curate",
-                 "fsck", "convert"],
+                 "fsck", "convert", "index", "search"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -45,7 +45,18 @@ def main(argv: list[str] | None = None) -> int:
              "debris, --deep adds a distributed footer-row-count check); "
              "convert adopts an existing plain parquet dir (--source) as "
              "the manifest table <lake-root>/warehouse/<--table> via "
-             "hard links, zero data copied",
+             "hard links, zero data copied; "
+             "index builds (or incrementally grows) the BM25 inverted "
+             "index <lake-root>/indexes/<--table> from --source "
+             "documents; search serves a --query against it",
+    )
+    parser.add_argument(
+        "--query", default=None,
+        help="search: whitespace-separated query terms",
+    )
+    parser.add_argument(
+        "--top-k", type=int, default=10,
+        help="search: result count",
     )
     parser.add_argument(
         "--stats-cols", default=None,
@@ -155,6 +166,16 @@ def main(argv: list[str] | None = None) -> int:
         if not args.source or not args.table:
             parser.error("--source and --table are required for convert")
         return _run_convert(args)
+
+    if args.step == "index":
+        if not args.source or not args.table:
+            parser.error("--source and --table are required for index")
+        return _run_index(args)
+
+    if args.step == "search":
+        if not args.query or not args.table:
+            parser.error("--query and --table are required for search")
+        return _run_search(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history", "fsck"):
@@ -348,6 +369,68 @@ def _run_convert(args) -> int:
         print(json.dumps({
             "step": "convert", "table": args.table, "root": root,
             "files_adopted": n, "stats_cols": stats or [],
+        }))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_index(args) -> int:
+    """Build or grow the BM25 inverted index
+    ``<lake-root>/indexes/<table>`` from a documents parquet — each call
+    is one atomic postings+stats commit (operators.search
+    .ManifestBM25Index).  Prints one JSON summary line."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+    from door2door_etl_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-index")
+    try:
+        root = os.path.join(args.lake_root, "indexes", args.table)
+        idx = ManifestBM25Index(spark, root)
+        docs = spark.read.parquet(args.source)
+        version = idx.add(docs)
+        n_docs, avgdl = idx.corpus_stats()
+        print(json.dumps({
+            "step": "index", "table": args.table, "root": root,
+            "version": version, "n_docs": n_docs,
+            "avgdl": round(avgdl, 4),
+        }))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_search(args) -> int:
+    """Serve one BM25 query against ``<lake-root>/indexes/<table>`` —
+    reads only the query terms' postings files.  Prints one JSON line
+    with the ranked results."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+    from door2door_etl_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-search")
+    try:
+        root = os.path.join(args.lake_root, "indexes", args.table)
+        idx = ManifestBM25Index(spark, root)
+        terms = args.query.split()
+        hits = [
+            {"doc_id": r["doc_id"], "score": r["score"]}
+            for r in idx.topk(terms, k=args.top_k).collect()
+        ]
+        print(json.dumps({
+            "step": "search", "table": args.table, "query": terms,
+            "hits": hits,
         }))
         return 0
     finally:

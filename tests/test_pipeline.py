@@ -675,3 +675,44 @@ def test_cli_convert_adopts_legacy_parquet(spark, tmp_path, capsys):
     # the bloom pruned: not every file was listed for the point lookup
     kept = table._prune(man, {"user": ("u042", "u042")})
     assert 1 <= len(kept) < len(man["files"])
+
+
+def test_cli_index_and_search(spark, tmp_path, capsys):
+    """`-s index` builds the lake's BM25 inverted index (incremental:
+    a second call with new docs is one more atomic commit), `-s search`
+    serves ranked results from it."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    d1 = tmp_path / "d1.parquet"
+    d2 = tmp_path / "d2.parquet"
+    spark.createDataFrame(
+        [(1, "spark shuffle join spark window"),
+         (2, "scan filter scan scan agg")],
+        "doc_id long, text string",
+    ).write.parquet(str(d1))
+    spark.createDataFrame(
+        [(3, "spark scan spark scan window window")],
+        "doc_id long, text string",
+    ).write.parquet(str(d2))
+    lake = str(tmp_path / "lake")
+
+    rc = main(["-s", "index", "--source", str(d1), "--lake-root", lake,
+               "--table", "docs"])
+    assert rc == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_docs"] == 2 and out1["version"] == 1
+
+    rc = main(["-s", "index", "--source", str(d2), "--lake-root", lake,
+               "--table", "docs"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_docs"] == 3 and out2["version"] == 2
+
+    rc = main(["-s", "search", "--query", "spark scan", "--lake-root", lake,
+               "--table", "docs", "--top-k", "3"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids = [h["doc_id"] for h in res["hits"]]
+    assert set(ids) == {1, 2, 3} and ids[0] == 3  # 3 hits both terms hard
