@@ -797,6 +797,55 @@ SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
 """
 
 
+def q_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe equi-join: events (event_type is the hot key — a handful
+    of values over the whole table) joined to a derived per-type dim via
+    operators.relational.salted_equijoin (left keys salted into buckets,
+    the small right side replicated per salt), then re-aggregated.  The
+    oracle is the PLAIN join+agg — a hash match proves salting is purely
+    a physical rewrite.  (For a dim this small broadcast is the right
+    production plan; the salted form is the large⋈large fallback, and
+    its skew-spread is plan-asserted in tests/test_plans.py.)"""
+    from door2door_etl_spark.operators.relational import salted_equijoin
+
+    ev = load_table(spark, sf, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+        .select(
+            F.col("event_type").alias("et"),
+            "type_total",
+            F.length("event_type").cast("double").alias("type_weight"),
+        )
+    )
+    joined = salted_equijoin(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        "event_type",
+        "et",
+        salt_buckets=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.first("type_total").alias("type_total"),
+        F.round(F.sum("value") * F.first("type_weight"), 4).alias("weighted_value"),
+    )
+
+
+SQL_SALTED_SKEW_JOIN = """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_total,
+         CAST(length(event_type) AS DOUBLE) AS type_weight
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       min(d.type_total) AS type_total,
+       round(sum(e.value) * min(d.type_weight), 4) AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_hour_window_filter", q_hour_window_filter, SQL_HOUR_WINDOW_FILTER, "P1,P4", ("etl",)),
     QueryDef("etl_watermark_max", q_watermark_max, SQL_WATERMARK_MAX, "S3,A1,P5", ("etl",)),
@@ -812,6 +861,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("etl_props_extract_distribution", q_props_extract_distribution, SQL_PROPS_EXTRACT_DISTRIBUTION, "F1,F2", ("etl",)),
     QueryDef("etl_quarantine_unknown_types", q_quarantine_unknown_types, SQL_QUARANTINE_UNKNOWN_TYPES, "P3-quarantine", ("etl",)),
     QueryDef("etl_interval_join_periods", q_interval_join_periods, SQL_INTERVAL_JOIN_PERIODS, "§2.4-range", ("etl",)),
+    QueryDef("rel_salted_skew_join", q_salted_skew_join, SQL_SALTED_SKEW_JOIN, "§2.4-join (skew-salted physical rewrite)", ("rel",)),
     QueryDef("rel_interval_join_bucketed", q_interval_join_bucketed, SQL_INTERVAL_JOIN_PERIODS, "§2.4-range (two-large-sides bucketed plan)", ("rel",)),
     QueryDef("etl_catalog_probe", q_catalog_probe, SQL_CATALOG_PROBE, "S5,S6", ("etl",)),
     QueryDef("etl_ts_format_hours", q_ts_format_hours, SQL_TS_FORMAT_HOURS, "F7", ("etl",)),
