@@ -65,6 +65,7 @@ identical to the local mode and shares its tests' expectations.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import re
@@ -170,13 +171,44 @@ def _split_stats_decl(cols: list[str]) -> tuple[list[str], list[str]]:
     return plain, bloom
 
 
+def _bloom_canon(value):
+    """Canonical form hashed into bloom bitmaps, applied identically at
+    BUILD (Arrow-decoded column values) and PROBE (query literals).
+    Without this, ``str()`` rendering drift between the two sides —
+    ``read_where(col, 5.0, 5.0)`` on an int column ('5.0' vs '5'),
+    integral Decimals — misses every bit position and silently prunes
+    files that DO contain the key (wrong missing rows, not just a missed
+    skip).  bool is left alone (its str is stable and bool is an int
+    subclass — check it first)."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    if isinstance(value, decimal.Decimal):
+        return (
+            int(value)
+            if value == value.to_integral_value()
+            else float(value)
+        )
+    return value
+
+
+#: Kinds a bloom probe may run against (their _bloom_canon rendering is
+#: stable) — anything else (datetime, bytes, None, ...) skips the bloom
+#: test and keeps the file: skipping is conservative, a rendering
+#: mismatch is not.
+_BLOOM_PROBE_TYPES = (int, float, str, decimal.Decimal)
+
+
 def _bloom_hash52(value, salt: str) -> int:
     """Driver-Python twin of operators/sketches._h52: sha256 of
-    (str(value) + salt), first 13 hex digits as an integer."""
+    (str(canon(value)) + salt), first 13 hex digits as an integer."""
     import hashlib
 
     return int(
-        hashlib.sha256((str(value) + salt).encode("utf-8")).hexdigest()[:13],
+        hashlib.sha256(
+            (str(_bloom_canon(value)) + salt).encode("utf-8")
+        ).hexdigest()[:13],
         16,
     )
 
@@ -187,7 +219,14 @@ def _bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
 
 def _bloom_maybe_contains(b: dict, value) -> bool:
     """Membership test against one per-file bloom entry — False means the
-    file DEFINITELY does not contain ``value``."""
+    file DEFINITELY does not contain ``value``.  Probes only canon-built
+    bitmaps (``"canon": 1``) with literal kinds whose canonical rendering
+    is stable; everything else answers True (keep the file — min/max
+    pruning still applies, correctness never depends on the bloom)."""
+    if int(b.get("canon", 0)) != 1:
+        return True  # legacy pre-canon bitmap: unsafe to probe
+    if not isinstance(value, _BLOOM_PROBE_TYPES) or isinstance(value, bool):
+        return True
     raw = bytes.fromhex(b["hex"])
     m, k = int(b.get("m", _BLOOM_M)), int(b.get("k", _BLOOM_K))
     for j in range(k):
@@ -248,7 +287,9 @@ def _file_stats(path: str, stats_cols=None) -> dict:
                     continue
                 for pos in _bloom_positions(v):
                     bits[pos >> 3] |= 1 << (pos & 7)
-            blooms[c] = {"m": _BLOOM_M, "k": _BLOOM_K, "hex": bits.hex()}
+            blooms[c] = {
+                "m": _BLOOM_M, "k": _BLOOM_K, "canon": 1, "hex": bits.hex()
+            }
         out["blooms"] = blooms
     for col in range_cols:
         col_idx = by_path.get(col)

@@ -173,14 +173,23 @@ def profile_table(
             .dropDuplicates(["column", "u"])
         )
         w = Window.partitionBy("column").orderBy("u")
+        # Below-k exact fallback (mirrors kmv_distinct_by_group): a column
+        # with fewer than k distinct values keeps its WHOLE distinct set in
+        # the sketch, so the count IS the exact answer — the (k-1)/max(u)
+        # estimator is near-random noise in that regime (a 2-value enum can
+        # report 70).  Only at >= k sketch rows does the estimator apply.
+        n_sketch = F.count(F.lit(1))
         ests = (
             pairs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .groupBy("column")
             .agg(
-                F.round(F.lit(float(k - 1)) / F.max("u"), 4).alias(
-                    "distinct_est"
+                F.when(
+                    n_sketch >= k,
+                    F.round(F.lit(float(k - 1)) / F.max("u"), 4),
                 )
+                .otherwise(n_sketch.cast("double"))
+                .alias("distinct_est")
             )
         )
         report = report.join(F.broadcast(ests), "column", "left")

@@ -172,7 +172,11 @@ class ManifestBM25Index:
             raise ValueError(f"{self.root}: no committed index")
         n_docs, avgdl = self.corpus_stats(version)
         posts = None
-        for t in query_terms:
+        # Order-preserving dedup: a duplicated query term would union its
+        # postings twice — doubling df_t and summing its weight twice —
+        # breaking exact parity with bm25_topk, whose isin() counts a
+        # repeated term once.
+        for t in dict.fromkeys(query_terms):
             part = table.read_where(
                 self.spark, {"term": (t, t)}, version=version
             ).filter(F.col("rel") == "post")

@@ -50,8 +50,16 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """
     hashed = df.select(uniform_hash(F.col(col), "kmv").alias("u")).dropDuplicates(["u"])
     topk = hashed.orderBy("u").limit(k)
+    # Below-k regime: the sketch holds the ENTIRE distinct set, so the
+    # count is exact — the estimator is noise there (same contract as
+    # kmv_distinct_by_group and profile_table).
+    n_sketch = F.count(F.lit(1))
     return topk.agg(
-        F.round((F.lit(float(k - 1)) / F.max("u")), 4).alias("est_distinct"),
+        F.when(
+            n_sketch >= k, F.round((F.lit(float(k - 1)) / F.max("u")), 4)
+        )
+        .otherwise(n_sketch.cast("double"))
+        .alias("est_distinct"),
         F.lit(k).alias("k"),
         F.round(F.max("u"), 12).alias("kth_hash"),
     )

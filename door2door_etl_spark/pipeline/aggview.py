@@ -215,6 +215,31 @@ class IncrementalAggView:
         tag = f"{_LEDGER_PREFIX}:{from_v}:{to_v}"
         return df.filter(F.col("_group_key") == tag).limit(1).count() > 0
 
+    def _landed_to(self, spark: SparkSession, from_v: int) -> int | None:
+        """Largest ``to_v`` among committed ledger rows starting at
+        ``from_v``, or None.  Crash recovery: a ledger row ``(from_v, v)``
+        with the cursor still at ``from_v`` means a prior refresh committed
+        the view but died before the cursor commit — those deltas HAVE
+        landed and must not be applied again, even if the source has since
+        advanced past ``v`` (so the exact-window replay check would miss
+        it).  Bounded scan: ledger rows are one per applied window."""
+        if VersionedParquetTable(self.view_root).current_version() is None:
+            return None
+        df = VersionedParquetTable(self.view_root).read(spark)
+        pref = f"{_LEDGER_PREFIX}:{from_v}:"
+        rows = (
+            df.filter(F.col("_group_key").startswith(pref))
+            .select(
+                F.max(
+                    F.substring(
+                        F.col("_group_key"), len(pref) + 1, 32
+                    ).cast("long")
+                ).alias("v")
+            )
+            .collect()
+        )
+        return rows[0]["v"] if rows and rows[0]["v"] is not None else None
+
     def refresh(self, spark: SparkSession) -> dict:
         """Advance the view to the source's current version.
 
@@ -250,6 +275,25 @@ class IncrementalAggView:
             return {
                 "action": "noop", "from_version": last, "to_version": last,
                 "groups_touched": 0,
+            }
+
+        # Crash recovery BEFORE windowing: if a ledger row (last, v) landed
+        # but the cursor commit was lost AND the source has since advanced
+        # (cur > v), the exact-window check below would compare (last, cur)
+        # against (last, v), miss, and re-apply the (last→v) deltas —
+        # double-counting.  Advance the effective cursor over every landed
+        # window first (looped: consecutive crashed refreshes chain).
+        orig_last = last
+        while True:
+            landed = self._landed_to(spark, last)
+            if landed is None or landed <= last:
+                break
+            cursor.commit(landed)
+            last = landed
+        if cur <= last:
+            return {
+                "action": "replay-skip", "from_version": orig_last,
+                "to_version": last, "groups_touched": 0,
             }
 
         from_v, to_v = last, cur

@@ -120,7 +120,8 @@ SQL_KMV_DISTINCT_USERS = f"""
 WITH hashed AS (
   SELECT DISTINCT {sql_uniform_hash('user_id', 'kmv')} AS u FROM events
 ), topk AS (SELECT u FROM hashed ORDER BY u LIMIT 64)
-SELECT round(63.0 / max(u), 4) AS est_distinct,
+SELECT CASE WHEN count(*) >= 64 THEN round(63.0 / max(u), 4)
+            ELSE CAST(count(*) AS DOUBLE) END AS est_distinct,
        64 AS k,
        round(max(u), 12) AS kth_hash
 FROM topk
@@ -964,9 +965,14 @@ def _sql_profile_events(src: str = "events") -> str:
     props string)."""
 
     def kmv(c: str) -> str:
+        # Mirrors profile_table's below-k exact fallback: fewer than k
+        # sketch rows means the sketch holds the whole distinct set, so
+        # the count is exact; the (k-1)/u_(k) estimator applies only at k.
         u = sql_uniform_hash(c, "kmv")
         return (
-            f"(SELECT round(63.0 / max(u), 4) FROM ("
+            f"(SELECT CASE WHEN count(*) >= 64 "
+            f"THEN round(63.0 / max(u), 4) "
+            f"ELSE CAST(count(*) AS DOUBLE) END FROM ("
             f"SELECT u FROM (SELECT DISTINCT {u} AS u FROM {src} "
             f"WHERE {c} IS NOT NULL) ORDER BY u LIMIT 64))"
         )

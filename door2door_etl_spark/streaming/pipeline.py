@@ -411,11 +411,16 @@ def stream_hll_maintenance(
             if current is not None
             else batch_regs
         )
+        # NULL-safe group encoding (see stream_hdr_maintenance): concat_ws
+        # drops null args, collapsing distinct null-bearing group tuples.
         keyed = combined.withColumn(
             "sketch_key",
             F.concat_ws(
                 "\x1f",
-                *[F.col(c).cast("string") for c in group_cols],
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in group_cols
+                ],
                 F.col("bucket").cast("string"),
             ),
         )
@@ -910,12 +915,20 @@ def stream_hdr_maintenance(
         bins = hdr_histogram_table(
             batch_df, group_cols, value_col, sub_bits=sub_bits
         ).withColumn("batch_id", F.lit(batch_id))
+        # NULL-safe per-column encoding (aggview's _group_key_expr
+        # pattern): concat_ws silently SKIPS null args, so with 2+
+        # nullable group columns distinct tuples like (NULL,'a') and
+        # ('a',NULL) would collapse to one ledger key and their bin
+        # counts merge-overwrite each other.
         keyed = bins.withColumn(
             "cell_key",
             F.concat_ws(
                 "\x1f",
                 F.col("batch_id").cast("string"),
-                *[F.col(c).cast("string") for c in group_cols],
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in group_cols
+                ],
                 F.col("bin").cast("string"),
             ),
         )

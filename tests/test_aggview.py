@@ -294,3 +294,63 @@ def test_aggview_group_emptied_then_revived_resets_bounds(spark, tmp_path):
     (row,) = view.read(spark).collect()
     assert (row["n_rows"], row["min_amount"], row["max_amount"]) == (1, 3.0, 3.0)
     _assert_parity(spark, view)
+
+
+def test_aggview_crashed_window_survives_source_advance(spark, tmp_path):
+    """Crash between view commit and cursor commit, THEN the source
+    advances before the next refresh: the new change window no longer
+    matches the landed ledger row exactly, so the refresh must first
+    advance the effective cursor over the landed window — otherwise the
+    crashed window's deltas are applied twice (double-counted n_rows and
+    sums, breaking effectively-once)."""
+    src = tmp_path / "src"
+    merge_versioned(
+        spark, str(src), _rows(spark, [("a", "open", 1.0)]), key="id"
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+    seeded_at = view._cursor().last_committed()
+
+    # Window (seed -> v1) applies and lands its ledger row...
+    merge_versioned(
+        spark, str(src), _rows(spark, [("b", "open", 2.0)]), key="id"
+    )
+    view.refresh(spark)
+    # ...but the cursor commit is lost (crash between the two commits).
+    Path(view._cursor().cursor_path).write_text(str(seeded_at))
+    # Source advances BEFORE the next refresh — the exact-window replay
+    # check cannot see the landed (seed -> v1) row anymore.
+    merge_versioned(
+        spark, str(src), _rows(spark, [("c", "open", 4.0)]), key="id"
+    )
+    view.refresh(spark)
+    _assert_parity(spark, view)
+    r = {x["status"]: x for x in view.read(spark).collect()}
+    assert r["open"]["n_rows"] == 3
+    assert round(r["open"]["sum_amount"], 9) == 7.0
+    assert view.refresh(spark)["action"] == "noop"
+
+
+def test_aggview_crashed_window_source_unmoved_replay_skips(spark, tmp_path):
+    """Same crash, but the source does NOT advance: the recovery scan
+    alone must advance the cursor and report replay-skip with no view
+    change (the pre-existing exact-window behavior, now served by the
+    landed-window scan)."""
+    src = tmp_path / "src"
+    merge_versioned(
+        spark, str(src), _rows(spark, [("a", "open", 1.0)]), key="id"
+    )
+    view = _view(tmp_path, src)
+    view.refresh(spark)
+    seeded_at = view._cursor().last_committed()
+    merge_versioned(
+        spark, str(src), _rows(spark, [("b", "open", 2.0)]), key="id"
+    )
+    view.refresh(spark)
+    before = sorted(map(tuple, view.read(spark).collect()))
+    Path(view._cursor().cursor_path).write_text(str(seeded_at))
+    out = view.refresh(spark)
+    assert out["action"] == "replay-skip"
+    assert sorted(map(tuple, view.read(spark).collect())) == before
+    assert view._cursor().last_committed() > seeded_at
+    _assert_parity(spark, view)

@@ -1630,3 +1630,59 @@ def test_convert_to_manifest_rejects_mixed_layout(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="inconsistent hive partitioning"):
         convert_to_manifest(spark, str(src), str(tmp_path / "t"))
+
+
+def test_bloom_probe_literal_canonicalization(spark, tmp_path):
+    """Bloom build and probe hash the CANONICAL rendering of a value, so
+    a query literal whose str() differs from the stored value's —
+    read_where(k, 5.0, 5.0) on a bigint column ('5.0' vs '5'), an
+    integral Decimal — still hits the same bit positions.  Before this,
+    the probe silently pruned files that DO contain the key (wrong
+    missing rows).  Pre-canon bitmaps (no "canon" marker) are never
+    probed; non-canonical literal kinds skip the bloom test — both
+    conservative keeps."""
+    from decimal import Decimal
+
+    from door2door_etl_spark.io.manifest import (
+        _bloom_maybe_contains,
+        append_manifest,
+    )
+
+    # bigint column, two files with disjoint keys
+    root = str(tmp_path / "ints")
+    for lo in (0, 100):
+        batch = spark.createDataFrame(
+            [(lo + j,) for j in range(100)], "k bigint"
+        ).coalesce(1)
+        append_manifest(spark, root, batch, stats_col=["bloom:k"], vacuum_keep=99)
+    table = ManifestTable(root)
+    man = table.manifest(table.current_version())
+    for probe in (5, 5.0, Decimal("5")):
+        got = table.read_where(spark, {"k": (probe, probe)}).collect()
+        assert [r["k"] for r in got] == [5], probe
+        # and the probe actually pruned to the owning file
+        assert len(table._prune(man, {"k": (probe, probe)})) == 1, probe
+
+    # double column with integral values: int literal probes still hit
+    rootf = str(tmp_path / "floats")
+    batch = spark.createDataFrame(
+        [(float(j),) for j in range(50)], "v double"
+    ).coalesce(1)
+    append_manifest(spark, rootf, batch, stats_col=["bloom:v"], vacuum_keep=99)
+    tf = ManifestTable(rootf)
+    assert [r["v"] for r in tf.read_where(spark, {"v": (7, 7)}).collect()] == [7.0]
+    assert [
+        r["v"] for r in tf.read_where(spark, {"v": (7.0, 7.0)}).collect()
+    ] == [7.0]
+
+    # legacy (pre-canon) bitmap: never probed -> always "maybe contains"
+    legacy = {"m": 4096, "k": 3, "hex": "00" * 512}
+    assert _bloom_maybe_contains(legacy, "anything") is True
+    # non-canonical literal kind (datetime) on a canon bitmap: skipped
+    import datetime as dt
+
+    canon_empty = {"m": 4096, "k": 3, "canon": 1, "hex": "00" * 512}
+    assert _bloom_maybe_contains(canon_empty, dt.datetime(2024, 1, 1)) is True
+    assert _bloom_maybe_contains(canon_empty, True) is True
+    # ...while a canonical kind on the empty bitmap is definitively absent
+    assert _bloom_maybe_contains(canon_empty, 5) is False

@@ -3163,8 +3163,38 @@ def test_manifest_bm25_index_serves_and_grows_atomically(spark, tmp_path):
     kept = table._prune(man, {"term": ("spark", "spark")})
     assert 1 <= len(kept) < len(man["files"]), (len(kept), len(man["files"]))
 
+    # duplicated query term counts ONCE (order-preserving dedup before
+    # the per-term postings reads) — parity with bm25_topk's isin()
+    assert [
+        (r["doc_id"], r["score"])
+        for r in idx.topk(["spark", "spark", "scan", "quantum"], k=8).collect()
+    ] == want2
+
     # absent term contributes nothing; empty query rejected
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         idx.topk([])
+
+
+def test_profile_distinct_est_exact_below_k(spark):
+    """Below-k KMV regime: a low-cardinality column (enums, status flags
+    — the common case) reports its EXACT distinct count, because the
+    k-bounded sketch holds the entire distinct set; the (k-1)/u_(k)
+    estimator is noise there (a 2-value enum could report 70)."""
+    from door2door_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [("x", 1), ("y", 2), ("x", 2), (None, 3)], "s string, i bigint"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["s"]["distinct_est"] == 2.0
+    assert prof["i"]["distinct_est"] == 3.0
+
+    # >= k distinct values: the estimator regime (not exact, but sane —
+    # within 50% of truth at k=64 on 500 distinct values)
+    big = spark.range(500).selectExpr("cast(id as string) AS s")
+    est = {
+        r["column"]: r["distinct_est"] for r in profile_table(big).collect()
+    }["s"]
+    assert est != 500.0 and 250.0 <= est <= 1000.0

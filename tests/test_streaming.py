@@ -1320,3 +1320,50 @@ def test_stream_index_documents_replay_safe(spark, tmp_path):
     got2 = [(r["doc_id"], r["score"])
             for r in idx.topk(query, k=4).collect()]
     assert got2 == want  # no posting double-count
+
+
+def test_stream_hdr_maintenance_null_group_tuples_stay_distinct(spark, tmp_path):
+    """With 2+ nullable group columns, distinct tuples like (NULL,'a')
+    and ('a',NULL) must keep separate ledger rows: concat_ws silently
+    drops null args, so without per-column NULL sentinels both tuples
+    would collapse to one cell_key and merge-overwrite each other's bin
+    counts."""
+    from door2door_etl_spark.operators.sketches import hdr_histogram_table
+    from door2door_etl_spark.streaming.pipeline import (
+        read_hdr_state,
+        stream_hdr_maintenance,
+    )
+
+    src = tmp_path / "hdr_null_in"
+    src.mkdir()
+    rows = (
+        [{"g1": None, "g2": "a", "v": 10} for _ in range(5)]
+        + [{"g1": "a", "g2": None, "v": 200} for _ in range(3)]
+        + [{"g1": "a", "g2": "a", "v": 10} for _ in range(2)]
+    )
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("g1 string, g2 string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    root, ckpt = str(tmp_path / "hdrn_state"), str(tmp_path / "hdrn_ckpt")
+    q = stream_hdr_maintenance(spark, stream, ["g1", "g2"], "v", root, ckpt)
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [(r["g1"], r["g2"], r["v"]) for r in rows],
+        "g1 string, g2 string, v long",
+    )
+    expect = {
+        (r["g1"], r["g2"], r["bin"]): r["cnt"]
+        for r in hdr_histogram_table(all_rows, ["g1", "g2"], "v").collect()
+    }
+    got = {
+        (r["g1"], r["g2"], r["bin"]): r["cnt"]
+        for r in read_hdr_state(spark, root, ["g1", "g2"]).collect()
+    }
+    assert got == expect
+    # the two null-bearing tuples are distinct groups with their own counts
+    assert sum(c for (a, b, _), c in got.items() if a is None and b == "a") == 5
+    assert sum(c for (a, b, _), c in got.items() if a == "a" and b is None) == 3
