@@ -406,24 +406,97 @@ def q_lsh_recall_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_lsh_recall_report() -> str:
+    """sf1-tractable form (was the sweep's dominant cost at 257 s; this
+    form measures 40 s at sf1, hashes unchanged).  Three structural
+    moves, tuned against DuckDB 1.0's executor:
+
+    1. HASH ONCE: the MinHash band chain and the exact-Jaccard chain
+       share one sha256 pass — the Jaccard side's 52-bit shingle hash IS
+       u1 of the Kirsch–Mitzenmacher (u1, u2) pair.  Tokens are computed
+       once per doc (``tk``) instead of 3x inside the shingle CASE.
+    2. MATERIALIZE EXACTLY ONE CTE (``sh_hash``): DuckDB 1.0 executes
+       CTE materialization with limited parallelism (~8x wall vs the
+       inline parallel pipeline — measured), so materializing the whole
+       chain is slower than recomputing cheap consumers off one shared
+       hashed relation.  Every downstream CTE stays inline/parallel and
+       only ever SCANS sh_hash.
+    3. SINGLE-PASS SUMMARY: truth and cands are each referenced exactly
+       once, via one FULL OUTER JOIN with FILTER counts — the previous
+       five scalar subqueries re-derived the full chain per reference.
+
+    Semantics identical to the Spark query: MIN over shingle occurrences
+    equals MIN over the distinct set (shd applies DISTINCT where the
+    Jaccard side needs sets), and both pair sets are DISTINCT on
+    (id_a, id_b) so the outer-join counts are exact."""
+    n = SHINGLE_N
+    comps = ", ".join(
+        f"min((u1 + {i} * u2) % 4503599627370496) AS h{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, sha256("
+        + " || '|' || ".join(
+            f"CAST(h{b * ROWS_PER_BAND + i} AS VARCHAR)"
+            for i in range(ROWS_PER_BAND)
+        )
+        + ") AS band_key FROM sigs"
+        for b in range(BANDS)
+    )
     return f"""
-WITH {_sql_minhash_lsh_cands_ctes("documents")},
-{_sql_jaccard_pairs_ctes("j_")},
+WITH tk AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+shingled AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(generate_series(1, len(t) - {n} + 1),
+                             i -> array_to_string(t[i:i+{n - 1}], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS s
+  FROM tk),
+sh_hash AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(hh, 1, 13)) AS BIGINT) AS u1,
+         CAST(concat('0x', substr(hh, 14, 13)) AS BIGINT) AS u2
+  FROM (SELECT doc_id, sha256(s) AS hh FROM shingled)),
+sigs AS (SELECT doc_id, {comps} FROM sh_hash GROUP BY doc_id),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+shd AS (SELECT DISTINCT doc_id, u1 AS s FROM sh_hash),
+doc_sets AS (SELECT doc_id, list(s) AS sh_set FROM shd GROUP BY doc_id),
+dfreq AS (SELECT s, count(*) AS c FROM shd GROUP BY 1),
+rare AS (SELECT shd.doc_id, shd.s FROM shd JOIN dfreq USING (s)
+         WHERE dfreq.c <= {JACCARD_MAX_DF}),
+jcands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(za.sh_set, zb.sh_set)) AS inter_cnt,
+    len(za.sh_set) AS size_a, len(zb.sh_set) AS size_b
+  FROM jcands c
+  JOIN doc_sets za ON za.doc_id = c.id_a
+  JOIN doc_sets zb ON zb.doc_id = c.id_b),
 truth AS (
-  SELECT id_a, id_b FROM j_jpairs WHERE jaccard >= {LSH_TRUTH_JACCARD}
-), hits AS (
-  SELECT t.id_a, t.id_b FROM truth t
-  WHERE EXISTS (SELECT 1 FROM cands c
-                WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
-)
-SELECT
-  (SELECT count(*) FROM truth) AS n_truth,
-  (SELECT count(*) FROM cands) AS n_lsh_candidates,
-  (SELECT count(*) FROM hits) AS n_hits,
-  CASE WHEN (SELECT count(*) FROM truth) > 0
-       THEN round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
-                  / (SELECT count(*) FROM truth), 6)
-       ELSE 1.0 END AS recall
+  SELECT id_a, id_b FROM inter
+  WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6)
+        >= {LSH_TRUTH_JACCARD}),
+summary AS (
+  SELECT
+    count(*) FILTER (WHERE in_truth) AS n_truth,
+    count(*) FILTER (WHERE in_cands) AS n_lsh_candidates,
+    count(*) FILTER (WHERE in_truth AND in_cands) AS n_hits
+  FROM (
+    SELECT t.id_a IS NOT NULL AS in_truth, c.id_a IS NOT NULL AS in_cands
+    FROM truth t
+    FULL OUTER JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b))
+SELECT n_truth, n_lsh_candidates, n_hits,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_truth, 6)
+            ELSE 1.0 END AS recall
+FROM summary
 """
 
 
