@@ -56,6 +56,8 @@ class ManifestBM25Index:
     k1: float = 1.2
     b: float = 0.75
 
+    REL_TOMB = "tomb"
+
     _SCHEMA = (
         "rel string, term string, doc_id long, tf int, dl int, "
         "n_docs long, n_tokens long, n_text_docs long"
@@ -97,7 +99,23 @@ class ManifestBM25Index:
             F.lit(None).cast("int").alias("dl"),
             "n_docs", "n_tokens", "n_text_docs",
         )
-        return posts.unionByName(stat)
+        # Per-document rows (rel='doc'): ``(doc_id, dl)`` with dl NULL
+        # for NULL texts — the membership ledger :meth:`remove` needs to
+        # turn an id into an EXACT negative stat delta (a NULL-text doc
+        # has no postings, so postings alone cannot answer "what did
+        # this doc contribute to n_docs / n_tokens / n_text_docs").
+        # One row per doc, its own partition, never read at serving.
+        docrows = docs.select(
+            F.lit("doc").alias("rel"),
+            F.lit(None).cast("string").alias("term"),
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("tf"),
+            F.size(toks).cast("int").alias("dl"),
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_text_docs"),
+        )
+        return posts.unionByName(stat).unionByName(docrows)
 
     def _commit(self, docs: DataFrame, tag: str | None = None) -> int:
         from door2door_etl_spark.io.manifest import append_manifest
@@ -143,6 +161,84 @@ class ManifestBM25Index:
 
         return ManifestTable(self.root)
 
+    def remove(self, ids: DataFrame) -> int:
+        """Merge-on-read document removal, ONE atomic commit: tombstone
+        rows for the doomed ids plus a NEGATIVE corpus-stat delta derived
+        from their ``rel='doc'`` ledger rows — mirrors
+        ``ManifestVectorIndex.remove``, so ``n_docs``/``avgdl`` stay
+        exactly consistent with the effective membership at every
+        version (a delete-then-fix-stats sequence would tear).  Removed
+        docs disappear from serving immediately (:meth:`topk` anti-joins
+        the tombstones); :meth:`apply_removals` purges them physically.
+        Idempotent: already-tombstoned ids contribute nothing.  A
+        removed ``doc_id`` must not be re-:meth:`add`-ed until
+        :meth:`apply_removals` has run — the standing tombstone would
+        suppress the new postings too (same contract as the vector
+        index)."""
+        from door2door_etl_spark.io.manifest import append_manifest
+
+        table = self._table()
+        version = table.current_version()
+        if version is None:
+            raise ValueError(f"{self.root}: no committed index")
+        live = table.read(self.spark, version=version)
+        self._require_doc_ledger(live)
+        want = (
+            ids.selectExpr(f"CAST({ids.columns[0]} AS LONG) AS doc_id")
+            .distinct()
+        )
+        already = live.filter(F.col("rel") == self.REL_TOMB).select("doc_id")
+        doomed = (
+            live.filter(F.col("rel") == "doc")
+            .join(F.broadcast(want), "doc_id", "left_semi")
+            .join(F.broadcast(already), "doc_id", "left_anti")
+            .select("doc_id", "dl")
+            .localCheckpoint(eager=True)
+        )
+        if doomed.limit(1).count() == 0:
+            return version  # nothing present to remove; no empty commit
+        neg = doomed.agg(
+            (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("n_tokens"),
+            (-F.count("dl")).cast("long").alias("n_text_docs"),
+        ).select(
+            F.lit("stat").alias("rel"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("tf"),
+            F.lit(None).cast("int").alias("dl"),
+            "n_docs", "n_tokens", "n_text_docs",
+        )
+        tombs = doomed.select(
+            F.lit(self.REL_TOMB).alias("rel"),
+            F.lit(None).cast("string").alias("term"),
+            F.col("doc_id"),
+            F.lit(None).cast("int").alias("tf"),
+            F.lit(None).cast("int").alias("dl"),
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_text_docs"),
+        )
+        return append_manifest(
+            self.spark,
+            self.root,
+            neg.unionByName(tombs),
+            partition_col="rel",
+            stats_col=["term", "bloom:term"],
+        )
+
+    def _require_doc_ledger(self, live: DataFrame) -> None:
+        """Removal needs the per-doc ledger; an index built before it
+        existed must be rebuilt — failing loudly beats silently leaving
+        postings behind."""
+        has_docs = live.filter(F.col("rel") == "doc").limit(1).count() > 0
+        has_stats = live.filter(F.col("rel") == "stat").limit(1).count() > 0
+        if has_stats and not has_docs:
+            raise ValueError(
+                f"{self.root}: index predates the rel='doc' membership "
+                "ledger; rebuild it to enable document removal"
+            )
+
     def corpus_stats(self, version: int | None = None) -> tuple[int, float]:
         """(n_docs, avgdl) folded from the stat deltas of one snapshot."""
         stat = (
@@ -182,6 +278,17 @@ class ManifestBM25Index:
             ).filter(F.col("rel") == "post")
             posts = part if posts is None else posts.unionByName(part)
         posts = posts.select("term", "doc_id", "tf", "dl")
+        # Merge-on-read removal: tombstoned docs drop out of the query's
+        # postings here (bounded broadcast — tombstones are O(removed
+        # docs) until apply_removals purges), and the folded stats
+        # already carry their negative deltas, so df/idf/avgdl all see
+        # the surviving corpus exactly.
+        tombs = (
+            table.read(self.spark, version=version)
+            .filter(F.col("rel") == self.REL_TOMB)
+            .select("doc_id")
+        )
+        posts = posts.join(F.broadcast(tombs), "doc_id", "left_anti")
         dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         scored = (
             posts.join(F.broadcast(dfreq), "term")
@@ -218,3 +325,66 @@ class ManifestBM25Index:
         from door2door_etl_spark.io.manifest import compact_manifest
 
         return compact_manifest(self.spark, self.root, sort_by=["term"])
+
+    def apply_removals(self) -> int:
+        """Physically purge tombstoned documents: a clustered compaction
+        whose transform folds out their postings, doc-ledger rows, the
+        tombstones, and the cancelled stat deltas (stats collapse to one
+        row recomputed from the surviving ledger).  Rides
+        :func:`~door2door_etl_spark.io.manifest.compact_manifest`'s
+        hardened commit loop — snapshot pinned before the read, racing
+        :meth:`add` wins the claim and forces a recompute.  After the
+        purge, previously removed doc_ids may be re-added."""
+        from door2door_etl_spark.io.manifest import compact_manifest
+
+        def fold_out(snapshot: DataFrame) -> DataFrame:
+            self._require_doc_ledger(snapshot)
+            tombs = snapshot.filter(
+                F.col("rel") == self.REL_TOMB
+            ).select("doc_id")
+            posts = snapshot.filter(F.col("rel") == "post").join(
+                F.broadcast(tombs), "doc_id", "left_anti"
+            )
+            docrows = snapshot.filter(F.col("rel") == "doc").join(
+                F.broadcast(tombs), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            stat = docrows.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("n_tokens"),
+                F.count("dl").cast("long").alias("n_text_docs"),
+            ).select(
+                F.lit("stat").alias("rel"),
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("int").alias("tf"),
+                F.lit(None).cast("int").alias("dl"),
+                "n_docs", "n_tokens", "n_text_docs",
+            )
+            # Keep ingest tags alive as ZERO-delta stat rows: a
+            # streaming maintainer's replay test (has_tag) must still
+            # see deliveries that committed before the purge, or an
+            # at-least-once redelivery straddling it would double-add.
+            tags = (
+                snapshot.filter(
+                    (F.col("rel") == "stat") & F.col("term").isNotNull()
+                )
+                .select("term")
+                .distinct()
+                .select(
+                    F.lit("stat").alias("rel"),
+                    "term",
+                    F.lit(None).cast("long").alias("doc_id"),
+                    F.lit(None).cast("int").alias("tf"),
+                    F.lit(None).cast("int").alias("dl"),
+                    F.lit(0).cast("long").alias("n_docs"),
+                    F.lit(0).cast("long").alias("n_tokens"),
+                    F.lit(0).cast("long").alias("n_text_docs"),
+                )
+            )
+            return (
+                posts.unionByName(stat).unionByName(tags).unionByName(docrows)
+            )
+
+        return compact_manifest(
+            self.spark, self.root, sort_by=["term"], transform=fold_out
+        )

@@ -515,6 +515,45 @@ def q_bm25_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
     return idx.topk(BM25_QUERY, k=10)
 
 
+BM25_REMOVE_MOD = 7
+
+
+def q_bm25_removal_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 serving AFTER document removal: the index is built over the
+    full corpus, then every ``doc_id % BM25_REMOVE_MOD == 0`` doc is removed
+    (one atomic tombstone + negative-stat commit,
+    operators.search.ManifestBM25Index.remove), and the query is served
+    MERGE-ON-READ — tombstones anti-joined out of the postings, folded
+    stats already carrying the negative deltas.  The oracle scores the
+    surviving corpus directly, pinning that a deleted doc stops being
+    served AND stops distorting df/idf/avgdl."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+
+    docs = load_table(spark, sf, "documents")
+    root = os.path.join(tempfile.gettempdir(), "ns_bm25_index_rm")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = ManifestBM25Index(spark, root)
+    idx.build(docs)
+    idx.remove(
+        docs.filter(F.col("doc_id") % BM25_REMOVE_MOD == 0).select("doc_id")
+    )
+    return idx.topk(BM25_QUERY, k=10)
+
+
+SQL_BM25_REMOVAL_TOPK = f"""
+WITH surviving AS (
+  SELECT * FROM documents WHERE doc_id % {BM25_REMOVE_MOD} != 0),
+{_BM25_CTES.replace("FROM documents", "FROM surviving")}
+SELECT doc_id, round(sum(w), 6) AS score
+FROM bm25_scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 HYBRID_QUERY_ID = 42
 HYBRID_POOL = 20  # per-retriever candidate list size
 HYBRID_K = 10
@@ -1121,6 +1160,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, "north-star text/bm25 ranked retrieval (Robertson-Zaragoza)", ("northstar", "text")),
     QueryDef("ns_hybrid_rrf_topk", q_hybrid_rrf_topk, _sql_hybrid_rrf_topk(), "north-star similarity/hybrid RRF fusion (Cormack et al. 2009)", ("northstar", "similarity")),
     QueryDef("ns_bm25_indexed_topk", q_bm25_indexed_topk, SQL_BM25_TOPK, "north-star text/bm25 served from the manifest inverted index", ("northstar", "text")),
+    QueryDef("ns_bm25_removal_topk", q_bm25_removal_topk, SQL_BM25_REMOVAL_TOPK, "north-star text/bm25 serving after tombstone document removal", ("northstar", "text")),
     QueryDef("etl_sliding_window_counts", q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS, "§2.8-sliding-window", ("etl", "advanced")),
     QueryDef("etl_session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG, "§2.8-session-window", ("etl", "advanced")),
     QueryDef("ns_ann_multiquery_topk", q_ann_multiquery_topk, _sql_ann_multiquery_topk(), "north-star similarity/batched", ("northstar", "similarity")),

@@ -1174,3 +1174,40 @@ def stream_index_documents(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_index_removals(
+    changes_stream: DataFrame,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+):
+    """Continuous inverted-index REMOVAL maintenance: deletes flowing
+    off the curated lake (a change feed carrying ``_change_type``, or
+    any stream of doomed ids) tombstone their documents out of the
+    :class:`~door2door_etl_spark.operators.search.ManifestBM25Index`
+    via :meth:`~door2door_etl_spark.operators.search.ManifestBM25Index.remove`
+    — one atomic tombstone + negative-stat commit per micro-batch, so a
+    doc deleted upstream stops being served and N/avgdl stay honest.
+
+    Replay safety needs no tag here: ``remove`` is idempotent (an
+    already-tombstoned id contributes nothing and an all-duplicate
+    batch commits nothing), so at-least-once redelivery is a no-op.
+    Rows with a ``_change_type`` column are filtered to deletes;
+    streams without the column are treated as pure delete feeds."""
+
+    def remove_batch(batch_df: DataFrame, batch_id: int) -> None:
+        doomed = batch_df
+        if "_change_type" in batch_df.columns:
+            doomed = batch_df.filter(F.col("_change_type") == "delete")
+        doomed = doomed.select(id_col)
+        if doomed.limit(1).count() == 0:
+            return
+        index.remove(doomed.localCheckpoint(eager=True))
+
+    return (
+        changes_stream.writeStream.foreachBatch(remove_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

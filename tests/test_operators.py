@@ -3198,3 +3198,83 @@ def test_profile_distinct_est_exact_below_k(spark):
         r["column"]: r["distinct_est"] for r in profile_table(big).collect()
     }["s"]
     assert est != 500.0 and 250.0 <= est <= 1000.0
+
+
+def test_manifest_bm25_index_remove_and_purge_parity(spark, tmp_path):
+    """Document removal lifecycle: after build + add + remove, (a) topk
+    equals bm25_topk over the SURVIVING corpus and equals an index built
+    fresh from it (tombstones suppress postings, negative stat deltas
+    keep N/avgdl honest); (b) remove is idempotent; (c) apply_removals
+    physically purges without changing the ranking, after which the
+    removed ids may be re-added; (d) a NULL-text doc — which has no
+    postings — still decrements n_docs via its rel='doc' ledger row."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.io.manifest import ManifestTable
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+    from door2door_etl_spark.operators.text import bm25_topk
+
+    vocab = ["spark", "window", "scan", "join", "filter", "agg", "sort",
+             "merge", "batch", "stream"]
+    docs1 = [
+        Row(doc_id=i, text=" ".join(vocab[j % len(vocab)]
+                                    for j in range(i, i + 8 + i % 5)))
+        for i in range(40)
+    ]
+    docs2 = [
+        Row(doc_id=100 + i, text=" ".join(vocab[(j * 3) % len(vocab)]
+                                          for j in range(i, i + 6 + i % 7)))
+        for i in range(25)
+    ] + [Row(doc_id=990, text=None), Row(doc_id=991, text="")]
+    d1 = spark.createDataFrame(docs1)
+    d2 = spark.createDataFrame(docs2, schema="doc_id long, text string")
+    full = d1.unionByName(d2)
+    query = ["spark", "scan", "quantum"]
+
+    idx = ManifestBM25Index(spark, str(tmp_path / "bm25rm"))
+    idx.build(d1)
+    idx.add(d2)
+
+    # remove: every 3rd id among d1 plus the NULL-text doc
+    doomed_ids = [i for i in range(40) if i % 3 == 0] + [990]
+    surviving = full.filter(~F.col("doc_id").isin(doomed_ids))
+    idx.remove(spark.createDataFrame([(i,) for i in doomed_ids], "doc_id long"))
+
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(surviving, query, k=8).collect()]
+    got = [(r["doc_id"], r["score"]) for r in idx.topk(query, k=8).collect()]
+    assert got == want
+    # stats match an index built fresh from the surviving corpus
+    fresh = ManifestBM25Index(spark, str(tmp_path / "bm25fresh"))
+    fresh.build(surviving)
+    assert idx.corpus_stats() == fresh.corpus_stats()
+
+    # idempotence: removing the same ids again commits nothing new
+    v_before = ManifestTable(idx.root).current_version()
+    idx.remove(
+        spark.createDataFrame([(i,) for i in doomed_ids], "doc_id long")
+    )
+    assert ManifestTable(idx.root).current_version() == v_before
+    assert [
+        (r["doc_id"], r["score"]) for r in idx.topk(query, k=8).collect()
+    ] == want
+
+    # physical purge: ranking and stats unchanged, tombstones gone
+    idx.apply_removals()
+    assert [
+        (r["doc_id"], r["score"]) for r in idx.topk(query, k=8).collect()
+    ] == want
+    assert idx.corpus_stats() == fresh.corpus_stats()
+    live = ManifestTable(idx.root).read(spark)
+    assert live.filter(F.col("rel") == idx.REL_TOMB).count() == 0
+    assert (
+        live.filter(F.col("rel") == "post")
+        .filter(F.col("doc_id").isin(doomed_ids))
+        .count()
+        == 0
+    )
+
+    # post-purge re-add of a previously removed id serves again
+    idx.add(spark.createDataFrame([Row(doc_id=0, text="spark spark scan")]))
+    re_served = idx.topk(["spark"], k=100)
+    assert re_served.filter(F.col("doc_id") == 0).count() == 1

@@ -1367,3 +1367,68 @@ def test_stream_hdr_maintenance_null_group_tuples_stay_distinct(spark, tmp_path)
     # the two null-bearing tuples are distinct groups with their own counts
     assert sum(c for (a, b, _), c in got.items() if a is None and b == "a") == 5
     assert sum(c for (a, b, _), c in got.items() if a == "a" and b is None) == 3
+
+
+def test_stream_index_removals_deletes_from_serving(spark, tmp_path):
+    """CDC deletes off the curated lake flow into the BM25 index: after
+    the removal stream drains, deleted docs stop being served and the
+    ranking equals bm25_topk over the surviving corpus; replaying the
+    stream on the same checkpoint (and a fresh one) changes nothing —
+    remove() is idempotent, so at-least-once redelivery is a no-op."""
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.operators.search import ManifestBM25Index
+    from door2door_etl_spark.operators.text import bm25_topk
+    from door2door_etl_spark.streaming.pipeline import stream_index_removals
+
+    vocab = ["spark", "scan", "merge", "join", "stream"]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(vocab[j % len(vocab)]
+                                        for j in range(i, i + 5 + i % 4)))
+            for i in range(30)
+        ]
+    )
+    idx = ManifestBM25Index(spark, str(tmp_path / "idx_rm"))
+    idx.build(docs)
+
+    src = tmp_path / "changes_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "_change_type": "delete"})
+            for i in range(0, 30, 4)
+        )
+        + "\n"
+        + json.dumps({"doc_id": 7, "_change_type": "insert"})
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, _change_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    ckpt = str(tmp_path / "rm_ckpt")
+    q = stream_index_removals(stream, idx, ckpt)
+    q.awaitTermination(120)
+
+    surviving = docs.filter(F.col("doc_id") % 4 != 0)
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(surviving, ["spark", "scan"], k=6).collect()]
+    got = [(r["doc_id"], r["score"])
+           for r in idx.topk(["spark", "scan"], k=6).collect()]
+    assert got == want
+    # the insert row was ignored (this stream owns deletes only)
+    assert idx.topk(["spark"], k=100).filter(
+        F.col("doc_id") == 7
+    ).count() == 1
+
+    # replay on the same checkpoint: no new input, nothing changes
+    q2 = stream_index_removals(stream, idx, ckpt)
+    q2.awaitTermination(120)
+    # redelivery on a FRESH checkpoint (at-least-once): still a no-op
+    q3 = stream_index_removals(stream, idx, str(tmp_path / "rm_ckpt2"))
+    q3.awaitTermination(120)
+    assert [
+        (r["doc_id"], r["score"])
+        for r in idx.topk(["spark", "scan"], k=6).collect()
+    ] == want
