@@ -49,6 +49,93 @@ _SEP = "\x1f"
 _NULL = "\x00null"
 _LEDGER_PREFIX = "\x00ledger"
 
+# HLL geometry for distinct_cols registers (matches operators.sketches:
+# same portable 52-bit sha256 hash, same p=6 / m=64 bucket split, so the
+# maintained registers are bit-identical to hll_register_table's and the
+# estimate to hll_estimate's).
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P
+_HLL_HASH_BITS = 52
+_HLL_WBITS = _HLL_HASH_BITS - _HLL_P
+_HLL_RMAX = _HLL_WBITS + 1
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+    _HLL_P, 0.7213 / (1 + 1.079 / _HLL_M)
+)
+
+
+def _hll_register_array_agg(c: str):
+    """Aggregate expression: per-group HLL registers as a DENSE
+    ``array<int>`` of length m (index = bucket, value = max rank, 0 =
+    empty) — the single-column twin of sketches.hll_register_table,
+    shaped for a one-row-per-group view.  m conditional MAXes, all
+    map-side combinable; NULL values hash to NULL and drop out."""
+    from door2door_etl_spark.operators.sketches import _h52
+
+    h = _h52(F.col(c), "hll")
+    bucket = F.shiftright(h, _HLL_WBITS).cast("int")
+    w = h.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    rank = F.when(
+        w > 0, F.lit(_HLL_RMAX) - F.length(F.bin(w))
+    ).otherwise(F.lit(_HLL_RMAX)).cast("int")
+    return F.array(
+        *[
+            F.coalesce(F.max(F.when(bucket == i, rank)), F.lit(0))
+            for i in range(_HLL_M)
+        ]
+    )
+
+
+def _hll_register_array_agg_weighted(c: str):
+    """:func:`_hll_register_array_agg` restricted to post-image rows
+    (``_w == 1``) of a signed-delta frame — the insert-only register
+    delta the MAX-merge maintenance folds in."""
+    from door2door_etl_spark.operators.sketches import _h52
+
+    h = _h52(F.col(c), "hll")
+    bucket = F.shiftright(h, _HLL_WBITS).cast("int")
+    w = h.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    rank = F.when(
+        w > 0, F.lit(_HLL_RMAX) - F.length(F.bin(w))
+    ).otherwise(F.lit(_HLL_RMAX)).cast("int")
+    return F.array(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when((F.col("_w") == 1) & (bucket == i), rank)
+                ),
+                F.lit(0),
+            )
+            for i in range(_HLL_M)
+        ]
+    )
+
+
+def _hll_estimate_expr(col_name: str):
+    """Distinct estimate from a dense register array column — Flajolet
+    et al.'s raw estimator with the linear-counting small-range
+    correction, the harmonic sum computed as an EXACT integer
+    (sketches.hll_estimate's determinism discipline, re-expressed over
+    the array; SQL ``shiftleft`` because the PySpark wrapper only takes
+    a literal shift)."""
+    s_total = F.expr(
+        f"aggregate(`{col_name}`, CAST(0 AS BIGINT), "
+        f"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r))"
+    ).cast("double")
+    zeros = F.expr(
+        f"aggregate(`{col_name}`, 0, "
+        "(acc, r) -> acc + IF(r = 0, 1, 0))"
+    ).cast("double")
+    numer = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(1 << _HLL_RMAX))
+    )
+    raw = numer / s_total
+    return F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros), 4),
+    ).otherwise(F.round(raw, 4))
+
 
 def _group_key_expr(group_cols: list[str]):
     """Deterministic string merge key for a group tuple; NULL encodes as a
@@ -67,13 +154,31 @@ class IncrementalAggView:
     change feed.
 
     ``sum_cols``: numeric source columns to SUM per group (NULLs
-    contribute nothing, matching SQL SUM).  ``minmax_cols``: columns to
-    MIN/MAX per group — NOT purely delta-maintainable: inserts merge
-    incrementally (least/greatest), but a retraction that touches a
-    group's stored bound triggers a RECOMPUTE of that group's min/max
-    from the new snapshot, restricted to exactly the flagged groups (the
-    standard IVM treatment of non-summable aggregates; cost is
-    O(rows of flagged groups), zero when deletes never hit an extreme).
+    contribute nothing, matching SQL SUM).  ``avg_cols``: columns to
+    AVG per group — derivable, maintained as the exactly-delta-able
+    pair (sum, non-null count) and divided at read; matches SQL AVG
+    (NULLs excluded from both numerator and denominator).
+    ``minmax_cols``: columns to MIN/MAX per group — NOT purely
+    delta-maintainable: inserts merge incrementally (least/greatest),
+    but a retraction that touches a group's stored bound triggers a
+    RECOMPUTE of that group's min/max from the new snapshot, restricted
+    to exactly the flagged groups (the standard IVM treatment of
+    non-summable aggregates; cost is O(rows of flagged groups), zero
+    when deletes never hit an extreme).  ``distinct_cols``: columns to
+    approximate-COUNT-DISTINCT per group via mergeable HLL registers
+    (p=6, the sketches module's portable geometry) stored as one dense
+    ``array<int>`` per group.
+
+    RETRACTION CONTRACT for ``distinct_cols``: HLL merge is MAX, which
+    is delete-blind — a retraction cannot lower a register.  The
+    maintained ``distinct_est_<c>`` therefore estimates the distinct
+    values EVER INSERTED into the group since the seed snapshot: an
+    upper bound on the live distinct count, exact-trending while
+    deletes don't remove a group's last copy of a value.  Callers
+    needing delete-aware distinct counts should periodically re-seed
+    (drop the view and refresh) or pair the estimate with an exact
+    recompute; the incremental path deliberately never rescans for it.
+
     The view table (always POSIX-versioned, independent of the source's
     layout) holds one row per group plus one ledger row per applied
     window.
@@ -85,6 +190,14 @@ class IncrementalAggView:
     group_cols: list[str]
     sum_cols: list[str] = field(default_factory=list)
     minmax_cols: list[str] = field(default_factory=list)
+    avg_cols: list[str] = field(default_factory=list)
+    distinct_cols: list[str] = field(default_factory=list)
+
+    @property
+    def _stored_sum_cols(self) -> list[str]:
+        """Columns whose per-group SUM is physically stored: explicit
+        sum_cols plus avg_cols' numerators (deduped, order-stable)."""
+        return list(dict.fromkeys([*self.sum_cols, *self.avg_cols]))
 
     # -- source-layout dispatch -------------------------------------------
     def _is_manifest(self) -> bool:
@@ -124,7 +237,8 @@ class IncrementalAggView:
         """The view definition applied to any frame (weights all +1)."""
         aggs = (
             [F.count(F.lit(1)).alias("n_rows")]
-            + [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+            + [F.sum(c).alias(f"sum_{c}") for c in self._stored_sum_cols]
+            + [F.count(c).alias(f"cnt_{c}") for c in self.avg_cols]
             + [
                 e
                 for c in self.minmax_cols
@@ -132,6 +246,10 @@ class IncrementalAggView:
                     F.min(c).alias(f"min_{c}"),
                     F.max(c).alias(f"max_{c}"),
                 )
+            ]
+            + [
+                _hll_register_array_agg(c).alias(f"hll_{c}")
+                for c in self.distinct_cols
             ]
         )
         return base.groupBy(*self.group_cols).agg(*aggs)
@@ -149,7 +267,11 @@ class IncrementalAggView:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current view: group rows only (ledger rows and zero-count
-        tombstones filtered out)."""
+        tombstones filtered out).  Derived columns: ``avg_<c>`` =
+        stored sum / stored non-null count (NULL when the group has no
+        values — SQL AVG), ``distinct_est_<c>`` = HLL estimate of the
+        maintained registers (ever-inserted distinct; see the class
+        retraction contract)."""
         df = VersionedParquetTable(self.view_root).read(spark)
         return df.filter(
             (~F.col("_group_key").startswith(_LEDGER_PREFIX))
@@ -159,9 +281,20 @@ class IncrementalAggView:
             "n_rows",
             *[f"sum_{c}" for c in self.sum_cols],
             *[
+                F.when(
+                    F.col(f"cnt_{c}") > 0,
+                    F.round(F.col(f"sum_{c}") / F.col(f"cnt_{c}"), 6),
+                ).alias(f"avg_{c}")
+                for c in self.avg_cols
+            ],
+            *[
                 n
                 for c in self.minmax_cols
                 for n in (f"min_{c}", f"max_{c}")
+            ],
+            *[
+                _hll_estimate_expr(f"hll_{c}").alias(f"distinct_est_{c}")
+                for c in self.distinct_cols
             ],
         )
 
@@ -179,11 +312,17 @@ class IncrementalAggView:
             F.col(c).cast("string").alias(c) for c in self.group_cols
         ] + [F.col("n_rows").cast("long").alias("n_rows")] + [
             F.col(f"sum_{c}").cast("double").alias(f"sum_{c}")
-            for c in self.sum_cols
+            for c in self._stored_sum_cols
+        ] + [
+            F.col(f"cnt_{c}").cast("long").alias(f"cnt_{c}")
+            for c in self.avg_cols
         ] + [
             F.col(n).cast("double").alias(n)
             for c in self.minmax_cols
             for n in (f"min_{c}", f"max_{c}")
+        ] + [
+            F.col(f"hll_{c}").cast("array<int>").alias(f"hll_{c}")
+            for c in self.distinct_cols
         ]
         return out.select(*cols)
 
@@ -193,18 +332,26 @@ class IncrementalAggView:
             ["_group_key string"]
             + [f"`{c}` string" for c in self.group_cols]
             + ["n_rows long"]
-            + [f"`sum_{c}` double" for c in self.sum_cols]
+            + [f"`sum_{c}` double" for c in self._stored_sum_cols]
+            + [f"`cnt_{c}` long" for c in self.avg_cols]
             + [
                 f"`{n}` double"
                 for c in self.minmax_cols
                 for n in (f"min_{c}", f"max_{c}")
             ]
+            + [f"`hll_{c}` array<int>" for c in self.distinct_cols]
         )
         fields = (
             [tag]
             + [None] * len(self.group_cols)
             + [-1]
-            + [None] * (len(self.sum_cols) + 2 * len(self.minmax_cols))
+            + [None]
+            * (
+                len(self._stored_sum_cols)
+                + len(self.avg_cols)
+                + 2 * len(self.minmax_cols)
+                + len(self.distinct_cols)
+            )
         )
         return spark.createDataFrame([tuple(fields)], schema=", ".join(parts))
 
@@ -325,7 +472,13 @@ class IncrementalAggView:
             [F.sum("_w").alias("_d_n")]
             + [
                 F.sum(F.col("_w") * F.col(c)).alias(f"_d_sum_{c}")
-                for c in self.sum_cols
+                for c in self._stored_sum_cols
+            ]
+            + [
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("_w")).otherwise(0)
+                ).alias(f"_d_cnt_{c}")
+                for c in self.avg_cols
             ]
             + [
                 e
@@ -338,6 +491,13 @@ class IncrementalAggView:
                 )
             ]
         )
+        # HLL register deltas come from INSERTED rows only (_w == +1):
+        # MAX-merge is delete-blind by design (see the class retraction
+        # contract), so pre-images contribute nothing.
+        delta_aggs += [
+            _hll_register_array_agg_weighted(c).alias(f"_ins_hll_{c}")
+            for c in self.distinct_cols
+        ]
         delta = signed.groupBy(*self.group_cols).agg(*delta_aggs).withColumn(
             "_group_key", _group_key_expr(self.group_cols)
         )
@@ -348,11 +508,22 @@ class IncrementalAggView:
         ).select(
             "_group_key",
             F.col("n_rows").alias("_cur_n"),
-            *[F.col(f"sum_{c}").alias(f"_cur_sum_{c}") for c in self.sum_cols],
+            *[
+                F.col(f"sum_{c}").alias(f"_cur_sum_{c}")
+                for c in self._stored_sum_cols
+            ],
+            *[
+                F.col(f"cnt_{c}").alias(f"_cur_cnt_{c}")
+                for c in self.avg_cols
+            ],
             *[
                 F.col(n).alias(f"_cur_{n}")
                 for c in self.minmax_cols
                 for n in (f"min_{c}", f"max_{c}")
+            ],
+            *[
+                F.col(f"hll_{c}").alias(f"_cur_hll_{c}")
+                for c in self.distinct_cols
             ],
         )
         # Scale shape: the delta is O(touched groups) — broadcast its keys
@@ -436,9 +607,33 @@ class IncrementalAggView:
                     F.coalesce(F.col(f"_cur_sum_{c}"), F.lit(0.0))
                     + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0.0))
                 ).cast("double").alias(f"sum_{c}")
-                for c in self.sum_cols
+                for c in self._stored_sum_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"_cur_cnt_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_cnt_{c}"), F.lit(0))
+                ).cast("long").alias(f"cnt_{c}")
+                for c in self.avg_cols
             ],
             *minmax_exprs,
+            *[
+                # lossless HLL union: elementwise MAX of the current and
+                # insert-delta registers (either side may be absent for a
+                # brand-new or untouched-by-inserts group)
+                F.zip_with(
+                    F.coalesce(
+                        F.col(f"_cur_hll_{c}"),
+                        F.array(*[F.lit(0)] * _HLL_M),
+                    ),
+                    F.coalesce(
+                        F.col(f"_ins_hll_{c}"),
+                        F.array(*[F.lit(0)] * _HLL_M),
+                    ),
+                    lambda a, b: F.greatest(a, b),
+                ).cast("array<int>").alias(f"hll_{c}")
+                for c in self.distinct_cols
+            ],
         )
         ledger = self._ledger_row(spark, from_v, to_v)
         batch = updated.unionByName(ledger)

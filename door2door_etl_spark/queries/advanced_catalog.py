@@ -23,7 +23,7 @@ from door2door_etl_spark.operators.sketches import (
     stratified_split,
 )
 from door2door_etl_spark.queries.defs import QueryDef, dsum
-from door2door_etl_spark.queries.sql_fragments import sql_tokens, sql_uniform_hash
+from door2door_etl_spark.queries.sql_fragments import sql_h52, sql_tokens, sql_uniform_hash
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -842,6 +842,8 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
         group_cols=["status"],
         sum_cols=["n_chars"],
         minmax_cols=["n_chars"],
+        avg_cols=["n_chars"],
+        distinct_cols=["n_chars"],
     )
     if view.refresh(spark)["action"] != "seed":
         raise RuntimeError("cdc_agg_view: expected seed on first refresh")
@@ -866,7 +868,10 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
     return view.read(spark)
 
 
-SQL_CDC_AGG_VIEW = """
+_CDC_H52 = sql_h52("n_chars", "hll")
+# HLL geometry twins pipeline/aggview's p=6 constants: wbits=46,
+# wspace=2^46, rmax=47, 2^rmax=140737488355328, alpha=0.709, m^2=4096.
+SQL_CDC_AGG_VIEW = f"""
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
               THEN 'U' ELSE o_orderstatus END AS status,
@@ -874,10 +879,56 @@ WITH final AS (
               + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
                      THEN 4 ELSE 0 END AS DOUBLE) AS n_chars
   FROM orders
-  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0))
-SELECT status, count(*) AS n_rows, CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
-       min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
-FROM final GROUP BY 1
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0)),
+ins AS (
+  -- EVER-INSERTED (group, value) stream: seed snapshot plus wave
+  -- post-images; deletes never retract registers (the view's documented
+  -- MAX-merge HLL contract)
+  SELECT o_orderstatus AS status,
+         CAST(length(o_orderpriority) AS DOUBLE) AS n_chars
+  FROM orders WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT o_orderstatus, CAST(length(o_orderpriority) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'U', CAST(length(o_orderpriority) + 4 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0),
+h AS (SELECT status, {_CDC_H52} AS h FROM ins WHERE n_chars IS NOT NULL),
+br AS (
+  SELECT status, CAST(h >> 46 AS INT) AS bucket,
+         CAST(CASE WHEN (h % 70368744177664) > 0
+                   THEN 47 - length(bin(h % 70368744177664))
+                   ELSE 47 END AS INT) AS register
+  FROM h),
+regs AS (SELECT status, bucket, max(register) AS register FROM br GROUP BY ALL),
+hest AS (
+  SELECT status, count(*) AS n_used,
+         sum(CAST(1 AS BIGINT) << (47 - register)) AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT status,
+         CASE WHEN (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                    * CAST(140737488355328 AS DOUBLE))
+                   / CAST(s_present + (64 - n_used)
+                          * CAST(140737488355328 AS BIGINT) AS DOUBLE)
+                   <= 160.0
+              AND (64 - n_used) > 0
+         THEN round(64.0 * ln(64.0 / CAST(64 - n_used AS DOUBLE)), 4)
+         ELSE round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                     * CAST(140737488355328 AS DOUBLE))
+                    / CAST(s_present + (64 - n_used)
+                           * CAST(140737488355328 AS BIGINT) AS DOUBLE), 4)
+         END AS distinct_est_n_chars
+  FROM hest),
+base AS (
+  SELECT status, count(*) AS n_rows,
+         CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
+           AS avg_n_chars,
+         min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+  FROM final GROUP BY 1)
+SELECT base.*, est.distinct_est_n_chars
+FROM base JOIN est USING (status)
 """
 
 

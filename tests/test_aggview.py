@@ -354,3 +354,108 @@ def test_aggview_crashed_window_source_unmoved_replay_skips(spark, tmp_path):
     assert sorted(map(tuple, view.read(spark).collect())) == before
     assert view._cursor().last_committed() > seeded_at
     _assert_parity(spark, view)
+
+
+def test_aggview_avg_and_distinct_maintenance(spark, tmp_path):
+    """AVG + approx-distinct breadth: avg_<c> is EXACTLY delta-maintained
+    (sum + non-null count pair, SQL AVG null semantics) through an
+    insert/update/delete wave; distinct_est_<c>'s maintained HLL
+    registers are BIT-IDENTICAL to the sketches module's over the
+    ever-inserted value set (MAX-merge is delete-blind — the documented
+    retraction contract — so a deleted value keeps its register)."""
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    src = tmp_path / "src"
+    seed_rows = [
+        ("a", "open", 10.0),
+        ("b", "open", 20.0),
+        ("c", "open", None),   # NULL: counts in n_rows, not in avg
+        ("d", "done", 5.0),
+    ]
+    merge_versioned(spark, str(src), _rows(spark, seed_rows), key="id")
+    view = IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp_path / "view"),
+        key="id",
+        group_cols=["status"],
+        avg_cols=["amount"],
+        distinct_cols=["amount"],
+    )
+    view.refresh(spark)
+
+    def got():
+        return {
+            r["status"]: (r["n_rows"], r["avg_amount"], r["distinct_est_amount"])
+            for r in view.read(spark).collect()
+        }
+
+    g = got()
+    assert g["open"][:2] == (3, 15.0)
+    assert g["done"][:2] == (1, 5.0)
+
+    # wave: insert, update changing a value, delete the doc holding 20.0
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(spark, [("e", "open", 40.0), ("a", "open", 11.0)]),
+        key="id",
+    )
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("b",)], "id string"), key="id"
+    )
+    assert view.refresh(spark)["action"] == "delta"
+    g = got()
+    # exact AVG parity: open now holds a=11, c=NULL, e=40 -> avg 25.5
+    assert g["open"][:2] == (3, 25.5)
+    assert g["done"][:2] == (1, 5.0)
+
+    # distinct registers == sketches registers over EVER-INSERTED
+    # NON-NULL values (SQL COUNT DISTINCT semantics: NULL is not a value)
+    ever = spark.createDataFrame(
+        [
+            ("open", 10.0), ("open", 20.0),   # seed
+            ("open", 40.0), ("open", 11.0),   # wave posts
+            ("done", 5.0),
+        ],
+        "status string, amount double",
+    )
+    expect = {
+        r["status"]: r["est_distinct"]
+        for r in hll_estimate(
+            hll_register_table(ever, ["status"], "amount"), ["status"]
+        ).collect()
+    }
+    assert g["open"][2] == expect["open"]
+    assert g["done"][2] == expect["done"]
+    # delete-blindness is visible: 20.0 was deleted but its register
+    # survives (est equals the ever-inserted estimate, which counts it)
+    live_est = {
+        r["status"]: r["est_distinct"]
+        for r in hll_estimate(
+            hll_register_table(
+                spark.createDataFrame(
+                    [("open", 11.0), ("open", 40.0), ("done", 5.0)],
+                    "status string, amount double",
+                ),
+                ["status"],
+                "amount",
+            ),
+            ["status"],
+        ).collect()
+    }
+    assert g["open"][2] != live_est["open"]
+
+    # avg_cols alone never broke plain sum/minmax paths: full parity on
+    # the shared columns via the standard oracle
+    full = {
+        r["status"]: (r["n_rows"],)
+        for r in view.full_recompute_frame(spark).collect()
+    }
+    assert {k: (v[0],) for k, v in got().items()} == {
+        (None if k is None else str(k)): v for k, v in full.items()
+    }
