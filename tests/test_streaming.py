@@ -1432,3 +1432,119 @@ def test_stream_index_removals_deletes_from_serving(spark, tmp_path):
         (r["doc_id"], r["score"])
         for r in idx.topk(["spark", "scan"], k=6).collect()
     ] == want
+
+
+def test_stream_curate_neardup_recall_at_least_batch_banding(spark, tmp_path):
+    """Streaming dedup quality is MEASURED, not assumed: plant near-dup
+    pairs (exact 3-gram Jaccard >= 0.5) whose members arrive in
+    DIFFERENT micro-batches, stream them through stream_curate's LSH
+    admission, and score recall against exact-Jaccard ground truth — the
+    ns_lsh_recall_report methodology applied to the streamed corpus.  A
+    truth pair is 'caught' when at most one member survives admission.
+    Pinned: streaming recall >= the batch banding's recall on the same
+    corpus (admission uses the same bands PLUS transitive collisions
+    with earlier admissions, so it can only catch more), and both are
+    high in absolute terms on this planted corpus."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+    from door2door_etl_spark.operators.dedup import (
+        ManifestLshBandIndex,
+        minhash_similarity_pairs,
+        ngram_jaccard_pairs,
+    )
+    from door2door_etl_spark.streaming import stream_curate
+
+    words = ["river", "stone", "forest", "cloud", "meadow", "harbor",
+             "lantern", "bridge", "valley", "ember", "willow", "falcon",
+             "garden", "saddle", "copper", "thunder", "orchard", "anchor"]
+
+    import hashlib
+
+    def pick(seed: int, j: int) -> str:
+        h = hashlib.sha256(f"{seed}:{j}".encode()).hexdigest()
+        return words[int(h[:8], 16) % len(words)]
+
+    def sentence(seed: int, mutate: int | None = None) -> str:
+        # hash-based token choice: sentences of different seeds share no
+        # structured overlap (an arithmetic generator here collides and
+        # plants unintended cross-cluster duplicates).  30 tokens, one
+        # mutated -> 3-gram Jaccard ~0.8, inside the 16-hash/4-band
+        # geometry's high-recall region (a 15-token sentence lands at
+        # ~0.6 where banding recall is ~50% BY DESIGN - the S-curve).
+        toks = [pick(seed, j) for j in range(30)]
+        if mutate is not None:
+            toks[mutate % 30] = pick(seed + 1000, mutate)
+        return " ".join(toks)
+
+    rows = []
+    # 12 planted near-dup pairs: half exact duplicates, half one token
+    # out of 30 (the mix a real crawl re-publish stream carries)
+    for k in range(12):
+        rows.append({"doc_id": 2 * k, "text": sentence(k)})
+        rows.append(
+            {"doc_id": 2 * k + 1,
+             "text": sentence(k, mutate=17) if k % 2 else sentence(k)}
+        )
+    # distractors: unique seeds far from the pairs
+    for j in range(10):
+        rows.append({"doc_id": 100 + j, "text": sentence(50 + 3 * j)})
+    corpus = spark.createDataFrame(
+        [Row(**r) for r in rows], "doc_id long, text string"
+    )
+
+    # ground truth + batch banding recall on the SAME corpus
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(corpus, max_df=100)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert len(truth) >= 12  # every planted pair is in truth
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_similarity_pairs(corpus).select("id_a", "id_b").collect()
+    }
+    batch_recall = len(truth & cands) / len(truth)
+
+    # stream: pair members deliberately straddle micro-batches
+    src = tmp_path / "recall_in"
+    src.mkdir()
+    batches = [[], [], []]
+    for r in rows:
+        batches[(r["doc_id"] % 3) if r["doc_id"] < 100 else 2].append(r)
+    for i, b in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in b)
+        )
+    idx = ManifestLshBandIndex(spark, str(tmp_path / "recall_idx"))
+    idx.build(spark.createDataFrame([Row(doc_id=999000, text="bootstrap seed row")]))
+    lake = str(tmp_path / "recall_lake")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_curate(
+        stream, idx, lake, str(tmp_path / "recall_ckpt"),
+        langs=None, gopher=False,
+    )
+    q.awaitTermination(180)
+
+    admitted = {
+        r["doc_id"]
+        for r in VersionedParquetTable(
+            f"{lake}/curated/documents"
+        ).read(spark).collect()
+    }
+    caught = {
+        (a, b) for (a, b) in truth if not (a in admitted and b in admitted)
+    }
+    stream_recall = len(caught) / len(truth)
+    assert stream_recall >= batch_recall, (stream_recall, batch_recall)
+    assert stream_recall >= 0.8, stream_recall
+    assert batch_recall >= 0.8, batch_recall
+    # distractors all survive: recall is not bought with false positives
+    assert {100 + j for j in range(10)} <= admitted
