@@ -137,23 +137,34 @@ def kmeans_fit_predict(
 
     for _ in range(iterations):
         assigned = assign(df, centroids)
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
+        # Moment sums via posexplode instead of `dim` separate aggregate
+        # columns: the values are IDENTICAL (same floor(x*SCALE) longs,
+        # long addition is order-free) and the shuffle volume is the same
+        # (both shapes partial-aggregate map-side to k x dim cells per
+        # partition), but the PLAN is constant-size.  The old shape built
+        # a fresh 1+dim-expression aggregate DAG every iteration, costing
+        # ~1.4 s of driver-side Catalyst analysis + codegen per Lloyd
+        # round at dim=64 (measured; execution itself was 0.1 s) — pure
+        # constant overhead that dominated the benchmark at small SF.
+        cells = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
                 F.sum(
-                    F.floor(
-                        F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(SCALE)
-                    ).cast("long")
-                ).alias(f"s{d}")
-                for d in range(dim)
-            ],
+                    F.floor(F.col("x").cast("double") * F.lit(SCALE)).cast(
+                        "long"
+                    )
+                ).alias("s"),
+            )
         )
-        rows = {r["cluster"]: r for r in sums.collect()}
-        if len(rows) < k:
-            raise ValueError(f"empty cluster among 1..{k}: got {sorted(rows)}")
+        got = {(r["cluster"], r["d"]): r for r in cells.collect()}
+        clusters = sorted({cid for cid, _ in got})
+        if len(clusters) < k:
+            raise ValueError(f"empty cluster among 1..{k}: got {clusters}")
         centroids = [
             [
-                (float(rows[cid][f"s{d}"]) / rows[cid]["n"]) / SCALE
+                (float(got[(cid, d)]["s"]) / got[(cid, d)]["n"]) / SCALE
                 for d in range(dim)
             ]
             for cid in range(1, k + 1)
