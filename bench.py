@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "ns_bm25_topk",
     "ns_hybrid_rrf_topk",
     "ns_bloom_point_lookup",
+    "ns_bm25_removal_topk",
+    "ns_multimodal_png_decode",
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline
