@@ -85,6 +85,10 @@ def _hll_register_array_agg(c: str):
     )
 
 
+def _EMPTY_HDR_MAP():
+    return F.expr("CAST(map() AS MAP<BIGINT,BIGINT>)")
+
+
 def _hll_register_array_agg_weighted(c: str):
     """:func:`_hll_register_array_agg` restricted to post-image rows
     (``_w == 1``) of a signed-delta frame — the insert-only register
@@ -169,6 +173,14 @@ class IncrementalAggView:
     (p=6, the sketches module's portable geometry) stored as one dense
     ``array<int>`` per group.
 
+    ``hdr_cols``: columns to maintain per-group QUANTILE state for, as
+    an HDR log2-histogram bin map (``map<bin, cnt>``, the sketches
+    module's portable binning).  Unlike HLL, bin counts SUM-merge, so
+    deletes retract EXACTLY — the maintained map equals the histogram
+    of the live snapshot at every version (the strongest invariant in
+    this class; pinned by test).  Read quantiles via :meth:`read_hdr`
+    + ``operators.sketches.hdr_quantiles``.
+
     RETRACTION CONTRACT for ``distinct_cols``: HLL merge is MAX, which
     is delete-blind — a retraction cannot lower a register.  The
     maintained ``distinct_est_<c>`` therefore estimates the distinct
@@ -192,6 +204,8 @@ class IncrementalAggView:
     minmax_cols: list[str] = field(default_factory=list)
     avg_cols: list[str] = field(default_factory=list)
     distinct_cols: list[str] = field(default_factory=list)
+    hdr_cols: list[str] = field(default_factory=list)
+    hdr_sub_bits: int = 4
 
     @property
     def _stored_sum_cols(self) -> list[str]:
@@ -252,7 +266,43 @@ class IncrementalAggView:
                 for c in self.distinct_cols
             ]
         )
-        return base.groupBy(*self.group_cols).agg(*aggs)
+        out = base.groupBy(*self.group_cols).agg(*aggs)
+        for c in self.hdr_cols:
+            out = self._join_on_group(out, self._hdr_map(base, c))
+        return out
+
+    def _hdr_map(self, base: DataFrame, c: str) -> DataFrame:
+        """Per-group HDR bin map ``hdr_<c>: map<bin, cnt>`` of the
+        NON-NULL values (two-level agg: bounded bin keys, then one
+        sorted-entries map per group — map size <= bins, not rows)."""
+        from door2door_etl_spark.operators.sketches import hdr_bin_expr
+
+        return (
+            base.filter(F.col(c).isNotNull())
+            .groupBy(
+                *self.group_cols,
+                hdr_bin_expr(F.col(c), self.hdr_sub_bits).alias("_bin"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+            .groupBy(*self.group_cols)
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
+                    )
+                ).alias(f"hdr_{c}")
+            )
+        )
+
+    def _join_on_group(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Left-join two group-grained frames NULL-safely via the
+        deterministic group key (group values may be NULL)."""
+        k = "_gk_join"
+        lk = left.withColumn(k, _group_key_expr(self.group_cols))
+        rk = right.withColumn(k, _group_key_expr(self.group_cols)).drop(
+            *self.group_cols
+        )
+        return lk.join(rk, k, "left").drop(k)
 
     def full_recompute_frame(self, spark: SparkSession) -> DataFrame:
         """The parity oracle: the same aggregate computed from scratch on
@@ -298,6 +348,26 @@ class IncrementalAggView:
             ],
         )
 
+    def read_hdr(self, spark: SparkSession, c: str) -> DataFrame:
+        """The maintained HDR bin table for ``c`` —
+        ``(group_cols…, bin, cnt)``, the exact histogram of the live
+        snapshot (bin counts retract with deletes).  Feed straight into
+        :func:`door2door_etl_spark.operators.sketches.hdr_quantiles`
+        for per-group quantiles without touching the source table."""
+        if c not in self.hdr_cols:
+            raise ValueError(f"{c!r} is not in hdr_cols={self.hdr_cols}")
+        df = VersionedParquetTable(self.view_root).read(spark)
+        return (
+            df.filter(
+                (~F.col("_group_key").startswith(_LEDGER_PREFIX))
+                & (F.col("n_rows") > 0)
+            )
+            .select(
+                *self.group_cols,
+                F.explode(F.col(f"hdr_{c}")).alias("bin", "cnt"),
+            )
+        )
+
     # -- maintenance ------------------------------------------------------
     def _cursor(self) -> ChangeFeedCursor:
         return ChangeFeedCursor(
@@ -323,6 +393,9 @@ class IncrementalAggView:
         ] + [
             F.col(f"hll_{c}").cast("array<int>").alias(f"hll_{c}")
             for c in self.distinct_cols
+        ] + [
+            F.col(f"hdr_{c}").cast("map<bigint,bigint>").alias(f"hdr_{c}")
+            for c in self.hdr_cols
         ]
         return out.select(*cols)
 
@@ -340,6 +413,7 @@ class IncrementalAggView:
                 for n in (f"min_{c}", f"max_{c}")
             ]
             + [f"`hll_{c}` array<int>" for c in self.distinct_cols]
+            + [f"`hdr_{c}` map<bigint,bigint>" for c in self.hdr_cols]
         )
         fields = (
             [tag]
@@ -351,6 +425,7 @@ class IncrementalAggView:
                 + len(self.avg_cols)
                 + 2 * len(self.minmax_cols)
                 + len(self.distinct_cols)
+                + len(self.hdr_cols)
             )
         )
         return spark.createDataFrame([tuple(fields)], schema=", ".join(parts))
@@ -501,6 +576,37 @@ class IncrementalAggView:
         delta = signed.groupBy(*self.group_cols).agg(*delta_aggs).withColumn(
             "_group_key", _group_key_expr(self.group_cols)
         )
+        # HDR bin-count deltas: SIGNED per-(group, bin) sums — unlike the
+        # HLL registers these retract exactly, so pre-images participate
+        # with weight -1 and the merged map equals the live snapshot's
+        # histogram at every version.  Zero-sum bins drop before the map
+        # build; the join is O(touched groups).
+        if self.hdr_cols:
+            from door2door_etl_spark.operators.sketches import hdr_bin_expr
+
+            for c in self.hdr_cols:
+                d_map = (
+                    signed.filter(F.col(c).isNotNull())
+                    .groupBy(
+                        *self.group_cols,
+                        hdr_bin_expr(F.col(c), self.hdr_sub_bits).alias("_bin"),
+                    )
+                    .agg(F.sum("_w").cast("long").alias("_d"))
+                    .filter(F.col("_d") != 0)
+                    .groupBy(*self.group_cols)
+                    .agg(
+                        F.map_from_entries(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(F.col("_bin"), F.col("_d"))
+                                )
+                            )
+                        ).alias(f"_d_hdr_{c}")
+                    )
+                    .withColumn("_group_key", _group_key_expr(self.group_cols))
+                    .drop(*self.group_cols)
+                )
+                delta = delta.join(F.broadcast(d_map), "_group_key", "left")
 
         view = VersionedParquetTable(self.view_root).read(spark)
         current = view.filter(
@@ -524,6 +630,10 @@ class IncrementalAggView:
             *[
                 F.col(f"hll_{c}").alias(f"_cur_hll_{c}")
                 for c in self.distinct_cols
+            ],
+            *[
+                F.col(f"hdr_{c}").alias(f"_cur_hdr_{c}")
+                for c in self.hdr_cols
             ],
         )
         # Scale shape: the delta is O(touched groups) — broadcast its keys
@@ -633,6 +743,20 @@ class IncrementalAggView:
                     lambda a, b: F.greatest(a, b),
                 ).cast("array<int>").alias(f"hll_{c}")
                 for c in self.distinct_cols
+            ],
+            *[
+                # exact signed merge: union-keyed sum, zero bins dropped
+                # (a drained group converges to the empty map)
+                F.map_filter(
+                    F.map_zip_with(
+                        F.coalesce(F.col(f"_cur_hdr_{c}"), _EMPTY_HDR_MAP()),
+                        F.coalesce(F.col(f"_d_hdr_{c}"), _EMPTY_HDR_MAP()),
+                        lambda k, a, b: F.coalesce(a, F.lit(0))
+                        + F.coalesce(b, F.lit(0)),
+                    ),
+                    lambda k, v: v != 0,
+                ).cast("map<bigint,bigint>").alias(f"hdr_{c}")
+                for c in self.hdr_cols
             ],
         )
         ledger = self._ledger_row(spark, from_v, to_v)

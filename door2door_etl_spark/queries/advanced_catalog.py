@@ -868,6 +868,104 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
     return view.read(spark)
 
 
+def q_cdc_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantiles served from MAINTAINED view state: the same CDC wave as
+    ns_cdc_agg_view drives a view whose per-group HDR bin map is kept by
+    signed deltas (pipeline.aggview hdr_cols — bin counts SUM-merge, so
+    deletes retract EXACTLY, unlike the HLL distinct registers), then
+    p50/p90 are computed from the maintained map via read_hdr +
+    sketches.hdr_quantiles WITHOUT touching the source.  The oracle
+    recomputes the histogram quantiles from the final snapshot directly
+    — a hash match proves maintained state == live histogram."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+    from door2door_etl_spark.operators.sketches import hdr_quantiles
+    from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf, "orders").select(
+        k.cast("string").alias("okey"),
+        k.alias("_k"),
+        F.col("o_orderstatus").alias("status"),
+        F.length("o_orderpriority").cast("long").alias("n_chars"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "ns_cdc_hdr_quantiles")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    cols = ["okey", "status", "n_chars"]
+
+    merge_versioned(
+        spark, src, orders.filter(F.col("_k") % 3 != 0).select(*cols), key="okey"
+    )
+    view = IncrementalAggView(
+        source_root=src,
+        view_root=os.path.join(root, "view"),
+        key="okey",
+        group_cols=["status"],
+        hdr_cols=["n_chars"],
+    )
+    if view.refresh(spark)["action"] != "seed":
+        raise RuntimeError("cdc_hdr: expected seed on first refresh")
+    inserts = orders.filter(F.col("_k") % 3 == 0)
+    updates = (
+        orders.filter((F.col("_k") % 7 == 0) & (F.col("_k") % 3 != 0))
+        .withColumn("status", F.lit("U"))
+        .withColumn("n_chars", F.col("n_chars") + 4)
+    )
+    merge_versioned(
+        spark, src, inserts.unionByName(updates).select(*cols), key="okey"
+    )
+    delete_versioned(
+        spark,
+        src,
+        orders.filter((F.col("_k") % 11 == 0) & (F.col("_k") % 3 != 0)).select("okey"),
+        key="okey",
+    )
+    if view.refresh(spark)["action"] != "delta":
+        raise RuntimeError("cdc_hdr: expected an incremental delta window")
+    return hdr_quantiles(
+        view.read_hdr(spark, "n_chars"), ["status"], [0.5, 0.9]
+    )
+
+
+def _sql_cdc_hdr_quantiles() -> str:
+    s, sub = 4, 16
+    lower = (
+        f"CASE WHEN {{b}} < {sub} THEN {{b}} "
+        f"ELSE ({sub} + {{b}} % {sub}) << (({{b}} // {sub}) - 1) END"
+    )
+    sels = ", ".join(
+        f"CAST({lower.format(b=f'min(CASE WHEN cum >= ceil({q} * n) THEN bin END)')} AS BIGINT) AS q_{int(q * 100)}"
+        for q in (0.5, 0.9)
+    )
+    return f"""
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+              THEN 'U' ELSE o_orderstatus END AS status,
+         CAST(length(o_orderpriority)
+              + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+                     THEN 4 ELSE 0 END AS BIGINT) AS v
+  FROM orders
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0)),
+b AS (
+  SELECT status,
+         CASE WHEN greatest(v, 0) < {sub} THEN greatest(v, 0)
+              ELSE (length(bin(v)) - 1 - {s}) * {sub}
+                   + (v >> (length(bin(v)) - 1 - {s})) END AS bin
+  FROM final),
+g AS (SELECT status, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (SELECT status, bin, cnt,
+             sum(cnt) OVER (PARTITION BY status ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY status) AS n
+      FROM g)
+SELECT status, CAST(any_value(n) AS BIGINT) AS n, {sels}
+FROM c GROUP BY status
+"""
+
+
 _CDC_H52 = sql_h52("n_chars", "hll")
 # HLL geometry twins pipeline/aggview's p=6 constants: wbits=46,
 # wspace=2^46, rmax=47, 2^rmax=140737488355328, alpha=0.709, m^2=4096.
@@ -1194,6 +1292,7 @@ ORDER BY d.doc_id
 ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_bloom_point_lookup", q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP, "lakehouse bloom-index point lookup (file skipping)", ("northstar", "lakehouse")),
     QueryDef("ns_cdc_agg_view", q_cdc_agg_view, SQL_CDC_AGG_VIEW, "lakehouse CDC + incremental view maintenance (counting algorithm)", ("northstar", "lakehouse")),
+    QueryDef("ns_cdc_hdr_quantiles", q_cdc_hdr_quantiles, _sql_cdc_hdr_quantiles(), "lakehouse CDC-maintained HDR quantile state (exactly-retractable bins)", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),

@@ -459,3 +459,113 @@ def test_aggview_avg_and_distinct_maintenance(spark, tmp_path):
     assert {k: (v[0],) for k, v in got().items()} == {
         (None if k is None else str(k)): v for k, v in full.items()
     }
+
+
+def test_aggview_hdr_quantile_maintenance_exactly_retractable(spark, tmp_path):
+    """hdr_cols: the maintained per-group HDR bin map must equal the
+    histogram of the LIVE snapshot at every version — unlike the HLL
+    registers, bin counts SUM-merge so deletes retract exactly.  Driven
+    through insert / value-changing update / delete (including draining
+    a bin to zero), with quantiles served from the maintained state via
+    read_hdr + hdr_quantiles matching the scratch-computed batch path."""
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.operators.sketches import (
+        hdr_histogram_table,
+        hdr_quantiles,
+    )
+
+    src = tmp_path / "src"
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(
+            spark,
+            [
+                ("a", "open", 3.0),
+                ("b", "open", 3.0),
+                ("c", "open", 250.0),
+                ("d", "done", 17.0),
+                ("e", "open", None),  # NULL: not binned
+            ],
+        ),
+        key="id",
+    )
+    view = IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp_path / "view"),
+        key="id",
+        group_cols=["status"],
+        hdr_cols=["amount"],
+    )
+    view.refresh(spark)
+
+    def maintained_bins():
+        return {
+            (r["status"], r["bin"]): r["cnt"]
+            for r in view.read_hdr(spark, "amount").collect()
+        }
+
+    def live_bins():
+        snap = VersionedParquetTable(str(src)).read(spark)
+        return {
+            (r["status"], r["bin"]): r["cnt"]
+            for r in hdr_histogram_table(
+                snap.filter(F.col("amount").isNotNull()), ["status"], "amount"
+            ).collect()
+        }
+
+    assert maintained_bins() == live_bins()
+
+    # wave: insert, update moving a value ACROSS bins, delete one of the
+    # two rows sharing bin(3) (the bin must drop to 1, not vanish)
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(spark, [("f", "open", 9000.0), ("c", "open", 4.0)]),
+        key="id",
+    )
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("a",)], "id string"), key="id"
+    )
+    assert view.refresh(spark)["action"] == "delta"
+    assert maintained_bins() == live_bins()
+
+    # drain the 'done' group entirely: its bins converge to empty and the
+    # group tombstones out of read_hdr
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("d",)], "id string"), key="id"
+    )
+    view.refresh(spark)
+    assert maintained_bins() == live_bins()
+    assert not any(g == "done" for (g, _) in maintained_bins())
+
+    # quantiles served from the MAINTAINED state == scratch batch path
+    served = {
+        r["status"]: (r["n"], r["q_50"], r["q_90"])
+        for r in hdr_quantiles(
+            view.read_hdr(spark, "amount"), ["status"], [0.5, 0.9]
+        ).collect()
+    }
+    snap = VersionedParquetTable(str(src)).read(spark)
+    batch = {
+        r["status"]: (r["n"], r["q_50"], r["q_90"])
+        for r in hdr_quantiles(
+            hdr_histogram_table(
+                snap.filter(F.col("amount").isNotNull()), ["status"], "amount"
+            ),
+            ["status"],
+            [0.5, 0.9],
+        ).collect()
+    }
+    assert served == batch
+    # hdr-only view: n_rows parity vs full recompute
+    got_n = {
+        r["status"]: r["n_rows"] for r in view.read(spark).collect()
+    }
+    want_n = {
+        (None if r["status"] is None else str(r["status"])): r["n_rows"]
+        for r in view.full_recompute_frame(spark).collect()
+        if r["n_rows"] > 0
+    }
+    assert got_n == want_n
