@@ -348,6 +348,121 @@ class IncrementalAggView:
             ],
         )
 
+    def _live_state(self, spark: SparkSession) -> DataFrame:
+        """Stored per-group state rows (ledger + tombstones filtered)."""
+        df = VersionedParquetTable(self.view_root).read(spark)
+        return df.filter(
+            (~F.col("_group_key").startswith(_LEDGER_PREFIX))
+            & (F.col("n_rows") > 0)
+        )
+
+    def serve_rollup(
+        self, spark: SparkSession, rollup_cols: list[str]
+    ) -> DataFrame:
+        """Answer a COARSER-grain aggregate query purely from maintained
+        view state — materialized-view query rewriting (Gupta & Mumick's
+        summary-table rollup): a ``GROUP BY rollup_cols`` over the same
+        measures is covered by this view whenever ``rollup_cols ⊆
+        group_cols``, because every maintained measure is re-aggregable
+        from per-group state:
+
+        * ``n_rows`` / ``sum_<c>`` are distributive — SUM of sums;
+        * ``avg_<c>`` is algebraic — SUM(numerator)/SUM(non-null count)
+          over the stored pair (never avg-of-avgs);
+        * ``min_<c>`` / ``max_<c>`` — MIN of mins / MAX of maxes (exact
+          at fine grain by the retraction-recompute contract, hence
+          exact rolled up);
+        * ``distinct_est_<c>`` — element-wise MAX-merge of the HLL
+          register arrays (the sketch's defining merge), estimating the
+          union's distinct count over LIVE fine groups' ever-inserted
+          streams (the class retraction contract, unchanged by rollup).
+
+        At 100 TB this is the point of maintaining the view: serving
+        touches O(fine groups) rows of view state — typically 10⁰–10⁶ —
+        never the source table.  ``rollup_cols=[]`` serves the grand
+        total.  Raises if the requested grain is not covered (caller
+        falls back to a source scan — the rewrite rule, made explicit).
+        """
+        missing = [c for c in rollup_cols if c not in self.group_cols]
+        if missing:
+            raise ValueError(
+                f"rollup grain {rollup_cols} not covered by view grain "
+                f"{self.group_cols}: unknown {missing}"
+            )
+        state = self._live_state(spark)
+        aggs = (
+            [F.sum("n_rows").alias("n_rows")]
+            + [
+                F.sum(f"sum_{c}").alias(f"sum_{c}")
+                for c in self._stored_sum_cols
+            ]
+            + [F.sum(f"cnt_{c}").alias(f"cnt_{c}") for c in self.avg_cols]
+            + [
+                e
+                for c in self.minmax_cols
+                for e in (
+                    F.min(f"min_{c}").alias(f"min_{c}"),
+                    F.max(f"max_{c}").alias(f"max_{c}"),
+                )
+            ]
+            + [
+                F.array(
+                    *[
+                        F.max(F.element_at(F.col(f"hll_{c}"), i + 1))
+                        for i in range(_HLL_M)
+                    ]
+                ).alias(f"hll_{c}")
+                for c in self.distinct_cols
+            ]
+        )
+        rolled = state.groupBy(*rollup_cols).agg(*aggs)
+        return rolled.select(
+            *rollup_cols,
+            "n_rows",
+            *[f"sum_{c}" for c in self.sum_cols],
+            *[
+                F.when(
+                    F.col(f"cnt_{c}") > 0,
+                    F.round(F.col(f"sum_{c}") / F.col(f"cnt_{c}"), 6),
+                ).alias(f"avg_{c}")
+                for c in self.avg_cols
+            ],
+            *[
+                n
+                for c in self.minmax_cols
+                for n in (f"min_{c}", f"max_{c}")
+            ],
+            *[
+                _hll_estimate_expr(f"hll_{c}").alias(f"distinct_est_{c}")
+                for c in self.distinct_cols
+            ],
+        )
+
+    def serve_rollup_hdr(
+        self, spark: SparkSession, c: str, rollup_cols: list[str]
+    ) -> DataFrame:
+        """Rolled-up HDR bin table ``(rollup_cols…, bin, cnt)`` from
+        maintained state — bin counts SUM-merge, so the result is the
+        EXACT histogram of the live snapshot at the coarser grain; feed
+        into ``operators.sketches.hdr_quantiles``."""
+        if c not in self.hdr_cols:
+            raise ValueError(f"{c!r} is not in hdr_cols={self.hdr_cols}")
+        missing = [g for g in rollup_cols if g not in self.group_cols]
+        if missing:
+            raise ValueError(
+                f"rollup grain {rollup_cols} not covered by view grain "
+                f"{self.group_cols}: unknown {missing}"
+            )
+        return (
+            self._live_state(spark)
+            .select(
+                *rollup_cols,
+                F.explode(F.col(f"hdr_{c}")).alias("bin", "_cnt"),
+            )
+            .groupBy(*rollup_cols, "bin")
+            .agg(F.sum("_cnt").alias("cnt"))
+        )
+
     def read_hdr(self, spark: SparkSession, c: str) -> DataFrame:
         """The maintained HDR bin table for ``c`` —
         ``(group_cols…, bin, cnt)``, the exact histogram of the live

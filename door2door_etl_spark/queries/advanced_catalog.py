@@ -868,6 +868,141 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
     return view.read(spark)
 
 
+def q_aggview_rollup_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view QUERY REWRITING: a fine-grain CDC-maintained view
+    (GROUP BY status, prio) answers the coarser ``GROUP BY status`` query
+    purely from its own state — SUM of sums, AVG from the stored
+    (sum, cnt) pair, MIN/MAX of bounds, distinct via element-wise
+    MAX-merge of the per-group HLL registers — never rescanning the
+    source (the serving plan reads O(fine groups) view rows; at 100 TB
+    that is the entire point of maintaining the view).  The oracle
+    recomputes the coarse aggregate from the final snapshot in plain SQL
+    and rebuilds the register max-merge from the ever-inserted stream
+    restricted to live fine groups (the view's documented HLL retraction
+    contract), so a hash match proves rollup serving is exactly the
+    fine-grain state re-aggregated."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+    from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf, "orders").select(
+        k.cast("string").alias("okey"),
+        k.alias("_k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.length("o_orderpriority").cast("double").alias("n_chars"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "ns_aggview_rollup_serving")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    cols = ["okey", "status", "prio", "n_chars"]
+
+    merge_versioned(
+        spark, src, orders.filter(F.col("_k") % 3 != 0).select(*cols), key="okey"
+    )
+    view = IncrementalAggView(
+        source_root=src,
+        view_root=os.path.join(root, "view"),
+        key="okey",
+        group_cols=["status", "prio"],
+        sum_cols=["n_chars"],
+        avg_cols=["n_chars"],
+        minmax_cols=["n_chars"],
+        distinct_cols=["n_chars"],
+    )
+    if view.refresh(spark)["action"] != "seed":
+        raise RuntimeError("rollup_serving: expected seed on first refresh")
+    inserts = orders.filter(F.col("_k") % 3 == 0)
+    updates = (
+        orders.filter((F.col("_k") % 7 == 0) & (F.col("_k") % 3 != 0))
+        .withColumn("status", F.lit("U"))
+        .withColumn("n_chars", F.col("n_chars") + 4)
+    )
+    merge_versioned(
+        spark, src, inserts.unionByName(updates).select(*cols), key="okey"
+    )
+    delete_versioned(
+        spark,
+        src,
+        orders.filter((F.col("_k") % 11 == 0) & (F.col("_k") % 3 != 0)).select("okey"),
+        key="okey",
+    )
+    if view.refresh(spark)["action"] != "delta":
+        raise RuntimeError("rollup_serving: expected an incremental delta window")
+    return view.serve_rollup(spark, ["status"])
+
+
+_ROLLUP_H52 = sql_h52("n_chars", "hll")
+SQL_AGGVIEW_ROLLUP_SERVING = f"""
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+              THEN 'U' ELSE o_orderstatus END AS status,
+         o_orderpriority AS prio,
+         CAST(length(o_orderpriority)
+              + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+                     THEN 4 ELSE 0 END AS DOUBLE) AS n_chars
+  FROM orders
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0)),
+live AS (SELECT DISTINCT status, prio FROM final),
+ins AS (
+  -- ever-inserted (fine group, value) stream: the registers' retraction
+  -- contract — deletes never lower a register, rollup merges only LIVE
+  -- fine groups' registers
+  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(length(o_orderpriority) AS DOUBLE) AS n_chars
+  FROM orders WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_orderpriority, CAST(length(o_orderpriority) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'U', o_orderpriority, CAST(length(o_orderpriority) + 4 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0),
+ins_live AS (
+  SELECT i.* FROM ins i SEMI JOIN live l
+  ON i.status = l.status AND i.prio = l.prio),
+h AS (SELECT status, {_ROLLUP_H52} AS h FROM ins_live WHERE n_chars IS NOT NULL),
+br AS (
+  SELECT status, CAST(h >> 46 AS INT) AS bucket,
+         CAST(CASE WHEN (h % 70368744177664) > 0
+                   THEN 47 - length(bin(h % 70368744177664))
+                   ELSE 47 END AS INT) AS register
+  FROM h),
+regs AS (SELECT status, bucket, max(register) AS register FROM br GROUP BY ALL),
+hest AS (
+  SELECT status, count(*) AS n_used,
+         sum(CAST(1 AS BIGINT) << (47 - register)) AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT status,
+         CASE WHEN (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                    * CAST(140737488355328 AS DOUBLE))
+                   / CAST(s_present + (64 - n_used)
+                          * CAST(140737488355328 AS BIGINT) AS DOUBLE)
+                   <= 160.0
+              AND (64 - n_used) > 0
+         THEN round(64.0 * ln(64.0 / CAST(64 - n_used AS DOUBLE)), 4)
+         ELSE round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                     * CAST(140737488355328 AS DOUBLE))
+                    / CAST(s_present + (64 - n_used)
+                           * CAST(140737488355328 AS BIGINT) AS DOUBLE), 4)
+         END AS distinct_est_n_chars
+  FROM hest),
+base AS (
+  SELECT status, count(*) AS n_rows,
+         CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
+           AS avg_n_chars,
+         min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+  FROM final GROUP BY 1)
+SELECT base.*, est.distinct_est_n_chars
+FROM base JOIN est USING (status)
+"""
+
+
 def q_cdc_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Quantiles served from MAINTAINED view state: the same CDC wave as
     ns_cdc_agg_view drives a view whose per-group HDR bin map is kept by
@@ -1293,6 +1428,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_bloom_point_lookup", q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP, "lakehouse bloom-index point lookup (file skipping)", ("northstar", "lakehouse")),
     QueryDef("ns_cdc_agg_view", q_cdc_agg_view, SQL_CDC_AGG_VIEW, "lakehouse CDC + incremental view maintenance (counting algorithm)", ("northstar", "lakehouse")),
     QueryDef("ns_cdc_hdr_quantiles", q_cdc_hdr_quantiles, _sql_cdc_hdr_quantiles(), "lakehouse CDC-maintained HDR quantile state (exactly-retractable bins)", ("northstar", "lakehouse")),
+    QueryDef("ns_aggview_rollup_serving", q_aggview_rollup_serving, SQL_AGGVIEW_ROLLUP_SERVING, "materialized-view query rewriting: coarser GROUP BY served from maintained fine-grain state", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
