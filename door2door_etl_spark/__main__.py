@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
                  "purge", "history", "train-quality-filter", "curate",
-                 "fsck", "convert", "index", "search"],
+                 "fsck", "convert", "index", "search", "validate"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -115,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
              "under <lake-root>/warehouse)",
     )
     parser.add_argument(
+        "--rules", default=None,
+        help="validate: path to a JSON expectation-suite declaration "
+             '({"rules": [{"name", "expr", "mode", "null_ok"}...], '
+             '"unique": [{"name", "key_cols", "mode"}...]})',
+    )
+    parser.add_argument(
+        "--key", default=None,
+        help="validate: merge key column for the checked upsert",
+    )
+    parser.add_argument(
         "--target-file-mb", type=int, default=128,
         help="compact: target output file size (MB)",
     )
@@ -176,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
         if not args.query or not args.table:
             parser.error("--query and --table are required for search")
         return _run_search(args)
+
+    if args.step == "validate":
+        if not args.source or not args.table or not args.rules or not args.key:
+            parser.error(
+                "--source, --table, --rules and --key are required for validate"
+            )
+        return _run_validate(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history", "fsck"):
@@ -340,6 +357,71 @@ def _run_curate(args) -> int:
             "n_kept": n_kept,
             "funnel": stages,
         }))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_validate(args) -> int:
+    """Constraint-checked load: evaluate a declared expectation suite
+    (--rules JSON) over --source in one pass, MERGE passing rows into
+    ``<lake-root>/warehouse/<table>``, quarantine violations (with rule
+    tags + batch id) under ``<lake-root>/quarantine/<table>``, and print
+    the per-rule metrics as one JSON line.  Fail-mode violations abort
+    before any write — Delta's CHECK-constraint posture."""
+    import os
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.pipeline.expectations import (
+        Expectation,
+        ExpectationSuite,
+        UniqueExpectation,
+        checked_merge,
+    )
+    from door2door_etl_spark.session import build_session
+
+    with open(args.rules) as f:
+        decl = json.load(f)
+    suite = ExpectationSuite(
+        rules=[
+            Expectation(
+                r["name"], r["expr"],
+                mode=r.get("mode", "quarantine"),
+                null_ok=bool(r.get("null_ok", False)),
+            )
+            for r in decl.get("rules", [])
+        ],
+        unique_rules=[
+            UniqueExpectation(
+                u["name"], tuple(u["key_cols"]), mode=u.get("mode", "quarantine")
+            )
+            for u in decl.get("unique", [])
+        ],
+    )
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-validate")
+    try:
+        batch = spark.read.parquet(args.source)
+        batch_id = str(uuid.uuid4())
+        try:
+            out = checked_merge(
+                spark,
+                suite,
+                batch,
+                target_root=os.path.join(args.lake_root, "warehouse", args.table),
+                quarantine_root=os.path.join(
+                    args.lake_root, "quarantine", args.table
+                ),
+                key=args.key,
+                batch_id=batch_id,
+            )
+        except ValueError as exc:
+            print(json.dumps({"step": "validate", "aborted": str(exc)}))
+            return 1
+        print(json.dumps({"step": "validate", **out}))
         return 0
     finally:
         if active is None:

@@ -1,0 +1,251 @@
+"""Declarative data-quality expectations on DataFrames and write paths.
+
+The reference enforces data quality imperatively and implicitly — blank
+lines are skipped during staging (``src/etl/handler.py:37-40``), unknown
+entity types fall through a dispatch dict, and schema shape is whatever
+the pandas ``json_normalize`` produced.  There is no declared, inspectable
+contract, and a bad batch is discovered by the downstream failure it
+causes.  This module makes the contract explicit, the way lakehouse
+engines do (Delta CHECK constraints, DLT expectations, Great
+Expectations): a rule set is DATA (name + boolean SQL expression), every
+rule is evaluated in ONE pass over the batch, and the caller picks the
+enforcement posture per rule.
+
+Design for 100 TB:
+
+* **One scan, no matter how many rules.**  ``validate`` tags each row
+  with the array of violated rule names via one ``filter``-free
+  projection — rules are plain Catalyst boolean expressions, so they run
+  inside whole-stage codegen and fold into the surrounding plan (a
+  parquet scan feeding validate still gets its pushed filters).  The
+  pass/fail split and the per-rule metrics are derived from the SAME
+  tagged frame, so enforcement costs one extra column, not one extra
+  scan per rule.
+* **Metrics are a tiny aggregate.**  ``metrics`` explodes only the
+  violation tags (empty for clean rows) — the shuffle carries one row
+  per (rule, partition) after partial aggregation, never per data row.
+* **UNIQUE is the one rule that must shuffle.**  Uniqueness over key
+  columns is not row-local; it is checked as a window-free self
+  aggregation (groupBy count > 1 broadcast back as a semi/anti split
+  would re-shuffle, so we use a window-less two-pass: count per key,
+  then join the slim duplicate-key relation back — the duplicate side is
+  small in healthy data, so Spark broadcasts it).
+* **Quarantine, don't abort, at scale.**  A 0.001% bad-row rate in a
+  100 TB load is a gigabyte of rows; failing the job strands the other
+  99.999%.  ``checked_merge`` lands passing rows in the target and
+  quarantines violations with their tags and a batch id, committing
+  metrics alongside — the ETL pipeline's unknown-entity quarantine
+  (schemas/normalize.py) generalized to arbitrary declared rules.
+
+Enforcement modes per rule: ``"quarantine"`` (default — route violating
+rows to the quarantine sink), ``"drop"`` (silently exclude), ``"warn"``
+(keep the row, count the violation).  Any rule may instead be marked
+``"fail"``: if ANY row violates it the batch raises before the write —
+Delta's CHECK-constraint posture for invariants that must never land.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MODES = ("quarantine", "drop", "warn", "fail")
+_TAG = "_violated"
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named rule: ``expr`` is a boolean SQL expression that must be
+    TRUE for a row to pass (NULL counts as a violation, matching SQL
+    CHECK's treatment of unknown as not-satisfied... inverted: Delta
+    CHECK passes NULL; we default to the stricter DLT posture because
+    curation rules are filters, not algebra — pass ``null_ok=True`` for
+    CHECK semantics)."""
+
+    name: str
+    expr: str
+    mode: str = "quarantine"
+    null_ok: bool = False
+
+    def __post_init__(self):
+        if self.mode not in _MODES:
+            raise ValueError(f"mode {self.mode!r} not in {_MODES}")
+
+    def _passes(self):
+        c = F.expr(self.expr)
+        return c | c.isNull() if self.null_ok else c.eqNullSafe(F.lit(True))
+
+
+@dataclass(frozen=True)
+class UniqueExpectation:
+    """Key-uniqueness rule — the one non-row-local expectation.  All rows
+    of a key that appears more than once violate (both copies are suspect;
+    dedup-by-key is a *transformation*, not a validation — use
+    operators.dedup for keep-one semantics)."""
+
+    name: str
+    key_cols: tuple[str, ...]
+    mode: str = "quarantine"
+
+    def __post_init__(self):
+        if self.mode not in _MODES:
+            raise ValueError(f"mode {self.mode!r} not in {_MODES}")
+
+
+@dataclass(frozen=True)
+class ExpectationSuite:
+    rules: list[Expectation] = field(default_factory=list)
+    unique_rules: list[UniqueExpectation] = field(default_factory=list)
+
+    def __post_init__(self):
+        names = [r.name for r in self.rules] + [r.name for r in self.unique_rules]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate rule names: {sorted(dupes)}")
+
+    def _all(self):
+        return [*self.rules, *self.unique_rules]
+
+    # -- evaluation ---------------------------------------------------------
+    def tag(self, df: DataFrame) -> DataFrame:
+        """The single-pass evaluator: input plus ``_violated:
+        array<string>`` of the rule names each row breaks (empty array =
+        clean row).  Row-local rules are one codegen'd projection;
+        each unique rule adds one count-per-key aggregation whose
+        duplicate-key relation (small in healthy data) broadcasts back."""
+        tags = [
+            F.when(~r._passes(), F.lit(r.name)) for r in self.rules
+        ]
+        out = df
+        for u in self.unique_rules:
+            dup_keys = (
+                df.groupBy(*u.key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select(*u.key_cols, F.lit(True).alias(f"_dup_{u.name}"))
+            )
+            out = out.join(F.broadcast(dup_keys), list(u.key_cols), "left")
+            tags.append(
+                F.when(F.col(f"_dup_{u.name}"), F.lit(u.name))
+            )
+        tagged = out.withColumn(
+            _TAG,
+            F.array_compact(F.array(*tags))
+            if tags
+            else F.array().cast("array<string>"),
+        )
+        # restore the caller's column order (the unique-rule joins move
+        # key columns to the front)
+        return tagged.select(*df.columns, _TAG)
+
+    def validate(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """``(passed, quarantined, metrics)`` from one tagged frame.
+
+        ``passed``: rows violating nothing enforced (warn-only tags are
+        carried through in ``_violated`` for observability, then the
+        column is dropped).  ``quarantined``: rows with at least one
+        quarantine-mode violation, tags kept.  Drop-mode rows appear in
+        neither.  ``metrics``: one row per rule — violations, evaluated
+        row count, pass rate — plus the ``_batch`` totals row.  Raises
+        on any fail-mode violation (count surfaces in the message)."""
+        tagged = self.tag(df)
+        enforced = {
+            r.name: r.mode for r in self._all()
+        }
+        fail_rules = [n for n, m in enforced.items() if m == "fail"]
+        if fail_rules:
+            broken = (
+                tagged.select(F.explode(_TAG).alias("rule"))
+                .filter(F.col("rule").isin(fail_rules))
+                .groupBy("rule")
+                .count()
+                .collect()
+            )
+            if broken:
+                detail = ", ".join(f"{r['rule']}={r['count']}" for r in broken)
+                raise ValueError(f"fail-mode expectation violated: {detail}")
+
+        def _hits(names: list[str]):
+            if not names:
+                return F.lit(False)
+            return F.exists(F.col(_TAG), lambda n: n.isin(names))
+
+        blocking = [n for n, m in enforced.items() if m in ("quarantine", "drop")]
+        passed = tagged.filter(~_hits(blocking)).drop(_TAG)
+        quarantine_rules = [n for n, m in enforced.items() if m == "quarantine"]
+        quarantined = tagged.filter(_hits(quarantine_rules))
+        return passed, quarantined, self.metrics(tagged)
+
+    def metrics(self, tagged: DataFrame) -> DataFrame:
+        """Per-rule violation counts off an already-tagged frame: one
+        slim aggregate (explode only the tags), one total-rows scalar
+        from the same frame — columns ``rule, mode, n_violations,
+        n_rows, pass_rate``."""
+        totals = tagged.agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        per_rule = (
+            tagged.select(F.explode(_TAG).alias("rule"))
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        modes = [(r.name, r.mode) for r in self._all()]
+        spark = tagged.sparkSession
+        declared = spark.createDataFrame(modes, "rule string, mode string")
+        return (
+            declared.join(per_rule, "rule", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "rule",
+                "mode",
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+                "n_rows",
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.round(
+                        1.0
+                        - F.coalesce("n_violations", F.lit(0))
+                        / F.col("n_rows"),
+                        6,
+                    ),
+                ).otherwise(F.lit(1.0)).alias("pass_rate"),
+            )
+        )
+
+
+def checked_merge(
+    spark: SparkSession,
+    suite: ExpectationSuite,
+    batch: DataFrame,
+    target_root: str,
+    quarantine_root: str,
+    key: str,
+    batch_id: str,
+) -> dict:
+    """Constraint-checked upsert: passing rows MERGE into the versioned
+    target, quarantine-mode violations land (append) in the quarantine
+    table with their rule tags and the batch id, and the per-rule metrics
+    come back as driver data (bounded: one row per rule).  Fail-mode
+    violations abort BEFORE any write — the target never sees a batch
+    that breaks an invariant."""
+    from door2door_etl_spark.io.versioned import merge_versioned
+
+    passed, quarantined, metrics = suite.validate(batch)
+    n_quarantined = 0
+    bad = quarantined.withColumn("_batch_id", F.lit(batch_id)).withColumn(
+        "_quarantined_rules", F.col(_TAG)
+    ).drop(_TAG)
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(quarantine_root)
+        n_quarantined = n_bad
+    merge_versioned(spark, target_root, passed, key=key)
+    return {
+        "batch_id": batch_id,
+        "n_quarantined": n_quarantined,
+        "metrics": [r.asDict() for r in metrics.collect()],
+    }

@@ -868,6 +868,69 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
     return view.read(spark)
 
 
+def q_expectations_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared data-quality contract audited in ONE pass
+    (pipeline.expectations): three row-local rules (range, category,
+    late-landing window) evaluate as codegen'd boolean projections —
+    tagging costs one array column, not one scan per rule — plus the one
+    legitimately-shuffling rule (key uniqueness, checked via a
+    count-per-key aggregate whose duplicate-key relation broadcasts
+    back).  Output is the per-rule metrics frame.  The reference has no
+    declared contract at all — quality rules live implicitly in skipped
+    lines (src/etl/handler.py:37-40); this is that posture inverted."""
+    from door2door_etl_spark.pipeline.expectations import (
+        Expectation,
+        ExpectationSuite,
+        UniqueExpectation,
+    )
+
+    events = load_table(spark, sf, "events")
+    suite = ExpectationSuite(
+        rules=[
+            Expectation("value_in_range", "value >= 0 AND value <= 50"),
+            Expectation("no_error_events", "event_type <> 'error'", mode="warn"),
+            Expectation(
+                "ts_in_window",
+                "ts < TIMESTAMP '2024-01-29 00:00:00'",
+                mode="drop",
+            ),
+        ],
+        unique_rules=[
+            UniqueExpectation("user_event_unique", ("user_id", "event_type"))
+        ],
+    )
+    return suite.metrics(suite.tag(events)).orderBy("rule")
+
+
+SQL_EXPECTATIONS_REPORT = """
+WITH t AS (SELECT count(*) AS n_rows FROM events),
+v AS (
+  SELECT 'value_in_range' AS rule, 'quarantine' AS mode,
+         CAST(sum(CASE WHEN value >= 0 AND value <= 50 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_violations
+  FROM events
+  UNION ALL
+  SELECT 'no_error_events', 'warn',
+         CAST(sum(CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'ts_in_window', 'drop',
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-29 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'user_event_unique', 'quarantine',
+         CAST(coalesce((
+           SELECT sum(c) FROM (
+             SELECT count(*) AS c FROM events
+             GROUP BY user_id, event_type HAVING count(*) > 1)), 0) AS BIGINT))
+SELECT rule, mode, n_violations, t.n_rows,
+       round(1.0 - CAST(n_violations AS DOUBLE) / t.n_rows, 6) AS pass_rate
+FROM v CROSS JOIN t
+ORDER BY rule
+"""
+
+
 def q_aggview_rollup_serving(spark: SparkSession, sf: str) -> DataFrame:
     """Materialized-view QUERY REWRITING: a fine-grain CDC-maintained view
     (GROUP BY status, prio) answers the coarser ``GROUP BY status`` query
@@ -1429,6 +1492,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_cdc_agg_view", q_cdc_agg_view, SQL_CDC_AGG_VIEW, "lakehouse CDC + incremental view maintenance (counting algorithm)", ("northstar", "lakehouse")),
     QueryDef("ns_cdc_hdr_quantiles", q_cdc_hdr_quantiles, _sql_cdc_hdr_quantiles(), "lakehouse CDC-maintained HDR quantile state (exactly-retractable bins)", ("northstar", "lakehouse")),
     QueryDef("ns_aggview_rollup_serving", q_aggview_rollup_serving, SQL_AGGVIEW_ROLLUP_SERVING, "materialized-view query rewriting: coarser GROUP BY served from maintained fine-grain state", ("northstar", "lakehouse")),
+    QueryDef("ns_expectations_report", q_expectations_report, SQL_EXPECTATIONS_REPORT, "declared data-quality contract: one-pass multi-rule audit with per-rule metrics", ("northstar", "quality")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),

@@ -1,0 +1,182 @@
+"""Declarative expectations (pipeline/expectations.py).
+
+Reference model: an independent pure-Python evaluation of the same rules
+over the same rows — the suite's single-pass tagged frame, the
+pass/quarantine/drop split, the per-rule metrics, fail-mode abort, and
+the constraint-checked merge must all agree with it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.pipeline.expectations import (
+    Expectation,
+    ExpectationSuite,
+    UniqueExpectation,
+    checked_merge,
+)
+
+ROWS = [
+    # (id, qty, status)
+    ("a", 5, "open"),
+    ("b", -1, "open"),      # breaks qty_nonneg
+    ("c", 7, None),         # breaks status_known (null, strict default)
+    ("d", 12, "bogus"),     # breaks status_known
+    ("e", 3, "done"),
+    ("e", 4, "done"),       # both e-rows break id_unique
+    ("f", None, "open"),    # null qty: strict -> violation; null_ok -> pass
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "id string, qty int, status string")
+
+
+def _suite(qty_mode="quarantine", null_ok=False):
+    return ExpectationSuite(
+        rules=[
+            Expectation("qty_nonneg", "qty >= 0", mode=qty_mode, null_ok=null_ok),
+            Expectation("status_known", "status IN ('open','done')"),
+        ],
+        unique_rules=[UniqueExpectation("id_unique", ("id",))],
+    )
+
+
+def test_tag_matches_pure_python_reference(spark):
+    tagged = {
+        (r["id"], r["qty"]): sorted(r["_violated"])
+        for r in _suite().tag(_df(spark)).collect()
+    }
+    # independent reference
+    from collections import Counter
+
+    ids = Counter(r[0] for r in ROWS)
+    want = {}
+    for i, q, s in ROWS:
+        v = []
+        if not (q is not None and q >= 0):
+            v.append("qty_nonneg")
+        if s not in ("open", "done"):
+            v.append("status_known")
+        if ids[i] > 1:
+            v.append("id_unique")
+        want[(i, q)] = sorted(v)
+    assert tagged == want
+
+
+def test_validate_split_and_metrics(spark):
+    passed, quarantined, metrics = _suite().validate(_df(spark))
+    assert {r["id"] for r in passed.collect()} == {"a"}
+    q = {(r["id"], r["qty"]) for r in quarantined.collect()}
+    assert q == {("b", -1), ("c", 7), ("d", 12), ("e", 3), ("e", 4), ("f", None)}
+    m = {r["rule"]: (r["n_violations"], r["n_rows"], r["pass_rate"]) for r in metrics.collect()}
+    assert m == {
+        "qty_nonneg": (2, 7, round(1 - 2 / 7, 6)),
+        "status_known": (2, 7, round(1 - 2 / 7, 6)),
+        "id_unique": (2, 7, round(1 - 2 / 7, 6)),
+    }
+
+
+def test_null_ok_check_semantics(spark):
+    # null_ok=True: NULL qty passes (Delta CHECK posture)
+    passed, _, _ = _suite(null_ok=True).validate(_df(spark))
+    assert {r["id"] for r in passed.collect()} == {"a", "f"}
+
+
+def test_drop_mode_rows_in_neither_output(spark):
+    passed, quarantined, _ = _suite(qty_mode="drop").validate(_df(spark))
+    # b violates only qty_nonneg (drop): not passed, not quarantined
+    assert "b" not in {r["id"] for r in passed.collect()}
+    assert "b" not in {r["id"] for r in quarantined.collect()}
+
+
+def test_warn_mode_keeps_rows(spark):
+    suite = ExpectationSuite(
+        rules=[Expectation("qty_nonneg", "qty >= 0", mode="warn")]
+    )
+    passed, quarantined, metrics = suite.validate(_df(spark))
+    assert passed.count() == len(ROWS)
+    assert quarantined.count() == 0
+    m = metrics.collect()[0]
+    assert (m["rule"], m["n_violations"]) == ("qty_nonneg", 2)
+
+
+def test_fail_mode_aborts_with_counts(spark):
+    suite = ExpectationSuite(
+        rules=[Expectation("qty_nonneg", "qty >= 0", mode="fail")]
+    )
+    with pytest.raises(ValueError, match="qty_nonneg=2"):
+        suite.validate(_df(spark))
+
+
+def test_duplicate_rule_names_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        ExpectationSuite(
+            rules=[
+                Expectation("r", "qty >= 0"),
+                Expectation("r", "qty < 10"),
+            ]
+        )
+
+
+def test_checked_merge_routes_and_commits(spark, tmp_path):
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+
+    target = str(tmp_path / "target")
+    quarantine = str(tmp_path / "quarantine")
+    out = checked_merge(
+        spark,
+        _suite(),
+        _df(spark),
+        target_root=target,
+        quarantine_root=quarantine,
+        key="id",
+        batch_id="batch-1",
+    )
+    assert out["n_quarantined"] == 6
+    live = VersionedParquetTable(target).read(spark)
+    assert {r["id"] for r in live.collect()} == {"a"}
+    qdf = spark.read.parquet(quarantine)
+    got = {
+        (r["id"], r["_batch_id"], tuple(sorted(r["_quarantined_rules"])))
+        for r in qdf.collect()
+    }
+    assert ("b", "batch-1", ("qty_nonneg",)) in got
+    assert ("e", "batch-1", ("id_unique",)) in got
+    rates = {m["rule"]: m["pass_rate"] for m in out["metrics"]}
+    assert rates["status_known"] == round(1 - 2 / 7, 6)
+
+    # fail-mode invariant: nothing lands, target unchanged
+    suite_fail = ExpectationSuite(
+        rules=[Expectation("qty_nonneg", "qty >= 0", mode="fail")]
+    )
+    with pytest.raises(ValueError):
+        checked_merge(
+            spark, suite_fail, _df(spark), target_root=target,
+            quarantine_root=str(tmp_path / "q2"), key="id", batch_id="batch-2",
+        )
+    assert VersionedParquetTable(target).read(spark).count() == 1
+
+
+def test_rules_stay_codegen_friendly(spark):
+    """Row-local rules must not break whole-stage codegen or filter
+    pushdown: the tagged plan over a parquet scan keeps PushedFilters
+    for a caller filter applied after tag()."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t")
+        _df(spark).write.parquet(p)
+        suite = ExpectationSuite(
+            rules=[Expectation("qty_nonneg", "qty >= 0")]
+        )
+        tagged = suite.tag(spark.read.parquet(p)).filter(F.col("id") == "a")
+        plan = tagged._jdf.queryExecution().executedPlan().toString()
+        # the caller filter reaches the scan THROUGH the tagging projection
+        assert "EqualTo(id,a)" in plan, plan
+        # scan + filter stage is codegen'd (the tag projection itself uses
+        # higher-order array exprs, which run outside codegen by design)
+        assert "*(1) Filter" in plan, plan
