@@ -239,3 +239,54 @@ def profile_drift(
         )
         .orderBy("column")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    topk: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the ``topk`` heaviest key
+    values with their row counts, share of the table, cumulative share,
+    skew factor (count / mean-per-key), and a suggested salt-bucket
+    count — the pre-flight a 100 TB join wants BEFORE it shuffles, and
+    the measurement behind ``operators.relational.salted_skew_join``'s
+    salt parameter.
+
+    Plan shape: ONE per-key count aggregate (map-side combinable), its
+    grand totals folded to a single broadcast row, and a
+    ``TakeOrderedAndProject`` for the top-k — no window over all keys,
+    no second scan of the input.  Cumulative share is a window over the
+    k retained rows only (driver-bounded).
+
+    ``suggested_salt`` = ceil(count / mean-per-key): the number of salt
+    buckets that splits the heaviest key into roughly mean-sized units —
+    1 for unskewed keys, so the column doubles as a "needs salting"
+    flag.  Deterministic order: count desc, then key columns asc."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.avg("cnt").alias("avg_cnt"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    top = per_key.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "cnt",
+            "n_keys",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.sum("cnt").over(w) / F.col("n_rows"), 6
+            ).alias("cum_share"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("skew_factor"),
+            F.ceil(F.col("cnt") / F.col("avg_cnt")).cast("int").alias(
+                "suggested_salt"
+            ),
+        )
+    )

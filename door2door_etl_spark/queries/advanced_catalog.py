@@ -1448,6 +1448,35 @@ ORDER BY o."column"
 """
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew pre-flight (operators.profile.skew_report): the 10
+    heaviest event users with share / cumulative share / skew factor /
+    suggested salt buckets — the measurement that decides whether
+    ``salted_skew_join`` is worth its extra exchange before a 100 TB
+    shuffle.  One map-side-combinable per-key count, one broadcast
+    totals row, TakeOrderedAndProject for the top-k; no window over all
+    keys."""
+    from door2door_etl_spark.operators.profile import skew_report
+
+    events = load_table(spark, sf, "events")
+    return skew_report(events, ["user_id"], topk=10)
+
+
+SQL_SKEW_REPORT = """
+WITH per_key AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows, avg(cnt) AS avg_cnt
+        FROM per_key),
+top AS (SELECT * FROM per_key ORDER BY cnt DESC, user_id LIMIT 10)
+SELECT user_id, cnt, tot.n_keys,
+       round(CAST(cnt AS DOUBLE) / tot.n_rows, 6) AS share,
+       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id) AS DOUBLE)
+             / tot.n_rows, 6) AS cum_share,
+       round(CAST(cnt AS DOUBLE) / tot.avg_cnt, 4) AS skew_factor,
+       CAST(ceil(CAST(cnt AS DOUBLE) / tot.avg_cnt) AS INT) AS suggested_salt
+FROM top CROSS JOIN tot
+"""
+
+
 def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups served through the manifest lake's file-level BLOOM
     skipping (io.manifest ``bloom:<col>`` stats): documents land as
@@ -1502,6 +1531,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_pagerank_trade", q_pagerank_trade, _sql_pagerank_trade(), "north-star graph/weighted-pagerank (Page et al. 1999)", ("northstar", "graph")),
     QueryDef("ns_profile_events", q_profile_events, _sql_profile_events(), "north-star profile/analyze-table", ("northstar", "profile")),
     QueryDef("ns_profile_drift", q_profile_drift, _sql_profile_drift(), "north-star profile/drift report (two-slice data-quality diff)", ("northstar", "profile")),
+    QueryDef("ns_skew_report", q_skew_report, SQL_SKEW_REPORT, "join-key skew pre-flight: heavy-hitter shares + suggested salt buckets", ("northstar", "profile")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

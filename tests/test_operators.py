@@ -3367,3 +3367,38 @@ def test_png_codec_roundtrip_filters_resize_and_rejection():
     assert resize_image(good, 2, 2)[:8] == _PNG_SIG
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_skew_report_matches_reference_and_plan(spark):
+    """skew_report vs a pure-Python computation over planted skew (one
+    hot key at 60%, ties among cold keys broken by key asc), and the
+    top-k must be a TakeOrderedAndProject — never a full-key window."""
+    import math
+
+    from door2door_etl_spark.operators.profile import skew_report
+
+    rows = [("hot",)] * 60 + [(k,) for k in ("a", "b", "c", "d") for _ in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r["k"], r["cnt"], r["n_keys"], r["share"], r["cum_share"],
+         r["skew_factor"], r["suggested_salt"])
+        for r in skew_report(df, ["k"], topk=3).collect()
+    ]
+    # reference
+    from collections import Counter
+
+    cnts = Counter(k for (k,) in rows)
+    n_rows, n_keys = len(rows), len(cnts)
+    avg = n_rows / n_keys
+    top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    cum, want = 0, []
+    for k, c in top:
+        cum += c
+        want.append((
+            k, c, n_keys, round(c / n_rows, 6), round(cum / n_rows, 6),
+            round(c / avg, 4), math.ceil(c / avg),
+        ))
+    assert got == want
+    assert got[0][0] == "hot" and got[0][6] == 3  # 60/20 -> 3 salt buckets
+    plan = skew_report(df, ["k"], topk=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
