@@ -64,9 +64,19 @@ class ManifestBM25Index:
     )
 
     def _unified(self, docs: DataFrame, tag: str | None = None) -> DataFrame:
-        toks = tokens(F.col(self.text_col))
-        tok = docs.select(
+        # Tokenize ONCE: posts, the stat delta, and the doc ledger all
+        # consume the same (doc_id, dl, toks) base; without the eager
+        # localCheckpoint Spark re-runs the regex tokenization per union
+        # branch — measured 3x the build's whole compute cost at sf0.1.
+        # The base is bounded by the ingest batch (never the standing
+        # index), so materializing it is safe at any corpus size.
+        base = docs.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
+            tokens(F.col(self.text_col)).alias("_toks"),
+        ).localCheckpoint(eager=True)
+        toks = F.col("_toks")
+        tok = base.select(
+            F.col("doc_id"),
             F.size(toks).alias("dl"),
             F.explode(toks).alias("term"),
         )
@@ -87,7 +97,7 @@ class ManifestBM25Index:
         # ``bm25_topk``'s avgdl is ``avg(size)`` — NULL-text docs count
         # toward N (idf) but not toward the length average; parity
         # requires reproducing exactly that.
-        stat = docs.agg(
+        stat = base.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size(toks)).cast("long").alias("n_tokens"),
             F.count(F.size(toks)).cast("long").alias("n_text_docs"),
@@ -105,10 +115,10 @@ class ManifestBM25Index:
         # has no postings, so postings alone cannot answer "what did
         # this doc contribute to n_docs / n_tokens / n_text_docs").
         # One row per doc, its own partition, never read at serving.
-        docrows = docs.select(
+        docrows = base.select(
             F.lit("doc").alias("rel"),
             F.lit(None).cast("string").alias("term"),
-            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col("doc_id"),
             F.lit(None).cast("int").alias("tf"),
             F.size(toks).cast("int").alias("dl"),
             F.lit(None).cast("long").alias("n_docs"),
