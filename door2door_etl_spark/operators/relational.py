@@ -339,3 +339,141 @@ def profile_columns(
     return packed.select(
         F.explode(F.array(*[F.col(f"_m_{c}") for c in cols])).alias("m")
     ).select("m.*")
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered conversion funnel: how many users performed
+    ``steps[0]``, then ``steps[1]`` at a strictly later timestamp, then
+    ``steps[2]`` later still, … — the earliest-qualifying match at each
+    stage (the standard product-analytics funnel; reference's warehouse
+    has the events but answers this only by export).
+
+    One shuffle, no UDF: events are pre-filtered to the step types
+    (irrelevant rows never shuffle), collected per user as a sorted
+    ``array<struct<ts,type>>``, and matched by a single ``aggregate``
+    fold whose state is (stage reached, ts of that stage's match) — the
+    per-user array is bounded by the user's STEP-RELEVANT activity, not
+    total activity, and the fold is a codegen-free but Arrow-free pure
+    Catalyst expression.  For pathological single-user volumes, pre-cap
+    with a per-(user, type) earliest-k window upstream.
+
+    Output: one row per stage — ``(stage_idx, step, n_users,
+    conversion_rate)`` where the rate is vs the PREVIOUS stage (stage 1's
+    is vs the number of users with any step-relevant event, making the
+    first row a reach metric)."""
+    fl = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    arr = F.sort_array(F.collect_list(F.struct("_ts", "_ty")))
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    state0 = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+    def _advance(acc, ev):
+        can = (
+            (acc["stage"] < F.lit(len(steps)))
+            & (ev["_ty"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (acc["ts"].isNull() | (ev["_ts"] > acc["ts"]))
+        )
+        return F.when(
+            can,
+            F.struct(
+                (acc["stage"] + 1).cast("int").alias("stage"),
+                ev["_ts"].alias("ts"),
+            ),
+        ).otherwise(acc)
+
+    per_user = fl.groupBy("_u").agg(
+        F.aggregate(arr, state0, _advance)["stage"].alias("reached")
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum((F.col("reached") >= i + 1).cast("long")).alias(f"n{i + 1}")
+            for i in range(len(steps))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i + 1}").alias("n_users"),
+                F.round(
+                    F.col(f"n{i + 1}")
+                    / F.nullif(F.col(f"n{i}"), F.lit(0)),
+                    6,
+                ).alias("conversion_rate"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_offset: int = 3,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST-event day;
+    retention at offset k is the share of the cohort active in the k-th
+    ``period_days`` window (default week) after that first event.
+
+    Two aggregates and one broadcastable join: first-event per user
+    (one groupBy), then each event row maps to (cohort_day, offset)
+    and distinct users count per cell.  The per-user relation is
+    |users|-sized — the natural broadcast side at any event volume.
+    Offsets beyond ``max_offset`` are dropped (bounded output).
+
+    Output: ``(cohort_day, offset, n_active, cohort_size,
+    retention_rate)``, where ``cohort_day`` is the cohort's shared
+    first-activity day and offset 0 is the cohort itself (rate 1.0)."""
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.to_date(ts_col)).alias("_first_day")
+    )
+    cohorted = (
+        events.select(
+            F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_day")
+        )
+        .join(F.broadcast(first), "_u")
+        .select(
+            "_u",
+            F.col("_first_day"),
+            F.floor(
+                F.datediff(F.col("_day"), F.col("_first_day"))
+                / period_days
+            ).cast("int").alias("offset"),
+        )
+        .filter(F.col("offset") <= max_offset)
+    )
+    sizes = first.groupBy("_first_day").agg(
+        F.countDistinct("_u").alias("cohort_size")
+    )
+    out = (
+        cohorted.groupBy("_first_day", "offset")
+        .agg(F.countDistinct("_u").alias("n_active"))
+        .join(F.broadcast(sizes), "_first_day")
+        .select(
+            F.col("_first_day").alias("cohort_day"),
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )
+    return out

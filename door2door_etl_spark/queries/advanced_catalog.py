@@ -1448,6 +1448,91 @@ ORDER BY o."column"
 """
 
 
+def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel over events
+    (operators.relational.conversion_funnel): ONE shuffle — events
+    pre-filtered to the three step types, folded per user with a pure
+    Catalyst ``aggregate`` over the sorted event array (no UDF, no
+    three-way self-join).  The oracle computes the identical semantics
+    the classical way (three chained min-after CTEs), so a hash match
+    proves the fold's earliest-qualifying-match semantics."""
+    from door2door_etl_spark.operators.relational import conversion_funnel
+
+    events = load_table(spark, sf, "events")
+    return conversion_funnel(events, ["view", "click", "purchase"]).orderBy(
+        "stage_idx"
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH rel AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+n0 AS (SELECT count(DISTINCT user_id) AS n FROM rel),
+s1 AS (SELECT user_id, min(ts) AS t FROM rel WHERE event_type = 'view'
+       GROUP BY 1),
+s2 AS (SELECT r.user_id, min(r.ts) AS t FROM rel r
+       JOIN s1 ON r.user_id = s1.user_id
+       WHERE r.event_type = 'click' AND r.ts > s1.t GROUP BY 1),
+s3 AS (SELECT r.user_id, min(r.ts) AS t FROM rel r
+       JOIN s2 ON r.user_id = s2.user_id
+       WHERE r.event_type = 'purchase' AND r.ts > s2.t GROUP BY 1),
+c AS (SELECT (SELECT n FROM n0) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT stage_idx, step, n_users, conversion_rate FROM (
+  SELECT 1 AS stage_idx, 'view' AS step, n1 AS n_users,
+         round(CAST(n1 AS DOUBLE) / nullif(n0, 0), 6) AS conversion_rate
+  FROM c
+  UNION ALL
+  SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 6) FROM c)
+ORDER BY stage_idx
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention by first-activity-day cohort
+    (operators.relational.retention_cohorts): first-event day per user
+    (one groupBy, |users|-sized, broadcast back), each event mapped to its
+    (cohort, week offset) cell, distinct-user counts per cell over a
+    bounded offset range.  Oracle is the same two-aggregate shape in
+    plain SQL."""
+    from door2door_etl_spark.operators.relational import retention_cohorts
+
+    events = load_table(spark, sf, "events")
+    out = retention_cohorts(events, max_offset=3).withColumnRenamed(
+        "offset", "week_offset"
+    )
+    return out.withColumn(
+        "cohort_day", F.date_format("cohort_day", "yyyy-MM-dd")
+    ).orderBy("cohort_day", "week_offset")
+
+
+SQL_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+cohorted AS (
+  SELECT e.user_id, f.first_day,
+         CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0)
+              AS INT) AS week_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id),
+sizes AS (SELECT first_day, count(DISTINCT user_id) AS cohort_size
+          FROM first GROUP BY 1)
+SELECT strftime(c.first_day, '%Y-%m-%d') AS cohort_day, c.week_offset,
+       count(DISTINCT c.user_id) AS n_active,
+       s.cohort_size,
+       round(CAST(count(DISTINCT c.user_id) AS DOUBLE) / s.cohort_size, 6)
+         AS retention_rate
+FROM cohorted c JOIN sizes s ON c.first_day = s.first_day
+WHERE c.week_offset <= 3
+GROUP BY c.first_day, c.week_offset, s.cohort_size
+ORDER BY cohort_day, week_offset
+"""
+
+
 def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Join-key skew pre-flight (operators.profile.skew_report): the 10
     heaviest event users with share / cumulative share / skew factor /
@@ -1532,6 +1617,8 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_profile_events", q_profile_events, _sql_profile_events(), "north-star profile/analyze-table", ("northstar", "profile")),
     QueryDef("ns_profile_drift", q_profile_drift, _sql_profile_drift(), "north-star profile/drift report (two-slice data-quality diff)", ("northstar", "profile")),
     QueryDef("ns_skew_report", q_skew_report, SQL_SKEW_REPORT, "join-key skew pre-flight: heavy-hitter shares + suggested salt buckets", ("northstar", "profile")),
+    QueryDef("rel_conversion_funnel", q_conversion_funnel, SQL_CONVERSION_FUNNEL, "ordered conversion funnel via one-shuffle array fold (no UDF, no self-joins)", ("rel", "advanced")),
+    QueryDef("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS, "first-activity cohort retention by week offset", ("rel", "advanced")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -3402,3 +3402,71 @@ def test_skew_report_matches_reference_and_plan(spark):
     assert got[0][0] == "hot" and got[0][6] == 3  # 60/20 -> 3 salt buckets
     plan = skew_report(df, ["k"], topk=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_conversion_funnel_ordered_semantics(spark):
+    """Planted users: u1 full ordered path; u2 wrong order (purchase
+    BEFORE click) so it must stop at click; u3 same-timestamp click
+    (strictly-later rule: not counted); u4 only views; u5 does steps
+    twice (counted once); noise events never enter the shuffle."""
+    import datetime as dt
+
+    from door2door_etl_spark.operators.relational import conversion_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        ("u1", "view", t(0)), ("u1", "click", t(1)), ("u1", "purchase", t(2)),
+        ("u2", "view", t(0)), ("u2", "purchase", t(1)), ("u2", "click", t(2)),
+        ("u3", "view", t(0)), ("u3", "click", t(0)),  # same ts: no advance
+        ("u4", "view", t(5)),
+        ("u5", "view", t(0)), ("u5", "click", t(1)), ("u5", "purchase", t(2)),
+        ("u5", "view", t(3)), ("u5", "click", t(4)), ("u5", "purchase", t(5)),
+        ("u6", "scroll", t(0)),  # no step-relevant events: excluded from n0
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = {
+        r["step"]: (r["stage_idx"], r["n_users"], r["conversion_rate"])
+        for r in conversion_funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    # n0 = 5 step-relevant users; view: u1..u5 = 5; click after view:
+    # u1, u2(click at t2 > first view), u5 = 3; purchase after that click:
+    # u1, u5 = 2
+    assert got == {
+        "view": (1, 5, 1.0),
+        "click": (2, 3, 0.6),
+        "purchase": (3, 2, round(2 / 3, 6)),
+    }
+
+
+def test_retention_cohorts_reference(spark):
+    """Two day-cohorts, activity in weeks 0/1/3, one user beyond
+    max_offset dropped, rates vs cohort size."""
+    import datetime as dt
+
+    from door2door_etl_spark.operators.relational import retention_cohorts
+
+    d = lambda day, u: (u, dt.datetime(2024, 1, day, 12, 0))  # noqa: E731
+    rows = [
+        # cohort 2024-01-01: a, b
+        d(1, "a"), d(1, "b"),
+        d(8, "a"),            # a active in week 1
+        d(23, "b"),           # b active in week 3
+        d(31, "a"),           # week 4 > max_offset: dropped
+        # cohort 2024-01-02: c
+        d(2, "c"), d(2, "c"),  # dup same-day activity counts once
+        d(9, "c"),             # week 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (str(r["cohort_day"]), r["offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate"]
+        )
+        for r in retention_cohorts(df, max_offset=3).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-01", 3): (1, 2, 0.5),
+        ("2024-01-02", 0): (1, 1, 1.0),
+        ("2024-01-02", 1): (1, 1, 1.0),
+    }
