@@ -592,3 +592,187 @@ def sample_frames(
     """Frame-sampling plumbing for video-like assets: given one row per frame
     (``frame_idx``), keep every n-th frame.  Pure filter — no data movement."""
     return df.filter((F.col(frame_col) % F.lit(every_nth)) == 0)
+
+
+# -- video: RIFF/AVI container with uncompressed DIB frames -----------------
+
+def avi_dib_bytes(
+    width: int,
+    height: int,
+    frames: list[list[tuple[int, int, int]]],
+    fps: int = 10,
+) -> bytes:
+    """Encode a REAL RIFF/AVI container with uncompressed 24-bit DIB
+    video frames (``00db`` chunks) — the video twin of
+    :func:`bmp24_bytes` / :func:`wav_bytes`: a genuine container any
+    RIFF-aware tool can walk, built from the stdlib only.  Each frame is
+    the standard bottom-up BGR padded pixel array (identical layout to
+    the BMP body).  Structure: ``RIFF(AVI ) > LIST(hdrl)[avih,
+    LIST(strl)[strh,strf]] > LIST(movi)[00db…]``."""
+    import struct
+
+    row_size = (3 * width + 3) // 4 * 4
+    frame_size = row_size * height
+
+    def dib(pixels: list[tuple[int, int, int]]) -> bytes:
+        pad = b"\x00" * (row_size - 3 * width)
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(width):
+                r, g, b = pixels[y * width + x]
+                row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR
+            rows.append(bytes(row) + pad)
+        return b"".join(rows)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,          # microseconds per frame
+        frame_size * fps,          # max bytes/sec
+        0,                         # padding granularity
+        0x10,                      # AVIF_HASINDEX off; 0x10 = was-capture? keep simple flags
+        len(frames), 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII",
+            0,                     # flags
+            0, 0,                  # priority, language
+            0,                     # initial frames
+            1, fps,                # scale, rate (fps = rate/scale)
+            0, len(frames),        # start, length
+            frame_size,            # suggested buffer
+            0xFFFFFFFF, 0,         # quality, sample size
+        ) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0,
+    )
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """REAL pure-Python RIFF/AVI parse: verify the RIFF signature, walk
+    the chunk tree, read dimensions/bpp from the ``strf``
+    BITMAPINFOHEADER, and decode every uncompressed ``00db`` DIB frame
+    in the ``movi`` list (bottom-up padded BGR, same layout contract as
+    :func:`decode_bmp`).  Returns ``(width, height, frames)`` with each
+    frame row-major top-down ``[(r, g, b)]``.  Raises ``ValueError`` on
+    non-AVI payloads or compressed streams — quarantine upstream, the
+    multimodal family's standing posture."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if body_start + size > len(buf):
+                raise ValueError("truncated RIFF chunk")
+            yield fourcc, body_start, body_start + size
+            pos = body_start + size + (size % 2)  # RIFF pads to even
+
+    width = height = None
+    frames: list[list[tuple[int, int, int]]] = []
+
+    def scan(start: int, end: int) -> None:
+        nonlocal width, height
+        for fourcc, b0, b1 in walk(payload, start, end):
+            if fourcc == b"LIST":
+                scan(b0 + 4, b1)  # skip the list-type fourcc
+            elif fourcc == b"strf":
+                hdr_size, w, h = struct.unpack_from("<Iii", payload, b0)
+                planes, bpp, comp = struct.unpack_from("<HHI", payload, b0 + 12)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only 24-bit uncompressed DIB video (bpp={bpp}, comp={comp})"
+                    )
+                width, height = w, abs(h)
+            elif fourcc == b"00db":
+                if width is None:
+                    raise ValueError("00db frame before strf header")
+                row_size = (3 * width + 3) // 4 * 4
+                if b0 + row_size * height > b1:
+                    raise ValueError("truncated DIB frame")
+                px: list[tuple[int, int, int]] = []
+                for y in range(height):
+                    base = b0 + (height - 1 - y) * row_size
+                    for x in range(width):
+                        i = base + 3 * x
+                        px.append((payload[i + 2], payload[i + 1], payload[i]))
+                frames.append(px)
+
+    scan(12, len(payload))
+    if width is None:
+        raise ValueError("no video stream format (strf) found")
+    return width, height, frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    every: int = 2,
+) -> DataFrame:
+    """Frame sampling over a video ``binary`` column — the multimodal
+    frame-sample stage (SURVEY §"frame-sample"): parse each asset's
+    REAL AVI container, keep every ``every``-th frame (deterministic:
+    indices 0, every, 2·every, …), and emit per-frame channel means.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, no shuffle —
+    each asset decodes independently, output is O(assets ·
+    frames/every) slim rows.  Real codecs (H.264 et al.) stay behind
+    the documented NotImplementedError boundary; the CONTAINER walk,
+    the sampling policy, and the Spark plumbing here are the real,
+    tested article."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "_id": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                w, h, frames = parse_avi(bytes(payload))
+                n = len(frames)
+                for idx in range(0, n, every):
+                    px = frames[idx]
+                    m = len(px) or 1
+                    out["_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(sum(p[0] for p in px) / m)
+                    out["mean_g"].append(sum(p[1] for p in px) / m)
+                    out["mean_b"].append(sum(p[2] for p in px) / m)
+            res = pd.DataFrame(out).rename(columns={"_id": id_col})
+            yield res
+
+    schema = (
+        f"{id_col} long, frame_idx int, n_frames int, width int, "
+        "height int, mean_r double, mean_g double, mean_b double"
+    )
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -1796,6 +1796,90 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _synth_avi_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) with a genuine RIFF/AVI per document — frame
+    count 2-4, dimensions 4-6 x 2-3, pixel (frame, x, y) is doc_id
+    arithmetic (operators.multimodal avi_dib_bytes, the real container
+    encoder)."""
+    from door2door_etl_spark.operators.multimodal import avi_dib_bytes
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, n = 4 + d % 3, 2 + d % 2, 2 + d % 3
+                frames = [
+                    [
+                        (
+                            (d * 31 + f * 23 + y * 17 + x * 7) % 256,
+                            (d * 13 + f * 19 + y * 5 + x * 3) % 256,
+                            (d * 29 + f * 7 + y * 11 + x * 19) % 256,
+                        )
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    for f in range(n)
+                ]
+                payloads.append(avi_dib_bytes(w, h, frames))
+            out = pdf[["doc_id"]].copy()
+            out["content"] = payloads
+            yield out
+
+    return docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, content binary"
+    )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-container frame sampling (the last multimodal modality:
+    decode / feature-extract / resize / frame-sample): manufacture a
+    genuine RIFF/AVI with 2-4 uncompressed DIB frames per document, walk
+    the container with the pure-Python RIFF parser, keep every 2nd frame,
+    and emit per-frame channel means.  The oracle predicts every sampled
+    frame's means arithmetically, so the container walk, the bottom-up
+    BGR frame decode, AND the sampling policy are all under test."""
+    from door2door_etl_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf, "documents")
+    out = sample_video_frames(_synth_avi_assets(docs), every=2)
+    return out.select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+         2 + doc_id % 3 AS n
+  FROM documents),
+f AS (
+  SELECT doc_id, w, h, n, unnest(range(0, n, 2)) AS frame_idx FROM p),
+px AS (
+  SELECT doc_id, w, h, n, frame_idx, unnest(range(0, w * h)) AS i FROM f),
+v AS (
+  SELECT doc_id, w, h, n, frame_idx,
+         CAST((doc_id * 31 + frame_idx * 23 + (i // w) * 17 + (i % w) * 7)
+              % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 13 + frame_idx * 19 + (i // w) * 5 + (i % w) * 3)
+              % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 29 + frame_idx * 7 + (i // w) * 11 + (i % w) * 19)
+              % 256 AS DOUBLE) AS b
+  FROM px)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(any_value(n) AS INT) AS n_frames,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       round(avg(r), 6) AS mean_r,
+       round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b
+FROM v GROUP BY doc_id, frame_idx
+"""
+
+
 BMP_RS_W = 3
 BMP_RS_H = 2
 
@@ -2695,6 +2779,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE, "north-star multimodal/resize", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_wav_decode", q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE, "north-star multimodal/real-wav-codec-decode", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_bmp_decode", q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE, "north-star multimodal/real-bmp-codec-decode", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_frame_sample", q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE, "north-star multimodal/real-avi-container frame sampling", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_bmp_resize", q_multimodal_bmp_resize, SQL_MULTIMODAL_BMP_RESIZE, "north-star multimodal/real-bmp-nn-resize", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_png_decode", q_multimodal_png_decode, SQL_MULTIMODAL_PNG_DECODE, "north-star multimodal/real-png-codec-decode (stdlib zlib)", ("northstar", "multimodal")),
     QueryDef("ns_lsh_recall_report", q_lsh_recall_report, _sql_lsh_recall_report(), "north-star dedup/lsh-recall-vs-exact-jaccard", ("northstar", "dedup")),

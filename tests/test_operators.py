@@ -3470,3 +3470,60 @@ def test_retention_cohorts_reference(spark):
         ("2024-01-02", 0): (1, 1, 1.0),
         ("2024-01-02", 1): (1, 1, 1.0),
     }
+
+
+def test_avi_codec_roundtrip_and_rejects():
+    """avi_dib_bytes -> parse_avi is pixel-exact for several geometries;
+    malformed/truncated/compressed payloads raise ValueError (quarantine
+    contract), never a bare struct error."""
+    import struct
+
+    import pytest as _pytest
+
+    from door2door_etl_spark.operators.multimodal import avi_dib_bytes, parse_avi
+
+    for (w, h, n) in [(4, 3, 2), (5, 2, 4), (1, 1, 1)]:
+        frames = [
+            [((f * 23 + y * 17 + x * 7) % 256,
+              (f * 19 + y * 5 + x * 3) % 256,
+              (f * 7 + y * 11 + x * 19) % 256)
+             for y in range(h) for x in range(w)]
+            for f in range(n)
+        ]
+        payload = avi_dib_bytes(w, h, frames)
+        w2, h2, back = parse_avi(payload)
+        assert (w2, h2, back) == (w, h, frames)
+
+    with _pytest.raises(ValueError):
+        parse_avi(b"not an avi at all")
+    with _pytest.raises(ValueError):
+        parse_avi(avi_dib_bytes(2, 2, [[(0, 0, 0)] * 4])[:40])
+    # compressed stream flag in strf must be rejected
+    good = avi_dib_bytes(2, 2, [[(0, 0, 0)] * 4])
+    i = good.index(b"strf")
+    comp_off = i + 8 + 16  # strf body + biCompression offset
+    bad = good[:comp_off] + struct.pack("<I", 1) + good[comp_off + 4:]
+    with _pytest.raises(ValueError):
+        parse_avi(bad)
+
+
+def test_sample_video_frames_policy(spark):
+    """every=2 over 5 frames keeps indices 0,2,4 with exact means."""
+    from door2door_etl_spark.operators.multimodal import (
+        avi_dib_bytes,
+        sample_video_frames,
+    )
+
+    frames = [[(f * 10, f * 20, f * 30)] * 4 for f in range(5)]  # 2x2, constant
+    payload = avi_dib_bytes(2, 2, frames)
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, content binary")
+    got = {
+        r["frame_idx"]: (r["n_frames"], r["width"], r["height"],
+                         r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in sample_video_frames(df, every=2).collect()
+    }
+    assert got == {
+        0: (5, 2, 2, 0.0, 0.0, 0.0),
+        2: (5, 2, 2, 20.0, 40.0, 60.0),
+        4: (5, 2, 2, 40.0, 80.0, 120.0),
+    }
