@@ -673,6 +673,7 @@ class ManifestTable:
         stats_col: str | None = None,
         dvs: list[str] | None = None,
         op: str = "write",
+        op_tag: str | None = None,
     ) -> bool:
         # Reject DV-reserved names at the commit gate: every commit path
         # funnels through here, and a table that carried __dv_file /
@@ -697,10 +698,31 @@ class ManifestTable:
             record["stats_cols"] = _norm_stats_cols(stats_col)
         if dvs:
             record["dvs"] = sorted(dvs)
+        if op_tag is not None:
+            # Caller-supplied idempotency marker (e.g. a transaction's
+            # "txn_id/op_idx") — lets a recovery pass ask "did this exact
+            # operation already commit?" without re-running it.
+            record["op_tag"] = op_tag
         payload = json.dumps(record, indent=None, sort_keys=True).encode()
         return self.fs.put_if_absent(
             os.path.join(self.manifests_dir, _manifest_name(version)), payload
         )
+
+    def find_op_tag(self, tag: str) -> int | None:
+        """Version whose manifest carries ``op_tag == tag``, or None —
+        the idempotency probe transaction recovery uses to tell "this
+        op committed but its done-marker was lost to a crash" from
+        "this op never ran".  Scans RETAINED manifests only (pure
+        metadata, O(retained versions)): recovery must therefore run
+        before ``vacuum_keep`` further commits land on the table, which
+        holds for any recovery triggered at writer startup."""
+        for name in self.fs.list_names(self.manifests_dir):
+            v = _parse_manifest_version(name)
+            if v is None:
+                continue
+            if self.manifest(v).get("op_tag") == tag:
+                return v
+        return None
 
     def describe_history(self) -> list[dict]:
         """DESCRIBE HISTORY: one dict per RETAINED version, newest first —
@@ -1171,6 +1193,7 @@ def merge_manifest(
     fs: FsOps | None = None,
     stats_col: str | list[str] | None = None,
     constraints: list[str] | None = None,
+    op_tag: str | None = None,
 ) -> int:
     """MERGE-style upsert committed through the manifest protocol — the
     object-store twin of :func:`door2door_etl_spark.io.versioned.merge_versioned`
@@ -1369,6 +1392,7 @@ def merge_manifest(
             # (reused == []) materializes every DV and drops them.
             dvs=(man.get("dvs") if base and reused else None),
             op="merge",
+            op_tag=op_tag,
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -1395,6 +1419,7 @@ def append_manifest(
     vacuum_min_age_hours: float = 1.0,
     fs: FsOps | None = None,
     stats_col: str | list[str] | None = None,
+    op_tag: str | None = None,
 ) -> int:
     """Atomic APPEND commit through the manifest protocol: stage the
     batch as new data files, then claim ONE new version listing every
@@ -1479,6 +1504,7 @@ def append_manifest(
             # at live files and carry forward verbatim.
             dvs=(man.get("dvs") if man else None),
             op="append",
+            op_tag=op_tag,
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -1503,6 +1529,7 @@ def delete_manifest(
     vacuum_min_age_hours: float = 1.0,
     fs: FsOps | None = None,
     mode: str = "rewrite",
+    op_tag: str | None = None,
 ) -> int:
     """Delete by key on a manifest table (right-to-be-forgotten).
 
@@ -1528,6 +1555,7 @@ def delete_manifest(
             spark, root, doom, max_retries=max_retries,
             vacuum_keep=vacuum_keep,
             vacuum_min_age_hours=vacuum_min_age_hours, fs=fs,
+            op_tag=op_tag,
         )
     if mode != "rewrite":
         raise ValueError(f"unknown delete mode {mode!r}; use 'rewrite' or 'dv'")
@@ -1540,6 +1568,7 @@ def delete_manifest(
         vacuum_keep=vacuum_keep,
         vacuum_min_age_hours=vacuum_min_age_hours,
         fs=fs,
+        op_tag=op_tag,
     )
 
 
@@ -1591,6 +1620,7 @@ def _file_level_delete_manifest(
     vacuum_keep: int,
     vacuum_min_age_hours: float,
     fs: FsOps | None,
+    op_tag: str | None = None,
 ) -> int:
     from urllib.parse import unquote, urlparse
 
@@ -1660,6 +1690,7 @@ def _file_level_delete_manifest(
             stats={**carried, **new_stats} if scol else None, stats_col=scol,
             dvs=(man.get("dvs") if reused else None),
             op="delete",
+            op_tag=op_tag,
         ):
             table.publish(base + 1)
             table.vacuum(
@@ -1682,6 +1713,7 @@ def _dv_delete_manifest(
     vacuum_keep: int,
     vacuum_min_age_hours: float,
     fs: FsOps | None,
+    op_tag: str | None = None,
 ) -> int:
     """Merge-on-read delete: commit a deletion-vector sidecar addressing
     (part-file name, row_index) pairs; data files untouched.  The new
@@ -1742,6 +1774,7 @@ def _dv_delete_manifest(
             stats=man.get("stats"), stats_col=_man_stats_cols(man) or None,
             dvs=dv_rels_old + new_rels,
             op="dv-delete",
+            op_tag=op_tag,
         ):
             table.publish(base + 1)
             table.vacuum(

@@ -1,0 +1,227 @@
+"""Multi-table transactions over manifest tables: co-commit with
+roll-forward crash recovery.
+
+The repo's composite state spans tables that must move together — the
+curated corpus and its BM25/vector indexes, a fact table and its
+incremental agg view's source, bronze and bookkeeping.  Each manifest
+table's OWN commit is atomic (one ``put_if_absent`` manifest claim), but
+a writer updating two tables can crash between the two claims, leaving
+readers a torn pair until someone notices.  The reference has the same
+problem solved by a Postgres server-side transaction
+(``src/helper/postgres.py:157-189``); object-store lakehouses cannot get
+that for free — Iceberg/Delta multi-table transactions likewise require
+a coordinating journal (the catalog).  This module is that journal,
+scoped honestly:
+
+* **Not cross-table snapshot isolation.**  Tables become visible in op
+  order; a reader between ops sees table A advanced and table B not yet.
+  What IS guaranteed: the pair CONVERGES — after :func:`recover`, every
+  journaled transaction is either fully applied or (if it never reached
+  the journal) fully absent.  No torn state survives a crash plus one
+  recovery pass.
+* **Exactly-once ops.**  Each op's payload is staged to the journal
+  BEFORE the journal record commits (crash-safe input capture), each
+  op's manifest commit carries an ``op_tag`` (``txn_id/op_idx``), and a
+  done-marker lands after.  Recovery re-runs an op only when neither
+  the marker nor the tag is found — the tag probe closes the
+  crash-after-commit-before-marker window, so replays never double-
+  apply (appends included, which are NOT naturally idempotent).
+* **Scale shape.**  The journal is O(transactions) small files; payload
+  staging doubles the batch write (the standard transactional-outbox
+  trade, paid on the BATCH, never the table).  Recovery is pure
+  metadata plus re-running at most the interrupted transaction's
+  remaining ops.
+
+Usage::
+
+    txn = MultiTableTransaction(journal_root)
+    txn.run(spark, [
+        TxnOp("merge", curated_root, key="doc_id", payload=batch),
+        TxnOp("append", postings_root, payload=new_postings),
+    ])
+    # at writer startup:
+    recover(spark, journal_root)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_KINDS = ("append", "merge", "delete")
+
+
+@dataclass
+class TxnOp:
+    """One table operation inside a transaction.  ``payload`` is the
+    batch DataFrame (for ``delete``: the keys frame); ``key`` is
+    required for merge/delete; ``partition_col``/``stats_col`` pass
+    through to the underlying commit; ``delete_mode`` picks
+    rewrite vs deletion-vector for deletes."""
+
+    kind: str
+    table_root: str
+    payload: DataFrame | None = None
+    key: str | None = None
+    partition_col: str | None = None
+    stats_col: str | list[str] | None = None
+    delete_mode: str = "rewrite"
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"kind {self.kind!r} not in {_KINDS}")
+        if self.kind in ("merge", "delete") and not self.key:
+            raise ValueError(f"{self.kind} op requires key=")
+
+
+class MultiTableTransaction:
+    def __init__(self, journal_root: str):
+        self.journal_root = journal_root
+
+    # -- paths --------------------------------------------------------------
+    def _txn_dir(self, txn_id: str) -> str:
+        return os.path.join(self.journal_root, f"txn-{txn_id}")
+
+    def _record_path(self, txn_id: str) -> str:
+        return os.path.join(self.journal_root, f"txn-{txn_id}.json")
+
+    def _done_marker(self, txn_id: str, idx: int | None = None) -> str:
+        suffix = "done" if idx is None else f"done-{idx}"
+        return os.path.join(self.journal_root, f"txn-{txn_id}.{suffix}")
+
+    # -- write path ----------------------------------------------------------
+    def run(self, spark: SparkSession, ops: list[TxnOp]) -> dict:
+        """Stage every op's payload, journal the intent, then apply the
+        ops in order through :func:`_apply` — the SAME executor recovery
+        uses, so the crash path is the tested path.  Returns
+        ``{txn_id, versions}``."""
+        if not ops:
+            raise ValueError("empty transaction")
+        txn_id = uuid.uuid4().hex
+        os.makedirs(self._txn_dir(txn_id), exist_ok=True)
+        decl = []
+        for i, op in enumerate(ops):
+            staged = os.path.join(self._txn_dir(txn_id), f"op-{i}")
+            op.payload.write.mode("overwrite").parquet(staged)
+            decl.append(
+                {
+                    "kind": op.kind,
+                    "table_root": op.table_root,
+                    "key": op.key,
+                    "partition_col": op.partition_col,
+                    "stats_col": op.stats_col,
+                    "delete_mode": op.delete_mode,
+                    "staged": staged,
+                }
+            )
+        tmp = self._record_path(txn_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"txn_id": txn_id, "ops": decl}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._record_path(txn_id))  # journal point of no return
+        versions = _apply(
+            spark, self, txn_id, decl
+        )
+        return {"txn_id": txn_id, "versions": versions}
+
+
+def _apply(
+    spark: SparkSession,
+    txn: MultiTableTransaction,
+    txn_id: str,
+    decl: list[dict],
+) -> list[int]:
+    """Apply (or resume) a journaled transaction: per op, skip if its
+    done-marker exists, else probe the table for the op_tag (the commit
+    landed but the marker didn't), else run it — then mark.  Finishes by
+    writing the transaction-level done marker."""
+    from door2door_etl_spark.io.manifest import (
+        ManifestTable,
+        append_manifest,
+        delete_manifest,
+        merge_manifest,
+    )
+
+    versions: list[int] = []
+    for i, d in enumerate(decl):
+        marker = txn._done_marker(txn_id, i)
+        tag = f"{txn_id}/{i}"
+        if os.path.exists(marker):
+            with open(marker) as f:
+                versions.append(int(f.read().strip() or 0))
+            continue
+        table = ManifestTable(d["table_root"])
+        committed = (
+            table.find_op_tag(tag)
+            if table.current_version() is not None
+            else None
+        )
+        if committed is None:
+            payload = spark.read.parquet(d["staged"])
+            if d["kind"] == "append":
+                committed = append_manifest(
+                    spark, d["table_root"], payload,
+                    partition_col=d["partition_col"],
+                    stats_col=d["stats_col"], op_tag=tag,
+                )
+            elif d["kind"] == "merge":
+                committed = merge_manifest(
+                    spark, d["table_root"], payload, key=d["key"],
+                    partition_col=d["partition_col"],
+                    stats_col=d["stats_col"], op_tag=tag,
+                )
+            else:
+                committed = delete_manifest(
+                    spark, d["table_root"], payload, key=d["key"],
+                    mode=d["delete_mode"], op_tag=tag,
+                )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(committed))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+        versions.append(int(committed))
+    with open(txn._done_marker(txn_id), "w") as f:
+        f.write("done")
+    return versions
+
+
+def recover(spark: SparkSession, journal_root: str) -> list[dict]:
+    """Roll every incomplete journaled transaction forward — call at
+    writer startup (and after any crash).  A transaction is incomplete
+    when its record exists but its done marker doesn't; ops already
+    committed (marker or op_tag present) are never re-run.  Returns one
+    ``{txn_id, versions}`` per recovered transaction.  Transactions
+    that crashed BEFORE the journal rename left only staged payloads
+    (``txn-<id>/`` with no ``txn-<id>.json``) — fully absent by
+    definition; their staging is swept here."""
+    if not os.path.isdir(journal_root):
+        return []
+    txn = MultiTableTransaction(journal_root)
+    out = []
+    for name in sorted(os.listdir(journal_root)):
+        if not (name.startswith("txn-") and name.endswith(".json")):
+            continue
+        txn_id = name[len("txn-"):-len(".json")]
+        if os.path.exists(txn._done_marker(txn_id)):
+            continue
+        with open(os.path.join(journal_root, name)) as f:
+            decl = json.load(f)["ops"]
+        out.append(
+            {"txn_id": txn_id, "versions": _apply(spark, txn, txn_id, decl)}
+        )
+    # sweep journal-less staging dirs (crash before the rename)
+    import shutil
+
+    for name in sorted(os.listdir(journal_root)):
+        if name.startswith("txn-") and "." not in name:
+            txn_id = name[len("txn-"):]
+            if not os.path.exists(txn._record_path(txn_id)):
+                shutil.rmtree(os.path.join(journal_root, name), ignore_errors=True)
+    return out

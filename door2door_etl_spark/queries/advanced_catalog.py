@@ -868,6 +868,74 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
     return view.read(spark)
 
 
+def q_txn_co_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table transaction end-to-end (io.txn): two transactions each
+    co-commit a corpus MERGE and a stats-ledger APPEND through the
+    journaled roll-forward protocol, then the result joins the LIVE
+    corpus against the SUMMED ledger per source — stat rows exist iff
+    their corpus batch landed, so a hash match against a twin computed
+    straight from ``documents`` proves both tables converged and nothing
+    double-applied (a replayed append would double n_docs_ledger).  A
+    final recover() pass must be a no-op."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.manifest import ManifestTable
+    from door2door_etl_spark.io.txn import MultiTableTransaction, TxnOp, recover
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = os.path.join(tempfile.gettempdir(), "ns_txn_co_commit")
+    shutil.rmtree(root, ignore_errors=True)
+    corpus, stats = os.path.join(root, "corpus"), os.path.join(root, "stats")
+    journal = os.path.join(root, "journal")
+    txn = MultiTableTransaction(journal)
+
+    def stat_rows(batch):
+        return batch.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    wave1 = docs.filter(F.col("doc_id") % 5 != 0)
+    wave2 = docs.filter(F.col("doc_id") % 5 == 0)
+    for wave in (wave1, wave2):
+        txn.run(spark, [
+            TxnOp("merge", corpus, payload=wave, key="doc_id"),
+            TxnOp("append", stats, payload=stat_rows(wave)),
+        ])
+    if recover(spark, journal):
+        raise RuntimeError("txn_co_commit: recover() re-ran a committed txn")
+
+    live = (
+        ManifestTable(corpus).read(spark)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_live"))
+    )
+    ledger = (
+        ManifestTable(stats).read(spark)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs_ledger"),
+            F.sum("sum_chars").alias("sum_chars_ledger"),
+        )
+    )
+    return live.join(ledger, "source").orderBy("source")
+
+
+SQL_TXN_CO_COMMIT = """
+SELECT source,
+       count(*) AS n_docs_live,
+       count(*) AS n_docs_ledger,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars_ledger
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_expectations_report(spark: SparkSession, sf: str) -> DataFrame:
     """Declared data-quality contract audited in ONE pass
     (pipeline.expectations): three row-local rules (range, category,
@@ -1607,6 +1675,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_cdc_hdr_quantiles", q_cdc_hdr_quantiles, _sql_cdc_hdr_quantiles(), "lakehouse CDC-maintained HDR quantile state (exactly-retractable bins)", ("northstar", "lakehouse")),
     QueryDef("ns_aggview_rollup_serving", q_aggview_rollup_serving, SQL_AGGVIEW_ROLLUP_SERVING, "materialized-view query rewriting: coarser GROUP BY served from maintained fine-grain state", ("northstar", "lakehouse")),
     QueryDef("ns_expectations_report", q_expectations_report, SQL_EXPECTATIONS_REPORT, "declared data-quality contract: one-pass multi-rule audit with per-rule metrics", ("northstar", "quality")),
+    QueryDef("ns_txn_co_commit", q_txn_co_commit, SQL_TXN_CO_COMMIT, "multi-table transaction: journaled co-commit with roll-forward recovery, exactly-once ops", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),

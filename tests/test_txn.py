@@ -1,0 +1,165 @@
+"""Multi-table transactions (io/txn.py).
+
+Model: after run() or any crash + recover(), every journaled transaction
+is fully applied exactly once — ops are never re-run when their commit
+landed (marker OR op_tag probe), appends never double, and a crash
+before the journal rename leaves both tables untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.manifest import ManifestTable
+from door2door_etl_spark.io.txn import MultiTableTransaction, TxnOp, recover
+
+
+def _batch(spark, ids, tag="x"):
+    return spark.createDataFrame(
+        [(i, f"{tag}{i}") for i in ids], "id long, payload string"
+    )
+
+
+def _ids(spark, root):
+    t = ManifestTable(str(root))
+    return sorted(r["id"] for r in t.read(spark).collect())
+
+
+def test_txn_happy_path_two_tables(spark, tmp_path):
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1, 2]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ])
+    assert len(out["versions"]) == 2
+    assert _ids(spark, a) == [1, 2]
+    assert _ids(spark, b) == [10, 11]
+    # recover over a fully-committed journal: nothing to do
+    assert recover(spark, str(j)) == []
+    assert _ids(spark, b) == [10, 11]
+
+
+def test_txn_crash_between_ops_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash AFTER op 0 commits and marks, BEFORE op 1 runs: recover()
+    must apply op 1 (and only op 1) — the torn pair converges."""
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+
+    import door2door_etl_spark.io.txn as txn_mod
+
+    real_append = __import__(
+        "door2door_etl_spark.io.manifest", fromlist=["append_manifest"]
+    ).append_manifest
+    calls = {"n": 0}
+
+    def crashing_apply(spark_, txn_, txn_id, decl):
+        # run op 0 for real, then simulate the process dying
+        from door2door_etl_spark.io.manifest import merge_manifest
+
+        d = decl[0]
+        payload = spark_.read.parquet(d["staged"])
+        v = merge_manifest(
+            spark_, d["table_root"], payload, key=d["key"],
+            op_tag=f"{txn_id}/0",
+        )
+        with open(txn_._done_marker(txn_id, 0), "w") as f:
+            f.write(str(v))
+        raise RuntimeError("simulated crash between ops")
+
+    monkeypatch.setattr(txn_mod, "_apply", crashing_apply)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.run(spark, [
+            TxnOp("merge", str(a), payload=_batch(spark, [1, 2]), key="id"),
+            TxnOp("append", str(b), payload=_batch(spark, [10])),
+        ])
+    monkeypatch.undo()
+
+    assert _ids(spark, a) == [1, 2]
+    assert ManifestTable(str(b)).current_version() is None  # torn: b missing
+
+    recovered = recover(spark, str(j))
+    assert len(recovered) == 1
+    assert _ids(spark, a) == [1, 2]
+    assert _ids(spark, b) == [10]
+    # second recovery is a no-op (done marker present)
+    assert recover(spark, str(j)) == []
+    assert _ids(spark, b) == [10]
+    assert calls["n"] == 0 or real_append  # silence unused warnings
+
+
+def test_txn_crash_after_commit_before_marker_never_double_applies(
+    spark, tmp_path
+):
+    """The nasty window: op 1's APPEND commits to the table, then the
+    process dies before the done-marker lands.  Recovery must find the
+    op_tag in the table's manifest and NOT re-append (appends are not
+    idempotent — a naive replay would double the rows)."""
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ])
+    txn_id = out["txn_id"]
+    # reconstruct the crash window: strip op 1's marker + the txn marker
+    os.remove(txn._done_marker(txn_id, 1))
+    os.remove(txn._done_marker(txn_id))
+
+    recovered = recover(spark, str(j))
+    assert len(recovered) == 1
+    assert recovered[0]["versions"] == out["versions"]
+    assert _ids(spark, b) == [10, 11]  # NOT [10, 10, 11, 11]
+
+
+def test_txn_crash_before_journal_is_fully_absent(spark, tmp_path):
+    """Staged payloads without a journal record (crash before the
+    rename) are swept, and neither table advances."""
+    a, j = tmp_path / "a", tmp_path / "journal"
+    os.makedirs(j / "txn-deadbeef" / "op-0")
+    _batch(spark, [1]).write.mode("overwrite").parquet(
+        str(j / "txn-deadbeef" / "op-0")
+    )
+    assert recover(spark, str(j)) == []
+    assert not (j / "txn-deadbeef").exists()
+    assert ManifestTable(str(a)).current_version() is None
+
+
+def test_txn_delete_op_and_validation(spark, tmp_path):
+    a, j = tmp_path / "a", tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+    txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1, 2, 3]), key="id"),
+    ])
+    txn.run(spark, [
+        TxnOp(
+            "delete", str(a), key="id",
+            payload=spark.createDataFrame([(2,)], "id long"),
+        ),
+    ])
+    assert _ids(spark, a) == [1, 3]
+    with pytest.raises(ValueError, match="requires key"):
+        TxnOp("merge", str(a), payload=_batch(spark, [1]))
+    with pytest.raises(ValueError, match="not in"):
+        TxnOp("truncate", str(a), payload=_batch(spark, [1]))
+    with pytest.raises(ValueError, match="empty transaction"):
+        txn.run(spark, [])
+
+
+def test_txn_journal_record_is_inspectable(spark, tmp_path):
+    """The journal is data: a record names its ops, tables, and staged
+    payload paths (operability — an operator can audit what a pending
+    transaction will do before recovering it)."""
+    a, j = tmp_path / "a", tmp_path / "journal"
+    out = MultiTableTransaction(str(j)).run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+    ])
+    with open(j / f"txn-{out['txn_id']}.json") as f:
+        rec = json.load(f)
+    assert rec["ops"][0]["kind"] == "merge"
+    assert rec["ops"][0]["table_root"] == str(a)
+    assert os.path.isdir(rec["ops"][0]["staged"])
