@@ -100,6 +100,16 @@ BENCH_QUERIES = [
     "ns_bloom_point_lookup",
     "ns_bm25_removal_topk",
     "ns_multimodal_png_decode",
+    "ns_expectations_report",
+    "ns_skew_report",
+    "rel_conversion_funnel",
+    "rel_retention_cohorts",
+    "ns_multimodal_frame_sample",
+    "ns_aggview_rollup_serving",
+    "ns_cdc_hdr_quantiles",
+    # ns_txn_co_commit is deliberately NOT a headline bench entry: it is a
+    # commit-protocol demonstration dominated by fixed journal/manifest
+    # round-trips, not a data-sized query; the oracle sweeps cover it.
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline

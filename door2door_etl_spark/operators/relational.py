@@ -477,3 +477,73 @@ def retention_cohorts(
         )
     )
     return out
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    topk: int = 20,
+) -> DataFrame:
+    """Frequent item-pair mining with association metrics — the 2-itemset
+    core of Apriori (Agrawal & Srikant, VLDB '94) as pure DataFrame ops:
+    for every unordered item pair appearing in ≥ ``min_pair_count``
+    baskets, emit support, both directional confidences, and lift; top-k
+    by lift.
+
+    Scale shape: items dedup per basket (one groupBy-distinct), the ONLY
+    quadratic step is the within-basket self-join and it is bounded by
+    Apriori pruning — a pair can only reach ``min_pair_count`` if both
+    items do, so items below the threshold are filtered BEFORE the join
+    (the broadcastable item-count relation does double duty: pruning
+    filter and lift denominator).  Per-basket cost is |frequent items in
+    basket|², not |basket|².  Top-k is a TakeOrderedAndProject."""
+    baskets = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = baskets.select("_b").distinct().count()
+    item_cnt = baskets.groupBy("_i").agg(F.count(F.lit(1)).alias("_ic"))
+    frequent = item_cnt.filter(F.col("_ic") >= min_pair_count)
+    pruned = baskets.join(
+        F.broadcast(frequent.select("_i")), "_i"
+    ).select("_b", "_i")
+    a, b = pruned.alias("pa"), pruned.alias("pb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("pa._b") == F.col("pb._b"))
+            & (F.col("pa._i") < F.col("pb._i")),
+        )
+        .select(
+            F.col("pa._i").alias("item_a"), F.col("pb._i").alias("item_b")
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ca = F.broadcast(item_cnt.select(F.col("_i").alias("item_a"), F.col("_ic").alias("_ca")))
+    cb = F.broadcast(item_cnt.select(F.col("_i").alias("item_b"), F.col("_ic").alias("_cb")))
+    out = (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(F.col("pair_count") / F.lit(float(n_baskets)), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_count") / F.col("_ca"), 6).alias("conf_a_to_b"),
+            F.round(F.col("pair_count") / F.col("_cb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("pair_count")
+                * F.lit(float(n_baskets))
+                / (F.col("_ca") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(topk)

@@ -1278,3 +1278,62 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 §2.2's
+    "bad words" rule, generalized to phrases): count how many DISTINCT
+    blocklisted terms appear in each document on token boundaries and
+    flag survivors.  Adds ``n_blocklist_hits`` (int) and ``keep``
+    (hits == 0).
+
+    Terms are normalized (lowercased, whitespace-collapsed) and grouped
+    by word count; a document is matched against each length class via
+    its word n-grams.  The whole match runs inside ONE Catalyst
+    ``transform`` lambda binding the token array once (the module's
+    standing tokenize-once discipline), with the term lists inlined as
+    broadcast literal arrays — zero UDFs, zero joins, zero shuffles: at
+    100 TB this is a map-only scan, and Catalyst prunes ``text_col``
+    into the parquet reader alongside whatever else the plan needs.
+    For blocklists too large to inline (>10⁴ terms), switch to the
+    n-gram/broadcast-join shape of ``ngram_decontaminate`` — same
+    semantics, term relation shipped once per executor instead of once
+    per plan."""
+    from collections import defaultdict
+
+    by_n: dict[int, list[str]] = defaultdict(list)
+    for t in terms:
+        norm = " ".join(t.lower().split())
+        if norm:
+            by_n[len(norm.split())].append(norm)
+    if not by_n:
+        return df.withColumn("n_blocklist_hits", F.lit(0)).withColumn(
+            "keep", F.lit(True)
+        )
+
+    def total_hits(tk):
+        parts = [
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(shingles_from_tokens(tk, n)),
+                    F.array(*[F.lit(x) for x in sorted(ts)]),
+                )
+            )
+            for n, ts in sorted(by_n.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    hits = F.transform(
+        F.array(tokens(F.col(text_col))), total_hits
+    )[0]
+    return df.withColumn("n_blocklist_hits", hits).withColumn(
+        "keep", F.col("n_blocklist_hits") == 0
+    )

@@ -1601,6 +1601,51 @@ ORDER BY cohort_day, week_offset
 """
 
 
+def q_market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent brand-pair mining over order baskets
+    (operators.relational.market_basket_pairs): lineitem joined to the
+    broadcast part dimension gives per-order brand baskets; the Apriori
+    2-itemset pass prunes infrequent items BEFORE the within-basket
+    self-join (the only quadratic step), then scores support /
+    directional confidence / lift and takes the top 15 by lift.  The
+    oracle replays the same algebra in SQL."""
+    from door2door_etl_spark.operators.relational import market_basket_pairs
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return market_basket_pairs(
+        baskets, "basket", "item", min_pair_count=20, topk=15
+    )
+
+
+SQL_MARKET_BASKET_PAIRS = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+nb AS (SELECT count(DISTINCT b) AS n FROM baskets),
+ic AS (SELECT i, count(*) AS c FROM baskets GROUP BY 1),
+pruned AS (SELECT b.* FROM baskets b JOIN ic ON b.i = ic.i WHERE ic.c >= 20),
+pairs AS (
+  SELECT pa.i AS item_a, pb.i AS item_b, count(*) AS pair_count
+  FROM pruned pa JOIN pruned pb ON pa.b = pb.b AND pa.i < pb.i
+  GROUP BY 1, 2 HAVING count(*) >= 20)
+SELECT item_a, item_b, pair_count,
+       round(CAST(pair_count AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(pair_count AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
+       round(CAST(pair_count AS DOUBLE) / cb.c, 6) AS conf_b_to_a,
+       round(CAST(pair_count AS DOUBLE) * nb.n / (ca.c * cb.c), 6) AS lift
+FROM pairs
+JOIN ic ca ON pairs.item_a = ca.i
+JOIN ic cb ON pairs.item_b = cb.i
+CROSS JOIN nb
+ORDER BY lift DESC, item_a, item_b
+LIMIT 15
+"""
+
+
 def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Join-key skew pre-flight (operators.profile.skew_report): the 10
     heaviest event users with share / cumulative share / skew factor /
@@ -1688,6 +1733,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_skew_report", q_skew_report, SQL_SKEW_REPORT, "join-key skew pre-flight: heavy-hitter shares + suggested salt buckets", ("northstar", "profile")),
     QueryDef("rel_conversion_funnel", q_conversion_funnel, SQL_CONVERSION_FUNNEL, "ordered conversion funnel via one-shuffle array fold (no UDF, no self-joins)", ("rel", "advanced")),
     QueryDef("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS, "first-activity cohort retention by week offset", ("rel", "advanced")),
+    QueryDef("rel_market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET_PAIRS, "Apriori 2-itemset mining: support/confidence/lift with pre-join frequency pruning", ("rel", "advanced")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -1988,3 +1988,55 @@ TRAINING_QUERIES.append(
         ("northstar", "sketches"),
     )
 )
+
+
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style blocklist filtering (operators.text.blocklist_filter):
+    a mixed 1-gram/2-gram term list matched on token boundaries inside
+    ONE Catalyst transform lambda (tokens bound once, term lists inlined
+    as broadcast literals — a map-only scan, no joins).  Per-source
+    report: documents scanned / blocked / total distinct-term hits."""
+    from door2door_etl_spark.operators.text import blocklist_filter
+
+    docs = load_table(spark, sf, "documents")
+    flagged = blocklist_filter(
+        docs, ["vector", "slow merge", "big query", "hash join"]
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_blocked"),
+            F.sum("n_blocklist_hits").cast("long").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+from door2door_etl_spark.queries.sql_fragments import sql_shingles as _bl_shingles
+
+_BL_G1 = _bl_shingles("text", 1)
+_BL_G2 = _bl_shingles("text", 2)
+SQL_BLOCKLIST_FILTER = f"""
+WITH h AS (
+  SELECT source,
+         len(list_intersect(list_distinct({_BL_G1}), ['vector']))
+         + len(list_intersect(list_distinct({_BL_G2}),
+               ['big query', 'hash join', 'slow merge'])) AS hits
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(sum(hits) AS BIGINT) AS total_hits
+FROM h GROUP BY source ORDER BY source
+"""
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_blocklist_filter",
+        q_blocklist_filter,
+        SQL_BLOCKLIST_FILTER,
+        "north-star text/c4-blocklist (token-boundary phrase matching, map-only)",
+        ("northstar", "text"),
+    )
+)

@@ -3527,3 +3527,85 @@ def test_sample_video_frames_policy(spark):
         2: (5, 2, 2, 20.0, 40.0, 60.0),
         4: (5, 2, 2, 40.0, 80.0, 120.0),
     }
+
+
+def test_blocklist_filter_token_boundaries(spark):
+    """Blocklist matching is on token boundaries (no substring false
+    positives), phrases match as contiguous token 2-grams, hits count
+    DISTINCT matched terms, and normalization folds case/whitespace."""
+    from door2door_etl_spark.operators.text import blocklist_filter
+
+    rows = [
+        (1, "the scandal word appears"),          # 'scan' must NOT match inside 'scandal'
+        (2, "full scan here and scan again"),      # 1 distinct hit despite 2 occurrences
+        (3, "a slow merge happened"),              # phrase hit
+        (4, "merge slow order is wrong"),          # reversed phrase: no hit
+        (5, "Slow   MERGE with odd spacing"),      # doc-side normalization via tokenizer
+        (6, "clean document entirely"),
+        (7, "scan and slow merge both"),           # 2 distinct hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_blocklist_hits"], r["keep"])
+        for r in blocklist_filter(df, ["scan", "SLOW  merge"]).collect()
+    }
+    assert got == {
+        1: (0, True),
+        2: (1, False),
+        3: (1, False),
+        4: (0, True),
+        5: (1, False),
+        6: (0, True),
+        7: (2, False),
+    }
+    # empty blocklist: everything kept
+    all_kept = blocklist_filter(df, []).agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).sum("n_blocklist_hits")
+    ).first()[0]
+    assert all_kept == 0
+
+
+def test_market_basket_pairs_reference(spark):
+    """Planted baskets vs a pure-Python Apriori-2 computation, including
+    per-basket item dedup, the min-count prune, and lift ordering."""
+    import itertools
+    from collections import Counter
+
+    from door2door_etl_spark.operators.relational import market_basket_pairs
+
+    baskets = {
+        "b1": ["milk", "bread", "beer"],
+        "b2": ["milk", "bread"],
+        "b3": ["milk", "beer", "beer"],   # dup item: counts once
+        "b4": ["bread", "butter"],
+        "b5": ["milk", "bread", "butter"],
+        "b6": ["rare"],                   # infrequent: pruned pre-join
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    got = [
+        (r["item_a"], r["item_b"], r["pair_count"], r["support"],
+         r["conf_a_to_b"], r["conf_b_to_a"], r["lift"])
+        for r in market_basket_pairs(
+            df, "basket", "item", min_pair_count=2, topk=10
+        ).collect()
+    ]
+
+    sets = {b: set(i) for b, i in baskets.items()}
+    n = len(sets)
+    ic = Counter(i for s in sets.values() for i in s)
+    pc = Counter()
+    for s in sets.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            pc[(a, b)] += 1
+    want = []
+    for (a, b), c in pc.items():
+        if c < 2:
+            continue
+        want.append((
+            a, b, c, round(c / n, 6), round(c / ic[a], 6),
+            round(c / ic[b], 6), round(c * n / (ic[a] * ic[b]), 6),
+        ))
+    want.sort(key=lambda r: (-r[6], r[0], r[1]))
+    assert got == want
+    assert all("rare" not in (r[0], r[1]) for r in got)
