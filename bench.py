@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "ns_cdc_hdr_quantiles",
     "ns_blocklist_filter",
     "rel_market_basket_pairs",
+    "ns_triangle_count",
     # ns_txn_co_commit is deliberately NOT a headline bench entry: it is a
     # commit-protocol demonstration dominated by fixed journal/manifest
     # round-trips, not a data-sized query; the oracle sweeps cover it.

@@ -1516,6 +1516,53 @@ ORDER BY o."column"
 """
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph
+    (operators.graph.triangle_count): parts are linked when they share
+    ≥2 orders, and triangles are counted with degree-ordered orientation
+    — wedges form only at each edge's low-(degree, node) end, bounding
+    wedge fan-out by O(√m) so a hub part cannot blow up the self-join.
+    The oracle counts the same triangles with the classical node-ordered
+    3-way join (orientation changes the plan, never the count)."""
+    from door2door_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e AS (SELECT u, v FROM p WHERE c >= 2),
+deg AS (SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+tri AS (SELECT count(*) AS t
+        FROM e a JOIN e b2 ON a.v = b2.u
+        JOIN e c ON c.u = a.u AND c.v = b2.v)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       round(3.0 * (SELECT t FROM tri)
+             / nullif((SELECT sum(d * (d - 1) // 2) FROM deg), 0), 6)
+         AS global_clustering
+"""
+
+
 def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel over events
     (operators.relational.conversion_funnel): ONE shuffle — events
@@ -1734,6 +1781,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_conversion_funnel", q_conversion_funnel, SQL_CONVERSION_FUNNEL, "ordered conversion funnel via one-shuffle array fold (no UDF, no self-joins)", ("rel", "advanced")),
     QueryDef("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS, "first-activity cohort retention by week offset", ("rel", "advanced")),
     QueryDef("rel_market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET_PAIRS, "Apriori 2-itemset mining: support/confidence/lift with pre-join frequency pruning", ("rel", "advanced")),
+    QueryDef("ns_triangle_count", q_triangle_count, SQL_TRIANGLE_COUNT, "triangle census via degree-ordered orientation (wedge fan-out bounded O(sqrt m))", ("northstar", "graph")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -3609,3 +3609,35 @@ def test_market_basket_pairs_reference(spark):
     want.sort(key=lambda r: (-r[6], r[0], r[1]))
     assert got == want
     assert all("rare" not in (r[0], r[1]) for r in got)
+
+
+def test_triangle_count_reference(spark):
+    """Known graphs: K4 (4 triangles), a star (0 — the orientation must
+    kill hub wedges), a triangle with a pendant, duplicate/reversed/self
+    edges ignored; clustering = 3T / wedges."""
+    import itertools
+
+    from door2door_etl_spark.operators.graph import triangle_count
+
+    def run(edge_list):
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        return triangle_count(df).first()
+
+    k4 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    r = run(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # wedges in K4: 4 nodes * C(3,2) = 12; clustering = 12/12 = 1.0
+    assert (r["n_wedges"], r["global_clustering"]) == (12, 1.0)
+
+    star = [("hub", f"s{i}") for i in range(6)]
+    r = run(star)
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 15)
+    assert r["global_clustering"] == 0.0
+
+    messy = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),  # triangle + dups
+        ("c", "c"),                                        # self loop
+        ("c", "d"),                                        # pendant
+    ]
+    r = run(messy)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
