@@ -105,14 +105,14 @@ BENCH_QUERIES = [
     "rel_conversion_funnel",
     "rel_retention_cohorts",
     "ns_multimodal_frame_sample",
-    "ns_aggview_rollup_serving",
-    "ns_cdc_hdr_quantiles",
     "ns_blocklist_filter",
     "rel_market_basket_pairs",
     "ns_triangle_count",
-    # ns_txn_co_commit is deliberately NOT a headline bench entry: it is a
-    # commit-protocol demonstration dominated by fixed journal/manifest
-    # round-trips, not a data-sized query; the oracle sweeps cover it.
+    # ns_txn_co_commit, ns_cdc_hdr_quantiles, and ns_aggview_rollup_serving
+    # are deliberately NOT headline bench entries (same standing policy as
+    # ns_cdc_agg_view since round 7): each builds a versioned table and
+    # drives a CDC wave per call, so >90% of their wall is commit-protocol
+    # fixture cost, not a data-sized query; both oracle sweeps cover them.
 ]
 
 # Scale-stress tier (`--sf sf1`): since round 7 this is the FULL headline
