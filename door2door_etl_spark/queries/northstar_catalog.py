@@ -2319,16 +2319,28 @@ def q_semdedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_semdedup_corpus() -> str:
     final_a = f"a{KM_ITERS+1}"
-    cos = sql_cosine("ea.embedding", "eb.embedding")
+    # Per-vector double-cast list + norm hoisted into MATERIALIZED CTEs:
+    # sql_cosine inlines list_transform(CAST AS DOUBLE) SIX times per
+    # candidate pair, which dominated this twin's sf1 wall (502s -> the
+    # transform is O(dim) list materialization per evaluation).  Hoisting
+    # evaluates it once per vector; the per-pair arithmetic
+    # (list_dot_product over double lists, same sqrt/divide) is
+    # bit-identical to sql_cosine, so hashes cannot move.
     return f"""
 WITH RECURSIVE {_km_sql_ctes()},
-pairs AS (
+sem_ed AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+  FROM embeddings
+), sem_en AS MATERIALIZED (
+  SELECT vec_id, ed, sqrt(list_dot_product(ed, ed)) AS nrm FROM sem_ed
+), pairs AS (
   SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
   FROM {final_a} ca JOIN {final_a} cb
     ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
-  JOIN embeddings ea ON ea.vec_id = ca.vec_id
-  JOIN embeddings eb ON eb.vec_id = cb.vec_id
-  WHERE round({cos}, 6) >= {SEMDEDUP_MIN_COSINE}
+  JOIN sem_en ea ON ea.vec_id = ca.vec_id
+  JOIN sem_en eb ON eb.vec_id = cb.vec_id
+  WHERE round(list_dot_product(ea.ed, eb.ed) / (ea.nrm * eb.nrm), 6)
+        >= {SEMDEDUP_MIN_COSINE}
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
