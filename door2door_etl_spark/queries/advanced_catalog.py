@@ -508,7 +508,11 @@ def q_bm25_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
     from door2door_etl_spark.operators.search import ManifestBM25Index
 
     docs = load_table(spark, sf, "documents")
-    root = os.path.join(tempfile.gettempdir(), "ns_bm25_index")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_bm25_index_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     idx = ManifestBM25Index(spark, root)
     idx.build(docs)
@@ -534,7 +538,11 @@ def q_bm25_removal_topk(spark: SparkSession, sf: str) -> DataFrame:
     from door2door_etl_spark.operators.search import ManifestBM25Index
 
     docs = load_table(spark, sf, "documents")
-    root = os.path.join(tempfile.gettempdir(), "ns_bm25_index_rm")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_bm25_index_rm_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     idx = ManifestBM25Index(spark, root)
     idx.build(docs)
@@ -827,7 +835,11 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.length("o_orderpriority").cast("double").alias("n_chars"),
     )
-    root = os.path.join(tempfile.gettempdir(), "ns_cdc_agg_view")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_cdc_agg_view_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     cols = ["okey", "status", "n_chars"]
@@ -887,7 +899,11 @@ def q_txn_co_commit(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    root = os.path.join(tempfile.gettempdir(), "ns_txn_co_commit")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_txn_co_commit_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     corpus, stats = os.path.join(root, "corpus"), os.path.join(root, "stats")
     journal = os.path.join(root, "journal")
@@ -1027,7 +1043,11 @@ def q_aggview_rollup_serving(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         F.length("o_orderpriority").cast("double").alias("n_chars"),
     )
-    root = os.path.join(tempfile.gettempdir(), "ns_aggview_rollup_serving")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_aggview_rollup_serving_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     cols = ["okey", "status", "prio", "n_chars"]
@@ -1158,7 +1178,11 @@ def q_cdc_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.length("o_orderpriority").cast("long").alias("n_chars"),
     )
-    root = os.path.join(tempfile.gettempdir(), "ns_cdc_hdr_quantiles")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_cdc_hdr_quantiles_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     cols = ["okey", "status", "n_chars"]
@@ -1739,7 +1763,11 @@ def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "source")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    root = os.path.join(tempfile.gettempdir(), "ns_bloom_lookup_tbl")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_bloom_lookup_tbl_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     append_manifest(
         spark, root, docs.repartition(8), stats_col=["bloom:doc_id"]

@@ -2254,7 +2254,11 @@ def q_incremental_lsh_dedup_manifest(spark: SparkSession, sf: str) -> DataFrame:
     # One fixed scratch root, rebuilt per call: repeated invocations
     # (bench untimed+timed passes, sweeps) must not accumulate band-index
     # copies the way mkdtemp-per-call would.
-    root = os.path.join(tempfile.gettempdir(), "ns_lsh_manifest_idx")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_lsh_manifest_idx_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     idx = D.ManifestLshBandIndex(
         spark,
@@ -2820,7 +2824,11 @@ def q_ann_manifest_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from door2door_etl_spark.operators.similarity import ManifestVectorIndex
 
     emb = load_table(spark, sf, "embeddings")
-    root = os.path.join(tempfile.gettempdir(), "ns_ann_manifest_vecidx")
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
+        # clobber each other's fixture tables
+        tempfile.gettempdir(), f"ns_ann_manifest_vecidx_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     idx = ManifestVectorIndex(spark, root, dim=EMB_DIM, cell_col="label")
     idx.build(emb.filter(F.col("vec_id") != ANN_QUERY_ID))
