@@ -1211,3 +1211,53 @@ def stream_index_removals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_validate(
+    spark: SparkSession,
+    batches: DataFrame,
+    suite,
+    target_root: str,
+    quarantine_root: str,
+    checkpoint_dir: str,
+    key: str,
+    metrics_root: str | None = None,
+):
+    """Continuous constraint-checked loading: every micro-batch passes
+    through the declared :class:`pipeline.expectations.ExpectationSuite`
+    — passing rows MERGE into the versioned target, violations land in
+    the quarantine with their rule tags and the micro-batch id, and the
+    per-rule metrics append to a ledger keyed by batch id (the
+    data-quality time series an operator alarms on).
+
+    Replay posture (the family's standing at-least-once discipline):
+    the target MERGE is idempotent by key; quarantine and metrics are
+    per-batch OVERWRITES of their own ``batch_id=N`` subdirectory, so a
+    replayed batch rewrites the same files instead of appending
+    duplicates.  Fail-mode rules abort the batch function — the stream
+    STOPS rather than landing a batch that breaks an invariant, which
+    is exactly Delta's CHECK-constraint posture carried to streaming.
+    """
+    from door2door_etl_spark.io.versioned import merge_versioned
+
+    def validate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        passed, quarantined, metrics = suite.validate(batch_df)
+        bad = quarantined.withColumn(
+            "_quarantined_rules", F.col("_violated")
+        ).drop("_violated")
+        bad.write.mode("overwrite").parquet(
+            f"{quarantine_root}/batch_id={batch_id}"
+        )
+        if metrics_root is not None:
+            metrics.write.mode("overwrite").parquet(
+                f"{metrics_root}/batch_id={batch_id}"
+            )
+        if not passed.isEmpty():
+            merge_versioned(spark, target_root, passed, key=key)
+
+    return (
+        batches.writeStream.foreachBatch(validate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

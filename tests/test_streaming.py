@@ -1548,3 +1548,67 @@ def test_stream_curate_neardup_recall_at_least_batch_banding(spark, tmp_path):
     assert batch_recall >= 0.8, batch_recall
     # distractors all survive: recall is not bought with false positives
     assert {100 + j for j in range(10)} <= admitted
+
+
+def test_stream_validate_contract_enforcement_and_replay(spark, tmp_path):
+    """stream_validate: per-micro-batch contract enforcement — passing
+    rows land idempotently in the versioned target, violations quarantine
+    with rule tags + batch id, per-rule metrics ledger accrues, and a
+    fresh-checkpoint replay of the same input leaves target and
+    quarantine row counts unchanged (MERGE idempotence + per-batch
+    overwrite)."""
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+    from door2door_etl_spark.pipeline.expectations import (
+        Expectation,
+        ExpectationSuite,
+        UniqueExpectation,
+    )
+    from door2door_etl_spark.streaming.pipeline import stream_validate
+
+    src = tmp_path / "rows_in"
+    src.mkdir()
+    rows = [
+        {"id": "a", "qty": 5},
+        {"id": "b", "qty": -1},     # qty_nonneg violation
+        {"id": "c", "qty": 7},
+        {"id": "c", "qty": 8},      # id_unique violation (both c rows)
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    suite = ExpectationSuite(
+        rules=[Expectation("qty_nonneg", "qty >= 0")],
+        unique_rules=[UniqueExpectation("id_unique", ("id",))],
+    )
+    stream = spark.readStream.schema("id string, qty long").json(str(src))
+    target = tmp_path / "target"
+    quarantine = tmp_path / "quarantine"
+    metrics = tmp_path / "metrics"
+
+    def run(ckpt):
+        q = stream_validate(
+            spark, stream, suite, str(target), str(quarantine),
+            str(tmp_path / ckpt), key="id", metrics_root=str(metrics),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    live = {r["id"] for r in VersionedParquetTable(str(target)).read(spark).collect()}
+    assert live == {"a"}
+    qrows = sorted(
+        (r["id"], r["qty"], tuple(sorted(r["_quarantined_rules"])))
+        for r in spark.read.parquet(str(quarantine)).collect()
+    )
+    assert qrows == [
+        ("b", -1, ("qty_nonneg",)),
+        ("c", 7, ("id_unique",)),
+        ("c", 8, ("id_unique",)),
+    ]
+    m = {
+        r["rule"]: r["n_violations"]
+        for r in spark.read.parquet(str(metrics)).collect()
+    }
+    assert m == {"qty_nonneg": 1, "id_unique": 2}
+
+    # fresh checkpoint, same input: effectively-once end state
+    run("ckpt2")
+    assert VersionedParquetTable(str(target)).read(spark).count() == 1
+    assert spark.read.parquet(str(quarantine)).count() == 3
