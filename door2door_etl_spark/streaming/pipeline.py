@@ -1261,3 +1261,40 @@ def stream_validate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_aggview_maintenance(
+    spark: SparkSession,
+    batches: DataFrame,
+    view,
+    checkpoint_dir: str,
+):
+    """Continuously maintained aggregate view: each micro-batch MERGEs
+    into the view's source table and immediately advances the
+    :class:`pipeline.aggview.IncrementalAggView` from the change feed —
+    dashboard-grain aggregates that lag ingestion by one micro-batch,
+    never recomputed from scratch.
+
+    Replay posture: the source MERGE is idempotent by the view's key,
+    and ``refresh()`` is effectively-once BY CONSTRUCTION — the applied
+    window's ledger row commits atomically with the group updates, and
+    the landed-ledger scan advances the cursor past windows a crash
+    already applied (`pipeline/aggview.py` crash-window tests).  So an
+    at-least-once redelivery of a micro-batch converges: the re-MERGE
+    is a no-op, the re-refresh sees an empty change window.  Per-batch
+    maintenance cost is O(touched groups), the module's standing
+    contract."""
+    from door2door_etl_spark.io.versioned import merge_versioned
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_versioned(spark, view.source_root, batch_df, key=view.key)
+        view.refresh(spark)
+
+    return (
+        batches.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
