@@ -882,3 +882,65 @@ class IncrementalAggView:
             "action": "delta", "from_version": from_v, "to_version": to_v,
             "groups_touched": n - 1,
         }
+
+
+@dataclass(frozen=True)
+class ViewRegistry:
+    """Transparent materialized-view routing: given an aggregate request
+    (source, grain, measures), serve it from the cheapest registered
+    :class:`IncrementalAggView` that covers it — the engine-side half of
+    view-based query rewriting (the per-view algebra lives in
+    :meth:`IncrementalAggView.serve_rollup`).
+
+    Coverage: same source, requested grain ⊆ view grain, every requested
+    measure maintained by the view (sums need ``sum_cols``, avgs
+    ``avg_cols``, min/max ``minmax_cols``, distinct ``distinct_cols``).
+    Among covering views the FEWEST-group-columns one wins — coarser
+    state means fewer rows scanned at serve time (ties break on
+    registration order, deterministic).  ``route`` returns ``None`` when
+    nothing covers; the caller falls back to a source scan — routing
+    never silently degrades to a wrong answer.
+    """
+
+    views: tuple = ()
+
+    def route(
+        self,
+        spark: SparkSession,
+        source_root: str,
+        group_cols: list[str],
+        sums: list[str] | None = None,
+        avgs: list[str] | None = None,
+        minmax: list[str] | None = None,
+        distinct: list[str] | None = None,
+    ):
+        """``(DataFrame, view)`` served from maintained state, or
+        ``None``.  The frame carries exactly the requested measure
+        columns (plus ``n_rows``, always maintained)."""
+        sums, avgs = list(sums or []), list(avgs or [])
+        minmax, distinct = list(minmax or []), list(distinct or [])
+
+        def covers(v: IncrementalAggView) -> bool:
+            return (
+                v.source_root == source_root
+                and set(group_cols) <= set(v.group_cols)
+                and set(sums) <= set(v.sum_cols)
+                and set(avgs) <= set(v.avg_cols)
+                and set(minmax) <= set(v.minmax_cols)
+                and set(distinct) <= set(v.distinct_cols)
+            )
+
+        candidates = [v for v in self.views if covers(v)]
+        if not candidates:
+            return None
+        best = min(candidates, key=lambda v: len(v.group_cols))
+        served = best.serve_rollup(spark, group_cols)
+        keep = (
+            list(group_cols)
+            + ["n_rows"]
+            + [f"sum_{c}" for c in sums]
+            + [f"avg_{c}" for c in avgs]
+            + [n for c in minmax for n in (f"min_{c}", f"max_{c}")]
+            + [f"distinct_est_{c}" for c in distinct]
+        )
+        return served.select(*keep), best

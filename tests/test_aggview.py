@@ -728,3 +728,74 @@ def test_aggview_rollup_serving_from_maintained_state(spark, tmp_path):
         view.serve_rollup(spark, ["nope"])
     with pytest.raises(ValueError, match="not covered"):
         view.serve_rollup_hdr(spark, "amount", ["nope"])
+
+
+def test_view_registry_routes_to_cheapest_cover(spark, tmp_path):
+    """ViewRegistry.route: among covering views the coarsest (fewest
+    group cols) serves; measure coverage is per-kind; uncovered grain or
+    measure returns None (fallback contract); served values equal the
+    scratch aggregate."""
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.pipeline.aggview import ViewRegistry
+
+    src = tmp_path / "src"
+    rows = [
+        ("a", "open", "eu", 3.0),
+        ("b", "open", "us", 5.0),
+        ("c", "done", "eu", 17.0),
+        ("d", "open", "eu", 4.0),
+    ]
+    merge_versioned(
+        spark,
+        str(src),
+        spark.createDataFrame(
+            rows, "id string, status string, region string, amount double"
+        ),
+        key="id",
+    )
+    fine = IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp_path / "v_fine"),
+        key="id",
+        group_cols=["status", "region"],
+        sum_cols=["amount"],
+        avg_cols=["amount"],
+    )
+    coarse = IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp_path / "v_coarse"),
+        key="id",
+        group_cols=["status"],
+        sum_cols=["amount"],
+    )
+    fine.refresh(spark)
+    coarse.refresh(spark)
+    reg = ViewRegistry(views=(fine, coarse))
+
+    # sums at status grain: BOTH cover; the coarse view must win
+    out = reg.route(spark, str(src), ["status"], sums=["amount"])
+    assert out is not None
+    df, chosen = out
+    assert chosen is coarse
+    got = {r["status"]: (r["n_rows"], r["sum_amount"]) for r in df.collect()}
+    assert got == {"open": (3, 12.0), "done": (1, 17.0)}
+
+    # avg requested: only the fine view maintains avg -> fine serves
+    df2, chosen2 = reg.route(spark, str(src), ["status"], avgs=["amount"])
+    assert chosen2 is fine
+    got2 = {r["status"]: r["avg_amount"] for r in df2.collect()}
+    assert got2 == {"open": 4.0, "done": 17.0}
+
+    # region grain: only fine covers
+    df3, chosen3 = reg.route(spark, str(src), ["region"], sums=["amount"])
+    assert chosen3 is fine
+    assert {r["region"]: r["sum_amount"] for r in df3.collect()} == {
+        "eu": 24.0, "us": 5.0
+    }
+
+    # uncovered: unknown grain column / unmaintained measure kind
+    assert reg.route(spark, str(src), ["nope"], sums=["amount"]) is None
+    assert reg.route(spark, str(src), ["status"], minmax=["amount"]) is None
+    # different source: never served
+    assert reg.route(spark, "/elsewhere", ["status"], sums=["amount"]) is None
