@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "ns_blocklist_filter",
     "rel_market_basket_pairs",
     "ns_triangle_count",
+    "ns_kcore_members",
     # ns_txn_co_commit, ns_cdc_hdr_quantiles, and ns_aggview_rollup_serving
     # are deliberately NOT headline bench entries (same standing policy as
     # ns_cdc_agg_view since round 7): each builds a versioned table and

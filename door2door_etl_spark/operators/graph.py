@@ -204,3 +204,60 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.lit(3.0 * n_tri) / F.nullif(F.col("n_wedges"), F.lit(0)), 6
         ).alias("global_clustering"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core membership by SYNCHRONIZED peeling: each round removes
+    every node whose degree in the surviving subgraph is below ``k``
+    (Matula & Beck 1983's algorithm, bulk-synchronous).  ``rounds`` is a
+    fixed round count — past convergence a round is a no-op, so any
+    ``rounds`` >= the graph's peeling depth yields the exact k-core;
+    fixing it keeps the computation engine-portable (the DuckDB twin
+    unrolls the same rounds, the kmeans-oracle discipline).
+
+    Per round: one degree aggregate + two broadcast semi-joins of the
+    weak-node relation against the edge list — the weak set is small
+    once peeling stabilizes, so rounds get cheaper as they go.  Edge
+    lineage is truncated per round with an eager ``localCheckpoint``
+    (the module's standing iterative-plan discipline — without it the
+    plan doubles per round).  Returns the surviving nodes with their
+    core degree: ``(node, degree)``.
+    """
+    live = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            live.select(F.col("u").alias("n"))
+            .unionAll(live.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        weak = deg.filter(F.col("d") < k).select("n")
+        if weak.limit(1).count() == 0:
+            break
+        live = (
+            live.join(
+                F.broadcast(weak), live["u"] == weak["n"], "left_anti"
+            )
+            .join(F.broadcast(weak), F.col("v") == weak["n"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.select(F.col("u").alias("node"))
+        .unionAll(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

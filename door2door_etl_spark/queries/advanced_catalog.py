@@ -1587,6 +1587,63 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def q_kcore_members(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the part co-purchase graph (operators.graph.kcore_peel,
+    k=2): synchronized peeling — each round drops every node whose
+    surviving degree is below k, with per-round lineage truncation.  A
+    fixed round count keeps both engines on identical intermediate
+    states (the kmeans-unroll oracle discipline); rounds past
+    convergence are no-ops, so the result is the exact k-core whenever
+    the peel depth fits.  Output: surviving nodes with core degree."""
+    from door2door_etl_spark.operators.graph import kcore_peel
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _sql_kcore_members() -> str:
+    head = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e0 AS MATERIALIZED (SELECT u, v FROM p WHERE c >= 2)"""
+    parts = [head]
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        # MATERIALIZED per round: each e_i is referenced three times by
+        # the next level; inlined CTEs would expand 3^rounds references
+        # to the base scan (observed as a file-handle blowup in DuckDB)
+        parts.append(f""",
+d{i} AS MATERIALIZED (SELECT n FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY 1 HAVING count(*) >= {KCORE_K}),
+e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM d{i}) AND v IN (SELECT n FROM d{i}))""")
+    last = f"e{KCORE_ROUNDS}"
+    parts.append(f"""
+SELECT node, count(*) AS degree FROM (
+  SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+GROUP BY node""")
+    return "".join(parts)
+
+
 def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel over events
     (operators.relational.conversion_funnel): ONE shuffle — events
@@ -1810,6 +1867,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS, "first-activity cohort retention by week offset", ("rel", "advanced")),
     QueryDef("rel_market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET_PAIRS, "Apriori 2-itemset mining: support/confidence/lift with pre-join frequency pruning", ("rel", "advanced")),
     QueryDef("ns_triangle_count", q_triangle_count, SQL_TRIANGLE_COUNT, "triangle census via degree-ordered orientation (wedge fan-out bounded O(sqrt m))", ("northstar", "graph")),
+    QueryDef("ns_kcore_members", q_kcore_members, _sql_kcore_members(), "k-core decomposition by synchronized peeling (fixed-round engine-portable unroll)", ("northstar", "graph")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -3641,3 +3641,26 @@ def test_triangle_count_reference(spark):
     ]
     r = run(messy)
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+
+
+def test_kcore_peel_reference(spark):
+    """k=2 core of a triangle with a pendant chain is exactly the
+    triangle (the chain peels over two rounds — cascading removal);
+    k=3 core of that graph is empty; K4 survives k=3 intact."""
+    import itertools
+
+    from door2door_etl_spark.operators.graph import kcore_peel
+
+    tri_chain = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(tri_chain, "src string, dst string")
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+    assert kcore_peel(df, k=3).count() == 0
+
+    k4 = spark.createDataFrame(
+        list(itertools.combinations(["w", "x", "y", "z"], 2)),
+        "src string, dst string",
+    )
+    got4 = {r["node"]: r["degree"] for r in kcore_peel(k4, k=3).collect()}
+    assert got4 == {"w": 3, "x": 3, "y": 3, "z": 3}
