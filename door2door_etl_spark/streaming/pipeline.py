@@ -1263,17 +1263,20 @@ def stream_validate(
     )
 
 
-def stream_aggview_maintenance(
+def stream_aggview_ingest(
     spark: SparkSession,
     batches: DataFrame,
     view,
     checkpoint_dir: str,
 ):
-    """Continuously maintained aggregate view: each micro-batch MERGEs
-    into the view's source table and immediately advances the
-    :class:`pipeline.aggview.IncrementalAggView` from the change feed —
-    dashboard-grain aggregates that lag ingestion by one micro-batch,
-    never recomputed from scratch.
+    """INGEST-driven continuously maintained aggregate view: each
+    micro-batch MERGEs into the view's source table and immediately
+    advances the :class:`pipeline.aggview.IncrementalAggView` from the
+    change feed — dashboard-grain aggregates that lag ingestion by one
+    micro-batch, never recomputed from scratch.  Sibling of
+    :func:`stream_aggview_maintenance` (the COMMIT-LOG-driven form that
+    watches an existing table's commits); this form owns the ingest
+    itself, for views whose source the stream is the sole writer of.
 
     Replay posture: the source MERGE is idempotent by the view's key,
     and ``refresh()`` is effectively-once BY CONSTRUCTION — the applied

@@ -1614,14 +1614,14 @@ def test_stream_validate_contract_enforcement_and_replay(spark, tmp_path):
     assert spark.read.parquet(str(quarantine)).count() == 3
 
 
-def test_stream_aggview_maintenance_parity_and_replay(spark, tmp_path):
+def test_stream_aggview_ingest_parity_and_replay(spark, tmp_path):
     """Two micro-batches (insert wave then update/new-key wave) flow
-    through stream_aggview_maintenance; after the run the maintained view
+    through stream_aggview_ingest; after the run the maintained view
     equals the from-scratch aggregate of the source's final snapshot, and
     a fresh-checkpoint replay of the same files changes nothing (MERGE
     idempotence + the view's ledger discipline)."""
     from door2door_etl_spark.pipeline.aggview import IncrementalAggView
-    from door2door_etl_spark.streaming.pipeline import stream_aggview_maintenance
+    from door2door_etl_spark.streaming.pipeline import stream_aggview_ingest
 
     src_dir = tmp_path / "in"
     src_dir.mkdir()
@@ -1647,7 +1647,7 @@ def test_stream_aggview_maintenance_parity_and_replay(spark, tmp_path):
     ).json(str(src_dir))
 
     def run(ckpt):
-        q = stream_aggview_maintenance(spark, stream, view, str(tmp_path / ckpt))
+        q = stream_aggview_ingest(spark, stream, view, str(tmp_path / ckpt))
         q.awaitTermination(180)
 
     # deterministic micro-batches: land each file, then drain availableNow
