@@ -836,3 +836,131 @@ def test_substring_dedup_matches_reference(spark, docs, k):
             sum(cov),
             " ".join(w for w, c in zip(ws, cov) if not c),
         ), (did, docs, k)
+
+
+def _ref_kcore(edge_list: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Naive iterate-to-fixpoint k-core on an adjacency dict."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        weak = [n for n, nb in adj.items() if len(nb) < k]
+        changed = bool(weak)
+        for n in weak:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_kcore_matches_fixpoint_reference(spark, edges, k):
+    """kcore_peel with generous fixed rounds equals the iterate-to-
+    fixpoint reference on random small multigraphs (dups, self-loops,
+    reversed edges included by construction)."""
+    from door2door_etl_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string"
+    )
+    got = {
+        int(r["node"]): r["degree"]
+        for r in kcore_peel(df, k=k, rounds=12).collect()
+    }
+    assert got == _ref_kcore(edges, k)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    waves=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),        # key
+                st.sampled_from(["g1", "g2"]),                 # group
+                st.one_of(st.none(), st.integers(0, 500)),     # value (binnable)
+                st.booleans(),                                 # delete?
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_aggview_hdr_invariant_random_waves(spark, tmp_path_factory, waves):
+    """The strongest aggview invariant, fuzzed: after ANY sequence of
+    insert/update/delete waves, the maintained HDR bin map equals the
+    histogram of the live snapshot (bin counts retract exactly)."""
+    from door2door_etl_spark.io.versioned import (
+        VersionedParquetTable,
+        delete_versioned,
+        merge_versioned,
+    )
+    from door2door_etl_spark.operators.sketches import hdr_histogram_table
+    from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+
+    tmp = tmp_path_factory.mktemp("hdrfuzz")
+    src = str(tmp / "src")
+    view = IncrementalAggView(
+        source_root=src,
+        view_root=str(tmp / "view"),
+        key="id",
+        group_cols=["grp"],
+        hdr_cols=["val"],
+    )
+    seeded = False
+    for wave in waves:
+        ups = [
+            (str(kk), g, None if v is None else float(v))
+            for kk, g, v, d in wave
+            if not d
+        ]
+        dels = sorted({str(kk) for kk, g, v, d in wave if d})
+        # within-wave duplicate keys: keep the LAST (merge batch contract)
+        dedup = list({r[0]: r for r in ups}.values())
+        if dedup:
+            merge_versioned(
+                spark,
+                src,
+                spark.createDataFrame(
+                    dedup, "id string, grp string, val double"
+                ),
+                key="id",
+            )
+            seeded = True
+        if dels and seeded:
+            delete_versioned(
+                spark,
+                src,
+                spark.createDataFrame([(x,) for x in dels], "id string"),
+                key="id",
+            )
+        if seeded:
+            view.refresh(spark)
+            snap = VersionedParquetTable(src).read(spark)
+            got = {
+                (r["grp"], r["bin"]): r["cnt"]
+                for r in view.read_hdr(spark, "val").collect()
+            }
+            want = {
+                (r["grp"], r["bin"]): r["cnt"]
+                for r in hdr_histogram_table(
+                    snap.filter(F.col("val").isNotNull()), ["grp"], "val"
+                ).collect()
+            }
+            assert got == want
