@@ -206,12 +206,33 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+def _prune_weak(
+    live: DataFrame,
+    weak: DataFrame,
+    n_weak: int,
+    broadcast_weak_max_rows: int,
+) -> DataFrame:
+    """One k-core peeling step: drop every edge touching a weak node via
+    two anti-joins.  Broadcast is gated on the MEASURED weak-set size
+    (``n_weak`` comes from the convergence-check count, so the gate is
+    free): round 1 on a sparse graph weakens O(V) nodes, and an
+    unconditional ``F.broadcast`` hint would override AQE's size check
+    and materialize all of them on the driver.  Above the gate the
+    anti-join runs as a plain shuffle join; once peeling stabilizes the
+    shrunken weak set broadcasts."""
+    wk = F.broadcast(weak) if n_weak <= broadcast_weak_max_rows else weak
+    return live.join(wk, live["u"] == wk["n"], "left_anti").join(
+        wk, F.col("v") == wk["n"], "left_anti"
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,
     src: str = "src",
     dst: str = "dst",
     rounds: int = 8,
+    broadcast_weak_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """k-core membership by SYNCHRONIZED peeling: each round removes
     every node whose degree in the surviving subgraph is below ``k``
@@ -221,13 +242,19 @@ def kcore_peel(
     fixing it keeps the computation engine-portable (the DuckDB twin
     unrolls the same rounds, the kmeans-oracle discipline).
 
-    Per round: one degree aggregate + two broadcast semi-joins of the
-    weak-node relation against the edge list — the weak set is small
-    once peeling stabilizes, so rounds get cheaper as they go.  Edge
-    lineage is truncated per round with an eager ``localCheckpoint``
-    (the module's standing iterative-plan discipline — without it the
-    plan doubles per round).  Returns the surviving nodes with their
-    core degree: ``(node, degree)``.
+    Per round: one degree aggregate + two anti-joins of the weak-node
+    relation against the edge list.  The broadcast is GATED on the
+    measured weak-set size (we count it anyway for the convergence
+    check): in round 1 on a sparse graph the weak set is every node
+    with degree < k — O(V), far too large to force onto the driver —
+    so above ``broadcast_weak_max_rows`` the anti-join runs as a plain
+    shuffle join; once peeling stabilizes the weak set shrinks and the
+    hint kicks in.  The weak relation is checkpointed once per round
+    (it feeds two joins — without that the degree aggregate would run
+    twice).  Edge lineage is truncated per round with an eager
+    ``localCheckpoint`` (the module's standing iterative-plan
+    discipline — without it the plan doubles per round).  Returns the
+    surviving nodes with their core degree: ``(node, degree)``.
     """
     live = (
         edges.select(
@@ -245,16 +272,15 @@ def kcore_peel(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        weak = deg.filter(F.col("d") < k).select("n")
-        if weak.limit(1).count() == 0:
-            break
-        live = (
-            live.join(
-                F.broadcast(weak), live["u"] == weak["n"], "left_anti"
-            )
-            .join(F.broadcast(weak), F.col("v") == weak["n"], "left_anti")
-            .localCheckpoint(eager=True)
+        weak = deg.filter(F.col("d") < k).select("n").localCheckpoint(
+            eager=True
         )
+        n_weak = weak.count()
+        if n_weak == 0:
+            break
+        live = _prune_weak(
+            live, weak, n_weak, broadcast_weak_max_rows
+        ).localCheckpoint(eager=True)
     return (
         live.select(F.col("u").alias("node"))
         .unionAll(live.select(F.col("v").alias("node")))

@@ -720,3 +720,46 @@ def test_token_budget_sample_is_per_group_window(spark, sf001):
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert win_specs, plan
     assert all("lang" in w for w in win_specs), plan
+
+
+def test_kcore_prune_gates_broadcast_on_weak_size(spark):
+    """kcore_peel's per-round anti-join must NOT force-broadcast an
+    oversized weak set: round 1 on a sparse graph weakens O(V) nodes and
+    an unconditional hint overrides AQE's size gate (the one scale-killer
+    plan flagged in round 8).  Small weak set -> BroadcastHashJoin
+    LeftAnti; weak set above the gate -> shuffle anti-join, no broadcast
+    of the weak relation."""
+    from door2door_etl_spark.operators.graph import _prune_weak
+
+    live = spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(50)], "u string, v string"
+    )
+    weak = spark.createDataFrame(
+        [(f"u{i}",) for i in range(40)], "n string"
+    )
+
+    small = plan_of(_prune_weak(live, weak, 40, broadcast_weak_max_rows=100))
+    assert "BroadcastHashJoin" in small and "LeftAnti" in small, small
+
+    big = plan_of(_prune_weak(live, weak, 40, broadcast_weak_max_rows=10))
+    assert "BroadcastHashJoin" not in big, big
+    assert "SortMergeJoin" in big or "ShuffledHashJoin" in big, big
+
+
+def test_kcore_result_invariant_across_broadcast_gate(spark):
+    """Forcing the shuffle regime (gate=0) must give byte-identical
+    k-core membership to the broadcast regime."""
+    import itertools
+
+    from door2door_etl_spark.operators.graph import kcore_peel
+
+    edges = list(itertools.combinations([f"n{i}" for i in range(5)], 2)) + [
+        ("n0", "p1"), ("p1", "p2"), ("p2", "p3")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    bcast = sorted(map(tuple, kcore_peel(df, k=3).collect()))
+    shuffle = sorted(
+        map(tuple, kcore_peel(df, k=3, broadcast_weak_max_rows=0).collect())
+    )
+    assert bcast == shuffle
+    assert bcast == [(f"n{i}", 4) for i in range(5)]
