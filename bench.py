@@ -264,6 +264,10 @@ def main() -> None:
         "sf": sf_val,
     }
     artifact = REPO / "bench_results" / f"bench_full_sf{sf}.json"
+    # Final per-round records (bench_results/*_final*.json) are immutable
+    # history written ONLY by tools/record_final.py, which refuses to
+    # overwrite; bench.py writes only this rolling working artifact.
+    assert "_final" not in artifact.name
     try:
         artifact.parent.mkdir(exist_ok=True)
         artifact.write_text(json.dumps(full_record, indent=1))
