@@ -32,6 +32,16 @@ scoped honestly:
   metadata plus re-running at most the interrupted transaction's
   remaining ops.
 
+Deployment limits (stated, not implied): the JOURNAL itself is local-
+filesystem-only (``os.makedirs``/atomic ``os.rename``) even though the
+manifest tables it coordinates support FsOps object-store backends — on
+a cluster, put ``journal_root`` on shared POSIX storage (NFS/EFS) or a
+driver-local path with recovery run from the same host.  Concurrent
+WRITERS against one journal are supported only insofar as recovery's
+staging sweep is age-gated (``sweep_min_age_hours``); run one logical
+writer per journal, or keep the gate comfortably above your longest
+staging phase.
+
 Usage::
 
     txn = MultiTableTransaction(journal_root)
@@ -192,7 +202,11 @@ def _apply(
     return versions
 
 
-def recover(spark: SparkSession, journal_root: str) -> list[dict]:
+def recover(
+    spark: SparkSession,
+    journal_root: str,
+    sweep_min_age_hours: float = 1.0,
+) -> list[dict]:
     """Roll every incomplete journaled transaction forward — call at
     writer startup (and after any crash).  A transaction is incomplete
     when its record exists but its done marker doesn't; ops already
@@ -200,7 +214,11 @@ def recover(spark: SparkSession, journal_root: str) -> list[dict]:
     ``{txn_id, versions}`` per recovered transaction.  Transactions
     that crashed BEFORE the journal rename left only staged payloads
     (``txn-<id>/`` with no ``txn-<id>.json``) — fully absent by
-    definition; their staging is swept here."""
+    definition; their staging is swept here, AGE-GATED by
+    ``sweep_min_age_hours`` (same posture as vacuum's min-age): a
+    journal-less dir younger than the gate may belong to a transaction
+    still mid-``run()`` (payloads staged, journal rename not yet done),
+    and sweeping it would destroy that writer's staged inputs."""
     if not os.path.isdir(journal_root):
         return []
     txn = MultiTableTransaction(journal_root)
@@ -216,12 +234,21 @@ def recover(spark: SparkSession, journal_root: str) -> list[dict]:
         out.append(
             {"txn_id": txn_id, "versions": _apply(spark, txn, txn_id, decl)}
         )
-    # sweep journal-less staging dirs (crash before the rename)
+    # sweep journal-less staging dirs (crash before the rename) — but only
+    # past the age gate, so a concurrent writer's freshly-staged payloads
+    # survive until its journal rename lands
     import shutil
+    import time
 
+    cutoff = time.time() - sweep_min_age_hours * 3600
     for name in sorted(os.listdir(journal_root)):
         if name.startswith("txn-") and "." not in name:
             txn_id = name[len("txn-"):]
-            if not os.path.exists(txn._record_path(txn_id)):
-                shutil.rmtree(os.path.join(journal_root, name), ignore_errors=True)
+            path = os.path.join(journal_root, name)
+            try:
+                too_young = os.path.getmtime(path) > cutoff
+            except OSError:
+                continue
+            if not too_young and not os.path.exists(txn._record_path(txn_id)):
+                shutil.rmtree(path, ignore_errors=True)
     return out

@@ -707,7 +707,16 @@ def parse_avi(
                     raise ValueError(
                         f"only 24-bit uncompressed DIB video (bpp={bpp}, comp={comp})"
                     )
-                width, height = w, abs(h)
+                if h < 0:
+                    # Negative height = top-down DIB; the frame decoder
+                    # below reads rows bottom-up and would silently flip
+                    # such payloads vertically.  Quarantine upstream
+                    # (the module's standing posture) rather than emit
+                    # wrong pixels.
+                    raise ValueError(
+                        "top-down DIB (negative height) not supported"
+                    )
+                width, height = w, h
             elif fourcc == b"00db":
                 if width is None:
                     raise ValueError("00db frame before strf header")

@@ -126,7 +126,19 @@ class ExpectationSuite:
                 .filter(F.col("_n") > 1)
                 .select(*u.key_cols, F.lit(True).alias(f"_dup_{u.name}"))
             )
-            out = out.join(F.broadcast(dup_keys), list(u.key_cols), "left")
+            # eqNullSafe per key column: groupBy treats NULL keys as equal
+            # (so NULL-key duplicates DO land in dup_keys), and a
+            # null-unsafe equi-join could never match them back — rows
+            # with duplicated NULL keys would silently pass the rule.
+            left, right = out.alias("_uq_l"), dup_keys.alias("_uq_r")
+            cond = F.lit(True)
+            for c in u.key_cols:
+                cond = cond & F.col(f"_uq_l.{c}").eqNullSafe(
+                    F.col(f"_uq_r.{c}")
+                )
+            out = left.join(F.broadcast(right), cond, "left").select(
+                "_uq_l.*", f"_uq_r._dup_{u.name}"
+            )
             tags.append(
                 F.when(F.col(f"_dup_{u.name}"), F.lit(u.name))
             )
@@ -152,7 +164,16 @@ class ExpectationSuite:
         neither.  ``metrics``: one row per rule — violations, evaluated
         row count, pass rate — plus the ``_batch`` totals row.  Raises
         on any fail-mode violation (count surfaces in the message)."""
-        tagged = self.tag(df)
+        return self.validate_tagged(self.tag(df))
+
+    def validate_tagged(
+        self, tagged: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """``validate`` split so callers that run MULTIPLE actions over
+        the result (count + write + metrics, as ``checked_merge`` does)
+        can persist the tagged frame ONCE first — otherwise each action
+        re-evaluates the whole tag pipeline including the unique-rule
+        aggregation joins."""
         enforced = {
             r.name: r.mode for r in self._all()
         }
@@ -234,18 +255,26 @@ def checked_merge(
     that breaks an invariant."""
     from door2door_etl_spark.io.versioned import merge_versioned
 
-    passed, quarantined, metrics = suite.validate(batch)
-    n_quarantined = 0
-    bad = quarantined.withColumn("_batch_id", F.lit(batch_id)).withColumn(
-        "_quarantined_rules", F.col(_TAG)
-    ).drop(_TAG)
-    n_bad = bad.count()
-    if n_bad:
-        bad.write.mode("append").parquet(quarantine_root)
-        n_quarantined = n_bad
-    merge_versioned(spark, target_root, passed, key=key)
-    return {
-        "batch_id": batch_id,
-        "n_quarantined": n_quarantined,
-        "metrics": [r.asDict() for r in metrics.collect()],
-    }
+    # The tagged frame feeds four actions (fail check, quarantine count,
+    # quarantine write, metrics, plus the MERGE of passing rows) — persist
+    # it once so the tag pipeline (incl. the unique-rule aggregation
+    # joins) evaluates a single time, not per action.
+    tagged = suite.tag(batch).persist()
+    try:
+        passed, quarantined, metrics = suite.validate_tagged(tagged)
+        n_quarantined = 0
+        bad = quarantined.withColumn(
+            "_batch_id", F.lit(batch_id)
+        ).withColumn("_quarantined_rules", F.col(_TAG)).drop(_TAG)
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("append").parquet(quarantine_root)
+            n_quarantined = n_bad
+        merge_versioned(spark, target_root, passed, key=key)
+        return {
+            "batch_id": batch_id,
+            "n_quarantined": n_quarantined,
+            "metrics": [r.asDict() for r in metrics.collect()],
+        }
+    finally:
+        tagged.unpersist()

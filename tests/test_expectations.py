@@ -180,3 +180,44 @@ def test_rules_stay_codegen_friendly(spark):
         # scan + filter stage is codegen'd (the tag projection itself uses
         # higher-order array exprs, which run outside codegen by design)
         assert "*(1) Filter" in plan, plan
+
+
+def test_unique_rule_tags_null_key_duplicates(spark):
+    """groupBy treats NULL keys as equal, so duplicated NULL-key rows ARE
+    duplicates — the match-back join must be null-safe or they silently
+    pass (round-8 advice).  A lone NULL key is NOT a duplicate."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3), ("a", 4), ("b", 5)],
+        "id string, qty int",
+    )
+    suite = ExpectationSuite(
+        unique_rules=[UniqueExpectation("id_unique", ("id",))]
+    )
+    tagged = {
+        r["qty"]: list(r["_violated"]) for r in suite.tag(df).collect()
+    }
+    assert tagged == {
+        1: ["id_unique"],
+        2: ["id_unique"],
+        3: ["id_unique"],
+        4: ["id_unique"],
+        5: [],
+    }
+
+    lone_null = spark.createDataFrame(
+        [(None, 1), ("a", 2)], "id string, qty int"
+    )
+    assert all(
+        r["_violated"] == [] for r in suite.tag(lone_null).collect()
+    )
+
+    # composite key: NULLs equal per-column, (NULL,'x') != (NULL,'y')
+    comp = spark.createDataFrame(
+        [(None, "x", 1), (None, "x", 2), (None, "y", 3)],
+        "k1 string, k2 string, qty int",
+    )
+    suite2 = ExpectationSuite(
+        unique_rules=[UniqueExpectation("kk", ("k1", "k2"))]
+    )
+    got = {r["qty"]: list(r["_violated"]) for r in suite2.tag(comp).collect()}
+    assert got == {1: ["kk"], 2: ["kk"], 3: []}

@@ -3505,6 +3505,12 @@ def test_avi_codec_roundtrip_and_rejects():
     bad = good[:comp_off] + struct.pack("<I", 1) + good[comp_off + 4:]
     with _pytest.raises(ValueError):
         parse_avi(bad)
+    # top-down DIB (negative biHeight) must be rejected, not silently
+    # flipped: the decoder reads rows bottom-up only
+    h_off = i + 8 + 8  # strf body + biHeight offset
+    topdown = good[:h_off] + struct.pack("<i", -2) + good[h_off + 4:]
+    with _pytest.raises(ValueError, match="top-down"):
+        parse_avi(topdown)
 
 
 def test_sample_video_frames_policy(spark):

@@ -118,13 +118,20 @@ def test_txn_crash_after_commit_before_marker_never_double_applies(
 
 def test_txn_crash_before_journal_is_fully_absent(spark, tmp_path):
     """Staged payloads without a journal record (crash before the
-    rename) are swept, and neither table advances."""
+    rename) are swept once past the age gate, and neither table
+    advances.  A FRESH journal-less dir survives the default gate —
+    it may be a concurrent writer mid-run() whose journal rename
+    hasn't landed yet."""
     a, j = tmp_path / "a", tmp_path / "journal"
     os.makedirs(j / "txn-deadbeef" / "op-0")
     _batch(spark, [1]).write.mode("overwrite").parquet(
         str(j / "txn-deadbeef" / "op-0")
     )
+    # default 1h gate: the just-written dir is too young to sweep
     assert recover(spark, str(j)) == []
+    assert (j / "txn-deadbeef").exists()
+    # past the gate it is swept
+    assert recover(spark, str(j), sweep_min_age_hours=0.0) == []
     assert not (j / "txn-deadbeef").exists()
     assert ManifestTable(str(a)).current_version() is None
 
