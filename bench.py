@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "rel_market_basket_pairs",
     "ns_triangle_count",
     "ns_kcore_members",
+    "ns_graph_components",
     # ns_txn_co_commit, ns_cdc_hdr_quantiles, and ns_aggview_rollup_serving
     # are deliberately NOT headline bench entries (same standing policy as
     # ns_cdc_agg_view since round 7): each builds a versioned table and

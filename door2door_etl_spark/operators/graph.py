@@ -1,8 +1,10 @@
-"""Graph analytics operators: weighted PageRank.
+"""Graph analytics operators: weighted PageRank, triangle census,
+k-core, connected components.
 
-The connected-components primitive (pointer jumping) lives with its
-consumer in ``operators.dedup``; this module holds general graph
-measures.  First member: PageRank (Page et al. 1999) — the standard
+The pointer-jumping core is implemented with its original consumer in
+``operators.dedup`` (near-dup clustering); :func:`connected_components`
+re-exports it here under graph vocabulary — it is the single most-used
+graph primitive and deserves a first-class graph API.  First member: PageRank (Page et al. 1999) — the standard
 centrality measure a web-corpus curation pipeline uses for host-level
 quality ranks (a la Common Crawl's harmonic-centrality host lists).
 
@@ -203,6 +205,37 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.round(
             F.lit(3.0 * n_tri) / F.nullif(F.col("n_wedges"), F.lit(0)), 6
         ).alias("global_clustering"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components of an undirected graph: ``(node,
+    component)`` where ``component`` is the minimum node id reachable
+    from ``node`` — min-label propagation with pointer jumping
+    (Shiloach–Vishkin path doubling), O(log diameter) rounds of two
+    joins + one aggregate each, lineage truncated per round.  This is
+    the graph-vocabulary front door to the same distributed core that
+    ``operators.dedup.connected_dedup_clusters`` runs for near-dup
+    clustering (implementation and scale notes there).
+
+    Unlike the dedup wrapper, ``strict`` defaults to True: a graph API
+    that silently returns split components (iteration budget exhausted
+    before the fixpoint) is worse than an error.  Nodes appear iff they
+    touch an edge — feed isolated nodes separately if you track them.
+    """
+    from door2door_etl_spark.operators.dedup import connected_dedup_clusters
+
+    labels = connected_dedup_clusters(
+        edges, src, dst, max_iterations=max_iterations, strict=strict
+    )
+    return labels.select(
+        F.col("doc_id").alias("node"), F.col("canonical_id").alias("component")
     )
 
 

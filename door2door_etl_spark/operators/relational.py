@@ -123,12 +123,36 @@ def bucketed_range_join(
     )
 
 
+def suggest_salt_buckets(
+    df: DataFrame, key_cols: list[str], cap: int = 256
+) -> int:
+    """The skew pre-flight's salt recommendation as ONE driver scalar:
+    ``ceil(hottest-key rows / mean-per-key rows)``, capped — exactly the
+    ``suggested_salt`` column of :func:`operators.profile.skew_report`
+    for the heaviest key, computed as a single map-side-combinable
+    aggregate (per-key counts folded to one max/avg row).  1 means "not
+    skewed, don't salt"."""
+    row = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.max("cnt").alias("max_cnt"), F.avg("cnt").alias("avg_cnt")
+        )
+        .collect()
+    )
+    if not row or row[0]["max_cnt"] is None:
+        return 1
+    import math
+
+    return max(1, min(cap, math.ceil(row[0]["max_cnt"] / row[0]["avg_cnt"])))
+
+
 def salted_equijoin(
     left: DataFrame,
     right: DataFrame,
     left_key: str,
     right_key: str,
-    salt_buckets: int = 16,
+    salt_buckets: int | str = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join: spread each hot left key over
@@ -143,6 +167,11 @@ def salted_equijoin(
 
     Right-side replication multiplies the smaller input by ``salt_buckets``
     — choose it ~ (hottest-key rows / average-key rows), not larger.
+    ``salt_buckets="auto"`` runs that measurement for you (one bounded
+    aggregate over the left side via :func:`suggest_salt_buckets`) so
+    the skew pre-flight drives the plan; when the measurement says the
+    key is NOT skewed (suggestion = 1) the join is a plain unsalted
+    equi-join — no replication tax on healthy data.
 
     ``how`` is restricted to left-preserving joins: with right/full outer
     an unmatched right row would be emitted once per salt replica (none of
@@ -156,6 +185,13 @@ def salted_equijoin(
             f"(got how={how!r}): right/full outer would emit each unmatched "
             f"right row {salt_buckets}x (once per salt replica)"
         )
+    if salt_buckets == "auto":
+        salt_buckets = suggest_salt_buckets(left, [left_key])
+    if not isinstance(salt_buckets, int) or salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be a positive int or 'auto', got {salt_buckets!r}")
+    if salt_buckets == 1:
+        # measured unskewed: plain equi-join, no replication
+        return left.join(right, left[left_key] == right[right_key], how)
     salted_l = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int"),

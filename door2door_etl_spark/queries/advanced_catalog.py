@@ -1644,6 +1644,49 @@ GROUP BY node""")
     return "".join(parts)
 
 
+def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components of the part co-purchase graph
+    (operators.graph.connected_components — pointer-jumping min-label
+    propagation, O(log diameter) rounds): every part labeled with the
+    smallest part key reachable through >=2-co-occurrence edges.  Same
+    graph as the triangle/k-core rows, so the family reads as one
+    coherent toolkit.  The oracle proves the identical fixpoint with a
+    recursive-CTE transitive closure (tractable here: components are a
+    few thousand nodes at most at both tiers)."""
+    from door2door_etl_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return connected_components(edges)
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e0 AS (SELECT u, v FROM p WHERE c >= 2),
+edges AS (SELECT u AS a, v AS b2 FROM e0 UNION SELECT v, u FROM e0),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON w.node = e.b2)
+SELECT node, min(reach) AS component FROM walk GROUP BY node
+"""
+
+
 def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel over events
     (operators.relational.conversion_funnel): ONE shuffle — events
@@ -1868,6 +1911,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET_PAIRS, "Apriori 2-itemset mining: support/confidence/lift with pre-join frequency pruning", ("rel", "advanced")),
     QueryDef("ns_triangle_count", q_triangle_count, SQL_TRIANGLE_COUNT, "triangle census via degree-ordered orientation (wedge fan-out bounded O(sqrt m))", ("northstar", "graph")),
     QueryDef("ns_kcore_members", q_kcore_members, _sql_kcore_members(), "k-core decomposition by synchronized peeling (fixed-round engine-portable unroll)", ("northstar", "graph")),
+    QueryDef("ns_graph_components", q_graph_components, SQL_GRAPH_COMPONENTS, "connected components by pointer-jumping min-label propagation (recursive-CTE oracle)", ("northstar", "graph")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

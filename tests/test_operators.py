@@ -3670,3 +3670,41 @@ def test_kcore_peel_reference(spark):
     )
     got4 = {r["node"]: r["degree"] for r in kcore_peel(k4, k=3).collect()}
     assert got4 == {"w": 3, "x": 3, "y": 3, "z": 3}
+
+
+def test_connected_components_reference(spark):
+    """operators.graph.connected_components equals a pure-Python
+    union-find on chains, cliques, singleton-free isolated pairs, and a
+    graph needing cascaded label travel (long path)."""
+    from door2door_etl_spark.operators.graph import connected_components
+
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(9)]              # 10-chain
+        + [("k1", "k2"), ("k1", "k3"), ("k2", "k3")]          # triangle
+        + [("x", "y")]                                          # pair
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict = {}
+
+    def find(n):
+        while parent.setdefault(n, n) != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {
+        n: min(members) for members in comps.values() for n in members
+    }
+    assert got == want

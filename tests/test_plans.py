@@ -763,3 +763,42 @@ def test_kcore_result_invariant_across_broadcast_gate(spark):
     )
     assert bcast == shuffle
     assert bcast == [(f"n{i}", 4) for i in range(5)]
+
+
+def test_auto_salt_from_skew_preflight(spark):
+    """salt_buckets='auto' wires the skew pre-flight into the plan: a
+    planted 60%-hot-key left side auto-salts (salt column in the join
+    key, suggestion > 1) and returns the plain join's multiset
+    byte-for-byte; a uniform left side measures suggestion 1 and plans a
+    PLAIN join — no salt column, no replication tax."""
+    from door2door_etl_spark.operators.relational import suggest_salt_buckets
+
+    hot = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(600)]                 # 60% hot key
+        + [Row(k=2 + (i % 40), v=i) for i in range(400)]    # 40 cold keys
+    )
+    right = spark.createDataFrame(
+        [Row(rk=k, w=f"w{k}") for k in range(1, 42)]
+    )
+    n = suggest_salt_buckets(hot, ["k"])
+    assert n > 1, n
+
+    auto = salted_equijoin(hot, right, "k", "rk", salt_buckets="auto")
+    assert "__salt" in plan_of(auto)
+    plain = hot.join(right, hot.k == right.rk)
+    assert (
+        sorted(map(tuple, auto.select("k", "v", "w").collect()))
+        == sorted(map(tuple, plain.select("k", "v", "w").collect()))
+    )
+
+    uniform = spark.createDataFrame(
+        [Row(k=i % 40, v=i) for i in range(400)]
+    )
+    assert suggest_salt_buckets(uniform, ["k"]) == 1
+    unsalted = salted_equijoin(
+        uniform, right, "k", "rk", salt_buckets="auto"
+    )
+    assert "__salt" not in plan_of(unsalted)
+
+    with pytest.raises(ValueError):
+        salted_equijoin(hot, right, "k", "rk", salt_buckets="bogus")
