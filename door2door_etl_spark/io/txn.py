@@ -13,12 +13,18 @@ that for free — Iceberg/Delta multi-table transactions likewise require
 a coordinating journal (the catalog).  This module is that journal,
 scoped honestly:
 
-* **Not cross-table snapshot isolation.**  Tables become visible in op
-  order; a reader between ops sees table A advanced and table B not yet.
-  What IS guaranteed: the pair CONVERGES — after :func:`recover`, every
-  journaled transaction is either fully applied or (if it never reached
-  the journal) fully absent.  No torn state survives a crash plus one
-  recovery pass.
+* **Convergence for direct readers, snapshot isolation through the
+  epoch.**  Direct ``ManifestTable.read`` readers see tables become
+  visible in op order (a reader between ops sees table A advanced and
+  table B not yet), but the pair always CONVERGES — after
+  :func:`recover`, every journaled transaction is either fully applied
+  or (if it never reached the journal) fully absent.  Readers that
+  resolve through a :class:`LakeEpoch` get full cross-table snapshot
+  isolation: a transaction's per-table version claims become visible in
+  ONE atomic epoch-file put AFTER all ops land, so an epoch reader can
+  never observe table A new + table B old — on either side of a crash
+  (before the flip: both old; after: both new; recovery completes the
+  flip for journaled transactions that died mid-way).
 * **Exactly-once ops.**  Each op's payload is staged to the journal
   BEFORE the journal record commits (crash-safe input capture), each
   op's manifest commit carries an ``op_tag`` (``txn_id/op_idx``), and a
@@ -44,11 +50,14 @@ staging phase.
 
 Usage::
 
-    txn = MultiTableTransaction(journal_root)
+    epoch = LakeEpoch(epoch_root)          # optional: snapshot isolation
+    txn = MultiTableTransaction(journal_root, epoch=epoch)
     txn.run(spark, [
         TxnOp("merge", curated_root, key="doc_id", payload=batch),
         TxnOp("append", postings_root, payload=new_postings),
     ])
+    # consistency-sensitive readers:
+    epoch.read_table(spark, curated_root)  # never a torn pair
     # at writer startup:
     recover(spark, journal_root)
 """
@@ -88,9 +97,79 @@ class TxnOp:
             raise ValueError(f"{self.kind} op requires key=")
 
 
+class LakeEpoch:
+    """Lake-level visibility pointer: one numbered JSON file per epoch,
+    each pinning ``{table_root: version}`` for every table the lake has
+    ever published.  The file lands via ``put_if_absent`` (the manifest
+    protocol's atomic claim), so a flip is all-or-nothing; readers
+    resolve a table through :meth:`read_table` and always see the
+    version set of EXACTLY ONE epoch.  Tables the epoch has never
+    pinned read at their current version (they are outside the
+    isolation domain by definition)."""
+
+    def __init__(self, epoch_root: str, fs=None):
+        from door2door_etl_spark.io.manifest import LocalFsOps
+
+        self.epoch_root = epoch_root
+        self.fs = fs if fs is not None else LocalFsOps()
+
+    def _path(self, n: int) -> str:
+        return os.path.join(self.epoch_root, f"epoch-{n:08d}.json")
+
+    def current_epoch(self) -> int | None:
+        names = self.fs.list_names(self.epoch_root)
+        versions = [
+            int(n[len("epoch-"):-len(".json")])
+            for n in names
+            if n.startswith("epoch-") and n.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def pins(self) -> dict[str, int]:
+        """The current epoch's ``{table_root: version}`` map ({} before
+        the first publish)."""
+        cur = self.current_epoch()
+        if cur is None:
+            return {}
+        raw = self.fs.read_bytes(self._path(cur))
+        return {} if raw is None else json.loads(raw)["tables"]
+
+    def publish(self, table_versions: dict[str, int]) -> int:
+        """Flip the lake to a new epoch: prior pins carry forward, the
+        given tables move to their new versions, ONE atomic put makes
+        them all visible together.  Loses a claim race -> retries at
+        the next number with the loser's pins re-merged on top of the
+        winner's (last-writer-wins per table, never a torn mix)."""
+        from door2door_etl_spark.io.objectstore import normalize_object_uri
+
+        norm = {
+            normalize_object_uri(t): int(v) for t, v in table_versions.items()
+        }
+        while True:
+            pins = self.pins()
+            pins.update(norm)
+            nxt = (self.current_epoch() or 0) + 1
+            payload = json.dumps(
+                {"epoch": nxt, "tables": pins}, sort_keys=True
+            ).encode()
+            if self.fs.put_if_absent(self._path(nxt), payload):
+                return nxt
+
+    def read_table(self, spark: SparkSession, table_root: str) -> DataFrame:
+        """Read ``table_root`` at its epoch-pinned version — the reader
+        half of cross-table snapshot isolation.  Unpinned tables read
+        current."""
+        from door2door_etl_spark.io.manifest import ManifestTable
+        from door2door_etl_spark.io.objectstore import normalize_object_uri
+
+        pin = self.pins().get(normalize_object_uri(table_root))
+        return ManifestTable(table_root).read(spark, version=pin)
+
+
 class MultiTableTransaction:
-    def __init__(self, journal_root: str):
+    def __init__(self, journal_root: str, epoch: LakeEpoch | None = None):
         self.journal_root = journal_root
+        self.epoch = epoch
 
     # -- paths --------------------------------------------------------------
     def _txn_dir(self, txn_id: str) -> str:
@@ -129,13 +208,18 @@ class MultiTableTransaction:
                 }
             )
         tmp = self._record_path(txn_id) + ".tmp"
+        record = {
+            "txn_id": txn_id,
+            "ops": decl,
+            "epoch_root": self.epoch.epoch_root if self.epoch else None,
+        }
         with open(tmp, "w") as f:
-            json.dump({"txn_id": txn_id, "ops": decl}, f)
+            json.dump(record, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._record_path(txn_id))  # journal point of no return
         versions = _apply(
-            spark, self, txn_id, decl
+            spark, self, txn_id, decl, epoch_root=record["epoch_root"]
         )
         return {"txn_id": txn_id, "versions": versions}
 
@@ -145,11 +229,17 @@ def _apply(
     txn: MultiTableTransaction,
     txn_id: str,
     decl: list[dict],
+    epoch_root: str | None = None,
 ) -> list[int]:
     """Apply (or resume) a journaled transaction: per op, skip if its
     done-marker exists, else probe the table for the op_tag (the commit
-    landed but the marker didn't), else run it — then mark.  Finishes by
-    writing the transaction-level done marker."""
+    landed but the marker didn't), else run it — then mark.  With an
+    epoch, ONE atomic epoch publish then flips every table's visible
+    version together (before that put, epoch readers still see the old
+    consistent set; a crash before it is completed here on recovery —
+    a duplicate publish after a crash-after-put re-pins the same
+    versions, harmless).  Finishes by writing the transaction-level
+    done marker."""
     from door2door_etl_spark.io.manifest import (
         ManifestTable,
         append_manifest,
@@ -174,22 +264,30 @@ def _apply(
         if committed is None:
             payload = spark.read.parquet(d["staged"])
             if d["kind"] == "append":
-                committed = append_manifest(
+                append_manifest(
                     spark, d["table_root"], payload,
                     partition_col=d["partition_col"],
                     stats_col=d["stats_col"], op_tag=tag,
                 )
             elif d["kind"] == "merge":
-                committed = merge_manifest(
+                merge_manifest(
                     spark, d["table_root"], payload, key=d["key"],
                     partition_col=d["partition_col"],
                     stats_col=d["stats_col"], op_tag=tag,
                 )
             else:
-                committed = delete_manifest(
+                delete_manifest(
                     spark, d["table_root"], payload, key=d["key"],
                     mode=d["delete_mode"], op_tag=tag,
                 )
+            # Resolve the VERSION the op landed as from its tag — the
+            # writers' return values are row counts for merge/delete, and
+            # the epoch needs true versions to pin.  A no-op commit
+            # (e.g. delete matching nothing writes no manifest) pins the
+            # table's current version.
+            committed = table.find_op_tag(tag)
+            if committed is None:
+                committed = table.current_version() or 0
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(committed))
@@ -197,6 +295,10 @@ def _apply(
             os.fsync(f.fileno())
         os.rename(tmp, marker)
         versions.append(int(committed))
+    if epoch_root:
+        LakeEpoch(epoch_root).publish(
+            {d["table_root"]: v for d, v in zip(decl, versions)}
+        )
     with open(txn._done_marker(txn_id), "w") as f:
         f.write("done")
     return versions
@@ -230,9 +332,15 @@ def recover(
         if os.path.exists(txn._done_marker(txn_id)):
             continue
         with open(os.path.join(journal_root, name)) as f:
-            decl = json.load(f)["ops"]
+            record = json.load(f)
         out.append(
-            {"txn_id": txn_id, "versions": _apply(spark, txn, txn_id, decl)}
+            {
+                "txn_id": txn_id,
+                "versions": _apply(
+                    spark, txn, txn_id, record["ops"],
+                    epoch_root=record.get("epoch_root"),
+                ),
+            }
         )
     # sweep journal-less staging dirs (crash before the rename) — but only
     # past the age gate, so a concurrent writer's freshly-staged payloads

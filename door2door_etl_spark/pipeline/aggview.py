@@ -181,15 +181,23 @@ class IncrementalAggView:
     this class; pinned by test).  Read quantiles via :meth:`read_hdr`
     + ``operators.sketches.hdr_quantiles``.
 
-    RETRACTION CONTRACT for ``distinct_cols``: HLL merge is MAX, which
-    is delete-blind — a retraction cannot lower a register.  The
-    maintained ``distinct_est_<c>`` therefore estimates the distinct
-    values EVER INSERTED into the group since the seed snapshot: an
-    upper bound on the live distinct count, exact-trending while
-    deletes don't remove a group's last copy of a value.  Callers
-    needing delete-aware distinct counts should periodically re-seed
-    (drop the view and refresh) or pair the estimate with an exact
-    recompute; the incremental path deliberately never rescans for it.
+    RETRACTION CONTRACT for ``distinct_cols`` (delete-aware since round
+    9): each group carries, besides the HLL registers, a bounded exact
+    value ledger ``dv_<c>: map<value, live count>`` while the group
+    holds at most ``distinct_exact_k`` distinct values.  The ledger
+    SUM-merges like the HDR maps, so in this EXACT regime deletes
+    retract perfectly and ``distinct_est_<c>`` IS the live distinct
+    count.  A group whose distinct cardinality exceeds the cap drops
+    its ledger (NULL marker) and serves the HLL estimate; because HLL
+    MAX-merge is delete-blind, a retraction touching an overflowed
+    group triggers a RECOMPUTE of that group's registers (and, if it
+    shrank back under the cap, its ledger) from the new snapshot —
+    the same bound-touch pattern min/max uses, restricted to exactly
+    the flagged groups.  Net: the estimate never drifts up under churn;
+    between delete waves an overflowed group's estimate covers the
+    values inserted since its last recompute.  ``distinct_exact_k=0``
+    disables the ledger entirely and restores the round-8 contract
+    (ever-inserted upper bound, no rescan ever).
 
     The view table (always POSIX-versioned, independent of the source's
     layout) holds one row per group plus one ledger row per applied
@@ -206,6 +214,7 @@ class IncrementalAggView:
     distinct_cols: list[str] = field(default_factory=list)
     hdr_cols: list[str] = field(default_factory=list)
     hdr_sub_bits: int = 4
+    distinct_exact_k: int = 64
 
     @property
     def _stored_sum_cols(self) -> list[str]:
@@ -269,7 +278,51 @@ class IncrementalAggView:
         out = base.groupBy(*self.group_cols).agg(*aggs)
         for c in self.hdr_cols:
             out = self._join_on_group(out, self._hdr_map(base, c))
+        if self.distinct_exact_k:
+            for c in self.distinct_cols:
+                out = self._join_on_group(out, self._dv_map(base, c))
         return out
+
+    def _dv_map(self, base: DataFrame, c: str) -> DataFrame:
+        """Per-group exact distinct-value ledger ``dv_<c>: map<value
+        string, live count>`` for groups at or under the
+        ``distinct_exact_k`` cap; groups over the cap get NULL (the
+        overflow marker).  Bounded at scale: the cardinality gate runs
+        FIRST (one count-distinct aggregate) and only sub-cap groups'
+        entries are ever collected into a map — a distinct-heavy group
+        never materializes an unbounded entry list."""
+        gk = "_gk_dv"
+        per_val = (
+            base.filter(F.col(c).isNotNull())
+            .groupBy(
+                *self.group_cols, F.col(c).cast("string").alias("_v")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+            .withColumn(gk, _group_key_expr(self.group_cols))
+        )
+        nd = per_val.groupBy(gk, *self.group_cols).agg(
+            F.count(F.lit(1)).alias("_nd")
+        )
+        small = nd.filter(F.col("_nd") <= self.distinct_exact_k).select(gk)
+        maps = (
+            per_val.join(F.broadcast(small), gk, "leftsemi")
+            .groupBy(gk)
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_v"), F.col("_cnt")))
+                    )
+                ).alias(f"dv_{c}")
+            )
+        )
+        # NULL map for over-cap groups (left join misses), EMPTY map for
+        # groups whose every value is NULL (absent from per_val entirely —
+        # they fall out of this frame and the caller's left join leaves
+        # dv NULL there too; read() serves their 0 via the HLL estimate)
+        return (
+            nd.join(maps, gk, "left")
+            .select(*self.group_cols, f"dv_{c}")
+        )
 
     def _hdr_map(self, base: DataFrame, c: str) -> DataFrame:
         """Per-group HDR bin map ``hdr_<c>: map<bin, cnt>`` of the
@@ -294,14 +347,19 @@ class IncrementalAggView:
             )
         )
 
-    def _join_on_group(self, left: DataFrame, right: DataFrame) -> DataFrame:
+    def _join_on_group(
+        self, left: DataFrame, right: DataFrame, cols: list[str] | None = None
+    ) -> DataFrame:
         """Left-join two group-grained frames NULL-safely via the
-        deterministic group key (group values may be NULL)."""
+        deterministic group key (group values may be NULL).  ``cols``
+        defaults to the view grain; an EMPTY list joins two one-row
+        grand-total frames."""
+        cols = self.group_cols if cols is None else cols
+        # empty cols (grand total): _group_key_expr([]) is the constant
+        # "" on both sides — a 1-row x 1-row left join
         k = "_gk_join"
-        lk = left.withColumn(k, _group_key_expr(self.group_cols))
-        rk = right.withColumn(k, _group_key_expr(self.group_cols)).drop(
-            *self.group_cols
-        )
+        lk = left.withColumn(k, _group_key_expr(cols))
+        rk = right.withColumn(k, _group_key_expr(cols)).drop(*cols)
         return lk.join(rk, k, "left").drop(k)
 
     def full_recompute_frame(self, spark: SparkSession) -> DataFrame:
@@ -343,9 +401,45 @@ class IncrementalAggView:
                 for n in (f"min_{c}", f"max_{c}")
             ],
             *[
-                _hll_estimate_expr(f"hll_{c}").alias(f"distinct_est_{c}")
+                self._distinct_est_expr(c)
                 for c in self.distinct_cols
             ],
+        )
+
+    def _hll_merge_expr(self, c: str, dv_rec, zero_regs):
+        """Delta-merged registers for ``hll_<c>``: elementwise MAX of
+        current and insert-delta registers; under the delete-aware
+        ledger, a recompute-flagged group's registers are replaced by
+        the live snapshot's (``_rec_hll_<c>``)."""
+        merged = F.zip_with(
+            F.coalesce(F.col(f"_cur_hll_{c}"), F.array(*[F.lit(0)] * _HLL_M)),
+            F.coalesce(F.col(f"_ins_hll_{c}"), F.array(*[F.lit(0)] * _HLL_M)),
+            lambda a, b: F.greatest(a, b),
+        )
+        if not self.distinct_exact_k:
+            return merged.cast("array<int>").alias(f"hll_{c}")
+        return (
+            F.when(dv_rec, F.coalesce(F.col(f"_rec_hll_{c}"), zero_regs))
+            .otherwise(merged)
+            .cast("array<int>")
+            .alias(f"hll_{c}")
+        )
+
+    def _distinct_est_expr(self, c: str):
+        """``distinct_est_<c>`` read expression: the EXACT live count
+        (ledger size) while the group's ledger is live, the HLL
+        estimate for overflowed groups (NULL ledger = overflow
+        marker)."""
+        est = _hll_estimate_expr(f"hll_{c}")
+        if not self.distinct_exact_k:
+            return est.alias(f"distinct_est_{c}")
+        return (
+            F.when(
+                F.col(f"dv_{c}").isNotNull(),
+                F.round(F.size(F.col(f"dv_{c}")).cast("double"), 4),
+            )
+            .otherwise(est)
+            .alias(f"distinct_est_{c}")
         )
 
     def _live_state(self, spark: SparkSession) -> DataFrame:
@@ -372,10 +466,14 @@ class IncrementalAggView:
         * ``min_<c>`` / ``max_<c>`` — MIN of mins / MAX of maxes (exact
           at fine grain by the retraction-recompute contract, hence
           exact rolled up);
-        * ``distinct_est_<c>`` — element-wise MAX-merge of the HLL
-          register arrays (the sketch's defining merge), estimating the
-          union's distinct count over LIVE fine groups' ever-inserted
-          streams (the class retraction contract, unchanged by rollup).
+        * ``distinct_est_<c>`` — EXACT when every contributing fine
+          group's value ledger is live: the rolled count is the number
+          of distinct ledger keys across the fine groups (counts sum,
+          so cross-group value overlap collapses correctly) — exactness
+          is free at serve time even past the storage cap.  If ANY
+          contributing group overflowed, element-wise MAX-merge of the
+          HLL register arrays (the sketch's defining merge), under the
+          class retraction contract.
 
         At 100 TB this is the point of maintaining the view: serving
         touches O(fine groups) rows of view state — typically 10⁰–10⁶ —
@@ -414,8 +512,30 @@ class IncrementalAggView:
                 ).alias(f"hll_{c}")
                 for c in self.distinct_cols
             ]
+            + [
+                F.min(F.col(f"dv_{c}").isNotNull()).alias(f"_allx_{c}")
+                for c in (self.distinct_cols if self.distinct_exact_k else [])
+            ]
         )
         rolled = state.groupBy(*rollup_cols).agg(*aggs)
+        if self.distinct_exact_k:
+            for c in self.distinct_cols:
+                # exact rolled distinct: number of distinct ledger keys
+                # across the contributing fine groups (used only where
+                # every contributor is exact — the _allx_<c> gate)
+                ex = (
+                    state.select(
+                        *rollup_cols,
+                        F.explode(F.col(f"dv_{c}")).alias("_v", "_cnt"),
+                    )
+                    .groupBy(*rollup_cols)
+                    .agg(
+                        F.count_distinct(F.col("_v"))
+                        .cast("double")
+                        .alias(f"_dvn_{c}")
+                    )
+                )
+                rolled = self._join_on_group(rolled, ex, rollup_cols)
         return rolled.select(
             *rollup_cols,
             "n_rows",
@@ -433,7 +553,14 @@ class IncrementalAggView:
                 for n in (f"min_{c}", f"max_{c}")
             ],
             *[
-                _hll_estimate_expr(f"hll_{c}").alias(f"distinct_est_{c}")
+                (
+                    F.when(
+                        F.col(f"_allx_{c}"),
+                        F.round(F.coalesce(F.col(f"_dvn_{c}"), F.lit(0.0)), 4),
+                    ).otherwise(_hll_estimate_expr(f"hll_{c}"))
+                    if self.distinct_exact_k
+                    else _hll_estimate_expr(f"hll_{c}")
+                ).alias(f"distinct_est_{c}")
                 for c in self.distinct_cols
             ],
         )
@@ -511,6 +638,9 @@ class IncrementalAggView:
         ] + [
             F.col(f"hdr_{c}").cast("map<bigint,bigint>").alias(f"hdr_{c}")
             for c in self.hdr_cols
+        ] + [
+            F.col(f"dv_{c}").cast("map<string,bigint>").alias(f"dv_{c}")
+            for c in (self.distinct_cols if self.distinct_exact_k else [])
         ]
         return out.select(*cols)
 
@@ -529,6 +659,10 @@ class IncrementalAggView:
             ]
             + [f"`hll_{c}` array<int>" for c in self.distinct_cols]
             + [f"`hdr_{c}` map<bigint,bigint>" for c in self.hdr_cols]
+            + [
+                f"`dv_{c}` map<string,bigint>"
+                for c in (self.distinct_cols if self.distinct_exact_k else [])
+            ]
         )
         fields = (
             [tag]
@@ -541,6 +675,7 @@ class IncrementalAggView:
                 + 2 * len(self.minmax_cols)
                 + len(self.distinct_cols)
                 + len(self.hdr_cols)
+                + (len(self.distinct_cols) if self.distinct_exact_k else 0)
             )
         )
         return spark.createDataFrame([tuple(fields)], schema=", ".join(parts))
@@ -688,6 +823,17 @@ class IncrementalAggView:
             _hll_register_array_agg_weighted(c).alias(f"_ins_hll_{c}")
             for c in self.distinct_cols
         ]
+        if self.distinct_exact_k:
+            # per-group "this window retracted a value" flag — the
+            # bound-touch trigger for the overflowed-group recompute
+            delta_aggs += [
+                F.max(
+                    F.when(
+                        (F.col("_w") == -1) & F.col(c).isNotNull(), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(f"_ret_dv_{c}")
+                for c in self.distinct_cols
+            ]
         delta = signed.groupBy(*self.group_cols).agg(*delta_aggs).withColumn(
             "_group_key", _group_key_expr(self.group_cols)
         )
@@ -723,6 +869,52 @@ class IncrementalAggView:
                 )
                 delta = delta.join(F.broadcast(d_map), "_group_key", "left")
 
+        if self.distinct_exact_k:
+            # Signed per-(group, value) ledger deltas, the HDR pattern
+            # with one extra gate: a group whose WINDOW alone introduces
+            # more than k distinct values is overflow-bound regardless of
+            # its current ledger, so its (unboundedly large) delta map is
+            # never collected — it gets a _dvbig marker instead.
+            for c in self.distinct_cols:
+                d_val = (
+                    signed.filter(F.col(c).isNotNull())
+                    .groupBy(
+                        *self.group_cols,
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    .agg(F.sum("_w").cast("long").alias("_d"))
+                    .filter(F.col("_d") != 0)
+                    .withColumn("_group_key", _group_key_expr(self.group_cols))
+                )
+                pos = d_val.groupBy("_group_key").agg(
+                    F.sum(
+                        F.when(F.col("_d") > 0, F.lit(1)).otherwise(F.lit(0))
+                    ).alias("_npos")
+                )
+                big = pos.filter(
+                    F.col("_npos") > self.distinct_exact_k
+                ).select("_group_key", F.lit(True).alias(f"_dvbig_{c}"))
+                d_map = (
+                    d_val.join(
+                        F.broadcast(big.select("_group_key")),
+                        "_group_key",
+                        "left_anti",
+                    )
+                    .groupBy("_group_key")
+                    .agg(
+                        F.map_from_entries(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(F.col("_v"), F.col("_d"))
+                                )
+                            )
+                        ).alias(f"_d_dv_{c}")
+                    )
+                )
+                delta = delta.join(
+                    F.broadcast(d_map), "_group_key", "left"
+                ).join(F.broadcast(big), "_group_key", "left")
+
         view = VersionedParquetTable(self.view_root).read(spark)
         current = view.filter(
             ~F.col("_group_key").startswith(_LEDGER_PREFIX)
@@ -749,6 +941,10 @@ class IncrementalAggView:
             *[
                 F.col(f"hdr_{c}").alias(f"_cur_hdr_{c}")
                 for c in self.hdr_cols
+            ],
+            *[
+                F.col(f"dv_{c}").alias(f"_cur_dv_{c}")
+                for c in (self.distinct_cols if self.distinct_exact_k else [])
             ],
         )
         # Scale shape: the delta is O(touched groups) — broadcast its keys
@@ -823,6 +1019,105 @@ class IncrementalAggView:
                     .alias(f"max_{c}"),
                 ]
 
+        _EMPTY_DV = F.expr("CAST(map() AS MAP<STRING,BIGINT>)")
+        _ZERO_REGS = F.array(*[F.lit(0)] * _HLL_M).cast("array<int>")
+        dv_exprs: list = []
+        dv_rec = F.lit(False)
+        if self.distinct_exact_k and self.distinct_cols:
+            # Overflowed group + retraction -> recompute that group's
+            # registers (and ledger, if it shrank back under the cap)
+            # from the NEW snapshot — the min/max bound-touch pattern.
+            new_group = F.col("_cur_n").isNull()
+            needs = None
+            for c in self.distinct_cols:
+                cond = (
+                    (~new_group)
+                    & F.col(f"_cur_dv_{c}").isNull()
+                    & (F.col(f"_ret_dv_{c}") == 1)
+                )
+                needs = cond if needs is None else (needs | cond)
+            dv_flagged = joined.filter(needs & (new_n > 0)).select(
+                "_group_key", F.lit(True).alias("_dv_rec")
+            )
+            snap_dv = (
+                self._read_source_version(spark, to_v)
+                .withColumn("_group_key", _group_key_expr(self.group_cols))
+                .join(
+                    F.broadcast(dv_flagged.select("_group_key")),
+                    "_group_key",
+                    "leftsemi",
+                )
+            )
+            joined = joined.join(F.broadcast(dv_flagged), "_group_key", "left")
+            dv_rec = F.coalesce(F.col("_dv_rec"), F.lit(False))
+            for c in self.distinct_cols:
+                per_val = (
+                    snap_dv.filter(F.col(c).isNotNull())
+                    .groupBy(
+                        "_group_key", F.col(c).cast("string").alias("_v")
+                    )
+                    .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+                )
+                nd = per_val.groupBy("_group_key").agg(
+                    F.count(F.lit(1)).alias(f"_rec_nd_{c}"),
+                    # registers over distinct values == over rows (_h52
+                    # casts to string, so hashing _v is bit-identical)
+                    _hll_register_array_agg("_v").alias(f"_rec_hll_{c}"),
+                )
+                small = nd.filter(
+                    F.col(f"_rec_nd_{c}") <= self.distinct_exact_k
+                ).select("_group_key")
+                maps = (
+                    per_val.join(F.broadcast(small), "_group_key", "leftsemi")
+                    .groupBy("_group_key")
+                    .agg(
+                        F.map_from_entries(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(F.col("_v"), F.col("_cnt"))
+                                )
+                            )
+                        ).alias(f"_rec_dv_{c}")
+                    )
+                )
+                joined = joined.join(
+                    F.broadcast(nd.join(maps, "_group_key", "left")),
+                    "_group_key",
+                    "left",
+                )
+            for c in self.distinct_cols:
+                merged = F.map_filter(
+                    F.map_zip_with(
+                        F.coalesce(F.col(f"_cur_dv_{c}"), _EMPTY_DV),
+                        F.coalesce(F.col(f"_d_dv_{c}"), _EMPTY_DV),
+                        lambda k, a, b: F.coalesce(a, F.lit(0))
+                        + F.coalesce(b, F.lit(0)),
+                    ),
+                    lambda k, v: v != 0,
+                )
+                dv_exprs.append(
+                    F.when(new_n == 0, _EMPTY_DV)
+                    .when(
+                        dv_rec,
+                        # recompute: absent from the snapshot agg = zero
+                        # live values = exact empty; NULL rec map with a
+                        # present count = still over the cap
+                        F.when(
+                            F.col(f"_rec_nd_{c}").isNull(), _EMPTY_DV
+                        ).otherwise(F.col(f"_rec_dv_{c}")),
+                    )
+                    .when(F.coalesce(F.col(f"_dvbig_{c}"), F.lit(False)), F.lit(None))
+                    .when(
+                        (~F.col("_cur_n").isNull())
+                        & F.col(f"_cur_dv_{c}").isNull(),
+                        F.lit(None),  # overflow persists absent a retraction
+                    )
+                    .when(F.size(merged) > self.distinct_exact_k, F.lit(None))
+                    .otherwise(merged)
+                    .cast("map<string,bigint>")
+                    .alias(f"dv_{c}")
+                )
+
         updated = joined.select(
             "_group_key",
             *[F.col(c).cast("string").alias(c) for c in self.group_cols],
@@ -845,18 +1140,9 @@ class IncrementalAggView:
             *[
                 # lossless HLL union: elementwise MAX of the current and
                 # insert-delta registers (either side may be absent for a
-                # brand-new or untouched-by-inserts group)
-                F.zip_with(
-                    F.coalesce(
-                        F.col(f"_cur_hll_{c}"),
-                        F.array(*[F.lit(0)] * _HLL_M),
-                    ),
-                    F.coalesce(
-                        F.col(f"_ins_hll_{c}"),
-                        F.array(*[F.lit(0)] * _HLL_M),
-                    ),
-                    lambda a, b: F.greatest(a, b),
-                ).cast("array<int>").alias(f"hll_{c}")
+                # brand-new or untouched-by-inserts group); a recomputed
+                # group replaces its registers with the live snapshot's
+                self._hll_merge_expr(c, dv_rec, _ZERO_REGS)
                 for c in self.distinct_cols
             ],
             *[
@@ -873,6 +1159,7 @@ class IncrementalAggView:
                 ).cast("map<bigint,bigint>").alias(f"hdr_{c}")
                 for c in self.hdr_cols
             ],
+            *dv_exprs,
         )
         ledger = self._ledger_row(spark, from_v, to_v)
         batch = updated.unionByName(ledger)

@@ -835,6 +835,10 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.length("o_orderpriority").cast("double").alias("n_chars"),
     )
+    # okey doubles as a payload column so the view can keep a SECOND
+    # distinct column with per-group cardinality >> distinct_exact_k —
+    # the overflow + delete-recompute regime of the delete-aware ledger
+    # (n_chars stays under the cap: the exact-ledger regime)
     root = os.path.join(
         # per-process suffix: concurrent sweeps (sf0.01 + sf1) must not
         # clobber each other's fixture tables
@@ -855,7 +859,7 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
         sum_cols=["n_chars"],
         minmax_cols=["n_chars"],
         avg_cols=["n_chars"],
-        distinct_cols=["n_chars"],
+        distinct_cols=["n_chars", "okey"],
     )
     if view.refresh(spark)["action"] != "seed":
         raise RuntimeError("cdc_agg_view: expected seed on first refresh")
@@ -1087,8 +1091,11 @@ def q_aggview_rollup_serving(spark: SparkSession, sf: str) -> DataFrame:
     return view.serve_rollup(spark, ["status"])
 
 
-_ROLLUP_H52 = sql_h52("n_chars", "hll")
-SQL_AGGVIEW_ROLLUP_SERVING = f"""
+# Delete-aware distinct (round 9): every fine (status, prio) group holds
+# 1-2 distinct n_chars values — far under the exact-ledger cap — so the
+# rolled estimate is the EXACT live distinct count per status (serving
+# counts distinct ledger keys across fine groups).
+SQL_AGGVIEW_ROLLUP_SERVING = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
               THEN 'U' ELSE o_orderstatus END AS status,
@@ -1097,60 +1104,15 @@ WITH final AS (
               + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
                      THEN 4 ELSE 0 END AS DOUBLE) AS n_chars
   FROM orders
-  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0)),
-live AS (SELECT DISTINCT status, prio FROM final),
-ins AS (
-  -- ever-inserted (fine group, value) stream: the registers' retraction
-  -- contract — deletes never lower a register, rollup merges only LIVE
-  -- fine groups' registers
-  SELECT o_orderstatus AS status, o_orderpriority AS prio,
-         CAST(length(o_orderpriority) AS DOUBLE) AS n_chars
-  FROM orders WHERE o_orderkey % 3 <> 0
-  UNION ALL
-  SELECT o_orderstatus, o_orderpriority, CAST(length(o_orderpriority) AS DOUBLE)
-  FROM orders WHERE o_orderkey % 3 = 0
-  UNION ALL
-  SELECT 'U', o_orderpriority, CAST(length(o_orderpriority) + 4 AS DOUBLE)
-  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0),
-ins_live AS (
-  SELECT i.* FROM ins i SEMI JOIN live l
-  ON i.status = l.status AND i.prio = l.prio),
-h AS (SELECT status, {_ROLLUP_H52} AS h FROM ins_live WHERE n_chars IS NOT NULL),
-br AS (
-  SELECT status, CAST(h >> 46 AS INT) AS bucket,
-         CAST(CASE WHEN (h % 70368744177664) > 0
-                   THEN 47 - length(bin(h % 70368744177664))
-                   ELSE 47 END AS INT) AS register
-  FROM h),
-regs AS (SELECT status, bucket, max(register) AS register FROM br GROUP BY ALL),
-hest AS (
-  SELECT status, count(*) AS n_used,
-         sum(CAST(1 AS BIGINT) << (47 - register)) AS s_present
-  FROM regs GROUP BY 1),
-est AS (
-  SELECT status,
-         CASE WHEN (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-                    * CAST(140737488355328 AS DOUBLE))
-                   / CAST(s_present + (64 - n_used)
-                          * CAST(140737488355328 AS BIGINT) AS DOUBLE)
-                   <= 160.0
-              AND (64 - n_used) > 0
-         THEN round(64.0 * ln(64.0 / CAST(64 - n_used AS DOUBLE)), 4)
-         ELSE round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-                     * CAST(140737488355328 AS DOUBLE))
-                    / CAST(s_present + (64 - n_used)
-                           * CAST(140737488355328 AS BIGINT) AS DOUBLE), 4)
-         END AS distinct_est_n_chars
-  FROM hest),
-base AS (
-  SELECT status, count(*) AS n_rows,
-         CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
-         round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
-           AS avg_n_chars,
-         min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
-  FROM final GROUP BY 1)
-SELECT base.*, est.distinct_est_n_chars
-FROM base JOIN est USING (status)
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0))
+SELECT status, count(*) AS n_rows,
+       CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
+         AS avg_n_chars,
+       min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+       round(CAST(count(DISTINCT n_chars) AS DOUBLE), 4)
+         AS distinct_est_n_chars
+FROM final GROUP BY 1
 """
 
 
@@ -1256,32 +1218,26 @@ FROM c GROUP BY status
 """
 
 
-_CDC_H52 = sql_h52("n_chars", "hll")
+_CDC_H52_OKEY = sql_h52("okey", "hll")
 # HLL geometry twins pipeline/aggview's p=6 constants: wbits=46,
 # wspace=2^46, rmax=47, 2^rmax=140737488355328, alpha=0.709, m^2=4096.
+# Delete-aware distinct (round 9): n_chars stays under the exact-ledger
+# cap, so its estimate IS the live distinct count; okey overflows the
+# cap in every group, and because every pre-existing group takes a
+# retraction in the wave, its registers are RECOMPUTED from the live
+# snapshot (the 'U' group is insert-only, so ever-inserted == live
+# there too) — both columns reduce to expressions over the final state.
 SQL_CDC_AGG_VIEW = f"""
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
               THEN 'U' ELSE o_orderstatus END AS status,
          CAST(length(o_orderpriority)
               + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
-                     THEN 4 ELSE 0 END AS DOUBLE) AS n_chars
+                     THEN 4 ELSE 0 END AS DOUBLE) AS n_chars,
+         CAST(o_orderkey AS VARCHAR) AS okey
   FROM orders
   WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0)),
-ins AS (
-  -- EVER-INSERTED (group, value) stream: seed snapshot plus wave
-  -- post-images; deletes never retract registers (the view's documented
-  -- MAX-merge HLL contract)
-  SELECT o_orderstatus AS status,
-         CAST(length(o_orderpriority) AS DOUBLE) AS n_chars
-  FROM orders WHERE o_orderkey % 3 <> 0
-  UNION ALL
-  SELECT o_orderstatus, CAST(length(o_orderpriority) AS DOUBLE)
-  FROM orders WHERE o_orderkey % 3 = 0
-  UNION ALL
-  SELECT 'U', CAST(length(o_orderpriority) + 4 AS DOUBLE)
-  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0),
-h AS (SELECT status, {_CDC_H52} AS h FROM ins WHERE n_chars IS NOT NULL),
+h AS (SELECT status, {_CDC_H52_OKEY} AS h FROM final WHERE okey IS NOT NULL),
 br AS (
   SELECT status, CAST(h >> 46 AS INT) AS bucket,
          CAST(CASE WHEN (h % 70368744177664) > 0
@@ -1306,16 +1262,18 @@ est AS (
                      * CAST(140737488355328 AS DOUBLE))
                     / CAST(s_present + (64 - n_used)
                            * CAST(140737488355328 AS BIGINT) AS DOUBLE), 4)
-         END AS distinct_est_n_chars
+         END AS distinct_est_okey
   FROM hest),
 base AS (
   SELECT status, count(*) AS n_rows,
          CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
          round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
            AS avg_n_chars,
-         min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+         min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+         round(CAST(count(DISTINCT n_chars) AS DOUBLE), 4)
+           AS distinct_est_n_chars
   FROM final GROUP BY 1)
-SELECT base.*, est.distinct_est_n_chars
+SELECT base.*, est.distinct_est_okey
 FROM base JOIN est USING (status)
 """
 

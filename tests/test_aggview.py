@@ -414,41 +414,48 @@ def test_aggview_avg_and_distinct_maintenance(spark, tmp_path):
     assert g["open"][:2] == (3, 25.5)
     assert g["done"][:2] == (1, 5.0)
 
-    # distinct registers == sketches registers over EVER-INSERTED
-    # NON-NULL values (SQL COUNT DISTINCT semantics: NULL is not a value)
-    ever = spark.createDataFrame(
-        [
-            ("open", 10.0), ("open", 20.0),   # seed
-            ("open", 40.0), ("open", 11.0),   # wave posts
-            ("done", 5.0),
-        ],
+    # delete-aware exact regime (groups under distinct_exact_k): the
+    # maintained estimate IS the live distinct count — 20.0 was deleted,
+    # so open retracts to exactly {11.0, 40.0}
+    assert g["open"][2] == 2.0
+    assert g["done"][2] == 1.0
+
+    # compat: distinct_exact_k=0 restores the round-8 ever-inserted
+    # contract — registers are MAX-merged and delete-blind, bit-identical
+    # to the sketches module over the values inserted since ITS seed
+    legacy = IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp_path / "view_legacy"),
+        key="id",
+        group_cols=["status"],
+        distinct_cols=["amount"],
+        distinct_exact_k=0,
+    )
+    legacy.refresh(spark)  # seeds over live {open: 11,40; done: 5}
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("e",)], "id string"), key="id"
+    )
+    assert legacy.refresh(spark)["action"] == "delta"
+    assert view.refresh(spark)["action"] == "delta"
+    legacy_est = {
+        r["status"]: r["distinct_est_amount"]
+        for r in legacy.read(spark).collect()
+    }
+    ever_since_seed = spark.createDataFrame(
+        [("open", 11.0), ("open", 40.0), ("done", 5.0)],
         "status string, amount double",
     )
     expect = {
         r["status"]: r["est_distinct"]
         for r in hll_estimate(
-            hll_register_table(ever, ["status"], "amount"), ["status"]
-        ).collect()
-    }
-    assert g["open"][2] == expect["open"]
-    assert g["done"][2] == expect["done"]
-    # delete-blindness is visible: 20.0 was deleted but its register
-    # survives (est equals the ever-inserted estimate, which counts it)
-    live_est = {
-        r["status"]: r["est_distinct"]
-        for r in hll_estimate(
-            hll_register_table(
-                spark.createDataFrame(
-                    [("open", 11.0), ("open", 40.0), ("done", 5.0)],
-                    "status string, amount double",
-                ),
-                ["status"],
-                "amount",
-            ),
+            hll_register_table(ever_since_seed, ["status"], "amount"),
             ["status"],
         ).collect()
     }
-    assert g["open"][2] != live_est["open"]
+    # 40.0's doc was deleted but its register survives in the legacy view
+    assert legacy_est["open"] == expect["open"]
+    # ...while the delete-aware view retracts to the single live value
+    assert got()["open"][2] == 1.0
 
     # avg_cols alone never broke plain sum/minmax paths: full parity on
     # the shared columns via the standard oracle
@@ -799,3 +806,94 @@ def test_view_registry_routes_to_cheapest_cover(spark, tmp_path):
     assert reg.route(spark, str(src), ["status"], minmax=["amount"]) is None
     # different source: never served
     assert reg.route(spark, "/elsewhere", ["status"], sums=["amount"]) is None
+
+
+def test_aggview_distinct_overflow_and_delete_recompute(spark, tmp_path):
+    """The delete-aware distinct ledger across its three regimes
+    (distinct_exact_k=4 to exercise them cheaply):
+
+    1. overflow: >k distinct values -> ledger drops, HLL serves
+       (bit-identical to the sketches module over the inserted stream);
+    2. delete in overflow -> bound-touch recompute from the live
+       snapshot; the group shrank under k, so the ledger (and exactness)
+       come back;
+    3. exact-regime deletes decrement the ledger with no recompute, and
+       a later insert burst re-overflows — the registers then cover
+       values since the LAST recompute (the documented contract)."""
+    from door2door_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    def est_of(vals):
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "status string, amount double"
+        )
+        return {
+            r["status"]: r["est_distinct"]
+            for r in hll_estimate(
+                hll_register_table(df, ["status"], "amount"), ["status"]
+            ).collect()
+        }["g"]
+
+    src = tmp_path / "src"
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(spark, [(f"id{i}", "g", float(i)) for i in range(6)]),
+        key="id",
+    )
+    view = IncrementalAggView(
+        source_root=str(src),
+        view_root=str(tmp_path / "view"),
+        key="id",
+        group_cols=["status"],
+        distinct_cols=["amount"],
+        distinct_exact_k=4,
+    )
+    view.refresh(spark)
+
+    def est():
+        return view.read(spark).collect()[0]["distinct_est_amount"]
+
+    # 1. seeded over the cap: HLL regime, sketches-identical
+    assert est() == est_of(range(6))
+
+    # 2. delete three docs -> 3 live values -> recompute -> exact 3.0
+    delete_versioned(
+        spark,
+        str(src),
+        spark.createDataFrame([("id3",), ("id4",), ("id5",)], "id string"),
+        key="id",
+    )
+    assert view.refresh(spark)["action"] == "delta"
+    assert est() == 3.0
+
+    # 3a. exact-regime delete: plain ledger decrement, still exact
+    delete_versioned(
+        spark, str(src), spark.createDataFrame([("id2",)], "id string"),
+        key="id",
+    )
+    view.refresh(spark)
+    assert est() == 2.0
+
+    # 3b. insert burst re-overflows; registers cover values since the
+    # last recompute ({0,1,2} from step 2, minus nothing — the exact
+    # delete of 2.0 never touches registers — plus the new burst)
+    merge_versioned(
+        spark,
+        str(src),
+        _rows(spark, [(f"new{i}", "g", float(100 + i)) for i in range(5)]),
+        key="id",
+    )
+    view.refresh(spark)
+    assert est() == est_of([0, 1, 2, 100, 101, 102, 103, 104])
+
+    # the n_rows/parity invariant held throughout
+    full = {
+        r["status"]: r["n_rows"]
+        for r in view.full_recompute_frame(spark).collect()
+    }
+    assert {
+        r["status"]: r["n_rows"] for r in view.read(spark).collect()
+    } == full

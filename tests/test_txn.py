@@ -57,18 +57,19 @@ def test_txn_crash_between_ops_rolls_forward(spark, tmp_path, monkeypatch):
     ).append_manifest
     calls = {"n": 0}
 
-    def crashing_apply(spark_, txn_, txn_id, decl):
+    def crashing_apply(spark_, txn_, txn_id, decl, epoch_root=None):
         # run op 0 for real, then simulate the process dying
         from door2door_etl_spark.io.manifest import merge_manifest
 
         d = decl[0]
         payload = spark_.read.parquet(d["staged"])
-        v = merge_manifest(
+        merge_manifest(
             spark_, d["table_root"], payload, key=d["key"],
             op_tag=f"{txn_id}/0",
         )
+        ver = ManifestTable(d["table_root"]).find_op_tag(f"{txn_id}/0")
         with open(txn_._done_marker(txn_id, 0), "w") as f:
-            f.write(str(v))
+            f.write(str(ver))
         raise RuntimeError("simulated crash between ops")
 
     monkeypatch.setattr(txn_mod, "_apply", crashing_apply)
@@ -170,3 +171,111 @@ def test_txn_journal_record_is_inspectable(spark, tmp_path):
     assert rec["ops"][0]["kind"] == "merge"
     assert rec["ops"][0]["table_root"] == str(a)
     assert os.path.isdir(rec["ops"][0]["staged"])
+
+
+def test_epoch_reader_snapshot_isolation_across_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Cross-table snapshot isolation through the LakeEpoch: a reader
+    resolving through the epoch NEVER sees table A new + table B old.
+    Before the first txn both are absent; after a crash BETWEEN ops the
+    direct reads are torn (A new, B missing) but the epoch reader still
+    sees the pre-txn state of BOTH; after recover() the epoch flips and
+    the reader sees the post-txn state of BOTH."""
+    from door2door_etl_spark.io.txn import LakeEpoch
+
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    epoch = LakeEpoch(str(tmp_path / "epoch"))
+    txn = MultiTableTransaction(str(j), epoch=epoch)
+
+    # txn 1 commits cleanly: epoch pins both tables at their v1
+    txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10])),
+    ])
+
+    def epoch_ids(root):
+        return sorted(
+            r["id"] for r in epoch.read_table(spark, str(root)).collect()
+        )
+
+    assert epoch_ids(a) == [1] and epoch_ids(b) == [10]
+
+    # txn 2 crashes between ops: a advanced, b did not
+    import door2door_etl_spark.io.txn as txn_mod
+
+    def crashing_apply(spark_, txn_, txn_id, decl, epoch_root=None):
+        from door2door_etl_spark.io.manifest import merge_manifest
+
+        d = decl[0]
+        payload = spark_.read.parquet(d["staged"])
+        merge_manifest(
+            spark_, d["table_root"], payload, key=d["key"],
+            op_tag=f"{txn_id}/0",
+        )
+        ver = ManifestTable(d["table_root"]).find_op_tag(f"{txn_id}/0")
+        with open(txn_._done_marker(txn_id, 0), "w") as f:
+            f.write(str(ver))
+        raise RuntimeError("simulated crash between ops")
+
+    monkeypatch.setattr(txn_mod, "_apply", crashing_apply)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.run(spark, [
+            TxnOp("merge", str(a), payload=_batch(spark, [2]), key="id"),
+            TxnOp("append", str(b), payload=_batch(spark, [11])),
+        ])
+    monkeypatch.undo()
+
+    # direct reads are torn...
+    assert _ids(spark, a) == [1, 2]
+    assert _ids(spark, b) == [10]
+    # ...the epoch reader is NOT: both tables still at txn-1 state
+    assert epoch_ids(a) == [1] and epoch_ids(b) == [10]
+
+    # recovery completes the ops AND flips the epoch: both move together
+    assert len(recover(spark, str(j))) == 1
+    assert epoch_ids(a) == [1, 2] and epoch_ids(b) == [10, 11]
+
+
+def test_epoch_crash_after_flip_before_marker_is_idempotent(spark, tmp_path):
+    """Crash window on the OTHER side of the flip: ops + epoch put
+    landed, done marker lost.  Recovery must re-publish (a duplicate
+    epoch pinning the same versions — harmless) and never double-apply;
+    the reader's view is identical before and after."""
+    from door2door_etl_spark.io.txn import LakeEpoch
+
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    epoch = LakeEpoch(str(tmp_path / "epoch"))
+    txn = MultiTableTransaction(str(j), epoch=epoch)
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ])
+    pins_before = epoch.pins()
+    os.remove(txn._done_marker(out["txn_id"]))
+
+    recovered = recover(spark, str(j))
+    assert len(recovered) == 1
+    assert recovered[0]["versions"] == out["versions"]
+    assert epoch.pins() == pins_before          # same versions re-pinned
+    assert epoch.current_epoch() == 2           # duplicate epoch file
+    assert sorted(
+        r["id"] for r in epoch.read_table(spark, str(b)).collect()
+    ) == [10, 11]                               # NOT doubled
+
+
+def test_epoch_pins_carry_forward_across_disjoint_txns(spark, tmp_path):
+    """A txn touching only table B must not unpin table A: prior pins
+    carry forward into the new epoch file."""
+    from door2door_etl_spark.io.txn import LakeEpoch
+
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    epoch = LakeEpoch(str(tmp_path / "epoch"))
+    txn = MultiTableTransaction(str(j), epoch=epoch)
+    txn.run(spark, [TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id")])
+    txn.run(spark, [TxnOp("append", str(b), payload=_batch(spark, [10]))])
+    pins = epoch.pins()
+    assert len(pins) == 2
+    assert sorted(
+        r["id"] for r in epoch.read_table(spark, str(a)).collect()
+    ) == [1]
