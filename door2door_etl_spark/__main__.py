@@ -30,7 +30,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=["all", "ingestor", "handler", "compact", "autocompact",
                  "vacuum", "restore",
                  "purge", "history", "train-quality-filter", "curate",
-                 "fsck", "convert", "index", "search", "validate"],
+                 "fsck", "convert", "index", "search", "validate",
+                 "replay-quarantine"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -193,6 +194,13 @@ def main(argv: list[str] | None = None) -> int:
                 "--source, --table, --rules and --key are required for validate"
             )
         return _run_validate(args)
+
+    if args.step == "replay-quarantine":
+        if not args.table or not args.rules or not args.key:
+            parser.error(
+                "--table, --rules and --key are required for replay-quarantine"
+            )
+        return _run_replay_quarantine(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history", "fsck"):
@@ -363,29 +371,18 @@ def _run_curate(args) -> int:
             spark.stop()
 
 
-def _run_validate(args) -> int:
-    """Constraint-checked load: evaluate a declared expectation suite
-    (--rules JSON) over --source in one pass, MERGE passing rows into
-    ``<lake-root>/warehouse/<table>``, quarantine violations (with rule
-    tags + batch id) under ``<lake-root>/quarantine/<table>``, and print
-    the per-rule metrics as one JSON line.  Fail-mode violations abort
-    before any write — Delta's CHECK-constraint posture."""
-    import os
-    import uuid
-
-    from pyspark.sql import SparkSession
-
+def _suite_from_json(path: str):
+    """Build an ExpectationSuite from its JSON declaration (the rules
+    file shared by the validate and replay-quarantine steps)."""
     from door2door_etl_spark.pipeline.expectations import (
         Expectation,
         ExpectationSuite,
         UniqueExpectation,
-        checked_merge,
     )
-    from door2door_etl_spark.session import build_session
 
-    with open(args.rules) as f:
+    with open(path) as f:
         decl = json.load(f)
-    suite = ExpectationSuite(
+    return ExpectationSuite(
         rules=[
             Expectation(
                 r["name"], r["expr"],
@@ -401,6 +398,61 @@ def _run_validate(args) -> int:
             for u in decl.get("unique", [])
         ],
     )
+
+
+def _run_replay_quarantine(args) -> int:
+    """Re-validate <lake-root>/quarantine/<table> under the CURRENT
+    --rules declaration, MERGE now-passing rows back into the warehouse
+    table, keep still-failing rows quarantined with refreshed tags —
+    the recovery path after a rule or upstream-schema fix.  Idempotent:
+    a second run admits nothing."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.pipeline.expectations import replay_quarantine
+    from door2door_etl_spark.session import build_session
+
+    suite = _suite_from_json(args.rules)
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-replay-quarantine")
+    try:
+        try:
+            out = replay_quarantine(
+                spark,
+                suite,
+                target_root=os.path.join(args.lake_root, "warehouse", args.table),
+                quarantine_root=os.path.join(
+                    args.lake_root, "quarantine", args.table
+                ),
+                key=args.key,
+            )
+        except ValueError as exc:
+            print(json.dumps({"step": "replay-quarantine", "aborted": str(exc)}))
+            return 1
+        print(json.dumps({"step": "replay-quarantine", **out}))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_validate(args) -> int:
+    """Constraint-checked load: evaluate a declared expectation suite
+    (--rules JSON) over --source in one pass, MERGE passing rows into
+    ``<lake-root>/warehouse/<table>``, quarantine violations (with rule
+    tags + batch id) under ``<lake-root>/quarantine/<table>``, and print
+    the per-rule metrics as one JSON line.  Fail-mode violations abort
+    before any write — Delta's CHECK-constraint posture."""
+    import os
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.pipeline.expectations import checked_merge
+    from door2door_etl_spark.session import build_session
+
+    suite = _suite_from_json(args.rules)
     active = SparkSession.getActiveSession()
     spark = active or build_session(app_name="door2door-validate")
     try:

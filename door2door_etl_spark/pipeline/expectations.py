@@ -278,3 +278,64 @@ def checked_merge(
         }
     finally:
         tagged.unpersist()
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    suite: ExpectationSuite,
+    target_root: str,
+    quarantine_root: str,
+    key: str,
+) -> dict:
+    """The quarantine's way OUT: re-validate every quarantined row under
+    the (presumably fixed/relaxed) ``suite``, MERGE the now-passing rows
+    into the versioned target, and rewrite the quarantine to hold only
+    the still-failing rows (their tags refreshed to the CURRENT rule
+    set; original ``_batch_id`` provenance kept).
+
+    Exactly-once posture: admission is a key-MERGE (idempotent upsert —
+    a replayed admit converges to the same row), and admitted rows leave
+    the quarantine, so a re-run admits nothing and changes nothing.  A
+    crash between the merge and the quarantine rewrite re-admits the
+    same rows on the next replay — same idempotent MERGE, then the
+    rewrite completes: convergent, never duplicated.  Rows failing a
+    ``drop``-mode rule on replay are discarded (drop semantics), and a
+    ``fail``-mode violation aborts before any write, exactly as in
+    :func:`checked_merge`.
+
+    Returns ``{n_replayed, n_admitted, n_still_quarantined}``.
+    """
+    import os
+
+    from door2door_etl_spark.io.versioned import merge_versioned
+
+    if not os.path.isdir(quarantine_root):
+        return {"n_replayed": 0, "n_admitted": 0, "n_still_quarantined": 0}
+    q = spark.read.parquet(quarantine_root)
+    # tag() carries every input column through — the provenance columns
+    # ride along untouched (rules never reference them)
+    tagged = suite.tag(q.drop("_quarantined_rules")).persist()
+    try:
+        passed, still_bad, _metrics = suite.validate_tagged(tagged)
+        n_replayed = tagged.count()
+        n_admitted = passed.count()
+        if n_admitted:
+            merge_versioned(
+                spark, target_root, passed.drop("_batch_id"), key=key
+            )
+        survivors = (
+            still_bad.withColumn("_quarantined_rules", F.col(_TAG))
+            .drop(_TAG)
+            .select(*q.columns)
+            # materialize BEFORE overwriting the directory being read
+            .localCheckpoint(eager=True)
+        )
+        n_survivors = survivors.count()
+        survivors.write.mode("overwrite").parquet(quarantine_root)
+        return {
+            "n_replayed": n_replayed,
+            "n_admitted": n_admitted,
+            "n_still_quarantined": n_survivors,
+        }
+    finally:
+        tagged.unpersist()

@@ -221,3 +221,100 @@ def test_unique_rule_tags_null_key_duplicates(spark):
     )
     got = {r["qty"]: list(r["_violated"]) for r in suite2.tag(comp).collect()}
     assert got == {1: ["kk"], 2: ["kk"], 3: []}
+
+
+def test_replay_quarantine_after_rule_relaxation(spark, tmp_path):
+    """Quarantine lifecycle: checked_merge quarantines violators; after
+    the rule is RELAXED, replay_quarantine admits exactly the
+    now-passing rows into the target (idempotent MERGE), keeps the
+    still-failing rows with refreshed tags, and a second replay is a
+    no-op."""
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+    from door2door_etl_spark.pipeline.expectations import replay_quarantine
+
+    target = str(tmp_path / "target")
+    quar = str(tmp_path / "quar")
+    strict = ExpectationSuite(
+        rules=[Expectation("qty_min", "qty >= 10")],
+        unique_rules=[UniqueExpectation("id_unique", ("id",))],
+    )
+    batch = spark.createDataFrame(
+        [("a", 50), ("b", 7), ("c", 3), ("d", 12), ("d", 12)],
+        "id string, qty int",
+    )
+    out = checked_merge(
+        spark, strict, batch, target, quar, key="id", batch_id="b1"
+    )
+    assert out["n_quarantined"] == 4  # b, c, and both d copies
+
+    def target_ids():
+        return sorted(
+            r["id"]
+            for r in VersionedParquetTable(target).read(spark).collect()
+        )
+
+    assert target_ids() == ["a"]
+
+    # relax the threshold (and the dup keys were cleaned upstream —
+    # drop the unique rule): b and the d's now pass, c still fails
+    relaxed = ExpectationSuite(rules=[Expectation("qty_min", "qty >= 5")])
+    rep = replay_quarantine(spark, relaxed, target, quar, key="id")
+    assert rep == {
+        "n_replayed": 4, "n_admitted": 3, "n_still_quarantined": 1
+    }
+    assert target_ids() == ["a", "b", "d"]  # d's copies merged to one key
+    left = spark.read.parquet(quar).collect()
+    assert [(r["id"], list(r["_quarantined_rules"]), r["_batch_id"])
+            for r in left] == [("c", ["qty_min"], "b1")]
+
+    # idempotent: a second replay admits nothing, changes nothing
+    rep2 = replay_quarantine(spark, relaxed, target, quar, key="id")
+    assert rep2 == {
+        "n_replayed": 1, "n_admitted": 0, "n_still_quarantined": 1
+    }
+    assert target_ids() == ["a", "b", "d"]
+
+
+def test_cli_validate_then_replay_quarantine(spark, tmp_path, capsys):
+    """The full CLI lifecycle: `-s validate` quarantines violators on
+    the checked upsert; after the rules file is relaxed,
+    `-s replay-quarantine` admits the now-passing rows back into the
+    warehouse table."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+
+    batch = spark.createDataFrame(
+        [("a", 50), ("b", 7), ("c", 3)], "id string, qty int"
+    )
+    src = tmp_path / "batch.parquet"
+    batch.write.parquet(str(src))
+    lake = tmp_path / "lake"
+    rules = tmp_path / "rules.json"
+    rules.write_text(_json.dumps(
+        {"rules": [{"name": "qty_min", "expr": "qty >= 10"}]}
+    ))
+
+    rc = main([
+        "-s", "validate", "--source", str(src), "--lake-root", str(lake),
+        "--table", "items", "--rules", str(rules), "--key", "id",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_quarantined"] == 2
+
+    target = VersionedParquetTable(str(lake / "warehouse" / "items"))
+    assert sorted(r["id"] for r in target.read(spark).collect()) == ["a"]
+
+    rules.write_text(_json.dumps(
+        {"rules": [{"name": "qty_min", "expr": "qty >= 5"}]}
+    ))
+    rc = main([
+        "-s", "replay-quarantine", "--lake-root", str(lake),
+        "--table", "items", "--rules", str(rules), "--key", "id",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (out["n_admitted"], out["n_still_quarantined"]) == (1, 1)
+    assert sorted(r["id"] for r in target.read(spark).collect()) == ["a", "b"]
