@@ -897,8 +897,9 @@ def q_txn_co_commit(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from door2door_etl_spark.io.manifest import ManifestTable
     from door2door_etl_spark.io.txn import MultiTableTransaction, TxnOp, recover
+
+    from door2door_etl_spark.io.txn import LakeEpoch
 
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
@@ -911,7 +912,10 @@ def q_txn_co_commit(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     corpus, stats = os.path.join(root, "corpus"), os.path.join(root, "stats")
     journal = os.path.join(root, "journal")
-    txn = MultiTableTransaction(journal)
+    # reads below resolve through the epoch pointer: each txn's tables
+    # flip visible together (cross-table snapshot isolation, round 9)
+    epoch = LakeEpoch(os.path.join(root, "epoch"))
+    txn = MultiTableTransaction(journal, epoch=epoch)
 
     def stat_rows(batch):
         return batch.groupBy("source").agg(
@@ -930,12 +934,12 @@ def q_txn_co_commit(spark: SparkSession, sf: str) -> DataFrame:
         raise RuntimeError("txn_co_commit: recover() re-ran a committed txn")
 
     live = (
-        ManifestTable(corpus).read(spark)
+        epoch.read_table(spark, corpus)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs_live"))
     )
     ledger = (
-        ManifestTable(stats).read(spark)
+        epoch.read_table(spark, stats)
         .groupBy("source")
         .agg(
             F.sum("n_docs").alias("n_docs_ledger"),
