@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "ns_triangle_count",
     "ns_kcore_members",
     "ns_graph_components",
+    "rel_scd2_history",
+    # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
+    # versioned-table wave fixtures, not data-sized query work
     # ns_txn_co_commit, ns_cdc_hdr_quantiles, and ns_aggview_rollup_serving
     # are deliberately NOT headline bench entries (same standing policy as
     # ns_cdc_agg_view since round 7): each builds a versioned table and

@@ -290,6 +290,59 @@ def sessionize(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 history from an event/change log:
+    one row per (key, run of equal tracked attributes) with
+    ``valid_from`` (run's first timestamp), ``valid_to`` (next run's
+    first timestamp, NULL = still current) and ``is_current`` — the
+    dimension-history table a warehouse derives from its CDC/event
+    stream (Kimball's SCD type 2).
+
+    Plan shape: ONE shuffle (hash on the key); the change-flag window,
+    the running-sum run id, the per-run aggregate, and the lead() that
+    closes intervals all reuse that partitioning, so a 100 TB log
+    sessionizes into history without a second exchange.  Rows at equal
+    timestamps order by the attribute values (deterministic cross-engine
+    tiebreak); attribute comparisons are null-safe, so NULL -> value and
+    value -> NULL transitions open new intervals.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in attr_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first_row = F.lag(F.col(ts_col)).over(w).isNull()
+    run = F.sum(
+        F.when(first_row | changed, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = df.select(
+        *key_cols, *attr_cols, F.col(ts_col), run.alias("_run")
+    )
+    hist = runs.groupBy(*key_cols, "_run").agg(
+        F.min(ts_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],  # constant within a run
+    )
+    # equal-timestamp runs (distinct attr tuples sharing a min ts) order
+    # by the attrs — the same tiebreak the event window used, so the
+    # closing lead() is deterministic cross-engine
+    wk = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from"), *[F.col(c) for c in attr_cols]
+    )
+    nxt = F.lead(F.col("valid_from")).over(wk)
+    return hist.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def dedup_first_wins(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

@@ -87,6 +87,46 @@ def q_sessionize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension history (operators.relational.scd2_history):
+    each user's event_type change runs become validity intervals
+    (valid_from / valid_to / is_current) — Kimball's slowly-changing
+    dimension derived from the event log in ONE shuffle (the change
+    flag, run id, per-run aggregate, and interval-closing lead all
+    reuse the key partitioning).  The oracle rebuilds the identical
+    islands with lag/sum/lead windows in plain SQL."""
+    from door2door_etl_spark.operators.relational import scd2_history
+
+    ev = load_table(spark, sf, "events")
+    return scd2_history(ev, ["user_id"], ["event_type"], "ts")
+
+
+SQL_SCD2_HISTORY = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+), hist AS (
+  SELECT user_id, run_id, min(ts) AS valid_from,
+         min(event_type) AS event_type
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER wk AS valid_to,
+       lead(valid_from) OVER wk IS NULL AS is_current
+FROM hist
+WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from, event_type)
+"""
+
+
 SQL_SESSIONIZE_STATS = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -882,6 +922,106 @@ def q_cdc_agg_view(spark: SparkSession, sf: str) -> DataFrame:
     if view.refresh(spark)["action"] != "delta":
         raise RuntimeError("cdc_agg_view: expected an incremental delta window")
     return view.read(spark)
+
+
+_SCD_T1 = "2024-01-01 00:00:00"
+_SCD_T2 = "2024-02-01 00:00:00"
+
+
+def q_scd2_dimension(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension MAINTENANCE end-to-end (pipeline.scd.scd2_merge):
+    seed a customer-like dimension from a deterministic subset of
+    ``orders`` (keys %3!=0, tracked = status + priority length), then
+    apply a second FULL SNAPSHOT wave — inserts (%3==0), tracked-attr
+    changes (%7!=deleted -> status 'U', n_chars+4), and member removals
+    (%11, closed without replacement).  The oracle reproduces the exact
+    interval table (valid_from / valid_to / is_current) in plain SQL
+    from the same wave definitions, so a hash match proves the merge
+    classified every key correctly and never rewrote untouched history."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.pipeline.scd import read_dim, scd2_merge
+
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf, "orders").select(
+        k.cast("string").alias("okey"),
+        k.alias("_k"),
+        F.col("o_orderstatus").alias("status"),
+        F.length("o_orderpriority").cast("double").alias("n_chars"),
+    )
+    root = os.path.join(
+        # per-process suffix: concurrent sweeps must not clobber fixtures
+        tempfile.gettempdir(), f"ns_scd2_dimension_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    dim = os.path.join(root, "dim")
+
+    wave1 = orders.filter(F.col("_k") % 3 != 0)
+    scd2_merge(
+        spark, dim, wave1.select("okey", "status", "n_chars"),
+        key="okey", tracked_cols=["status", "n_chars"], effective_ts=_SCD_T1,
+    )
+    # wave 2 = the final member set: %3==0 joins, %7 (surviving) changes,
+    # %11 leaves
+    wave2 = (
+        orders.filter(~((F.col("_k") % 11 == 0) & (F.col("_k") % 3 != 0)))
+        .withColumn(
+            "status",
+            F.when(
+                (F.col("_k") % 7 == 0) & (F.col("_k") % 3 != 0), F.lit("U")
+            ).otherwise(F.col("status")),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(
+                (F.col("_k") % 7 == 0) & (F.col("_k") % 3 != 0),
+                F.col("n_chars") + 4,
+            ).otherwise(F.col("n_chars")),
+        )
+    )
+    scd2_merge(
+        spark, dim, wave2.select("okey", "status", "n_chars"),
+        key="okey", tracked_cols=["status", "n_chars"], effective_ts=_SCD_T2,
+        full_snapshot=True,
+    )
+    return read_dim(spark, dim)
+
+
+SQL_SCD2_DIMENSION = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS okey, o_orderkey AS k,
+         o_orderstatus AS status,
+         CAST(length(o_orderpriority) AS DOUBLE) AS n_chars
+  FROM orders),
+t AS (SELECT TIMESTAMP '{_SCD_T1}' AS t1, TIMESTAMP '{_SCD_T2}' AS t2)
+-- unchanged members (in both waves, attrs equal): one open interval
+SELECT okey, status, n_chars, t1 AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM base, t
+WHERE k % 3 <> 0 AND NOT (k % 11 = 0) AND NOT (k % 7 = 0)
+UNION ALL
+-- changed members: the closed first interval...
+SELECT okey, status, n_chars, t1, t2, FALSE
+FROM base, t
+WHERE k % 3 <> 0 AND k % 7 = 0 AND NOT (k % 11 = 0)
+UNION ALL
+-- ...and its open successor with the new attributes
+SELECT okey, 'U', n_chars + 4, t2, NULL, TRUE
+FROM base, t
+WHERE k % 3 <> 0 AND k % 7 = 0 AND NOT (k % 11 = 0)
+UNION ALL
+-- removed members: closed without replacement
+SELECT okey, status, n_chars, t1, t2, FALSE
+FROM base, t
+WHERE k % 3 <> 0 AND k % 11 = 0
+UNION ALL
+-- joiners: open interval from wave 2
+SELECT okey, status, n_chars, t2, NULL, TRUE
+FROM base, t
+WHERE k % 3 = 0
+"""
 
 
 def q_txn_co_commit(spark: SparkSession, sf: str) -> DataFrame:
@@ -1860,6 +2000,8 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_txn_co_commit", q_txn_co_commit, SQL_TXN_CO_COMMIT, "multi-table transaction: journaled co-commit with roll-forward recovery, exactly-once ops", ("northstar", "lakehouse")),
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
+    QueryDef("rel_scd2_history", q_scd2_history, SQL_SCD2_HISTORY, "SCD type-2 dimension history from the event log (one-shuffle islands)", ("rel", "advanced")),
+    QueryDef("ns_scd2_dimension", q_scd2_dimension, SQL_SCD2_DIMENSION, "SCD2 dimension maintenance through insert/change/removal waves (Kimball type 2 on versioned MERGE)", ("northstar", "lakehouse")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),
     QueryDef("ns_kmv_sketch_rollup", q_kmv_sketch_rollup, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-mergeable-rollup", ("northstar", "sketch")),

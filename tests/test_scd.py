@@ -1,0 +1,148 @@
+"""SCD type-2 dimension maintenance (pipeline/scd.py).
+
+Parity model: maintaining the dimension wave-by-wave with scd2_merge
+must equal the history rebuilt from scratch by
+operators.relational.scd2_history over the equivalent change log; plus
+idempotent re-application, full-snapshot member removal, point-in-time
+reads, and the effective-time monotonicity guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from door2door_etl_spark.pipeline.scd import (
+    read_asof,
+    read_current,
+    read_dim,
+    scd2_merge,
+)
+
+T1, T2, T3 = (
+    "2024-01-01 00:00:00",
+    "2024-02-01 00:00:00",
+    "2024-03-01 00:00:00",
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id string, tier string, region string")
+
+
+def _hist(spark, root):
+    return sorted(
+        (
+            r["id"], r["tier"], r["region"],
+            str(r["valid_from"]),
+            None if r["valid_to"] is None else str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in read_dim(spark, root).collect()
+    )
+
+
+def test_scd2_merge_waves_match_history_rebuild(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    out = scd2_merge(
+        spark, root, _batch(spark, [("a", "gold", "eu"), ("b", "free", "us")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T1,
+    )
+    assert out == {"n_new": 2, "n_changed": 0, "n_closed_missing": 0}
+
+    # wave 2: a changes tier, b unchanged, c new
+    out = scd2_merge(
+        spark, root,
+        _batch(spark, [("a", "plat", "eu"), ("b", "free", "us"),
+                       ("c", "gold", "ap")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T2,
+    )
+    assert out == {"n_new": 1, "n_changed": 1, "n_closed_missing": 0}
+
+    got = _hist(spark, root)
+    # parity with the from-scratch history over the equivalent log
+    from door2door_etl_spark.operators.relational import scd2_history
+    from pyspark.sql import functions as F
+
+    log = spark.createDataFrame(
+        [
+            ("a", "gold", "eu", T1), ("b", "free", "us", T1),
+            ("a", "plat", "eu", T2), ("b", "free", "us", T2),
+            ("c", "gold", "ap", T2),
+        ],
+        "id string, tier string, region string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(
+        (
+            r["id"], r["tier"], r["region"],
+            str(r["valid_from"]),
+            None if r["valid_to"] is None else str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in scd2_history(log, ["id"], ["tier", "region"], "ts").collect()
+    )
+    assert got == want
+
+    # idempotent: replaying wave 2 changes nothing
+    out = scd2_merge(
+        spark, root,
+        _batch(spark, [("a", "plat", "eu"), ("b", "free", "us"),
+                       ("c", "gold", "ap")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T2,
+    )
+    assert out == {"n_new": 0, "n_changed": 0, "n_closed_missing": 0}
+    assert _hist(spark, root) == want
+
+
+def test_scd2_full_snapshot_closes_missing_and_asof_reads(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    scd2_merge(
+        spark, root, _batch(spark, [("a", "gold", "eu"), ("b", "free", "us")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T1,
+    )
+    # full snapshot without b: b's membership ends at T2
+    out = scd2_merge(
+        spark, root, _batch(spark, [("a", "plat", "eu")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T2,
+        full_snapshot=True,
+    )
+    assert out == {"n_new": 0, "n_changed": 1, "n_closed_missing": 1}
+
+    cur = {r["id"]: r["tier"] for r in read_current(spark, root).collect()}
+    assert cur == {"a": "plat"}
+
+    asof1 = {
+        r["id"]: r["tier"]
+        for r in read_asof(spark, root, "2024-01-15 00:00:00").collect()
+    }
+    assert asof1 == {"a": "gold", "b": "free"}
+    # boundary: as-of exactly T2 sees the post-change world
+    asof2 = {
+        r["id"]: r["tier"] for r in read_asof(spark, root, T2).collect()
+    }
+    assert asof2 == {"a": "plat"}
+
+    # a removed member can rejoin later: fresh interval, old one intact
+    scd2_merge(
+        spark, root, _batch(spark, [("a", "plat", "eu"), ("b", "gold", "us")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T3,
+        full_snapshot=True,
+    )
+    b_rows = [
+        (str(r["valid_from"]), None if r["valid_to"] is None else str(r["valid_to"]))
+        for r in read_dim(spark, root).filter("id = 'b'")
+        .orderBy("valid_from").collect()
+    ]
+    assert b_rows == [(T1, T2), (T3, None)]
+
+
+def test_scd2_effective_ts_must_advance(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    scd2_merge(
+        spark, root, _batch(spark, [("a", "gold", "eu")]),
+        key="id", tracked_cols=["tier", "region"], effective_ts=T1,
+    )
+    with pytest.raises(ValueError, match="strictly after"):
+        scd2_merge(
+            spark, root, _batch(spark, [("a", "plat", "eu")]),
+            key="id", tracked_cols=["tier", "region"], effective_ts=T1,
+        )
