@@ -105,7 +105,15 @@ class LakeEpoch:
     resolve a table through :meth:`read_table` and always see the
     version set of EXACTLY ONE epoch.  Tables the epoch has never
     pinned read at their current version (they are outside the
-    isolation domain by definition)."""
+    isolation domain by definition).
+
+    Retention interplay: a pin references a concrete table version, and
+    ``ManifestTable.vacuum`` may eventually GC versions beyond its
+    ``keep`` window.  The current epoch's pins lag each table's head by
+    at most the transactions in flight since the last flip, so the
+    default ``keep=2`` + ``min_age_hours`` time floor covers epoch
+    readers the way it covers any long-running reader; if many table
+    commits land between flips, raise ``keep`` accordingly."""
 
     def __init__(self, epoch_root: str, fs=None):
         from door2door_etl_spark.io.manifest import LocalFsOps

@@ -146,3 +146,84 @@ def test_scd2_effective_ts_must_advance(spark, tmp_path):
             spark, root, _batch(spark, [("a", "plat", "eu")]),
             key="id", tracked_cols=["tier", "region"], effective_ts=T1,
         )
+
+
+def test_stream_scd2_maintenance_parity_and_replay(spark, tmp_path):
+    """Two micro-batches flow through stream_scd2_maintenance; the
+    maintained dimension equals the batch scd2_history over the
+    equivalent log (latest-per-key per batch), and a same-checkpoint
+    redelivery run is a no-op."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.operators.relational import scd2_history
+    from door2door_etl_spark.streaming.pipeline import stream_scd2_maintenance
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    dim = str(tmp_path / "dim")
+    b0 = [
+        {"id": "a", "tier": "gold", "ts": "2024-01-01 00:00:00"},
+        {"id": "b", "tier": "free", "ts": "2024-01-01 00:05:00"},
+        # two a-changes inside one batch: only the latest lands
+        {"id": "a", "tier": "silver", "ts": "2024-01-01 00:09:00"},
+    ]
+    b1 = [
+        {"id": "a", "tier": "plat", "ts": "2024-02-01 00:00:00"},
+        {"id": "c", "tier": "gold", "ts": "2024-02-01 00:01:00"},
+    ]
+    stream = (
+        spark.readStream.schema("id string, tier string, ts string")
+        .json(str(src_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    def run():
+        q = stream_scd2_maintenance(
+            spark, stream, dim, key="id", tracked_cols=["tier"],
+            ts_col="ts", checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+
+    (src_dir / "b0.json").write_text("\n".join(_json.dumps(r) for r in b0))
+    run()
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    run()
+
+    got = _hist_rows(spark, dim)
+    # batch-equivalent log: latest per key per batch, at the batch's max ts
+    log = spark.createDataFrame(
+        [
+            ("a", "silver", "2024-01-01 00:09:00"),
+            ("b", "free", "2024-01-01 00:09:00"),
+            ("a", "plat", "2024-02-01 00:01:00"),
+            ("b", "free", "2024-02-01 00:01:00"),
+            ("c", "gold", "2024-02-01 00:01:00"),
+        ],
+        "id string, tier string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(
+        (
+            r["id"], r["tier"], str(r["valid_from"]),
+            None if r["valid_to"] is None else str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in scd2_history(log, ["id"], ["tier"], "ts").collect()
+    )
+    assert got == want
+
+    # same-checkpoint redelivery: no new input -> complete no-op
+    run()
+    assert _hist_rows(spark, dim) == want
+
+
+def _hist_rows(spark, root):
+    return sorted(
+        (
+            r["id"], r["tier"], str(r["valid_from"]),
+            None if r["valid_to"] is None else str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in read_dim(spark, root).collect()
+    )
