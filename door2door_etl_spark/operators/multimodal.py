@@ -9,10 +9,13 @@ is real and tested.  Three formats get REAL pure-Python codecs:
 WAV (:func:`decode_wav_features` — RIFF/PCM16 parsing, oracle- and
 stdlib-``wave``-cross-checked), 24-bit BMP (:func:`decode_bmp` /
 :func:`resize_bmp` — padded bottom-up BGR pixel array, arithmetic-oracle-
-checked decode AND nearest-neighbor resize), and non-interlaced 8-bit
+checked decode AND nearest-neighbor resize), non-interlaced 8-bit
 RGB/RGBA PNG (:func:`decode_png` / :func:`resize_png` — stdlib ``zlib``
 DEFLATE plus full scanline-filter reconstruction incl. Paeth, CRC-verified
-chunks).  Lossy codecs (JPEG/WebP) need an imaging library that doesn't
+chunks), and indexed-color GIF87a/89a (:func:`decode_gif` /
+:func:`gif_bytes` — a REAL variable-width LZW codec implemented here,
+CLEAR-code table resets and the cScSc just-added-code case included).
+Lossy codecs (JPEG/WebP) need an imaging library that doesn't
 ship in this container; :func:`decode_image` / :func:`resize_image`
 dispatch to the real BMP/PNG paths and raise a clearly marked
 ``NotImplementedError`` otherwise, with deterministic fake twins used by
@@ -78,8 +81,10 @@ def decode_image(payload: bytes) -> "object":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only BMP and PNG decode without an imaging library "
+        "only BMP, PNG and GIF decode without an imaging library "
         "(Pillow/libvips); lossy formats are not available in this "
         "container"
     )
@@ -785,3 +790,240 @@ def sample_video_frames(
         "height int, mean_r double, mean_g double, mean_b double"
     )
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+# -- GIF (stdlib LZW codec) ---------------------------------------------------
+
+_GIF_PALETTE = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF packs LZW codes little-endian)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """REAL GIF-variant LZW (variable code width min+1..12, CLEAR on a
+    full table) — the symmetric twin of :func:`_gif_lzw_decode`; width
+    grows, on BOTH sides, right after the table reaches the current
+    width's capacity, so the streams stay code-for-code aligned."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    w = _LsbBitWriter()
+    w.write(clear, width)
+    prefix = b""
+    for k in indices:
+        wk = prefix + bytes([k])
+        if wk in table:
+            prefix = wk
+            continue
+        w.write(table[prefix], width)
+        table[wk] = next_code
+        next_code += 1
+        # the decoder adds its twin entry only AFTER reading the NEXT
+        # code, so it lags this table by exactly one entry — the encoder
+        # therefore grows its code width one entry later than the
+        # decoder's (1 << width) rule, keeping the streams bit-aligned
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == 4096:
+            w.write(clear, width)
+            table, next_code, width = fresh()
+        prefix = bytes([k])
+    if prefix:
+        w.write(table[prefix], width)
+    w.write(eoi, width)
+    return w.finish()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    """Decode a GIF LZW stream to palette indices, handling the cScSc
+    just-added-code case and mid-stream CLEARs; raises ValueError on a
+    malformed stream (quarantine upstream, the module posture)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out: list[int] = []
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW: more pixels than the descriptor")
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW: {len(out)} pixels, descriptor says {n_expected}"
+        )
+    return out
+
+
+def gif_bytes(
+    width: int,
+    height: int,
+    indices: list[int],
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Encode row-major palette indices as a REAL GIF87a (global
+    256-entry color table, one non-interlaced image, genuine LZW) — the
+    indexed-color sibling of :func:`png_bytes`: tests and the catalog
+    manufacture true payloads whose decoded statistics an arithmetic
+    oracle predicts."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    pal = palette if palette is not None else _GIF_PALETTE
+    if len(pal) != 256:
+        raise ValueError("gif_bytes wants a 256-entry palette")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _gif_lzw_encode(list(indices), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Parse a REAL GIF87a/89a: header + logical screen descriptor,
+    global color table, ONE non-interlaced full-frame image, LZW
+    sub-block stream.  Returns ``(width, height, row-major top-down
+    [(r, g, b)])``.  Raises ValueError on anything outside that
+    envelope (interlace, local palettes, animation/extensions beyond
+    skippable ones, truncation) — quarantine upstream."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    pal_n = 2 << (packed & 0x07)
+    pos = 13
+    pal = [tuple(payload[pos + 3 * i: pos + 3 * i + 3]) for i in range(pal_n)]
+    pos += 3 * pal_n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended before an image descriptor")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x21:  # extension: skip label + its sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if marker == 0x2C:
+            break
+        raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if (left, top, iw, ih) != (0, 0, width, height):
+        raise ValueError("GIF image is not the full logical screen")
+    if ipacked & 0x80:
+        raise ValueError("local color tables not supported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        data += payload[pos:pos + n]
+        pos += n
+    idx = _gif_lzw_decode(bytes(data), min_code, width * height)
+    if max(idx, default=0) >= pal_n:
+        raise ValueError("GIF pixel index beyond the palette")
+    return width, height, [pal[i] for i in idx]
+
+
+def decode_gif_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL GIF decode → feature extract for :func:`extract_features`:
+    the :func:`decode_png_features` slots with bits_per_pixel = 8
+    (indexed color)."""
+    width, height, px = decode_gif(payload)
+    n = len(px)
+    if n:
+        mr = sum(p[0] for p in px) / n
+        mg = sum(p[1] for p in px) / n
+        mb = sum(p[2] for p in px) / n
+    else:
+        mr = mg = mb = 0.0
+    feats = [
+        float(width), float(height), 8.0, float(n),
+        mr, mg, mb, (mr + mg + mb) / 3.0,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]

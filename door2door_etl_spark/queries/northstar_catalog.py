@@ -1977,6 +1977,87 @@ FROM v GROUP BY doc_id
 """
 
 
+SQL_MULTIMODAL_GIF_DECODE = """
+WITH p AS (
+  SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, w * h)) AS i
+  FROM p),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 37 + (i // w) * 17 + (i % w) * 7) % 256 AS idx
+  FROM px)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(8 AS INT) AS bits_per_pixel,
+       CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+       round(avg(CAST(idx AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((idx * 7) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((idx * 13) % 256 AS DOUBLE)), 6) AS mean_b,
+       round((avg(CAST(idx AS DOUBLE))
+              + avg(CAST((idx * 7) % 256 AS DOUBLE))
+              + avg(CAST((idx * 13) % 256 AS DOUBLE))) / 3, 6) AS mean_luma
+FROM v GROUP BY doc_id
+"""
+
+
+def _synth_gif_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) with a genuine GIF87a per document — palette
+    index at (x, y) is doc_id arithmetic over the deterministic global
+    palette (i, 7i%256, 13i%256); dimensions 16-20 x 12-15, large
+    enough that the LZW dictionary genuinely builds multi-symbol
+    entries (and the code width grows past its initial 9 bits)."""
+    from door2door_etl_spark.operators.multimodal import gif_bytes
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 5, 12 + d % 4
+                idx = [
+                    (d * 37 + y * 17 + x * 7) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(gif_bytes(w, h, idx))
+            out = pdf[["doc_id"]].copy()
+            out["content"] = payloads
+            yield out
+
+    return docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, content binary"
+    )
+
+
+def q_multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL LZW decode (GIF87a, the codec implemented from the spec in
+    operators.multimodal — variable code width, CLEAR resets, cScSc):
+    manufacture a genuine GIF per document and run the production
+    decode→feature path.  The oracle predicts every decoded value
+    arithmetically from the palette formula, so the LZW encoder AND
+    decoder must round-trip bit-exactly to hash-match."""
+    from door2door_etl_spark.operators.multimodal import decode_gif_features
+
+    docs = load_table(spark, sf, "documents")
+    feats = extract_features(
+        _synth_gif_assets(docs), n_features=8, decoder=decode_gif_features
+    )
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 3).cast("int").alias("bits_per_pixel"),
+        F.element_at("features", 4).cast("long").alias("n_pixels"),
+        F.round(F.element_at("features", 5), 6).alias("mean_r"),
+        F.round(F.element_at("features", 6), 6).alias("mean_g"),
+        F.round(F.element_at("features", 7), 6).alias("mean_b"),
+        F.round(F.element_at("features", 8), 6).alias("mean_luma"),
+    )
+
+
 def _synth_png_assets(docs: DataFrame) -> DataFrame:
     """(doc_id, content) with a genuine PNG per document — pixel (x, y)
     is doc_id arithmetic, dimensions 3-6 x 5-7 (heights >= 5 so the
@@ -2798,6 +2879,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_multimodal_frame_sample", q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE, "north-star multimodal/real-avi-container frame sampling", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_bmp_resize", q_multimodal_bmp_resize, SQL_MULTIMODAL_BMP_RESIZE, "north-star multimodal/real-bmp-nn-resize", ("northstar", "multimodal")),
     QueryDef("ns_multimodal_png_decode", q_multimodal_png_decode, SQL_MULTIMODAL_PNG_DECODE, "north-star multimodal/real-png-codec-decode (stdlib zlib)", ("northstar", "multimodal")),
+    QueryDef("ns_multimodal_gif_decode", q_multimodal_gif_decode, SQL_MULTIMODAL_GIF_DECODE, "north-star multimodal/real-gif-lzw-codec-decode (spec-implemented LZW)", ("northstar", "multimodal")),
     QueryDef("ns_lsh_recall_report", q_lsh_recall_report, _sql_lsh_recall_report(), "north-star dedup/lsh-recall-vs-exact-jaccard", ("northstar", "dedup")),
     QueryDef("ns_training_order_shuffle", q_training_order_shuffle, SQL_TRAINING_ORDER_SHUFFLE, "north-star packing/epoch-shuffle", ("northstar", "packing")),
     QueryDef("ns_length_bucket_batches", q_length_bucket_batches, _sql_length_bucket_batches(), "north-star packing/length-bucketed-batching", ("northstar", "packing")),

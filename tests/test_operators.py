@@ -3708,3 +3708,63 @@ def test_connected_components_reference(spark):
         n: min(members) for members in comps.values() for n in members
     }
     assert got == want
+
+
+def test_gif_codec_roundtrip_and_rejects():
+    """gif_bytes -> decode_gif is index-exact across geometries that
+    exercise the LZW growth path (code width past 9 bits), a mid-stream
+    CLEAR (table full at 4096), long runs (the cScSc case), and the
+    1x1 degenerate; malformed payloads raise ValueError."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from door2door_etl_spark.operators.multimodal import (
+        _GIF_PALETTE,
+        decode_gif,
+        decode_image,
+        gif_bytes,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [rng.randrange(256) for _ in range(w * h)]
+        for (w, h) in [(1, 1), (3, 5), (64, 48)]
+    ]
+    widths = [(1, 1), (3, 5), (64, 48)]
+    # noisy 200x200: dictionary hits 4096 -> mid-stream CLEAR
+    cases.append([rng.randrange(256) for _ in range(200 * 200)])
+    widths.append((200, 200))
+    # long runs + full-alphabet sweep: cScSc and deep chains
+    runs = ([5] * 997 + [9] * 997 + list(range(256))) * 2
+    cases.append(runs)
+    widths.append((len(runs), 1))
+    for (w, h), idx in zip(widths, cases):
+        out_w, out_h, px = decode_gif(gif_bytes(w, h, idx))
+        assert (out_w, out_h) == (w, h)
+        assert px == [_GIF_PALETTE[i] for i in idx]
+    # the sniffing dispatcher routes GIF to the real decoder
+    assert decode_image(gif_bytes(2, 2, [1, 2, 3, 4]))[2][0] == _GIF_PALETTE[1]
+
+    good = gif_bytes(4, 3, list(range(12)))
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with _pytest.raises(ValueError):
+        decode_gif(good[:40])  # truncated mid-palette/stream
+    # interlace flag set in the image descriptor must be rejected
+    desc = 6 + 7 + 3 * 256  # header + LSD + global palette
+    assert good[desc] == 0x2C
+    packed_off = desc + 9
+    interlaced = good[:packed_off] + bytes([good[packed_off] | 0x40]) + good[packed_off + 1:]
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(interlaced)
+    # local-color-table flag must be rejected
+    local = good[:packed_off] + bytes([good[packed_off] | 0x80]) + good[packed_off + 1:]
+    with _pytest.raises(ValueError, match="local color"):
+        decode_gif(local)
+    # descriptor/pixel-count mismatch: shrink the declared height
+    hdr_h = struct.unpack_from("<H", good, 8)[0]
+    assert hdr_h == 3
+    with _pytest.raises(ValueError):
+        decode_gif(good[:8] + struct.pack("<H", 2) + good[10:])
