@@ -191,14 +191,39 @@ class MultiTableTransaction:
         return os.path.join(self.journal_root, f"txn-{txn_id}.{suffix}")
 
     # -- write path ----------------------------------------------------------
-    def run(self, spark: SparkSession, ops: list[TxnOp]) -> dict:
+    def run(
+        self, spark: SparkSession, ops: list[TxnOp], txn_id: str | None = None
+    ) -> dict:
         """Stage every op's payload, journal the intent, then apply the
         ops in order through :func:`_apply` — the SAME executor recovery
         uses, so the crash path is the tested path.  Returns
-        ``{txn_id, versions}``."""
+        ``{txn_id, versions}``.
+
+        ``txn_id`` defaults to a fresh UUID (each call is a new
+        transaction).  Pass a CALLER-STABLE id to make the whole
+        transaction idempotent under redelivery — the at-least-once
+        sink contract (e.g. a streaming micro-batch id): a completed id
+        returns immediately (``versions: None, replayed: True``), a
+        journaled-but-unfinished id RESUMES from its staged payloads
+        (never re-stages — the journal is the point of no return), and
+        only an unseen id stages anew."""
         if not ops:
             raise ValueError("empty transaction")
-        txn_id = uuid.uuid4().hex
+        if txn_id is not None:
+            if not txn_id.replace("-", "").replace("_", "").isalnum():
+                raise ValueError(f"unsafe txn_id {txn_id!r}")
+            if os.path.exists(self._done_marker(txn_id)):
+                return {"txn_id": txn_id, "versions": None, "replayed": True}
+            if os.path.exists(self._record_path(txn_id)):
+                with open(self._record_path(txn_id)) as f:
+                    record = json.load(f)
+                versions = _apply(
+                    spark, self, txn_id, record["ops"],
+                    epoch_root=record.get("epoch_root"),
+                )
+                return {"txn_id": txn_id, "versions": versions}
+        else:
+            txn_id = uuid.uuid4().hex
         os.makedirs(self._txn_dir(txn_id), exist_ok=True)
         decl = []
         for i, op in enumerate(ops):

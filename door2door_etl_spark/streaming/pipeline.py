@@ -1361,3 +1361,49 @@ def stream_scd2_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_txn_co_commit(
+    spark: SparkSession,
+    batches: DataFrame,
+    ops_builder,
+    journal_root: str,
+    checkpoint_dir: str,
+    epoch=None,
+):
+    """Exactly-once MULTI-TABLE streaming sink: each micro-batch's
+    derived table operations commit through one journaled
+    :class:`io.txn.MultiTableTransaction` — the curated corpus and its
+    stats ledger (or any composite state) move together, with
+    roll-forward crash recovery, and (with ``epoch``) cross-table
+    snapshot isolation for readers.
+
+    ``ops_builder(batch_df) -> list[TxnOp]`` declares what the batch
+    writes.  Exactly-once: the transaction id derives from the
+    micro-batch id, so an at-least-once redelivery finds the completed
+    journal entry and returns without touching any table (appends
+    included — the usual streaming-append double-write hazard is
+    closed by the journal, not by tag probes alone); a crash mid-batch
+    resumes from the STAGED payloads, never re-reading the (possibly
+    changed) input.  Journal scope: batch ids restart at zero for a
+    fresh checkpoint, so a lost-checkpoint rerun over the SAME input is
+    skipped by the journal (the desired exactly-once outcome) — but a
+    fresh checkpoint over DIFFERENT input needs a fresh journal, or its
+    early batches would be wrongly skipped."""
+    from door2door_etl_spark.io.txn import MultiTableTransaction
+
+    txn = MultiTableTransaction(journal_root, epoch=epoch)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ops = ops_builder(batch_df)
+        if ops:
+            txn.run(spark, ops, txn_id=f"batch{batch_id:08d}")
+
+    return (
+        batches.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

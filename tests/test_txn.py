@@ -279,3 +279,103 @@ def test_epoch_pins_carry_forward_across_disjoint_txns(spark, tmp_path):
     assert sorted(
         r["id"] for r in epoch.read_table(spark, str(a)).collect()
     ) == [1]
+
+
+def test_txn_stable_id_is_idempotent(spark, tmp_path):
+    """A caller-stable txn_id makes the WHOLE transaction replayable:
+    the second run() with the same id returns without touching any
+    table (appends included), and a crash-resumed id applies from the
+    staged payloads."""
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ], txn_id="batch00000000")
+    assert out["txn_id"] == "batch00000000"
+
+    replay = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ], txn_id="batch00000000")
+    assert replay["replayed"] is True
+    assert _ids(spark, b) == [10, 11]  # append did NOT double
+
+    # crash window: journal landed, txn marker lost -> same-id run resumes
+    os.remove(txn._done_marker("batch00000000"))
+    resumed = txn.run(spark, [
+        TxnOp("append", str(b), payload=_batch(spark, [99])),  # IGNORED
+    ], txn_id="batch00000000")
+    assert resumed["versions"] == out["versions"]
+    assert _ids(spark, b) == [10, 11]  # staged payloads won, 99 never landed
+
+    with pytest.raises(ValueError, match="unsafe txn_id"):
+        txn.run(spark, [
+            TxnOp("append", str(b), payload=_batch(spark, [1])),
+        ], txn_id="../escape")
+
+
+def test_stream_txn_co_commit_exactly_once(spark, tmp_path):
+    """Streaming multi-table sink: each micro-batch MERGEs docs and
+    APPENDs a stats row in ONE journaled transaction; a fresh-checkpoint
+    replay of the same files re-runs the batches but the stable
+    batch-derived txn ids skip them — the ledger never double-counts."""
+    import json as _json
+
+    from door2door_etl_spark.io.txn import LakeEpoch, TxnOp
+    from door2door_etl_spark.streaming.pipeline import stream_txn_co_commit
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    corpus, stats = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    epoch = LakeEpoch(str(tmp_path / "epoch"))
+
+    def ops_builder(batch_df):
+        return [
+            TxnOp("merge", corpus, payload=batch_df, key="id"),
+            TxnOp(
+                "append", stats,
+                payload=batch_df.groupBy().agg(
+                    F.count(F.lit(1)).alias("n_docs")
+                ),
+            ),
+        ]
+
+    stream = spark.readStream.schema("id long, payload string").json(
+        str(src_dir)
+    )
+
+    def run(ckpt):
+        q = stream_txn_co_commit(
+            spark, stream, ops_builder, str(tmp_path / "journal"),
+            str(tmp_path / ckpt), epoch=epoch,
+        )
+        q.awaitTermination(180)
+
+    (src_dir / "b0.json").write_text(
+        "\n".join(_json.dumps({"id": i, "payload": f"x{i}"}) for i in (1, 2))
+    )
+    run("ckpt1")
+    (src_dir / "b1.json").write_text(
+        "\n".join(_json.dumps({"id": i, "payload": f"x{i}"}) for i in (2, 3))
+    )
+    run("ckpt1")
+
+    def ledger_total():
+        return (
+            epoch.read_table(spark, stats)
+            .agg(F.sum("n_docs")).collect()[0][0]
+        )
+
+    assert sorted(
+        r["id"] for r in epoch.read_table(spark, corpus).collect()
+    ) == [1, 2, 3]
+    assert ledger_total() == 4  # 2 + 2, the id=2 re-merge still counted once per batch
+
+    # fresh checkpoint, same files: batches replay, stable txn ids skip
+    run("ckpt2")
+    assert ledger_total() == 4
+    assert sorted(
+        r["id"] for r in epoch.read_table(spark, corpus).collect()
+    ) == [1, 2, 3]
