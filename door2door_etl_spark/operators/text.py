@@ -1337,3 +1337,59 @@ def blocklist_filter(
     return df.withColumn("n_blocklist_hits", hits).withColumn(
         "keep", F.col("n_blocklist_hits") == 0
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ``ln(frequency) ~ ln(rank)`` across the ``top_n`` most frequent
+    terms (a healthy natural-language corpus sits near -1; templated or
+    synthetic text drifts flatter) — a one-number corpus-health signal
+    for a pretraining-data pipeline, next to entropy and the Gopher
+    rules.
+
+    Plan shape: one token explode + one map-side-combinable term count,
+    a TakeOrderedAndProject for the top-n (never a full-vocab sort), and
+    a single tiny aggregate over n rows.  Determinism: each per-term
+    product quantizes to DECIMAL(28,10) BEFORE the exact sum (the
+    module's summation-order-independence discipline), so a DuckDB twin
+    hash-matches.  Output: ``(n_terms, slope, intercept)``.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    ranked = tf.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        ),
+    )
+    dec = "decimal(28,10)"
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

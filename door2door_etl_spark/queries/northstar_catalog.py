@@ -1432,6 +1432,50 @@ FROM agg CROSS JOIN total
 
 # -- token entropy / cross-doc duplication / PII (round-3 text wave) --------
 
+ZIPF_TOP_N = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law corpus-health fit (operators.text.zipf_fit): LS slope
+    of ln(freq) ~ ln(rank) over the top-200 vocabulary — near -1 for
+    natural language, flatter for templated/synthetic text.  One token
+    explode + combinable term count + TakeOrderedAndProject; per-term
+    DECIMAL quantization makes the sums engine-exact."""
+    from door2door_etl_spark.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf, "documents"), "text", ZIPF_TOP_N)
+
+
+def _sql_zipf_slope() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH toks AS (SELECT unnest({toks}) AS term FROM documents),
+tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM tf),
+top AS (SELECT * FROM ranked WHERE rank <= {ZIPF_TOP_N}),
+agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,10)))
+         AS DOUBLE) AS sx,
+    CAST(sum(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,10)))
+         AS DOUBLE) AS sy,
+    CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                  AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                  AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+  FROM top)
+SELECT n AS n_terms,
+  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        / CAST(n AS DOUBLE), 6) AS intercept
+FROM agg
+"""
+
+
 def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc unigram Shannon entropy (bits/token) — information-density
     quality signal; see operators.text.token_entropy."""
@@ -2828,6 +2872,7 @@ GROUP BY lang
 NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "north-star dedup/exact", ("northstar", "dedup")),
     QueryDef("ns_token_entropy", q_token_entropy, _sql_token_entropy(), "north-star text/quality-entropy", ("northstar", "text")),
+    QueryDef("ns_zipf_slope", q_zipf_slope, _sql_zipf_slope(), "Zipf's-law corpus-health fit: LS slope of ln(freq)~ln(rank) over the top vocabulary", ("northstar", "text")),
     QueryDef("ns_text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE, "north-star text/normalization", ("northstar", "text")),
     QueryDef("ns_unigram_logprob", q_unigram_logprob, _sql_unigram_logprob(), "north-star text/quality-unigram-lm", ("northstar", "text")),
     QueryDef("ns_bigram_backoff_logprob", q_bigram_backoff_logprob, _sql_bigram_backoff_logprob(), "north-star text/quality-bigram-lm (Stupid Backoff, count-cutoff pruning)", ("northstar", "text")),

@@ -3768,3 +3768,35 @@ def test_gif_codec_roundtrip_and_rejects():
     assert hdr_h == 3
     with _pytest.raises(ValueError):
         decode_gif(good[:8] + struct.pack("<H", 2) + good[10:])
+
+
+def test_zipf_fit_reference(spark):
+    """zipf_fit equals a pure-Python least-squares on the same ranked
+    counts, and a perfectly Zipfian corpus fits slope ~ -1."""
+    import math
+
+    from door2door_etl_spark.operators.text import zipf_fit
+
+    # term i (1-based) appears round(1000/i) times -> freq ∝ 1/rank
+    docs = []
+    words = []
+    for i in range(1, 31):
+        words += [f"w{i:02d}"] * round(1000 / i)
+    docs.append(" ".join(words))
+    df = spark.createDataFrame([(1, docs[0])], "doc_id long, text string")
+    row = zipf_fit(df, "text", top_n=30).collect()[0]
+
+    counts = sorted(
+        ((round(1000 / i), f"w{i:02d}") for i in range(1, 31)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    xs = [math.log(r + 1) for r in range(len(counts))]
+    ys = [math.log(c) for c, _ in counts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_terms"] == 30
+    assert row["slope"] == pytest.approx(slope, abs=1e-5)
+    assert -1.05 < row["slope"] < -0.95
