@@ -154,9 +154,19 @@ class LakeEpoch:
             normalize_object_uri(t): int(v) for t, v in table_versions.items()
         }
         while True:
-            pins = self.pins()
+            # read the epoch number ONCE and merge onto THAT epoch's pins:
+            # reading pins and the number separately would let a racer land
+            # in between, and our claim of number+1 could then skip over
+            # (and drop) the racer's pins.  Claiming exactly cur+1 means a
+            # lost race always forces a re-read of the winner's full map.
+            cur = self.current_epoch()
+            if cur is None:
+                pins = {}
+            else:
+                raw = self.fs.read_bytes(self._path(cur))
+                pins = {} if raw is None else json.loads(raw)["tables"]
             pins.update(norm)
-            nxt = (self.current_epoch() or 0) + 1
+            nxt = (cur or 0) + 1
             payload = json.dumps(
                 {"epoch": nxt, "tables": pins}, sort_keys=True
             ).encode()
