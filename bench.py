@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "ns_kcore_members",
     "ns_graph_components",
     "rel_scd2_history",
+    "ns_zipf_slope",
+    "ns_multimodal_gif_decode",
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work
     # ns_txn_co_commit, ns_cdc_hdr_quantiles, and ns_aggview_rollup_serving
@@ -267,10 +269,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    artifact = REPO / "bench_results" / f"bench_full_sf{sf}.json"
-    # Final per-round records (bench_results/*_final*.json) are immutable
-    # history written ONLY by tools/record_final.py, which refuses to
-    # overwrite; bench.py writes only this rolling working artifact.
+    # Subset re-runs (`python bench.py <query> ...`) write a SIDE artifact:
+    # letting them overwrite the rolling full map silently shrank it to the
+    # subset (observed round 9) — the full artifact must always describe a
+    # full run.  Final per-round records (bench_results/*_final*.json) are
+    # immutable history written ONLY by tools/record_final.py, which
+    # refuses to overwrite; bench.py never writes one.
+    suffix = "_subset" if subset else ""
+    artifact = REPO / "bench_results" / f"bench_full_sf{sf}{suffix}.json"
     assert "_final" not in artifact.name
     try:
         artifact.parent.mkdir(exist_ok=True)
