@@ -99,7 +99,9 @@ def scd2_merge(
         F.col("valid_from").alias("_cur_from"),
         *[F.col(c).alias(f"_cur_{c}") for c in tracked_cols],
     )
-    joined = b.join(cur, b[key] == cur["_ck"], "left")
+    # the classify join feeds several actions (clash guard, the two
+    # counts, the MERGE) — evaluate it once
+    joined = b.join(cur, b[key] == cur["_ck"], "left").persist()
     changed_cond = F.lit(False)
     for c in tracked_cols:
         changed_cond = changed_cond | ~F.col(c).eqNullSafe(
@@ -151,10 +153,13 @@ def scd2_merge(
                 F.lit(False).alias("is_current"),
             )
         )
-    merge_versioned(
-        spark, dim_root, rows.withColumn("_scd_key", _scd_key(key)),
-        key="_scd_key",
-    )
+    try:
+        merge_versioned(
+            spark, dim_root, rows.withColumn("_scd_key", _scd_key(key)),
+            key="_scd_key",
+        )
+    finally:
+        joined.unpersist()
     return {
         "n_new": n_new,
         "n_changed": n_changed,
