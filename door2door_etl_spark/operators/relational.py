@@ -343,6 +343,41 @@ def scd2_history(
     )
 
 
+def scd2_enrich(
+    facts: DataFrame,
+    dim_hist: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Point-in-time dimension lookup: attach to each fact the SCD2
+    attributes VALID AT its timestamp (``valid_from <= ts < valid_to``)
+    — the join every Kimball type-2 dimension exists to serve.
+
+    Spark-first strategy: because a key's validity intervals partition
+    time, "the interval containing ts" is "the latest valid_from at or
+    before ts" — an AS-OF join (:func:`asof_join`: union + one window,
+    ONE shuffle on the key, both sides can be 100 TB, no range-join
+    explosion), plus a residual liveness check that nulls the
+    attributes when the matched interval CLOSED before the fact (a
+    membership gap after a full-snapshot removal).  Facts before the
+    key's first interval, or with no dimension key at all, keep NULL
+    attributes — a plain left-join posture."""
+    right = dim_hist.select(
+        F.col(key),
+        F.col("valid_from").alias("_vf"),
+        *[F.col(c) for c in attr_cols],
+        F.col("valid_to").alias("_vt"),
+    )
+    out = asof_join(
+        facts, right, [key], ts_col, "_vf", value_cols=[*attr_cols, "_vt"]
+    )
+    live = F.col("_vt").isNull() | (F.col(ts_col) < F.col("_vt"))
+    for c in attr_cols:
+        out = out.withColumn(c, F.when(live, F.col(c)))
+    return out.drop("_vt")
+
+
 def dedup_first_wins(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

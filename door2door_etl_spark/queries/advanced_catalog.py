@@ -127,6 +127,68 @@ WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from, event_type)
 """
 
 
+def q_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators.relational.scd2_enrich):
+    every event probes the user's state dimension 30 minutes after its
+    own timestamp — served by the as-of composition (ONE shuffle, no
+    range-join explosion) over the scd2_history intervals.  The oracle
+    uses DuckDB's native ASOF JOIN, so a hash match proves the
+    union+window rewrite implements exactly the textbook semantics.
+    The state source dedupes to one row per (user, ts) so interval
+    starts are unique per key (as-of ties would be ambiguous)."""
+    from door2door_etl_spark.operators.relational import (
+        scd2_enrich,
+        scd2_history,
+    )
+
+    ev = load_table(spark, sf, "events")
+    src = ev.groupBy("user_id", "ts").agg(
+        F.min("event_type").alias("etype")
+    )
+    hist = scd2_history(src, ["user_id"], ["etype"], "ts")
+    probes = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("pts"),
+    )
+    out = scd2_enrich(probes, hist, "user_id", "pts", ["etype"])
+    return out.select(
+        "event_id", "user_id", F.col("etype").alias("state_asof")
+    )
+
+
+SQL_SCD2_ENRICH = """
+WITH src AS (
+  SELECT user_id, ts, min(event_type) AS etype FROM events GROUP BY 1, 2),
+flagged AS (
+  SELECT user_id, etype, ts,
+         CASE WHEN lag(etype) OVER w IS NULL
+                OR lag(etype) OVER w <> etype THEN 1 ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, etype)
+), runs AS (
+  SELECT user_id, etype, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, etype
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+), hist AS (
+  SELECT user_id, run_id, min(ts) AS valid_from, min(etype) AS etype
+  FROM runs GROUP BY 1, 2
+), iv AS (
+  SELECT user_id, etype, valid_from,
+         lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM hist
+), probes AS (
+  SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS pts FROM events)
+SELECT p.event_id, p.user_id,
+       CASE WHEN h.valid_to IS NULL OR p.pts < h.valid_to
+            THEN h.etype END AS state_asof
+FROM probes p ASOF LEFT JOIN iv h
+  ON p.user_id = h.user_id AND p.pts >= h.valid_from
+"""
+
+
 SQL_SESSIONIZE_STATS = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -2001,6 +2063,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_asof_signup_attribution", q_asof_signup_attribution, SQL_ASOF_SIGNUP_ATTRIBUTION, "§2.4-asof", ("rel", "advanced")),
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("rel_scd2_history", q_scd2_history, SQL_SCD2_HISTORY, "SCD type-2 dimension history from the event log (one-shuffle islands)", ("rel", "advanced")),
+    QueryDef("rel_scd2_enrich", q_scd2_enrich, SQL_SCD2_ENRICH, "point-in-time SCD2 dimension lookup via the as-of composition (DuckDB ASOF JOIN oracle)", ("rel", "advanced")),
     QueryDef("ns_scd2_dimension", q_scd2_dimension, SQL_SCD2_DIMENSION, "SCD2 dimension maintenance through insert/change/removal waves (Kimball type 2 on versioned MERGE)", ("northstar", "lakehouse")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),

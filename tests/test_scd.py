@@ -227,3 +227,65 @@ def _hist_rows(spark, root):
         )
         for r in read_dim(spark, root).collect()
     )
+
+
+def test_scd2_enrich_point_in_time(spark):
+    """scd2_enrich attaches the interval covering each fact timestamp:
+    mid-interval facts get that interval's attrs, facts in a
+    post-removal gap get NULL, facts before the first interval get
+    NULL, unknown keys get NULL; equals a brute-force interval join."""
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.operators.relational import scd2_enrich
+
+    hist = spark.createDataFrame(
+        [
+            ("a", "gold", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+            ("a", "plat", "2024-02-01 00:00:00", None, True),
+            # b was removed at T2 (gap), rejoined at T3
+            ("b", "free", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+            ("b", "gold", "2024-03-01 00:00:00", None, True),
+        ],
+        "id string, tier string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "id", "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-15 12:00:00"),   # mid first interval
+            (2, "a", "2024-02-01 00:00:00"),   # boundary -> new interval
+            (3, "a", "2023-12-25 00:00:00"),   # before any interval
+            (4, "b", "2024-02-15 00:00:00"),   # removal gap -> NULL
+            (5, "b", "2024-06-01 00:00:00"),   # rejoined current
+            (6, "z", "2024-06-01 00:00:00"),   # unknown key
+        ],
+        "fact_id long, id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        r["fact_id"]: r["tier"]
+        for r in scd2_enrich(facts, hist, "id", "ts", ["tier"]).collect()
+    }
+    assert got == {
+        1: "gold", 2: "plat", 3: None, 4: None, 5: "gold", 6: None
+    }
+
+    # brute-force interval-join twin over the same inputs
+    brute = (
+        facts.alias("f")
+        .join(
+            hist.alias("h"),
+            (F.col("f.id") == F.col("h.id"))
+            & (F.col("f.ts") >= F.col("h.valid_from"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("f.ts") < F.col("h.valid_to"))
+            ),
+            "left",
+        )
+        .select("f.fact_id", "h.tier")
+    )
+    assert got == {r["fact_id"]: r["tier"] for r in brute.collect()}
