@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "ns_graph_components",
     "rel_scd2_history",
     "rel_scd2_enrich",
+    "rel_spatial_radius_pairs",
     "ns_zipf_slope",
     "ns_multimodal_gif_decode",
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is

@@ -127,6 +127,56 @@ WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from, event_type)
 """
 
 
+SPATIAL_RADIUS = 0.5  # km on the synthetic 1000x1000 projected plane
+
+
+def q_spatial_radius_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial radius self-join (operators.spatial.radius_self_join):
+    every event becomes a point on a 1000x1000 projected plane (portable
+    uniform-hash coordinates, engine-exact doubles) and the query finds
+    all pairs within 0.5 distance — grid-cell bucketing + 3x3 neighbor
+    equi-join + exact squared-distance filter, never an all-pairs cross
+    join.  The mobility query the reference's vehicle_location table
+    exists for ("which vehicles were near each other"), expressed at
+    100 TB scale shape."""
+    from door2door_etl_spark.operators.sketches import uniform_hash
+    from door2door_etl_spark.operators.spatial import radius_self_join
+
+    pts = load_table(spark, sf, "events").select(
+        "event_id",
+        (uniform_hash(F.col("event_id"), "gx") * 1000.0).alias("x"),
+        (uniform_hash(F.col("event_id"), "gy") * 1000.0).alias("y"),
+    )
+    return radius_self_join(pts, "event_id", "x", "y", SPATIAL_RADIUS)
+
+
+def _sql_spatial_radius_pairs() -> str:
+    ux = sql_uniform_hash("event_id", "gx")
+    uy = sql_uniform_hash("event_id", "gy")
+    r = SPATIAL_RADIUS
+    return f"""
+WITH pts AS (
+  SELECT event_id, {ux} * 1000.0 AS x, {uy} * 1000.0 AS y FROM events),
+cells AS (
+  SELECT event_id, x, y,
+         floor(x / {r}) AS cx, floor(y / {r}) AS cy
+  FROM pts),
+probe AS (
+  SELECT c.event_id AS idb, c.x AS xb, c.y AS yb,
+         c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM cells c,
+       (VALUES (-1), (0), (1)) dx(d),
+       (VALUES (-1), (0), (1)) dy(d))
+SELECT a.event_id AS id_a, p.idb AS id_b,
+       round(sqrt((a.x - p.xb) * (a.x - p.xb)
+                  + (a.y - p.yb) * (a.y - p.yb)), 6) AS dist
+FROM cells a JOIN probe p ON a.cx = p.cx AND a.cy = p.cy
+WHERE a.event_id < p.idb
+  AND (a.x - p.xb) * (a.x - p.xb) + (a.y - p.yb) * (a.y - p.yb)
+      <= {r} * {r}
+"""
+
+
 def q_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time dimension lookup (operators.relational.scd2_enrich):
     every event probes the user's state dimension 30 minutes after its
@@ -2064,6 +2114,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_sessionize_stats", q_sessionize_stats, SQL_SESSIONIZE_STATS, "§2.8-session", ("rel", "advanced")),
     QueryDef("rel_scd2_history", q_scd2_history, SQL_SCD2_HISTORY, "SCD type-2 dimension history from the event log (one-shuffle islands)", ("rel", "advanced")),
     QueryDef("rel_scd2_enrich", q_scd2_enrich, SQL_SCD2_ENRICH, "point-in-time SCD2 dimension lookup via the as-of composition (DuckDB ASOF JOIN oracle)", ("rel", "advanced")),
+    QueryDef("rel_spatial_radius_pairs", q_spatial_radius_pairs, _sql_spatial_radius_pairs(), "spatial radius self-join: grid-cell bucketing + 3x3 neighbor equi-join, never all-pairs", ("rel", "spatial")),
     QueryDef("ns_scd2_dimension", q_scd2_dimension, SQL_SCD2_DIMENSION, "SCD2 dimension maintenance through insert/change/removal waves (Kimball type 2 on versioned MERGE)", ("northstar", "lakehouse")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),

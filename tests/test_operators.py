@@ -3800,3 +3800,57 @@ def test_zipf_fit_reference(spark):
     assert row["n_terms"] == 30
     assert row["slope"] == pytest.approx(slope, abs=1e-5)
     assert -1.05 < row["slope"] < -0.95
+
+
+def test_radius_self_join_reference_and_plan(spark):
+    """radius_self_join equals the brute-force O(n^2) pair set on random
+    points (boundary-inclusive), finds each pair exactly once, and its
+    plan is an equi-join on the grid cell — no cartesian product."""
+    import random
+
+    from door2door_etl_spark.operators.spatial import radius_self_join
+
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(0, 20), rng.uniform(0, 20)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 1.5
+    got = sorted(
+        (row["id_a"], row["id_b"])
+        for row in radius_self_join(df, "id", "x", "y", r).collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    assert got == want and len(got) == len(set(got))
+
+    plan = radius_self_join(df, "id", "x", "y", r)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_haversine_known_distances(spark):
+    """haversine_km against published city distances (±0.5%)."""
+    from door2door_etl_spark.operators.spatial import haversine_km
+    from pyspark.sql import functions as F
+
+    rows = [
+        # berlin -> hamburg ~255 km, berlin -> munich ~504 km
+        ("bln-hh", 52.52, 13.405, 53.5511, 9.9937, 255.0),
+        ("bln-muc", 52.52, 13.405, 48.1351, 11.582, 504.0),
+        ("same", 10.0, 20.0, 10.0, 20.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, lat1 double, lng1 double, lat2 double, "
+              "lng2 double, want double"
+    )
+    got = df.select(
+        "name", "want",
+        haversine_km(
+            F.col("lat1"), F.col("lng1"), F.col("lat2"), F.col("lng2")
+        ).alias("d"),
+    ).collect()
+    for r in got:
+        assert abs(r["d"] - r["want"]) <= max(0.005 * r["want"], 0.01), r
