@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "rel_scd2_history",
     "rel_scd2_enrich",
     "rel_spatial_radius_pairs",
+    "rel_track_distance",
+    "rel_spatial_density_topk",
     "ns_zipf_slope",
     "ns_multimodal_gif_decode",
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is

@@ -177,6 +177,99 @@ WHERE a.event_id < p.idb
 """
 
 
+def q_track_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-entity track length + step statistics: each user's events
+    become an ordered track on the synthetic projected plane; one
+    window (lag) computes per-step displacement, one aggregate folds it
+    to ``(n_steps, total_dist, max_step)`` — the single-shuffle
+    trajectory rollup a fleet warehouse runs over billions of pings
+    (the window and the groupBy share the user-hash partitioning, so
+    the second stage never re-exchanges).  Distances are exact IEEE
+    arithmetic on hash-derived coordinates; per-step DECIMAL
+    quantization keeps the sum order-independent."""
+    from door2door_etl_spark.operators.sketches import uniform_hash
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (uniform_hash(F.col("event_id"), "gx") * 1000.0).alias("x"),
+        (uniform_hash(F.col("event_id"), "gy") * 1000.0).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    step = F.round(F.sqrt(dx * dx + dy * dy), 6)
+    stepped = ev.select("user_id", step.alias("step"))
+    return stepped.groupBy("user_id").agg(
+        F.count("step").alias("n_steps"),
+        F.round(
+            F.sum(F.col("step").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("total_dist"),
+        F.max("step").alias("max_step"),
+    )
+
+
+def _sql_track_distance() -> str:
+    ux = sql_uniform_hash("event_id", "gx")
+    uy = sql_uniform_hash("event_id", "gy")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {ux} * 1000.0 AS x, {uy} * 1000.0 AS y
+  FROM events),
+stepped AS (
+  SELECT user_id,
+         round(sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+                    + (y - lag(y) OVER w) * (y - lag(y) OVER w)), 6)
+           AS step
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(step) AS n_steps,
+       round(CAST(sum(CAST(step AS DECIMAL(28,10))) AS DOUBLE), 6)
+         AS total_dist,
+       max(step) AS max_step
+FROM stepped GROUP BY 1
+"""
+
+
+def q_spatial_density_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 densest grid cells (the heatmap query): one map-side
+    combinable cell count + TakeOrderedAndProject — a 100 TB ping table
+    reduces to |occupied cells| rows before anything sorts."""
+    from door2door_etl_spark.operators.sketches import uniform_hash
+
+    pts = load_table(spark, sf, "events").select(
+        (uniform_hash(F.col("event_id"), "gx") * 1000.0).alias("x"),
+        (uniform_hash(F.col("event_id"), "gy") * 1000.0).alias("y"),
+    )
+    cells = pts.select(
+        F.floor(F.col("x") / 50.0).cast("long").alias("cx"),
+        F.floor(F.col("y") / 50.0).cast("long").alias("cy"),
+    )
+    return (
+        cells.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.col("n_points").desc(), F.col("cx"), F.col("cy"))
+        .limit(20)
+    )
+
+
+def _sql_spatial_density_topk() -> str:
+    ux = sql_uniform_hash("event_id", "gx")
+    uy = sql_uniform_hash("event_id", "gy")
+    return f"""
+WITH cells AS (
+  SELECT CAST(floor({ux} * 1000.0 / 50.0) AS BIGINT) AS cx,
+         CAST(floor({uy} * 1000.0 / 50.0) AS BIGINT) AS cy
+  FROM events)
+SELECT cx, cy, count(*) AS n_points
+FROM cells GROUP BY 1, 2
+ORDER BY n_points DESC, cx, cy LIMIT 20
+"""
+
+
 def q_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time dimension lookup (operators.relational.scd2_enrich):
     every event probes the user's state dimension 30 minutes after its
@@ -2115,6 +2208,8 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_scd2_history", q_scd2_history, SQL_SCD2_HISTORY, "SCD type-2 dimension history from the event log (one-shuffle islands)", ("rel", "advanced")),
     QueryDef("rel_scd2_enrich", q_scd2_enrich, SQL_SCD2_ENRICH, "point-in-time SCD2 dimension lookup via the as-of composition (DuckDB ASOF JOIN oracle)", ("rel", "advanced")),
     QueryDef("rel_spatial_radius_pairs", q_spatial_radius_pairs, _sql_spatial_radius_pairs(), "spatial radius self-join: grid-cell bucketing + 3x3 neighbor equi-join, never all-pairs", ("rel", "spatial")),
+    QueryDef("rel_track_distance", q_track_distance, _sql_track_distance(), "per-entity trajectory rollup: lag-window step displacement + shared-partitioning aggregate", ("rel", "spatial")),
+    QueryDef("rel_spatial_density_topk", q_spatial_density_topk, _sql_spatial_density_topk(), "heatmap: top-k densest grid cells via combinable count + TakeOrderedAndProject", ("rel", "spatial")),
     QueryDef("ns_scd2_dimension", q_scd2_dimension, SQL_SCD2_DIMENSION, "SCD2 dimension maintenance through insert/change/removal waves (Kimball type 2 on versioned MERGE)", ("northstar", "lakehouse")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),

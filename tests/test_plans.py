@@ -802,3 +802,13 @@ def test_auto_salt_from_skew_preflight(spark):
 
     with pytest.raises(ValueError):
         salted_equijoin(hot, right, "k", "rk", salt_buckets="bogus")
+
+
+def test_track_distance_single_exchange(spark, sf001):
+    """The trajectory rollup's lag window and per-user aggregate must
+    share ONE hash exchange on the user key — the second stage never
+    re-shuffles."""
+    df = QUERIES["rel_track_distance"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
