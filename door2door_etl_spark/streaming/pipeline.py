@@ -1407,3 +1407,75 @@ def stream_txn_co_commit(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_proximity_pairs(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    ts_col: str,
+    radius: float,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming proximity detection: pairs of pings within planar
+    ``radius`` of each other AND within ``within`` in event time — the
+    continuous form of :func:`operators.spatial.radius_self_join`
+    ("which vehicles were near each other", answered as the pings
+    arrive, across micro-batch boundaries).
+
+    Spark-first shape: a stream-stream SELF-join whose equality key is
+    the grid CELL (one side replicated into its 3x3 neighborhood, the
+    banded trick again) — the cell key plus the time-range conjunct and
+    both sides' watermarks give Spark a provable state bound, so join
+    state evicts continuously instead of growing with the stream; the
+    exact squared-distance filter runs as a residual.  Each qualifying
+    pair emits exactly once (the probe replica matching the base cell
+    is unique, and ``id_a < id_b`` de-mirrors)."""
+    cell = float(radius)
+    base = points.withWatermark(ts_col, watermark).select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(ts_col).alias("_ts"),
+        F.floor(F.col(x_col) / cell).alias("_cx"),
+        F.floor(F.col(y_col) / cell).alias("_cy"),
+    )
+    probe = (
+        points.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("_idb"),
+            F.col(x_col).cast("double").alias("_xb"),
+            F.col(y_col).cast("double").alias("_yb"),
+            F.col(ts_col).alias("_tsb"),
+            F.explode(
+                F.array(*[F.floor(F.col(x_col) / cell) + d for d in (-1, 0, 1)])
+            ).alias("_cx"),
+            F.floor(F.col(y_col) / cell).alias("_cyb"),
+        )
+        .select(
+            "_idb", "_xb", "_yb", "_tsb", "_cx",
+            F.explode(
+                F.array(*[F.col("_cyb") + d for d in (-1, 0, 1)])
+            ).alias("_cy"),
+        )
+    )
+    dx = F.col("_x") - F.col("_xb")
+    dy = F.col("_y") - F.col("_yb")
+    d2 = dx * dx + dy * dy
+    cond = (
+        (base["_cx"] == probe["_cx"])
+        & (base["_cy"] == probe["_cy"])
+        & (F.col("_tsb") >= F.col("_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("_tsb") <= F.col("_ts") + F.expr(f"INTERVAL {within}"))
+        & (F.col("_id") < F.col("_idb"))
+        & (d2 <= F.lit(cell * cell))
+    )
+    return base.join(probe, cond, "inner").select(
+        F.col("_id").alias("id_a"),
+        F.col("_idb").alias("id_b"),
+        F.round(F.sqrt(d2), 6).alias("dist"),
+        F.col("_ts").alias("ts_a"),
+        F.col("_tsb").alias("ts_b"),
+    )

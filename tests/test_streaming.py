@@ -1682,3 +1682,59 @@ def test_stream_aggview_ingest_parity_and_replay(spark, tmp_path):
     # input — the production replay shape — must be a complete no-op
     run("ckpt1")
     assert served() == want
+
+
+def test_stream_proximity_pairs_across_batches(spark, tmp_path):
+    """Streaming proximity join: pairs within radius AND the time bound
+    emit exactly once, INCLUDING pairs whose two pings arrive in
+    DIFFERENT micro-batches (the stateful stream-stream join retains
+    in-horizon pings); far points and stale-time pairs never emit."""
+    import json as _json
+
+    from door2door_etl_spark.streaming.pipeline import stream_proximity_pairs
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    b0 = [
+        {"id": 1, "x": 0.00, "y": 0.0, "ts": "2024-01-01 10:00:00"},
+        {"id": 2, "x": 0.30, "y": 0.0, "ts": "2024-01-01 10:05:00"},
+        {"id": 9, "x": 50.0, "y": 50.0, "ts": "2024-01-01 10:00:00"},  # far
+    ]
+    b1 = [
+        # near 1 and 2 spatially, within 10 min of both -> cross-batch pairs
+        {"id": 3, "x": 0.25, "y": 0.1, "ts": "2024-01-01 10:08:00"},
+        # near spatially but 2 hours later -> time bound excludes
+        {"id": 4, "x": 0.10, "y": 0.0, "ts": "2024-01-01 12:30:00"},
+    ]
+    stream = (
+        spark.readStream.schema("id long, x double, y double, ts string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    pairs = stream_proximity_pairs(
+        stream, "id", "x", "y", "ts", radius=0.5, within="10 minutes"
+    )
+
+    def run():
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b0))
+    run()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    run()
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    # (1,2) same-batch; (1,3) and (2,3) STRADDLE batches; 4 is in-radius
+    # of 1/2/3 but outside the 10-minute bound; 9 is out of radius
+    assert got == [(1, 2), (1, 3), (2, 3)]
