@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "rel_spatial_radius_pairs",
     "rel_track_distance",
     "rel_spatial_density_topk",
+    "rel_spatial_clusters",
     "ns_zipf_slope",
     "ns_multimodal_gif_decode",
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is

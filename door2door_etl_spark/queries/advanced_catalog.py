@@ -270,6 +270,66 @@ ORDER BY n_points DESC, cx, cy LIMIT 20
 """
 
 
+def q_spatial_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Density clustering, DBSCAN-flavored (minPts=2 core semantics
+    collapse to: connected components of the radius graph): the grid-
+    bucketed radius self-join provides the edges, pointer-jumping CC
+    labels the clusters — both stages are the engine's own banded
+    primitives, so the composition inherits their never-all-pairs /
+    O(log diameter) scale shapes.  Output: one row per clustered point
+    with its cluster id (isolated points are noise and don't appear —
+    DBSCAN's noise semantics).  The oracle rebuilds the same clusters
+    with a recursive-CTE closure over the same grid-derived edges."""
+    from door2door_etl_spark.operators.graph import connected_components
+    from door2door_etl_spark.operators.sketches import uniform_hash
+    from door2door_etl_spark.operators.spatial import radius_self_join
+
+    pts = load_table(spark, sf, "events").select(
+        "event_id",
+        (uniform_hash(F.col("event_id"), "gx") * 1000.0).alias("x"),
+        (uniform_hash(F.col("event_id"), "gy") * 1000.0).alias("y"),
+    )
+    edges = radius_self_join(pts, "event_id", "x", "y", SPATIAL_RADIUS)
+    return connected_components(edges, "id_a", "id_b").select(
+        F.col("node").alias("event_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _sql_spatial_clusters() -> str:
+    ux = sql_uniform_hash("event_id", "gx")
+    uy = sql_uniform_hash("event_id", "gy")
+    r = SPATIAL_RADIUS
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id, {ux} * 1000.0 AS x, {uy} * 1000.0 AS y FROM events),
+cells AS (
+  SELECT event_id, x, y,
+         floor(x / {r}) AS cx, floor(y / {r}) AS cy
+  FROM pts),
+probe AS (
+  SELECT c.event_id AS idb, c.x AS xb, c.y AS yb,
+         c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM cells c,
+       (VALUES (-1), (0), (1)) dx(d),
+       (VALUES (-1), (0), (1)) dy(d)),
+pairs AS (
+  SELECT a.event_id AS id_a, p.idb AS id_b
+  FROM cells a JOIN probe p ON a.cx = p.cx AND a.cy = p.cy
+  WHERE a.event_id < p.idb
+    AND (a.x - p.xb) * (a.x - p.xb) + (a.y - p.yb) * (a.y - p.yb)
+        <= {r} * {r}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON w.node = e.b)
+SELECT node AS event_id, min(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def q_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time dimension lookup (operators.relational.scd2_enrich):
     every event probes the user's state dimension 30 minutes after its
@@ -2210,6 +2270,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_spatial_radius_pairs", q_spatial_radius_pairs, _sql_spatial_radius_pairs(), "spatial radius self-join: grid-cell bucketing + 3x3 neighbor equi-join, never all-pairs", ("rel", "spatial")),
     QueryDef("rel_track_distance", q_track_distance, _sql_track_distance(), "per-entity trajectory rollup: lag-window step displacement + shared-partitioning aggregate", ("rel", "spatial")),
     QueryDef("rel_spatial_density_topk", q_spatial_density_topk, _sql_spatial_density_topk(), "heatmap: top-k densest grid cells via combinable count + TakeOrderedAndProject", ("rel", "spatial")),
+    QueryDef("rel_spatial_clusters", q_spatial_clusters, _sql_spatial_clusters(), "DBSCAN-style density clustering: radius-graph edges -> pointer-jumping components", ("rel", "spatial")),
     QueryDef("ns_scd2_dimension", q_scd2_dimension, SQL_SCD2_DIMENSION, "SCD2 dimension maintenance through insert/change/removal waves (Kimball type 2 on versioned MERGE)", ("northstar", "lakehouse")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),
