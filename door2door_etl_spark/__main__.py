@@ -49,7 +49,12 @@ def main(argv: list[str] | None = None) -> int:
              "hard links, zero data copied; "
              "index builds (or incrementally grows) the BM25 inverted "
              "index <lake-root>/indexes/<--table> from --source "
-             "documents; search serves a --query against it",
+             "documents; search serves a --query against it; "
+             "validate runs the --rules expectation suite over --source "
+             "as a checked upsert into <lake-root>/warehouse/<--table> "
+             "(violators quarantined); replay-quarantine re-validates "
+             "the quarantine under the CURRENT --rules and admits the "
+             "now-passing rows back",
     )
     parser.add_argument(
         "--query", default=None,
