@@ -964,3 +964,21 @@ def test_aggview_hdr_invariant_random_waves(spark, tmp_path_factory, waves):
                 ).collect()
             }
             assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1,
+             max_size=4000),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(indices):
+    """Any index sequence survives the GIF LZW encoder/decoder pair
+    bit-exactly (variable code widths, CLEAR resets, cScSc included —
+    hypothesis shrinks straight to the alignment off-by-ones)."""
+    from door2door_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    data = _gif_lzw_encode(indices, 8)
+    assert _gif_lzw_decode(data, 8, len(indices)) == indices
