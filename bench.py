@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "rel_track_distance",
     "rel_spatial_density_topk",
     "rel_spatial_clusters",
+    "rel_spatial_knn",
     "ns_zipf_slope",
     "ns_multimodal_gif_decode",
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is

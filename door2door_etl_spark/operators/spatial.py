@@ -51,6 +51,45 @@ def haversine_km(
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def knn_within_radius(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    k: int,
+) -> DataFrame:
+    """Each point's ``k`` nearest neighbors among those within
+    ``radius``: the grid-bucketed pair set (symmetrized — every pair
+    serves both endpoints) topped per point with a rank<=k window —
+    planned as WindowGroupLimit, so the per-point top-k partial-
+    aggregates before the shuffle.  The bounded-radius form of k-NN is
+    the one that scales: unbounded k-NN degenerates to all-pairs for
+    isolated points, while here isolated points simply have no
+    neighbors (and don't appear).  Ties at equal distance break by
+    neighbor id — deterministic cross-engine.  Output: ``(id, neighbor,
+    dist, rank)``."""
+    from pyspark.sql import Window
+
+    pairs = radius_self_join(df, id_col, x_col, y_col, radius)
+    sym = pairs.select(
+        F.col("id_a").alias("_pid"), F.col("id_b").alias("neighbor"), "dist"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("_pid"), F.col("id_a").alias("neighbor"),
+            "dist",
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("dist").asc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(id_col), "neighbor", "dist", "rank")
+    )
+
+
 def radius_self_join(
     df: DataFrame,
     id_col: str,

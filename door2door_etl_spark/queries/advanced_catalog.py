@@ -270,6 +270,62 @@ ORDER BY n_points DESC, cx, cy LIMIT 20
 """
 
 
+def q_spatial_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-NN (operators.spatial.knn_within_radius): each event
+    point's 3 nearest neighbors among those within the radius —
+    symmetrized grid-bucketed pairs topped per point by a rank<=k
+    window (WindowGroupLimit: the top-k partial-aggregates before the
+    shuffle)."""
+    from door2door_etl_spark.operators.sketches import uniform_hash
+    from door2door_etl_spark.operators.spatial import knn_within_radius
+
+    pts = load_table(spark, sf, "events").select(
+        "event_id",
+        (uniform_hash(F.col("event_id"), "gx") * 1000.0).alias("x"),
+        (uniform_hash(F.col("event_id"), "gy") * 1000.0).alias("y"),
+    )
+    return knn_within_radius(pts, "event_id", "x", "y", SPATIAL_RADIUS, 3)
+
+
+def _sql_spatial_knn() -> str:
+    ux = sql_uniform_hash("event_id", "gx")
+    uy = sql_uniform_hash("event_id", "gy")
+    r = SPATIAL_RADIUS
+    return f"""
+WITH pts AS (
+  SELECT event_id, {ux} * 1000.0 AS x, {uy} * 1000.0 AS y FROM events),
+cells AS (
+  SELECT event_id, x, y,
+         floor(x / {r}) AS cx, floor(y / {r}) AS cy
+  FROM pts),
+probe AS (
+  SELECT c.event_id AS idb, c.x AS xb, c.y AS yb,
+         c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM cells c,
+       (VALUES (-1), (0), (1)) dx(d),
+       (VALUES (-1), (0), (1)) dy(d)),
+pairs AS (
+  SELECT a.event_id AS id_a, p.idb AS id_b,
+         round(sqrt((a.x - p.xb) * (a.x - p.xb)
+                    + (a.y - p.yb) * (a.y - p.yb)), 6) AS dist
+  FROM cells a JOIN probe p ON a.cx = p.cx AND a.cy = p.cy
+  WHERE a.event_id < p.idb
+    AND (a.x - p.xb) * (a.x - p.xb) + (a.y - p.yb) * (a.y - p.yb)
+        <= {r} * {r}),
+sym AS (
+  SELECT id_a AS pid, id_b AS neighbor, dist FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, dist FROM pairs),
+ranked AS (
+  SELECT pid, neighbor, dist,
+         row_number() OVER (
+           PARTITION BY pid ORDER BY dist ASC, neighbor ASC) AS rank
+  FROM sym)
+SELECT pid AS event_id, neighbor, dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_spatial_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Density clustering, DBSCAN-flavored (minPts=2 core semantics
     collapse to: connected components of the radius graph): the grid-
@@ -2271,6 +2327,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("rel_track_distance", q_track_distance, _sql_track_distance(), "per-entity trajectory rollup: lag-window step displacement + shared-partitioning aggregate", ("rel", "spatial")),
     QueryDef("rel_spatial_density_topk", q_spatial_density_topk, _sql_spatial_density_topk(), "heatmap: top-k densest grid cells via combinable count + TakeOrderedAndProject", ("rel", "spatial")),
     QueryDef("rel_spatial_clusters", q_spatial_clusters, _sql_spatial_clusters(), "DBSCAN-style density clustering: radius-graph edges -> pointer-jumping components", ("rel", "spatial")),
+    QueryDef("rel_spatial_knn", q_spatial_knn, _sql_spatial_knn(), "bounded k-NN: symmetrized radius pairs + per-point rank<=k window (WindowGroupLimit)", ("rel", "spatial")),
     QueryDef("ns_scd2_dimension", q_scd2_dimension, SQL_SCD2_DIMENSION, "SCD2 dimension maintenance through insert/change/removal waves (Kimball type 2 on versioned MERGE)", ("northstar", "lakehouse")),
     QueryDef("ns_kmv_distinct_users", q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS, "north-star sketch/kmv", ("northstar", "sketch")),
     QueryDef("ns_kmv_distinct_by_type", q_kmv_distinct_by_type, SQL_KMV_DISTINCT_BY_TYPE, "north-star sketch/kmv-grouped", ("northstar", "sketch")),

@@ -3854,3 +3854,37 @@ def test_haversine_known_distances(spark):
     ).collect()
     for r in got:
         assert abs(r["d"] - r["want"]) <= max(0.005 * r["want"], 0.01), r
+
+
+def test_knn_within_radius_reference_and_plan(spark):
+    """knn_within_radius equals a brute-force bounded k-NN (rank by
+    rounded distance, neighbor-id tiebreak), and plans the per-point
+    top-k as WindowGroupLimit."""
+    import random
+
+    from door2door_etl_spark.operators.spatial import knn_within_radius
+
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(150)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    r, k = 2.0, 3
+    out = knn_within_radius(df, "id", "x", "y", r, k)
+    got = sorted(
+        (row["id"], row["rank"], row["neighbor"]) for row in out.collect()
+    )
+
+    want = []
+    for i, xi, yi in pts:
+        nbrs = []
+        for j, xj, yj in pts:
+            if i == j:
+                continue
+            d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+            if d2 <= r * r:
+                nbrs.append((round(d2 ** 0.5, 6), j))
+        nbrs.sort()
+        want += [(i, rk + 1, j) for rk, (_, j) in enumerate(nbrs[:k])]
+    assert got == sorted(want)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
