@@ -173,6 +173,35 @@ class LakeEpoch:
             if self.fs.put_if_absent(self._path(nxt), payload):
                 return nxt
 
+    def fsck(self) -> list[dict]:
+        """Audit the current epoch's pins against the tables' retained
+        manifests: a pin whose version was vacuumed past (or whose
+        table vanished) breaks epoch readers — surface it BEFORE a
+        reader does.  Returns one finding per dangling pin
+        (``{table, pinned_version, issue}``); empty = healthy.  Pure
+        metadata, O(pinned tables)."""
+        from door2door_etl_spark.io.manifest import ManifestTable
+
+        findings = []
+        for table_root, version in sorted(self.pins().items()):
+            t = ManifestTable(table_root)
+            cur = t.current_version()
+            if cur is None:
+                findings.append({
+                    "table": table_root, "pinned_version": version,
+                    "issue": "table has no committed versions",
+                })
+            else:
+                try:
+                    t.manifest(version)
+                except ValueError:
+                    findings.append({
+                        "table": table_root, "pinned_version": version,
+                        "issue": f"pinned manifest not retained "
+                                 f"(current={cur}; vacuumed past the pin?)",
+                    })
+        return findings
+
     def read_table(self, spark: SparkSession, table_root: str) -> DataFrame:
         """Read ``table_root`` at its epoch-pinned version — the reader
         half of cross-table snapshot isolation.  Unpinned tables read

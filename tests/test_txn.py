@@ -379,3 +379,32 @@ def test_stream_txn_co_commit_exactly_once(spark, tmp_path):
     assert sorted(
         r["id"] for r in epoch.read_table(spark, corpus).collect()
     ) == [1, 2, 3]
+
+
+def test_epoch_fsck_flags_dangling_pins(spark, tmp_path):
+    """epoch.fsck(): healthy pins pass; a pin whose manifest was
+    removed (vacuum past the pin) and a pin on a vanished table are
+    both flagged with the pinned version."""
+    import shutil
+
+    from door2door_etl_spark.io.txn import LakeEpoch
+
+    a, b, j = tmp_path / "a", tmp_path / "b", tmp_path / "journal"
+    epoch = LakeEpoch(str(tmp_path / "epoch"))
+    txn = MultiTableTransaction(str(j), epoch=epoch)
+    txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10])),
+    ])
+    assert epoch.fsck() == []
+
+    # simulate vacuum past the pin on a: remove its pinned manifest
+    ta = ManifestTable(str(a))
+    pinned = epoch.pins()[str(a)]
+    os.remove(os.path.join(ta.manifests_dir, f"data-v{pinned:08d}.json"))
+    # and drop table b entirely
+    shutil.rmtree(b)
+
+    issues = {f["table"]: f["issue"] for f in epoch.fsck()}
+    assert "not retained" in issues[str(a)]
+    assert "no committed versions" in issues[str(b)]
