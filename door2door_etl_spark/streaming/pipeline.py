@@ -1479,3 +1479,29 @@ def stream_proximity_pairs(
         F.col("_ts").alias("ts_a"),
         F.col("_tsb").alias("ts_b"),
     )
+
+
+def stream_spatial_density(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str,
+    cell_size: float,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Continuously maintained heatmap: ping counts per (tumbling time
+    window, grid cell) — a pure built-in windowed aggregation (cell
+    derivation is a projection, the count partial-aggregates map-side,
+    watermark bounds the state), the streaming twin of the batch
+    density rollup.  Emits ``(window_start, cx, cy, n_points)``."""
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("_w"),
+            F.floor(F.col(x_col) / cell_size).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / cell_size).cast("long").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(F.col("_w.start").alias("window_start"), "cx", "cy", "n_points")
+    )

@@ -1738,3 +1738,57 @@ def test_stream_proximity_pairs_across_batches(spark, tmp_path):
     # (1,2) same-batch; (1,3) and (2,3) STRADDLE batches; 4 is in-radius
     # of 1/2/3 but outside the 10-minute bound; 9 is out of radius
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_stream_spatial_density_windowed_counts(spark, tmp_path):
+    """Windowed heatmap: cell counts land per tumbling window; a point
+    in the next window opens a new row, never inflating the old one."""
+    import json as _json
+
+    from door2door_etl_spark.streaming.pipeline import stream_spatial_density
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    rows = [
+        {"x": 1.0, "y": 1.0, "ts": "2024-01-01 10:01:00"},
+        {"x": 1.2, "y": 1.4, "ts": "2024-01-01 10:04:00"},  # same cell+window
+        {"x": 80.0, "y": 1.0, "ts": "2024-01-01 10:02:00"},  # other cell
+        {"x": 1.0, "y": 1.0, "ts": "2024-01-01 10:15:00"},  # next window
+    ]
+    stream = (
+        spark.readStream.schema("x double, y double, ts string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    def run():
+        q = (
+            stream_spatial_density(stream, "x", "y", "ts", cell_size=50.0)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    run()
+    # append mode holds a window until the watermark passes its end: a
+    # later nudge batch (12:00 - 30 min watermark = 11:30) closes them
+    (src / "b1.json").write_text(
+        _json.dumps({"x": 200.0, "y": 200.0, "ts": "2024-01-01 12:00:00"})
+    )
+    run()
+    run()  # one more drain so the finalized windows flush to the sink
+    got = {
+        (str(r["window_start"]), r["cx"], r["cy"]): r["n_points"]
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", 0, 0): 2,
+        ("2024-01-01 10:00:00", 1, 0): 1,
+        ("2024-01-01 10:10:00", 0, 0): 1,
+    }
