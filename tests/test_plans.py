@@ -446,8 +446,12 @@ def test_zorder_layout_bounds_stats_on_all_dimensions(spark, sf001, tmp_path):
     write_sorted_parquet(li, spath, ["l_orderkey"], target_partitions=8)
 
     # Single-key sort: order key clusters perfectly, part key doesn't.
-    sorted_part_spans = span_fractions(spath, "l_partkey")
-    assert min(sorted_part_spans) > 0.8  # every file ~full secondary range
+    # MEDIAN, not min: repartitionByRange's reservoir sampling sometimes
+    # cuts one tiny straggler file whose few rows legitimately span less
+    # of the secondary range (observed as a rare flake) — the typical
+    # file still covers ~the full range, which is the property at stake.
+    sorted_part_spans = sorted(span_fractions(spath, "l_partkey"))
+    assert sorted_part_spans[len(sorted_part_spans) // 2] > 0.8
 
     # Z-order: BOTH dimensions bounded well below the full range on
     # average — the multi-dimension pruning property.
