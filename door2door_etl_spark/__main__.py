@@ -641,6 +641,15 @@ def _run_maintenance(args) -> int:
         finally:
             if built is not None:
                 built.stop()
+        # epoch pointer audit rides along: dangling pins break epoch
+        # readers exactly like missing data files break table readers
+        import os as _os
+
+        epoch_root = _os.path.join(args.lake_root, "epoch")
+        if _os.path.isdir(epoch_root):
+            from door2door_etl_spark.io.txn import LakeEpoch
+
+            report["_epoch"] = {"findings": LakeEpoch(epoch_root).fsck()}
     elif args.step == "restore":
         # Rollback is metadata-only in BOTH layouts: no Spark session.
         if not args.table or args.to_version is None:

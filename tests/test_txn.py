@@ -408,3 +408,32 @@ def test_epoch_fsck_flags_dangling_pins(spark, tmp_path):
     issues = {f["table"]: f["issue"] for f in epoch.fsck()}
     assert "not retained" in issues[str(a)]
     assert "no committed versions" in issues[str(b)]
+
+
+def test_cli_fsck_includes_epoch_audit(spark, tmp_path, capsys):
+    """`-s fsck` over a lake with an epoch pointer appends the epoch
+    audit to the report (empty findings on a healthy lake; a vacuumed-
+    past pin shows up)."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+    from door2door_etl_spark.io.txn import LakeEpoch
+
+    lake = tmp_path / "lake"
+    wh = lake / "warehouse"
+    epoch = LakeEpoch(str(lake / "epoch"))
+    txn = MultiTableTransaction(str(tmp_path / "journal"), epoch=epoch)
+    txn.run(spark, [
+        TxnOp("merge", str(wh / "t1"), payload=_batch(spark, [1]), key="id"),
+    ])
+    assert main(["-s", "fsck", "--lake-root", str(lake)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["_epoch"]["findings"] == []
+
+    # break the pin without breaking the table (the vacuumed-past shape):
+    # publish an epoch pinning a version the table never retained
+    epoch.publish({str(wh / "t1"): 99})
+    assert main(["-s", "fsck", "--lake-root", str(lake)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["tables"]["_epoch"]["findings"]) == 1
+    assert "not retained" in rep["tables"]["_epoch"]["findings"][0]["issue"]
