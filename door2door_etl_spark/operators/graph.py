@@ -320,3 +320,38 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree distribution of an undirected edge list: one row per observed
+    degree with the node count and its share of all nodes — the first plot
+    drawn over any large graph (power-law checks, hub detection, sanity
+    before choosing a join/partition strategy for graph algorithms).
+
+    Plan shape: union both endpoint columns, ONE map-side-combinable
+    count per node, ONE count per degree — two bounded shuffles, output
+    at most |distinct degrees| rows.  The total-node normalizer is a
+    window over the already-aggregated histogram (never over nodes).
+    Determinism: shares are exact integer ratios rounded at 6dp.
+    """
+    from pyspark.sql import Window
+
+    deg = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionAll(edges.select(F.col(dst_col).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.partitionBy()
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.round(
+            F.col("n_nodes") / F.sum("n_nodes").over(w).cast("double"), 6
+        ).alias("node_share"),
+    )

@@ -290,3 +290,48 @@ def skew_report(
             ),
         )
     )
+
+
+def benford_digit_audit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column: one
+    row per leading digit 1-9 with the observed count/share, the Benford
+    expectation ``log10(1 + 1/d)``, and the chi-square contribution
+    ``n_total * (obs - exp)^2 / exp`` — the standard forensic screen for
+    fabricated or truncated monetary data, run here as a data-quality
+    report next to the profile/drift family.
+
+    The leading digit is taken from the DECIMAL rendering of the value
+    (``CAST(v AS DECIMAL)`` then first character), never via
+    ``floor(log10(v))``: decimal formatting is engine-portable, while a
+    log of a value sitting exactly on a power of ten may land on either
+    side of the floor depending on the libm.  Plan shape: one map-side
+    combinable count per digit; the normalizer is a window over the
+    9-row histogram.  Non-positive and NULL values are excluded (Benford
+    applies to positive magnitudes).
+    """
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.col(value_col).cast(f"decimal(38,{int(scale)})").cast("string"), 1, 1
+    ).cast("int")
+    hist = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 1))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_values").over(w).cast("double")
+    obs = F.col("n_values") / total
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return hist.select(
+        "digit",
+        "n_values",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("benford_share"),
+        F.round(total * (obs - exp) * (obs - exp) / exp, 6).alias("chi2_part"),
+    ).orderBy("digit")

@@ -671,3 +671,96 @@ def market_basket_pairs(
     return out.orderBy(
         F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(topk)
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered state
+    sequences: for every observed ``(prev_state, next_state)`` pair, the
+    transition count and the conditional probability
+    ``P(next | prev) = n(prev, next) / n(prev, *)``.
+
+    The classic next-event model behind session analysis ("what follows a
+    click?") and behavioral anomaly detection.  Plan shape: ONE shuffle on
+    the key partitioning for the ``lag`` window, then a map-side-combinable
+    pair count; the per-``prev`` normalizer is a window over the aggregated
+    matrix (at most |states|^2 rows), so nothing beyond the sequence
+    shuffle scales with the data.  Determinism: ``order_cols`` must be a
+    total order per key (pass a unique tiebreaker); probabilities are exact
+    integer ratios rounded at 6dp, so a lag-window SQL twin hash-matches.
+
+    Reference analog: the reference stops at per-hour event counts
+    (/root/reference/src/queries/queries.py); sequence structure is new
+    capability.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    seq = df.select(
+        *key_cols,
+        *order_cols,
+        F.col(state_col).alias("_next"),
+    ).withColumn("_prev", F.lag("_next").over(w))
+    matrix = (
+        seq.filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("prev_state"), F.col("_next").alias("next_state"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    norm = Window.partitionBy("prev_state")
+    return matrix.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(norm).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+def ema_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: the final EMA of
+    ``value_col`` over each key's sequence ordered by ``order_cols``
+    (``ema_1 = v_1``; ``ema_i = alpha * v_i + (1 - alpha) * ema_{i-1}``),
+    plus the point count.
+
+    EMA is an inherently sequential left fold, so it is computed per key
+    with ``array_sort(collect_list(...))`` + a Catalyst ``aggregate`` fold
+    — ONE shuffle, no Python.  The per-key sequence must fit one executor's
+    memory, the same bound every per-entity trajectory/packing operator in
+    this repo documents; the alternative closed form
+    ``sum(v_j * (1-a)^(i-j))`` needs ``(1-a)^-j`` terms that overflow
+    doubles beyond ~1k points, so the fold is the SCALABLE form, not a
+    shortcut.  Determinism: the fold is a fixed left-to-right chain of
+    IEEE double ops — identical in any engine that folds the same order
+    (DuckDB's ``list_reduce`` twin is bit-exact) — rounded at 6dp.
+    """
+    a = float(alpha)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("_v")))
+    )
+    vals = F.transform(ordered, lambda s: s["_v"].cast("double"))
+    ema = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(x * F.lit(a) + acc * F.lit(1.0 - a), x),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(ema, 6).alias("ema"),
+        )
+    )

@@ -1393,3 +1393,91 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 25,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information:
+    ``PMI(x, y) = ln( p(x,y) / (p(x) p(y)) )`` with ``p(x,y)`` over all
+    adjacent token pairs and ``p(x)`` over all tokens — the standard
+    collocation extractor (Church & Hanks 1990) a corpus pipeline runs to
+    find multi-word expressions worth protecting from tokenization.
+
+    Plan shape: one token explode for unigram counts, one bigram explode
+    for pair counts, then two joins of the pair table against the unigram
+    counts (vocabulary-sized — broadcastable for any real corpus, hinted
+    here), and a TakeOrderedAndProject for the top-k; nothing but the two
+    exploded counts scales with corpus size.  Determinism: the PMI operand
+    is assembled as ONE rational value (exact BIGINT products on both
+    sides of the divide) so both engines take ``ln`` of the identical
+    double; ordering ties break on the exact pair counts then the words.
+
+    Reference analog: none (the reference has no text analytics); this is
+    north-star pack capability next to tf-idf and Zipf.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.element_at(F.col("_t"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_uni = uni.agg(F.sum("cw").alias("n_tokens"))
+    # normalizer = ALL adjacent pairs (computed before the min-count cut,
+    # or p(x,y) would be conditioned on the reporting threshold)
+    n_bi_total = bi.agg(F.sum("n_pair").alias("n_bigrams"))
+    bi = bi.filter(F.col("n_pair") >= int(min_count))
+    c1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")))
+    c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")))
+    scored = (
+        bi.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            # cast-first double products: the BIGINT product n_pair*N^2
+            # overflows past ~3M tokens; the double chain is identical
+            # left-associated IEEE ops on both engines
+            F.round(
+                F.log(
+                    (
+                        F.col("n_pair").cast("double")
+                        * F.col("n_tokens")
+                        * F.col("n_tokens")
+                    )
+                    / (
+                        F.col("n_bigrams").cast("double")
+                        * F.col("c1")
+                        * F.col("c2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("n_pair").desc(), F.col("w1"), F.col("w2")
+    ).limit(int(topk))

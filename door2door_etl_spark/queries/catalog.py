@@ -10,6 +10,7 @@ from __future__ import annotations
 from door2door_etl_spark.queries.advanced_catalog import ADVANCED_QUERIES
 from door2door_etl_spark.queries.analyst_catalog import ANALYST_QUERIES
 from door2door_etl_spark.queries.defs import QueryDef
+from door2door_etl_spark.queries.insight_catalog import INSIGHT_QUERIES
 from door2door_etl_spark.queries.northstar_catalog import NORTHSTAR_QUERIES
 from door2door_etl_spark.queries.relational_catalog import RELATIONAL_QUERIES
 from door2door_etl_spark.queries.training_catalog import TRAINING_QUERIES
@@ -38,6 +39,7 @@ _ALL: list[QueryDef] = _interleave(
     ANALYST_QUERIES,
     ADVANCED_QUERIES,
     TRAINING_QUERIES,
+    INSIGHT_QUERIES,
 )
 
 QUERIES: dict[str, QueryDef] = {q.name: q for q in _ALL}

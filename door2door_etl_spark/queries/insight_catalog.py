@@ -1,0 +1,197 @@
+"""Insight catalog: behavioral / forensic / corpus-structure analytics.
+
+Round-9 continuation wave — the analytics a telemetry warehouse and a
+pretraining-data pipeline both reach for once the relational and curation
+basics are in place: next-event structure (Markov transitions), forensic
+digit audits (Benford), sequential smoothing (per-entity EMA), graph shape
+(degree distribution), and collocation mining (PMI).  Each Spark-first
+(window/explode/fold compositions, zero Python rows) with an exact DuckDB
+twin built from the shared portable contract in ``sql_fragments``.
+
+Reference analog: the reference's analytics stop at per-hour event counts
+(/root/reference/src/queries/queries.py); every row here is north-star
+capability beyond that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.readers import load_table
+from door2door_etl_spark.queries.defs import QueryDef
+from door2door_etl_spark.queries.sql_fragments import sql_tokens
+
+
+def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence (operators.relational.markov_transitions): ONE shuffle on the
+    user partitioning for the lag window; the P(next|prev) normalizer is a
+    window over the |types|^2-row aggregated matrix."""
+    from door2door_etl_spark.operators.relational import markov_transitions
+
+    ev = load_table(spark, sf, "events")
+    return markov_transitions(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"], state_col="event_type"
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type AS next_state,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events)
+SELECT prev_state, next_state, count(*) AS n_transitions,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY prev_state), 6) AS prob
+FROM seq WHERE prev_state IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_benford_order_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals
+    (operators.profile.benford_digit_audit): leading digit via the
+    engine-portable DECIMAL rendering (never floor(log10)), one combinable
+    count per digit, 9-row output with chi-square contributions."""
+    from door2door_etl_spark.operators.profile import benford_digit_audit
+
+    orders = load_table(spark, sf, "orders")
+    return benford_digit_audit(orders, "o_totalprice", scale=2)
+
+
+SQL_BENFORD_ORDER_TOTALS = """
+WITH h AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         count(*) AS n_values
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+  GROUP BY 1)
+SELECT digit, n_values,
+       round(n_values / t, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(t * (n_values / t - log10(1.0 + 1.0 / digit))
+               * (n_values / t - log10(1.0 + 1.0 / digit))
+               / log10(1.0 + 1.0 / digit), 6) AS chi2_part
+FROM (SELECT digit, n_values,
+             CAST(sum(n_values) OVER () AS DOUBLE) AS t FROM h)
+ORDER BY digit
+"""
+
+
+def q_ema_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponential moving average of event value
+    (operators.relational.ema_by_key, alpha=0.3): array_sort +
+    Catalyst-aggregate left fold, ONE shuffle; bit-exact against DuckDB's
+    list_reduce because both engines fold the identical IEEE chain."""
+    from door2door_etl_spark.operators.relational import ema_by_key
+
+    ev = load_table(spark, sf, "events")
+    return ema_by_key(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+    )
+
+
+SQL_EMA_USER_VALUE = """
+SELECT user_id, count(*) AS n_points,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> x * 0.3 + acc * 0.7), 6) AS ema
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_graph_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph
+    (operators.graph.degree_histogram) — same >=2-shared-orders edge set
+    as the triangle/k-core/components rows, so the graph family reads as
+    one toolkit over one graph."""
+    from door2door_etl_spark.operators.graph import degree_histogram
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return degree_histogram(edges)
+
+
+SQL_GRAPH_DEGREE_HISTOGRAM = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e AS (SELECT u, v FROM p WHERE c >= 2),
+deg AS (SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+h AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1)
+SELECT degree, n_nodes,
+       round(CAST(n_nodes AS DOUBLE) / sum(n_nodes) OVER (), 6) AS node_share
+FROM h
+"""
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+
+def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI over the documents corpus
+    (operators.text.pmi_collocations): two exploded counts + two
+    broadcast joins against the vocabulary, TakeOrderedAndProject."""
+    from door2door_etl_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf, "documents")
+    return pmi_collocations(
+        docs, text_col="text", min_count=PMI_MIN_COUNT, topk=PMI_TOPK
+    )
+
+
+def _sql_collocations_pmi() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH toks AS (SELECT {toks} AS t FROM documents),
+uni AS (SELECT w, count(*) AS cw
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+nu AS (SELECT sum(cw) AS n_tokens FROM uni),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS pr
+  FROM toks WHERE len(t) >= 2),
+bi AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS n_pair
+       FROM pairs GROUP BY 1, 2),
+nb AS (SELECT sum(n_pair) AS n_bigrams FROM bi),
+cut AS (SELECT * FROM bi WHERE n_pair >= {PMI_MIN_COUNT})
+SELECT cut.w1, cut.w2, cut.n_pair,
+       round(ln((CAST(cut.n_pair AS DOUBLE) * nu.n_tokens * nu.n_tokens)
+                / (CAST(nb.n_bigrams AS DOUBLE) * c1.cw * c2.cw)), 6) AS pmi
+FROM cut
+JOIN uni c1 ON c1.w = cut.w1
+JOIN uni c2 ON c2.w = cut.w2
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, cut.n_pair DESC, cut.w1, cut.w2
+LIMIT {PMI_TOPK}
+"""
+
+
+INSIGHT_QUERIES: list[QueryDef] = [
+    QueryDef("rel_event_transition_matrix", q_event_transition_matrix, SQL_EVENT_TRANSITION_MATRIX, "first-order Markov next-event matrix: lag window + combinable pair counts", ("rel", "insight")),
+    QueryDef("rel_benford_order_totals", q_benford_order_totals, SQL_BENFORD_ORDER_TOTALS, "Benford first-digit forensic audit with chi-square contributions", ("rel", "insight")),
+    QueryDef("rel_ema_user_value", q_ema_user_value, SQL_EMA_USER_VALUE, "per-entity EMA via Catalyst left fold (bit-exact vs list_reduce)", ("rel", "insight")),
+    QueryDef("ns_graph_degree_histogram", q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM, "graph degree distribution (power-law / hub pre-flight)", ("northstar", "graph")),
+    QueryDef("ns_collocations_pmi", q_collocations_pmi, _sql_collocations_pmi(), "PMI collocation mining over the corpus (Church & Hanks 1990)", ("northstar", "text")),
+]

@@ -1,0 +1,109 @@
+"""Unit tests for the insight wave: Markov transitions, Benford audit,
+per-key EMA, degree histogram, PMI collocations — each against a tiny
+hand-checkable or pure-Python reference."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.operators.graph import degree_histogram
+from door2door_etl_spark.operators.profile import benford_digit_audit
+from door2door_etl_spark.operators.relational import ema_by_key, markov_transitions
+from door2door_etl_spark.operators.text import pmi_collocations
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    rows = [
+        # user 1: a -> b -> a -> c   (transitions: ab, ba, ac)
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        # user 2: a -> b             (transition: ab)
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "state"])
+    out = markov_transitions(df, ["user_id"], ["seq"], "state")
+    got = {(r.prev_state, r.next_state): (r.n_transitions, r.prob) for r in out.collect()}
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_markov_transitions_singleton_key_emits_nothing(spark):
+    df = spark.createDataFrame([(1, 1, "a")], ["user_id", "seq", "state"])
+    assert markov_transitions(df, ["user_id"], ["seq"], "state").count() == 0
+
+
+def test_benford_digit_audit_reference(spark):
+    vals = [1.5, 12.0, 19.9, 2.0, 29.0, 31.4, 900.0, 0.5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_digit_audit(df, "v").collect()}
+    # 0.5 and None excluded -> 7 values: digit 1 x3, 2 x2, 3 x1, 9 x1
+    assert sorted(out) == [1, 2, 3, 9]
+    assert out[1].n_values == 3 and out[2].n_values == 2
+    assert out[1].obs_share == round(3 / 7, 6)
+    assert out[1].benford_share == round(math.log10(2.0), 6)
+    exp = math.log10(1 + 1 / 9)
+    chi = 7 * (1 / 7 - exp) ** 2 / exp
+    assert out[9].chi2_part == round(chi, 6)
+
+
+def test_ema_by_key_matches_sequential_fold(spark):
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [(2, 0, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = {r.k: (r.n_points, r.ema) for r in ema_by_key(df, ["k"], ["seq"], "v", alpha=0.3).collect()}
+    ema = 10.0
+    for v in [20.0, 30.0, 40.0]:
+        ema = v * 0.3 + ema * 0.7
+    assert out[1] == (4, round(ema, 6))
+    assert out[2] == (1, 5.0)
+
+
+def test_ema_by_key_order_is_by_order_cols_not_arrival(spark):
+    # shuffled input must fold in seq order
+    df = spark.createDataFrame([(1, 2, 3.0), (1, 0, 1.0), (1, 1, 2.0)], ["k", "seq", "v"])
+    (row,) = ema_by_key(df, ["k"], ["seq"], "v", alpha=0.5).collect()
+    # fold: 1.0 -> 2*0.5+1*0.5=1.5 -> 3*0.5+1.5*0.5=2.25
+    assert row.ema == 2.25
+
+
+def test_degree_histogram_triangle_plus_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    out = {r.degree: (r.n_nodes, r.node_share) for r in degree_histogram(edges).collect()}
+    assert out == {1: (1, 0.25), 2: (2, 0.5), 3: (1, 0.25)}
+
+
+def test_pmi_collocations_reference(spark):
+    # "x y" always adjacent (strong collocation); "a"/"b" independent filler
+    docs = [("x y a b",)] * 6 + [("a b b a",)] * 2
+    df = spark.createDataFrame(docs, ["text"])
+    out = pmi_collocations(df, min_count=2, topk=5).collect()
+    # pure-python reference
+    toks = [d[0].split() for d in docs]
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for t in toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(t) - 1):
+            bi[(t[i], t[i + 1])] = bi.get((t[i], t[i + 1]), 0) + 1
+    nu = sum(uni.values())
+    nb = sum(bi.values())
+    def pmi(p):
+        return round(math.log(bi[p] * nu * nu / (nb * uni[p[0]] * uni[p[1]])), 6)
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in out}
+    for p, (n, v) in got.items():
+        assert bi[p] == n and pmi(p) == v
+    # the planted collocation must rank first
+    assert out[0].w1 == "x" and out[0].w2 == "y"
+
+
+def test_pmi_min_count_prunes_rare_pairs(spark):
+    df = spark.createDataFrame([("q r",), ("s t",), ("q r",)], ["text"])
+    out = pmi_collocations(df, min_count=2, topk=10).collect()
+    assert [(r.w1, r.w2) for r in out] == [("q", "r")]
