@@ -119,6 +119,12 @@ BENCH_QUERIES = [
     "rel_spatial_knn",
     "ns_zipf_slope",
     "ns_multimodal_gif_decode",
+    "rel_event_transition_matrix",
+    "rel_benford_order_totals",
+    "rel_ema_user_value",
+    "ns_graph_degree_histogram",
+    "ns_collocations_pmi",
+    # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work
     # ns_txn_co_commit, ns_cdc_hdr_quantiles, and ns_aggview_rollup_serving

@@ -188,10 +188,118 @@ LIMIT {PMI_TOPK}
 """
 
 
+def q_cdc_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-maintained JOIN view end-to-end (pipeline.joinview
+    .IncrementalJoinView): seed ``orders ⋈ customer`` from deterministic
+    subsets, then drive ONE delta window carrying churn on BOTH sides —
+    left inserts (%3==0), fk re-points + payload updates (%7==0),
+    deletes (%11==0); right payload updates (%4==0), late-arriving
+    dimensions (%5==0, back-filling previously-unmatched facts), deletes
+    (%9==0, orphaning their facts under inner join).  The view advances
+    by affected-rows recompute only; the oracle rebuilds the identical
+    final state in plain SQL, so a hash match proves the delta-join path
+    (never a hidden full recompute) converges exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.versioned import delete_versioned, merge_versioned
+    from door2door_etl_spark.pipeline.joinview import IncrementalJoinView
+
+    k = F.col("_k")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderkey").alias("_k"),
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_totalprice").alias("total"),
+    )
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_custkey").alias("_c"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    c = F.col("_c")
+    root = os.path.join(
+        tempfile.gettempdir(), f"ns_cdc_join_view_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_l, src_r = os.path.join(root, "orders"), os.path.join(root, "cust")
+    lcols, rcols = ["okey", "ckey", "total"], ["ckey", "segment"]
+
+    merge_versioned(
+        spark, src_l, orders.filter(k % 3 != 0).select(*lcols), key="okey"
+    )
+    merge_versioned(
+        spark, src_r, cust.filter(c % 5 != 0).select(*rcols), key="ckey"
+    )
+    view = IncrementalJoinView(
+        left_root=src_l,
+        right_root=src_r,
+        view_root=os.path.join(root, "view"),
+        left_key="okey",
+        fk="ckey",
+        right_key="ckey",
+        left_cols=["total"],
+        right_cols=["segment"],
+        how="inner",
+    )
+    if view.refresh(spark)["action"] != "seed":
+        raise RuntimeError("cdc_join_view: expected seed on first refresh")
+
+    l_inserts = orders.filter(k % 3 == 0).select(*lcols)
+    l_updates = (
+        orders.filter((k % 7 == 0) & (k % 3 != 0))
+        .withColumn("ckey", F.col("ckey") + 1)
+        .withColumn("total", F.col("total") + 1.0)
+        .select(*lcols)
+    )
+    merge_versioned(spark, src_l, l_inserts.unionByName(l_updates), key="okey")
+    delete_versioned(
+        spark, src_l, orders.filter(k % 11 == 0).select("okey"), key="okey"
+    )
+    r_updates = (
+        cust.filter((c % 4 == 0) & (c % 5 != 0))
+        .withColumn("segment", F.lit("U"))
+        .select(*rcols)
+    )
+    r_inserts = cust.filter(c % 5 == 0).select(*rcols)
+    merge_versioned(spark, src_r, r_updates.unionByName(r_inserts), key="ckey")
+    delete_versioned(
+        spark, src_r, cust.filter(c % 9 == 0).select("ckey"), key="ckey"
+    )
+    if view.refresh(spark)["action"] != "delta":
+        raise RuntimeError("cdc_join_view: expected an incremental delta window")
+    return view.read(spark).select(
+        F.col("_vk").alias("okey"),
+        F.col("_fk").alias("ckey"),
+        "total",
+        "segment",
+    )
+
+
+SQL_CDC_JOIN_VIEW = """
+WITH lf AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+         CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 != 0
+              THEN o_custkey + 1 ELSE o_custkey END AS VARCHAR) AS ckey,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 != 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS total
+  FROM orders WHERE o_orderkey % 11 != 0),
+rf AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ckey,
+         CASE WHEN c_custkey % 4 = 0 AND c_custkey % 5 != 0
+              THEN 'U' ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 9 != 0)
+SELECT lf.okey, lf.ckey, lf.total, rf.segment
+FROM lf JOIN rf USING (ckey)
+"""
+
+
 INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_event_transition_matrix", q_event_transition_matrix, SQL_EVENT_TRANSITION_MATRIX, "first-order Markov next-event matrix: lag window + combinable pair counts", ("rel", "insight")),
     QueryDef("rel_benford_order_totals", q_benford_order_totals, SQL_BENFORD_ORDER_TOTALS, "Benford first-digit forensic audit with chi-square contributions", ("rel", "insight")),
     QueryDef("rel_ema_user_value", q_ema_user_value, SQL_EMA_USER_VALUE, "per-entity EMA via Catalyst left fold (bit-exact vs list_reduce)", ("rel", "insight")),
     QueryDef("ns_graph_degree_histogram", q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM, "graph degree distribution (power-law / hub pre-flight)", ("northstar", "graph")),
     QueryDef("ns_collocations_pmi", q_collocations_pmi, _sql_collocations_pmi(), "PMI collocation mining over the corpus (Church & Hanks 1990)", ("northstar", "text")),
+    QueryDef("ns_cdc_join_view", q_cdc_join_view, SQL_CDC_JOIN_VIEW, "lakehouse CDC + incremental JOIN-view maintenance (delta-join, both-side churn)", ("northstar", "lakehouse")),
 ]
