@@ -1505,3 +1505,59 @@ def stream_spatial_density(
         .agg(F.count(F.lit(1)).alias("n_points"))
         .select(F.col("_w.start").alias("window_start"), "cx", "cy", "n_points")
     )
+
+
+def stream_enrich_with_dim(
+    facts_stream: DataFrame,
+    dim_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    fk: str,
+    dim_key: str,
+    dim_cols: list[str],
+    how: str = "left",
+    epoch=None,
+    broadcast_dim: bool = True,
+):
+    """Stream-static enrichment against a HOT dimension table: every
+    micro-batch re-resolves the dimension through its versioned pointer
+    (or through a :class:`door2door_etl_spark.io.txn.LakeEpoch` pin when
+    ``epoch`` is passed) AT BATCH TIME — so a dimension MERGE landing
+    between micro-batches is visible to every later batch.  This is the
+    fix for the classic stream-static join staleness pitfall: a plan-time
+    static side is snapshotted once per *query* start, while production
+    dimensions change under a long-running stream.  With ``epoch``, the
+    batch additionally reads the same atomic version set as every other
+    epoch reader (no torn multi-table views mid-transaction).
+
+    Effectively-once: foreachBatch is at-least-once, so each batch
+    OVERWRITES its own ``batch_id=N`` directory (the
+    ``stream_decontaminate`` discipline) — a replayed batch rewrites the
+    same files.  Note the replayed batch re-reads the dimension's CURRENT
+    version, so replay convergence is to the fresher enrichment — the
+    correct answer for a hot dimension.
+
+    Scale: the dimension is broadcast by default (the many-to-one
+    enrichment shape); pass ``broadcast_dim=False`` for a dimension past
+    executor memory and let AQE pick the join strategy.
+    """
+    from door2door_etl_spark.io.versioned import VersionedParquetTable
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch is not None:
+            dim = epoch.read_table(spark, dim_root)
+        else:
+            dim = VersionedParquetTable(dim_root).read(spark)
+        dim = dim.select(F.col(dim_key).alias(fk), *dim_cols)
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        out = batch_df.join(dim, fk, how)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        facts_stream.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1792,3 +1792,97 @@ def test_stream_spatial_density_windowed_counts(spark, tmp_path):
         ("2024-01-01 10:00:00", 1, 0): 1,
         ("2024-01-01 10:10:00", 0, 0): 1,
     }
+
+
+def test_stream_enrich_with_dim_hot_reload(spark, tmp_path):
+    """Stream-static enrichment re-resolves the dimension per micro-batch:
+    a dimension MERGE landing between stream runs is visible to later
+    batches (the plan-time-snapshot staleness pitfall, avoided)."""
+    import json
+
+    from door2door_etl_spark.io.versioned import merge_versioned
+    from door2door_etl_spark.streaming.pipeline import stream_enrich_with_dim
+
+    dim_root = str(tmp_path / "dim")
+    merge_versioned(
+        spark,
+        dim_root,
+        spark.createDataFrame([(10, "A"), (20, "B")], "ckey int, seg string"),
+        key="ckey",
+    )
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f0.json").write_text(json.dumps({"fid": 1, "ckey": 10}))
+    stream = spark.readStream.schema("fid long, ckey int").json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_enrich_with_dim(
+        stream, dim_root, out, ckpt, fk="ckey", dim_key="ckey", dim_cols=["seg"]
+    )
+    q.awaitTermination(120)
+    rows = {r["fid"]: r["seg"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "A"}
+
+    # hot dimension update + a new fact: the next batch must see seg=A2
+    merge_versioned(
+        spark, dim_root,
+        spark.createDataFrame([(10, "A2")], "ckey int, seg string"), key="ckey",
+    )
+    (src / "f1.json").write_text(json.dumps({"fid": 2, "ckey": 10}))
+    stream2 = spark.readStream.schema("fid long, ckey int").json(str(src))
+    q2 = stream_enrich_with_dim(
+        stream2, dim_root, out, ckpt, fk="ckey", dim_key="ckey", dim_cols=["seg"]
+    )
+    q2.awaitTermination(120)
+    rows = {r["fid"]: r["seg"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "A", 2: "A2"}  # old batch untouched, new batch fresh
+
+
+def test_stream_enrich_with_dim_through_epoch_pin(spark, tmp_path):
+    """With a LakeEpoch, batches read the PINNED dimension version: a dim
+    commit is invisible until the epoch flips — streaming enrichment
+    joins the lake's snapshot-isolation domain."""
+    import json
+
+    from door2door_etl_spark.io.txn import LakeEpoch
+    from door2door_etl_spark.io.versioned import (
+        VersionedParquetTable,
+        merge_versioned,
+    )
+    from door2door_etl_spark.streaming.pipeline import stream_enrich_with_dim
+
+    dim_root = str(tmp_path / "dim")
+    merge_versioned(
+        spark, dim_root,
+        spark.createDataFrame([(10, "A")], "ckey int, seg string"), key="ckey",
+    )
+    epoch = LakeEpoch(str(tmp_path / "epochs"))
+    epoch.publish({dim_root: VersionedParquetTable(dim_root).current_version()})
+    # dim advances, epoch NOT yet flipped
+    merge_versioned(
+        spark, dim_root,
+        spark.createDataFrame([(10, "A2")], "ckey int, seg string"), key="ckey",
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f0.json").write_text(json.dumps({"fid": 1, "ckey": 10}))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("fid long, ckey int").json(str(src))
+    q = stream_enrich_with_dim(
+        stream, dim_root, out, ckpt, fk="ckey", dim_key="ckey",
+        dim_cols=["seg"], epoch=epoch,
+    )
+    q.awaitTermination(120)
+    assert {r["seg"] for r in spark.read.parquet(out).collect()} == {"A"}
+
+    # epoch flips -> the next batch sees the new version
+    epoch.publish({dim_root: VersionedParquetTable(dim_root).current_version()})
+    (src / "f1.json").write_text(json.dumps({"fid": 2, "ckey": 10}))
+    stream2 = spark.readStream.schema("fid long, ckey int").json(str(src))
+    q2 = stream_enrich_with_dim(
+        stream2, dim_root, out, ckpt, fk="ckey", dim_key="ckey",
+        dim_cols=["seg"], epoch=epoch,
+    )
+    q2.awaitTermination(120)
+    got = {r["fid"]: r["seg"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "A", 2: "A2"}
