@@ -1561,3 +1561,38 @@ def stream_enrich_with_dim(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_joinview_ingest(
+    spark: SparkSession,
+    facts: DataFrame,
+    view,
+    checkpoint_dir: str,
+):
+    """INGEST-driven continuously maintained JOIN view: each micro-batch
+    MERGEs the incoming facts into the view's LEFT source table and
+    immediately advances the
+    :class:`pipeline.joinview.IncrementalJoinView` from BOTH change
+    feeds — so the maintained enrichment stays one micro-batch behind
+    ingestion AND picks up any dimension commits (updates, deletes,
+    late-arriving rows) other writers landed since the last batch.
+    Sibling of :func:`stream_aggview_ingest`, same replay posture: the
+    fact MERGE is idempotent by the left key, and ``refresh()`` is
+    effectively-once by the window ledger + landed-frontier recovery
+    (`tests/test_joinview.py` crash-window tests), so an at-least-once
+    micro-batch redelivery converges.  Per-batch maintenance cost is
+    O(|batch|) + O(facts referencing changed dimension keys)."""
+    from door2door_etl_spark.io.versioned import merge_versioned
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_versioned(spark, view.left_root, batch_df, key=view.left_key)
+        view.refresh(spark)
+
+    return (
+        facts.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

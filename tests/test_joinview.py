@@ -161,3 +161,45 @@ def test_joinview_exact_window_redelivery_is_skipped(spark, roots):
     # re-run with nothing new: must be a pure noop, state unchanged
     assert view.refresh(spark)["action"] == "noop"
     assert _assert_parity(spark, view) == before
+
+
+def test_stream_joinview_ingest_follows_both_sides(spark, roots, tmp_path):
+    """Facts stream in; a dimension update lands between runs; the
+    maintained join view tracks both — and a checkpointed replay with no
+    new input leaves it unchanged."""
+    import json
+
+    from door2door_etl_spark.streaming.pipeline import stream_joinview_ingest
+
+    merge_versioned(spark, roots["right"], _cust(spark, [(10, "A")]), key="ckey")
+    # seed the left source so the view can seed before streaming
+    merge_versioned(spark, roots["left"], _orders(spark, [(1, 10, 5.0)]), key="okey")
+    view = _mk_view(roots)
+    view.refresh(spark)
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f0.json").write_text(json.dumps({"okey": 2, "ckey": 10, "total": 8.0}))
+    stream = spark.readStream.schema("okey int, ckey int, total double").json(str(src))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_joinview_ingest(spark, stream, view, ckpt)
+    q.awaitTermination(120)
+    got = _assert_parity(spark, view)
+    assert ("2", "10", 8.0, "A") in got
+
+    # dimension hot update + another fact file: next run reflects both
+    merge_versioned(spark, roots["right"], _cust(spark, [(10, "A2")]), key="ckey")
+    (src / "f1.json").write_text(json.dumps({"okey": 3, "ckey": 10, "total": 9.0}))
+    stream2 = spark.readStream.schema("okey int, ckey int, total double").json(str(src))
+    q2 = stream_joinview_ingest(spark, stream2, view, ckpt)
+    q2.awaitTermination(120)
+    got = _assert_parity(spark, view)
+    assert ("3", "10", 9.0, "A2") in got
+    assert all(seg == "A2" for (_, _, _, seg) in got)  # ripple to all facts
+
+    before = got
+    # replay with no new input: converged, untouched
+    stream3 = spark.readStream.schema("okey int, ckey int, total double").json(str(src))
+    q3 = stream_joinview_ingest(spark, stream3, view, ckpt)
+    q3.awaitTermination(120)
+    assert _assert_parity(spark, view) == before
