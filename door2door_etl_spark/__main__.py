@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
                  "vacuum", "restore",
                  "purge", "history", "train-quality-filter", "curate",
                  "fsck", "convert", "index", "search", "validate",
-                 "replay-quarantine"],
+                 "replay-quarantine", "refresh-views"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -54,7 +54,10 @@ def main(argv: list[str] | None = None) -> int:
              "as a checked upsert into <lake-root>/warehouse/<--table> "
              "(violators quarantined); replay-quarantine re-validates "
              "the quarantine under the CURRENT --rules and admits the "
-             "now-passing rows back",
+             "now-passing rows back; refresh-views advances every "
+             "declared materialized view (--views JSON; aggregate AND "
+             "join views) from its source change feeds and prints a "
+             "per-view summary",
     )
     parser.add_argument(
         "--query", default=None,
@@ -129,6 +132,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--key", default=None,
         help="validate: merge key column for the checked upsert",
+    )
+    parser.add_argument(
+        "--views", default=None,
+        help="refresh-views: path to a JSON declaration of maintained "
+             'materialized views ({"views": [{"type": "agg", '
+             '"source_root", "view_root", "key", "group_cols", ...} | '
+             '{"type": "join", "left_root", "right_root", "view_root", '
+             '"left_key", "fk", "right_key", "left_cols", "right_cols", '
+             '"how"}]}); paths may be lake-root-relative',
     )
     parser.add_argument(
         "--target-file-mb", type=int, default=128,
@@ -206,6 +218,12 @@ def main(argv: list[str] | None = None) -> int:
                 "--table, --rules and --key are required for replay-quarantine"
             )
         return _run_replay_quarantine(args)
+
+    if args.step == "refresh-views":
+        if not args.views:
+            parser.error("--views (JSON view declarations) is required "
+                         "for refresh-views")
+        return _run_refresh_views(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history", "fsck"):
@@ -479,6 +497,68 @@ def _run_validate(args) -> int:
             print(json.dumps({"step": "validate", "aborted": str(exc)}))
             return 1
         print(json.dumps({"step": "validate", **out}))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_refresh_views(args) -> int:
+    """Scheduled materialized-view maintenance: construct every view
+    declared in the --views JSON (``type: agg`` →
+    :class:`pipeline.aggview.IncrementalAggView`, ``type: join`` →
+    :class:`pipeline.joinview.IncrementalJoinView`), advance each from
+    its source change feed(s), and print one JSON line with the per-view
+    refresh summaries — the cron-able batch twin of the streaming
+    maintainers.  Root paths may be lake-root-relative."""
+    import dataclasses
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.pipeline.aggview import IncrementalAggView
+    from door2door_etl_spark.pipeline.joinview import IncrementalJoinView
+    from door2door_etl_spark.session import build_session
+
+    with open(args.views) as f:
+        spec = json.load(f)
+    decls = spec.get("views", [])
+    if not decls:
+        print(json.dumps({"step": "refresh-views", "error": "no views declared"}))
+        return 1
+
+    def _abs(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(args.lake_root, p)
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-refresh-views")
+    try:
+        results = []
+        for d in decls:
+            kind = d.get("type")
+            cls = {"agg": IncrementalAggView, "join": IncrementalJoinView}.get(kind)
+            if cls is None:
+                print(json.dumps({
+                    "step": "refresh-views",
+                    "error": f"unknown view type {kind!r} (want agg|join)",
+                }))
+                return 1
+            allowed = {f.name for f in dataclasses.fields(cls)}
+            kwargs = {k: v for k, v in d.items() if k in allowed}
+            unknown = set(d) - allowed - {"type"}
+            if unknown:
+                print(json.dumps({
+                    "step": "refresh-views",
+                    "error": f"unknown keys for {kind} view: {sorted(unknown)}",
+                }))
+                return 1
+            for root_key in ("source_root", "view_root", "left_root", "right_root"):
+                if root_key in kwargs:
+                    kwargs[root_key] = _abs(kwargs[root_key])
+            view = cls(**kwargs)
+            out = view.refresh(spark)
+            results.append({"type": kind, "view_root": kwargs["view_root"], **out})
+        print(json.dumps({"step": "refresh-views", "views": results}, default=str))
         return 0
     finally:
         if active is None:

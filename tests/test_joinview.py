@@ -203,3 +203,58 @@ def test_stream_joinview_ingest_follows_both_sides(spark, roots, tmp_path):
     q3 = stream_joinview_ingest(spark, stream3, view, ckpt)
     q3.awaitTermination(120)
     assert _assert_parity(spark, view) == before
+
+
+def test_cli_refresh_views_agg_and_join(spark, roots, tmp_path, capsys):
+    """`-s refresh-views` advances a declared agg view AND a join view in
+    one invocation: seed on first run, delta on the second after churn."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    merge_versioned(
+        spark, roots["left"],
+        _orders(spark, [(1, 10, 5.0), (2, 20, 7.0)]), key="okey",
+    )
+    merge_versioned(
+        spark, roots["right"], _cust(spark, [(10, "A"), (20, "B")]), key="ckey"
+    )
+    decl = tmp_path / "views.json"
+    agg_root = str(tmp_path / "agg_view")
+    decl.write_text(_json.dumps({"views": [
+        {"type": "join", "left_root": roots["left"], "right_root": roots["right"],
+         "view_root": roots["view"], "left_key": "okey", "fk": "ckey",
+         "right_key": "ckey", "left_cols": ["total"], "right_cols": ["segment"]},
+        {"type": "agg", "source_root": roots["left"], "view_root": agg_root,
+         "key": "okey", "group_cols": ["ckey"], "sum_cols": ["total"]},
+    ]}))
+    rc = main(["-s", "refresh-views", "--views", str(decl),
+               "--lake-root", str(tmp_path)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [v["action"] for v in out["views"]] == ["seed", "seed"]
+
+    merge_versioned(spark, roots["left"], _orders(spark, [(3, 10, 2.0)]), key="okey")
+    rc = main(["-s", "refresh-views", "--views", str(decl),
+               "--lake-root", str(tmp_path)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [v["action"] for v in out["views"]] == ["delta", "delta"]
+    view = _mk_view(roots)
+    assert ("3", "10", 2.0, "A") in _assert_parity(spark, view)
+
+
+def test_cli_refresh_views_rejects_unknown_keys(spark, roots, tmp_path, capsys):
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    decl = tmp_path / "views.json"
+    decl.write_text(_json.dumps({"views": [
+        {"type": "join", "left_root": roots["left"], "typo_key": 1}
+    ]}))
+    rc = main(["-s", "refresh-views", "--views", str(decl),
+               "--lake-root", str(tmp_path)])
+    assert rc == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "typo_key" in out["error"]
