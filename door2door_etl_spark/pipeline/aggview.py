@@ -1231,3 +1231,40 @@ class ViewRegistry:
             + [f"distinct_est_{c}" for c in distinct]
         )
         return served.select(*keep), best
+
+    join_views: tuple = ()
+
+    def route_join(
+        self,
+        spark: SparkSession,
+        left_root: str,
+        right_root: str,
+        fk: str,
+        right_key: str,
+        cols: list[str],
+        how: str = "inner",
+    ):
+        """Serve an enrichment-join request from a maintained
+        :class:`pipeline.joinview.IncrementalJoinView` — the join half of
+        view-based query rewriting.  Coverage: identical roots and join
+        keys, identical ``how`` (a left-outer view cannot serve an inner
+        request — its null right payload is ambiguous with a null-valued
+        match), requested ``cols`` ⊆ the view's maintained payload.
+        Returns ``(DataFrame, view)`` keyed ``(_vk, _fk)`` plus ``cols``,
+        or ``None`` (caller falls back to the live join — routing never
+        silently degrades)."""
+        def covers(v) -> bool:
+            return (
+                v.left_root == left_root
+                and v.right_root == right_root
+                and v.fk == fk
+                and v.right_key == right_key
+                and v.how == how
+                and set(cols) <= set(v.left_cols) | set(v.right_cols)
+            )
+
+        candidates = [v for v in self.join_views if covers(v)]
+        if not candidates:
+            return None
+        best = min(candidates, key=lambda v: len(v.left_cols) + len(v.right_cols))
+        return best.read(spark).select("_vk", "_fk", *cols), best
