@@ -335,3 +335,67 @@ def benford_digit_audit(
         F.round(exp, 6).alias("benford_share"),
         F.round(total * (obs - exp) * (obs - exp) / exp, 6).alias("chi2_part"),
     ).orderBy("digit")
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    slack: float = 0.0,
+) -> DataFrame:
+    """Per-key CUSUM changepoint screen (Page 1954): for each key's
+    ordered value sequence, the maximum one-sided upward CUSUM excursion
+    against the key's own mean,
+
+        S_i = Σ_{j<=i} (v_j - mean - slack),   cusum = max_i (S_i - min_{j<=i} S_j)
+
+    — the standard sequential drift detector (a sustained level shift
+    grows the excursion linearly; noise stays near zero).  Output:
+    ``(key..., n_points, mean, max_cusum)``.
+
+    Engine-exact by construction: the mean comes from an exact DECIMAL
+    sum (order-independent) rounded at 6dp, each deviation term is
+    quantized to DECIMAL *before* the running sum — so the cumulative
+    sums are exact integers-of-quanta in any engine regardless of how
+    its window aggregation associates (DuckDB's segment trees vs Spark's
+    incremental frames), never a float race.  Plan shape: ONE shuffle on
+    the key partitioning shared by the mean window, the two running
+    windows, and the final aggregate.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(28,10)"
+    wp = Window.partitionBy(*key_cols)
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.round(
+        F.sum(v.cast(dec)).over(wp).cast("double")
+        / F.count(F.lit(1)).over(wp),
+        6,
+    )
+    # two selects: a window expression cannot nest inside another window's
+    # argument, and both windows share the key partitioning anyway
+    with_mean = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, *order_cols, v.alias("_v"), mean.alias("_mean")
+    )
+    term = F.round(
+        F.col("_v") - F.col("_mean") - F.lit(float(slack)), 6
+    ).cast(dec)
+    s = F.sum(term).over(wo)
+    staged = with_mean.select(
+        *key_cols, *order_cols, "_mean", s.alias("_s")
+    ).select(
+        *key_cols,
+        "_mean",
+        (F.col("_s") - F.min("_s").over(wo)).cast("double").alias("_exc"),
+    )
+    return staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.first("_mean").alias("mean"),
+        F.round(F.max("_exc"), 6).alias("max_cusum"),
+    )

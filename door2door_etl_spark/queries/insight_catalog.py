@@ -188,6 +188,46 @@ LIMIT {PMI_TOPK}
 """
 
 
+def q_cusum_user_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user CUSUM drift screen over event values
+    (operators.profile.cusum_drift): max upward excursion against each
+    user's own mean — sequential changepoint detection, engine-exact via
+    per-term DECIMAL quantization before the running sums."""
+    from door2door_etl_spark.operators.profile import cusum_drift
+
+    ev = load_table(spark, sf, "events")
+    return cusum_drift(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", slack=0.0,
+    )
+
+
+SQL_CUSUM_USER_DRIFT = """
+WITH m AS (
+  SELECT user_id,
+         round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*), 6) AS mean,
+         count(*) AS n_points
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+t AS (
+  SELECT e.user_id, e.ts, e.event_id, m.mean, m.n_points,
+         CAST(round(e.value - m.mean - 0.0, 6) AS DECIMAL(28,10)) AS term
+  FROM events e JOIN m USING (user_id) WHERE e.value IS NOT NULL),
+s AS (
+  SELECT user_id, mean, n_points, ts, event_id,
+         sum(term) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS s
+  FROM t),
+x AS (
+  SELECT user_id, mean, n_points,
+         CAST(s - min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS exc
+  FROM s)
+SELECT user_id, n_points, mean, round(max(exc), 6) AS max_cusum
+FROM x GROUP BY 1, 2, 3
+"""
+
+
 def q_cdc_join_view(spark: SparkSession, sf: str) -> DataFrame:
     """CDC-maintained JOIN view end-to-end (pipeline.joinview
     .IncrementalJoinView): seed ``orders ⋈ customer`` from deterministic
@@ -302,4 +342,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("ns_graph_degree_histogram", q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM, "graph degree distribution (power-law / hub pre-flight)", ("northstar", "graph")),
     QueryDef("ns_collocations_pmi", q_collocations_pmi, _sql_collocations_pmi(), "PMI collocation mining over the corpus (Church & Hanks 1990)", ("northstar", "text")),
     QueryDef("ns_cdc_join_view", q_cdc_join_view, SQL_CDC_JOIN_VIEW, "lakehouse CDC + incremental JOIN-view maintenance (delta-join, both-side churn)", ("northstar", "lakehouse")),
+    QueryDef("rel_cusum_user_drift", q_cusum_user_drift, SQL_CUSUM_USER_DRIFT, "CUSUM changepoint screen per entity (Page 1954), decimal-exact running sums", ("rel", "insight")),
 ]

@@ -107,3 +107,25 @@ def test_pmi_min_count_prunes_rare_pairs(spark):
     df = spark.createDataFrame([("q r",), ("s t",), ("q r",)], ["text"])
     out = pmi_collocations(df, min_count=2, topk=10).collect()
     assert [(r.w1, r.w2) for r in out] == [("q", "r")]
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    from door2door_etl_spark.operators.profile import cusum_drift
+
+    rows = [("a", i, 0.0) for i in range(10)] + [("a", 10 + i, 5.0) for i in range(10)]
+    rows += [("b", i, 3.0) for i in range(5)]  # flat series -> zero excursion
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = {r.k: r for r in cusum_drift(df, ["k"], ["seq"], "v").collect()}
+    # mean 2.5; first half drifts s down to -25, second half returns to 0
+    assert out["a"].mean == 2.5 and out["a"].max_cusum == 25.0
+    assert out["b"].max_cusum == 0.0 and out["b"].n_points == 5
+
+
+def test_cusum_drift_slack_suppresses_noise(spark):
+    from door2door_etl_spark.operators.profile import cusum_drift
+
+    # alternating +-1 around the mean: slack 1.0 zeroes every term's excess
+    rows = [("a", i, 1.0 if i % 2 else -1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    (row,) = cusum_drift(df, ["k"], ["seq"], "v", slack=1.0).collect()
+    assert row.max_cusum == 0.0
