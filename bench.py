@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "ns_graph_degree_histogram",
     "ns_collocations_pmi",
     "rel_cusum_user_drift",
+    "ns_graph_bfs_hops",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

@@ -355,3 +355,54 @@ def degree_histogram(
             F.col("n_nodes") / F.sum("n_nodes").over(w).cast("double"), 6
         ).alias("node_share"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over an undirected
+    edge list: ``(node, hops)`` for every node within ``max_hops`` —
+    the level-synchronous frontier expansion every distributed graph
+    engine (Pregel/GraphX) ships as its hello-world, and the primitive
+    behind "within-N-degrees" reachability queries.
+
+    Per round: ONE join of the current frontier against the (symmetrized)
+    edge relation + ONE distinct + ONE anti-join against settled nodes —
+    all bounded shuffles; the settled set and frontier are
+    ``localCheckpoint``-ed per round (the module's standing
+    lineage-truncation discipline), so a billion-edge graph iterates in
+    constant per-round plan time with no driver-side state beyond loop
+    control.  Early exit on an empty frontier is parity-safe: an
+    exhausted frontier adds nothing in any later round, so the result
+    equals the full ``max_hops`` unroll — an engine twin bounded to the
+    same depth reaches the identical fixpoint.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct()
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(source, 0)], "node long, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for hop in range(1, int(max_hops) + 1):
+        neighbors = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+        )
+        frontier = neighbors.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        settled = settled.unionAll(frontier).localCheckpoint(eager=True)
+    sym.unpersist()
+    return settled

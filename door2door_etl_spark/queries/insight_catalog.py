@@ -145,6 +145,57 @@ FROM h
 """
 
 
+BFS_MAX_HOPS = 4
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS hop distances from the minimum node of the part co-purchase
+    graph (operators.graph.bfs_hops, level-synchronous frontier
+    expansion) — same >=2-shared-orders edge set as the rest of the
+    graph family.  The oracle closes the same bounded-depth reachability
+    with a recursive CTE and takes min(hops) per node."""
+    from door2door_etl_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    source = edges.agg(
+        F.min(F.least(F.col("src"), F.col("dst")))
+    ).collect()[0][0]
+    return bfs_hops(edges, source=int(source), max_hops=BFS_MAX_HOPS)
+
+
+SQL_GRAPH_BFS_HOPS = f"""
+WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                     FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e AS (SELECT u, v FROM p WHERE c >= 2),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+r(node, hops) AS (
+  SELECT (SELECT min(u) FROM sym), 0
+  UNION
+  SELECT sym.v, r.hops + 1
+  FROM r JOIN sym ON sym.u = r.node
+  WHERE r.hops < {BFS_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS INT) AS hops
+FROM r GROUP BY 1
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOPK = 25
 
@@ -343,4 +394,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("ns_collocations_pmi", q_collocations_pmi, _sql_collocations_pmi(), "PMI collocation mining over the corpus (Church & Hanks 1990)", ("northstar", "text")),
     QueryDef("ns_cdc_join_view", q_cdc_join_view, SQL_CDC_JOIN_VIEW, "lakehouse CDC + incremental JOIN-view maintenance (delta-join, both-side churn)", ("northstar", "lakehouse")),
     QueryDef("rel_cusum_user_drift", q_cusum_user_drift, SQL_CUSUM_USER_DRIFT, "CUSUM changepoint screen per entity (Page 1954), decimal-exact running sums", ("rel", "insight")),
+    QueryDef("ns_graph_bfs_hops", q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS, "BFS hop distances by level-synchronous frontier expansion (bounded-depth oracle)", ("northstar", "graph")),
 ]

@@ -129,3 +129,23 @@ def test_cusum_drift_slack_suppresses_noise(spark):
     df = spark.createDataFrame(rows, "k string, seq int, v double")
     (row,) = cusum_drift(df, ["k"], ["seq"], "v", slack=1.0).collect()
     assert row.max_cusum == 0.0
+
+
+def test_bfs_hops_reference(spark):
+    from door2door_etl_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus a branch 2-10; node 99-100 unreachable
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (99, 100)], ["src", "dst"]
+    )
+    out = {r.node: r.hops for r in bfs_hops(edges, source=1, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}  # 5 is 4 hops; 99/100 disconnected
+
+
+def test_bfs_hops_takes_shortest_of_multiple_paths(spark):
+    from door2door_etl_spark.operators.graph import bfs_hops
+
+    # 1-2-3 and a shortcut 1-3: node 3 must report hop 1
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    out = {r.node: r.hops for r in bfs_hops(edges, source=1, max_hops=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}
