@@ -816,3 +816,42 @@ def test_track_distance_single_exchange(spark, sf001):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_transitions_no_cartesian_two_bounded_exchanges(spark, sf001):
+    """The transition matrix shuffles ONCE on the sequence key (lag
+    window) and once on the aggregated pair key; the P(next|prev)
+    normalizer windows over the |states|^2 matrix, never over events."""
+    df = QUERIES["rel_event_transition_matrix"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_ema_single_exchange_fold(spark, sf001):
+    """Per-key EMA is ONE hash exchange (the groupBy); the fold is a
+    Catalyst expression, never a Python UDF."""
+    df = QUERIES["rel_ema_user_value"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_vocabulary_joins_broadcast(spark, sf001):
+    """The pair table joins the unigram counts via BROADCAST (vocabulary
+    side), and the top-k is a TakeOrderedAndProject — never a full sort."""
+    df = QUERIES["ns_collocations_pmi"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_share_one_exchange(spark, sf001):
+    """The mean window, both running windows, and the final per-key
+    aggregate all run on the SAME user_id partitioning: one hash
+    exchange total."""
+    df = QUERIES["rel_cusum_user_drift"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
