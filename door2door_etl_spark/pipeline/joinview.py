@@ -87,6 +87,45 @@ class IncrementalJoinView:
         if overlap:
             raise ValueError(f"ambiguous view columns: {sorted(overlap)}")
 
+    # -- source layout dispatch (POSIX-versioned vs object-store manifest,
+    # the aggview discipline: each source resolves independently) --------
+
+    @staticmethod
+    def _is_manifest(root: str) -> bool:
+        return (Path(root) / "_manifests").is_dir()
+
+    @classmethod
+    def _source_version(cls, root: str) -> int | None:
+        if cls._is_manifest(root):
+            from door2door_etl_spark.io.manifest import ManifestTable
+
+            return ManifestTable(root).current_version()
+        return VersionedParquetTable(root).current_version()
+
+    @classmethod
+    def _read_source(
+        cls, spark: SparkSession, root: str, version: int
+    ) -> DataFrame:
+        if cls._is_manifest(root):
+            from door2door_etl_spark.io.manifest import ManifestTable
+
+            return ManifestTable(root).read(spark, version)
+        return read_version(spark, root, version)
+
+    @classmethod
+    def _source_changes(
+        cls, spark: SparkSession, root: str, key: str, from_v: int, to_v: int
+    ) -> DataFrame:
+        if cls._is_manifest(root):
+            from door2door_etl_spark.io.manifest import table_changes_manifest
+
+            return table_changes_manifest(
+                spark, root, key=key, from_version=from_v, to_version=to_v
+            )
+        return table_changes(
+            spark, root, key=key, from_version=from_v, to_version=to_v
+        )
+
     # -- cursors / ledger ------------------------------------------------
 
     def _cursors(self) -> tuple[ChangeFeedCursor, ChangeFeedCursor]:
@@ -188,9 +227,12 @@ class IncrementalJoinView:
     def full_recompute_frame(self, spark: SparkSession) -> DataFrame:
         """The view's defining join over the CURRENT snapshots (parity
         check / disaster rebuild)."""
-        lt = VersionedParquetTable(self.left_root)
-        rt = VersionedParquetTable(self.right_root)
-        return self._joined(lt.read(spark), rt.read(spark)).drop("_live")
+        lv = self._source_version(self.left_root)
+        rv = self._source_version(self.right_root)
+        return self._joined(
+            self._read_source(spark, self.left_root, lv),
+            self._read_source(spark, self.right_root, rv),
+        ).drop("_live")
 
     # -- maintenance -------------------------------------------------------
 
@@ -200,9 +242,8 @@ class IncrementalJoinView:
         Returns ``{"action", "left_window", "right_window",
         "rows_touched"}``.
         """
-        lt = VersionedParquetTable(self.left_root)
-        rt = VersionedParquetTable(self.right_root)
-        lv, rv = lt.current_version(), rt.current_version()
+        lv = self._source_version(self.left_root)
+        rv = self._source_version(self.right_root)
         if lv is None or rv is None:
             raise ValueError("both sources need a committed version")
         lcur, rcur = self._cursors()
@@ -210,8 +251,8 @@ class IncrementalJoinView:
 
         if ll is None or rl is None:
             seed = self._joined(
-                read_version(spark, self.left_root, lv),
-                read_version(spark, self.right_root, rv),
+                self._read_source(spark, self.left_root, lv),
+                self._read_source(spark, self.right_root, rv),
             )
             ledger = self._ledger_row(spark, seed, 0, lv, 0, rv)
             n = merge_versioned(
@@ -256,24 +297,23 @@ class IncrementalJoinView:
                 "rows_touched": 0,
             }
 
-        left_new = read_version(spark, self.left_root, lv)
-        right_new = read_version(spark, self.right_root, rv)
+        left_new = self._read_source(spark, self.left_root, lv)
+        right_new = self._read_source(spark, self.right_root, rv)
 
         # Affected left keys: changed left rows, plus left rows whose fk
         # points at a changed right key (insert, update, or delete — a
         # late-arriving dimension row back-fills here).
         affected = None
         if lv > ll:
-            affected = (
-                table_changes(spark, self.left_root, self.left_key, ll, lv)
-                .select(F.col(self.left_key).cast("string").alias("_vk"))
-            )
+            affected = self._source_changes(
+                spark, self.left_root, self.left_key, ll, lv
+            ).select(F.col(self.left_key).cast("string").alias("_vk"))
         if rv > rl:
-            dr_keys = (
-                table_changes(spark, self.right_root, self.right_key, rl, rv)
-                .select(F.col(self.right_key).cast("string").alias("_fk"))
-                .distinct()
-            )
+            dr_keys = self._source_changes(
+                spark, self.right_root, self.right_key, rl, rv
+            ).select(
+                F.col(self.right_key).cast("string").alias("_fk")
+            ).distinct()
             via_r = (
                 left_new.select(
                     F.col(self.left_key).cast("string").alias("_vk"),

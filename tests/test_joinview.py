@@ -290,3 +290,31 @@ def test_registry_routes_join_requests(spark, roots):
         spark, roots["left"], roots["right"], fk="ckey", right_key="ckey",
         cols=["acctbal"],
     ) is None
+
+
+def test_joinview_manifest_source_layout(spark, roots, tmp_path):
+    """Both sources on the object-store manifest layout: the view's
+    version/changes/read dispatch resolves through the manifest protocol
+    (the aggview dual-layout discipline), deltas included."""
+    from door2door_etl_spark.io.manifest import delete_manifest, merge_manifest
+
+    left = str(tmp_path / "m_orders")
+    right = str(tmp_path / "m_cust")
+    merge_manifest(
+        spark, left, _orders(spark, [(1, 10, 5.0), (2, 20, 7.0)]), key="okey"
+    )
+    merge_manifest(spark, right, _cust(spark, [(10, "A"), (20, "B")]), key="ckey")
+    view = IncrementalJoinView(
+        left_root=left, right_root=right, view_root=roots["view"],
+        left_key="okey", fk="ckey", right_key="ckey",
+        left_cols=["total"], right_cols=["segment"],
+    )
+    assert view.refresh(spark)["action"] == "seed"
+    _assert_parity(spark, view)
+
+    merge_manifest(spark, left, _orders(spark, [(3, 20, 1.0)]), key="okey")
+    merge_manifest(spark, right, _cust(spark, [(10, "A2")]), key="ckey")
+    delete_manifest(spark, right, _cust(spark, [(20, "B")]).select("ckey"), key="ckey")
+    assert view.refresh(spark)["action"] == "delta"
+    got = _assert_parity(spark, view)
+    assert got == [("1", "10", 5.0, "A2")]  # 2 and 3 orphaned by the dim delete
