@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "ns_collocations_pmi",
     "rel_cusum_user_drift",
     "ns_graph_bfs_hops",
+    "rel_locf_imputation",
+    "rel_time_weighted_value",
+    "rel_seasonal_hourly_anomaly",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

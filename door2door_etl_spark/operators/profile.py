@@ -399,3 +399,59 @@ def cusum_drift(
         F.first("_mean").alias("mean"),
         F.round(F.max("_exc"), 6).alias("max_cusum"),
     )
+
+
+def seasonal_hourly_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonal baseline + anomaly screen: per (group, hour-of-day), the
+    observation count and mean value, plus the hour's z-score against
+    the group's OWN across-hours distribution — the "is 3am traffic
+    weird for this segment" monitoring query, one step past a plain
+    hourly rollup.
+
+    Plan shape: ONE map-side-combinable aggregate to (group, hour) grain
+    — at most 24·|groups| rows — then the group-level moments come from
+    a window over that tiny grain (never a second pass over events).
+    Engine-exact: hour means derive from exact DECIMAL sums; the
+    across-hours variance uses the same decimal-quantized moments, so
+    both engines do the identical double arithmetic.  Output: ``(group...,
+    hour, n_values, hour_mean, z_score)``.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(28,10)"
+    grain = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.hour(F.col(ts_col)).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(
+                F.sum(F.col(value_col).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hour_mean"),
+        )
+    )
+    w = Window.partitionBy(*group_cols)
+    m = F.col("hour_mean")
+    # quantize the DOUBLE products (identical IEEE ops in any engine),
+    # never decimal*decimal — Spark's decimal-multiply result type would
+    # overflow precision 38 and re-round engine-privately
+    mu = F.sum(m.cast(dec)).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    ex2 = F.sum((m * m).cast(dec)).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    std = F.sqrt(ex2 - mu * mu)
+    return grain.select(
+        *group_cols,
+        "hour",
+        "n_values",
+        "hour_mean",
+        F.round(
+            F.when(std > 0, (F.col("hour_mean") - mu) / std), 6
+        ).alias("z_score"),
+    )

@@ -764,3 +764,76 @@ def ema_by_key(
             F.round(ema, 6).alias("ema"),
         )
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward imputation (LOCF): per key, each
+    NULL in ``value_col`` takes the most recent non-NULL value in
+    ``order_cols`` order (rows before the first observation stay NULL) —
+    the standard gap-fill for irregular telemetry before resampling or
+    windowed math.
+
+    One window on the key partitioning, ``last(..., ignorenulls=True)``
+    over the unbounded-preceding frame — an incremental running state,
+    no per-row scan-back.  Adds ``out_col`` (default
+    ``<value_col>_filled``); the raw column is kept so imputed rows stay
+    distinguishable.
+    """
+    from pyspark.sql import Window
+
+    out = out_col or f"{value_col}_filled"
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.last(F.col(value_col), ignorenulls=True).over(w))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per key over an irregularly-sampled series:
+    each observation holds until the next one (zero-order hold), so
+
+        twa = Σ v_i · (t_{i+1} - t_i)  /  Σ (t_{i+1} - t_i)
+
+    — the correct mean for telemetry where sample spacing varies (a
+    plain AVG over-weights chatty periods).  The final observation
+    carries no interval and drops out; single-point keys return NULL.
+
+    ONE shuffle: the ``lead`` window and the aggregate share the key
+    partitioning.  Engine-exact: intervals are exact integer
+    microseconds, each ``v·dt`` product quantizes to DECIMAL before the
+    order-independent exact sum, and only the final ratio is a double.
+    Output: ``(key..., n_intervals, twa)``.
+    """
+    from pyspark.sql import Window
+
+    tie = list(order_tiebreak or [])
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tie)
+    dt = (
+        F.unix_micros(F.lead(F.col(ts_col)).over(w))
+        - F.unix_micros(F.col(ts_col))
+    ).cast("decimal(28,6)")
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols,
+        dt.alias("_dt"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_dt").isNotNull())
+    num = F.sum((F.col("_v") * F.col("_dt")).cast("decimal(38,6)"))
+    den = F.sum(F.col("_dt").cast("decimal(38,6)"))
+    return staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round((num.cast("double") / den.cast("double")), 6).alias("twa"),
+    )

@@ -145,6 +145,104 @@ FROM h
 """
 
 
+def q_locf_imputation(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF gap-fill (operators.relational.forward_fill): error events'
+    values treated as missing and carried forward from each user's most
+    recent healthy observation — row-level output so the oracle checks
+    every imputed cell."""
+    from door2door_etl_spark.operators.relational import forward_fill
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "_v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = forward_fill(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="_v", out_col="value_filled",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("was_missing"),
+        "value_filled",
+    )
+
+
+SQL_LOCF_IMPUTATION = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS was_missing,
+       last_value(CASE WHEN event_type != 'error' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS value_filled
+FROM events
+"""
+
+
+def q_time_weighted_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-order-hold time-weighted average of event value per user
+    (operators.relational.time_weighted_avg): the correct mean under
+    irregular sampling, decimal-exact interval products."""
+    from door2door_etl_spark.operators.relational import time_weighted_avg
+
+    ev = load_table(spark, sf, "events")
+    return time_weighted_avg(
+        ev, key_cols=["user_id"], ts_col="ts", value_col="value",
+        order_tiebreak=["event_id"],
+    )
+
+
+SQL_TIME_WEIGHTED_VALUE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts)
+              AS DECIMAL(28,6)) AS dt,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n_intervals,
+       round(CAST(sum(CAST(v * dt AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(dt AS DECIMAL(38,6))) AS DOUBLE), 6) AS twa
+FROM s WHERE dt IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_seasonal_hourly_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal baseline + anomaly z-scores per event type
+    (operators.profile.seasonal_hourly_profile): one aggregate to the
+    24x|types| grain, moments windowed over that grain only."""
+    from door2door_etl_spark.operators.profile import seasonal_hourly_profile
+
+    ev = load_table(spark, sf, "events")
+    return seasonal_hourly_profile(
+        ev, group_cols=["event_type"], ts_col="ts", value_col="value"
+    )
+
+
+SQL_SEASONAL_HOURLY_ANOMALY = """
+WITH grain AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         count(*) AS n_values,
+         round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*), 6) AS hour_mean
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT *,
+         CAST(sum(CAST(hour_mean AS DECIMAL(28,10))) OVER w AS DOUBLE)
+           / count(*) OVER w AS mu,
+         CAST(sum(CAST(hour_mean * hour_mean AS DECIMAL(28,10))) OVER w
+              AS DOUBLE) / count(*) OVER w AS ex2
+  FROM grain WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, hour, n_values, hour_mean,
+       round(CASE WHEN sqrt(ex2 - mu * mu) > 0
+                  THEN (hour_mean - mu) / sqrt(ex2 - mu * mu) END, 6)
+         AS z_score
+FROM m
+"""
+
+
 BFS_MAX_HOPS = 4
 
 
@@ -395,4 +493,7 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("ns_cdc_join_view", q_cdc_join_view, SQL_CDC_JOIN_VIEW, "lakehouse CDC + incremental JOIN-view maintenance (delta-join, both-side churn)", ("northstar", "lakehouse")),
     QueryDef("rel_cusum_user_drift", q_cusum_user_drift, SQL_CUSUM_USER_DRIFT, "CUSUM changepoint screen per entity (Page 1954), decimal-exact running sums", ("rel", "insight")),
     QueryDef("ns_graph_bfs_hops", q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS, "BFS hop distances by level-synchronous frontier expansion (bounded-depth oracle)", ("northstar", "graph")),
+    QueryDef("rel_locf_imputation", q_locf_imputation, SQL_LOCF_IMPUTATION, "LOCF gap-fill: last non-missing observation carried forward per entity", ("rel", "insight")),
+    QueryDef("rel_time_weighted_value", q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE, "zero-order-hold time-weighted average under irregular sampling", ("rel", "insight")),
+    QueryDef("rel_seasonal_hourly_anomaly", q_seasonal_hourly_anomaly, SQL_SEASONAL_HOURLY_ANOMALY, "hour-of-day seasonal baseline + z-score anomaly screen per segment", ("rel", "insight")),
 ]

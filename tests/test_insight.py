@@ -149,3 +149,51 @@ def test_bfs_hops_takes_shortest_of_multiple_paths(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
     out = {r.node: r.hops for r in bfs_hops(edges, source=1, max_hops=4).collect()}
     assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_forward_fill_reference(spark):
+    from door2door_etl_spark.operators.relational import forward_fill
+
+    rows = [("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, None),
+            ("a", 5, 7.0), ("b", 1, None)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = {(r.k, r.seq): r.f for r in forward_fill(
+        df, ["k"], ["seq"], "v", "f").collect()}
+    # leading nulls stay null; gaps carry the last observation
+    assert out == {("a", 1): None, ("a", 2): 5.0, ("a", 3): 5.0,
+                   ("a", 4): 5.0, ("a", 5): 7.0, ("b", 1): None}
+
+
+def test_time_weighted_avg_reference(spark):
+    import datetime as dt
+
+    from door2door_etl_spark.operators.relational import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    # value 10 held for 1s, value 0 held for 3s, final point drops
+    rows = [("a", t0, 10.0),
+            ("a", t0 + dt.timedelta(seconds=1), 0.0),
+            ("a", t0 + dt.timedelta(seconds=4), 99.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    (row,) = time_weighted_avg(df, ["k"], "ts", "v").collect()
+    assert row.n_intervals == 2
+    assert row.twa == 2.5  # (10*1 + 0*3) / 4
+
+
+def test_seasonal_hourly_profile_z_scores(spark):
+    import datetime as dt
+
+    from door2door_etl_spark.operators.profile import seasonal_hourly_profile
+
+    rows = []
+    # type x: hour 0 mean 1.0 (x2), hour 1 mean 1.0, hour 2 mean 4.0 (anomaly)
+    for h, vals in [(0, [1.0, 1.0]), (1, [1.0]), (2, [4.0])]:
+        for v in vals:
+            rows.append(("x", dt.datetime(2024, 1, 1, h, 30), v))
+    df = spark.createDataFrame(rows, "t string, ts timestamp, v double")
+    out = {r.hour: r for r in seasonal_hourly_profile(
+        df, ["t"], "ts", "v").collect()}
+    assert out[0].n_values == 2 and out[0].hour_mean == 1.0
+    # means are [1, 1, 4]: mu=2, std=sqrt(2); z for hour 2 = 2/sqrt(2)
+    assert out[2].z_score == round(2 / (2 ** 0.5), 6)
+    assert out[0].z_score == round(-1 / (2 ** 0.5), 6)
