@@ -982,3 +982,66 @@ def test_gif_lzw_roundtrip_property(indices):
 
     data = _gif_lzw_encode(indices, 8)
     assert _gif_lzw_decode(data, 8, len(indices)) == indices
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+def test_ema_fold_matches_python_reference(spark, vals, alpha):
+    """ema_by_key's Catalyst fold is bit-identical to the sequential
+    Python fold for any value sequence and smoothing factor."""
+    from door2door_etl_spark.operators.relational import ema_by_key
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, seq int, v double",
+    )
+    (row,) = ema_by_key(df, ["k"], ["seq"], "v", alpha=alpha).collect()
+    ref = vals[0]
+    for v in vals[1:]:
+        ref = v * alpha + ref * (1.0 - alpha)
+    assert row.n_points == len(vals)
+    assert row.ema == round(ref, 6)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=30,
+    )
+)
+def test_cusum_matches_python_reference(spark, vals):
+    """cusum_drift's windowed excursion equals the sequential reference
+    (running sum of quantized deviations minus its running minimum)."""
+    from door2door_etl_spark.operators.profile import cusum_drift
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, seq int, v double",
+    )
+    (row,) = cusum_drift(df, ["k"], ["seq"], "v").collect()
+    # reference mirrors the operator's exact quantization contract:
+    # Spark round()/cast-to-decimal on a double == BigDecimal.valueOf
+    # (shortest-repr) + HALF_UP setScale == Decimal(repr(x)).quantize
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q(x: float, places: str) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal(places), ROUND_HALF_UP)
+
+    sum_dec = sum(q(v, "1e-10") for v in vals)
+    mean = float(q(float(sum_dec) / len(vals), "1e-6"))
+    s_run = Decimal(0)
+    run_min = None
+    best = Decimal(0)
+    for v in vals:
+        s_run += q(v - mean, "1e-6")
+        run_min = s_run if run_min is None else min(run_min, s_run)
+        best = max(best, s_run - run_min)
+    assert row.mean == mean
+    assert row.max_cusum == float(q(float(best), "1e-6"))
