@@ -1481,3 +1481,89 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("n_pair").desc(), F.col("w1"), F.col("w2")
     ).limit(int(topk))
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    points: int = 10,
+) -> DataFrame:
+    """Heaps\'-law fit over the corpus: least-squares slope/intercept of
+    ``ln(vocabulary) ~ ln(tokens)`` across ``points`` growing corpus
+    prefixes — natural text grows vocabulary as V = k*N^beta with beta
+    in ~[0.4, 0.6]; templated or boilerplate-heavy corpora flatten, OCR
+    noise steepens.  The one-number companion to :func:`zipf_fit` on the
+    corpus-health panel.
+
+    Prefixes are cut at ``points`` evenly-spaced ``id_col`` VALUES
+    between min and max (exact integer arithmetic — engine-portable):
+    the regression is against the MEASURED token count N of each prefix,
+    so any deterministic increasing prefix family is statistically
+    valid, and value cuts need only a min/max aggregate — no global
+    sort, no single-partition rank window anywhere.  ONE token explode
+    computes per-term first-occurrence id (min) and per-doc token
+    counts; every prefix point then reads those two SMALL relations
+    (vocabulary-sized and document-sized, never token-sized) against the
+    broadcast ``points``-row cut list.  Per-point products quantize to
+    DECIMAL before the LS sums (the zipf_fit discipline).  Output:
+    ``(n_points, slope, intercept)``.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    exploded = base.select("_id", F.explode("_t").alias("term"))
+    first_seen = exploded.groupBy("term").agg(F.min("_id").alias("fid"))
+    doc_tokens = base.select("_id", F.size("_t").alias("nt"))
+    bounds = base.agg(
+        F.min("_id").alias("lo"), F.max("_id").alias("hi")
+    )
+    cuts = bounds.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(int(points))),
+                lambda i: F.col("lo")
+                + F.floor(
+                    (F.col("hi") - F.col("lo"))
+                    * i.cast("double")
+                    / F.lit(float(points))
+                ).cast("long"),
+            )
+        ).alias("c")
+    ).distinct()
+    v = (
+        first_seen.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fid") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    t = (
+        doc_tokens.crossJoin(F.broadcast(cuts))
+        .filter(F.col("_id") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("nt").alias("toks"))
+    )
+    xy = v.join(t, "c").filter((F.col("vocab") > 0) & (F.col("toks") > 0))
+    dec = "decimal(28,10)"
+    x = F.log(F.col("toks").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    n = F.col("np").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    # "+ 0.0" canonicalizes IEEE negative zero (a flat corpus rounds to
+    # -0.0 in one engine and 0.0 in the other — same value, different hash)
+    return agg.select(
+        F.col("np").alias("n_points"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+    )

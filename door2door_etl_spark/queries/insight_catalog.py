@@ -294,6 +294,49 @@ FROM r GROUP BY 1
 """
 
 
+HEAPS_POINTS = 10
+
+
+def q_heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the documents corpus
+    (operators.text.heaps_fit): value-cut prefix family (no global
+    sort), one token explode, regression over the measured (N, V)
+    points."""
+    from door2door_etl_spark.operators.text import heaps_fit
+
+    docs = load_table(spark, sf, "documents")
+    return heaps_fit(docs, id_col="doc_id", text_col="text", points=HEAPS_POINTS)
+
+
+def _sql_heaps_law_fit() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, {toks} AS t FROM documents),
+fs AS (SELECT w, min(id) AS fid
+       FROM (SELECT id, unnest(t) AS w FROM base) GROUP BY 1),
+dt AS (SELECT id, len(t) AS nt FROM base),
+b AS (SELECT min(id) AS lo, max(id) AS hi FROM base),
+cuts AS (SELECT DISTINCT lo + CAST(floor((hi - lo) * CAST(i AS DOUBLE)
+                                        / {float(HEAPS_POINTS)}) AS BIGINT) AS c
+         FROM b, generate_series(1, {HEAPS_POINTS}) AS g(i)),
+v AS (SELECT c, count(*) AS vocab FROM fs, cuts WHERE fid <= c GROUP BY 1),
+tt AS (SELECT c, sum(nt) AS toks FROM dt, cuts WHERE id <= c GROUP BY 1),
+xy AS (SELECT ln(CAST(toks AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+       FROM v JOIN tt USING (c) WHERE vocab > 0 AND toks > 0),
+s AS (SELECT count(*) AS np,
+             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM xy)
+SELECT np AS n_points,
+       round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) + 0.0 AS slope,
+       round((sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx)
+             / np, 6) + 0.0 AS intercept
+FROM s
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOPK = 25
 
@@ -496,4 +539,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_locf_imputation", q_locf_imputation, SQL_LOCF_IMPUTATION, "LOCF gap-fill: last non-missing observation carried forward per entity", ("rel", "insight")),
     QueryDef("rel_time_weighted_value", q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE, "zero-order-hold time-weighted average under irregular sampling", ("rel", "insight")),
     QueryDef("rel_seasonal_hourly_anomaly", q_seasonal_hourly_anomaly, SQL_SEASONAL_HOURLY_ANOMALY, "hour-of-day seasonal baseline + z-score anomaly screen per segment", ("rel", "insight")),
+    QueryDef("ns_heaps_law_fit", q_heaps_law_fit, _sql_heaps_law_fit(), "Heaps'-law vocabulary-growth fit (corpus-health, companion to ns_zipf_slope)", ("northstar", "text")),
 ]

@@ -197,3 +197,27 @@ def test_seasonal_hourly_profile_z_scores(spark):
     # means are [1, 1, 4]: mu=2, std=sqrt(2); z for hour 2 = 2/sqrt(2)
     assert out[2].z_score == round(2 / (2 ** 0.5), 6)
     assert out[0].z_score == round(-1 / (2 ** 0.5), 6)
+
+
+def test_heaps_fit_synthetic_power_law(spark):
+    """A corpus built with V = N^0.5 exactly (doc i introduces new tokens
+    so cumulative vocab tracks sqrt of cumulative tokens) fits slope ~0.5;
+    a fully repetitive corpus fits slope ~0."""
+    from door2door_etl_spark.operators.text import heaps_fit
+
+    # doc i: ONE new type + 2i filler tokens => after n docs,
+    # V = n + 1, N ~ n^2 => ln V ~ 0.5 ln N asymptotically
+    docs = []
+    for i in range(1, 41):
+        words = [f"t{i}"] + ["x"] * (2 * i)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    (row,) = heaps_fit(df, points=8).collect()
+    assert row.n_points >= 5
+    assert 0.35 < row.slope < 0.65
+
+    flat = spark.createDataFrame(
+        [(i, "a b c a b c") for i in range(1, 31)], "doc_id int, text string"
+    )
+    (row2,) = heaps_fit(flat, points=8).collect()
+    assert abs(row2.slope) < 0.05
