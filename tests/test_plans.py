@@ -855,3 +855,39 @@ def test_cusum_windows_share_one_exchange(spark, sf001):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_locf_single_exchange_running_window(spark, sf001):
+    """LOCF is one hash exchange (the key window) — the carried value is
+    an incremental running state, never a per-row scan-back join."""
+    df = QUERIES["rel_locf_imputation"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_time_weighted_avg_single_exchange(spark, sf001):
+    """The lead window and the per-key aggregate share one exchange."""
+    df = QUERIES["rel_time_weighted_value"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_seasonal_profile_moments_stay_on_grain(spark, sf001):
+    """The across-hours moments window runs over the 24x|types| grain —
+    two bounded exchanges total, never a second pass over events."""
+    df = QUERIES["rel_seasonal_hourly_anomaly"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heaps_fit_broadcasts_cut_list(spark, sf001):
+    """Prefix membership tests broadcast the points-row cut list against
+    the vocabulary/document relations; no global sort anywhere."""
+    df = QUERIES["ns_heaps_law_fit"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # no single-partition global sort window (the rank-based anti-pattern)
+    assert "Window [" not in plan or "dense_rank" not in plan, plan
