@@ -837,3 +837,71 @@ def time_weighted_avg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.round((num.cast("double") / den.cast("double")), 6).alias("twa"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_cols: list[str],
+    entity_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Market-concentration metrics per group over entity-level value
+    shares: entity count, top-1 share, Herfindahl-Hirschman index
+    (Σ share²) and Gini coefficient — the standard "how concentrated is
+    this segment's revenue" screen behind antitrust-style dashboards and
+    corpus-domination checks alike.
+
+    Gini uses the rank formulation G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n
+    with a deterministic (value, entity) tiebreak — tie permutations
+    swap equal values between adjacent ranks, so the weighted sum (and
+    G) is tie-order-invariant.  ONE shuffle: the entity rollup, the
+    group totals window, the rank window, and the final aggregate all
+    share the group partitioning.  Engine-exact: entity values and the
+    rank-weighted products accumulate in DECIMAL; shares are quantized
+    at 10dp before the HHI squares (identical double ops both engines).
+    Output: ``(group..., n_entities, top1_share, hhi, gini)``.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,6)"
+    per_entity = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, *entity_cols)
+        .agg(F.sum(F.col(value_col).cast(dec)).alias("_v"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col("_v").asc(), *[F.col(c).asc() for c in entity_cols]
+    )
+    staged = per_entity.select(
+        *group_cols,
+        "_v",
+        F.sum("_v").over(wg).alias("_tot"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+        F.row_number().over(wr).cast("decimal(10,0)").alias("_i"),
+    ).select(
+        *group_cols,
+        "_n",
+        F.round(
+            (F.col("_v").cast("double") / F.col("_tot").cast("double")), 10
+        ).alias("_share"),
+        # narrow operand widths: decimal(10,0) * decimal(18,4) stays an
+        # exact decimal(28,4) product in BOTH engines — a bigint *
+        # decimal(38,6) product exceeds width 38, which DuckDB silently
+        # demotes to DOUBLE (parity-breaking) and Spark re-rounds
+        (F.col("_i") * F.col("_v").cast("decimal(18,4)")).alias("_iv"),
+        F.col("_v").alias("_vd"),
+    )
+    share2 = (F.col("_share") * F.col("_share")).cast("decimal(28,14)")
+    return staged.groupBy(*group_cols).agg(
+        F.first("_n").alias("n_entities"),
+        F.round(F.max("_share"), 6).alias("top1_share"),
+        F.round(F.sum(share2).cast("double"), 6).alias("hhi"),
+        F.round(
+            F.lit(2.0)
+            * F.sum("_iv").cast("double")
+            / (F.first("_n") * F.sum("_vd").cast("double"))
+            - (F.first("_n") + 1).cast("double") / F.first("_n"),
+            6,
+        ).alias("gini"),
+    )

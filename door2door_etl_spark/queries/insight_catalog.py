@@ -294,6 +294,56 @@ FROM r GROUP BY 1
 """
 
 
+def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration per market segment
+    (operators.relational.concentration_report): customer-level revenue
+    shares -> top-1 share, HHI, Gini — one shared-partitioning shuffle."""
+    from door2door_etl_spark.operators.relational import concentration_report
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    rev = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    return concentration_report(
+        rev, group_cols=["segment"], entity_cols=["custkey"], value_col="rev"
+    )
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH per AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+         sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+staged AS (
+  SELECT segment,
+         count(*) OVER (PARTITION BY segment) AS n,
+         round(CAST(v AS DOUBLE)
+               / CAST(sum(v) OVER (PARTITION BY segment) AS DOUBLE), 10)
+           AS share,
+         CAST(row_number() OVER (PARTITION BY segment
+                                 ORDER BY v ASC, custkey ASC)
+              AS DECIMAL(10,0))
+           * CAST(v AS DECIMAL(18,4)) AS iv,
+         v
+  FROM per)
+SELECT segment, any_value(n) AS n_entities,
+       round(max(share), 6) AS top1_share,
+       round(CAST(sum(CAST(share * share AS DECIMAL(28,14))) AS DOUBLE), 6)
+         AS hhi,
+       round(2.0 * CAST(sum(iv) AS DOUBLE)
+               / (any_value(n) * CAST(sum(v) AS DOUBLE))
+             - CAST(any_value(n) + 1 AS DOUBLE) / any_value(n), 6) AS gini
+FROM staged GROUP BY 1
+"""
+
+
 HEAPS_POINTS = 10
 
 
@@ -540,4 +590,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_time_weighted_value", q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE, "zero-order-hold time-weighted average under irregular sampling", ("rel", "insight")),
     QueryDef("rel_seasonal_hourly_anomaly", q_seasonal_hourly_anomaly, SQL_SEASONAL_HOURLY_ANOMALY, "hour-of-day seasonal baseline + z-score anomaly screen per segment", ("rel", "insight")),
     QueryDef("ns_heaps_law_fit", q_heaps_law_fit, _sql_heaps_law_fit(), "Heaps'-law vocabulary-growth fit (corpus-health, companion to ns_zipf_slope)", ("northstar", "text")),
+    QueryDef("rel_revenue_concentration", q_revenue_concentration, SQL_REVENUE_CONCENTRATION, "market-concentration screen: top-1 share, HHI, Gini per segment", ("rel", "insight")),
 ]

@@ -221,3 +221,22 @@ def test_heaps_fit_synthetic_power_law(spark):
     )
     (row2,) = heaps_fit(flat, points=8).collect()
     assert abs(row2.slope) < 0.05
+
+
+def test_concentration_report_reference(spark):
+    from door2door_etl_spark.operators.relational import concentration_report
+
+    # segment g: entities with values 1, 1, 2  (monopolized-ish)
+    rows = [("g", "a", 1.0), ("g", "b", 1.0), ("g", "c", 2.0),
+            ("m", "x", 5.0)]  # single entity: hhi 1, gini 0, top1 1
+    df = spark.createDataFrame(rows, "seg string, ent string, v double")
+    out = {r.seg: r for r in concentration_report(
+        df, ["seg"], ["ent"], "v").collect()}
+    g = out["g"]
+    assert g.n_entities == 3
+    assert g.top1_share == 0.5
+    assert g.hhi == round(0.25 ** 2 + 0.25 ** 2 + 0.5 ** 2, 6)
+    # sorted values [1,1,2]: gini = 2*(1*1+2*1+3*2)/(3*4) - 4/3 = 1/6
+    assert g.gini == round(1 / 6, 6)
+    m = out["m"]
+    assert (m.n_entities, m.top1_share, m.hhi, m.gini) == (1, 1.0, 1.0, 0.0)
