@@ -247,11 +247,13 @@ BFS_MAX_HOPS = 4
 
 
 def q_graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
-    """BFS hop distances from the minimum node of the part co-purchase
-    graph (operators.graph.bfs_hops, level-synchronous frontier
-    expansion) — same >=2-shared-orders edge set as the rest of the
-    graph family.  The oracle closes the same bounded-depth reachability
-    with a recursive CTE and takes min(hops) per node."""
+    """BFS hop distances from the highest-degree hub of the part
+    co-purchase graph (operators.graph.bfs_hops, level-synchronous
+    frontier expansion) — same >=2-shared-orders edge set as the rest of
+    the graph family; the hub source makes the reachability shell
+    non-degenerate at every tier (the min node sat in a 2-node
+    component at sf1).  The oracle closes the same bounded-depth
+    reachability with a recursive CTE and takes min(hops) per node."""
     from door2door_etl_spark.operators.graph import bfs_hops
 
     li = load_table(spark, sf, "lineitem").select(
@@ -269,9 +271,15 @@ def q_graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("src").cast("long"), F.col("dst").cast("long"))
     )
     edges = edges.localCheckpoint(eager=True)
-    source = edges.agg(
-        F.min(F.least(F.col("src"), F.col("dst")))
-    ).collect()[0][0]
+    source = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("n").asc())
+        .limit(1)
+        .collect()[0]["n"]
+    )
     return bfs_hops(edges, source=int(source), max_hops=BFS_MAX_HOPS)
 
 
@@ -282,8 +290,10 @@ p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
       FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
 e AS (SELECT u, v FROM p WHERE c >= 2),
 sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+hub AS (SELECT u AS s FROM (SELECT u, count(*) AS d FROM sym GROUP BY 1)
+        ORDER BY d DESC, u ASC LIMIT 1),
 r(node, hops) AS (
-  SELECT (SELECT min(u) FROM sym), 0
+  SELECT (SELECT s FROM hub), 0
   UNION
   SELECT sym.v, r.hops + 1
   FROM r JOIN sym ON sym.u = r.node
