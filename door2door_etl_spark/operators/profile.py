@@ -455,3 +455,58 @@ def seasonal_hourly_profile(
             F.when(std > 0, (F.col("hour_mean") - mu) / std), 6
         ).alias("z_score"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier screen by modified z-score (Iglewicz & Hoaglin
+    1993): ``rz = 0.6745 · (v − median) / MAD`` per group, keeping rows
+    with ``|rz| > threshold`` (3.5 is the standard cut) — the
+    median/MAD pair survives the very outliers that inflate a classical
+    sigma, so it flags what z-scores mask in heavy-tailed telemetry.
+
+    Plan shape: two tiny grouped aggregates (median, then MAD — the
+    second conditions on the first) broadcast back to the fact; the
+    fact is scanned but never shuffled (the ``q_event_value_outliers``
+    posture).  Exact medians sort per group inside the aggregate
+    buffer; for groups past executor memory, switch to the maintained
+    HDR-quantile state (``pipeline/aggview.py hdr_cols``) — this is the
+    exact direct-pass form.  Determinism: both engines interpolate the
+    continuous median identically on doubles; the filter compares the
+    ROUNDED score so boundary rows land the same side everywhere.
+    """
+    v = F.col(value_col)
+    # medians quantize at 6dp BEFORE use: even-count interpolation
+    # associates differently across engines (a+(b-a)*0.5 vs (a+b)/2 —
+    # a 1-ulp drift that surfaced in the 4th decimal of rz at the sf1
+    # tier), and the round absorbs it
+    med = df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+        F.round(F.median(v), 6).alias("_med")
+    )
+    j = df.filter(v.isNotNull()).join(F.broadcast(med), group_cols)
+    mad = j.groupBy(*group_cols).agg(
+        F.round(F.median(F.abs(v - F.col("_med"))), 6).alias("_mad")
+    )
+    scored = j.join(F.broadcast(mad), group_cols)
+    # The flag predicate runs on the RAW double chain — both engines
+    # compute the identical IEEE sequence, so the flagged row set is
+    # engine-exact.  The REPORTED columns are the exact components
+    # (value, med, mad) rather than a rounded ratio: quantizing
+    # 0.6745·(v−med)/mad at 4dp is not engine-portable when the raw
+    # double sits within half an ulp of a .00005 boundary (observed at
+    # sf1: Spark 3.8522 vs DuckDB 3.8523 for the same row) — rz is one
+    # exact division away for any consumer.  MAD-0 (flat) groups flag
+    # nothing by convention; the CASE also dodges ANSI divide-by-zero.
+    rz_raw = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"),
+    )
+    return scored.filter(F.abs(rz_raw) > F.lit(float(threshold))).select(
+        *[c for c in scored.columns if c not in ("_med", "_mad")],
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+    )

@@ -243,6 +243,34 @@ FROM m
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type outliers by modified z-score
+    (operators.profile.mad_outliers): median/MAD broadcast back to the
+    fact — flags heavy-tail events the classical-sigma screen
+    (rel_event_value_outliers) under-reports."""
+    from door2door_etl_spark.operators.profile import mad_outliers
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, group_cols=["event_type"], value_col="value")
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, round(median(value), 6) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+mad AS (
+  SELECT e.event_type, round(median(abs(e.value - m.med)), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE e.value IS NOT NULL AND d.mad > 0
+  AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+"""
+
+
 BFS_MAX_HOPS = 4
 
 
@@ -601,4 +629,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_seasonal_hourly_anomaly", q_seasonal_hourly_anomaly, SQL_SEASONAL_HOURLY_ANOMALY, "hour-of-day seasonal baseline + z-score anomaly screen per segment", ("rel", "insight")),
     QueryDef("ns_heaps_law_fit", q_heaps_law_fit, _sql_heaps_law_fit(), "Heaps'-law vocabulary-growth fit (corpus-health, companion to ns_zipf_slope)", ("northstar", "text")),
     QueryDef("rel_revenue_concentration", q_revenue_concentration, SQL_REVENUE_CONCENTRATION, "market-concentration screen: top-1 share, HHI, Gini per segment", ("rel", "insight")),
+    QueryDef("rel_mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS, "robust modified-z outliers via median/MAD (Iglewicz-Hoaglin)", ("rel", "insight")),
 ]

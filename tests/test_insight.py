@@ -240,3 +240,33 @@ def test_concentration_report_reference(spark):
     assert g.gini == round(1 / 6, 6)
     m = out["m"]
     assert (m.n_entities, m.top1_share, m.hhi, m.gini) == (1, 1.0, 1.0, 0.0)
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    from door2door_etl_spark.operators.profile import mad_outliers
+
+    # 20 values at 10 +- 1, one at 1000: classical sigma is inflated by
+    # the outlier; MAD flags it anyway
+    rows = [("t", i, 10.0 + (1 if i % 2 else -1)) for i in range(20)]
+    rows.append(("t", 99, 1000.0))
+    df = spark.createDataFrame(rows, "event_type string, event_id int, value double")
+    out = mad_outliers(df, ["event_type"], "value").collect()
+    assert [r.event_id for r in out] == [99]
+    (r,) = out
+    # sorted: ten 9s, ten 11s, 1000 -> median 11; |v-11| -> ten 0s,
+    # ten 2s, 989 -> MAD 2; rz = 0.6745*(v-med)/mad is one exact
+    # division away from the reported components
+    assert (r.med, r.mad) == (11.0, 2.0)
+    assert 0.6745 * (r.value - r.med) / r.mad > 3.5
+
+
+def test_mad_outliers_flat_group_emits_nothing(spark):
+    from door2door_etl_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("t", i, 5.0) for i in range(10)],
+        "event_type string, event_id int, value double",
+    )
+    # MAD = 0 -> robust_z is null/inf-free division guard: no rows flagged
+    out = mad_outliers(df, ["event_type"], "value").collect()
+    assert out == []
