@@ -1596,3 +1596,67 @@ def stream_joinview_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_forward_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stateful LOCF across micro-batches: each key's last non-null
+    observation persists in the state store, so a gap that STRADDLES a
+    micro-batch boundary still fills from the prior batch's observation —
+    the property the stateless window form
+    (operators.relational.forward_fill) only has within one batch.
+
+    ``applyInPandasWithState`` with per-key state = (last_ts_us,
+    last_value): a micro-batch's rows sort by (ts, id), fill forward
+    from the carried state, and the state advances to the batch's final
+    observation.  State is ONE row per key ever seen — bounded by key
+    cardinality, not event volume (the 100 TB property for an
+    entity-keyed stream; pair with a key-TTL upstream if the key space
+    itself is unbounded).  Emits every input row with ``value_filled``
+    (null until a key's first observation, exactly like the batch
+    operator).  Batch twin: rel_locf_imputation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {id_col} string, ts_us long, value_filled double"
+    )
+    state_schema = "last_ts long, last_val double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, last_val = state.get
+        else:
+            last_ts, last_val = None, None
+        rows = []
+        for pdf in pdfs:
+            ts_us = [int(v.value // 1000) for v in pd.to_datetime(pdf[ts_col])]
+            order = sorted(
+                range(len(ts_us)), key=lambda i: (ts_us[i], str(pdf[id_col].iloc[i]))
+            )
+            for i in order:
+                v = pdf[value_col].iloc[i]
+                if pd.notna(v):
+                    last_ts, last_val = ts_us[i], float(v)
+                    rows.append((key[0], str(pdf[id_col].iloc[i]), ts_us[i], float(v)))
+                else:
+                    rows.append((key[0], str(pdf[id_col].iloc[i]), ts_us[i], last_val))
+        if last_ts is not None:
+            state.update((last_ts, last_val))
+        yield pd.DataFrame(
+            rows, columns=[key_col, id_col, "ts_us", "value_filled"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

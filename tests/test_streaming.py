@@ -1886,3 +1886,61 @@ def test_stream_enrich_with_dim_through_epoch_pin(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["fid"]: r["seg"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "A", 2: "A2"}
+
+
+def test_stream_forward_fill_carries_across_micro_batches(spark, tmp_path):
+    """A null that arrives in a LATER micro-batch fills from the previous
+    batch's observation — the cross-batch property the stateless window
+    form can't give."""
+    import json
+
+    from door2door_etl_spark.streaming.pipeline import stream_forward_fill
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join([
+        json.dumps({"user_id": 1, "event_id": "a", "ts": "2024-01-01T00:00:00", "value": 7.5}),
+        json.dumps({"user_id": 1, "event_id": "b", "ts": "2024-01-01T00:01:00", "value": None}),
+        json.dumps({"user_id": 2, "event_id": "c", "ts": "2024-01-01T00:00:30", "value": None}),
+    ]))
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_dir = str(tmp_path / "locf_out")
+    filled = stream_forward_fill(stream)
+    q = (
+        filled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["value_filled"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a": 7.5, "b": 7.5, "c": None}
+
+    # batch 2: user 1's null fills from batch 1's observation; user 2
+    # observes for the first time
+    (src / "b1.json").write_text("\n".join([
+        json.dumps({"user_id": 1, "event_id": "d", "ts": "2024-01-01T00:02:00", "value": None}),
+        json.dumps({"user_id": 2, "event_id": "e", "ts": "2024-01-01T00:02:00", "value": 3.0}),
+    ]))
+    q2 = (
+        stream_forward_fill(
+            spark.readStream
+            .schema("user_id long, event_id string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["event_id"]: r["value_filled"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2["d"] == 7.5   # carried across the batch boundary
+    assert got2["e"] == 3.0
+    assert got2["b"] == 7.5   # first run's rows intact in the sink
