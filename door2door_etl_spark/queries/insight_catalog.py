@@ -382,6 +382,112 @@ FROM staged GROUP BY 1
 """
 
 
+PPR_ITERS = 6
+PPR_D = 0.85
+
+
+def q_graph_ppr_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart, Jeh & Widom
+    2003) on the nation trade graph, restarting at the alphabetically
+    first nation (operators.graph.personalized_pagerank): proximity TO
+    the source, the "related items" primitive — teleport and dangling
+    mass both return to the restart node.  Same edge build, decimal
+    discipline, and unrolled-oracle pattern as ns_pagerank_trade."""
+    from door2door_etl_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    cn = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+    )
+    sn = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+    )
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            "src", "dst",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .alias("w"),
+        )
+    )
+    start = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
+    pr = personalized_pagerank(
+        e, restart_node=start, weight_col="w",
+        iterations=PPR_ITERS, damping=PPR_D,
+    )
+    return pr.select(
+        F.col("node").alias("nation"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _sql_graph_ppr_trade() -> str:
+    """Unrolled DuckDB twin of q_graph_ppr_trade (the
+    _sql_pagerank_trade scaffold with point-mass init and
+    restart-directed teleport/dangling mass)."""
+    d = repr(PPR_D)
+    one_minus_d = repr(1.0 - PPR_D)
+    head = """
+WITH raw AS MATERIALIZED (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,18)) AS w
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+), outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM raw GROUP BY src
+), edges AS MATERIALIZED (
+  SELECT f.src, f.dst, CAST(f.fw AS DOUBLE) / o.ow AS p
+  FROM (SELECT src, dst, sum(w) AS fw FROM raw GROUP BY src, dst) f
+  JOIN outw o ON f.src = o.src
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM raw UNION SELECT dst FROM raw
+), sstart AS MATERIALIZED (
+  SELECT min(node) AS s FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = (SELECT s FROM sstart)
+               THEN CAST('1.0' AS DOUBLE)
+               ELSE CAST('0.0' AS DOUBLE) END AS rank
+  FROM nodes
+)"""
+    iters = []
+    for t in range(PPR_ITERS):
+        iters.append(f""", dang{t} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(CAST(rank AS DECIMAL(38,18))), 0) AS DOUBLE)
+           AS m
+  FROM r{t} WHERE node NOT IN (SELECT src FROM outw)
+), r{t + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST('{d}' AS DOUBLE) * coalesce(c.c, CAST('0.0' AS DOUBLE))
+         + CASE WHEN nd.node = (SELECT s FROM sstart)
+                THEN CAST('{one_minus_d}' AS DOUBLE)
+                     + CAST('{d}' AS DOUBLE) * (SELECT m FROM dang{t})
+                ELSE CAST('0.0' AS DOUBLE) END AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(r.rank * e.p AS DECIMAL(38,18))) AS DOUBLE) AS c
+    FROM edges e JOIN r{t} r ON e.src = r.node GROUP BY e.dst) c
+  ON nd.node = c.node
+)""")
+    tail = (f"\nSELECT node AS nation, round(rank, 8) AS rank "
+            f"FROM r{PPR_ITERS}")
+    return head + "".join(iters) + tail
+
+
 HEAPS_POINTS = 10
 
 
@@ -630,4 +736,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("ns_heaps_law_fit", q_heaps_law_fit, _sql_heaps_law_fit(), "Heaps'-law vocabulary-growth fit (corpus-health, companion to ns_zipf_slope)", ("northstar", "text")),
     QueryDef("rel_revenue_concentration", q_revenue_concentration, SQL_REVENUE_CONCENTRATION, "market-concentration screen: top-1 share, HHI, Gini per segment", ("rel", "insight")),
     QueryDef("rel_mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS, "robust modified-z outliers via median/MAD (Iglewicz-Hoaglin)", ("rel", "insight")),
+    QueryDef("ns_graph_ppr_trade", q_graph_ppr_trade, _sql_graph_ppr_trade(), "personalized PageRank / random walk with restart (Jeh & Widom 2003)", ("northstar", "graph")),
 ]

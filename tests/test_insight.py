@@ -270,3 +270,34 @@ def test_mad_outliers_flat_group_emits_nothing(spark):
     # MAD = 0 -> robust_z is null/inf-free division guard: no rows flagged
     out = mad_outliers(df, ["event_type"], "value").collect()
     assert out == []
+
+
+def test_personalized_pagerank_reference(spark):
+    """Pure-Python RWR reference on a small weighted digraph, plus the
+    PPR invariants: mass sums to 1, and the restart node dominates."""
+    from door2door_etl_spark.operators.graph import personalized_pagerank
+
+    edges = [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 2.0),
+             ("d", "a", 1.0)]  # c has an edge back; d feeds in; no dangling
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.node: r.rank for r in personalized_pagerank(
+        df, "a", weight_col="w", iterations=8).collect()}
+
+    # python reference (same fixed iteration count, same update rule)
+    nodes = {"a", "b", "c", "d"}
+    outw = {"a": 4.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    p = {("a", "b"): 0.5, ("b", "c"): 1.0, ("c", "a"): 1.0,
+         ("a", "c"): 0.5, ("d", "a"): 1.0}
+    d = 0.85
+    r = {n: (1.0 if n == "a" else 0.0) for n in nodes}
+    for _ in range(8):
+        dang = sum(v for n, v in r.items() if n not in outw)
+        nxt = {}
+        for n in nodes:
+            c = sum(r[u] * pw for (u, v), pw in p.items() if v == n)
+            nxt[n] = d * c + ((1 - d) + d * dang if n == "a" else 0.0)
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - r[n]) < 1e-9, (n, got[n], r[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["a"] == max(got.values())
