@@ -471,6 +471,7 @@ def conversion_funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered conversion funnel: how many users performed
     ``steps[0]``, then ``steps[1]`` at a strictly later timestamp, then
@@ -509,6 +510,17 @@ def conversion_funnel(
             & (ev["_ty"] == F.element_at(steps_arr, acc["stage"] + 1))
             & (acc["ts"].isNull() | (ev["_ts"] > acc["ts"]))
         )
+        if max_gap_seconds is not None:
+            # time-bound funnel: each NEXT stage must land within the
+            # gap of the previous stage's match (greedy earliest-match
+            # semantics preserved; stage 1 is unconstrained)
+            can = can & (
+                acc["ts"].isNull()
+                | (
+                    F.unix_micros(ev["_ts"]) - F.unix_micros(acc["ts"])
+                    <= F.lit(int(max_gap_seconds) * 1_000_000)
+                )
+            )
         return F.when(
             can,
             F.struct(

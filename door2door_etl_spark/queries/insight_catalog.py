@@ -382,6 +382,57 @@ FROM staged GROUP BY 1
 """
 
 
+FUNNEL_GAP_S = 86400  # each stage must follow within a day
+
+
+def q_funnel_time_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bound conversion funnel
+    (operators.relational.conversion_funnel with max_gap_seconds): each
+    stage must follow the previous stage's match within 24h — the form
+    product analytics actually ships (unbounded funnels credit
+    conversions months late).  Greedy earliest-match semantics, one
+    shuffle, same array fold with the gap conjunct."""
+    from door2door_etl_spark.operators.relational import conversion_funnel
+
+    ev = load_table(spark, sf, "events")
+    return conversion_funnel(
+        ev, steps=["view", "click", "purchase"], max_gap_seconds=FUNNEL_GAP_S
+    )
+
+
+SQL_FUNNEL_TIME_BOUND = f"""
+WITH rel AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+n0 AS (SELECT count(DISTINCT user_id) AS n FROM rel),
+s1 AS (SELECT user_id, min(ts) AS t FROM rel WHERE event_type = 'view'
+       GROUP BY 1),
+s2 AS (SELECT r.user_id, min(r.ts) AS t FROM rel r
+       JOIN s1 ON r.user_id = s1.user_id
+       WHERE r.event_type = 'click' AND r.ts > s1.t
+         AND epoch_us(r.ts) - epoch_us(s1.t) <= CAST({FUNNEL_GAP_S} AS BIGINT) * 1000000
+       GROUP BY 1),
+s3 AS (SELECT r.user_id, min(r.ts) AS t FROM rel r
+       JOIN s2 ON r.user_id = s2.user_id
+       WHERE r.event_type = 'purchase' AND r.ts > s2.t
+         AND epoch_us(r.ts) - epoch_us(s2.t) <= CAST({FUNNEL_GAP_S} AS BIGINT) * 1000000
+       GROUP BY 1),
+c AS (SELECT (SELECT n FROM n0) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT stage_idx, step, n_users, conversion_rate FROM (
+  SELECT 1 AS stage_idx, 'view' AS step, n1 AS n_users,
+         round(CAST(n1 AS DOUBLE) / nullif(n0, 0), 6) AS conversion_rate
+  FROM c
+  UNION ALL
+  SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 6) FROM c)
+ORDER BY stage_idx
+"""
+
+
 PPR_ITERS = 6
 PPR_D = 0.85
 
@@ -737,4 +788,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_revenue_concentration", q_revenue_concentration, SQL_REVENUE_CONCENTRATION, "market-concentration screen: top-1 share, HHI, Gini per segment", ("rel", "insight")),
     QueryDef("rel_mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS, "robust modified-z outliers via median/MAD (Iglewicz-Hoaglin)", ("rel", "insight")),
     QueryDef("ns_graph_ppr_trade", q_graph_ppr_trade, _sql_graph_ppr_trade(), "personalized PageRank / random walk with restart (Jeh & Widom 2003)", ("northstar", "graph")),
+    QueryDef("rel_funnel_time_bound", q_funnel_time_bound, SQL_FUNNEL_TIME_BOUND, "time-bound conversion funnel: each stage within a gap of the previous match", ("rel", "insight")),
 ]

@@ -301,3 +301,27 @@ def test_personalized_pagerank_reference(spark):
         assert abs(got[n] - r[n]) < 1e-9, (n, got[n], r[n])
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["a"] == max(got.values())
+
+
+def test_funnel_time_bound_gap_enforced(spark):
+    import datetime as dt
+
+    from door2door_etl_spark.operators.relational import conversion_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 converts fully within the gaps
+        (1, "view", t0), (1, "click", t0 + dt.timedelta(seconds=30)),
+        (1, "purchase", t0 + dt.timedelta(seconds=50)),
+        # user 2's click comes 2h after view: outside a 1h gap
+        (2, "view", t0), (2, "click", t0 + dt.timedelta(hours=2)),
+        (2, "purchase", t0 + dt.timedelta(hours=2, seconds=10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    steps = ["view", "click", "purchase"]
+    bound = {r.step: r.n_users for r in conversion_funnel(
+        df, steps, max_gap_seconds=3600).collect()}
+    assert bound == {"view": 2, "click": 1, "purchase": 1}
+    # unbounded form still credits user 2
+    free = {r.step: r.n_users for r in conversion_funnel(df, steps).collect()}
+    assert free == {"view": 2, "click": 2, "purchase": 2}
