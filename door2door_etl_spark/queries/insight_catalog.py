@@ -3,10 +3,15 @@
 Round-9 continuation wave — the analytics a telemetry warehouse and a
 pretraining-data pipeline both reach for once the relational and curation
 basics are in place: next-event structure (Markov transitions), forensic
-digit audits (Benford), sequential smoothing (per-entity EMA), graph shape
-(degree distribution), and collocation mining (PMI).  Each Spark-first
-(window/explode/fold compositions, zero Python rows) with an exact DuckDB
-twin built from the shared portable contract in ``sql_fragments``.
+digit audits (Benford), sequential smoothing (per-entity EMA), changepoint
+and robust-outlier screens (CUSUM, median/MAD), gap-fill and
+irregular-sampling means (LOCF, time-weighted average), seasonal
+baselines, graph shape and reachability (degree histogram, hub BFS,
+personalized PageRank), corpus-structure laws (PMI collocations, Heaps'
+fit), market concentration (HHI/Gini), time-bound funnels, and the
+CDC-maintained JOIN view.  Each Spark-first (window/explode/fold
+compositions, zero Python rows) with an exact DuckDB twin built from the
+shared portable contract in ``sql_fragments``.
 
 Reference analog: the reference's analytics stop at per-hour event counts
 (/root/reference/src/queries/queries.py); every row here is north-star
