@@ -35,6 +35,11 @@ rows "affected", so previously-unmatched facts join in on the next
 refresh (the streaming-world "late dim" problem solved in the batch
 protocol).
 
+Retention contract (inherited from ChangeFeedCursor): each source's
+vacuum ``keep``/``min_age_hours`` must exceed the view's maximum refresh
+lag, or the next window raises the retained-versions error from time
+travel — loudly, never a silent gap.
+
 Reference analog: the reference recomputes its joined marts per query
 (/root/reference/src/queries/queries.py); no incremental path exists
 there.

@@ -1604,6 +1604,7 @@ def stream_forward_fill(
     ts_col: str = "ts",
     value_col: str = "value",
     id_col: str = "event_id",
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Stateful LOCF across micro-batches: each key's last non-null
     observation persists in the state store, so a gap that STRADDLES a
@@ -1616,8 +1617,10 @@ def stream_forward_fill(
     from the carried state, and the state advances to the batch's final
     observation.  State is ONE row per key ever seen — bounded by key
     cardinality, not event volume (the 100 TB property for an
-    entity-keyed stream; pair with a key-TTL upstream if the key space
-    itself is unbounded).  Emits every input row with ``value_filled``
+    entity-keyed stream); for an UNBOUNDED key space pass
+    ``state_ttl_minutes`` — a key idle past the TTL drops its state
+    (processing-time timeout), so a fill after expiry restarts from
+    null exactly like a first observation.  Emits every input row with ``value_filled``
     (null until a key's first observation, exactly like the batch
     operator).  Batch twin: rel_locf_imputation.
     """
@@ -1630,6 +1633,12 @@ def stream_forward_fill(
     state_schema = "last_ts long, last_val double"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=[key_col, id_col, "ts_us", "value_filled"]
+            )
+            return
         if state.exists:
             last_ts, last_val = state.get
         else:
@@ -1649,14 +1658,21 @@ def stream_forward_fill(
                     rows.append((key[0], str(pdf[id_col].iloc[i]), ts_us[i], last_val))
         if last_ts is not None:
             state.update((last_ts, last_val))
+            if state_ttl_minutes is not None:
+                state.setTimeoutDuration(int(state_ttl_minutes) * 60_000)
         yield pd.DataFrame(
             rows, columns=[key_col, id_col, "ts_us", "value_filled"]
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -1944,3 +1944,34 @@ def test_stream_forward_fill_carries_across_micro_batches(spark, tmp_path):
     assert got2["d"] == 7.5   # carried across the batch boundary
     assert got2["e"] == 3.0
     assert got2["b"] == 7.5   # first run's rows intact in the sink
+
+
+def test_stream_forward_fill_with_ttl_runs(spark, tmp_path):
+    """TTL form smoke: ProcessingTimeTimeout wiring accepts state and
+    fills within the batch (expiry itself is wall-clock-driven and not
+    deterministically testable in availableNow mode)."""
+    import json
+
+    from door2door_etl_spark.streaming.pipeline import stream_forward_fill
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join([
+        json.dumps({"user_id": 1, "event_id": "a", "ts": "2024-01-01T00:00:00", "value": 2.0}),
+        json.dumps({"user_id": 1, "event_id": "b", "ts": "2024-01-01T00:01:00", "value": None}),
+    ]))
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id string, ts timestamp, value double")
+        .json(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_forward_fill(stream, state_ttl_minutes=30)
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["value_filled"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a": 2.0, "b": 2.0}
