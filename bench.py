@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "rel_mad_outliers",
     "ns_graph_ppr_trade",
     "rel_funnel_time_bound",
+    "ns_containment_pairs",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

@@ -347,6 +347,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.0,
     persist_shingles: bool = False,
     hash_shingles: bool = True,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-``n``-gram sets for candidate pairs
     blocked on a shared *rare* shingle (document frequency ≤ ``max_df``).
@@ -445,17 +446,29 @@ def ngram_jaccard_pairs(
     inter_cnt = F.col("rare_cnt") + F.size(
         F.array_intersect(F.col("za.cset"), F.col("zb.cset"))
     )
+    cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        (
+            inter_cnt
+            / (F.col("za.set_size") + F.col("zb.set_size") - inter_cnt)
+        ).alias("jaccard"),
+    ]
+    if with_containment:
+        # Broder containment, max direction: |A∩B| / min(|A|, |B|) — 1.0
+        # when the smaller set sits entirely inside the larger, however
+        # different the sizes.  The subset-duplication signal (quoted
+        # articles, doc-in-doc inclusion) symmetric Jaccard under-ranks.
+        cols.append(
+            (
+                inter_cnt
+                / F.least(F.col("za.set_size"), F.col("zb.set_size"))
+            ).alias("containment")
+        )
     out = (
         rare_inter.join(sa, F.col("id_a") == F.col(f"za.{id_col}"))
         .join(sb, F.col("id_b") == F.col(f"zb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                inter_cnt
-                / (F.col("za.set_size") + F.col("zb.set_size") - inter_cnt)
-            ).alias("jaccard"),
-        )
+        .select(*cols)
     )
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)

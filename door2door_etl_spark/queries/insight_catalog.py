@@ -387,6 +387,66 @@ FROM staged GROUP BY 1
 """
 
 
+CONTAIN_MIN = 0.5
+CONTAIN_TOPK = 30
+
+
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Subset-duplication screen by Broder containment
+    (operators.dedup.ngram_jaccard_pairs with with_containment):
+    |A∩B| / min(|A|,|B|) over the rare-shingle-blocked candidates — 1.0
+    when one document's shingles sit entirely inside another's, the
+    quoted-inclusion class symmetric Jaccard under-ranks (a 50-word doc
+    inside a 5000-word doc has Jaccard ~0.01 but containment 1.0).
+    Same blocking bound and intersection decomposition as the Jaccard
+    row; the measure is one extra in-row division."""
+    from door2door_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from door2door_etl_spark.queries.northstar_catalog import (
+        JACCARD_MAX_DF,
+        SHINGLE_N,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF,
+        persist_shingles=True, with_containment=True,
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("containment", 6).alias("containment"),
+        )
+        # filter on the ROUNDED value (both engines compare identical 6dp
+        # quantities; the raw double would race at the threshold)
+        .filter(F.col("containment") >= CONTAIN_MIN)
+        .orderBy(
+            F.desc("containment"), F.asc("jaccard"), "id_a", "id_b"
+        )
+        .limit(CONTAIN_TOPK)
+    )
+
+
+def _sql_containment_pairs() -> str:
+    from door2door_etl_spark.queries.northstar_catalog import (
+        _sql_jaccard_pairs_ctes,
+    )
+
+    return f"""
+WITH {_sql_jaccard_pairs_ctes()},
+cont AS (
+  SELECT id_a, id_b,
+         round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard,
+         round(inter_cnt / least(size_a, size_b), 6) AS containment
+  FROM inter)
+SELECT id_a, id_b, jaccard, containment
+FROM cont WHERE containment >= {CONTAIN_MIN}
+ORDER BY containment DESC, jaccard ASC, id_a, id_b
+LIMIT {CONTAIN_TOPK}
+"""
+
+
 FUNNEL_GAP_S = 86400  # each stage must follow within a day
 
 
@@ -794,4 +854,5 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS, "robust modified-z outliers via median/MAD (Iglewicz-Hoaglin)", ("rel", "insight")),
     QueryDef("ns_graph_ppr_trade", q_graph_ppr_trade, _sql_graph_ppr_trade(), "personalized PageRank / random walk with restart (Jeh & Widom 2003)", ("northstar", "graph")),
     QueryDef("rel_funnel_time_bound", q_funnel_time_bound, SQL_FUNNEL_TIME_BOUND, "time-bound conversion funnel: each stage within a gap of the previous match", ("rel", "insight")),
+    QueryDef("ns_containment_pairs", q_containment_pairs, _sql_containment_pairs(), "Broder-containment subset-duplication screen (the class Jaccard under-ranks)", ("northstar", "dedup")),
 ]

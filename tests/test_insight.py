@@ -325,3 +325,21 @@ def test_funnel_time_bound_gap_enforced(spark):
     # unbounded form still credits user 2
     free = {r.step: r.n_users for r in conversion_funnel(df, steps).collect()}
     assert free == {"view": 2, "click": 2, "purchase": 2}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from door2door_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    # doc 2's shingles all sit inside doc 1; doc 3 unrelated
+    big = "a b c d e f g h i j k l m n o p q r s t"
+    small = "a b c d e f g"  # a strict prefix -> all its 3-grams in big
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, "z y x w v u t1 s1 r1")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(
+        docs, shingle_n=3, max_df=20, with_containment=True
+    ).collect()
+    pair = {(r.id_a, r.id_b): r for r in out}[(1, 2)]
+    assert pair.containment == 1.0          # fully contained
+    assert pair.jaccard < 0.5               # symmetric measure under-ranks
