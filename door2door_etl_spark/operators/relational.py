@@ -705,8 +705,9 @@ def markov_transitions(
     total order per key (pass a unique tiebreaker); probabilities are exact
     integer ratios rounded at 6dp, so a lag-window SQL twin hash-matches.
 
-    Reference analog: the reference stops at per-hour event counts
-    (/root/reference/src/queries/queries.py); sequence structure is new
+    Reference analog: none — the reference loads the mart and leaves
+    analytics to warehouse SQL (/root/reference/README.md:48-51,
+    /root/reference/src/helper/postgres.py); sequence structure is new
     capability.
     """
     from pyspark.sql import Window

@@ -1400,6 +1400,7 @@ def pmi_collocations(
     text_col: str = "text",
     min_count: int = 5,
     topk: int = 25,
+    broadcast_vocab_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Top-k adjacent-bigram collocations by pointwise mutual information:
     ``PMI(x, y) = ln( p(x,y) / (p(x) p(y)) )`` with ``p(x,y)`` over all
@@ -1409,9 +1410,21 @@ def pmi_collocations(
 
     Plan shape: one token explode for unigram counts, one bigram explode
     for pair counts, then two joins of the pair table against the unigram
-    counts (vocabulary-sized — broadcastable for any real corpus, hinted
-    here), and a TakeOrderedAndProject for the top-k; nothing but the two
-    exploded counts scales with corpus size.  Determinism: the PMI operand
+    counts, and a TakeOrderedAndProject for the top-k; nothing but the two
+    exploded counts scales with corpus size.  The unigram table is NOT
+    broadcast as-is: a raw web-corpus vocabulary grows as N^beta (see
+    :func:`heaps_fit`) and runs to billions of rows at 100 TB, so an
+    unconditional hint would materialize it on the driver.  Instead the
+    vocabulary is first semi-joined down to the words that appear in the
+    min-count-filtered pair table — O(distinct words among reported
+    pairs), bounded by 2x the surviving pair count — and the broadcast
+    hint on that cut (and on the pair-word set feeding the semi-join) is
+    gated on its MEASURED row count (``broadcast_vocab_max_rows``,
+    mirroring the k-core gate at ``operators/graph.py:_prune_weak``);
+    above the gate both joins run as plain shuffle joins under AQE.  The
+    filtered pair table is ``localCheckpoint``-ed so the measurement pass
+    and the scoring joins share one computation of the bigram explode.
+    Determinism: the PMI operand
     is assembled as ONE rational value (exact BIGINT products on both
     sides of the divide) so both engines take ``ln`` of the identical
     double; ordering ties break on the exact pair counts then the words.
@@ -1446,9 +1459,23 @@ def pmi_collocations(
     # normalizer = ALL adjacent pairs (computed before the min-count cut,
     # or p(x,y) would be conditioned on the reporting threshold)
     n_bi_total = bi.agg(F.sum("n_pair").alias("n_bigrams"))
-    bi = bi.filter(F.col("n_pair") >= int(min_count))
-    c1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")))
-    c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")))
+    bi = bi.filter(F.col("n_pair") >= int(min_count)).localCheckpoint(eager=True)
+    pair_words = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # measured gate: |cut vocabulary| == |pair_words| exactly (every pair
+    # word is in the vocabulary), so this count prices the broadcast side
+    n_cut = pair_words.count()
+    small = n_cut <= int(broadcast_vocab_max_rows)
+    pw = F.broadcast(pair_words) if small else pair_words
+    cut = uni.join(pw, "w", "leftsemi")
+    c1 = cut.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    c2 = cut.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    if small:
+        c1, c2 = F.broadcast(c1), F.broadcast(c2)
     scored = (
         bi.join(c1, "w1")
         .join(c2, "w2")

@@ -112,9 +112,16 @@ class ExpectationSuite:
     def tag(self, df: DataFrame) -> DataFrame:
         """The single-pass evaluator: input plus ``_violated:
         array<string>`` of the rule names each row breaks (empty array =
-        clean row).  Row-local rules are one codegen'd projection;
-        each unique rule adds one count-per-key aggregation whose
-        duplicate-key relation (small in healthy data) broadcasts back."""
+        clean row).  Row-local rules are one codegen'd projection; each
+        unique rule adds one count-per-key aggregation joined back on the
+        key.  The duplicate-key relation is deliberately NOT hint-forced
+        to broadcast: uniqueness rules exist precisely for batches where
+        the key ISN'T unique, and a badly-violating batch (a replayed
+        upstream feed doubling every key) makes ``dup_keys`` O(distinct
+        keys) — an unconditional hint would override AQE's size check and
+        materialize it on the driver.  AQE's runtime statistics convert
+        the join to broadcast exactly when the measured duplicate set is
+        small (the healthy case), at zero extra cost."""
         tags = [
             F.when(~r._passes(), F.lit(r.name)) for r in self.rules
         ]
@@ -136,7 +143,7 @@ class ExpectationSuite:
                 cond = cond & F.col(f"_uq_l.{c}").eqNullSafe(
                     F.col(f"_uq_r.{c}")
                 )
-            out = left.join(F.broadcast(right), cond, "left").select(
+            out = left.join(right, cond, "left").select(
                 "_uq_l.*", f"_uq_r._dup_{u.name}"
             )
             tags.append(

@@ -40,9 +40,11 @@ vacuum ``keep``/``min_age_hours`` must exceed the view's maximum refresh
 lag, or the next window raises the retained-versions error from time
 travel — loudly, never a silent gap.
 
-Reference analog: the reference recomputes its joined marts per query
-(/root/reference/src/queries/queries.py); no incremental path exists
-there.
+Reference analog: none — the reference has no incremental join path (or
+any query module at all); its analyst joins are delegated to warehouse
+SQL run against the Postgres mart it loads
+(/root/reference/README.md:48-51, load path
+/root/reference/src/helper/postgres.py).
 """
 
 from __future__ import annotations

@@ -13,8 +13,9 @@ CDC-maintained JOIN view.  Each Spark-first (window/explode/fold
 compositions, zero Python rows) with an exact DuckDB twin built from the
 shared portable contract in ``sql_fragments``.
 
-Reference analog: the reference's analytics stop at per-hour event counts
-(/root/reference/src/queries/queries.py); every row here is north-star
+Reference analog: none — the reference loads its Postgres mart and leaves
+analytics to warehouse SQL (/root/reference/README.md:48-51,
+/root/reference/src/helper/postgres.py); every row here is north-star
 capability beyond that surface.
 """
 

@@ -891,3 +891,83 @@ def test_heaps_fit_broadcasts_cut_list(spark, sf001):
     assert "CartesianProduct" not in plan
     # no single-partition global sort window (the rank-based anti-pattern)
     assert "Window [" not in plan or "dense_rank" not in plan, plan
+
+
+def test_pmi_gates_vocab_broadcast_on_measured_cut(spark):
+    """pmi_collocations must NOT force-broadcast the vocabulary: the raw
+    unigram table grows as N^beta and an unconditional hint would
+    materialize billions of rows on the driver at the target scale (the
+    same bug class as round 8's k-core finding).  The vocabulary is first
+    semi-joined down to the words in the min-count-filtered pair table,
+    and the hint is gated on that cut's MEASURED size: below the gate the
+    count joins are BroadcastHashJoin; with the gate forced to 0 the same
+    call plans shuffle joins — no hash-join broadcast anywhere."""
+    from door2door_etl_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(f"the quick fox {i} jumps the quick fox",) for i in range(20)],
+        "text string",
+    )
+    small = plan_of(pmi_collocations(df, min_count=2, topk=5))
+    assert "BroadcastHashJoin" in small, small
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = plan_of(
+            pmi_collocations(df, min_count=2, topk=5, broadcast_vocab_max_rows=0)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in big, big
+    assert "SortMergeJoin" in big or "ShuffledHashJoin" in big, big
+
+
+def test_pmi_result_invariant_across_broadcast_gate(spark):
+    """Forcing the shuffle regime (gate=0) must give byte-identical
+    collocations to the broadcast regime."""
+    from door2door_etl_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("new york new york city",), ("new york is a city",), ("a b a b",)],
+        "text string",
+    )
+    bcast = sorted(map(tuple, pmi_collocations(df, min_count=2, topk=10).collect()))
+    shuffle = sorted(
+        map(
+            tuple,
+            pmi_collocations(
+                df, min_count=2, topk=10, broadcast_vocab_max_rows=0
+            ).collect(),
+        )
+    )
+    assert bcast == shuffle and bcast, bcast
+
+
+def test_unique_expectation_no_forced_dup_keys_broadcast(spark):
+    """The unique-rule tag join must NOT carry a forced broadcast hint:
+    uniqueness checks exist precisely for batches where the key isn't
+    unique, and a batch where every key doubles makes the duplicate-key
+    relation O(distinct keys).  With the auto-broadcast threshold
+    disabled (simulating AQE's size gate rejecting the relation), the
+    planted massively-duplicated frame must plan a SHUFFLE join — a
+    forced hint would broadcast regardless of the threshold."""
+    from door2door_etl_spark.pipeline.expectations import (
+        ExpectationSuite,
+        UniqueExpectation,
+    )
+
+    suite = ExpectationSuite(
+        unique_rules=[UniqueExpectation("id_unique", ("id",))]
+    )
+    replayed = spark.createDataFrame(
+        [Row(id=i % 500, v=i) for i in range(1000)]  # every key doubled
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(suite.tag(replayed))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
