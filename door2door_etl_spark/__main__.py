@@ -552,6 +552,26 @@ def _run_refresh_views(args) -> int:
                     "error": f"unknown keys for {kind} view: {sorted(unknown)}",
                 }))
                 return 1
+            # required = dataclass fields without a default; validate
+            # BEFORE constructing so a sparse declaration gets the same
+            # clean one-line JSON error as unknown type/keys, not a raw
+            # KeyError/TypeError traceback
+            required = {
+                f.name
+                for f in dataclasses.fields(cls)
+                if f.default is dataclasses.MISSING
+                and f.default_factory is dataclasses.MISSING
+            }
+            missing = required - set(kwargs)
+            if missing:
+                print(json.dumps({
+                    "step": "refresh-views",
+                    "error": (
+                        f"missing required keys for {kind} view: "
+                        f"{sorted(missing)}"
+                    ),
+                }))
+                return 1
             for root_key in ("source_root", "view_root", "left_root", "right_root"):
                 if root_key in kwargs:
                     kwargs[root_key] = _abs(kwargs[root_key])

@@ -295,28 +295,37 @@ def skew_report(
 def benford_digit_audit(
     df: DataFrame,
     value_col: str,
-    scale: int = 2,
 ) -> DataFrame:
-    """Benford's-law first-digit audit of a positive numeric column: one
-    row per leading digit 1-9 with the observed count/share, the Benford
-    expectation ``log10(1 + 1/d)``, and the chi-square contribution
-    ``n_total * (obs - exp)^2 / exp`` — the standard forensic screen for
-    fabricated or truncated monetary data, run here as a data-quality
-    report next to the profile/drift family.
+    """Benford's-law first-digit audit of a numeric column over the
+    domain ``value >= 1``: one row per leading digit 1-9 with the
+    observed count/share, the Benford expectation ``log10(1 + 1/d)``,
+    and the chi-square contribution ``n_total * (obs - exp)^2 / exp`` —
+    the standard forensic screen for fabricated or truncated monetary
+    data, run here as a data-quality report next to the profile/drift
+    family.
 
-    The leading digit is taken from the DECIMAL rendering of the value
-    (``CAST(v AS DECIMAL)`` then first character), never via
-    ``floor(log10(v))``: decimal formatting is engine-portable, while a
-    log of a value sitting exactly on a power of ten may land on either
-    side of the floor depending on the libm.  Plan shape: one map-side
-    combinable count per digit; the normalizer is a window over the
-    9-row histogram.  Non-positive and NULL values are excluded (Benford
-    applies to positive magnitudes).
+    The leading digit is taken by TRUNCATION — ``floor`` to the exact
+    integer part, rendered as DECIMAL(38,0), first character — never via
+    ``floor(log10(v))`` (a log of a value sitting exactly on a power of
+    ten may land on either side of the floor depending on the libm) and
+    never via a scaled-decimal rounding (rounding promotes boundary
+    values across a digit: 9.996 rendered at scale 2 is "10.00", which
+    would count as digit 1; its true leading digit is 9).  Plan shape:
+    one map-side combinable count per digit; the normalizer is a window
+    over the 9-row histogram.
+
+    Domain restriction, stated explicitly: NULLs, non-positives AND
+    values in (0, 1) are all excluded.  Sub-unit values have a first
+    *significant* digit, but pulling it portably needs a scale-unbounded
+    rendering; restricting the audit to magnitudes >= 1 (the monetary
+    case Benford screens target) keeps the digit exact in both engines.
+    Values >= 10^38 overflow the DECIMAL(38,0) rendering and would be
+    excluded as NULL digits rather than miscounted.
     """
     from pyspark.sql import Window
 
     digit = F.substring(
-        F.col(value_col).cast(f"decimal(38,{int(scale)})").cast("string"), 1, 1
+        F.floor(F.col(value_col)).cast("decimal(38,0)").cast("string"), 1, 1
     ).cast("int")
     hist = (
         df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 1))

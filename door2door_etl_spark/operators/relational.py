@@ -898,11 +898,16 @@ def concentration_report(
         F.round(
             (F.col("_v").cast("double") / F.col("_tot").cast("double")), 10
         ).alias("_share"),
-        # narrow operand widths: decimal(10,0) * decimal(18,4) stays an
-        # exact decimal(28,4) product in BOTH engines — a bigint *
-        # decimal(38,6) product exceeds width 38, which DuckDB silently
-        # demotes to DOUBLE (parity-breaking) and Spark re-rounds
-        (F.col("_i") * F.col("_v").cast("decimal(18,4)")).alias("_iv"),
+        # bounded operand widths: decimal(10,0) * decimal(28,4) is an
+        # exact decimal(38,4) product in BOTH engines (Spark min(38,
+        # 10+28+1); DuckDB 10+28) — a bigint * decimal(38,6) product
+        # exceeds width 38, which DuckDB silently demotes to DOUBLE
+        # (parity-breaking) and Spark re-rounds.  The (28,4) operand
+        # keeps entity totals exact to 10^24 (any monetary reality;
+        # the earlier (18,4) cast silently NULLed Spark-side at 10^14
+        # while DuckDB raised — a divergent failure mode at plausible
+        # magnitudes)
+        (F.col("_i") * F.col("_v").cast("decimal(28,4)")).alias("_iv"),
         F.col("_v").alias("_vd"),
     )
     share2 = (F.col("_share") * F.col("_share")).cast("decimal(28,14)")

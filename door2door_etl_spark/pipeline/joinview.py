@@ -257,6 +257,21 @@ class IncrementalJoinView:
         ll, rl = lcur.last_committed(), rcur.last_committed()
 
         if ll is None or rl is None:
+            # Seed-crash recovery FIRST: if a prior refresh committed the
+            # view + ledger but died before (some) cursor commit, the
+            # cursors still read None here — and re-seeding would be an
+            # upsert-only merge over a view whose since-deleted source
+            # rows it can no longer retract (permanent _live ghosts).
+            # A landed ledger row is the durable truth: roll both cursors
+            # forward to its frontier and fall through to the delta path,
+            # exactly as the post-seed crash-recovery block does.
+            frontier = self._landed_frontier(spark)
+            if frontier is not None:
+                flv, frv = frontier
+                lcur.commit(flv)
+                rcur.commit(frv)
+                ll, rl = flv, frv
+        if ll is None or rl is None:
             seed = self._joined(
                 self._read_source(spark, self.left_root, lv),
                 self._read_source(spark, self.right_root, rv),

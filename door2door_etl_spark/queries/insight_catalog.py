@@ -58,18 +58,20 @@ GROUP BY 1, 2
 
 def q_benford_order_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Benford's-law first-digit audit of order totals
-    (operators.profile.benford_digit_audit): leading digit via the
-    engine-portable DECIMAL rendering (never floor(log10)), one combinable
-    count per digit, 9-row output with chi-square contributions."""
+    (operators.profile.benford_digit_audit): leading digit by truncation
+    — floor to the exact integer part, DECIMAL(38,0) rendering, first
+    character (never floor(log10), never a rounded scaled rendering) —
+    one combinable count per digit, 9-row output with chi-square
+    contributions."""
     from door2door_etl_spark.operators.profile import benford_digit_audit
 
     orders = load_table(spark, sf, "orders")
-    return benford_digit_audit(orders, "o_totalprice", scale=2)
+    return benford_digit_audit(orders, "o_totalprice")
 
 
 SQL_BENFORD_ORDER_TOTALS = """
 WITH h AS (
-  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR),
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS DECIMAL(38,0)) AS VARCHAR),
               1, 1) AS INT) AS digit,
          count(*) AS n_values
   FROM orders
@@ -374,7 +376,7 @@ staged AS (
          CAST(row_number() OVER (PARTITION BY segment
                                  ORDER BY v ASC, custkey ASC)
               AS DECIMAL(10,0))
-           * CAST(v AS DECIMAL(18,4)) AS iv,
+           * CAST(v AS DECIMAL(28,4)) AS iv,
          v
   FROM per)
 SELECT segment, any_value(n) AS n_entities,

@@ -36,16 +36,20 @@ def test_markov_transitions_singleton_key_emits_nothing(spark):
 
 
 def test_benford_digit_audit_reference(spark):
-    vals = [1.5, 12.0, 19.9, 2.0, 29.0, 31.4, 900.0, 0.5, None]
+    # 9.996 and 99.996 pin the truncation semantics: a scale-2 rounded
+    # rendering would print "10.00"/"100.00" and miscount them as digit
+    # 1; their true leading digit is 9
+    vals = [1.5, 12.0, 19.9, 2.0, 29.0, 31.4, 900.0, 9.996, 99.996, 0.5, None]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     out = {r.digit: r for r in benford_digit_audit(df, "v").collect()}
-    # 0.5 and None excluded -> 7 values: digit 1 x3, 2 x2, 3 x1, 9 x1
+    # 0.5 and None excluded -> 9 values: digit 1 x3, 2 x2, 3 x1, 9 x3
     assert sorted(out) == [1, 2, 3, 9]
     assert out[1].n_values == 3 and out[2].n_values == 2
-    assert out[1].obs_share == round(3 / 7, 6)
+    assert out[9].n_values == 3
+    assert out[1].obs_share == round(3 / 9, 6)
     assert out[1].benford_share == round(math.log10(2.0), 6)
     exp = math.log10(1 + 1 / 9)
-    chi = 7 * (1 / 7 - exp) ** 2 / exp
+    chi = 9 * (3 / 9 - exp) ** 2 / exp
     assert out[9].chi2_part == round(chi, 6)
 
 
@@ -240,6 +244,24 @@ def test_concentration_report_reference(spark):
     assert g.gini == round(1 / 6, 6)
     m = out["m"]
     assert (m.n_entities, m.top1_share, m.hhi, m.gini) == (1, 1.0, 1.0, 0.0)
+
+
+def test_concentration_report_huge_totals_stay_exact(spark):
+    """Entity totals past 10^14 must not overflow the rank-weighted
+    product's decimal intermediate: the earlier decimal(18,4) cast
+    silently NULLed Spark-side (non-ANSI) while DuckDB raised — a
+    divergent failure at plausible monetary magnitudes.  decimal(28,4)
+    keeps the product exact: for values [1e15, 3e15],
+    gini = 2*(1*1 + 2*3)/(2*4) - 3/2 = 1/4."""
+    from door2door_etl_spark.operators.relational import concentration_report
+
+    rows = [("g", "a", 1.0e15), ("g", "b", 3.0e15)]
+    df = spark.createDataFrame(rows, "seg string, ent string, v double")
+    (r,) = concentration_report(df, ["seg"], ["ent"], "v").collect()
+    assert r.gini is not None and r.hhi is not None
+    assert r.gini == 0.25
+    assert r.top1_share == 0.75
+    assert r.hhi == round(0.25 ** 2 + 0.75 ** 2, 6)
 
 
 def test_mad_outliers_robust_to_the_outlier_itself(spark):

@@ -318,3 +318,77 @@ def test_joinview_manifest_source_layout(spark, roots, tmp_path):
     assert view.refresh(spark)["action"] == "delta"
     got = _assert_parity(spark, view)
     assert got == [("1", "10", 5.0, "A2")]  # 2 and 3 orphaned by the dim delete
+
+
+def test_joinview_seed_crash_before_cursor_commit_no_ghosts(spark, roots):
+    """Seed-crash window: the first refresh commits the view + seed
+    ledger, then dies before the RIGHT cursor commit.  Rows deleted on
+    either side before the next refresh must not survive as _live ghosts
+    — recovery must roll the cursors to the landed ledger frontier and
+    take the DELTA path (which retracts), never re-seed (an upsert-only
+    merge that cannot retract)."""
+    merge_versioned(
+        spark, roots["left"],
+        _orders(spark, [(1, 10, 5.0), (2, 20, 7.0)]), key="okey",
+    )
+    merge_versioned(
+        spark, roots["right"], _cust(spark, [(10, "A"), (20, "B")]), key="ckey"
+    )
+    view = _mk_view(roots)
+    assert view.refresh(spark)["action"] == "seed"
+    lcur, rcur = view._cursors()
+    os.remove(rcur.cursor_path)  # rcur.commit(rv) never landed
+
+    # both sides move before the next refresh: fact 1 deleted, dim 20
+    # deleted (orphans fact 2 under inner join)
+    delete_versioned(
+        spark, roots["left"],
+        _orders(spark, [(1, 10, 5.0)]).select("okey"), key="okey",
+    )
+    delete_versioned(
+        spark, roots["right"],
+        _cust(spark, [(20, "B")]).select("ckey"), key="ckey",
+    )
+    res = view.refresh(spark)
+    assert res["action"] == "delta", res
+    assert _assert_parity(spark, view) == []
+
+    lv = VersionedParquetTable(roots["left"]).current_version()
+    rv = VersionedParquetTable(roots["right"]).current_version()
+    assert (lcur.last_committed(), rcur.last_committed()) == (lv, rv)
+
+
+def test_joinview_seed_crash_both_cursors_lost_noop_recovery(spark, roots):
+    """Same window with BOTH cursor commits lost and no source movement:
+    recovery lands on the ledger frontier and reports a clean noop with
+    the view untouched."""
+    merge_versioned(spark, roots["left"], _orders(spark, [(1, 10, 5.0)]), key="okey")
+    merge_versioned(spark, roots["right"], _cust(spark, [(10, "A")]), key="ckey")
+    view = _mk_view(roots)
+    view.refresh(spark)
+    before = _assert_parity(spark, view)
+    lcur, rcur = view._cursors()
+    os.remove(lcur.cursor_path)
+    os.remove(rcur.cursor_path)
+    assert view.refresh(spark)["action"] == "noop"
+    assert _assert_parity(spark, view) == before
+
+
+def test_cli_refresh_views_rejects_missing_required_keys(spark, roots, tmp_path, capsys):
+    """A declaration missing required keys (here: everything but
+    left_root) gets the same clean one-line JSON error as unknown
+    type/keys — never a raw KeyError/TypeError traceback."""
+    import json as _json
+
+    from door2door_etl_spark.__main__ import main
+
+    decl = tmp_path / "views.json"
+    decl.write_text(_json.dumps({"views": [
+        {"type": "join", "left_root": roots["left"]}
+    ]}))
+    rc = main(["-s", "refresh-views", "--views", str(decl),
+               "--lake-root", str(tmp_path)])
+    assert rc == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "missing required keys" in out["error"]
+    assert "view_root" in out["error"]
