@@ -288,25 +288,50 @@ FROM labeled
 
 JACCARD_MAX_DF = 20
 JACCARD_TOPK = 20
+# per-DOC blocking budget for the headline top-k query: each document
+# blocks on its 12 globally-rarest qualifying shingles, capping candidate
+# generation at k*(max_df-1) per doc (linear in corpus size; the df-cap
+# alone let pair volume track mid-frequency shingle density — measured
+# 3.8x pairs at 10x rows before the cap)
+JACCARD_RAREST_K = 12
 
 
 def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k most-similar pairs by exact shingle Jaccard (rare-shingle
-    blocked); deterministic order (jaccard desc, ids)."""
+    """Top-k most-similar pairs by exact shingle Jaccard, blocked on each
+    document's RAREST-k qualifying shingles (per-doc candidate budget —
+    linear pair growth at scale); deterministic order (jaccard desc,
+    ids)."""
     docs = load_table(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(
-        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF, persist_shingles=True
+        docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF,
+        persist_shingles=True, block_rarest_k=JACCARD_RAREST_K,
     ).withColumn("jaccard", F.round(F.col("jaccard"), 6))
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(JACCARD_TOPK)
 
 
-def _sql_jaccard_pairs_ctes(prefix: str = "") -> str:
+def _sql_jaccard_pairs_ctes(prefix: str = "", rarest_k: int | None = None) -> str:
     """The exact-Jaccard pair chain (doc_sets → rare-shingle blocking →
     candidate pairs → in-row set intersection), name-prefixable so it can
     coexist with the MinHash band chain in one query (the recall report
-    composes both)."""
+    composes both).  ``rarest_k`` mirrors the operator's per-doc
+    rarest-k blocking budget (rank by (df, shingle), row_number <= k)."""
     p = prefix
     sh = sql_shingles("text", SHINGLE_N)
+    if rarest_k is None:
+        block = f"""{p}cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {p}rare a JOIN {p}rare b ON a.s = b.s AND a.doc_id < b.doc_id),"""
+    else:
+        block = f"""{p}keys AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c ASC, s ASC)
+             AS rk
+    FROM {p}rare)
+  WHERE rk <= {int(rarest_k)}),
+{p}cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {p}keys a JOIN {p}keys b ON a.s = b.s AND a.doc_id < b.doc_id),"""
     return f"""{p}doc_sets AS (
   -- 52-bit shingle hashes, bit-identical to the Spark side's
   -- conv(substr(sha2(s,256),1,13),16,10) (hash_shingles=True)
@@ -317,11 +342,10 @@ def _sql_jaccard_pairs_ctes(prefix: str = "") -> str:
   FROM documents),
 {p}sh AS (SELECT doc_id, unnest(sh_set) AS s FROM {p}doc_sets),
 {p}dfreq AS (SELECT s, count(*) AS c FROM {p}sh GROUP BY 1),
-{p}rare AS (SELECT {p}sh.doc_id, {p}sh.s FROM {p}sh JOIN {p}dfreq USING (s)
+{p}rare AS (SELECT {p}sh.doc_id, {p}sh.s, {p}dfreq.c
+         FROM {p}sh JOIN {p}dfreq USING (s)
          WHERE {p}dfreq.c <= {JACCARD_MAX_DF}),
-{p}cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM {p}rare a JOIN {p}rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+{block}
 {p}inter AS (
   -- candidate-bounded intersection: cands joined to the per-doc distinct
   -- shingle ARRAY per side, intersected in-row — O(|cands|·set_size),
@@ -340,7 +364,7 @@ def _sql_jaccard_pairs_ctes(prefix: str = "") -> str:
 
 def _sql_ngram_jaccard_topk() -> str:
     return f"""
-WITH {_sql_jaccard_pairs_ctes()}
+WITH {_sql_jaccard_pairs_ctes(rarest_k=JACCARD_RAREST_K)}
 SELECT id_a, id_b, jaccard FROM jpairs
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT {JACCARD_TOPK}

@@ -3888,3 +3888,30 @@ def test_knn_within_radius_reference_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_ngram_jaccard_rarest_k_values_stay_exact(spark, docs):
+    """The rarest-k blocking budget changes which pairs are REPORTED,
+    never the Jaccard of a reported pair: a generous budget reproduces
+    the uncapped pair set byte-for-byte, and a tight budget reports a
+    subset with identical values."""
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, shingle_n=3, max_df=10).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, shingle_n=3, max_df=10, block_rarest_k=10_000
+        ).collect()
+    }
+    assert wide == base
+    tight = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, shingle_n=3, max_df=10, block_rarest_k=1
+        ).collect()
+    }
+    assert set(tight) <= set(base)
+    assert all(base[p] == v for p, v in tight.items())
+    assert (1, 4) in tight and tight[(1, 4)] == 1.0  # identical docs survive

@@ -971,3 +971,27 @@ def test_unique_expectation_no_forced_dup_keys_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_jaccard_rarest_k_caps_per_doc_blocking(spark):
+    """block_rarest_k bounds candidate generation per DOCUMENT: the
+    blocking keys pass through a per-doc row_number window (partitioned
+    on the doc id, ranked by (df, shingle)), and there is still exactly
+    one '<' join (the capped candidate self-join); the intersection joins
+    stay pure equi-joins over the full shingle sets."""
+    from door2door_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(docs, shingle_n=3, max_df=5, block_rarest_k=4)
+    plan = plan_of(df)
+    join_lines = [
+        ln for ln in plan.split("\n") if "Join" in ln and " < " in ln
+    ]
+    assert len(join_lines) == 1, join_lines
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("doc_id" in w for w in win_specs), plan
