@@ -38,14 +38,22 @@ scoped honestly:
   metadata plus re-running at most the interrupted transaction's
   remaining ops.
 
-Deployment limits (stated, not implied): the JOURNAL itself is local-
-filesystem-only (``os.makedirs``/atomic ``os.rename``) even though the
-manifest tables it coordinates support FsOps object-store backends — on
-a cluster, put ``journal_root`` on shared POSIX storage (NFS/EFS) or a
-driver-local path with recovery run from the same host.  Concurrent
-WRITERS against one journal are supported only insofar as recovery's
-staging sweep is age-gated (``sweep_min_age_hours``); run one logical
-writer per journal, or keep the gate comfortably above your longest
+Deployment shape: the journal's METADATA (intent records, per-op done
+markers, the transaction done marker) moves entirely through the
+:class:`~door2door_etl_spark.io.manifest.FsOps` seam — POSIX by default,
+any object store with a conditional-PUT claim (``S3FsOps``) by
+injection, so the multi-table story works exactly where the manifest
+tables it coordinates already do.  The intent record lands via
+``put_if_absent`` (the same atomic claim the manifest protocol commits
+with); markers are idempotent small puts.  Staged payloads are written
+by SPARK (parquet), so ``staging_root`` — defaulting to
+``journal_root`` — must be a Spark-writable path (``s3a://`` where the
+journal rides ``s3://``; the metadata and data planes use different
+clients against the same store, exactly as ManifestTable does).
+Concurrent WRITERS against one journal are supported insofar as (a) the
+record claim makes two same-``txn_id`` writers converge on one intent,
+and (b) recovery's staging sweep is age-gated
+(``sweep_min_age_hours``); keep the gate comfortably above your longest
 staging phase.
 
 Usage::
@@ -229,13 +237,40 @@ class LakeEpoch:
 
 
 class MultiTableTransaction:
-    def __init__(self, journal_root: str, epoch: LakeEpoch | None = None):
+    def __init__(
+        self,
+        journal_root: str,
+        epoch: LakeEpoch | None = None,
+        fs=None,
+        staging_root: str | None = None,
+    ):
+        from door2door_etl_spark.io.manifest import LocalFsOps
+
         self.journal_root = journal_root
         self.epoch = epoch
+        self.fs = fs if fs is not None else LocalFsOps()
+        # payload staging is written by Spark (parquet), not FsOps — on an
+        # object store pass the Spark-writable twin of the journal URI
+        # (s3a:// vs s3://); locally the default (= journal_root) is fine.
+        # The sweep side picks the fs matching the staging location, so a
+        # mixed deployment (object-store journal, POSIX staging) sweeps
+        # with the right backend.
+        from door2door_etl_spark.io.manifest import _is_object_uri
+
+        self.staging_root = staging_root or journal_root
+        if staging_root is None:
+            self.staging_fs = self.fs
+        else:
+            self.staging_fs = (
+                self.fs if _is_object_uri(staging_root) else LocalFsOps()
+            )
+
+    def _exists(self, path: str) -> bool:
+        return self.fs.read_bytes(path) is not None
 
     # -- paths --------------------------------------------------------------
     def _txn_dir(self, txn_id: str) -> str:
-        return os.path.join(self.journal_root, f"txn-{txn_id}")
+        return os.path.join(self.staging_root, f"txn-{txn_id}")
 
     def _record_path(self, txn_id: str) -> str:
         return os.path.join(self.journal_root, f"txn-{txn_id}.json")
@@ -266,11 +301,11 @@ class MultiTableTransaction:
         if txn_id is not None:
             if not txn_id.replace("-", "").replace("_", "").isalnum():
                 raise ValueError(f"unsafe txn_id {txn_id!r}")
-            if os.path.exists(self._done_marker(txn_id)):
+            if self._exists(self._done_marker(txn_id)):
                 return {"txn_id": txn_id, "versions": None, "replayed": True}
-            if os.path.exists(self._record_path(txn_id)):
-                with open(self._record_path(txn_id)) as f:
-                    record = json.load(f)
+            raw = self.fs.read_bytes(self._record_path(txn_id))
+            if raw is not None:
+                record = json.loads(raw)
                 versions = _apply(
                     spark, self, txn_id, record["ops"],
                     epoch_root=record.get("epoch_root"),
@@ -278,10 +313,19 @@ class MultiTableTransaction:
                 return {"txn_id": txn_id, "versions": versions}
         else:
             txn_id = uuid.uuid4().hex
-        os.makedirs(self._txn_dir(txn_id), exist_ok=True)
         decl = []
+        # attempt-unique staging: two writers racing the same
+        # caller-stable txn_id must never share staged paths — the loser
+        # of the record claim would otherwise have OVERWRITTEN the
+        # winner's staged inputs before the claim resolves, corrupting
+        # the journaled intent it is then obliged to apply.  The record
+        # pins the winning attempt's paths; a losing attempt's files are
+        # unreferenced garbage under the txn dir (cleaned with it).
+        attempt = uuid.uuid4().hex[:8]
         for i, op in enumerate(ops):
-            staged = os.path.join(self._txn_dir(txn_id), f"op-{i}")
+            staged = os.path.join(
+                self._txn_dir(txn_id), f"at-{attempt}", f"op-{i}"
+            )
             op.payload.write.mode("overwrite").parquet(staged)
             decl.append(
                 {
@@ -294,19 +338,26 @@ class MultiTableTransaction:
                     "staged": staged,
                 }
             )
-        tmp = self._record_path(txn_id) + ".tmp"
         record = {
             "txn_id": txn_id,
             "ops": decl,
             "epoch_root": self.epoch.epoch_root if self.epoch else None,
         }
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._record_path(txn_id))  # journal point of no return
+        # journal point of no return: ONE atomic conditional put — the
+        # same claim primitive the manifest commit itself rides, so the
+        # journal works on any FsOps backend.  Losing the claim (a
+        # concurrent writer journaled the same caller-stable txn_id
+        # first) converges on the WINNER's intent: their staged inputs,
+        # our apply — never two divergent payload sets under one id.
+        claimed = self.fs.put_if_absent(
+            self._record_path(txn_id), json.dumps(record).encode()
+        )
+        if not claimed:
+            raw = self.fs.read_bytes(self._record_path(txn_id))
+            record = json.loads(raw)
+            decl = record["ops"]
         versions = _apply(
-            spark, self, txn_id, decl, epoch_root=record["epoch_root"]
+            spark, self, txn_id, decl, epoch_root=record.get("epoch_root")
         )
         return {"txn_id": txn_id, "versions": versions}
 
@@ -338,9 +389,9 @@ def _apply(
     for i, d in enumerate(decl):
         marker = txn._done_marker(txn_id, i)
         tag = f"{txn_id}/{i}"
-        if os.path.exists(marker):
-            with open(marker) as f:
-                versions.append(int(f.read().strip() or 0))
+        raw_marker = txn.fs.read_bytes(marker)
+        if raw_marker is not None:
+            versions.append(int(raw_marker.decode().strip() or 0))
             continue
         table = ManifestTable(d["table_root"])
         committed = (
@@ -375,19 +426,18 @@ def _apply(
             committed = table.find_op_tag(tag)
             if committed is None:
                 committed = table.current_version() or 0
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(committed))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, marker)
+        txn.fs.put_bytes(marker, str(committed).encode())
         versions.append(int(committed))
     if epoch_root:
-        LakeEpoch(epoch_root).publish(
-            {d["table_root"]: v for d, v in zip(decl, versions)}
+        # prefer the caller's live epoch object (it carries its own fs);
+        # recovery reconstructs one on the journal's backend (same lake)
+        ep = (
+            txn.epoch
+            if txn.epoch is not None and txn.epoch.epoch_root == epoch_root
+            else LakeEpoch(epoch_root, fs=txn.fs)
         )
-    with open(txn._done_marker(txn_id), "w") as f:
-        f.write("done")
+        ep.publish({d["table_root"]: v for d, v in zip(decl, versions)})
+    txn.fs.put_bytes(txn._done_marker(txn_id), b"done")
     return versions
 
 
@@ -395,6 +445,8 @@ def recover(
     spark: SparkSession,
     journal_root: str,
     sweep_min_age_hours: float = 1.0,
+    fs=None,
+    staging_root: str | None = None,
 ) -> list[dict]:
     """Roll every incomplete journaled transaction forward — call at
     writer startup (and after any crash).  A transaction is incomplete
@@ -407,19 +459,26 @@ def recover(
     ``sweep_min_age_hours`` (same posture as vacuum's min-age): a
     journal-less dir younger than the gate may belong to a transaction
     still mid-``run()`` (payloads staged, journal rename not yet done),
-    and sweeping it would destroy that writer's staged inputs."""
-    if not os.path.isdir(journal_root):
-        return []
-    txn = MultiTableTransaction(journal_root)
+    and sweeping it would destroy that writer's staged inputs.
+
+    Runs over any :class:`~door2door_etl_spark.io.manifest.FsOps`
+    backend (``fs``; POSIX default) — the journal listing, record reads,
+    marker probes and the staging sweep all go through the seam, so
+    recovery works wherever the journal lives."""
+    txn = MultiTableTransaction(journal_root, fs=fs, staging_root=staging_root)
+    # NOTE: an empty journal listing is NOT an early exit — journal-less
+    # staging (crash before the record claim) must still be swept below
+    names = txn.fs.list_names(journal_root)
     out = []
-    for name in sorted(os.listdir(journal_root)):
+    for name in names:
         if not (name.startswith("txn-") and name.endswith(".json")):
             continue
         txn_id = name[len("txn-"):-len(".json")]
-        if os.path.exists(txn._done_marker(txn_id)):
+        if txn._exists(txn._done_marker(txn_id)):
             continue
-        with open(os.path.join(journal_root, name)) as f:
-            record = json.load(f)
+        record = json.loads(
+            txn.fs.read_bytes(os.path.join(journal_root, name))
+        )
         out.append(
             {
                 "txn_id": txn_id,
@@ -429,21 +488,25 @@ def recover(
                 ),
             }
         )
-    # sweep journal-less staging dirs (crash before the rename) — but only
-    # past the age gate, so a concurrent writer's freshly-staged payloads
-    # survive until its journal rename lands
+    # sweep journal-less staging dirs (crash before the record claim) —
+    # but only past the age gate, so a concurrent writer's freshly-staged
+    # payloads survive until its record claim lands.  Age = the YOUNGEST
+    # staged file's age (object stores have no directory mtime).
     import shutil
-    import time
 
-    cutoff = time.time() - sweep_min_age_hours * 3600
-    for name in sorted(os.listdir(journal_root)):
+    min_age = sweep_min_age_hours * 3600
+    for name in sorted(txn.staging_fs.list_names(txn.staging_root)):
         if name.startswith("txn-") and "." not in name:
             txn_id = name[len("txn-"):]
-            path = os.path.join(journal_root, name)
-            try:
-                too_young = os.path.getmtime(path) > cutoff
-            except OSError:
-                continue
-            if not too_young and not os.path.exists(txn._record_path(txn_id)):
-                shutil.rmtree(path, ignore_errors=True)
+            path = os.path.join(txn.staging_root, name)
+            staged_files = txn.staging_fs.walk_files(path)
+            age = min(
+                (txn.staging_fs.file_age_s(f) for f in staged_files),
+                default=float("inf"),
+            )
+            if age >= min_age and not txn._exists(txn._record_path(txn_id)):
+                for f in staged_files:
+                    txn.staging_fs.delete_file(f)
+                if os.path.isdir(path):  # POSIX skeleton dirs
+                    shutil.rmtree(path, ignore_errors=True)
     return out

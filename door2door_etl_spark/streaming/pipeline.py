@@ -32,10 +32,11 @@ from door2door_etl_spark.session import ensure_runtime_confs
 
 def stream_events(
     spark: SparkSession,
-    source_dir: str,
+    source_dir: str | None = None,
     watermark_delay: str | None = "2 hours",
+    source: "StreamSourceFactory | None" = None,
 ) -> DataFrame:
-    """Streaming JSONL event source with provenance + malformed-line policy —
+    """Streaming event source with provenance + malformed-line policy —
     the streaming twin of io.readers.read_jsonl_events (S1/P2), plus an
     event-time watermark for late data.
 
@@ -43,15 +44,20 @@ def stream_events(
     the stream (e.g. through schemas.normalize, which drops ``event_ts``)
     and must define their own watermark on a downstream event-time column:
     Spark disallows redefining an existing watermark.
+
+    The physical source is injectable (``source``, any
+    ``streaming.sources.StreamSourceFactory`` honoring the event-source
+    contract); the default is the PERMISSIVE JSONL file source over
+    ``source_dir``.  Everything downstream — corrupt-line policy,
+    event-time derivation, watermarking — is source-agnostic, so a
+    Kafka/Kinesis/rate adapter drops in without touching this function.
     """
+    from door2door_etl_spark.streaming.sources import jsonl_events_source
+
+    if (source is None) == (source_dir is None):
+        raise ValueError("pass exactly one of source_dir or source")
     ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(event_schema())
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(source_dir)
-        .withColumn("original_s3_file_path", F.input_file_name())
-    )
+    raw = (source or jsonl_events_source(source_dir))(spark)
     out = (
         raw.filter(F.col("_corrupt_record").isNull())
         .drop("_corrupt_record")
@@ -574,6 +580,7 @@ def stream_replicate_manifest_table(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     fs=None,
+    source: "StreamSourceFactory | None" = None,
 ):
     """Streaming CDC replication: tail a manifest table's commit log as a
     MICRO-BATCH SOURCE and apply its change feed to a replica — the
@@ -613,15 +620,18 @@ def stream_replicate_manifest_table(
         table_changes_manifest,
     )
 
+    from door2door_etl_spark.streaming.sources import commit_log_source
+
     src = ManifestTable(source_root, fs=fs) if fs is not None else ManifestTable(
         source_root
     )
-    reader = spark.readStream.format("text").schema("value string")
-    if max_files_per_trigger is not None:
-        # Bound commits-per-batch (smaller diff windows, finer-grained
-        # checkpoint progress); availableNow still drains the backlog.
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    feed = reader.load(src.manifests_dir)
+    # injectable commit-log seam; the default file source's checkpoint is
+    # the consumer cursor, and max_files_per_trigger bounds
+    # commits-per-batch (smaller diff windows, finer-grained checkpoint
+    # progress) — availableNow still drains the backlog
+    feed = (source or commit_log_source(src.manifests_dir, max_files_per_trigger))(
+        spark
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # One row per COMMIT (not per data row) — bounded by construction.
@@ -960,6 +970,7 @@ def stream_aggview_maintenance(
     view,
     checkpoint_dir: str,
     available_now: bool = True,
+    source: "StreamSourceFactory | None" = None,
 ):
     """Continuous incremental view maintenance: tail a MANIFEST source
     table's commit log (same micro-batch file source as
@@ -986,11 +997,11 @@ def stream_aggview_maintenance(
             return
         view.refresh(spark)
 
+    from door2door_etl_spark.streaming.sources import commit_log_source
+
+    feed = (source or commit_log_source(src.manifests_dir))(spark)
     writer = (
-        spark.readStream.format("text")
-        .schema("value string")
-        .load(src.manifests_dir)
-        .writeStream.foreachBatch(refresh_batch)
+        feed.writeStream.foreachBatch(refresh_batch)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(f"aggview:{_os.path.basename(view.view_root.rstrip('/'))}")
     )

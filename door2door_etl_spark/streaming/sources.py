@@ -1,0 +1,136 @@
+"""Injectable streaming-source seam (VERDICT r9 ask #3).
+
+Every streaming entry point in :mod:`~door2door_etl_spark.streaming
+.pipeline` used to hard-code its ``spark.readStream.format(...)`` call, so
+swapping the file source for a message bus (Kafka, Kinesis, or Spark's
+built-in ``rate`` source in tests) meant editing pipeline functions.  This
+module extracts the source decision behind a one-method seam:
+
+    a stream source is any callable ``(SparkSession) -> DataFrame``
+    returning a STREAMING DataFrame that satisfies the consuming
+    pipeline's column contract.
+
+Two contracts exist:
+
+* **Event source** (``stream_events``): the columns of
+  :func:`~door2door_etl_spark.io.readers.event_schema` — which includes a
+  nullable ``_corrupt_record`` string — plus ``original_s3_file_path``
+  (provenance; any stable per-record origin string).  The default is the
+  PERMISSIVE JSONL file source (:func:`jsonl_events_source`); a Kafka
+  adapter would ``from_json(value, event_schema())`` and project the same
+  columns.  :func:`rate_events_source` is the in-sandbox contract proof:
+  it adapts Spark's broker-free ``rate`` source to the same shape.
+
+* **Commit-log source** (:func:`stream_replicate_manifest_table` /
+  :func:`stream_aggview_maintenance`): one ``value: string`` row per
+  manifest commit record.  The default tails ``_manifests/`` as a text
+  file stream (:func:`commit_log_source`); a bus-backed lakehouse would
+  publish commit JSON to a topic and adapt it to the same single-column
+  shape.
+
+Reference analog: none — the reference polls S3 on a scheduler
+(/root/reference/src/ingestor/ingestor.py:44-52); a streaming source
+abstraction is north-star capability.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from door2door_etl_spark.io.readers import event_schema
+
+# the seam type: anything callable with a session, returning a streaming
+# DataFrame in the consumer's column contract
+StreamSourceFactory = Callable[[SparkSession], DataFrame]
+
+
+def jsonl_events_source(source_dir: str) -> StreamSourceFactory:
+    """The default event source: PERMISSIVE-parsed JSONL files under
+    ``source_dir`` with per-line corrupt capture and file-path provenance
+    — the streaming twin of ``io.readers.read_jsonl_events`` (S1/P2)."""
+
+    def open_source(spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.schema(event_schema())
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(source_dir)
+            .withColumn("original_s3_file_path", F.input_file_name())
+        )
+
+    return open_source
+
+
+def commit_log_source(
+    manifests_dir: str, max_files_per_trigger: int | None = None
+) -> StreamSourceFactory:
+    """The default commit-log source: a text file stream over a manifest
+    table's ``_manifests/`` directory — one immutable JSON file per
+    commit, so the file-source checkpoint IS the consumer cursor.
+    ``max_files_per_trigger`` bounds commits-per-batch."""
+
+    def open_source(spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.format("text").schema("value string")
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        return reader.load(manifests_dir)
+
+    return open_source
+
+
+def rate_events_source(
+    rows_per_second: int = 10,
+    n_users: int = 5,
+) -> StreamSourceFactory:
+    """Broker-free event-contract adapter over Spark's built-in ``rate``
+    source — the in-sandbox stand-in for a Kafka/Kinesis adapter, and the
+    contract test's proof that ``stream_events`` consumers run unchanged
+    against a non-file source.
+
+    Each generated row becomes a well-formed ``vehicle``/``update`` event:
+    ``at`` is the rate timestamp (ISO-8601 with explicit UTC offset, the
+    fixture wire format), ``data.id`` cycles over ``n_users`` synthetic
+    vehicles, and provenance carries a ``rate://`` pseudo-path.  The
+    ``_corrupt_record`` column is NULL by construction (a bus adapter
+    would instead surface its deserialization failures there).
+    """
+
+    def open_source(spark: SparkSession) -> DataFrame:
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", int(rows_per_second))
+            .load()
+        )
+        at = F.date_format(
+            F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSxxx"
+        )
+        vid = F.concat(
+            F.lit("rate-v"), (F.col("value") % int(n_users)).cast("string")
+        )
+        return raw.select(
+            F.lit("update").alias("event"),
+            F.lit("vehicle").alias("on"),
+            at.alias("at"),
+            F.lit("rate-org").alias("organization_id"),
+            F.struct(
+                vid.alias("id"),
+                F.struct(
+                    (F.lit(52.5) + (F.col("value") % 100) / F.lit(1000.0)).alias("lat"),
+                    F.lit(13.4).alias("lng"),
+                    at.alias("at"),
+                ).alias("location"),
+                F.lit(None).cast("string").alias("start"),
+                F.lit(None).cast("string").alias("finish"),
+            ).alias("data"),
+            F.lit(None).cast("string").alias("_corrupt_record"),
+            F.concat(F.lit("rate://"), F.col("value").cast("string")).alias(
+                "original_s3_file_path"
+            ),
+        )
+
+    return open_source

@@ -437,3 +437,143 @@ def test_cli_fsck_includes_epoch_audit(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rep["tables"]["_epoch"]["findings"]) == 1
     assert "not retained" in rep["tables"]["_epoch"]["findings"][0]["issue"]
+
+
+# -- object-store journal (FsOps seam, fake S3 client) ----------------------
+
+
+def _s3_journal(tmp_path):
+    from door2door_etl_spark.io.manifest import S3FsOps
+    from tests.test_manifest import _FakeS3Client
+
+    fs = S3FsOps(client=_FakeS3Client())
+    # metadata on (fake) S3; staging stays Spark-writable on POSIX — the
+    # mixed deployment the staging_fs split exists for
+    return "s3://lake/journal", fs, str(tmp_path / "staging")
+
+
+def test_txn_s3_journal_happy_path_and_recover_noop(spark, tmp_path):
+    """The whole journal protocol — record claim, per-op markers, done
+    marker, recovery listing — over the S3 FsOps backend."""
+    j, fs, staging = _s3_journal(tmp_path)
+    a, b = tmp_path / "a", tmp_path / "b"
+    txn = MultiTableTransaction(j, fs=fs, staging_root=staging)
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1, 2]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ])
+    assert len(out["versions"]) == 2
+    assert _ids(spark, a) == [1, 2]
+    assert _ids(spark, b) == [10, 11]
+    # journal metadata lives on the object store, not POSIX
+    assert fs.read_bytes(f"{j}/txn-{out['txn_id']}.json") is not None
+    assert fs.read_bytes(f"{j}/txn-{out['txn_id']}.done") == b"done"
+    assert recover(spark, j, fs=fs, staging_root=staging) == []
+    assert _ids(spark, b) == [10, 11]
+
+
+def test_txn_s3_journal_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash after op 0 commits+marks, before op 1: recovery over the S3
+    journal applies exactly op 1 — same convergence as POSIX."""
+    import door2door_etl_spark.io.txn as txn_mod
+
+    j, fs, staging = _s3_journal(tmp_path)
+    a, b = tmp_path / "a", tmp_path / "b"
+    txn = MultiTableTransaction(j, fs=fs, staging_root=staging)
+
+    def crashing_apply(spark_, txn_, txn_id, decl, epoch_root=None):
+        from door2door_etl_spark.io.manifest import merge_manifest
+
+        d = decl[0]
+        payload = spark_.read.parquet(d["staged"])
+        merge_manifest(
+            spark_, d["table_root"], payload, key=d["key"],
+            op_tag=f"{txn_id}/0",
+        )
+        ver = ManifestTable(d["table_root"]).find_op_tag(f"{txn_id}/0")
+        txn_.fs.put_bytes(txn_._done_marker(txn_id, 0), str(ver).encode())
+        raise RuntimeError("simulated crash between ops")
+
+    monkeypatch.setattr(txn_mod, "_apply", crashing_apply)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.run(spark, [
+            TxnOp("merge", str(a), payload=_batch(spark, [1, 2]), key="id"),
+            TxnOp("append", str(b), payload=_batch(spark, [10])),
+        ])
+    monkeypatch.undo()
+
+    assert _ids(spark, a) == [1, 2]
+    assert ManifestTable(str(b)).current_version() is None  # torn
+
+    recovered = recover(spark, j, fs=fs, staging_root=staging)
+    assert len(recovered) == 1
+    assert _ids(spark, b) == [10]
+    assert recover(spark, j, fs=fs, staging_root=staging) == []
+    assert _ids(spark, b) == [10]
+
+
+def test_txn_s3_record_claim_race_converges_on_winner(spark, tmp_path):
+    """Two writers race the same caller-stable txn_id: the loser of the
+    record's conditional PUT must apply the WINNER's journaled intent
+    (their staged payloads), never its own divergent ops."""
+    j, fs, staging = _s3_journal(tmp_path)
+    a, b = tmp_path / "a", tmp_path / "b"
+
+    # writer A's intent, staged and journaled out-of-band
+    a_staged = os.path.join(staging, "txn-race1", "op-0")
+    _batch(spark, [1, 2]).write.mode("overwrite").parquet(a_staged)
+    a_record = {
+        "txn_id": "race1",
+        "ops": [{
+            "kind": "merge", "table_root": str(a), "key": "id",
+            "partition_col": None, "stats_col": None,
+            "delete_mode": "rewrite", "staged": a_staged,
+        }],
+        "epoch_root": None,
+    }
+
+    txn = MultiTableTransaction(j, fs=fs, staging_root=staging)
+    orig_put = fs.put_if_absent
+
+    def racy_put(path, data):
+        # A's claim lands in the window between B's record-absent check
+        # and B's own claim
+        if path.endswith("txn-race1.json"):
+            orig_put(path, json.dumps(a_record).encode())
+        return orig_put(path, data)
+
+    fs.put_if_absent = racy_put
+    try:
+        out = txn.run(
+            spark,
+            [TxnOp("merge", str(b), payload=_batch(spark, [5, 6]), key="id")],
+            txn_id="race1",
+        )
+    finally:
+        fs.put_if_absent = orig_put
+
+    # A's intent applied; B's divergent op never touched table b
+    assert _ids(spark, a) == [1, 2]
+    assert ManifestTable(str(b)).current_version() is None
+    assert len(out["versions"]) == 1
+    # replay of the same id is now a clean no-op
+    assert txn.run(
+        spark,
+        [TxnOp("merge", str(b), payload=_batch(spark, [5, 6]), key="id")],
+        txn_id="race1",
+    )["replayed"] is True
+
+
+def test_txn_s3_journal_less_staging_sweep_age_gated(spark, tmp_path):
+    """The staging sweep runs through the staging fs (POSIX here) while
+    the record probe runs through the journal fs (S3): a journal-less
+    staged dir survives the default gate, is swept past it."""
+    j, fs, staging = _s3_journal(tmp_path)
+    stray = os.path.join(staging, "txn-deadbeef", "op-0")
+    _batch(spark, [1]).write.mode("overwrite").parquet(stray)
+    assert recover(spark, j, fs=fs, staging_root=staging) == []
+    assert os.path.isdir(stray)
+    assert recover(
+        spark, j, fs=fs, staging_root=staging, sweep_min_age_hours=0.0
+    ) == []
+    assert not os.path.isdir(stray)
