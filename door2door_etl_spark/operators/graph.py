@@ -494,3 +494,75 @@ def personalized_pagerank(
     nodes.unpersist()
     trans.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007) over an undirected edge list: every node starts
+    as its own label, and each round every node simultaneously adopts the
+    most frequent label among its NEIGHBORS, ties broken by the smallest
+    label — the everyday "what are the natural groups" primitive next to
+    components (reachability), k-core (density) and PageRank (centrality)
+    in this module's toolkit.
+
+    Determinism, stated carefully: classical LPA is notoriously
+    run-dependent (random update order, random tie-breaks); this variant
+    is FULLY deterministic — synchronized rounds, a FIXED round count,
+    and the (count DESC, label ASC) tie-break — so an engine twin
+    unrolling the same ``rounds`` reaches the identical labeling.  A
+    fixed small round count is also the honest 100 TB posture: label
+    propagation converges (or oscillates) within a handful of rounds on
+    real graphs, and each round is a constant number of bounded shuffles.
+
+    Plan shape per round: ONE join of the symmetrized edge relation
+    against the label vector (hash-partitioned on the neighbor id), ONE
+    (node, label) count aggregation, ONE per-node window for the
+    majority/tie-break pick — all bounded; the label vector is
+    ``localCheckpoint``-ed per round (the module's standing
+    lineage-truncation discipline).  Output: ``(node, community)``.
+
+    Reference analog: none (the reference has no graph analytics);
+    north-star capability.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct()
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(rounds)):
+        labels = _lpa_round(sym, labels).localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round (plan-assertable pre-checkpoint): join
+    the symmetrized edges to the label vector on the neighbor id, count
+    (node, label), pick per node by (count DESC, label ASC)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    counts = (
+        sym.join(labels, sym["v"] == labels["node"])
+        .groupBy(F.col("u").alias("node"), "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("node", "label")
+    )

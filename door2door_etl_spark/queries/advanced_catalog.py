@@ -2110,6 +2110,67 @@ SELECT node, min(reach) AS component FROM walk GROUP BY node
 """
 
 
+LPA_ROUNDS = 4
+
+
+def q_graph_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities of the part co-purchase graph
+    (operators.graph.label_propagation — synchronous rounds, fixed count,
+    (count DESC, label ASC) tie-break, so the unrolled SQL twin reaches
+    the identical labeling).  Same >=2-shared-orders edge set as the
+    triangle/k-core/components/PageRank rows — components answers "what
+    is connected", this answers "what clusters together"."""
+    from door2door_etl_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return label_propagation(edges, rounds=LPA_ROUNDS)
+
+
+def _sql_graph_communities() -> str:
+    """Unrolled synchronous-LPA twin: one (count, tie-break-pick) CTE
+    pair per round, byte-identical semantics to the Spark loop."""
+    ctes = [
+        """b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e0 AS (SELECT u, v FROM p WHERE c >= 2),
+edges AS (SELECT u AS a, v AS b2 FROM e0 UNION SELECT v, u FROM e0),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"""c{r} AS (
+  SELECT e.a AS node, l.label, count(*) AS cnt
+  FROM edges e JOIN l{r - 1} l ON l.node = e.b2
+  GROUP BY 1, 2),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rk
+    FROM c{r})
+  WHERE rk = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{LPA_ROUNDS}"
+    )
+
+
 def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel over events
     (operators.relational.conversion_funnel): ONE shuffle — events
@@ -2343,6 +2404,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_triangle_count", q_triangle_count, SQL_TRIANGLE_COUNT, "triangle census via degree-ordered orientation (wedge fan-out bounded O(sqrt m))", ("northstar", "graph")),
     QueryDef("ns_kcore_members", q_kcore_members, _sql_kcore_members(), "k-core decomposition by synchronized peeling (fixed-round engine-portable unroll)", ("northstar", "graph")),
     QueryDef("ns_graph_components", q_graph_components, SQL_GRAPH_COMPONENTS, "connected components by pointer-jumping min-label propagation (recursive-CTE oracle)", ("northstar", "graph")),
+    QueryDef("ns_graph_communities", q_graph_communities, _sql_graph_communities(), "label-propagation communities (synchronous deterministic LPA, unrolled-round oracle)", ("northstar", "graph")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -3915,3 +3915,20 @@ def test_ngram_jaccard_rarest_k_values_stay_exact(spark, docs):
     assert set(tight) <= set(base)
     assert all(base[p] == v for p, v in tight.items())
     assert (1, 4) in tight and tight[(1, 4)] == 1.0  # identical docs survive
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Known-answer synchronous LPA: two triangles joined by one bridge
+    edge resolve to one community per triangle after 4 rounds (hand-run
+    fixpoint: {1,2,3}->1, {10,11,12}->3), and the fixed-round unroll is
+    deterministic across repeated runs."""
+    from door2door_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+    again = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    assert again == got

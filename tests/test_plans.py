@@ -995,3 +995,34 @@ def test_jaccard_rarest_k_caps_per_doc_blocking(spark):
 
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert win_specs and all("doc_id" in w for w in win_specs), plan
+
+
+def test_label_propagation_bounded_per_round_shuffles(spark):
+    """Each LPA round is a constant number of bounded exchanges (the
+    neighbor-label join, the (node,label) count, the per-node pick
+    window) — asserted on the pre-checkpoint round plan: no cartesian
+    product, no nested-loop broadcast, hash exchanges only, and the
+    majority pick runs as a per-node window."""
+    from door2door_etl_spark.operators.graph import _lpa_round, label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    # materialized inputs, as in the operator loop (sym persisted, labels
+    # checkpointed) — the asserted exchanges are the ROUND's own
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().selectExpr("src AS u", "dst AS v").localCheckpoint(eager=True)
+    labels = (
+        sym.selectExpr("u AS node", "u AS label")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    plan = plan_of(_lpa_round(sym, labels))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "Window" in plan, plan
+    # end-to-end still returns the (node, community) contract
+    out = label_propagation(edges, rounds=2)
+    assert out.columns == ["node", "community"]
