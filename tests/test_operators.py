@@ -341,8 +341,12 @@ def test_bmp_codec_roundtrip_resize_and_rejection(spark):
     for bad in (b"", b"\x89PNG\r\n", b"BMxx")  :
         with pytest.raises((ValueError, NotImplementedError)):
             decode_image(bad)
-    with pytest.raises(NotImplementedError):
+    # JPEG now routes to the real baseline resizer (malformed payload ->
+    # its ValueError); WebP stays behind the stub boundary
+    with pytest.raises(ValueError):
         resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 2, 2)
     # 8-bit / RLE BMPs reject rather than mis-decoding
     bad_bpp = payload[:28] + struct.pack("<H", 8) + payload[30:]
     with pytest.raises(ValueError):
@@ -3362,11 +3366,15 @@ def test_png_codec_roundtrip_filters_resize_and_rejection():
     with _pytest.raises(ValueError, match="only 8-bit"):
         decode_png(patched)
 
-    # (e) dispatch
+    # (e) dispatch: JPEG now routes to the REAL baseline decoder (a
+    # malformed jpeg-ish payload gets its ValueError, not the stub);
+    # WebP stays behind the honest NotImplementedError boundary
     assert decode_image(good)[:2] == (3, 5)
     assert resize_image(good, 2, 2)[:8] == _PNG_SIG
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_skew_report_matches_reference_and_plan(spark):
@@ -3932,3 +3940,93 @@ def test_label_propagation_two_triangles_bridge(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
     again = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
     assert again == got
+
+
+def test_jpeg_codec_roundtrip_and_rejects():
+    """Baseline JPEG known-answer round-trips against the pure-Python
+    encoder twin (VERDICT r9 ask #6): constant grayscale-valued color at
+    quality 100 is BIT-EXACT (all-ones quantization, DC-only blocks,
+    Cb=Cr=128 so the color transform cancels); gradients are bounded by
+    the quantization error (|err| <= 3 at q=95, 4:4:4); 4:2:0 decodes
+    with the expected chroma-subsampling tolerance; restart markers
+    decode to the identical pixels; progressive and 16-bit streams are
+    rejected with clear errors."""
+    from door2door_etl_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        decode_jpeg_features,
+        jpeg_bytes,
+    )
+
+    # exact: constant gray, q=100
+    px = [(120, 120, 120)] * (16 * 16)
+    j = jpeg_bytes(16, 16, px, quality=100)
+    assert decode_jpeg(j) == (16, 16, 3, px)
+    assert decode_image(j) == (16, 16, 3, px)  # dispatch by FFD8 signature
+
+    # bounded: color gradient, non-multiple-of-8 dims
+    px2 = [((x * 10) % 256, (y * 10) % 256, ((x + y) * 5) % 256)
+           for y in range(24) for x in range(17)]
+    w, h, nc, out = decode_jpeg(jpeg_bytes(17, 24, px2, quality=95))
+    assert (w, h, nc) == (17, 24, 3)
+    err = max(max(abs(a - b) for a, b in zip(p, q))
+              for p, q in zip(px2, out))
+    assert err <= 3, err
+
+    # 4:2:0: structure exact, chroma within subsampling tolerance
+    w, h, nc, out420 = decode_jpeg(
+        jpeg_bytes(17, 24, px2, quality=95, subsampling="4:2:0")
+    )
+    assert (w, h, nc) == (17, 24, 3)
+    err420 = max(max(abs(a - b) for a, b in zip(p, q))
+                 for p, q in zip(px2, out420))
+    assert err420 <= 16, err420
+
+    # restart markers: byte-aligned RSTn + DC predictor resets decode to
+    # the identical pixels as the unsegmented stream
+    j_rst = jpeg_bytes(17, 24, px2, quality=95, restart_interval=2)
+    assert b"\xff\xdd" in j_rst and b"\xff\xd0" in j_rst
+    assert decode_jpeg(j_rst)[3] == out
+
+    # features contract
+    feats = decode_jpeg_features(j, n_features=8)
+    assert feats[:4] == [16.0, 16.0, 24.0, 256.0]
+    assert feats[4] == feats[5] == feats[6] == 120.0
+
+    # progressive rejected with a clear reason
+    bad = bytearray(jpeg_bytes(8, 8, [(1, 2, 3)] * 64))
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(bad))
+    # arithmetic-coded rejected
+    bad[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="baseline sequential only"):
+        decode_jpeg(bytes(bad))
+    # truncated entropy segment rejected
+    full = jpeg_bytes(16, 16, px2[:256], quality=95)
+    with pytest.raises(ValueError):
+        decode_jpeg(full[: len(full) // 2])
+
+
+def test_jpeg_resize_real_roundtrip():
+    """resize_image on a JPEG payload routes to the real decode→NN→
+    re-encode path: output is a decodable baseline JFIF at the target
+    dims whose pixels match the source's NN index map within the q=90
+    quantization tolerance."""
+    from door2door_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        jpeg_bytes,
+        resize_image,
+    )
+
+    px = [((x * 9) % 256, (y * 9) % 256, 60) for y in range(16)
+          for x in range(16)]
+    small = resize_image(jpeg_bytes(16, 16, px, quality=95), 8, 8)
+    assert small[:2] == b"\xff\xd8"
+    w, h, nc, out = decode_jpeg(small)
+    assert (w, h, nc) == (8, 8, 3)
+    want = [px[(y * 2) * 16 + x * 2] for y in range(8) for x in range(8)]
+    err = max(max(abs(a - b) for a, b in zip(p, q))
+              for p, q in zip(want, out))
+    assert err <= 8, err
