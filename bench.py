@@ -135,6 +135,12 @@ BENCH_QUERIES = [
     "ns_graph_ppr_trade",
     "rel_funnel_time_bound",
     "ns_containment_pairs",
+    # round 10: LPA communities + their modularity gauge, Holt
+    # level+trend smoothing, real baseline-JPEG decode
+    "ns_graph_communities",
+    "ns_graph_modularity",
+    "rel_holt_user_trend",
+    "ns_multimodal_jpeg_decode",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

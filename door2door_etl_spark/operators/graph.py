@@ -566,3 +566,76 @@ def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("node", "label")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity report of a node labeling over an undirected
+    simple edge list (no self-loops, each edge once):
+
+        Q = Σ_c ( e_c / m  −  (d_c / 2m)² )
+
+    where ``e_c`` is the number of intra-community edges and ``d_c`` the
+    degree mass of community ``c`` — THE standard "is this clustering
+    better than chance" score (Newman & Girvan 2004), the quality gauge
+    for :func:`label_propagation`'s output.  One row per community:
+    ``(community, n_nodes, intra_edges, degree_sum, q_contribution)``;
+    ``sum(q_contribution)`` is the graph's Q.
+
+    Plan shape: the scalar edge count broadcasts; degrees are one
+    union + count; the intra-edge count joins each edge to the label
+    vector twice on node ids (bounded equi-joins); everything aggregates
+    on the community key.  Determinism: exact integer counts; the two
+    double ratios round at 6dp.
+    """
+    m_df = edges.agg(F.count(F.lit(1)).cast("double").alias("_m"))
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    la, lb = lab.alias("_la"), lab.alias("_lb")
+    intra = (
+        edges.join(la, F.col(src_col) == F.col("_la._n"))
+        .join(lb, F.col(dst_col) == F.col("_lb._n"))
+        .filter(F.col("_la._c") == F.col("_lb._c"))
+        .groupBy(F.col("_la._c").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = (
+        edges.select(F.col(src_col).alias("_n"))
+        .unionAll(edges.select(F.col(dst_col).alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    per_c = (
+        lab.join(deg, "_n", "left")
+        .groupBy(F.col("_c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("degree_sum"),
+        )
+    )
+    return (
+        per_c.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            (
+                F.round(
+                    F.coalesce(F.col("intra_edges"), F.lit(0)) / F.col("_m")
+                    - (F.col("degree_sum") / (F.lit(2.0) * F.col("_m")))
+                    * (F.col("degree_sum") / (F.lit(2.0) * F.col("_m"))),
+                    6,
+                )
+                + F.lit(0.0)  # canonicalize -0.0 (engine-render parity)
+            ).alias("q_contribution"),
+        )
+    )

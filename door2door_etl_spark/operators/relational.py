@@ -923,3 +923,74 @@ def concentration_report(
             6,
         ).alias("gini"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    horizon: int = 3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend, Holt
+    1957) with an h-step linear forecast — the next telemetry primitive
+    after :func:`ema_by_key`: EMA tracks a level, Holt also tracks its
+    SLOPE, so a steadily-drifting metric forecasts ahead instead of
+    lagging behind.
+
+        l_1 = v_1,  b_1 = 0
+        l_i = α v_i + (1-α)(l_{i-1} + b_{i-1})
+        b_i = β (l_i - l_{i-1}) + (1-β) b_{i-1}
+        forecast = l_n + h · b_n
+
+    Same execution shape as EMA: an inherently sequential left fold, run
+    as ``array_sort(collect_list(...))`` + ONE Catalyst ``aggregate``
+    with a (level, trend) STRUCT accumulator — one shuffle, zero Python.
+    Determinism: a fixed left-to-right chain of IEEE double ops,
+    bit-exact against DuckDB's ``list_reduce`` over
+    ``struct_pack(l, b)`` elements (the first element seeds the
+    accumulator with (v_1, 0) in both engines), rounded at 6dp.  The
+    per-key sequence must fit one executor's memory — the module's
+    standing per-entity bound.
+    """
+    a, bt = float(alpha), float(beta)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("_v"))
+        )
+    )
+    vals = F.transform(ordered, lambda s: s["_v"].cast("double"))
+
+    def step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(bt) * (F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"]) - acc["l"])
+            + F.lit(1.0 - bt) * acc["b"]
+        )
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(new_l.alias("l"), new_b.alias("b")))
+
+    state = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(None).cast("double").alias("l"),
+            F.lit(None).cast("double").alias("b"),
+        ),
+        step,
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(state["l"], 6).alias("level"),
+            F.round(state["b"], 6).alias("trend"),
+            F.round(state["l"] + F.lit(float(horizon)) * state["b"], 6).alias(
+                "forecast"
+            ),
+        )
+    )

@@ -15,6 +15,22 @@ Two search paths:
   quantizer's cell assignment; in production the cells come from k-means and
   the same plan applies (scan prunes to nprobe/ncells of the data —
   partition the table by cell id and the pruning happens at the file level).
+
+Why no HNSW (a deliberate design decision, not a gap): graph-structured
+ANN earns its recall/latency point through a SEQUENTIAL greedy walk over
+a navigable small-world graph — each hop reads the neighbors of the node
+the previous hop chose.  That access pattern is the worst case for a
+bulk-synchronous engine: every hop is a self-join barrier, the walk is
+~log N hops deep, and the graph's neighbor lists must live in fast
+random-access storage per executor — none of which Spark's scan/shuffle
+execution model provides.  The recall/latency point HNSW serves is
+covered here by the IVF family instead: IVF-PQ prunes the scan to
+nprobe/ncells and shrinks residuals 16x (ADC scoring), and
+:func:`refine_topk` reranks the shortlist with exact vectors — the
+standard disk-friendly trade (same reasoning as FAISS's own guidance
+that IVF variants, not HNSW, serve billion-scale corpora where the index
+exceeds RAM).  Per-query latency-critical serving belongs in a vector
+store fed FROM this engine, not inside the scan engine itself.
 """
 
 from __future__ import annotations

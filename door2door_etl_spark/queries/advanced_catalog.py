@@ -2139,15 +2139,17 @@ def q_graph_communities(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(edges, rounds=LPA_ROUNDS)
 
 
-def _sql_graph_communities() -> str:
-    """Unrolled synchronous-LPA twin: one (count, tie-break-pick) CTE
-    pair per round, byte-identical semantics to the Spark loop."""
+def _lpa_ctes() -> str:
+    """The unrolled synchronous-LPA CTE chain over the part co-purchase
+    graph: one (count, tie-break-pick) CTE pair per round, byte-identical
+    semantics to the Spark loop; ``l{LPA_ROUNDS}`` holds the final
+    labeling, ``e0`` the canonical (u < v) edge list."""
     ctes = [
         """b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
 p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
       FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
-e0 AS (SELECT u, v FROM p WHERE c >= 2),
-edges AS (SELECT u AS a, v AS b2 FROM e0 UNION SELECT v, u FROM e0),
+e0 AS MATERIALIZED (SELECT u, v FROM p WHERE c >= 2),
+edges AS MATERIALIZED (SELECT u AS a, v AS b2 FROM e0 UNION SELECT v, u FROM e0),
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)"""
     ]
     for r in range(1, LPA_ROUNDS + 1):
@@ -2164,10 +2166,72 @@ l{r} AS (
     FROM c{r})
   WHERE rk = 1)"""
         )
+    return ",\n".join(ctes)
+
+
+def _sql_graph_communities() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _lpa_ctes()
         + f"\nSELECT node, label AS community FROM l{LPA_ROUNDS}"
+    )
+
+
+def q_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity report of the LPA communities
+    (operators.graph.modularity over operators.graph.label_propagation)
+    — the quality gauge closing the loop on ns_graph_communities: one
+    row per community with its intra-edge count, degree mass and Q
+    contribution, so 'did LPA find real structure' is itself an
+    oracle-checked number."""
+    from door2door_etl_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    ).persist()
+    labels = label_propagation(edges, rounds=LPA_ROUNDS)
+    return modularity(edges, labels)
+
+
+def _sql_graph_modularity() -> str:
+    return (
+        "WITH "
+        + _lpa_ctes()
+        + f""",
+lab AS MATERIALIZED (SELECT node, label AS c FROM l{LPA_ROUNDS}),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e0),
+deg AS (SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+intra AS (
+  SELECT la.c AS community, count(*) AS intra_edges
+  FROM e0 JOIN lab la ON e0.u = la.node JOIN lab lb ON e0.v = lb.node
+  WHERE la.c = lb.c GROUP BY 1),
+per_c AS (
+  SELECT lab.c AS community, count(*) AS n_nodes,
+         CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+  FROM lab LEFT JOIN deg ON lab.node = deg.n GROUP BY 1)
+SELECT per_c.community, n_nodes,
+       coalesce(intra_edges, 0) AS intra_edges, degree_sum,
+       round(coalesce(intra_edges, 0) / m.m
+             - (degree_sum / (2.0 * m.m)) * (degree_sum / (2.0 * m.m)),
+             6) + 0.0 AS q_contribution
+FROM per_c LEFT JOIN intra ON per_c.community = intra.community
+CROSS JOIN m
+"""
     )
 
 
@@ -2405,6 +2469,7 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_kcore_members", q_kcore_members, _sql_kcore_members(), "k-core decomposition by synchronized peeling (fixed-round engine-portable unroll)", ("northstar", "graph")),
     QueryDef("ns_graph_components", q_graph_components, SQL_GRAPH_COMPONENTS, "connected components by pointer-jumping min-label propagation (recursive-CTE oracle)", ("northstar", "graph")),
     QueryDef("ns_graph_communities", q_graph_communities, _sql_graph_communities(), "label-propagation communities (synchronous deterministic LPA, unrolled-round oracle)", ("northstar", "graph")),
+    QueryDef("ns_graph_modularity", q_graph_modularity, _sql_graph_modularity(), "Newman modularity report of the LPA communities (Q contribution per community)", ("northstar", "graph")),
     QueryDef("ns_hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS, "north-star sampling/bernoulli", ("northstar", "sampling")),
     QueryDef("ns_stratified_split_counts", q_stratified_split_counts, _sql_stratified_split_counts(), "north-star sampling/split", ("northstar", "sampling")),
     QueryDef("rel_pivot_event_weekday", q_pivot_event_weekday, SQL_PIVOT_EVENT_WEEKDAY, "§2.5-pivot", ("rel", "advanced")),

@@ -115,6 +115,59 @@ GROUP BY 1
 """
 
 
+def q_holt_user_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing of event value
+    (operators.relational.holt_forecast, alpha=0.3, beta=0.2, 3-step
+    forecast): level AND trend state folded in one Catalyst aggregate
+    over the sorted array — ONE shuffle, zero Python; bit-exact against
+    DuckDB's list_reduce over struct_pack elements because both engines
+    fold the identical IEEE chain from the same (v1, 0) seed."""
+    from door2door_etl_spark.operators.relational import holt_forecast
+
+    ev = load_table(spark, sf, "events")
+    return holt_forecast(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+        beta=0.2,
+        horizon=3,
+    )
+
+
+# NOTE: the twin is a per-key recursive-CTE unroll, NOT a struct-state
+# list_reduce — DuckDB 1.0's list_reduce evaluates struct_pack fields
+# SEQUENTIALLY against a mutating accumulator (a later field's acc.l
+# reads the earlier field's fresh value), an undocumented behavior this
+# oracle refuses to lean on.  The recursion steps every key in parallel
+# per depth level; depth = the longest per-key sequence (<100 even at
+# the sf1 tier), and each step's arithmetic is the identical
+# left-associated IEEE chain the Spark fold runs.
+SQL_HOLT_USER_TREND = """
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+hw AS (
+  SELECT user_id, i, v AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         CAST(0.3 * s.v + 0.7 * (h.l + h.b) AS DOUBLE),
+         CAST(0.2 * (0.3 * s.v + 0.7 * (h.l + h.b) - h.l)
+              + 0.8 * h.b AS DOUBLE)
+  FROM hw h JOIN seq s ON s.user_id = h.user_id AND s.i = h.i + 1),
+fin AS (SELECT user_id, max(i) AS n FROM seq GROUP BY 1)
+SELECT hw.user_id, fin.n AS n_points,
+       round(hw.l, 6) AS level, round(hw.b, 6) AS trend,
+       round(hw.l + 3.0 * hw.b, 6) AS forecast
+FROM hw JOIN fin ON hw.user_id = fin.user_id AND hw.i = fin.n
+"""
+
+
 def q_graph_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Degree distribution of the part co-purchase graph
     (operators.graph.degree_histogram) — same >=2-shared-orders edge set
@@ -844,6 +897,7 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_event_transition_matrix", q_event_transition_matrix, SQL_EVENT_TRANSITION_MATRIX, "first-order Markov next-event matrix: lag window + combinable pair counts", ("rel", "insight")),
     QueryDef("rel_benford_order_totals", q_benford_order_totals, SQL_BENFORD_ORDER_TOTALS, "Benford first-digit forensic audit with chi-square contributions", ("rel", "insight")),
     QueryDef("rel_ema_user_value", q_ema_user_value, SQL_EMA_USER_VALUE, "per-entity EMA via Catalyst left fold (bit-exact vs list_reduce)", ("rel", "insight")),
+    QueryDef("rel_holt_user_trend", q_holt_user_trend, SQL_HOLT_USER_TREND, "per-entity Holt level+trend smoothing with 3-step forecast (struct-state Catalyst fold, bit-exact vs struct list_reduce)", ("rel", "insight")),
     QueryDef("ns_graph_degree_histogram", q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM, "graph degree distribution (power-law / hub pre-flight)", ("northstar", "graph")),
     QueryDef("ns_collocations_pmi", q_collocations_pmi, _sql_collocations_pmi(), "PMI collocation mining over the corpus (Church & Hanks 1990)", ("northstar", "text")),
     QueryDef("ns_cdc_join_view", q_cdc_join_view, SQL_CDC_JOIN_VIEW, "lakehouse CDC + incremental JOIN-view maintenance (delta-join, both-side churn)", ("northstar", "lakehouse")),

@@ -365,3 +365,26 @@ def test_containment_catches_subset_jaccard_misses(spark):
     pair = {(r.id_a, r.id_b): r for r in out}[(1, 2)]
     assert pair.containment == 1.0          # fully contained
     assert pair.jaccard < 0.5               # symmetric measure under-ranks
+
+
+def test_holt_forecast_matches_sequential_fold(spark):
+    from door2door_etl_spark.operators.relational import holt_forecast
+
+    rows = [(1, i, float(v)) for i, v in enumerate([2, 4, 5, 9, 7])]
+    rows += [(2, 0, 5.0)]  # single point: level=v, trend=0
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    got = {r.k: r for r in holt_forecast(
+        df, ["k"], ["seq"], "v", alpha=0.3, beta=0.2, horizon=3
+    ).collect()}
+
+    a, bt = 0.3, 0.2
+    l, b = 2.0, 0.0
+    for v in [4.0, 5.0, 9.0, 7.0]:
+        nl = a * v + (1 - a) * (l + b)
+        nb = bt * (a * v + (1 - a) * (l + b) - l) + (1 - bt) * b
+        l, b = nl, nb
+    assert got[1].n_points == 5
+    assert got[1].level == round(l, 6)
+    assert got[1].trend == round(b, 6)
+    assert got[1].forecast == round(l + 3.0 * b, 6)
+    assert (got[2].level, got[2].trend, got[2].forecast) == (5.0, 0.0, 5.0)

@@ -4030,3 +4030,30 @@ def test_jpeg_resize_real_roundtrip():
     err = max(max(abs(a - b) for a, b in zip(p, q))
               for p, q in zip(want, out))
     assert err <= 8, err
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Known-answer Newman modularity over the LPA test graph: two
+    triangles bridged by one edge, labeled per triangle — each community
+    has 3 intra edges and degree mass 7 over m=7 edges, so
+    q_contribution = 3/7 - (7/14)^2 each and Q = 2/7 + ... = 0.357142."""
+    from door2door_etl_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 3), (11, 3), (12, 3)],
+        "node long, community long",
+    )
+    got = {r.community: r for r in modularity(edges, labels).collect()}
+    for c in (1, 3):
+        assert got[c].n_nodes == 3
+        assert got[c].intra_edges == 3
+        assert got[c].degree_sum == 7
+        assert got[c].q_contribution == round(3 / 7 - 0.25, 6)
+    # Q = sum of the (already 6dp-rounded) per-community contributions
+    assert round(sum(r.q_contribution for r in got.values()), 6) == 2 * round(
+        3 / 7 - 0.25, 6
+    )
