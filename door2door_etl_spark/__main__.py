@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
                  "vacuum", "restore",
                  "purge", "history", "train-quality-filter", "curate",
                  "fsck", "convert", "index", "search", "validate",
-                 "replay-quarantine", "refresh-views"],
+                 "replay-quarantine", "refresh-views", "recover"],
         help="which step(s) to run (reference: executor.py -s); compact/"
              "vacuum/restore/purge are lake-maintenance steps over the "
              "warehouse tables (purge materializes deletion vectors on "
@@ -57,7 +57,11 @@ def main(argv: list[str] | None = None) -> int:
              "now-passing rows back; refresh-views advances every "
              "declared materialized view (--views JSON; aggregate AND "
              "join views) from its source change feeds and prints a "
-             "per-view summary",
+             "per-view summary; "
+             "recover rolls every incomplete multi-table transaction "
+             "forward from the journal (--source or <lake-root>/journal) "
+             "and sweeps age-gated journal-less staging — run at writer "
+             "startup",
     )
     parser.add_argument(
         "--query", default=None,
@@ -224,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--views (JSON view declarations) is required "
                          "for refresh-views")
         return _run_refresh_views(args)
+
+    if args.step == "recover":
+        return _run_recover(args)
 
     if args.step in ("compact", "autocompact", "vacuum", "restore", "purge",
                      "history", "fsck"):
@@ -579,6 +586,35 @@ def _run_refresh_views(args) -> int:
             out = view.refresh(spark)
             results.append({"type": kind, "view_root": kwargs["view_root"], **out})
         print(json.dumps({"step": "refresh-views", "views": results}, default=str))
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+def _run_recover(args) -> int:
+    """Writer-startup transaction recovery (io.txn.recover): roll every
+    incomplete journaled multi-table transaction forward and sweep
+    age-gated journal-less staging.  Journal root = ``--source`` or
+    ``<lake-root>/journal``.  Prints one JSON summary line."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from door2door_etl_spark.io.txn import recover
+    from door2door_etl_spark.session import build_session
+
+    journal = args.source or os.path.join(args.lake_root, "journal")
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name="door2door-recover")
+    try:
+        recovered = recover(spark, journal)
+        print(json.dumps({
+            "step": "recover",
+            "journal_root": journal,
+            "recovered": recovered,
+            "n_recovered": len(recovered),
+        }, default=str))
         return 0
     finally:
         if active is None:

@@ -577,3 +577,31 @@ def test_txn_s3_journal_less_staging_sweep_age_gated(spark, tmp_path):
         spark, j, fs=fs, staging_root=staging, sweep_min_age_hours=0.0
     ) == []
     assert not os.path.isdir(stray)
+
+
+def test_cli_recover_rolls_journal_forward(spark, tmp_path, capsys, monkeypatch):
+    """-s recover completes an interrupted transaction from the CLI and
+    prints the one-line JSON summary; a second run is a clean zero."""
+    from door2door_etl_spark.__main__ import main
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    j = tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1]), key="id"),
+        TxnOp("append", str(b), payload=_batch(spark, [10, 11])),
+    ])
+    # reconstruct the crash window: strip op 1's marker + the txn marker
+    os.remove(txn._done_marker(out["txn_id"], 1))
+    os.remove(txn._done_marker(out["txn_id"]))
+
+    rc = main(["-s", "recover", "--lake-root", str(tmp_path)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["step"] == "recover" and summary["n_recovered"] == 1
+    assert _ids(spark, b) == [10, 11]
+
+    rc = main(["-s", "recover", "--lake-root", str(tmp_path)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_recovered"] == 0
