@@ -2168,7 +2168,13 @@ def _synth_jpeg_assets(docs: DataFrame) -> DataFrame:
     edge blocks in most payloads), odd doc_ids 4:2:0 (the subsampled
     decode path), every 5th doc restart-interval-segmented (the RSTn +
     DC-reset path) — so ONE catalog run exercises every branch of the
-    baseline decoder."""
+    baseline decoder.
+
+    The doc-id frame is REPARTITIONED to the session's parallelism
+    before the Arrow pass: the documents table arrives as one parquet
+    file (one input partition), and JPEG encode+decode is ~50x heavier
+    per payload than the PNG/GIF codecs — unpartitioned it serializes on
+    one core (measured 14.5 s at sf0.1 vs ~1 s spread across 32)."""
     from door2door_etl_spark.operators.multimodal import jpeg_bytes
 
     def synth(batches):
@@ -2195,7 +2201,8 @@ def _synth_jpeg_assets(docs: DataFrame) -> DataFrame:
             out["content"] = payloads
             yield out
 
-    return docs.select("doc_id").mapInPandas(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(
         synth, "doc_id long, content binary"
     )
 
