@@ -488,10 +488,18 @@ def recover(
                 ),
             }
         )
-    # sweep journal-less staging dirs (crash before the record claim) —
-    # but only past the age gate, so a concurrent writer's freshly-staged
+    # sweep staged payloads that can never be read again — both only
+    # past the age gate, so a concurrent writer's freshly-staged
     # payloads survive until its record claim lands.  Age = the YOUNGEST
     # staged file's age (object stores have no directory mtime).
+    #   (a) journal-less dirs: the writer crashed before the record
+    #       claim, the transaction is fully absent by definition;
+    #   (b) COMPLETED transactions (done marker present): run() replays
+    #       return at the marker and _apply skips at op markers, so the
+    #       staged inputs are dead weight — without this sweep the
+    #       journal retains a FULL COPY of every batch ever written
+    #       (records and markers stay: they are bytes-sized and carry
+    #       the idempotent-replay contract).
     import shutil
 
     min_age = sweep_min_age_hours * 3600
@@ -504,7 +512,10 @@ def recover(
                 (txn.staging_fs.file_age_s(f) for f in staged_files),
                 default=float("inf"),
             )
-            if age >= min_age and not txn._exists(txn._record_path(txn_id)):
+            dead = not txn._exists(txn._record_path(txn_id)) or txn._exists(
+                txn._done_marker(txn_id)
+            )
+            if age >= min_age and dead:
                 for f in staged_files:
                     txn.staging_fs.delete_file(f)
                 if os.path.isdir(path):  # POSIX skeleton dirs

@@ -314,13 +314,16 @@ def benford_digit_audit(
     one map-side combinable count per digit; the normalizer is a window
     over the 9-row histogram.
 
-    Domain restriction, stated explicitly: NULLs, non-positives AND
-    values in (0, 1) are all excluded.  Sub-unit values have a first
+    Domain restriction, stated explicitly: the audit runs over
+    ``1 <= value < 10^15`` — NULLs, non-positives, sub-unit values AND
+    >= 10^15 magnitudes are all excluded.  Sub-unit values have a first
     *significant* digit, but pulling it portably needs a scale-unbounded
-    rendering; restricting the audit to magnitudes >= 1 (the monetary
-    case Benford screens target) keeps the digit exact in both engines.
-    Values >= 10^38 overflow the DECIMAL(38,0) rendering and would be
-    excluded as NULL digits rather than miscounted.
+    rendering; above 10^15 a double cannot even represent units exactly
+    (and Spark's ``floor`` saturates at the BIGINT boundary ~9.2*10^18,
+    where it would silently miscount everything as digit 9 while DuckDB
+    raises — a divergence this explicit bound keeps unreachable).  The
+    monetary forensics Benford screens target live comfortably inside
+    the window.
     """
     from pyspark.sql import Window
 
@@ -328,7 +331,11 @@ def benford_digit_audit(
         F.floor(F.col(value_col)).cast("decimal(38,0)").cast("string"), 1, 1
     ).cast("int")
     hist = (
-        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 1))
+        df.filter(
+            F.col(value_col).isNotNull()
+            & (F.col(value_col) >= 1)
+            & (F.col(value_col) < F.lit(1e15))
+        )
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_values"))

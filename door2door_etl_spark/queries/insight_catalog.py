@@ -76,6 +76,7 @@ WITH h AS (
          count(*) AS n_values
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+    AND o_totalprice < 1e15
   GROUP BY 1)
 SELECT digit, n_values,
        round(n_values / t, 6) AS obs_share,
@@ -120,8 +121,9 @@ def q_holt_user_trend(spark: SparkSession, sf: str) -> DataFrame:
     (operators.relational.holt_forecast, alpha=0.3, beta=0.2, 3-step
     forecast): level AND trend state folded in one Catalyst aggregate
     over the sorted array — ONE shuffle, zero Python; bit-exact against
-    DuckDB's list_reduce over struct_pack elements because both engines
-    fold the identical IEEE chain from the same (v1, 0) seed."""
+    the recursive-CTE DuckDB twin because both engines step the
+    identical IEEE chain from the same (v1, 0) seed (see the twin's
+    note on why it is NOT a struct list_reduce)."""
     from door2door_etl_spark.operators.relational import holt_forecast
 
     ev = load_table(spark, sf, "events")

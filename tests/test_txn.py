@@ -605,3 +605,45 @@ def test_cli_recover_rolls_journal_forward(spark, tmp_path, capsys, monkeypatch)
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_recovered"] == 0
+
+
+def test_recover_sweeps_completed_txn_staging_age_gated(spark, tmp_path):
+    """A COMPLETED transaction's staged payloads are dead weight (replay
+    returns at the done marker) — recovery sweeps them past the age
+    gate, keeping the record + markers (the idempotent-replay contract),
+    and the replay contract still holds afterwards."""
+    a, j = tmp_path / "a", tmp_path / "journal"
+    txn = MultiTableTransaction(str(j))
+    out = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [1, 2]), key="id"),
+    ], txn_id="keepid01")
+    staged_dir = j / "txn-keepid01"
+    assert staged_dir.is_dir()
+
+    # young: survives the default gate
+    assert recover(spark, str(j)) == []
+    assert staged_dir.is_dir()
+    # past the gate: staged payloads swept, record + done marker kept
+    assert recover(spark, str(j), sweep_min_age_hours=0.0) == []
+    assert not staged_dir.exists()
+    assert os.path.exists(txn._record_path("keepid01"))
+    assert os.path.exists(txn._done_marker("keepid01"))
+    # idempotent replay still detected after the sweep
+    replay = txn.run(spark, [
+        TxnOp("merge", str(a), payload=_batch(spark, [9]), key="id"),
+    ], txn_id="keepid01")
+    assert replay["replayed"] is True
+    assert _ids(spark, a) == [1, 2]
+
+
+def test_benford_out_of_domain_magnitudes_excluded(spark):
+    """Values past the documented 10^15 bound are excluded, never
+    miscounted: Spark's floor saturates at the BIGINT boundary (a
+    3.3e18 value would otherwise report digit 9 from the saturated
+    9223372036854775807)."""
+    from door2door_etl_spark.operators.profile import benford_digit_audit
+
+    df = spark.createDataFrame([(2.0,), (3.3e18,), (1e39,)], "v double")
+    out = {r.digit: r for r in benford_digit_audit(df, "v").collect()}
+    assert sorted(out) == [2]
+    assert out[2].obs_share == 1.0      # normalizer excludes them too
