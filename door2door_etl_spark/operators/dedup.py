@@ -372,7 +372,11 @@ def ngram_jaccard_pairs(
     reported Jaccard is still exact: the intersection switches from the
     shared-rare-count decomposition (which only works when ALL rare
     shingles block) to an in-row ``array_intersect`` of the two full
-    shingle sets — O(candidates·set_size), never O(Σ df²).
+    shingle sets — O(candidates·set_size), never O(Σ df²).  Candidate
+    enumeration groups the capped keys by shingle and emits pair
+    combinations IN-ROW (each group ≤ max_df members by construction),
+    so pair generation is ONE bounded groupBy shuffle instead of a
+    two-sided self-join.
 
     Intersection decomposition: the global document frequency PARTITIONS
     each document's shingle set into "rare" (df ≤ max_df) and "common"
@@ -436,18 +440,26 @@ def ngram_jaccard_pairs(
             .filter(F.col("_rk") <= int(block_rarest_k))
             .select(id_col, "sh")
         )
-        a = keys.alias("ra")
-        b = keys.alias("rb")
+        # pair combinations in-row per shingle group (sorted ids, i<j);
+        # each group has <= max_df members, so the flattened pair array
+        # is <= max_df*(max_df-1)/2 per shingle — bounded by construction
+        groups = (
+            keys.groupBy("sh")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
         cands = (
-            a.join(
-                b,
-                (F.col("ra.sh") == F.col("rb.sh"))
-                & (F.col(f"ra.{id_col}") < F.col(f"rb.{id_col}")),
-            )
-            .select(
-                F.col(f"ra.{id_col}").alias("id_a"),
-                F.col(f"rb.{id_col}").alias("id_b"),
-            )
+            groups.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
             .distinct()
         )
         za = doc_sets.alias("za")

@@ -987,10 +987,13 @@ def test_jaccard_rarest_k_caps_per_doc_blocking(spark):
     )
     df = ngram_jaccard_pairs(docs, shingle_n=3, max_df=5, block_rarest_k=4)
     plan = plan_of(df)
+    # pair enumeration is the in-row combinations explode — NO pair
+    # self-join at all; the only joins are the equi set-attaching ones
     join_lines = [
         ln for ln in plan.split("\n") if "Join" in ln and " < " in ln
     ]
-    assert len(join_lines) == 1, join_lines
+    assert len(join_lines) == 0, join_lines
+    assert plan.count("Generate explode") >= 1, plan
     import re
 
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
