@@ -34,6 +34,10 @@ def test_contract_shape():
         # genuinely iterative (per-round argmax + fold): no single-statement
         # SQL oracle; the Sennrich worked example pins exact values.
         "ns_bpe_merges",
+        # lossy float DCT round-trip (Huffman + dequant + IDCT) — no SQL
+        # engine reproduces it closed-form; the codec is known-answer-
+        # pinned in test_jpeg_codec_roundtrip_and_rejects instead.
+        "ns_multimodal_jpeg_decode",
     }
     assert len(qs) == len(QUERIES)
 
