@@ -243,6 +243,7 @@ class MultiTableTransaction:
         epoch: LakeEpoch | None = None,
         fs=None,
         staging_root: str | None = None,
+        staging_fs=None,
     ):
         from door2door_etl_spark.io.manifest import LocalFsOps
 
@@ -252,18 +253,28 @@ class MultiTableTransaction:
         # payload staging is written by Spark (parquet), not FsOps — on an
         # object store pass the Spark-writable twin of the journal URI
         # (s3a:// vs s3://); locally the default (= journal_root) is fine.
-        # The sweep side picks the fs matching the staging location, so a
-        # mixed deployment (object-store journal, POSIX staging) sweeps
-        # with the right backend.
+        # The sweep side needs an fs matching the staging LOCATION, not
+        # the journal's: pass ``staging_fs`` explicitly for any mixed
+        # deployment the heuristic below can't infer (e.g. POSIX journal
+        # + object-store staging, where reusing the journal's LocalFsOps
+        # would make the sweep silently see zero staged files).
         from door2door_etl_spark.io.manifest import _is_object_uri
 
         self.staging_root = staging_root or journal_root
-        if staging_root is None:
+        if staging_fs is not None:
+            self.staging_fs = staging_fs
+        elif staging_root is None:
+            self.staging_fs = self.fs
+        elif _is_object_uri(staging_root):
+            if not _is_object_uri(journal_root):
+                raise ValueError(
+                    "object-store staging_root with a POSIX journal needs "
+                    "an explicit staging_fs (the journal fs cannot list "
+                    f"{staging_root!r})"
+                )
             self.staging_fs = self.fs
         else:
-            self.staging_fs = (
-                self.fs if _is_object_uri(staging_root) else LocalFsOps()
-            )
+            self.staging_fs = LocalFsOps()
 
     def _exists(self, path: str) -> bool:
         return self.fs.read_bytes(path) is not None
@@ -447,6 +458,7 @@ def recover(
     sweep_min_age_hours: float = 1.0,
     fs=None,
     staging_root: str | None = None,
+    staging_fs=None,
 ) -> list[dict]:
     """Roll every incomplete journaled transaction forward — call at
     writer startup (and after any crash).  A transaction is incomplete
@@ -465,7 +477,9 @@ def recover(
     backend (``fs``; POSIX default) — the journal listing, record reads,
     marker probes and the staging sweep all go through the seam, so
     recovery works wherever the journal lives."""
-    txn = MultiTableTransaction(journal_root, fs=fs, staging_root=staging_root)
+    txn = MultiTableTransaction(
+        journal_root, fs=fs, staging_root=staging_root, staging_fs=staging_fs
+    )
     # NOTE: an empty journal listing is NOT an early exit — journal-less
     # staging (crash before the record claim) must still be swept below
     names = txn.fs.list_names(journal_root)
@@ -508,10 +522,23 @@ def recover(
             txn_id = name[len("txn-"):]
             path = os.path.join(txn.staging_root, name)
             staged_files = txn.staging_fs.walk_files(path)
-            age = min(
-                (txn.staging_fs.file_age_s(f) for f in staged_files),
-                default=float("inf"),
-            )
+            if staged_files:
+                age = min(
+                    txn.staging_fs.file_age_s(f) for f in staged_files
+                )
+            elif os.path.isdir(path):
+                # POSIX skeleton dir with no files yet: a live writer may
+                # have mkdir'd it while its tasks haven't flushed their
+                # first file — gate on the DIRECTORY's own age, never
+                # treat emptiness as infinitely old.
+                import time as _time
+
+                age = _time.time() - os.path.getmtime(path)
+            else:
+                # object store: "directories" are name prefixes — an
+                # empty prefix holds no bytes, so there is nothing to
+                # sweep (and nothing to age-gate).
+                continue
             dead = not txn._exists(txn._record_path(txn_id)) or txn._exists(
                 txn._done_marker(txn_id)
             )

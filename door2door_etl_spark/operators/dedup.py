@@ -368,7 +368,8 @@ def ngram_jaccard_pairs(
     because near-identical documents share almost all shingles —
     including their rarest ones, which rank identically on both sides.
     With the cap on, the reported pair SET is blocking-dependent
-    (a pair must share a rarest-k shingle of at least one side) but each
+    (a pair must share a shingle in BOTH sides' rarest-k sets — the
+    capped keys are joined on both sides) but each
     reported Jaccard is still exact: the intersection switches from the
     shared-rare-count decomposition (which only works when ALL rare
     shingles block) to an in-row ``array_intersect`` of the two full

@@ -628,7 +628,11 @@ def modularity(
             "n_nodes",
             F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
             "degree_sum",
-            (
+            # m = 0 (empty edge list) would make both ratios 0/0 — emit a
+            # clean all-zero report instead of NULL/NaN rows (and engine
+            # twins diverge on NULL-vs-NaN rendering)
+            F.when(
+                F.col("_m") > 0,
                 F.round(
                     F.coalesce(F.col("intra_edges"), F.lit(0)) / F.col("_m")
                     - (F.col("degree_sum") / (F.lit(2.0) * F.col("_m")))
@@ -636,6 +640,6 @@ def modularity(
                     6,
                 )
                 + F.lit(0.0)  # canonicalize -0.0 (engine-render parity)
-            ).alias("q_contribution"),
+            ).otherwise(F.lit(0.0)).alias("q_contribution"),
         )
     )

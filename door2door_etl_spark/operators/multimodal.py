@@ -18,11 +18,20 @@ CLEAR-code table resets and the cScSc just-added-code case included),
 and baseline-sequential JPEG (:func:`decode_jpeg` / :func:`jpeg_bytes`
 — T.81 Huffman entropy coding, quality-scaled Annex K quantization,
 numpy IDCT, 4:4:4 and 4:2:0, restart markers; progressive and
-arithmetic-coded streams rejected with a clear error).  WebP needs an
-imaging library that doesn't ship in this container;
-:func:`decode_image` / :func:`resize_image` dispatch to the real codec
-paths and raise a clearly marked ``NotImplementedError`` otherwise,
-with deterministic fake twins used by tests.
+arithmetic-coded streams rejected with a clear error).
+
+WebP is a PERMANENT boundary of this module, not a TODO: decoding it
+means implementing VP8 (boolean-range arithmetic coding, intra
+prediction over 16x16/8x8/4x4 modes, a loop filter) or VP8L (its own
+LZ77+Huffman pipeline with color-cache and predictor transforms) —
+each an order of magnitude past T.81 baseline JPEG, and unlike JPEG
+there is no restricted "baseline subset" that covers real-world files.
+The right production move is a codec library (Pillow/libvips wired
+into the SAME ``decode_image`` dispatch below), never a pure-Python
+reimplementation.  :func:`decode_image` / :func:`resize_image`
+dispatch to the real codec paths and raise a clearly marked
+``NotImplementedError`` otherwise, with deterministic fake twins used
+by tests.
 
 Scale notes: binary payloads ride Parquet BYTE_ARRAY columns; transforms are
 embarrassingly parallel (mapInPandas, no shuffle); size-based repartitioning
@@ -1514,12 +1523,28 @@ def decode_jpeg(payload: bytes):
     restart_interval = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker byte — skip them so legally-padded streams aren't
+        # rejected with a bogus "expected marker".
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry no length field
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError(
+                f"truncated segment header at offset {pos} "
+                f"(marker 0x{marker:02X})"
+            )
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         if pos + 2 + ln > n:
             raise ValueError(

@@ -4057,3 +4057,40 @@ def test_modularity_two_triangles_bridge(spark):
     assert round(sum(r.q_contribution for r in got.values()), 6) == 2 * round(
         3 / 7 - 0.25, 6
     )
+
+
+def test_jpeg_marker_walk_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker, and TEM (0x01) / stray RSTn are standalone (no length
+    field) — the header walk must skip both instead of desyncing
+    (ADVICE r10 low)."""
+    from door2door_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        jpeg_bytes,
+    )
+
+    px = [(120, 120, 120)] * (16 * 16)
+    j = jpeg_bytes(16, 16, px, quality=100)
+    want = decode_jpeg(j)
+
+    # inject two FF fill bytes + a TEM marker before the first DQT
+    i = j.find(b"\xff\xdb")
+    padded = j[:i] + b"\xff\xff" + b"\xff\x01" + j[i:]
+    assert decode_jpeg(padded) == want
+
+
+def test_modularity_empty_edge_list_zero_report(spark):
+    """m = 0 must yield a clean zero-valued report, not NULL/NaN
+    q_contribution rows (ADVICE r10 low)."""
+    from door2door_etl_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2)], "node long, community long"
+    )
+    got = {r.community: r for r in modularity(edges, labels).collect()}
+    assert sorted(got) == [1, 2]
+    for c in (1, 2):
+        assert got[c].intra_edges == 0
+        assert got[c].degree_sum == 0
+        assert got[c].q_contribution == 0.0

@@ -647,3 +647,45 @@ def test_benford_out_of_domain_magnitudes_excluded(spark):
     out = {r.digit: r for r in benford_digit_audit(df, "v").collect()}
     assert sorted(out) == [2]
     assert out[2].obs_share == 1.0      # normalizer excludes them too
+
+
+def test_recover_spares_empty_staging_dir_until_age_gate(spark, tmp_path):
+    """An EMPTY journal-less staging dir (writer mkdir'd it, tasks
+    haven't flushed a file yet) must be age-gated on the DIRECTORY's own
+    mtime — the old min(file_ages, default=inf) treated emptiness as
+    infinitely old and rmtree'd a live writer's staging immediately
+    (ADVICE r10 medium)."""
+    j = tmp_path / "journal"
+    j.mkdir()
+    empty = j / "txn-liveempty"
+    empty.mkdir()
+
+    # fresh: survives the sweep even at a 0.5h gate
+    assert recover(spark, str(j), sweep_min_age_hours=0.5) == []
+    assert empty.is_dir()
+    # backdate the dir 2 hours: now legitimately dead, swept
+    old = os.path.getmtime(empty) - 7200
+    os.utime(empty, (old, old))
+    assert recover(spark, str(j), sweep_min_age_hours=1.0) == []
+    assert not empty.exists()
+
+
+def test_txn_object_staging_with_posix_journal_needs_staging_fs(tmp_path):
+    """A POSIX journal with an s3:// staging_root can't sweep staging
+    through the journal's LocalFsOps — constructing without an explicit
+    staging_fs raises instead of silently never GC-ing (ADVICE r10 low);
+    passing one is accepted and used verbatim."""
+    with pytest.raises(ValueError, match="staging_fs"):
+        MultiTableTransaction(
+            str(tmp_path / "j"), staging_root="s3://bucket/stage"
+        )
+
+    class _FakeFs:
+        pass
+
+    fake = _FakeFs()
+    t = MultiTableTransaction(
+        str(tmp_path / "j"), staging_root="s3://bucket/stage",
+        staging_fs=fake,
+    )
+    assert t.staging_fs is fake
