@@ -349,6 +349,7 @@ def ngram_jaccard_pairs(
     hash_shingles: bool = True,
     with_containment: bool = False,
     block_rarest_k: int | None = None,
+    block_one_sided: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-``n``-gram sets for candidate pairs
     blocked on a shared *rare* shingle (document frequency ≤ ``max_df``).
@@ -378,6 +379,23 @@ def ngram_jaccard_pairs(
     combinations IN-ROW (each group ≤ max_df members by construction),
     so pair generation is ONE bounded groupBy shuffle instead of a
     two-sided self-join.
+
+    ``block_one_sided`` (with ``block_rarest_k``) relaxes the blocking
+    predicate to "the shared shingle is in AT LEAST ONE side's rarest-k
+    set" (the other side only needs the shingle in its rare set, df ≤
+    ``max_df``): the in-row enumeration pairs each capped key with
+    EVERY group member, not just capped ones.  Same linear bound —
+    ≤ k·(max_df−1) candidates per document, since each of a doc's k
+    capped keys meets ≤ df−1 other members — but it is the mode
+    CONTAINMENT screening needs: if A's shingle set sits inside B's,
+    every one of A's rarest-k shingles is in B's set by definition (and
+    qualifies as rare for B too — document frequency is global), so the
+    pair is guaranteed a candidate; under both-sides blocking B's own
+    unique df=1 shingles can crowd its rarest-k out of A's reach and
+    the true-containment pair would be missed.  Near-dup (high-Jaccard)
+    screening doesn't need the relaxation — near-identical sets share
+    their rarest-k — so the symmetric default stays the cheaper
+    both-sides mode.
 
     Intersection decomposition: the global document frequency PARTITIONS
     each document's shingle set into "rare" (df ≤ max_df) and "common"
@@ -436,28 +454,63 @@ def ngram_jaccard_pairs(
         wk = Window.partitionBy(id_col).orderBy(
             F.col("df_cnt").asc(), F.col("sh").asc()
         )
-        keys = (
-            rare.withColumn("_rk", F.row_number().over(wk))
-            .filter(F.col("_rk") <= int(block_rarest_k))
-            .select(id_col, "sh")
-        )
-        # pair combinations in-row per shingle group (sorted ids, i<j);
-        # each group has <= max_df members, so the flattened pair array
-        # is <= max_df*(max_df-1)/2 per shingle — bounded by construction
-        groups = (
-            keys.groupBy("sh")
-            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-            .filter(F.size("_ids") >= 2)
-        )
-        pair_arr = F.flatten(
-            F.transform(
-                F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_ids"), i + 2, F.size("_ids")),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
+        ranked = rare.withColumn("_rk", F.row_number().over(wk))
+        if block_one_sided:
+            # one groupBy over the FULL rare relation (every group still
+            # <= max_df members by the df cap), members tagged with the
+            # capped flag; in-row enumeration pairs each capped member
+            # with every OTHER member — canonical (least, greatest) so
+            # the distinct collapses the two capped-capped emissions
+            members = ranked.select(
+                id_col,
+                "sh",
+                (F.col("_rk") <= int(block_rarest_k)).alias("_capped"),
             )
-        )
+            groups = (
+                members.groupBy("sh")
+                .agg(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("i"),
+                            F.col("_capped").alias("c"),
+                        )
+                    ).alias("_m")
+                )
+                .filter(F.size("_m") >= 2)
+            )
+            pair_arr = F.flatten(
+                F.transform(
+                    F.filter(F.col("_m"), lambda s: s["c"]),
+                    lambda x: F.transform(
+                        F.filter(F.col("_m"), lambda y: y["i"] != x["i"]),
+                        lambda y: F.struct(
+                            F.least(x["i"], y["i"]).alias("id_a"),
+                            F.greatest(x["i"], y["i"]).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        else:
+            keys = ranked.filter(
+                F.col("_rk") <= int(block_rarest_k)
+            ).select(id_col, "sh")
+            # pair combinations in-row per shingle group (sorted ids, i<j);
+            # each group has <= max_df members, so the flattened pair array
+            # is <= max_df*(max_df-1)/2 per shingle — bounded by construction
+            groups = (
+                keys.groupBy("sh")
+                .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+                .filter(F.size("_ids") >= 2)
+            )
+            pair_arr = F.flatten(
+                F.transform(
+                    F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
         cands = (
             groups.select(F.explode(pair_arr).alias("p"))
             .select("p.id_a", "p.id_b")

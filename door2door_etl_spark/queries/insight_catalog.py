@@ -456,11 +456,19 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     when one document's shingles sit entirely inside another's, the
     quoted-inclusion class symmetric Jaccard under-ranks (a 50-word doc
     inside a 5000-word doc has Jaccard ~0.01 but containment 1.0).
-    Same blocking bound and intersection decomposition as the Jaccard
-    row; the measure is one extra in-row division."""
+    Candidates are capped by ONE-SIDED rarest-k blocking (each doc's k
+    globally-rarest shingles joined against the uncapped rare relation,
+    ≤ k·(max_df−1) candidates per doc — linear in corpus size, where the
+    uncapped df-blocking alone measured 10× pairs at 10× rows).
+    Containment recall survives the cap: a contained document's shingles
+    — including its rarest k — all exist on the containing side by
+    definition, and stay rare there (document frequency is global), so
+    every true-containment pair shares a capped key of its smaller side.
+    The measure itself is one extra in-row division."""
     from door2door_etl_spark.operators.dedup import ngram_jaccard_pairs
     from door2door_etl_spark.queries.northstar_catalog import (
         JACCARD_MAX_DF,
+        JACCARD_RAREST_K,
         SHINGLE_N,
     )
 
@@ -468,6 +476,7 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, shingle_n=SHINGLE_N, max_df=JACCARD_MAX_DF,
         persist_shingles=True, with_containment=True,
+        block_rarest_k=JACCARD_RAREST_K, block_one_sided=True,
     )
     return (
         pairs.select(
@@ -488,11 +497,12 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_containment_pairs() -> str:
     from door2door_etl_spark.queries.northstar_catalog import (
+        JACCARD_RAREST_K,
         _sql_jaccard_pairs_ctes,
     )
 
     return f"""
-WITH {_sql_jaccard_pairs_ctes()},
+WITH {_sql_jaccard_pairs_ctes(rarest_k=JACCARD_RAREST_K, one_sided=True)},
 cont AS (
   SELECT id_a, id_b,
          round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard,

@@ -309,12 +309,19 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(JACCARD_TOPK)
 
 
-def _sql_jaccard_pairs_ctes(prefix: str = "", rarest_k: int | None = None) -> str:
+def _sql_jaccard_pairs_ctes(
+    prefix: str = "",
+    rarest_k: int | None = None,
+    one_sided: bool = False,
+) -> str:
     """The exact-Jaccard pair chain (doc_sets → rare-shingle blocking →
     candidate pairs → in-row set intersection), name-prefixable so it can
     coexist with the MinHash band chain in one query (the recall report
     composes both).  ``rarest_k`` mirrors the operator's per-doc
-    rarest-k blocking budget (rank by (df, shingle), row_number <= k)."""
+    rarest-k blocking budget (rank by (df, shingle), row_number <= k);
+    ``one_sided`` mirrors ``block_one_sided`` (capped keys joined
+    against the UNCAPPED rare relation, canonical least/greatest pair —
+    the containment-recall-preserving mode)."""
     p = prefix
     sh = sql_shingles("text", SHINGLE_N)
     if rarest_k is None:
@@ -322,13 +329,21 @@ def _sql_jaccard_pairs_ctes(prefix: str = "", rarest_k: int | None = None) -> st
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM {p}rare a JOIN {p}rare b ON a.s = b.s AND a.doc_id < b.doc_id),"""
     else:
-        block = f"""{p}keys AS (
+        keys = f"""{p}keys AS (
   SELECT doc_id, s FROM (
     SELECT doc_id, s,
            row_number() OVER (PARTITION BY doc_id ORDER BY c ASC, s ASC)
              AS rk
     FROM {p}rare)
-  WHERE rk <= {int(rarest_k)}),
+  WHERE rk <= {int(rarest_k)}),"""
+        if one_sided:
+            block = f"""{keys}
+{p}cands AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM {p}keys a JOIN {p}rare b ON a.s = b.s AND a.doc_id <> b.doc_id),"""
+        else:
+            block = f"""{keys}
 {p}cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM {p}keys a JOIN {p}keys b ON a.s = b.s AND a.doc_id < b.doc_id),"""

@@ -4094,3 +4094,56 @@ def test_modularity_empty_edge_list_zero_report(spark):
         assert got[c].intra_edges == 0
         assert got[c].degree_sum == 0
         assert got[c].q_contribution == 0.0
+
+
+def test_ngram_jaccard_one_sided_blocking_preserves_containment(spark):
+    """One-sided rarest-k blocking is the containment-recall-preserving
+    mode: a short doc fully contained in a long doc whose OWN rarest-k
+    is crowded by its unique df=1 shingles is missed by both-sides
+    blocking but guaranteed under block_one_sided (the contained side's
+    rarest shingles all exist — and stay rare — on the containing
+    side)."""
+    a_text = "alpha beta gamma delta"
+    b_text = a_text + " " + " ".join(f"uniq{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+
+    both = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, max_df=10, with_containment=True,
+        block_rarest_k=2,
+    ).collect()
+    assert both == []  # capped keys disjoint: df=1 uniques crowd B's k
+
+    one = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.ngram_jaccard_pairs(
+            docs, shingle_n=3, max_df=10, with_containment=True,
+            block_rarest_k=2, block_one_sided=True,
+        ).collect()
+    }
+    assert one == {(1, 2): 1.0}
+
+    # values stay exact and the pair set stays a subset of the uncapped
+    # relation on a wider corpus
+    wide_docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} common tail words here w{i}")
+         for i in range(8)] + [(100, a_text), (101, b_text)],
+        "doc_id long, text string",
+    )
+    base = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["containment"])
+        for r in D.ngram_jaccard_pairs(
+            wide_docs, shingle_n=3, max_df=10, with_containment=True
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["containment"])
+        for r in D.ngram_jaccard_pairs(
+            wide_docs, shingle_n=3, max_df=10, with_containment=True,
+            block_rarest_k=2, block_one_sided=True,
+        ).collect()
+    }
+    assert set(capped) <= set(base)
+    assert all(base[p] == v for p, v in capped.items())
+    assert capped[(100, 101)][1] == 1.0

@@ -1029,3 +1029,33 @@ def test_label_propagation_bounded_per_round_shuffles(spark):
     # end-to-end still returns the (node, community) contract
     out = label_propagation(edges, rounds=2)
     assert out.columns == ["node", "community"]
+
+
+def test_containment_one_sided_blocking_plan_shape(spark):
+    """block_one_sided keeps the capped path's plan discipline: pair
+    enumeration is ONE groupBy + in-row explode (no pair self-join, no
+    inequality joins, no cartesian product); the rarest-k window stays
+    per-doc."""
+    from door2door_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(
+        docs, shingle_n=3, max_df=5, with_containment=True,
+        block_rarest_k=4, block_one_sided=True,
+    )
+    plan = plan_of(df)
+    join_lines = [
+        ln for ln in plan.split("\n") if "Join" in ln and " < " in ln
+    ]
+    assert len(join_lines) == 0, join_lines
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate explode") >= 1, plan
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("doc_id" in w for w in win_specs), plan
