@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     # level+trend smoothing, real baseline-JPEG decode
     "ns_graph_communities",
     "ns_graph_modularity",
+    "ns_graph_louvain",
     "rel_holt_user_trend",
     "ns_multimodal_jpeg_decode",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.

@@ -643,3 +643,246 @@ def modularity(
             ).otherwise(F.lit(0.0)).alias("q_contribution"),
         )
     )
+
+
+def louvain(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    local_rounds: int = 4,
+    levels: int = 2,
+) -> DataFrame:
+    """Modularity-optimizing community detection: the Louvain method
+    (Blondel, Guillaume, Lambiotte & Lefebvre 2008) re-expressed as a
+    fixed-round SYNCHRONOUS bulk move schedule — ``local_rounds``
+    best-neighbor-community passes per level, then one graph
+    CONTRACTION per extra level (communities become weighted
+    super-nodes, intra-community weight becomes a self-loop), repeated
+    for ``levels`` levels.  Returns ``(node, community)`` on the
+    ORIGINAL node ids.
+
+    Move rule, stated exactly: every node simultaneously joins the
+    community C maximizing the Newman gain of membership, which up to
+    the constant removal term is
+
+        score(i, C) = k_iC / m  −  k_i · Σtot_{C∖i} / (2m²)
+
+    with k_iC the weight from i to C's members (self-loops excluded),
+    k_i the weighted degree (self-loops count twice), Σtot_C the degree
+    mass of C, m the total edge weight.  Determinism across engines is
+    load-bearing, so the comparison uses the 2m²-SCALED INTEGER score
+
+        score_int(i, C) = 2m·k_iC − k_i·(Σtot_C − [C = own]·k_i)
+
+    — exact BIGINT arithmetic end-to-end (weights are integers; the
+    products stay ≪ 2⁶³ for any graph whose edge count fits a long), so
+    the (score DESC, community ASC) tie-break can never split on a
+    floating-point bit and an unrolled SQL twin reaches the identical
+    labeling.  Classical sequential Louvain is order-dependent; this
+    synchronous variant trades per-round convergence speed for that
+    determinism — the same trade :func:`label_propagation` makes, and
+    the honest bulk-synchronous posture at 100 TB (a sequential node
+    sweep cannot be distributed).
+
+    Two guards kill the oscillations naive synchronous moves suffer
+    (two singletons swapping communities forever — observed on the
+    two-triangles fixture):
+
+    - STRICT improvement: a node moves only when the best candidate's
+      score strictly exceeds its own community's score (ties stay put),
+      so symmetric equal-score swaps can't cycle.
+    - ALTERNATING move classes: each round only nodes in one class of a
+      deterministic 2-coloring may move — the distributed-Louvain
+      coloring constraint (e.g. Ghosh et al. 2018), here the Knuth
+      multiplicative-hash bit ``(node·2654435761) div 2¹⁶ mod 2``
+      (exact integer ops in any engine; safe from 64-bit overflow for
+      node ids < ~3.4e9, far past any key family here).  A structured
+      id space (all-even keys) still splits ~50/50, which raw
+      ``node mod 2`` would not.
+
+    Each round is a HALF-sweep (round r lets class r mod 2 move), so
+    ``local_rounds`` should be even to give both classes equal turns;
+    the default 4 = two full alternating sweeps per level.
+
+    Plan shape per round: community degree-mass aggregate, one
+    edges×labels join + (node, community) aggregate for k_iC, one
+    bounded union for the stay-home candidate, one per-node window
+    pick; the label vector localCheckpoints per round (the module's
+    standing lineage discipline).  Contraction is two label joins + one
+    (c_u, c_v) aggregate.  m broadcasts as a one-row scalar.
+
+    Reference analog: none (the reference has no graph analytics);
+    north-star capability next to :func:`label_propagation` — LPA
+    answers fast, Louvain answers with an explicitly optimized
+    modularity (gauge both with :func:`modularity`).
+    """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    # canonical undirected weighted edge list: u <= v, parallel edges
+    # summed; self-loops (u = v) carried as-is (weight counted once in
+    # m, twice in the degree)
+    ew = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+            w_expr.alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m_df = ew.agg(F.sum("w").alias("_m"))  # invariant under contraction
+
+    # level-0 → original-node mapping accumulates across levels
+    mapping = None
+    cur = ew
+    for level in range(int(levels)):
+        inter = cur.filter(F.col("u") != F.col("v"))
+        sym = inter.select("u", "v", "w").unionAll(
+            inter.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            )
+        )
+        deg = (
+            sym.groupBy(F.col("u").alias("node"))
+            .agg(F.sum("w").alias("k"))
+            .unionAll(
+                cur.filter(F.col("u") == F.col("v")).select(
+                    F.col("u").alias("node"),
+                    (F.lit(2) * F.col("w")).alias("k"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("k").alias("k"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels = deg.select(
+            "node", F.col("node").alias("label")
+        ).localCheckpoint(eager=True)
+        for r in range(int(local_rounds)):
+            labels = _louvain_round(
+                sym, deg, labels, m_df, active_class=r % 2
+            ).localCheckpoint(eager=True)
+        mapping = (
+            labels.select(
+                F.col("node").alias("orig"), F.col("label").alias("c")
+            )
+            if mapping is None
+            else mapping.join(
+                labels, mapping["c"] == labels["node"]
+            ).select("orig", F.col("label").alias("c"))
+        )
+        if level + 1 < levels:
+            la = labels.select(
+                F.col("node").alias("_ua"), F.col("label").alias("_ca")
+            )
+            lb = labels.select(
+                F.col("node").alias("_ub"), F.col("label").alias("_cb")
+            )
+            cur = (
+                cur.join(la, cur["u"] == F.col("_ua"))
+                .join(lb, cur["v"] == F.col("_ub"))
+                .select(
+                    F.least(F.col("_ca"), F.col("_cb")).alias("u"),
+                    F.greatest(F.col("_ca"), F.col("_cb")).alias("v"),
+                    "w",
+                )
+                .groupBy("u", "v")
+                .agg(F.sum("w").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+        deg.unpersist()
+    ew.unpersist()
+    return mapping.select(
+        F.col("orig").alias("node"), F.col("c").alias("community")
+    )
+
+
+def _louvain_round(
+    sym: DataFrame,
+    deg: DataFrame,
+    labels: DataFrame,
+    m_df: DataFrame,
+    active_class: int = 0,
+) -> DataFrame:
+    """One synchronous Louvain half-sweep (plan-assertable
+    pre-checkpoint): community degree masses, neighbor-community
+    weights, the stay-home candidate union, the exact-integer score,
+    the per-node (score DESC, community ASC) pick — restricted to
+    STRICT improvements by nodes in ``active_class`` of the Knuth-bit
+    2-coloring; everyone else keeps their label."""
+    from pyspark.sql import Window
+
+    knuth_bit = F.expr("pmod(div(node * 2654435761, 65536), 2)")
+    tot = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("_c"))
+        .agg(F.sum("k").alias("_tot"))
+    )
+    active = labels.filter(knuth_bit == F.lit(int(active_class)))
+    inactive = labels.filter(knuth_bit != F.lit(int(active_class)))
+    nb = (
+        sym.join(
+            labels.select(
+                F.col("node").alias("_v"), F.col("label").alias("_c")
+            ),
+            sym["v"] == F.col("_v"),
+        )
+        .groupBy(F.col("u").alias("node"), "_c")
+        .agg(F.sum("w").alias("_kuc"))
+    )
+    cand = (
+        nb.unionAll(
+            labels.select(
+                "node", F.col("label").alias("_c"), F.lit(0).cast("long").alias("_kuc")
+            )
+        )
+        .groupBy("node", "_c")
+        .agg(F.max("_kuc").alias("_kuc"))
+    )
+    own = active.select(
+        F.col("node").alias("_n2"), F.col("label").alias("_own")
+    )
+    scored = (
+        cand.join(own, cand["node"] == F.col("_n2"))  # active nodes only
+        .join(deg, "node")
+        .join(tot, "_c")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "node",
+            "_c",
+            "_own",
+            (
+                F.lit(2) * F.col("_m") * F.col("_kuc")
+                - F.col("k")
+                * (
+                    F.col("_tot")
+                    - F.when(F.col("_c") == F.col("_own"), F.col("k")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("_score"),
+        )
+    )
+    # strict improvement: drop candidates not beating the own-community
+    # score, then pick by (score DESC, community ASC) — the own row
+    # always survives, so a node with no strict winner stays put
+    wn = Window.partitionBy("node")
+    own_score = F.max(
+        F.when(F.col("_c") == F.col("_own"), F.col("_score"))
+    ).over(wn)
+    w = Window.partitionBy("node").orderBy(
+        F.col("_score").desc(), F.col("_c").asc()
+    )
+    moved = (
+        scored.withColumn("_os", own_score)
+        .filter(
+            (F.col("_c") == F.col("_own")) | (F.col("_score") > F.col("_os"))
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("node", F.col("_c").alias("label"))
+    )
+    return moved.unionAll(inactive)

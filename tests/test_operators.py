@@ -4147,3 +4147,57 @@ def test_ngram_jaccard_one_sided_blocking_preserves_containment(spark):
     assert set(capped) <= set(base)
     assert all(base[p] == v for p, v in capped.items())
     assert capped[(100, 101)][1] == 1.0
+
+
+def test_louvain_two_triangles_and_beats_lpa(spark):
+    """Louvain on the two-triangles-plus-bridge graph finds the exact
+    communities, is deterministic across re-runs, and its modularity is
+    >= the LPA labeling's on the same graph (strictly greater on graphs
+    LPA shreds — asserted against a ring-of-cliques where synchronous
+    LPA's singleton start stalls)."""
+    from door2door_etl_spark.operators.graph import (
+        label_propagation,
+        louvain,
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    lv = louvain(edges)
+    assert lv.columns == ["node", "community"]
+    got = {r.node: r.community for r in lv.collect()}
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
+    again = {r.node: r.community for r in louvain(edges).collect()}
+    assert again == got
+
+    def q_of(labels):
+        return modularity(edges, labels).agg(
+            F.sum("q_contribution")
+        ).collect()[0][0]
+
+    assert q_of(lv) >= q_of(label_propagation(edges))
+
+    # ring of 4 triangles: optimal Q groups each clique; louvain gets
+    # there, LPA's synchronous singleton start cannot beat it here
+    ring = []
+    for c in range(4):
+        n = [c * 10 + 1, c * 10 + 2, c * 10 + 3]
+        ring += [(n[0], n[1]), (n[1], n[2]), (n[0], n[2])]
+        ring.append((n[2], ((c + 1) % 4) * 10 + 1))
+    redges = spark.createDataFrame(ring, "src long, dst long")
+    rl = louvain(redges)
+    q_lv, q_lpa = (
+        modularity(redges, rl).agg(F.sum("q_contribution")).collect()[0][0],
+        modularity(redges, label_propagation(redges)).agg(
+            F.sum("q_contribution")
+        ).collect()[0][0],
+    )
+    assert q_lv > q_lpa, (q_lv, q_lpa)
+    comms = {r.node: r.community for r in rl.collect()}
+    for c in range(4):
+        trio = {comms[c * 10 + 1], comms[c * 10 + 2], comms[c * 10 + 3]}
+        assert len(trio) == 1, comms

@@ -1059,3 +1059,36 @@ def test_containment_one_sided_blocking_plan_shape(spark):
 
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert win_specs and all("doc_id" in w for w in win_specs), plan
+
+
+def test_louvain_half_sweep_bounded_shuffles(spark):
+    """Each Louvain half-sweep is a constant number of bounded hash
+    exchanges (community mass agg, neighbor-community agg, candidate
+    union agg, the score joins, the per-node pick window) — no
+    cartesian product, no nested-loop join; the one-row m scalar rides
+    a broadcast."""
+    from door2door_etl_spark.operators.graph import _louvain_round
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    ew = edges.selectExpr("src AS u", "dst AS v", "CAST(1 AS LONG) AS w")
+    sym = ew.unionAll(
+        ew.selectExpr("v AS u", "u AS v", "w")
+    ).localCheckpoint(eager=True)
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    labels = deg.selectExpr("node", "node AS label").localCheckpoint(
+        eager=True
+    )
+    m_df = ew.agg(F.sum("w").alias("_m"))
+    plan = plan_of(_louvain_round(sym, deg, labels, m_df, active_class=0))
+    assert "CartesianProduct" not in plan
+    # the ONE nested-loop join is the broadcast one-row m scalar (the
+    # module's standing crossJoin(broadcast(scalar)) pattern)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 13, plan
