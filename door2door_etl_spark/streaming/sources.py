@@ -134,3 +134,92 @@ def rate_events_source(
         )
 
     return open_source
+
+
+def project_kafka_events(raw: DataFrame) -> DataFrame:
+    """The Kafka wire→event-contract projection, separated from the
+    broker connection so it is testable WITHOUT a broker: takes any
+    DataFrame (batch or streaming) in the Kafka source's wire shape —
+    ``value: binary`` plus ``topic/partition/offset`` — and returns the
+    event contract (:func:`~door2door_etl_spark.io.readers.event_schema`
+    columns + ``original_s3_file_path`` provenance).
+
+    Malformed-payload policy matches the file source's PERMISSIVE
+    posture (P2): an unparseable value lands in ``_corrupt_record``
+    (never dropped — quarantine decides downstream), including payloads
+    ``from_json`` nulls out wholesale (non-JSON bytes, empty values).
+    Provenance is the replayable record coordinate
+    ``kafka://<topic>/<partition>/<offset>`` — exactly the role the
+    file path plays for the S3 source.
+    """
+    schema = event_schema()
+    raw_str = F.col("value").cast("string")
+    parsed = F.from_json(
+        raw_str,
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    cols = [
+        parsed[f.name].alias(f.name)
+        for f in schema.fields
+        if f.name != "_corrupt_record"
+    ]
+    corrupt = F.coalesce(
+        parsed["_corrupt_record"],
+        F.when(parsed.isNull() & raw_str.isNotNull(), raw_str),
+    ).alias("_corrupt_record")
+    provenance = F.concat(
+        F.lit("kafka://"),
+        F.col("topic"),
+        F.lit("/"),
+        F.col("partition").cast("string"),
+        F.lit("/"),
+        F.col("offset").cast("string"),
+    ).alias("original_s3_file_path")
+    return raw.select(*cols, corrupt, provenance)
+
+
+def kafka_events_source(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    extra_options: dict | None = None,
+) -> StreamSourceFactory:
+    """Event source over a Kafka topic: ``readStream.format("kafka")``
+    + :func:`project_kafka_events` — the bus adapter the seam was built
+    for.  ``max_offsets_per_trigger`` bounds records-per-batch (the bus
+    twin of the file source's ``maxFilesPerTrigger``); ``extra_options``
+    passes through verbatim (SASL/TLS auth, ``kafka.``-prefixed client
+    configs).
+
+    Honesty note: the LIVE path is untestable in this sandbox — no
+    broker exists and no spark-sql-kafka connector jar ships in the
+    container, so ``open_source`` itself has never run against a real
+    topic here.  What IS tested (broker-free) is everything this
+    factory adds over ``format("kafka")``: the wire→contract projection
+    runs against memory-backed frames in the exact Kafka wire schema,
+    covering well-formed events, corrupt payloads, and provenance
+    derivation, plus a live micro-batch drive of a stream_events
+    consumer over the projected stream.  At deployment, supply
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark
+    version>`` and a reachable bootstrap string; everything downstream
+    of the projection is source-agnostic (the seam's contract).
+    """
+
+    def open_source(spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        if max_offsets_per_trigger is not None:
+            reader = reader.option(
+                "maxOffsetsPerTrigger", int(max_offsets_per_trigger)
+            )
+        for k, v in (extra_options or {}).items():
+            reader = reader.option(k, v)
+        return project_kafka_events(reader.load())
+
+    return open_source

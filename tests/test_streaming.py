@@ -2019,3 +2019,108 @@ def test_stream_events_requires_exactly_one_source(spark):
         stream_events(
             spark, "somewhere", source=lambda s: None  # both given
         )
+
+
+def test_kafka_projection_contract_batch(spark):
+    """Broker-free Kafka adapter contract (VERDICT r10 ask #3), batch
+    half: project_kafka_events over the exact Kafka wire schema maps a
+    well-formed payload to the event contract, quarantines corrupt and
+    empty payloads in _corrupt_record (never drops), and derives the
+    replayable kafka://topic/partition/offset provenance."""
+    import json
+
+    from door2door_etl_spark.streaming.sources import project_kafka_events
+
+    good = json.dumps({
+        "event": "update", "on": "vehicle",
+        "at": "2022-11-24T10:01:00.000+00:00", "organization_id": "org-x",
+        "data": {"id": "v9", "location": {"lat": 52.1, "lng": 13.2,
+                                          "at": "2022-11-24T10:01:00.000+00:00"},
+                 "start": None, "finish": None},
+    })
+    wire = spark.createDataFrame(
+        [
+            (good.encode(), "events", 0, 100),
+            (b"not json {", "events", 1, 7),
+            (None, "events", 2, 8),
+        ],
+        "value binary, topic string, partition int, offset long",
+    )
+    rows = {r["original_s3_file_path"]: r
+            for r in project_kafka_events(wire).collect()}
+    assert set(rows) == {
+        "kafka://events/0/100", "kafka://events/1/7", "kafka://events/2/8"
+    }
+    ok = rows["kafka://events/0/100"]
+    assert ok["event"] == "update" and ok["on"] == "vehicle"
+    assert ok["data"]["id"] == "v9" and ok["data"]["location"]["lat"] == 52.1
+    assert ok["_corrupt_record"] is None
+    bad = rows["kafka://events/1/7"]
+    assert bad["_corrupt_record"] == "not json {"
+    assert bad["event"] is None
+    # a null payload still carries provenance; nothing to quarantine-text
+    assert rows["kafka://events/2/8"]["event"] is None
+
+
+def test_stream_events_through_kafka_projection_seam(spark, tmp_path):
+    """Streaming half: a stream_events consumer runs UNCHANGED over the
+    Kafka projection — the rate source re-shaped to the Kafka wire
+    schema stands in for format('kafka') (no broker in-sandbox), so the
+    projection's streaming execution, event-time derivation and
+    provenance all get a live micro-batch drive."""
+    import json as _json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from door2door_etl_spark.streaming.sources import project_kafka_events
+
+    def kafka_like_source(s):
+        raw = (
+            s.readStream.format("rate").option("rowsPerSecond", 50).load()
+        )
+        payload = F.to_json(
+            F.struct(
+                F.lit("update").alias("event"),
+                F.lit("vehicle").alias("on"),
+                F.date_format(
+                    F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSxxx"
+                ).alias("at"),
+                F.lit("org-k").alias("organization_id"),
+                F.struct(
+                    F.concat(F.lit("kv"), (F.col("value") % 3).cast("string")).alias("id"),
+                ).alias("data"),
+            )
+        )
+        wire = raw.select(
+            F.encode(payload, "UTF-8").alias("value"),
+            F.lit("events").alias("topic"),
+            (F.col("value") % 4).cast("int").alias("partition"),
+            F.col("value").alias("offset"),
+        )
+        return project_kafka_events(wire)
+
+    events = stream_events(spark, source=kafka_like_source)
+    q = (
+        events.writeStream.format("memory")
+        .queryName("kafka_events_seam")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kafka"))
+        .start()
+    )
+    rows = []
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql("select * from kafka_events_seam").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 5
+    r = rows[0]
+    assert r["on"] == "vehicle" and r["event"] == "update"
+    assert r["event_ts"] is not None
+    assert r["original_s3_file_path"].startswith("kafka://events/")
+    assert r["data"]["id"].startswith("kv")
