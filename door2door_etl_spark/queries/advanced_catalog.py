@@ -754,19 +754,19 @@ FROM sess GROUP BY user_id, seq
 
 def q_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF: the most characteristic token per document.  Explode →
-    two aggregations (term freq per doc, doc freq per term) → broadcast
-    the tiny corpus-size scalar → window top-1 with a rounded sort key so
+    term-freq aggregate → doc-freq derived FROM the term-freq relation
+    (tf already holds one row per (doc, token), so doc_freq is a plain
+    count per token — this reuses tf's exchange instead of tokenizing
+    the corpus a second time and running a full-width distinct, the
+    r10 audit's structural finding on this row) → broadcast the tiny
+    corpus-size scalar → window top-1 with a rounded sort key so
     cross-engine float ulps cannot flip ties."""
     docs = load_table(spark, sf, "documents")
     from door2door_etl_spark.operators.text import tokens
 
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        tok.distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
@@ -797,8 +797,9 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
 ), dfreq AS (
-  SELECT token, count(*) AS doc_freq
-  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+  -- tf is one row per (doc, token) already, so doc_freq is a plain
+  -- per-token count of tf (mirrors the Spark side's exchange reuse)
+  SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1
 ), n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.token,
