@@ -71,6 +71,17 @@ def curate_corpus(
     oracle-checkable — ``ns_curation_funnel`` pins the whole chain.
     """
     stages: list[tuple[str, int, int]] = []
+    # Width-normalize ONCE at funnel entry: every downstream stage (and
+    # its persist) inherits this partitioning, so a narrow input — one
+    # parquet file = one partition at test scale — would otherwise run
+    # the WHOLE funnel single-core (measured: 12 of the funnel's 13 s
+    # at sf0.1 were the near-dup stage's sha256 minhash work on one
+    # partition).  At production scale the input already arrives wider
+    # than the cluster's parallelism and this is a skipped no-op guard,
+    # not a shuffle.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     cur = docs.persist(StorageLevel.MEMORY_AND_DISK)
     n_cur = cur.count()
 
