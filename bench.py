@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "ns_graph_communities",
     "ns_graph_modularity",
     "ns_graph_louvain",
+    "ns_graph_sssp_hub",
+    "ns_embedding_top_pc",
     "rel_holt_user_trend",
     "ns_multimodal_jpeg_decode",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.

@@ -171,3 +171,110 @@ def kmeans_fit_predict(
         ]
 
     return assign(df, centroids), centroids
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iterations: int = 3,
+) -> tuple[list[float], float, list[float]]:
+    """Top principal component of an embedding column by POWER ITERATION
+    on the centered scatter matrix, never materializing the d×d
+    covariance: each iteration is two corpus passes fused into one job —
+    per row the scalar projection ``s_i = (x_i − μ)·v``, then the
+    d-dimensional accumulation ``u = Σ_i s_i (x_i − μ)`` as one
+    ``posexplode → groupBy(dim)`` aggregate (map-side partial sums; the
+    shuffle is d rows).  Returns ``(component, lambda_est, mean)`` with
+    ``lambda_est`` the scatter-matrix Rayleigh estimate (the final
+    un-normalized ``‖u‖``).
+
+    Embedding analytics this unlocks at 100 TB: dominant-direction
+    drift between corpus snapshots, anisotropy screening ("all my
+    vectors point one way" — the common post-training pathology), and
+    mean-centering + top-PC removal (the classic all-but-the-top
+    embedding post-process, Mu & Viswanath 2018).
+
+    Cross-engine determinism (the module's standing discipline, so a
+    DuckDB twin unrolled to the same iteration count hash-matches):
+
+    - the mean and every per-dimension accumulation sum
+      ``floor(term · 1e6)`` as exact BIGINTs (accumulation ORDER can
+      never move a bit);
+    - per-row dot products are ascending-dimension left folds
+      (``aggregate`` over ``zip_with`` ↔ ``list_sum(list_transform)``);
+    - the start vector is the constant ``1/sqrt(dim)`` literal;
+    - the returned component's SIGN is canonicalized so its first
+      nonzero (quantized) coordinate is positive — the eigenvector sign
+      ambiguity never reaches the caller.
+
+    Driver state is two ``dim``-length float lists per iteration (the
+    same bounded-metadata posture as :func:`kmeans_fit_predict`'s
+    centroid literals); the corpus never leaves the executors.
+    """
+    import math
+
+    e = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    pos = e.select(F.posexplode("_v").alias("_d", "_x"))
+    mean_rows = (
+        pos.groupBy("_d")
+        .agg(
+            (
+                F.sum(F.floor(F.col("_x") * F.lit(SCALE)).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / F.lit(SCALE)
+            ).alias("_m")
+        )
+        .collect()
+    )
+    mean = [0.0] * dim
+    for r in mean_rows:
+        mean[r["_d"]] = r["_m"]
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
+    uq_last: list[int] = []
+    for _ in range(int(iterations)):
+        m_lit = F.array(*[F.lit(float(m)) for m in mean])
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        cx = F.zip_with(F.col("_v"), m_lit, lambda a, b: a - b)
+        s = F.aggregate(
+            F.zip_with(cx, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        u_rows = (
+            e.select(s.alias("_s"), F.posexplode(cx).alias("_d", "_x"))
+            .groupBy("_d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_s") * F.col("_x") * F.lit(SCALE)).cast(
+                        "long"
+                    )
+                ).alias("_uq")
+            )
+            .collect()
+        )
+        uq = [0] * dim
+        for r in u_rows:
+            uq[r["_d"]] = r["_uq"]
+        u = [q / SCALE for q in uq]
+        nrm = 0.0
+        for x in u:  # ascending-dim left fold, mirrors list_sum
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        if nrm == 0.0:
+            return [0.0] * dim, 0.0, mean  # degenerate: constant corpus
+        v = [x / nrm for x in u]
+        lam = nrm
+        uq_last = uq
+    first_nz = next((q for q in uq_last if q != 0), 0)
+    if first_nz < 0:
+        v = [-x for x in v]
+    return v, lam, mean

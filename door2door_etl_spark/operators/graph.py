@@ -886,3 +886,60 @@ def _louvain_round(
         .select("node", F.col("_c").alias("label"))
     )
     return moved.unionAll(inactive)
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """Single-source shortest WEIGHTED distances from ``source`` over an
+    undirected edge list — bounded-round bulk-synchronous Bellman-Ford,
+    the weighted sibling of :func:`bfs_hops`: round r settles every
+    shortest path of at most r edges, so ``rounds`` is an explicit
+    path-length horizon (exact SSSP when ``rounds ≥`` graph diameter;
+    the honest distributed posture — Dijkstra's priority queue does not
+    distribute, and delta-stepping reduces to exactly these relaxation
+    sweeps with bucketing).
+
+    Per round: ONE join of the current distance vector against the
+    symmetrized edge relation (relax every out-edge) + ONE min
+    aggregate over the union with the standing distances — both bounded
+    shuffles, distance vector ``localCheckpoint``-ed per round (the
+    module's standing lineage discipline).  Integer weights → integer
+    min arithmetic end-to-end: an engine twin unrolled to the same
+    round count reaches the identical fixpoint, no float tie risk.
+
+    Returns ``(node, dist)`` for every node reachable within
+    ``rounds`` edges.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).unionAll(
+        edges.select(
+            F.col(dst_col).alias("u"),
+            F.col(src_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return dist

@@ -395,6 +395,77 @@ FROM r GROUP BY 1
 """
 
 
+SSSP_ROUNDS = 6
+
+
+def q_graph_sssp_hub(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted shortest distances from the co-purchase hub
+    (operators.graph.sssp_weighted — bounded-round bulk-synchronous
+    Bellman-Ford, the weighted sibling of the BFS row): edge cost =
+    ``(99 + c) div c`` (integer inverse affinity — strong ties are
+    cheap), so the answer is 'how tightly is every part trade-linked to
+    the hub', not mere reachability.  Integer min arithmetic end-to-end;
+    the oracle unrolls the identical relaxation rounds."""
+    from door2door_etl_spark.operators.graph import sssp_weighted
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a, b = li.alias("ba"), li.alias("bb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.expr("(99 + c) div c").alias("w"),
+        )
+    )
+    edges = edges.localCheckpoint(eager=True)
+    source = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("n").asc())
+        .limit(1)
+        .collect()[0]["n"]
+    )
+    return sssp_weighted(edges, source=int(source), rounds=SSSP_ROUNDS)
+
+
+def _sql_graph_sssp_hub() -> str:
+    ctes = ["""b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                     FROM lineitem),
+p AS (SELECT a.i AS u, bb.i AS v, count(*) AS c
+      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT u, v, (99 + c) // c AS w FROM p WHERE c >= 2),
+sym AS MATERIALIZED (
+  SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+hub AS (SELECT u AS s FROM (SELECT u, count(*) AS d FROM sym GROUP BY 1)
+        ORDER BY d DESC, u ASC LIMIT 1),
+d0 AS (SELECT CAST(s AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       FROM hub)"""]
+    for r in range(1, SSSP_ROUNDS + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT sym.v AS node, d{r - 1}.dist + sym.w
+    FROM d{r - 1} JOIN sym ON sym.u = d{r - 1}.node)
+  GROUP BY 1)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{SSSP_ROUNDS}"
+    )
+
+
 def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """Revenue concentration per market segment
     (operators.relational.concentration_report): customer-level revenue
@@ -915,6 +986,7 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("ns_cdc_join_view", q_cdc_join_view, SQL_CDC_JOIN_VIEW, "lakehouse CDC + incremental JOIN-view maintenance (delta-join, both-side churn)", ("northstar", "lakehouse")),
     QueryDef("rel_cusum_user_drift", q_cusum_user_drift, SQL_CUSUM_USER_DRIFT, "CUSUM changepoint screen per entity (Page 1954), decimal-exact running sums", ("rel", "insight")),
     QueryDef("ns_graph_bfs_hops", q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS, "BFS hop distances by level-synchronous frontier expansion (bounded-depth oracle)", ("northstar", "graph")),
+    QueryDef("ns_graph_sssp_hub", q_graph_sssp_hub, _sql_graph_sssp_hub(), "weighted shortest distances from the hub (bounded-round Bellman-Ford, integer inverse-affinity costs)", ("northstar", "graph")),
     QueryDef("rel_locf_imputation", q_locf_imputation, SQL_LOCF_IMPUTATION, "LOCF gap-fill: last non-missing observation carried forward per entity", ("rel", "insight")),
     QueryDef("rel_time_weighted_value", q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE, "zero-order-hold time-weighted average under irregular sampling", ("rel", "insight")),
     QueryDef("rel_seasonal_hourly_anomaly", q_seasonal_hourly_anomaly, SQL_SEASONAL_HOURLY_ANOMALY, "hour-of-day seasonal baseline + z-score anomaly screen per segment", ("rel", "insight")),

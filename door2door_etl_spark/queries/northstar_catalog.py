@@ -2413,6 +2413,104 @@ GROUP BY 1, centroid_norm
 """
 
 
+PC_ITERS = 3
+
+
+def q_embedding_top_pc(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration (operators.clustering.power_iteration_top_pc —
+    scatter matrix never materialized; per iteration one fused
+    projection+accumulation job, shuffle = dim rows).  Output: one row
+    per dimension with the sign-canonicalized loading plus the Rayleigh
+    top-eigenvalue estimate — the anisotropy/drift gauge and the input
+    to all-but-the-top embedding post-processing (Mu & Viswanath
+    2018)."""
+    from door2door_etl_spark.operators.clustering import (
+        power_iteration_top_pc,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    v, lam, _ = power_iteration_top_pc(
+        emb, dim=KM_DIM, iterations=PC_ITERS
+    )
+    out = spark.createDataFrame(
+        [(d + 1, float(v[d]), float(lam)) for d in range(KM_DIM)],
+        "d int, loading double, lambda_raw double",
+    )
+    return out.select(
+        "d",
+        (F.round("loading", 6) + F.lit(0.0)).alias("loading"),
+        (F.round("lambda_raw", 6) + F.lit(0.0)).alias("lambda_est"),
+    ).orderBy("d")
+
+
+def _sql_embedding_top_pc() -> str:
+    """Unrolled power-iteration twin: same quantize-to-BIGINT
+    accumulations, same ascending-dim list_sum folds, same 1/sqrt(dim)
+    start literal and first-nonzero sign canonicalization.  Every
+    multi-consumer CTE is MATERIALIZED (DuckDB re-inlines per
+    reference)."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(KM_DIM))
+    parts = [
+        f"""pc_e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+pc_pos AS MATERIALIZED (
+  SELECT vec_id, g.d, v[g.d] AS x
+  FROM pc_e CROSS JOIN generate_series(1, {KM_DIM}) g(d)),
+pc_mean AS MATERIALIZED (
+  SELECT d,
+         CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000.0 AS m
+  FROM pc_pos GROUP BY 1),
+pc_cx AS MATERIALIZED (
+  SELECT vec_id, pc_pos.d, pc_pos.x - pc_mean.m AS x
+  FROM pc_pos JOIN pc_mean USING (d)),
+pc_cxl AS MATERIALIZED (
+  SELECT vec_id, list(x ORDER BY d) AS cx FROM pc_cx GROUP BY 1),
+pc_v0l AS (
+  SELECT list_transform(generate_series(1, {KM_DIM}),
+                        d -> CAST({v0} AS DOUBLE)) AS vl)"""
+    ]
+    for i in range(1, PC_ITERS + 1):
+        parts.append(f"""pc_s{i} AS MATERIALIZED (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, {KM_DIM}),
+                                 d -> cx[d] * vl[d])) AS s
+  FROM pc_cxl CROSS JOIN pc_v{i - 1}l),
+pc_u{i} AS MATERIALIZED (
+  SELECT pc_cx.d,
+         sum(CAST(floor(pc_s{i}.s * pc_cx.x * 1000000.0) AS BIGINT)) AS uq
+  FROM pc_cx JOIN pc_s{i} USING (vec_id) GROUP BY 1),
+pc_n{i} AS (
+  SELECT sqrt(list_sum(list_transform(
+           list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY d),
+           q -> q * q))) AS nrm
+  FROM pc_u{i}),
+pc_v{i}l AS (
+  SELECT list(CAST(uq AS DOUBLE) / 1000000.0 / nrm ORDER BY d) AS vl
+  FROM pc_u{i} CROSS JOIN pc_n{i})""")
+    t = PC_ITERS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pc_sgn AS (
+  SELECT CASE WHEN (SELECT uq FROM pc_u{t} WHERE uq <> 0
+                    ORDER BY d LIMIT 1) < 0
+              THEN -1.0 ELSE 1.0 END AS s)
+SELECT CAST(u.d AS INT) AS d,
+       round(pc_sgn.s * (CAST(u.uq AS DOUBLE) / 1000000.0 / n.nrm), 6)
+         + 0.0 AS loading,
+       round(n.nrm, 6) + 0.0 AS lambda_est
+FROM pc_u{t} u CROSS JOIN pc_n{t} n CROSS JOIN pc_sgn
+ORDER BY d
+"""
+    )
+
+
 # -- incremental (daily-ingest) LSH dedup -----------------------------------
 
 INGEST_MOD = 10  # every 10th doc plays the "new batch"; the rest the corpus
@@ -3026,6 +3124,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_chunk_sliding_windows", q_chunk_sliding_windows, _sql_chunk_sliding_windows(), "north-star text/chunking", ("northstar", "text")),
     QueryDef("ns_split_leakage_audit", q_split_leakage_audit, _sql_split_leakage_audit(), "north-star dedup/split-leakage", ("northstar", "dedup")),
     QueryDef("ns_kmeans_ivf_centroids", q_kmeans_ivf_centroids, _sql_kmeans_ivf_centroids(), "north-star similarity/kmeans", ("northstar", "similarity")),
+    QueryDef("ns_embedding_top_pc", q_embedding_top_pc, _sql_embedding_top_pc(), "north-star similarity/top-pc (distributed power iteration, quantized exact accumulation)", ("northstar", "similarity")),
     QueryDef("ns_kmeans_ivf_centroids_blas", q_kmeans_ivf_centroids_blas, None, "north-star similarity/kmeans (GEMM production path)", ("northstar", "similarity")),
     QueryDef("ns_decontaminate_corpus", q_decontaminate_corpus, _sql_decontaminate_corpus(), "north-star dedup/decontamination", ("northstar", "dedup")),
     QueryDef("ns_curation_funnel", q_curation_funnel, _sql_curation_funnel(), "north-star composed curation pipeline (normalize→langid→gopher→exact→LSH-CC→decontaminate)", ("northstar", "pipeline")),

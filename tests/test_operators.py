@@ -4201,3 +4201,58 @@ def test_louvain_two_triangles_and_beats_lpa(spark):
     for c in range(4):
         trio = {comms[c * 10 + 1], comms[c * 10 + 2], comms[c * 10 + 3]}
         assert len(trio) == 1, comms
+
+
+def test_sssp_weighted_known_answer_and_round_bound(spark):
+    """Bellman-Ford known answer: the cheap 3-edge path beats the direct
+    expensive edge; a path longer than the round budget stays at the
+    best <=rounds-edge distance (the documented horizon semantics)."""
+    from door2door_etl_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 2), (1, 4, 20),
+         (4, 5, 1), (5, 6, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.dist for r in sssp_weighted(edges, 1, rounds=6).collect()}
+    assert got == {1: 0, 2: 5, 3: 6, 4: 8, 5: 9, 6: 10}
+    # rounds=2: node 4's best 2-edge route is the direct (1,3)+(3,4)=12?
+    # no — 2 edges: 1-3 (10) + 3-4 (2) = 12, vs 1-4 direct (20);
+    # the 3-edge optimum (8) is out of budget
+    got2 = {r.node: r.dist for r in sssp_weighted(edges, 1, rounds=2).collect()}
+    assert got2[4] == 12 and got2[3] == 6
+    assert 5 not in got2 or got2.get(5) == 21  # 1-4-5 within 2 edges
+
+
+def test_power_iteration_top_pc_contract(spark):
+    """Top-PC power iteration: unit norm, sign-canonicalized first
+    nonzero coordinate positive, deterministic across runs, and on a
+    corpus with one dominant synthetic direction the component aligns
+    with it (|cos| > 0.99)."""
+    import math
+    import random
+
+    from door2door_etl_spark.operators.clustering import (
+        power_iteration_top_pc,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    direction = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    dn = math.sqrt(sum(x * x for x in direction))
+    rows = []
+    for i in range(200):
+        t = rng.gauss(0, 5)
+        rows.append(
+            (i, [t * d / dn + rng.gauss(0, 0.05) for d in direction])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v, lam, mean = power_iteration_top_pc(df, dim=dim, iterations=4)
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    first_nz = next(x for x in v if abs(x) > 1e-12)
+    assert first_nz > 0
+    cos = abs(sum(a * b / dn for a, b in zip(v, direction)))
+    assert cos > 0.99, cos
+    assert lam > 0
+    v2, lam2, _ = power_iteration_top_pc(df, dim=dim, iterations=4)
+    assert v2 == v and lam2 == lam
