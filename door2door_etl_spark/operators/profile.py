@@ -526,3 +526,129 @@ def mad_outliers(
         F.col("_med").alias("med"),
         F.col("_mad").alias("mad"),
     )
+
+
+def fd_audit(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Approximate functional-dependency audit: for each candidate
+    ``det → dep`` pair, does ``det`` determine ``dep`` — and when it
+    doesn't, HOW broken is the dependency?  One report row per pair:
+
+    - ``n_groups`` — distinct determinant values,
+    - ``n_violating`` — determinant values mapping to >1 dependent,
+    - ``g3_error`` — Kivinen & Mannila's g₃ measure: the minimum
+      fraction of rows to delete for the FD to hold exactly
+      (``(N − Σ_groups max dependent count) / N``), the standard
+      profiling-literature score (TANE/FDep family),
+    - ``holds`` — exact-FD verdict.
+
+    Shape per pair: one (det, dep) count aggregate + one det-level
+    rollup — two bounded shuffles, map-side partial aggregation, no
+    joins; pairs audit independently so the whole candidate list is one
+    union of narrow subplans.  NULLs: rows with a NULL determinant or
+    dependent are excluded (SQL grouping would conflate NULL≡NULL;
+    dependency semantics over NULLs are declared out of scope, the
+    profiling-literature default).
+
+    Reference analog: none (the reference's monitor is fixed COUNT/MAX
+    probes); schema-discovery capability next to :func:`profile_table`.
+    """
+    outs = []
+    for det, dep in pairs:
+        pair_counts = (
+            df.filter(F.col(det).isNotNull() & F.col(dep).isNotNull())
+            .groupBy(
+                F.col(det).cast("string").alias("_det"),
+                F.col(dep).cast("string").alias("_dep"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        per_det = pair_counts.groupBy("_det").agg(
+            F.sum("_n").alias("_rows"),
+            F.max("_n").alias("_keep"),
+            F.count(F.lit(1)).alias("_ndep"),
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("_ndep") > 1, 1).otherwise(0)).alias(
+                    "n_violating"
+                ),
+                (
+                    F.round(
+                        (F.sum("_rows") - F.sum("_keep")).cast("double")
+                        / F.sum("_rows"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("g3_error"),
+                (F.max("_ndep") <= 1).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def referential_audit(
+    tables: dict[str, DataFrame],
+    edges: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Referential-integrity audit over declared FK edges
+    ``(child_table, child_col, parent_table, parent_col)``: one report
+    row per edge with the child row count, rows whose FK is NULL, rows
+    whose non-NULL FK has no parent (orphans), and the distinct orphan
+    key count — the audit every warehouse load wants after an ingest,
+    generalized from per-edge hand probes to a declared schema graph.
+
+    Shape per edge: one left-anti join of the child's distinct non-NULL
+    key set against the parent key set (both key-projected — the anti
+    join never carries payload columns), then one broadcast-friendly
+    semi join back to count orphan ROWS.  Distinct key sets are usually
+    orders of magnitude smaller than the child, so the anti join is the
+    cheap side at any scale.
+    """
+    outs = []
+    for child_t, child_c, parent_t, parent_c in edges:
+        child, parent = tables[child_t], tables[parent_t]
+        ck = F.col(child_c)
+        orphan_keys = (
+            child.filter(ck.isNotNull())
+            .select(ck.alias("_k"))
+            .distinct()
+            .join(
+                parent.select(F.col(parent_c).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum(F.when(ck.isNull(), 1).otherwise(0)).alias("_nulls"),
+        )
+        orphan_rows = (
+            child.select(ck.alias("_k"))
+            .join(orphan_keys, "_k", "left_semi")
+            .agg(F.count(F.lit(1)).alias("_orows"))
+        )
+        okeys = orphan_keys.agg(F.count(F.lit(1)).alias("_okeys"))
+        outs.append(
+            stats.crossJoin(F.broadcast(orphan_rows))
+            .crossJoin(F.broadcast(okeys))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("fk"),
+                F.lit(f"{parent_t}.{parent_c}").alias("references"),
+                F.col("_rows").alias("child_rows"),
+                F.col("_nulls").alias("null_fk_rows"),
+                F.col("_orows").alias("orphan_rows"),
+                F.col("_okeys").alias("orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

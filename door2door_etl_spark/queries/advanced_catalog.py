@@ -2619,3 +2619,121 @@ ADVANCED_QUERIES: list[QueryDef] = [
     QueryDef("ns_domain_mix_sample", q_domain_mix_sample, _sql_domain_mix_sample(), "north-star sampling/domain-mix", ("northstar", "sampling")),
     QueryDef("rel_sql_frontend_rollup", q_sql_frontend_rollup, SQL_FRONTEND_DIALECT_NEUTRAL, "§3.3b-sql-frontend", ("rel", "sql")),
 ]
+
+
+FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),        # key determines everything
+    ("o_custkey", "o_orderstatus"),     # violated: customers reorder
+    ("o_orderdate", "o_orderpriority"), # violated: many orders per day
+    ("o_orderstatus", "o_orderpriority"),  # violated: tiny domain
+]
+
+
+def q_fd_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit over declared candidate pairs on
+    orders (operators.profile.fd_audit): per pair, distinct-determinant
+    count, violating-group count, Kivinen-Mannila g3 error (minimum
+    delete fraction for the FD to hold) and the exact-FD verdict — the
+    TANE-family schema-discovery primitive next to the per-column
+    profile.  Two bounded shuffles per pair, no joins."""
+    from door2door_etl_spark.operators.profile import fd_audit
+
+    orders = load_table(spark, sf, "orders")
+    return fd_audit(orders, FD_PAIRS).orderBy("determinant", "dependent")
+
+
+def _sql_fd_discovery() -> str:
+    blocks = []
+    for det, dep in FD_PAIRS:
+        blocks.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN _ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       round(CAST(sum(_rows) - sum(_keep) AS DOUBLE) / sum(_rows), 6)
+         + 0.0 AS g3_error,
+       max(_ndep) <= 1 AS holds
+FROM (
+  SELECT _det, sum(_n) AS _rows, max(_n) AS _keep, count(*) AS _ndep
+  FROM (
+    SELECT CAST({det} AS VARCHAR) AS _det, CAST({dep} AS VARCHAR) AS _dep,
+           count(*) AS _n
+    FROM orders
+    WHERE {det} IS NOT NULL AND {dep} IS NOT NULL
+    GROUP BY 1, 2)
+  GROUP BY 1)""")
+        # noqa: the union keeps pair order; final ORDER BY canonicalizes
+    return (
+        "\nUNION ALL\n".join(blocks)
+        + "\nORDER BY determinant, dependent"
+    )
+
+
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # deliberately cross-domain: event actors are NOT customers — the
+    # audit proves nonzero orphan reporting, not just green checkmarks
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def q_ref_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit of the whole declared FK graph
+    (operators.profile.referential_audit): per edge, child rows, NULL
+    FKs, orphan rows and distinct orphan keys — the post-ingest audit
+    every warehouse wants, generalized from the reference's per-table
+    COUNT probes to a declared schema graph.  Key-projected anti joins;
+    the last edge (events.user_id → customer) is intentionally
+    cross-domain so the report proves nonzero orphan accounting."""
+    from door2door_etl_spark.operators.profile import referential_audit
+
+    tables = {
+        t: load_table(spark, sf, t)
+        for t in {e[0] for e in FK_EDGES} | {e[2] for e in FK_EDGES}
+    }
+    return referential_audit(tables, FK_EDGES).orderBy("fk", "references")
+
+
+def _sql_ref_integrity_audit() -> str:
+    blocks = []
+    for ct, cc, pt, pc in FK_EDGES:
+        blocks.append(f"""
+SELECT '{ct}.{cc}' AS fk, '{pt}.{pc}' AS "references",
+  (SELECT count(*) FROM {ct}) AS child_rows,
+  (SELECT count(*) FROM {ct} WHERE {cc} IS NULL) AS null_fk_rows,
+  (SELECT count(*) FROM {ct} WHERE {cc} IS NOT NULL
+     AND {cc} NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL))
+    AS orphan_rows,
+  (SELECT count(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL
+     AND {cc} NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL))
+    AS orphan_keys""")
+    return (
+        "\nUNION ALL\n".join(blocks)
+        + '\nORDER BY fk, "references"'
+    )
+
+
+ADVANCED_QUERIES.extend(
+    [
+        QueryDef(
+            "ns_fd_discovery",
+            q_fd_discovery,
+            _sql_fd_discovery(),
+            "functional-dependency audit (g3 error, TANE-family schema discovery)",
+            ("northstar", "profile"),
+        ),
+        QueryDef(
+            "ns_ref_integrity_audit",
+            q_ref_integrity_audit,
+            _sql_ref_integrity_audit(),
+            "declared-FK-graph referential audit (orphan rows/keys per edge)",
+            ("northstar", "profile"),
+        ),
+    ]
+)

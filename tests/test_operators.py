@@ -4256,3 +4256,47 @@ def test_power_iteration_top_pc_contract(spark):
     assert lam > 0
     v2, lam2, _ = power_iteration_top_pc(df, dim=dim, iterations=4)
     assert v2 == v and lam2 == lam
+
+
+def test_fd_audit_known_answers(spark):
+    """g3 error and verdicts on a hand-built relation: a key FD holds
+    with zero error; a violated FD's g3 equals the minimum delete
+    fraction (keep the majority dependent per determinant)."""
+    from door2door_etl_spark.operators.profile import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 20), (4, "b", 20),
+         (5, "b", 30), (6, None, 40)],
+        "k long, g string, v long",
+    )
+    got = {
+        (r.determinant, r.dependent): r
+        for r in fd_audit(df, [("k", "g"), ("g", "v")]).collect()
+    }
+    key_fd = got[("k", "g")]
+    assert key_fd.holds and key_fd.g3_error == 0.0 and key_fd.n_groups == 5
+    gv = got[("g", "v")]
+    # g='b' maps to {20:2, 30:1}: delete 1 of 5 non-null rows
+    assert not gv.holds
+    assert gv.n_groups == 2 and gv.n_violating == 1
+    assert gv.g3_error == round(1 / 5, 6)
+
+
+def test_referential_audit_orphans(spark):
+    """Orphan accounting: NULL FKs are counted separately (never
+    orphans), orphan ROWS and distinct orphan KEYS both reported."""
+    from door2door_etl_spark.operators.profile import referential_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 99), (5, None), (6, 20)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    rows = referential_audit(
+        {"c": child, "p": parent}, [("c", "fk", "p", "pk")]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.fk == "c.fk" and r.references == "p.pk"
+    assert r.child_rows == 6 and r.null_fk_rows == 1
+    assert r.orphan_rows == 2 and r.orphan_keys == 1
