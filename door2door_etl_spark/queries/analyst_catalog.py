@@ -1072,3 +1072,131 @@ ANALYST_QUERIES: list[QueryDef] = [
     QueryDef("rel_token_topk", q_token_topk, SQL_TOKEN_TOPK, "north-star text/tokens,§2.6-limit", ("rel", "text")),
     QueryDef("rel_embedding_norm_by_label", q_embedding_norm_by_label, SQL_EMBEDDING_NORM_BY_LABEL, "north-star similarity/array-math", ("rel", "similarity")),
 ]
+
+
+def q_pareto_frontier_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts minimizing
+    (p_retailprice, p_size) — the Börzsönyi et al. (ICDE'01) operator
+    relational engines ship as SKYLINE OF: a part survives iff no other
+    part is <= on both axes and < on at least one.  Plan: one per-price
+    min aggregate + ONE running-min window over the distinct-price
+    relation (ROWS frame, strict predecessor) + a semi-join back — no
+    self-join, no n^2 dominance test at any width.  Duplicate
+    (price, size) points are mutually non-dominating and both
+    survive."""
+    part = load_table(spark, sf, "part")
+    perx = part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("_my")
+    )
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front_prices = perx.select(
+        "p_retailprice",
+        "_my",
+        F.min("_my").over(w).alias("_pm"),
+    ).filter(F.col("_pm").isNull() | (F.col("_my") < F.col("_pm")))
+    return (
+        part.join(
+            front_prices.select("p_retailprice", "_my"),
+            (part["p_retailprice"] == front_prices["p_retailprice"])
+            & (part["p_size"] == front_prices["_my"]),
+            "left_semi",
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+SQL_PARETO_FRONTIER_PARTS = """
+WITH perx AS (
+  SELECT p_retailprice, min(p_size) AS my FROM part GROUP BY 1),
+runm AS (
+  SELECT p_retailprice, my,
+         min(my) OVER (ORDER BY p_retailprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM perx),
+front AS (
+  SELECT p_retailprice, my FROM runm WHERE pm IS NULL OR my < pm)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN front f
+  ON p.p_retailprice = f.p_retailprice AND p.p_size = f.my
+ORDER BY p.p_retailprice, p.p_partkey
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation over orders — recency (last order
+    date), frequency (order count), monetary (exact-decimal spend) each
+    scored into quintiles by ``ntile(5)`` with a custkey tie-break so
+    the banding is deterministic in both engines; segment label =
+    concatenated scores.  Monetary sums in DECIMAL(38,6) (float
+    accumulation order can never move a bit — the money-aggregate
+    discipline), and every ntile ordering is on exact values.  One
+    aggregate + three windows over the same per-customer relation: a
+    single shuffle on the aggregate, windows reuse its output."""
+    orders = load_table(spark, sf, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend"),
+    )
+    r_w = Window.orderBy(F.col("last_order").asc(), F.col("custkey").asc())
+    f_w = Window.orderBy(F.col("n_orders").asc(), F.col("custkey").asc())
+    m_w = Window.orderBy(F.col("spend").asc(), F.col("custkey").asc())
+    return (
+        per.select(
+            "custkey",
+            "n_orders",
+            F.ntile(5).over(r_w).alias("r_score"),
+            F.ntile(5).over(f_w).alias("f_score"),
+            F.ntile(5).over(m_w).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+  FROM orders GROUP BY 1)
+SELECT custkey, n_orders,
+       ntile(5) OVER (ORDER BY last_order ASC, custkey ASC) AS r_score,
+       ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) AS f_score,
+       ntile(5) OVER (ORDER BY spend ASC, custkey ASC) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY last_order ASC, custkey ASC) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY spend ASC, custkey ASC) AS VARCHAR)
+         AS segment
+FROM per ORDER BY custkey
+"""
+
+ANALYST_QUERIES.extend(
+    [
+        QueryDef(
+            "rel_pareto_frontier_parts",
+            q_pareto_frontier_parts,
+            SQL_PARETO_FRONTIER_PARTS,
+            "2-D skyline via running-min window (no n^2 dominance join)",
+            ("rel",),
+        ),
+        QueryDef(
+            "rel_rfm_segments",
+            q_rfm_segments,
+            SQL_RFM_SEGMENTS,
+            "RFM quintile segmentation (deterministic ntile banding, exact-decimal monetary)",
+            ("rel",),
+        ),
+    ]
+)
