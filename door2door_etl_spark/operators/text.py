@@ -1594,3 +1594,106 @@ def heaps_fit(
         (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
         (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
     )
+
+
+def kneser_ney_bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean log2-probability under a SELF-TRAINED
+    interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
+    Chen & Goodman 1998 interpolated form with one fixed discount) —
+    the smoothing KenLM defaults to, one rung up the LM-quality ladder
+    from :func:`bigram_backoff_logprob`'s Stupid Backoff:
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                 + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    — the continuation probability N₁₊(·w₂)/N₁₊(··) scores a word by
+    how many distinct CONTEXTS it follows, not raw frequency, which is
+    the insight that made KN the standard ("San Francisco" makes
+    "Francisco" frequent but not free-floating).  Every quantity is a
+    count ratio over the bigram TYPE relation, so the model needs no
+    iteration: one bigram aggregate feeds c(w₁·) (prefix mass),
+    N₁₊(w₁·) (distinct continuations), N₁₊(·w₂) (distinct contexts)
+    and N₁₊(··) (type total, a broadcast scalar).
+
+    Scoring joins per-doc bigram COUNTS (not instances) against the
+    type-probability relation; seen bigrams always have c ≥ 1 > D so
+    the max() never clips on a self-trained corpus.  Per-term
+    DECIMAL(28,10) quantization before the exact sum keeps the result
+    bit-stable across partitionings and engines (the module's standing
+    LM-score discipline).  Documents need ≥ 2 tokens (a bigram model
+    has nothing to say about shorter ones — excluded, not scored 0).
+
+    Output: ``(id_col, n_bigrams, kn_log2p)``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    d_lit = F.lit(float(discount))
+    docs = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = F.size("_t")
+    pairs = F.zip_with(
+        F.slice(F.col("_t"), 1, n - 1),
+        F.expr("slice(_t, 2, size(_t) - 1)"),
+        lambda x, y: F.concat_ws("\x1f", x, y),
+    )
+    bigr = docs.select(F.col(id_col), F.explode(pairs).alias("big"))
+    cb = (
+        bigr.groupBy("big")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    split = F.split(F.col("big"), "\x1f", 2)
+    cbs = cb.select(
+        "big",
+        "c_big",
+        split.getItem(0).alias("_x"),
+        split.getItem(1).alias("_y"),
+    )
+    c1 = cbs.groupBy("_x").agg(
+        F.sum("c_big").alias("c_ctx"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    n1b = cbs.groupBy("_y").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    btot = cb.agg(F.count(F.lit(1)).alias("_b"))
+    p_rel = (
+        cbs.join(c1, "_x")
+        .join(n1b, "_y")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "big",
+            (
+                (F.col("c_big").cast("double") - d_lit) / F.col("c_ctx")
+                + d_lit
+                * F.col("n1_fwd")
+                / F.col("c_ctx")
+                * (F.col("n1_bwd").cast("double") / F.col("_b"))
+            ).alias("_p"),
+        )
+    )
+    doc_big = bigr.groupBy(id_col, "big").agg(F.count(F.lit(1)).alias("cnt"))
+    term = (F.col("cnt").cast("double") * F.log2(F.col("_p"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        doc_big.join(p_rel, "big")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(term).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("kn_log2p"),
+        )
+    )

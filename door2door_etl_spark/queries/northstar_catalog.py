@@ -3221,3 +3221,62 @@ NORTHSTAR_QUERIES.append(
         ("northstar", "similarity"),
     )
 )
+
+
+def q_kneser_ney_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scores per document
+    (operators.text.kneser_ney_bigram_logprob, D=0.75) — the KenLM
+    default smoothing, self-trained on the corpus: continuation
+    probability counts distinct CONTEXTS, not raw frequency.  Pure
+    count-ratio model (no iteration); per-term decimal quantization
+    keeps the mean bit-stable."""
+    docs = load_table(spark, sf, "documents")
+    return X.kneser_ney_bigram_logprob(docs)
+
+
+def _sql_kneser_ney_logprob(discount: float = 0.75) -> str:
+    toks = sql_tokens("text")
+    d = repr(float(discount))
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents WHERE len({toks}) >= 2),
+bigr AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(t)),
+                i -> t[i-1] || chr(31) || t[i])) AS big
+  FROM docs),
+cb AS MATERIALIZED (SELECT big, count(*) AS c_big FROM bigr GROUP BY 1),
+cbs AS MATERIALIZED (
+  SELECT big, c_big, split_part(big, chr(31), 1) AS x,
+         split_part(big, chr(31), 2) AS y
+  FROM cb),
+c1 AS (SELECT x, sum(c_big) AS c_ctx, count(*) AS n1_fwd FROM cbs GROUP BY 1),
+n1b AS (SELECT y, count(*) AS n1_bwd FROM cbs GROUP BY 1),
+btot AS (SELECT count(*) AS b FROM cb),
+p AS MATERIALIZED (
+  SELECT cbs.big,
+         (CAST(cbs.c_big AS DOUBLE) - {d}) / c1.c_ctx
+         + {d} * c1.n1_fwd / c1.c_ctx
+           * (CAST(n1b.n1_bwd AS DOUBLE) / btot.b) AS p
+  FROM cbs JOIN c1 USING (x) JOIN n1b USING (y) CROSS JOIN btot),
+doc_big AS (SELECT doc_id, big, count(*) AS cnt FROM bigr GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(CAST(cnt AS DOUBLE) * log2(p) AS DECIMAL(28,10)))
+              AS DOUBLE) AS s
+  FROM doc_big JOIN p USING (big) GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(s / CAST(n_bigrams AS DOUBLE), 6) AS kn_log2p
+FROM agg
+"""
+
+
+NORTHSTAR_QUERIES.append(
+    QueryDef(
+        "ns_kneser_ney_logprob",
+        q_kneser_ney_logprob,
+        _sql_kneser_ney_logprob(),
+        "north-star text/quality-bigram-lm (interpolated Kneser-Ney, KenLM's default smoothing)",
+        ("northstar", "text"),
+    )
+)

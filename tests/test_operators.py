@@ -4300,3 +4300,31 @@ def test_referential_audit_orphans(spark):
     assert r.fk == "c.fk" and r.references == "p.pk"
     assert r.child_rows == 6 and r.null_fk_rows == 1
     assert r.orphan_rows == 2 and r.orphan_keys == 1
+
+
+def test_kneser_ney_bigram_known_answer(spark):
+    """Hand-checked interpolated KN on a 2-doc corpus: bigram tokens
+    are ab, ba, ab, bc (doc 1) + ab (doc 2), so types {ab: 3, ba: 1,
+    bc: 1}; c(a.)=3, N1+(a.)=1; c(b.)=2, N1+(b.)=2; N1+(.a)=N1+(.b)=
+    N1+(.c)=1; B=3."""
+    from door2door_etl_spark.operators.text import (
+        kneser_ney_bigram_logprob,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in kneser_ney_bigram_logprob(docs).collect()}
+    D = 0.75
+    p_ab = (3 - D) / 3 + D * 1 / 3 * (1 / 3)
+    p_ba = (1 - D) / 2 + D * 2 / 2 * (1 / 3)
+    p_bc = (1 - D) / 2 + D * 2 / 2 * (1 / 3)
+    exp1 = (2 * math.log2(p_ab) + math.log2(p_ba) + math.log2(p_bc)) / 4
+    assert got[1].n_bigrams == 4
+    assert abs(got[1].kn_log2p - exp1) < 1e-5, (got[1].kn_log2p, exp1)
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].kn_log2p - math.log2(p_ab)) < 1e-5
+    # single-token docs excluded, not scored
+    one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert kneser_ney_bigram_logprob(one).collect() == []
