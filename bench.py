@@ -142,6 +142,11 @@ BENCH_QUERIES = [
     "ns_graph_louvain",
     "ns_graph_sssp_hub",
     "ns_embedding_top_pc",
+    "ns_kneser_ney_logprob",
+    "ns_fd_discovery",
+    "ns_ref_integrity_audit",
+    "rel_pareto_frontier_parts",
+    "rel_rfm_segments",
     "rel_holt_user_trend",
     "ns_multimodal_jpeg_decode",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.

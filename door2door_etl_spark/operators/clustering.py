@@ -278,3 +278,47 @@ def power_iteration_top_pc(
     if first_nz < 0:
         v = [-x for x in v]
     return v, lam, mean
+
+
+def remove_top_pc(
+    df: DataFrame,
+    component: list[float],
+    mean: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "resid",
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath,
+    ICLR 2018): subtract the corpus mean, then project out the top
+    principal component — ``x' = (x − μ) − ((x − μ)·v)v`` — the
+    standard fix for the anisotropy pathology where every vector
+    shares one dominant direction and cosine similarity saturates.
+
+    Pure map-side column arithmetic over driver-literal ``component`` /
+    ``mean`` arrays (:func:`power_iteration_top_pc`'s outputs — the
+    same bounded-literal posture as the k-means centroids): one scan,
+    no shuffle, no Python rows at any corpus width.  Folds ascend the
+    dimension (the module's engine-parity discipline).  The centered
+    vector and the projection scalar are BOUND as intermediate columns
+    before the residual ``zip_with`` — referencing the fold expression
+    inside the per-element lambda would re-evaluate it per element
+    (Catalyst does not CSE through lambda bodies; the shingles lesson),
+    turning O(dim) into O(dim²) per row."""
+    m_lit = F.array(*[F.lit(float(m)) for m in mean])
+    v_lit = F.array(*[F.lit(float(x)) for x in component])
+    cx = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        m_lit,
+        lambda a, b: a - b,
+    )
+    tmp = df.withColumn("_abtt_cx", cx).withColumn(
+        "_abtt_s",
+        F.aggregate(
+            F.zip_with(F.col("_abtt_cx"), v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+    )
+    resid = F.zip_with(
+        F.col("_abtt_cx"), v_lit, lambda c, vv: c - F.col("_abtt_s") * vv
+    )
+    return tmp.withColumn(out_col, resid).drop("_abtt_cx", "_abtt_s")

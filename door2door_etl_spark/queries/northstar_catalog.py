@@ -3280,3 +3280,108 @@ NORTHSTAR_QUERIES.append(
         ("northstar", "text"),
     )
 )
+
+
+def q_embedding_abtt(spark: SparkSession, sf: str) -> DataFrame:
+    """All-but-the-top post-processing report (Mu & Viswanath 2018;
+    operators.clustering.remove_top_pc over power_iteration_top_pc's
+    outputs): per label, the mean centered-vector norm BEFORE and AFTER
+    projecting out the top principal component — the anisotropy-removal
+    gauge (a large drop means one direction dominated the space).
+    Map-side residual arithmetic; per-row norms quantized to
+    DECIMAL(28,10) before the group mean (summation-order-independent,
+    the standing discipline)."""
+    from door2door_etl_spark.operators.clustering import (
+        power_iteration_top_pc,
+        remove_top_pc,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    v, _lam, mean = power_iteration_top_pc(
+        emb, dim=KM_DIM, iterations=PC_ITERS
+    )
+    r = remove_top_pc(emb, v, mean)
+    m_lit = F.array(*[F.lit(float(m)) for m in mean])
+    cx = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        m_lit,
+        lambda a, b: a - b,
+    )
+
+    def _norm(arr):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(arr, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+        )
+
+    staged = r.select(
+        "label",
+        _norm(cx).cast("decimal(28,10)").alias("_nb"),
+        _norm(F.col("resid")).cast("decimal(28,10)").alias("_na"),
+    )
+    return (
+        staged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum("_nb").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_norm_before"),
+            F.round(
+                F.sum("_na").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_norm_after"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_embedding_abtt() -> str:
+    t = PC_ITERS
+    pc = _sql_embedding_top_pc()
+    # reuse the full PC chain: strip its final SELECT, keep the WITH body
+    body = pc[: pc.rindex("SELECT CAST(u.d AS INT)")].rstrip().rstrip(",")
+    return f"""{body},
+abtt_vl AS (
+  SELECT list(pc_sgn.s * (CAST(u.uq AS DOUBLE) / 1000000.0 / n.nrm)
+              ORDER BY u.d) AS vl
+  FROM pc_u{t} u CROSS JOIN pc_n{t} n CROSS JOIN pc_sgn),
+abtt_ml AS (SELECT list(m ORDER BY d) AS ml FROM pc_mean),
+abtt_cx AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, {KM_DIM}),
+                        d -> e.v[d] - abtt_ml.ml[d]) AS cx
+  FROM pc_e e CROSS JOIN abtt_ml),
+abtt_s AS MATERIALIZED (
+  SELECT c.vec_id, c.cx, abtt_vl.vl,
+         list_sum(list_transform(generate_series(1, {KM_DIM}),
+                                 d -> c.cx[d] * abtt_vl.vl[d])) AS s
+  FROM abtt_cx c CROSS JOIN abtt_vl),
+abtt_n AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sqrt(list_sum(list_transform(cx, x -> x * x)))
+              AS DECIMAL(28,10)) AS nb,
+         CAST(sqrt(list_sum(list_transform(
+                list_transform(generate_series(1, {KM_DIM}),
+                               d -> cx[d] - s * vl[d]),
+                x -> x * x)))
+              AS DECIMAL(28,10)) AS na
+  FROM abtt_s)
+SELECT emb.label, count(*) AS n_vectors,
+       round(CAST(sum(n.nb) AS DOUBLE) / count(*), 6) AS mean_norm_before,
+       round(CAST(sum(n.na) AS DOUBLE) / count(*), 6) AS mean_norm_after
+FROM abtt_n n JOIN embeddings emb ON emb.vec_id = n.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+NORTHSTAR_QUERIES.append(
+    QueryDef(
+        "ns_embedding_abtt",
+        q_embedding_abtt,
+        _sql_embedding_abtt(),
+        "north-star similarity/all-but-the-top (top-PC removal anisotropy gauge)",
+        ("northstar", "similarity"),
+    )
+)

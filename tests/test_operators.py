@@ -4328,3 +4328,46 @@ def test_kneser_ney_bigram_known_answer(spark):
     # single-token docs excluded, not scored
     one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert kneser_ney_bigram_logprob(one).collect() == []
+
+
+def test_remove_top_pc_orthogonal_residual(spark):
+    """ABTT contract: residuals are orthogonal to the removed component
+    (|resid . v| ~ 0) and strictly shrink the centered norm on an
+    anisotropic corpus."""
+    import math
+    import random
+
+    from door2door_etl_spark.operators.clustering import (
+        power_iteration_top_pc,
+        remove_top_pc,
+    )
+
+    rng = random.Random(3)
+    direction = [2.0, -1.0, 0.5, 1.0]
+    dn = math.sqrt(sum(x * x for x in direction))
+    rows = []
+    for i in range(100):
+        t = rng.gauss(0, 3)
+        rows.append(
+            (i, [t * d / dn + rng.gauss(0, 0.1) for d in direction])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v, lam, mean = power_iteration_top_pc(df, dim=4, iterations=4)
+    r = remove_top_pc(df, v, mean)
+    vl = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(F.col("resid"), vl, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, y: a + y,
+    )
+    nrm = F.aggregate(
+        F.transform(F.col("resid"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, y: a + y,
+    )
+    got = r.select(
+        F.max(F.abs(dot)).alias("mdot"), F.avg(nrm).alias("mn")
+    ).collect()[0]
+    assert got["mdot"] < 1e-9
+    # dominant direction removed: mean residual energy << raw variance
+    assert got["mn"] < 1.0, got["mn"]
