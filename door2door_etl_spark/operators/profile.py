@@ -554,6 +554,8 @@ def fd_audit(
     Reference analog: none (the reference's monitor is fixed COUNT/MAX
     probes); schema-discovery capability next to :func:`profile_table`.
     """
+    if not pairs:
+        raise ValueError("fd_audit needs at least one (det, dep) pair")
     outs = []
     for det, dep in pairs:
         pair_counts = (
@@ -612,6 +614,8 @@ def referential_audit(
     orders of magnitude smaller than the child, so the anti join is the
     cheap side at any scale.
     """
+    if not edges:
+        raise ValueError("referential_audit needs at least one FK edge")
     outs = []
     for child_t, child_c, parent_t, parent_c in edges:
         child, parent = tables[child_t], tables[parent_t]
