@@ -212,6 +212,10 @@ def power_iteration_top_pc(
     Driver state is two ``dim``-length float lists per iteration (the
     same bounded-metadata posture as :func:`kmeans_fit_predict`'s
     centroid literals); the corpus never leaves the executors.
+
+    Reference analog: none (the reference stops at warehouse ETL,
+    /root/reference/README.md:18-41); north-star embedding-analytics
+    capability.
     """
     import math
 
