@@ -1716,3 +1716,67 @@ def substring_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def fastss_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    name_col: str = "name",
+    dirty_id: str = "dirty_id",
+    clean_id: str = "clean_id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Record linkage by FastSS deletion-neighborhood blocking
+    (Bocek, Hunt & Stiller 2007; the SymSpell candidate model): two
+    strings within edit distance 1 necessarily SHARE a single-deletion
+    variant (substitution → both delete position i; insert/delete →
+    one side deletes), so candidates are an EQUI-join on exploded
+    variant strings — never a similarity cross join — and a final
+    built-in ``levenshtein`` filter removes the over-generation
+    (sharing a variant only bounds distance ≤ 2).
+
+    Scale shape: each side explodes to ``len+1`` variants per record
+    (the string itself + each single-deletion), variants are
+    near-unique keys, so the join is hash-partitioned with ~linear
+    candidate volume; the verify step is per-candidate O(len²) JVM
+    ``levenshtein`` — no UDF, no quadratic pair space at any corpus
+    width.  ``max_dist`` currently supports 1 (the d=1 neighborhood
+    guarantee; deeper distances need recursive deletions — the same
+    explode with a variant-depth loop).
+
+    Output: distinct ``(dirty_id, clean_id, dist)`` with
+    ``dist ≤ max_dist``.
+
+    Reference analog: none (the reference has no fuzzy matching);
+    north-star record-linkage capability next to the dedup family.
+    """
+    if max_dist != 1:
+        raise ValueError("fastss_match supports max_dist=1 (d=1 guarantee)")
+
+    def variants(side: DataFrame, idc: str, tag: str) -> DataFrame:
+        v = F.expr(
+            f"array_distinct(concat(array({name_col}), "
+            f"transform(sequence(1, length({name_col})), "
+            f"i -> concat(substring({name_col}, 1, i - 1), "
+            f"substring({name_col}, i + 1, length({name_col}))))))"
+        )
+        return side.select(
+            F.col(idc).alias(f"_{tag}_id"),
+            F.col(name_col).alias(f"_{tag}_name"),
+            F.explode(v).alias("_v"),
+        )
+
+    dv = variants(dirty, dirty_id, "d")
+    cv = variants(clean, clean_id, "c")
+    return (
+        dv.join(cv, "_v")
+        .select("_d_id", "_c_id", "_d_name", "_c_name")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("_d_name"), F.col("_c_name")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("_d_id").alias(dirty_id),
+            F.col("_c_id").alias(clean_id),
+            "dist",
+        )
+    )

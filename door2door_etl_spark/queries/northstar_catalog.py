@@ -3385,3 +3385,77 @@ NORTHSTAR_QUERIES.append(
         ("northstar", "similarity"),
     )
 )
+
+
+def q_fastss_entity_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage by FastSS deletion-neighborhood blocking
+    (operators.dedup.fastss_match): a deterministic 'dirty' twin of the
+    customer roster (every third customer's name loses the character at
+    position custkey mod len + 1 — simulated data-entry truncation)
+    matched back to the clean roster within edit distance 1.  The
+    candidate model is an EQUI-join on exploded single-deletion
+    variants (never a similarity cross join); built-in levenshtein
+    verifies.  Sequential TPC-H names make some dirty records match
+    MULTIPLE clean neighbors — the report keeps them all (resolution
+    policy is the caller's)."""
+    from door2door_etl_spark.operators.dedup import fastss_match
+
+    cust = load_table(spark, sf, "customer")
+    cut = F.pmod(F.col("c_custkey"), F.length("c_name"))
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.expr(
+                "substring(c_name, 1, pmod(c_custkey, length(c_name)))"
+            ),
+            F.expr(
+                "substring(c_name, pmod(c_custkey, length(c_name)) + 2, "
+                "length(c_name))"
+            ),
+        ).alias("name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"), F.col("c_name").alias("name")
+    )
+    return fastss_match(
+        dirty, clean, name_col="name",
+        dirty_id="dirty_key", clean_id="clean_key",
+    ).orderBy("dirty_key", "clean_key")
+
+
+SQL_FASTSS_ENTITY_MATCH = """
+WITH dirty AS (
+  SELECT c_custkey AS dk,
+         substr(c_name, 1, c_custkey % length(c_name))
+         || substr(c_name, c_custkey % length(c_name) + 2,
+                   length(c_name)) AS nm
+  FROM customer WHERE c_custkey % 3 = 0),
+dv AS (
+  SELECT dk, nm,
+         unnest(list_distinct(list_prepend(nm,
+           list_transform(generate_series(1, length(nm)),
+             i -> substr(nm, 1, i - 1)
+                  || substr(nm, i + 1, length(nm)))))) AS v
+  FROM dirty),
+cv AS (
+  SELECT c_custkey AS ck, c_name AS cn,
+         unnest(list_distinct(list_prepend(c_name,
+           list_transform(generate_series(1, length(c_name)),
+             i -> substr(c_name, 1, i - 1)
+                  || substr(c_name, i + 1, length(c_name)))))) AS v
+  FROM customer),
+cand AS (SELECT DISTINCT dk, ck, nm, cn FROM dv JOIN cv USING (v))
+SELECT dk AS dirty_key, ck AS clean_key, levenshtein(nm, cn) AS dist
+FROM cand WHERE levenshtein(nm, cn) <= 1
+ORDER BY dirty_key, clean_key
+"""
+
+NORTHSTAR_QUERIES.append(
+    QueryDef(
+        "ns_fastss_entity_match",
+        q_fastss_entity_match,
+        SQL_FASTSS_ENTITY_MATCH,
+        "north-star dedup/record-linkage (FastSS deletion-neighborhood blocking + levenshtein verify)",
+        ("northstar", "dedup"),
+    )
+)

@@ -4371,3 +4371,34 @@ def test_remove_top_pc_orthogonal_residual(spark):
     assert got["mdot"] < 1e-9
     # dominant direction removed: mean residual energy << raw variance
     assert got["mn"] < 1.0, got["mn"]
+
+
+def test_fastss_match_known_answers(spark):
+    """FastSS d=1 contract: deletions, insertions and substitutions at
+    distance 1 all match (they share a single-deletion variant);
+    distance-2 strings may share a variant but the levenshtein verify
+    drops them; unrelated strings never meet."""
+    from door2door_etl_spark.operators.dedup import fastss_match
+
+    dirty = spark.createDataFrame(
+        [(1, "aple"), (2, "banxna"), (3, "zzz")],
+        "dirty_id long, name string",
+    )
+    clean = spark.createDataFrame(
+        [(10, "apple"), (11, "banana"), (12, "ample"), (13, "qqq")],
+        "clean_id long, name string",
+    )
+    got = {
+        (r.dirty_id, r.clean_id): r.dist
+        for r in fastss_match(dirty, clean).collect()
+    }
+    # aple->apple (insert p), aple->ample (insert m): both distance 1
+    assert got[(1, 10)] == 1 and got[(1, 12)] == 1
+    assert got[(2, 11)] == 1  # banxna->banana substitution
+    assert (3, 13) not in got  # distance 3, never a candidate
+    assert all(d <= 1 for d in got.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist=1"):
+        fastss_match(dirty, clean, max_dist=2)
