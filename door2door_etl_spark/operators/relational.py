@@ -994,3 +994,107 @@ def holt_forecast(
             ),
         )
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    season: int = 4,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+) -> DataFrame:
+    """Per-key ADDITIVE Holt-Winters triple-exponential smoothing
+    (Winters 1960) — the last rung of the module's smoothing ladder
+    (EMA: level; Holt: level+trend; here: level+trend+SEASON), for
+    telemetry with a repeating cycle of length ``season``:
+
+        init (first m points):  l = mean(v_1..v_m), b = 0,
+                                s_j = v_j − l
+        step (i > m), p = season slot of i:
+            l' = α (v_i − s_p) + (1−α)(l + b)
+            b' = β (l' − l) + (1−β) b
+            s_p' = γ (v_i − l') + (1−γ) s_p
+        one-step forecast = l + b + s_{next slot}
+
+    Execution: the standing sequential-fold shape —
+    ``array_sort(collect_list)`` + ONE Catalyst ``aggregate`` whose
+    accumulator is ``struct(l, b, s: array<double>, k)`` (``k`` counts
+    steps for the season slot); one shuffle, zero Python.  The season
+    array updates IN-ROW via an index-conditional ``transform`` —
+    engine-portable, unlike any mutate-in-place accumulator.
+    Determinism: one fixed left-to-right IEEE chain; the DuckDB twin
+    steps the identical chain in a per-key recursive CTE (NOT a
+    struct ``list_reduce`` — the module's documented DuckDB 1.0
+    field-sequential-mutation hazard), so 6dp-rounded outputs
+    hash-match.  Keys need at least ``season`` points (an incomplete
+    first cycle has no seasonal estimate — excluded, not zero-filled).
+
+    Output: keys + ``(n_points, level, trend, s1..s{season},
+    forecast)``.
+    """
+    m = int(season)
+    a, bt, g = float(alpha), float(beta), float(gamma)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols], F.col(value_col).alias("_v")
+            )
+        )
+    )
+    vals = F.transform(ordered, lambda s: s["_v"].cast("double"))
+    head = F.slice(vals, 1, m)
+    init_l = (
+        F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x) / F.lit(float(m))
+    )
+    init = F.struct(
+        init_l.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(head, lambda v: v - init_l).alias("s"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc, x):
+        idx0 = F.pmod(acc["k"], F.lit(m))  # 0-based season slot
+        s_p = F.element_at(acc["s"], idx0 + 1)
+        new_l = F.lit(a) * (x - s_p) + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        new_b = F.lit(bt) * (new_l - acc["l"]) + F.lit(1.0 - bt) * acc["b"]
+        new_sp = F.lit(g) * (x - new_l) + F.lit(1.0 - g) * s_p
+        new_s = F.transform(
+            acc["s"],
+            lambda e, j: F.when(j == idx0, new_sp).otherwise(e),
+        )
+        return F.struct(
+            new_l.alias("l"), new_b.alias("b"), new_s.alias("s"),
+            (acc["k"] + 1).alias("k"),
+        )
+
+    state = F.aggregate(
+        F.slice(vals, m + 1, F.greatest(F.size(vals) - m, F.lit(0))),
+        init,
+        step,
+    )
+    # try_element_at: a key with fewer than m points has a short
+    # seasonal array — it is FILTERED below, but the projection still
+    # evaluates first and ANSI element_at would throw on it
+    next_s = F.try_element_at(state["s"], F.pmod(state["k"], F.lit(m)) + 1)
+    out_cols = [
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+    ]
+    for j in range(1, m + 1):
+        out_cols.append(
+            F.round(F.try_element_at(state["s"], F.lit(j)), 6).alias(f"s{j}")
+        )
+    out_cols.append(
+        F.round(state["l"] + state["b"] + next_s, 6).alias("forecast")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(*out_cols)
+        .filter(F.col("n_points") >= m)
+    )

@@ -997,3 +997,70 @@ INSIGHT_QUERIES: list[QueryDef] = [
     QueryDef("rel_funnel_time_bound", q_funnel_time_bound, SQL_FUNNEL_TIME_BOUND, "time-bound conversion funnel: each stage within a gap of the previous match", ("rel", "insight")),
     QueryDef("ns_containment_pairs", q_containment_pairs, _sql_containment_pairs(), "Broder-containment subset-duplication screen (the class Jaccard under-ranks)", ("northstar", "dedup")),
 ]
+
+
+def q_hw_seasonal_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user additive Holt-Winters smoothing of event value
+    (operators.relational.holt_winters_forecast, m=4, alpha=0.3,
+    beta=0.2, gamma=0.3): level + trend + a 4-slot seasonal state
+    folded in ONE Catalyst aggregate (struct+array accumulator, single
+    shuffle, zero Python) — the last rung of the smoothing ladder after
+    rel_ema_user_value and rel_holt_user_trend.  The twin steps the
+    identical IEEE chain in a per-key recursive CTE (never a struct
+    list_reduce — the documented DuckDB 1.0 hazard)."""
+    from door2door_etl_spark.operators.relational import (
+        holt_winters_forecast,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return holt_winters_forecast(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", season=4, alpha=0.3, beta=0.2, gamma=0.3,
+    )
+
+
+SQL_HW_SEASONAL_FORECAST = """
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+nn AS (SELECT user_id, max(i) AS n FROM seq GROUP BY 1),
+init AS (
+  SELECT user_id, list_sum(lv) / 4.0 AS l, CAST(0.0 AS DOUBLE) AS b,
+         list_transform(lv, x -> x - list_sum(lv) / 4.0) AS s
+  FROM (SELECT user_id, list(v ORDER BY i) AS lv
+        FROM seq WHERE i <= 4 GROUP BY 1 HAVING count(*) = 4)),
+hw AS (
+  SELECT user_id, CAST(4 AS BIGINT) AS i, l, b, s FROM init
+  UNION ALL
+  SELECT q.user_id, q.i,
+    CAST(0.3 * (q.v - h.s[((h.i - 4) % 4) + 1]) + 0.7 * (h.l + h.b)
+         AS DOUBLE),
+    CAST(0.2 * ((0.3 * (q.v - h.s[((h.i - 4) % 4) + 1])
+                 + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b AS DOUBLE),
+    list_transform(h.s, (e, j) -> CASE WHEN j = ((h.i - 4) % 4) + 1
+      THEN 0.3 * (q.v - (0.3 * (q.v - h.s[((h.i - 4) % 4) + 1])
+                         + 0.7 * (h.l + h.b)))
+           + 0.7 * h.s[((h.i - 4) % 4) + 1]
+      ELSE e END)
+  FROM hw h JOIN seq q ON q.user_id = h.user_id AND q.i = h.i + 1)
+SELECT h.user_id, nn.n AS n_points,
+       round(h.l, 6) AS level, round(h.b, 6) AS trend,
+       round(h.s[1], 6) AS s1, round(h.s[2], 6) AS s2,
+       round(h.s[3], 6) AS s3, round(h.s[4], 6) AS s4,
+       round(h.l + h.b + h.s[((nn.n - 4) % 4) + 1], 6) AS forecast
+FROM hw h JOIN nn ON h.user_id = nn.user_id AND h.i = nn.n
+WHERE nn.n >= 4
+"""
+
+INSIGHT_QUERIES.append(
+    QueryDef(
+        "rel_hw_seasonal_forecast",
+        q_hw_seasonal_forecast,
+        SQL_HW_SEASONAL_FORECAST,
+        "additive Holt-Winters level+trend+season fold (struct+array accumulator, recursive-CTE twin)",
+        ("rel", "insight"),
+    )
+)

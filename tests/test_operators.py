@@ -4402,3 +4402,35 @@ def test_fastss_match_known_answers(spark):
 
     with _pytest.raises(ValueError, match="max_dist=1"):
         fastss_match(dirty, clean, max_dist=2)
+
+
+def test_holt_winters_fold_matches_python_reference(spark):
+    """The HW struct+array fold is bit-identical (at 6dp) to the
+    sequential Python reference on an irregular series; keys with
+    fewer than `season` points are excluded."""
+    from door2door_etl_spark.operators.relational import (
+        holt_winters_forecast,
+    )
+
+    vals = [10.0, 12.0, 9.0, 11.0, 10.5, 12.5, 9.5, 11.5, 11.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)] + [(2, 0, 5.0)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    out = {r.k: r for r in holt_winters_forecast(
+        df, ["k"], ["i"], "v").collect()}
+    assert 2 not in out  # single point: no seasonal estimate
+
+    m, a, b_, g = 4, 0.3, 0.2, 0.3
+    l = sum(vals[:4]) / 4.0
+    b = 0.0
+    s = [v - l for v in vals[:4]]
+    for k, x in enumerate(vals[4:]):
+        p = k % m
+        nl = a * (x - s[p]) + (1 - a) * (l + b)
+        nb = b_ * (nl - l) + (1 - b_) * b
+        s[p] = g * (x - nl) + (1 - g) * s[p]
+        l, b = nl, nb
+    kk = len(vals) - m
+    got = out[1]
+    assert got.level == round(l, 6) and got.trend == round(b, 6)
+    assert [got.s1, got.s2, got.s3, got.s4] == [round(x, 6) for x in s]
+    assert got.forecast == round(l + b + s[kk % m], 6)
