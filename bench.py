@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "ns_ref_integrity_audit",
     "rel_pareto_frontier_parts",
     "rel_rfm_segments",
+    "rel_hw_seasonal_forecast",
+    "ns_embedding_abtt",
     "rel_holt_user_trend",
     "ns_multimodal_jpeg_decode",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
