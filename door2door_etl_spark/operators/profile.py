@@ -616,6 +616,21 @@ def referential_audit(
     """
     if not edges:
         raise ValueError("referential_audit needs at least one FK edge")
+    # one stats aggregate per DISTINCT child table, covering every FK
+    # column audited on it — a fact table with several FK edges
+    # (lineitem: orders/part/supplier) scans once for its row/null
+    # stats, not once per edge
+    stats_by_child: dict[str, "DataFrame"] = {}
+    for child_t in {e[0] for e in edges}:
+        cols = [e[1] for e in edges if e[0] == child_t]
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"_nulls_{c}"
+                )
+            )
+        stats_by_child[child_t] = tables[child_t].agg(*aggs)
     outs = []
     for child_t, child_c, parent_t, parent_c in edges:
         child, parent = tables[child_t], tables[parent_t]
@@ -630,9 +645,8 @@ def referential_audit(
                 "left_anti",
             )
         )
-        stats = child.agg(
-            F.count(F.lit(1)).alias("_rows"),
-            F.sum(F.when(ck.isNull(), 1).otherwise(0)).alias("_nulls"),
+        stats = stats_by_child[child_t].select(
+            F.col("_rows"), F.col(f"_nulls_{child_c}").alias("_nulls")
         )
         orphan_rows = (
             child.select(ck.alias("_k"))
