@@ -1045,3 +1045,29 @@ def test_cusum_matches_python_reference(spark, vals):
         best = max(best, s_run - run_min)
     assert row.mean == mean
     assert row.max_cusum == float(q(float(best), "1e-6"))
+
+
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=7),
+    st.sampled_from(["delete", "insert", "substitute"]),
+    st.sampled_from("abcd"),
+)
+@settings(max_examples=60, deadline=None)
+def test_fastss_deletion_neighborhood_guarantee(base, pos, op, ch):
+    """The FastSS d=1 theorem, property-checked in pure Python against
+    the operator's variant expression semantics: ANY single edit of a
+    string shares a single-deletion variant with the original (the
+    candidate join can never miss a distance-1 pair)."""
+    pos = min(pos, len(base) - 1 if op != "insert" else len(base))
+    if op == "delete":
+        edited = base[:pos] + base[pos + 1:]
+    elif op == "insert":
+        edited = base[:pos] + ch + base[pos:]
+    else:
+        edited = base[:pos] + ch + base[pos + 1:]
+
+    def variants(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    assert variants(base) & variants(edited), (base, edited)
