@@ -390,7 +390,17 @@ class FsOps(Protocol):
     walk_files     os.walk                 LIST with prefix
     delete_file    os.unlink               DELETE
     file_age_s     stat().st_mtime         LastModified header
+    dir_age_s      getmtime if isdir       None (prefixes aren't
+                   else None               entities — nothing to age)
+    remove_dir     shutil.rmtree           no-op (no directory objects)
     ============== ======================= ============================
+
+    ``dir_age_s``/``remove_dir`` exist because POSIX directories are
+    real entities that can be empty-but-live (a writer mkdir'd its
+    staging skeleton before any task flushed a file) while object-store
+    "directories" are pure name prefixes: an empty prefix holds no
+    bytes, so there is nothing to sweep and nothing to age-gate —
+    which is exactly what ``dir_age_s() -> None`` tells the caller.
     """
 
     def put_if_absent(self, path: str, data: bytes) -> bool: ...
@@ -402,6 +412,8 @@ class FsOps(Protocol):
     def delete_file(self, path: str) -> None: ...
     def file_age_s(self, path: str) -> float: ...
     def file_size(self, path: str) -> int: ...
+    def dir_age_s(self, path: str) -> float | None: ...
+    def remove_dir(self, path: str) -> None: ...
 
 
 class LocalFsOps:
@@ -502,6 +514,27 @@ class LocalFsOps:
             return os.path.getsize(path)
         except OSError:
             return 0
+
+    def dir_age_s(self, path: str) -> float | None:
+        """Age of the DIRECTORY entry itself, or None when ``path`` is
+        not a directory (vanished, or a stray file).  POSIX skeleton
+        dirs with no files yet are live entities — a writer may have
+        mkdir'd them while its tasks haven't flushed their first file —
+        so their own mtime is the honest age gate; never treat
+        emptiness as infinitely old."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            return time.time() - os.path.getmtime(path)
+        except OSError:
+            return None
+
+    def remove_dir(self, path: str) -> None:
+        """Remove an emptied staging directory tree (POSIX skeleton
+        cleanup after its files were swept)."""
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
     @staticmethod
     def _fsync_dir(path: str) -> None:
@@ -2242,6 +2275,17 @@ class S3FsOps:
             raise
         lm = head["LastModified"]
         return max(0.0, time.time() - lm.timestamp())
+
+    def dir_age_s(self, path: str) -> float | None:
+        """Object store: a "directory" is a name prefix, not an entity
+        with its own mtime — an empty prefix holds no bytes, so there
+        is nothing to sweep and nothing to age-gate.  Always None."""
+        return None
+
+    def remove_dir(self, path: str) -> None:
+        """No directory objects on an object store — deleting the last
+        key under a prefix already removed the "directory"."""
+        return None
 
     def file_size(self, path: str) -> int:
         bucket, key = self._parse(path)

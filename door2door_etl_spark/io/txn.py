@@ -514,8 +514,6 @@ def recover(
     #       journal retains a FULL COPY of every batch ever written
     #       (records and markers stay: they are bytes-sized and carry
     #       the idempotent-replay contract).
-    import shutil
-
     min_age = sweep_min_age_hours * 3600
     for name in sorted(txn.staging_fs.list_names(txn.staging_root)):
         if name.startswith("txn-") and "." not in name:
@@ -526,25 +524,26 @@ def recover(
                 age = min(
                     txn.staging_fs.file_age_s(f) for f in staged_files
                 )
-            elif os.path.isdir(path):
-                # POSIX skeleton dir with no files yet: a live writer may
-                # have mkdir'd it while its tasks haven't flushed their
-                # first file — gate on the DIRECTORY's own age, never
-                # treat emptiness as infinitely old.
-                import time as _time
-
-                age = _time.time() - os.path.getmtime(path)
             else:
-                # object store: "directories" are name prefixes — an
-                # empty prefix holds no bytes, so there is nothing to
-                # sweep (and nothing to age-gate).
-                continue
+                # No staged bytes: ask the BACKEND what emptiness means.
+                # POSIX (LocalFsOps.dir_age_s): a skeleton dir is a live
+                # entity a writer may have just mkdir'd — gate on the
+                # directory's own mtime, never treat emptiness as
+                # infinitely old.  Object store (S3FsOps.dir_age_s →
+                # None): "directories" are name prefixes, an empty
+                # prefix holds no bytes — nothing to sweep or age-gate.
+                dir_age = txn.staging_fs.dir_age_s(path)
+                if dir_age is None:
+                    continue
+                age = dir_age
             dead = not txn._exists(txn._record_path(txn_id)) or txn._exists(
                 txn._done_marker(txn_id)
             )
             if age >= min_age and dead:
                 for f in staged_files:
                     txn.staging_fs.delete_file(f)
-                if os.path.isdir(path):  # POSIX skeleton dirs
-                    shutil.rmtree(path, ignore_errors=True)
+                # POSIX skeleton/emptied dirs; object-store backends
+                # no-op (the last delete_file already removed the
+                # "directory").
+                txn.staging_fs.remove_dir(path)
     return out

@@ -645,6 +645,11 @@ def modularity(
     )
 
 
+# BIGINT-exact bound for the Louvain gain score: factors are <= 2m, the
+# products reach 4m², so int64 is exact only while m < floor(sqrt(2^63)/2).
+_LOUVAIN_BIGINT_SAFE_M = 1_518_500_249
+
+
 def louvain(
     edges: DataFrame,
     src_col: str = "src",
@@ -675,11 +680,17 @@ def louvain(
 
         score_int(i, C) = 2m·k_iC − k_i·(Σtot_C − [C = own]·k_i)
 
-    — exact BIGINT arithmetic end-to-end (weights are integers; the
-    products stay ≪ 2⁶³ for any graph whose edge count fits a long), so
-    the (score DESC, community ASC) tie-break can never split on a
-    floating-point bit and an unrolled SQL twin reaches the identical
-    labeling.  Classical sequential Louvain is order-dependent; this
+    — exact integer arithmetic end-to-end, so the (score DESC,
+    community ASC) tie-break can never split on a floating-point bit
+    and an unrolled SQL twin reaches the identical labeling.  Overflow
+    bound, stated honestly: each factor is ≤ 2m, so the products reach
+    4m² and BIGINT holds them only while total edge weight
+    m < ⌊√(2⁶³)/2⌋ ≈ 1.5e9 — NOT "any edge count that fits a long".
+    Past that threshold the score switches AUTOMATICALLY to
+    DECIMAL(38,0) (exact to 10³⁸, safe for every m ≤ 5e18, i.e. any m
+    that fits a long), because with ANSI off a wrapped BIGINT would
+    silently pick wrong communities; both paths are exact integers, so
+    wherever both are defined they label identically.  Classical sequential Louvain is order-dependent; this
     synchronous variant trades per-round convergence speed for that
     determinism — the same trade :func:`label_propagation` makes, and
     the honest bulk-synchronous posture at 100 TB (a sequential node
@@ -703,14 +714,23 @@ def louvain(
 
     Each round is a HALF-sweep (round r lets class r mod 2 move), so
     ``local_rounds`` should be even to give both classes equal turns;
-    the default 4 = two full alternating sweeps per level.
+    the default 4 = two full alternating sweeps per level.  A level
+    EARLY-EXITS once a full alternating sweep moves zero nodes: the
+    labeling is then a fixed point (each further round recomputes the
+    identical state), so skipping the remaining rounds is
+    parity-safe — the exact labeling, and hence the result hash, is
+    unchanged.  ``local_rounds`` stays the determinism-visible UPPER
+    bound the SQL twin unrolls to.
 
     Plan shape per round: community degree-mass aggregate, one
-    edges×labels join + (node, community) aggregate for k_iC, one
-    bounded union for the stay-home candidate, one per-node window
-    pick; the label vector localCheckpoints per round (the module's
-    standing lineage discipline).  Contraction is two label joins + one
-    (c_u, c_v) aggregate.  m broadcasts as a one-row scalar.
+    edges×labels join + (node, community) aggregate for k_iC, the
+    stay-home candidate unioned WITHOUT a re-aggregate (duplicate own
+    rows are provably pick-invariant — see :func:`_louvain_round`, one
+    neighbor-sized shuffle saved per round), one per-node window pick;
+    the label vector localCheckpoints per round (the module's standing
+    lineage discipline) and the move count is a cache scan of that
+    checkpoint.  Contraction is two label joins + one (c_u, c_v)
+    aggregate.  m broadcasts as a one-row scalar.
 
     Reference analog: none (the reference has no graph analytics);
     north-star capability next to :func:`label_propagation` — LPA
@@ -734,6 +754,11 @@ def louvain(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m_df = ew.agg(F.sum("w").alias("_m"))  # invariant under contraction
+    # One bounded driver scalar (also warms the ew cache): pick the
+    # score arithmetic.  BIGINT is exact only while 4m² < 2⁶³
+    # (m ≲ 1.5e9); past that, DECIMAL(38,0) — see the docstring bound.
+    m_val = int(m_df.collect()[0]["_m"] or 0)
+    use_decimal = m_val > _LOUVAIN_BIGINT_SAFE_M
 
     # level-0 → original-node mapping accumulates across levels
     mapping = None
@@ -761,10 +786,30 @@ def louvain(
         labels = deg.select(
             "node", F.col("node").alias("label")
         ).localCheckpoint(eager=True)
+        zero_streak = 0
         for r in range(int(local_rounds)):
-            labels = _louvain_round(
-                sym, deg, labels, m_df, active_class=r % 2
+            stepped = _louvain_round(
+                sym,
+                deg,
+                labels,
+                m_df,
+                active_class=r % 2,
+                use_decimal=use_decimal,
             ).localCheckpoint(eager=True)
+            # EARLY EXIT (parity-safe): the move count reads the
+            # just-materialized checkpoint, so it costs one cheap
+            # cache-scan job; when a FULL alternating sweep (both move
+            # classes) moves zero nodes the labeling is a fixed point —
+            # every further round would recompute the identical state,
+            # so skipping them cannot change the result hash.
+            n_moved = stepped.where(F.col("_mv")).count()
+            labels = stepped.drop("_mv")
+            if n_moved == 0:
+                zero_streak += 1
+                if zero_streak >= 2:
+                    break
+            else:
+                zero_streak = 0
         mapping = (
             labels.select(
                 F.col("node").alias("orig"), F.col("label").alias("c")
@@ -806,13 +851,30 @@ def _louvain_round(
     labels: DataFrame,
     m_df: DataFrame,
     active_class: int = 0,
+    use_decimal: bool = False,
 ) -> DataFrame:
     """One synchronous Louvain half-sweep (plan-assertable
     pre-checkpoint): community degree masses, neighbor-community
     weights, the stay-home candidate union, the exact-integer score,
     the per-node (score DESC, community ASC) pick — restricted to
     STRICT improvements by nodes in ``active_class`` of the Knuth-bit
-    2-coloring; everyone else keeps their label."""
+     2-coloring; everyone else keeps their label.
+
+    The stay-home candidate rides the union WITHOUT a re-aggregate:
+    when a node has real intra-community edges its (node, own) row from
+    the neighbor aggregate coexists with the zero-weight union row, and
+    both the own-score window (a max over own-community rows — the real
+    row dominates, score is monotonic in k_iC at fixed community) and
+    the final pick (duplicate candidates carry the identical (node,
+    label) payload) are insensitive to the duplicate — so the fused
+    plan drops one full neighbor-relation-sized shuffle per half-sweep
+    with a value-identical labeling.
+
+    Output carries a ``_mv`` flag (did this node change community?) so
+    the caller's fixed-point early exit can count moves with one cheap
+    scan of the materialized checkpoint instead of a labels×labels
+    join.  ``use_decimal`` switches the gain score to DECIMAL(38,0)
+    past the BIGINT-exact bound (see :func:`louvain`)."""
     from pyspark.sql import Window
 
     knuth_bit = F.expr("pmod(div(node * 2654435761, 65536), 2)")
@@ -833,38 +895,29 @@ def _louvain_round(
         .groupBy(F.col("u").alias("node"), "_c")
         .agg(F.sum("w").alias("_kuc"))
     )
-    cand = (
-        nb.unionAll(
-            labels.select(
-                "node", F.col("label").alias("_c"), F.lit(0).cast("long").alias("_kuc")
-            )
+    cand = nb.unionAll(
+        labels.select(
+            "node", F.col("label").alias("_c"), F.lit(0).cast("long").alias("_kuc")
         )
-        .groupBy("node", "_c")
-        .agg(F.max("_kuc").alias("_kuc"))
     )
     own = active.select(
         F.col("node").alias("_n2"), F.col("label").alias("_own")
+    )
+    ity = "decimal(38,0)" if use_decimal else "long"
+    score_expr = F.lit(2).cast(ity) * F.col("_m").cast(ity) * F.col(
+        "_kuc"
+    ).cast(ity) - F.col("k").cast(ity) * (
+        F.col("_tot").cast(ity)
+        - F.when(F.col("_c") == F.col("_own"), F.col("k"))
+        .otherwise(F.lit(0))
+        .cast(ity)
     )
     scored = (
         cand.join(own, cand["node"] == F.col("_n2"))  # active nodes only
         .join(deg, "node")
         .join(tot, "_c")
         .crossJoin(F.broadcast(m_df))
-        .select(
-            "node",
-            "_c",
-            "_own",
-            (
-                F.lit(2) * F.col("_m") * F.col("_kuc")
-                - F.col("k")
-                * (
-                    F.col("_tot")
-                    - F.when(F.col("_c") == F.col("_own"), F.col("k")).otherwise(
-                        F.lit(0)
-                    )
-                )
-            ).alias("_score"),
-        )
+        .select("node", "_c", "_own", score_expr.alias("_score"))
     )
     # strict improvement: drop candidates not beating the own-community
     # score, then pick by (score DESC, community ASC) — the own row
@@ -883,9 +936,15 @@ def _louvain_round(
         )
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("node", F.col("_c").alias("label"))
+        .select(
+            "node",
+            F.col("_c").alias("label"),
+            (F.col("_c") != F.col("_own")).alias("_mv"),
+        )
     )
-    return moved.unionAll(inactive)
+    return moved.unionAll(
+        inactive.select("node", "label", F.lit(False).alias("_mv"))
+    )
 
 
 def sssp_weighted(

@@ -1629,6 +1629,14 @@ def kneser_ney_bigram_logprob(
     has nothing to say about shorter ones — excluded, not scored 0).
 
     Output: ``(id_col, n_bigrams, kn_log2p)``.
+
+    Cache contract (same as ``ngram_jaccard_pairs(persist_shingles=
+    True)``): two narrow intermediates — the tokenized docs and the
+    bigram-count relation, each read twice by the returned plan — are
+    persisted MEMORY_AND_DISK and the CALLER owns their lifetime:
+    unpersist via ``spark.catalog.clearCache()`` (or let LRU evict)
+    once the result is materialized.  Unpersisting here would defeat
+    the reuse, because the returned DataFrame is lazy.
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -1136,7 +1136,17 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     accumulation order can never move a bit — the money-aggregate
     discipline), and every ntile ordering is on exact values.  One
     aggregate + three windows over the same per-customer relation: a
-    single shuffle on the aggregate, windows reuse its output."""
+    single shuffle on the aggregate, windows reuse its output.
+
+    Scale posture: the three ``ntile(5)`` windows are UNPARTITIONED —
+    exact global quintiles require a total order, which funnels the
+    per-customer relation through one partition (the module's standing
+    single-partition-window hazard).  Fine at bench scale (one row per
+    customer); at true 100 TB scale the banding would switch to
+    ``approx_percentile`` cut points broadcast back (approximate but
+    distributed) or a two-pass exact-rank banding over range
+    partitioning — exact ntile semantics and hash parity are why the
+    bench row keeps the window form."""
     orders = load_table(spark, sf, "orders")
     per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),

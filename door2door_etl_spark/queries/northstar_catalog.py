@@ -3401,7 +3401,6 @@ def q_fastss_entity_match(spark: SparkSession, sf: str) -> DataFrame:
     from door2door_etl_spark.operators.dedup import fastss_match
 
     cust = load_table(spark, sf, "customer")
-    cut = F.pmod(F.col("c_custkey"), F.length("c_name"))
     dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("dirty_key"),
         F.concat(

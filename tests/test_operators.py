@@ -4203,6 +4203,48 @@ def test_louvain_two_triangles_and_beats_lpa(spark):
         assert len(trio) == 1, comms
 
 
+def test_louvain_decimal_score_path_and_early_exit_parity(spark):
+    """(a) The DECIMAL(38,0) gain-score path — the automatic escape
+    past the BIGINT-exact bound m ~ 1.5e9 — labels a half-sweep
+    identically to the BIGINT path (both are exact integer arithmetic,
+    so the (score DESC, community ASC) pick cannot differ).  (b) The
+    fixed-point early exit is parity-safe: a far-oversized round budget
+    returns the exact labeling the default budget does (extra rounds
+    past convergence recompute the identical state, and the exit skips
+    them instead)."""
+    from door2door_etl_spark.operators.graph import _louvain_round, louvain
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    ew = edges.selectExpr("src AS u", "dst AS v", "CAST(1 AS LONG) AS w")
+    sym = ew.unionAll(ew.selectExpr("v AS u", "u AS v", "w"))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
+    labels = deg.selectExpr("node", "node AS label")
+    m_df = ew.agg(F.sum("w").alias("_m"))
+    out_long = {
+        (r.node, r.label, r._mv)
+        for r in _louvain_round(
+            sym, deg, labels, m_df, active_class=0, use_decimal=False
+        ).collect()
+    }
+    out_dec = {
+        (r.node, r.label, r._mv)
+        for r in _louvain_round(
+            sym, deg, labels, m_df, active_class=0, use_decimal=True
+        ).collect()
+    }
+    assert out_long == out_dec
+
+    base = {r.node: r.community for r in louvain(edges).collect()}
+    wide = {
+        r.node: r.community
+        for r in louvain(edges, local_rounds=12).collect()
+    }
+    assert wide == base
+
+
 def test_sssp_weighted_known_answer_and_round_bound(spark):
     """Bellman-Ford known answer: the cheap 3-edge path beats the direct
     expensive edge; a path longer than the round budget stays at the

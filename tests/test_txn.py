@@ -670,6 +670,62 @@ def test_recover_spares_empty_staging_dir_until_age_gate(spark, tmp_path):
     assert not empty.exists()
 
 
+def test_recover_empty_dir_sweep_routes_through_fsops_seam(
+    spark, tmp_path
+):
+    """The empty-staging-dir age gate consults the BACKEND via
+    ``FsOps.dir_age_s`` / ``FsOps.remove_dir`` instead of raw
+    os.path calls (ADVICE r11 low): a backend reporting object-store
+    semantics (dir_age_s → None: prefixes aren't entities) makes the
+    sweep skip an empty "dir" even when the POSIX path under it is
+    ancient — the decision provably flows through the seam.  Also pins
+    the LocalFsOps/S3FsOps capability contracts themselves."""
+    import time as _time
+
+    from door2door_etl_spark.io.manifest import LocalFsOps, S3FsOps
+    from tests.test_manifest import _FakeS3Client
+
+    # capability contracts
+    lfs = LocalFsOps()
+    d = tmp_path / "somedir"
+    d.mkdir()
+    age = lfs.dir_age_s(str(d))
+    assert age is not None and 0 <= age < 60
+    assert lfs.dir_age_s(str(tmp_path / "missing")) is None
+    f = tmp_path / "afile"
+    f.write_bytes(b"x")
+    assert lfs.dir_age_s(str(f)) is None  # a stray file is not a dir
+    lfs.remove_dir(str(d))
+    assert not d.exists()
+
+    s3 = S3FsOps(client=_FakeS3Client())
+    assert s3.dir_age_s("s3://bucket/any/prefix") is None
+    s3.remove_dir("s3://bucket/any/prefix")  # documented no-op
+
+    # routing: object-store dir semantics override the POSIX reality
+    class _PrefixFs(LocalFsOps):
+        def dir_age_s(self, path):
+            return None
+
+    j = tmp_path / "journal"
+    j.mkdir()
+    empty = j / "txn-ghost"
+    empty.mkdir()
+    old = _time.time() - 7200
+    os.utime(empty, (old, old))
+    assert (
+        recover(
+            spark,
+            str(j),
+            sweep_min_age_hours=0.5,
+            staging_root=str(j),
+            staging_fs=_PrefixFs(),
+        )
+        == []
+    )
+    assert empty.is_dir()  # seam said "empty prefix: nothing to sweep"
+
+
 def test_txn_object_staging_with_posix_journal_needs_staging_fs(tmp_path):
     """A POSIX journal with an s3:// staging_root can't sweep staging
     through the journal's LocalFsOps — constructing without an explicit
