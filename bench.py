@@ -151,6 +151,10 @@ BENCH_QUERIES = [
     "ns_embedding_abtt",
     "rel_holt_user_trend",
     "ns_multimodal_jpeg_decode",
+    # round 12: Delta Lake interop, FastSS record linkage d=1 + d=2
+    "ns_delta_time_travel",
+    "ns_fastss_entity_match",
+    "ns_fastss_entity_match_d2",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

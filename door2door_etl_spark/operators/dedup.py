@@ -619,6 +619,7 @@ def connected_dedup_clusters(
     right_col: str = "doc_id_b",
     max_iterations: int = 20,
     strict: bool = False,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate candidate pairs into connected components and
     return ``(doc_id, canonical_id)`` — canonical = the minimum doc id
@@ -689,7 +690,16 @@ def connected_dedup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("improved")).limit(1).count()
+        if round_stats is not None:
+            # screen-mode: full improved-row count (the structural
+            # per-round signal); the normal path keeps the cheaper
+            # any-row probe below
+            changed = new_labels.filter(F.col("improved")).count()
+            round_stats.append(
+                {"round": len(round_stats), "improved": changed}
+            )
+        else:
+            changed = new_labels.filter(F.col("improved")).limit(1).count()
         labels = new_labels.drop("improved")
         if changed == 0:
             converged = True
@@ -1735,14 +1745,23 @@ def fastss_match(
     built-in ``levenshtein`` filter removes the over-generation
     (sharing a variant only bounds distance ≤ 2).
 
-    Scale shape: each side explodes to ``len+1`` variants per record
-    (the string itself + each single-deletion), variants are
-    near-unique keys, so the join is hash-partitioned with ~linear
-    candidate volume; the verify step is per-candidate O(len²) JVM
-    ``levenshtein`` — no UDF, no quadratic pair space at any corpus
-    width.  ``max_dist`` currently supports 1 (the d=1 neighborhood
-    guarantee; deeper distances need recursive deletions — the same
-    explode with a variant-depth loop).
+    Scale shape: each side explodes to ``len+1`` variants per record at
+    ``max_dist=1`` (the string itself + each single-deletion) and
+    O(len²/2) at ``max_dist=2`` (single deletions of every depth-1
+    variant — the recursive neighborhood, still in-row SQL ``transform``
+    + ``flatten``); variants are near-unique keys, so the join is
+    hash-partitioned with candidate volume linear in corpus size either
+    way; the verify step is per-candidate O(len²) JVM ``levenshtein`` —
+    no UDF, no quadratic pair space at any corpus width.  ``max_dist``
+    supports 1 and 2: the depth-d neighborhood guarantee (two strings
+    within edit distance d share a ≤d-deletion variant — the SymSpell
+    candidate theorem) is property-tested for both depths; sharing a
+    depth-2 variant only bounds distance ≤ 4, so the d=2 verify filter
+    carries proportionally more over-generation (the price of depth,
+    not a correctness risk).  Depth 3+ would repeat the same recursion
+    with O(len³) variants — past the point where blocking beats
+    verify-everything for name-length strings, so 2 is the contract
+    ceiling, documented rather than silently accepted.
 
     Output: distinct ``(dirty_id, clean_id, dist)`` with
     ``dist ≤ max_dist``.
@@ -1750,16 +1769,33 @@ def fastss_match(
     Reference analog: none (the reference has no fuzzy matching);
     north-star record-linkage capability next to the dedup family.
     """
-    if max_dist != 1:
-        raise ValueError("fastss_match supports max_dist=1 (d=1 guarantee)")
+    if max_dist not in (1, 2):
+        raise ValueError(
+            "fastss_match supports max_dist 1 or 2 (deletion-neighborhood "
+            "depth; 3+ would be O(len³) variants per record — see docstring)"
+        )
 
     def variants(side: DataFrame, idc: str, tag: str) -> DataFrame:
-        v = F.expr(
+        d1 = (
             f"array_distinct(concat(array({name_col}), "
             f"transform(sequence(1, length({name_col})), "
             f"i -> concat(substring({name_col}, 1, i - 1), "
             f"substring({name_col}, i + 1, length({name_col}))))))"
         )
+        if max_dist == 2:
+            # recursive neighborhood: single deletions of every depth-1
+            # variant (sequence(1,0) on an exhausted string yields [1,0]
+            # whose deletions are all "" — array_distinct absorbs them)
+            expr = (
+                f"array_distinct(concat({d1}, "
+                f"flatten(transform({d1}, s -> "
+                "transform(sequence(1, length(s)), "
+                "i -> concat(substring(s, 1, i - 1), "
+                "substring(s, i + 1, length(s))))))))"
+            )
+        else:
+            expr = d1
+        v = F.expr(expr)
         return side.select(
             F.col(idc).alias(f"_{tag}_id"),
             F.col(name_col).alias(f"_{tag}_name"),

@@ -501,6 +501,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 4,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan,
     Albert & Kumara 2007) over an undirected edge list: every node starts
@@ -541,8 +542,25 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(int(rounds)):
-        labels = _lpa_round(sym, labels).localCheckpoint(eager=True)
+    for r in range(int(rounds)):
+        new_labels = _lpa_round(sym, labels).localCheckpoint(eager=True)
+        if round_stats is not None:
+            # screen-mode only (one extra cache-scan join per round):
+            # per-round moved-label count, the structural signal the
+            # scale screen pins against edge growth
+            moved = (
+                new_labels.join(
+                    labels.select(
+                        F.col("node").alias("_n"),
+                        F.col("label").alias("_old"),
+                    ),
+                    new_labels["node"] == F.col("_n"),
+                )
+                .where(F.col("label") != F.col("_old"))
+                .count()
+            )
+            round_stats.append({"round": r, "moved": moved})
+        labels = new_labels
     sym.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
@@ -649,6 +667,11 @@ def modularity(
 # products reach 4m², so int64 is exact only while m < floor(sqrt(2^63)/2).
 _LOUVAIN_BIGINT_SAFE_M = 1_518_500_249
 
+# Broadcast gate for the per-node state inside a Louvain round: 1M
+# (node, label/degree) rows ~ 25 MB — comfortably under executor
+# broadcast budgets; bigger graphs use hash exchanges.
+_LOUVAIN_BROADCAST_NODES = 1_000_000
+
 
 def louvain(
     edges: DataFrame,
@@ -657,6 +680,8 @@ def louvain(
     weight_col: str | None = None,
     local_rounds: int = 4,
     levels: int = 2,
+    local_threshold_edges: int = 500_000,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Modularity-optimizing community detection: the Louvain method
     (Blondel, Guillaume, Lambiotte & Lefebvre 2008) re-expressed as a
@@ -722,6 +747,17 @@ def louvain(
     unchanged.  ``local_rounds`` stays the determinism-visible UPPER
     bound the SQL twin unrolls to.
 
+    Small-graph completion: when the canonical edge relation has at
+    most ``local_threshold_edges`` rows (default 500k ≈ a ~12 MB
+    broadcast; 0 disables), the whole sweep schedule runs as exact
+    Python-int driver arithmetic instead — BIT-IDENTICAL labeling by
+    construction (same move rule, same tie-breaks — property-tested
+    against the BSP path), because levels × local_rounds BSP barriers
+    over a broadcast-sized graph is pure scheduler latency.  This is
+    the same posture contraction itself embodies: levels shrink the
+    graph geometrically, and production multilevel engines finish the
+    small tail locally.  Everything above the gate takes the BSP path.
+
     Plan shape per round: community degree-mass aggregate, one
     edges×labels join + (node, community) aggregate for k_iC, the
     stay-home candidate unioned WITHOUT a re-aggregate (duplicate own
@@ -760,6 +796,38 @@ def louvain(
     m_val = int(m_df.collect()[0]["_m"] or 0)
     use_decimal = m_val > _LOUVAIN_BIGINT_SAFE_M
 
+    # SMALL-GRAPH COMPLETION: when the canonical edge relation fits the
+    # driver comfortably, run the identical move schedule as exact
+    # Python-int arithmetic (bit-identical labeling — property-tested
+    # against the BSP path) instead of paying ~levels × local_rounds
+    # BSP barriers of pure scheduler latency for a graph the size of a
+    # broadcast.  This mirrors what contraction does at real scale:
+    # levels shrink the graph geometrically, and a production run
+    # finishes the small tail locally.  The BSP path below remains THE
+    # scale path (and the only one for anything above the gate).
+    if local_threshold_edges and ew.count() <= int(local_threshold_edges):
+        rows = ew.collect()
+        labels = _louvain_local(
+            [(r["u"], r["v"], r["w"]) for r in rows],
+            local_rounds=int(local_rounds),
+            levels=int(levels),
+            round_stats=round_stats,
+        )
+        ntype = ew.schema["u"].dataType
+        ew.unpersist()
+        from pyspark.sql.types import StructField, StructType
+
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(labels.items()),
+            StructType(
+                [
+                    StructField("node", ntype, False),
+                    StructField("community", ntype, False),
+                ]
+            ),
+        )
+
     # level-0 → original-node mapping accumulates across levels
     mapping = None
     cur = ew
@@ -786,6 +854,15 @@ def louvain(
         labels = deg.select(
             "node", F.col("node").alias("label")
         ).localCheckpoint(eager=True)
+        # Broadcast gate for the node-sized relations inside the round
+        # (labels / deg / community masses): amortized over every round
+        # of the level, one bounded count decides whether the level's
+        # per-node state fits a broadcast (~tens of MB).  Below the gate
+        # the edge relation never shuffles on the join key — the round
+        # keeps only its two aggregates and the pick window; above it
+        # (the 100 TB posture) every join falls back to hash exchanges.
+        n_nodes = deg.count()
+        small_nodes = n_nodes <= _LOUVAIN_BROADCAST_NODES
         zero_streak = 0
         for r in range(int(local_rounds)):
             stepped = _louvain_round(
@@ -795,6 +872,7 @@ def louvain(
                 m_df,
                 active_class=r % 2,
                 use_decimal=use_decimal,
+                small_nodes=small_nodes,
             ).localCheckpoint(eager=True)
             # EARLY EXIT (parity-safe): the move count reads the
             # just-materialized checkpoint, so it costs one cheap
@@ -803,6 +881,11 @@ def louvain(
             # every further round would recompute the identical state,
             # so skipping them cannot change the result hash.
             n_moved = stepped.where(F.col("_mv")).count()
+            if round_stats is not None:
+                round_stats.append(
+                    {"level": level, "round": r, "nodes": n_nodes,
+                     "moved": n_moved}
+                )
             labels = stepped.drop("_mv")
             if n_moved == 0:
                 zero_streak += 1
@@ -852,6 +935,7 @@ def _louvain_round(
     m_df: DataFrame,
     active_class: int = 0,
     use_decimal: bool = False,
+    small_nodes: bool = False,
 ) -> DataFrame:
     """One synchronous Louvain half-sweep (plan-assertable
     pre-checkpoint): community degree masses, neighbor-community
@@ -874,12 +958,21 @@ def _louvain_round(
     the caller's fixed-point early exit can count moves with one cheap
     scan of the materialized checkpoint instead of a labels×labels
     join.  ``use_decimal`` switches the gain score to DECIMAL(38,0)
-    past the BIGINT-exact bound (see :func:`louvain`)."""
+    past the BIGINT-exact bound (see :func:`louvain`).
+
+    ``small_nodes`` (the caller's level-scoped broadcast gate) marks
+    every node-sized relation (labels, deg) and the community masses as
+    broadcastable: the edge relation then joins its labels without an
+    exchange and the score's three dimension joins all ride broadcasts,
+    leaving the round exactly its two aggregates and the pick window.
+    Join STRATEGY only — the values, and thus the labeling, are
+    identical either way."""
     from pyspark.sql import Window
 
+    bcast = F.broadcast if small_nodes else (lambda df: df)
     knuth_bit = F.expr("pmod(div(node * 2654435761, 65536), 2)")
     tot = (
-        labels.join(deg, "node")
+        labels.join(bcast(deg), "node")
         .groupBy(F.col("label").alias("_c"))
         .agg(F.sum("k").alias("_tot"))
     )
@@ -887,8 +980,10 @@ def _louvain_round(
     inactive = labels.filter(knuth_bit != F.lit(int(active_class)))
     nb = (
         sym.join(
-            labels.select(
-                F.col("node").alias("_v"), F.col("label").alias("_c")
+            bcast(
+                labels.select(
+                    F.col("node").alias("_v"), F.col("label").alias("_c")
+                )
             ),
             sym["v"] == F.col("_v"),
         )
@@ -913,9 +1008,9 @@ def _louvain_round(
         .cast(ity)
     )
     scored = (
-        cand.join(own, cand["node"] == F.col("_n2"))  # active nodes only
-        .join(deg, "node")
-        .join(tot, "_c")
+        cand.join(bcast(own), cand["node"] == F.col("_n2"))  # active only
+        .join(bcast(deg), "node")
+        .join(bcast(tot), "_c")
         .crossJoin(F.broadcast(m_df))
         .select("node", "_c", "_own", score_expr.alias("_score"))
     )
@@ -947,6 +1042,107 @@ def _louvain_round(
     )
 
 
+def _louvain_local(
+    edges_w: list,
+    local_rounds: int,
+    levels: int,
+    round_stats: list | None = None,
+) -> dict:
+    """Driver twin of the BSP sweep schedule — the small-graph
+    completion path of :func:`louvain`.  Same move rule, stated
+    operation for operation: synchronous half-sweeps gated by the Knuth
+    bit ``(node·2654435761) div 2¹⁶ mod 2``, strict-improvement moves
+    scored by the exact integer ``2m·k_iC − k_i·(Σtot_C − [own]·k_i)``
+    (Python ints: arbitrary precision, so the BIGINT/DECIMAL switch is
+    moot here), candidate pick = (score DESC, community ASC), per-level
+    fixed-point early exit after a zero full sweep, least/greatest
+    contraction between levels.  Property-tested bit-identical to the
+    BSP path (test_louvain_local_path_matches_bsp).
+
+    ``edges_w``: canonical aggregated ``(u, v, w)`` with u <= v (the
+    BSP path's ``ew`` relation, collected).  Returns {node: community}
+    on the ORIGINAL node ids.
+    """
+    from collections import defaultdict
+
+    mapping: dict | None = None
+    cur = edges_w
+    m = sum(w for _, _, w in edges_w)
+    for level in range(int(levels)):
+        deg: dict = defaultdict(int)
+        adj: dict = defaultdict(dict)
+        for u, v, w in cur:
+            if u == v:
+                deg[u] += 2 * w
+            else:
+                deg[u] += w
+                deg[v] += w
+                adj[u][v] = adj[u].get(v, 0) + w
+                adj[v][u] = adj[v].get(u, 0) + w
+        nodes = sorted(deg)
+        labels = {n: n for n in nodes}
+        zero_streak = 0
+        for r in range(int(local_rounds)):
+            active_class = r % 2
+            tot: dict = defaultdict(int)
+            for n in nodes:
+                tot[labels[n]] += deg[n]
+            moves = {}
+            for n in nodes:
+                # Spark's div truncates toward zero; Python's // floors.
+                # Mirror div exactly so negative ids 2-color identically.
+                x = n * 2654435761
+                q = x // 65536 if x >= 0 else -((-x) // 65536)
+                if q % 2 != active_class:
+                    continue
+                own = labels[n]
+                k = deg[n]
+                kuc: dict = defaultdict(int)
+                for nbr, w in adj[n].items():
+                    kuc[labels[nbr]] += w
+
+                def score(c, _k=k, _own=own, _kuc=kuc, _tot=tot):
+                    return 2 * m * _kuc[c] - _k * (
+                        _tot[c] - (_k if c == _own else 0)
+                    )
+
+                own_s = score(own)
+                cands = [
+                    (score(c), c) for c in kuc if c != own
+                ]
+                cands = [(s, c) for s, c in cands if s > own_s]
+                if cands:
+                    # max score, then SMALLEST community id
+                    s_best, c_best = max(
+                        cands, key=lambda t: (t[0], -t[1])
+                    )
+                    moves[n] = c_best
+            if round_stats is not None:
+                round_stats.append(
+                    {"level": level, "round": r, "nodes": len(nodes),
+                     "moved": len(moves)}
+                )
+            if moves:
+                labels.update(moves)
+                zero_streak = 0
+            else:
+                zero_streak += 1
+                if zero_streak >= 2:
+                    break
+        if mapping is None:
+            mapping = dict(labels)
+        else:
+            mapping = {o: labels[c] for o, c in mapping.items()}
+        if level + 1 < int(levels):
+            agg: dict = defaultdict(int)
+            for u, v, w in cur:
+                cu, cv = labels[u], labels[v]
+                key = (cu, cv) if cu <= cv else (cv, cu)
+                agg[key] += w
+            cur = [(a, b, w) for (a, b), w in agg.items()]
+    return mapping or {}
+
+
 def sssp_weighted(
     edges: DataFrame,
     source: int,
@@ -954,6 +1150,7 @@ def sssp_weighted(
     dst_col: str = "dst",
     weight_col: str = "w",
     rounds: int = 6,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Single-source shortest WEIGHTED distances from ``source`` over an
     undirected edge list — bounded-round bulk-synchronous Bellman-Ford,
@@ -990,10 +1187,20 @@ def sssp_weighted(
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     ).localCheckpoint(eager=True)
-    for _ in range(int(rounds)):
+    for r in range(int(rounds)):
         relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
+        if round_stats is not None:
+            # screen-mode only: the relaxation join's row volume (the
+            # round's actual shuffle work) + settled frontier size
+            round_stats.append(
+                {
+                    "round": r,
+                    "relaxed_rows": relaxed.count(),
+                    "dist_nodes": dist.count(),
+                }
+            )
         dist = (
             dist.unionAll(relaxed)
             .groupBy("node")

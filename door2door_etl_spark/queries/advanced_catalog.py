@@ -22,8 +22,13 @@ from door2door_etl_spark.operators.sketches import (
     quota_mix_sample,
     stratified_split,
 )
-from door2door_etl_spark.queries.defs import QueryDef, dsum
-from door2door_etl_spark.queries.sql_fragments import sql_h52, sql_tokens, sql_uniform_hash
+from door2door_etl_spark.queries.defs import QueryDef, copurchase_edges, dsum
+from door2door_etl_spark.queries.sql_fragments import (
+    dec_sum,
+    sql_h52,
+    sql_tokens,
+    sql_uniform_hash,
+)
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -1974,20 +1979,7 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     3-way join (orientation changes the plan, never the count)."""
     from door2door_etl_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges(spark, sf).select("src", "dst")
     return triangle_count(edges)
 
 
@@ -2025,20 +2017,7 @@ def q_kcore_members(spark: SparkSession, sf: str) -> DataFrame:
     the peel depth fits.  Output: surviving nodes with core degree."""
     from door2door_etl_spark.operators.graph import kcore_peel
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges(spark, sf).select("src", "dst")
     return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
 
 
@@ -2079,20 +2058,7 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     few thousand nodes at most at both tiers)."""
     from door2door_etl_spark.operators.graph import connected_components
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges(spark, sf).select("src", "dst")
     return connected_components(edges)
 
 
@@ -2123,20 +2089,7 @@ def q_graph_communities(spark: SparkSession, sf: str) -> DataFrame:
     is connected", this answers "what clusters together"."""
     from door2door_etl_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges(spark, sf).select("src", "dst")
     return label_propagation(edges, rounds=LPA_ROUNDS)
 
 
@@ -2190,20 +2143,7 @@ def q_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
         modularity,
     )
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    ).persist()
+    edges = copurchase_edges(spark, sf).select("src", "dst").persist()
     labels = label_propagation(edges, rounds=LPA_ROUNDS)
     return modularity(edges, labels)
 
@@ -2251,20 +2191,7 @@ def q_graph_louvain(spark: SparkSession, sf: str) -> DataFrame:
     gaugeable with ns_graph_modularity's machinery."""
     from door2door_etl_spark.operators.graph import louvain
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges(spark, sf).select("src", "dst")
     return louvain(
         edges, local_rounds=LOUVAIN_LOCAL_ROUNDS, levels=LOUVAIN_LEVELS
     )
@@ -2736,4 +2663,104 @@ ADVANCED_QUERIES.extend(
             ("northstar", "profile"),
         ),
     ]
+)
+
+
+def q_delta_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta Lake interop end-to-end in ONE hash-checked row
+    (io.delta_reader): a REAL Delta transaction log is authored from the
+    supplier table — v0 adds even-key suppliers (hive-partitioned by
+    nation), v1 adds the odd keys, v2 removes v0's files (deleting the
+    evens), then a classic parquet CHECKPOINT is cut at v2 — and the row
+    reads versions 0/1/2 back through read_delta (v2 resolves THROUGH
+    the checkpoint; v0/v1 replay JSON commits), aggregating each into
+    (version, n_rows, acct_total).  Hash-matching the DuckDB twin
+    computed straight from supplier proves log replay, last-add-wins +
+    remove semantics, time travel, typed log-sourced partition values,
+    and checkpoint reads in one shot.  Fixture rebuilds per call under
+    a pid-scoped tmp dir (concurrent sweeps can't collide)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from door2door_etl_spark.io.delta_reader import (
+        DeltaFixtureWriter,
+        read_delta,
+    )
+
+    sup = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("suppkey"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+    pdf = sup.toPandas().sort_values("suppkey")
+    root = os.path.join(
+        tempfile.gettempdir(), f"ns_delta_time_travel_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("suppkey", LongType()),
+            StructField("name", StringType()),
+            StructField("nationkey", LongType()),
+            StructField("acctbal", DoubleType()),
+        ]
+    )
+    w = DeltaFixtureWriter(root, schema, partition_cols=["nationkey"])
+    _, rels0 = w.commit_add(pdf[pdf["suppkey"] % 2 == 0])
+    w.commit_add(pdf[pdf["suppkey"] % 2 == 1])
+    w.commit_remove(rels0)
+    w.checkpoint()
+
+    outs = []
+    for v in (0, 1, 2):
+        outs.append(
+            read_delta(spark, root, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("acctbal")).alias("acct_total"),
+                F.count(F.when(F.col("nationkey").isNull(), 1)).alias(
+                    "null_parts"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("version")
+
+
+SQL_DELTA_TIME_TRAVEL = f"""
+WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+                  CAST(s_acctbal AS DOUBLE) AS acctbal FROM supplier)
+SELECT 0 AS version, count(*) AS n_rows,
+       {dec_sum('acctbal', 'acct_total')},
+       0 AS null_parts
+FROM s WHERE suppkey % 2 = 0
+UNION ALL
+SELECT 1, count(*), {dec_sum('acctbal', 'acct_total')}, 0 FROM s
+UNION ALL
+SELECT 2, count(*), {dec_sum('acctbal', 'acct_total')}, 0
+FROM s WHERE suppkey % 2 = 1
+ORDER BY version
+"""
+
+
+ADVANCED_QUERIES.append(
+    QueryDef(
+        "ns_delta_time_travel",
+        q_delta_time_travel,
+        SQL_DELTA_TIME_TRAVEL,
+        "Delta Lake read interop: log replay, remove semantics, time travel, checkpoint read",
+        ("northstar", "lakehouse"),
+    )
 )

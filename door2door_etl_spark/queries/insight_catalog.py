@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from door2door_etl_spark.io.readers import load_table
-from door2door_etl_spark.queries.defs import QueryDef
+from door2door_etl_spark.queries.defs import QueryDef, copurchase_edges
 from door2door_etl_spark.queries.sql_fragments import sql_tokens
 
 
@@ -177,20 +177,7 @@ def q_graph_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
     one toolkit over one graph."""
     from door2door_etl_spark.operators.graph import degree_histogram
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges(spark, sf).select("src", "dst")
     return degree_histogram(edges)
 
 
@@ -347,19 +334,8 @@ def q_graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     reachability with a recursive CTE and takes min(hops) per node."""
     from door2door_etl_spark.operators.graph import bfs_hops
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    edges = copurchase_edges(spark, sf).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
     )
     edges = edges.localCheckpoint(eager=True)
     source = (
@@ -408,23 +384,10 @@ def q_graph_sssp_hub(spark: SparkSession, sf: str) -> DataFrame:
     the oracle unrolls the identical relaxation rounds."""
     from door2door_etl_spark.operators.graph import sssp_weighted
 
-    li = load_table(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a, b = li.alias("ba"), li.alias("bb")
-    edges = (
-        a.join(
-            b,
-            (F.col("ba.o") == F.col("bb.o")) & (F.col("ba.i") < F.col("bb.i")),
-        )
-        .groupBy(F.col("ba.i").alias("src"), F.col("bb.i").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select(
-            F.col("src").cast("long"),
-            F.col("dst").cast("long"),
-            F.expr("(99 + c) div c").alias("w"),
-        )
+    edges = copurchase_edges(spark, sf).select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.expr("(99 + c) div c").alias("w"),
     )
     edges = edges.localCheckpoint(eager=True)
     source = (

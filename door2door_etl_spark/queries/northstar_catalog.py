@@ -3458,3 +3458,93 @@ NORTHSTAR_QUERIES.append(
         ("northstar", "dedup"),
     )
 )
+
+
+def q_fastss_entity_match_d2(spark: SparkSession, sf: str) -> DataFrame:
+    """FastSS record linkage at edit distance 2 — the RECURSIVE
+    deletion neighborhood (operators.dedup.fastss_match max_dist=2,
+    the SymSpell depth-2 candidate theorem): every third customer's
+    name loses TWO adjacent characters starting at position
+    custkey mod (len−2) + 1 (simulated double-keystroke truncation;
+    length diff 2 makes the true distance exactly 2), matched back to
+    the clean roster.  Candidates are an equi-join on ≤2-deletion
+    variants of BOTH sides (O(len²/2) variants per record, in-row
+    transform/flatten — never a similarity cross join); built-in
+    levenshtein verifies dist ≤ 2.  Same keep-all-neighbors policy as
+    the d=1 row."""
+    from door2door_etl_spark.operators.dedup import fastss_match
+
+    cust = load_table(spark, sf, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.expr(
+                "substring(c_name, 1, pmod(c_custkey, length(c_name) - 2))"
+            ),
+            F.expr(
+                "substring(c_name, pmod(c_custkey, length(c_name) - 2) + 3, "
+                "length(c_name))"
+            ),
+        ).alias("name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"), F.col("c_name").alias("name")
+    )
+    return fastss_match(
+        dirty, clean, name_col="name",
+        dirty_id="dirty_key", clean_id="clean_key", max_dist=2,
+    ).orderBy("dirty_key", "clean_key")
+
+
+SQL_FASTSS_ENTITY_MATCH_D2 = """
+WITH dirty AS (
+  SELECT c_custkey AS dk,
+         substr(c_name, 1, c_custkey % (length(c_name) - 2))
+         || substr(c_name, c_custkey % (length(c_name) - 2) + 3,
+                   length(c_name)) AS nm
+  FROM customer WHERE c_custkey % 3 = 0),
+dn1 AS (
+  SELECT dk, nm,
+         list_distinct(list_prepend(nm,
+           list_transform(generate_series(1, length(nm)),
+             i -> substr(nm, 1, i - 1)
+                  || substr(nm, i + 1, length(nm))))) AS d1
+  FROM dirty),
+dv AS (
+  SELECT dk, nm,
+         unnest(list_distinct(list_concat(d1,
+           flatten(list_transform(d1,
+             s -> list_transform(generate_series(1, length(s)),
+               i -> substr(s, 1, i - 1)
+                    || substr(s, i + 1, length(s)))))))) AS v
+  FROM dn1),
+cn1 AS (
+  SELECT c_custkey AS ck, c_name AS cn,
+         list_distinct(list_prepend(c_name,
+           list_transform(generate_series(1, length(c_name)),
+             i -> substr(c_name, 1, i - 1)
+                  || substr(c_name, i + 1, length(c_name))))) AS d1
+  FROM customer),
+cv AS (
+  SELECT ck, cn,
+         unnest(list_distinct(list_concat(d1,
+           flatten(list_transform(d1,
+             s -> list_transform(generate_series(1, length(s)),
+               i -> substr(s, 1, i - 1)
+                    || substr(s, i + 1, length(s)))))))) AS v
+  FROM cn1),
+cand AS (SELECT DISTINCT dk, ck, nm, cn FROM dv JOIN cv USING (v))
+SELECT dk AS dirty_key, ck AS clean_key, levenshtein(nm, cn) AS dist
+FROM cand WHERE levenshtein(nm, cn) <= 2
+ORDER BY dirty_key, clean_key
+"""
+
+NORTHSTAR_QUERIES.append(
+    QueryDef(
+        "ns_fastss_entity_match_d2",
+        q_fastss_entity_match_d2,
+        SQL_FASTSS_ENTITY_MATCH_D2,
+        "north-star record-linkage at distance 2 (recursive FastSS deletion neighborhood, SymSpell depth-2 theorem)",
+        ("northstar", "dedup"),
+    )
+)

@@ -4245,6 +4245,68 @@ def test_louvain_decimal_score_path_and_early_exit_parity(spark):
     assert wide == base
 
 
+def test_louvain_local_path_matches_bsp(spark):
+    """The small-graph completion path (driver Python-int sweep,
+    local_threshold_edges gate) is BIT-IDENTICAL to the distributed BSP
+    path — same Knuth-bit 2-coloring, strict-improvement integer
+    scores, (score DESC, community ASC) pick, contraction — across
+    unweighted, weighted, self-loop-bearing and pseudo-random graphs,
+    odd round budgets, and 1..3 levels.  This equality is what lets the
+    gate be a pure latency optimization: the hash-checked catalog row
+    can take either path."""
+    from door2door_etl_spark.operators.graph import louvain
+
+    def rnd_edges(seed, n_nodes, n_edges):
+        # splitmix64 finalizer per index — NOT consecutive LCG outputs,
+        # whose mod-n_nodes pairs fall on lattice lines (the classic
+        # spectral defect) and can never reach n_edges distinct pairs
+        out = set()
+        i = 0
+        mask = (1 << 64) - 1
+        while len(out) < n_edges:
+            i += 1
+            h = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & mask
+            h ^= h >> 31
+            h = (h * 0x94D049BB133111EB) & mask
+            h ^= h >> 29
+            u = h % n_nodes
+            v = (h >> 32) % n_nodes
+            out.add((int(u), int(v)))  # self-loops included on purpose
+        return sorted(out)
+
+    graphs = [
+        ("two-tri", [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12),
+                     (10, 12), (3, 10)], None),
+        ("weighted", [(1, 2, 5), (2, 3, 5), (1, 3, 5), (3, 4, 1),
+                      (4, 5, 7), (5, 6, 7), (4, 6, 7), (2, 2, 3)], "w"),
+        ("rand", [(u, v) for u, v in rnd_edges(7, 40, 120)], None),
+    ]
+    # config matrix trimmed to keep the BSP side's wall bounded: the
+    # catalog's (4,2), an odd budget, and a 3-level run on ONE graph
+    per_graph = {"two-tri": [(4, 2), (2, 3)], "weighted": [(3, 1)],
+                 "rand": [(4, 2)]}
+    for name, rows, wcol in graphs:
+        schema = (
+            "src long, dst long, w long" if wcol else "src long, dst long"
+        )
+        edges = spark.createDataFrame(rows, schema)
+        for lr, lv in per_graph[name]:
+            bsp = {
+                r.node: r.community
+                for r in louvain(
+                    edges, weight_col=wcol, local_rounds=lr, levels=lv,
+                    local_threshold_edges=0,       # force BSP
+                ).collect()
+            }
+            loc = {
+                r.node: r.community
+                for r in louvain(
+                    edges, weight_col=wcol, local_rounds=lr, levels=lv,
+                ).collect()
+            }
+            assert loc == bsp, (name, lr, lv)
+
+
 def test_sssp_weighted_known_answer_and_round_bound(spark):
     """Bellman-Ford known answer: the cheap 3-edge path beats the direct
     expensive edge; a path longer than the round budget stays at the
@@ -4440,10 +4502,27 @@ def test_fastss_match_known_answers(spark):
     assert (3, 13) not in got  # distance 3, never a candidate
     assert all(d <= 1 for d in got.values())
 
+    # d=2: distance-2 pairs (two substitutions, insert+delete mixes)
+    # now match through the recursive neighborhood; distance-3 still
+    # never survives the verify; d=1 results are a subset of d=2
+    dirty2 = spark.createDataFrame(
+        [(1, "aple"), (2, "banxnx"), (3, "zzz"), (4, "apxly")],
+        "dirty_id long, name string",
+    )
+    got2 = {
+        (r.dirty_id, r.clean_id): r.dist
+        for r in fastss_match(dirty2, clean, max_dist=2).collect()
+    }
+    assert got2[(1, 10)] == 1  # d=1 pairs survive unchanged
+    assert got2[(2, 11)] == 2  # banxnx->banana: two substitutions
+    assert got2[(4, 10)] == 2  # apxly->apple: substitute + substitute
+    assert (3, 13) not in got2  # zzz->qqq distance 3: verify drops it
+    assert all(d <= 2 for d in got2.values())
+
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="max_dist=1"):
-        fastss_match(dirty, clean, max_dist=2)
+    with _pytest.raises(ValueError, match="max_dist 1 or 2"):
+        fastss_match(dirty, clean, max_dist=3)
 
 
 def test_holt_winters_fold_matches_python_reference(spark):

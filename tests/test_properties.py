@@ -1071,3 +1071,48 @@ def test_fastss_deletion_neighborhood_guarantee(base, pos, op, ch):
         return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
 
     assert variants(base) & variants(edited), (base, edited)
+
+
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=7),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.sampled_from(["delete", "insert", "substitute"]),
+            st.sampled_from("abcd"),
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_fastss_depth2_neighborhood_guarantee(base, edits):
+    """The FastSS/SymSpell d=2 theorem behind fastss_match(max_dist=2):
+    ANY two edits of a string share a ≤2-deletion variant with the
+    original — the recursive-neighborhood join can never miss a
+    distance-≤2 pair.  Pure-Python mirror of the operator's depth-2
+    variant expression (deletions of every depth-1 variant)."""
+    edited = base
+    for pos, op, ch in edits:
+        pos = min(pos, max(len(edited) - 1, 0) if op != "insert" else len(edited))
+        if op == "delete":
+            if not edited:
+                continue
+            edited = edited[:pos] + edited[pos + 1:]
+        elif op == "insert":
+            edited = edited[:pos] + ch + edited[pos:]
+        else:
+            if not edited:
+                continue
+            edited = edited[:pos] + ch + edited[pos + 1:]
+
+    def d1(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    def d2(s):
+        out = set(d1(s))
+        for v in d1(s):
+            out |= d1(v)
+        return out
+
+    assert d2(base) & d2(edited), (base, edited)
