@@ -151,10 +151,12 @@ BENCH_QUERIES = [
     "ns_embedding_abtt",
     "rel_holt_user_trend",
     "ns_multimodal_jpeg_decode",
-    # round 12: Delta Lake interop, FastSS record linkage d=1 + d=2
+    # round 12: Delta Lake interop.  The FastSS rows (d=1 and d=2) stay
+    # OFF the headline list by standing policy (PERF.md): gen_sf1's
+    # verbatim replica names legitimately cross-match ten-fold at sf1,
+    # so wall there measures generator-artifact output volume, not
+    # operator shape; both oracle sweeps cover them.
     "ns_delta_time_travel",
-    "ns_fastss_entity_match",
-    "ns_fastss_entity_match_d2",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

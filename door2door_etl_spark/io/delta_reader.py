@@ -326,6 +326,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     fs=None,
+    partition_values: dict | None = None,
 ) -> DataFrame:
     """Read a Delta table as a DataFrame at ``version`` (default latest).
 
@@ -336,6 +337,15 @@ def read_delta(
     ``yyyy-MM-dd HH:mm:ss[.ffffff]`` timestamps, plain-string numerics,
     JSON null for NULL).  Unpartitioned tables are exactly one scan.
     An empty live set returns an empty DataFrame with the table schema.
+
+    ``partition_values`` prunes DRIVER-SIDE, before any scan is
+    planned: ``{col: value-or-list-or-None}`` keeps only live files
+    whose log-recorded partition value (spec string serialization)
+    matches — on a date-partitioned 100 TB table, a one-day read plans
+    one scan group instead of thousands.  Values compare as the log's
+    strings (pass ``"2024-01-01"``, not a date object; ``None`` matches
+    the null partition); unknown columns raise rather than silently
+    scanning everything.
     """
     snap = delta_snapshot(path, version=version, fs=fs)
     schema = snap.schema
@@ -344,8 +354,19 @@ def read_delta(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
+    want: dict[str, set] = {}
+    for c, v in (partition_values or {}).items():
+        if c not in pcols:
+            raise ValueError(
+                f"partition_values key {c!r} is not a partition column "
+                f"of {path} (partitioned by {pcols})"
+            )
+        vals = v if isinstance(v, (list, tuple, set)) else [v]
+        want[c] = {None if x is None else str(x) for x in vals}
     groups: dict[tuple, list[str]] = {}
     for fpath, pv in snap.absolute_files():
+        if any(pv.get(c) not in allowed for c, allowed in want.items()):
+            continue
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(fpath)
     if not groups:

@@ -758,20 +758,63 @@ FROM sess GROUP BY user_id, seq
 
 
 def q_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
-    """TF-IDF: the most characteristic token per document.  Explode →
-    term-freq aggregate → doc-freq derived FROM the term-freq relation
-    (tf already holds one row per (doc, token), so doc_freq is a plain
-    count per token — this reuses tf's exchange instead of tokenizing
-    the corpus a second time and running a full-width distinct, the
-    r10 audit's structural finding on this row) → broadcast the tiny
-    corpus-size scalar → window top-1 with a rounded sort key so
-    cross-engine float ulps cannot flip ties."""
+    """TF-IDF: the most characteristic token per document.  Term
+    frequencies are computed IN-ROW (sorted token array → run-length
+    encoding via ``get()``-guarded index arithmetic), so the (doc,
+    token, tf) relation emerges straight from each document row with
+    ZERO shuffle — the r11 audit's residual growth term was the
+    token-OCCURRENCE-level exchange (one row per occurrence, the
+    widest relation in the old explode→groupBy plan), which this
+    removes entirely.  doc_freq stays derived FROM the tf relation
+    (one row per (doc, token) — the r10 finding), n_docs broadcasts,
+    and the only remaining full-width exchanges are the per-token df
+    join and the per-doc top-1 window, both on the compact tf
+    relation.  Rounded sort key so cross-engine float ulps cannot
+    flip ties."""
     docs = load_table(spark, sf, "documents")
     from door2door_etl_spark.operators.text import tokens
 
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # arr and starts are BOUND AS COLUMNS before any lambda references
+    # them: Catalyst does not CSE through HOF lambda bodies, so inlining
+    # would re-sort the token array per run element (the ABTT lesson)
+    arr_col = F.array_sort(tokens(F.col("text")))
+    with_arr = docs.select("doc_id", arr_col.alias("_arr"))
+    # run starts: positions whose token differs from its predecessor
+    # (get() is 0-based and NULL-safe out of bounds, so no ANSI trap)
+    starts_col = F.filter(
+        F.transform(
+            F.col("_arr"), lambda x, i: F.struct(x.alias("token"), i.alias("s"))
+        ),
+        lambda p: (p["s"] == 0)
+        | (F.get(F.col("_arr"), p["s"] - 1) != p["token"]),
+    )
+    with_starts = with_arr.select(
+        "doc_id", F.size("_arr").alias("_n"), starts_col.alias("_starts")
+    )
+    tf_pairs = F.transform(
+        F.col("_starts"),
+        lambda p, j: F.struct(
+            p["token"].alias("token"),
+            (
+                F.coalesce(F.get(F.col("_starts"), j + 1)["s"], F.col("_n"))
+                - p["s"]
+            ).cast("long").alias("tf"),
+        ),
+    )
+    tf = with_starts.select(
+        "doc_id", F.explode(tf_pairs).alias("p")
+    ).select("doc_id", F.col("p.token").alias("token"), F.col("p.tf").alias("tf"))
+    # doc_freq needs only DISTINCT tokens per doc — array_distinct on
+    # the raw token array (no sort, no RLE) feeds its own scan branch;
+    # exactly one row per (doc, token) reaches the count, same relation
+    # the tf-derived aggregate saw
+    dfreq = (
+        docs.select(
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")

@@ -104,6 +104,32 @@ def test_read_delta_partitioned_values_come_from_the_log(spark, tmp_path):
     ]
 
 
+def test_read_delta_partition_values_prune_driver_side(spark, tmp_path):
+    """partition_values prunes the live file set on the DRIVER (log
+    metadata, before any scan is planned): single value, value list,
+    null partition, and unknown-column refusal."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    w = DeltaFixtureWriter(root, SCHEMA, partition_cols=["region"])
+    pdf = pd.concat([_pdf(0, 3, "east"), _pdf(3, 5, "west"),
+                     _pdf(5, 6, None)])
+    w.commit_add(pdf)
+
+    def keys(**kw):
+        return sorted(r.k for r in read_delta(spark, root, **kw).collect())
+
+    assert keys(partition_values={"region": "east"}) == [0, 1, 2]
+    assert keys(partition_values={"region": ["east", "west"]}) == list(range(5))
+    assert keys(partition_values={"region": None}) == [5]
+    assert keys(partition_values={"region": "nope"}) == []
+    # pruned plan really is one scan group: a single file in its scan
+    df = read_delta(spark, root, partition_values={"region": "west"})
+    assert "unionall" not in df._jdf.queryExecution().executedPlan().toString().lower()
+    with pytest.raises(ValueError, match="not a partition column"):
+        read_delta(spark, root, partition_values={"k": "1"})
+
+
 def test_read_delta_checkpoint_replaces_cleaned_log(spark, tmp_path):
     """After a checkpoint, earlier JSON commits can be vacuumed: reads at
     or past the checkpoint survive on checkpoint+suffix, and a time

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Structural scale screen for the dedup family PAST the 10x tier
-(VERDICT r10 ask #5): candidate/pair COUNTS — ambient-load-immune,
-unlike wall-clock — measured at sf0.1 (1x), sf1 (10x, bench_data/sf1)
-and a documents-only 20x tier generated here (bench_data/sf2docs,
+(VERDICT r10 ask #5; 50x tier per r11 ask #8): candidate/pair COUNTS —
+ambient-load-immune, unlike wall-clock — measured at sf0.1 (1x), sf1
+(10x, bench_data/sf1) and documents-only 20x + 50x tiers generated here (bench_data/sf2docs,
 replica word-transform identical to tools/gen_sf1.py so replicas share
 no shingles).
 
@@ -41,10 +41,15 @@ sys.path.insert(0, str(REPO))
 
 SF2_REPLICAS = 20
 SF2_DIR = str(REPO / "bench_data" / "sf2docs")
+# 50x tier (VERDICT r11 ask #8): the 100 TB claim's next doubling-plus
+# is cheap because the screen is count-based — same replica transform,
+# 50 replicas, documents-only.
+SF5_REPLICAS = 50
+SF5_DIR = str(REPO / "bench_data" / "sf5docs")
 
 
-def gen_sf2_documents(spark, src: str) -> None:
-    """Documents-only 20x tier: same per-replica word transform as
+def gen_docs_tier(spark, src: str, replicas: int, out_dir: str) -> None:
+    """Documents-only replica tier: same per-replica word transform as
     tools/gen_sf1.py (replica r prefixes every word with 'r{r}'), so
     each replica keeps the original corpus's internal duplicate
     structure but shares no shingles across replicas."""
@@ -53,7 +58,7 @@ def gen_sf2_documents(spark, src: str) -> None:
     from door2door_etl_spark.io.readers import load_table
 
     docs = load_table(spark, src, "documents").withColumn(
-        "_r", F.explode(F.sequence(F.lit(0), F.lit(SF2_REPLICAS - 1)))
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
     )
     new_text = F.when(F.col("_r") == 0, F.col("text")).otherwise(
         F.array_join(
@@ -73,7 +78,7 @@ def gen_sf2_documents(spark, src: str) -> None:
         .drop("_r")
     )
     docs.repartition(32).write.mode("overwrite").parquet(
-        f"{SF2_DIR}/documents.parquet"
+        f"{out_dir}/documents.parquet"
     )
 
 
@@ -152,8 +157,10 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
     tiers = [("sf0.1_1x", src), ("sf1_10x", str(REPO / "bench_data" / "sf1"))]
     if "--skip-gen" not in sys.argv:
-        gen_sf2_documents(spark, src)
+        gen_docs_tier(spark, src, SF2_REPLICAS, SF2_DIR)
+        gen_docs_tier(spark, src, SF5_REPLICAS, SF5_DIR)
     tiers.append(("sf2_20x", SF2_DIR))
+    tiers.append(("sf5_50x", SF5_DIR))
 
     results = {}
     for name, d in tiers:
@@ -161,13 +168,15 @@ def main() -> None:
         print(json.dumps({"tier": name, **results[name]}), flush=True)
 
     base = results["sf0.1_1x"]
-    print("\nmetric                 1x        10x       20x    "
-          "r(10x)  r(20x/10x)")
+    print("\nmetric                 1x        10x       20x       50x    "
+          "r(10x)  r(20x/10x)  r(50x/20x)")
     for k in ("jaccard_rarest_cands", "containment_cands", "lsh_band_pairs",
               "winnow_join_rows", "winnow_pairs"):
-        v1, v10, v20 = base[k], results["sf1_10x"][k], results["sf2_20x"][k]
-        print(f"{k:22s} {v1:9d} {v10:9d} {v20:9d} "
-              f"{v10 / max(v1, 1):7.2f} {v20 / max(v10, 1):10.2f}")
+        v1, v10, v20, v50 = (base[k], results["sf1_10x"][k],
+                             results["sf2_20x"][k], results["sf5_50x"][k])
+        print(f"{k:22s} {v1:9d} {v10:9d} {v20:9d} {v50:9d} "
+              f"{v10 / max(v1, 1):7.2f} {v20 / max(v10, 1):10.2f} "
+              f"{v50 / max(v20, 1):10.2f}")
     spark.stop()
 
 
