@@ -2807,3 +2807,85 @@ ADVANCED_QUERIES.append(
         ("northstar", "lakehouse"),
     )
 )
+
+
+def q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg interop end-to-end in ONE hash-checked row
+    (io.iceberg_reader + io.avro_codec): a REAL Iceberg v2 table is
+    authored from the supplier roster — snapshot 1 adds the even keys,
+    snapshot 2 adds the odds, snapshot 3 removes snapshot 1's data file
+    (deleting the evens; DELETED manifest-entry status, carried files
+    EXISTING) — and the row reads all three snapshots back through
+    read_iceberg (metadata JSON → manifest-list Avro → manifest Avro →
+    parquet, the Avro parsed by the from-spec codec), aggregating each
+    into (snap, n_rows, acct_total).  Hash-matching the DuckDB twin
+    computed straight from supplier proves manifest replay, entry-status
+    semantics, snapshot time travel, and the Avro container codec in
+    one shot.  Fixture rebuilds per call under a pid-scoped tmp dir."""
+    import os
+    import shutil
+    import tempfile
+
+    from door2door_etl_spark.io.iceberg_reader import (
+        IcebergFixtureWriter,
+        read_iceberg,
+    )
+
+    sup = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("suppkey"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+    pdf = sup.toPandas().sort_values("suppkey")
+    root = os.path.join(
+        tempfile.gettempdir(), f"ns_iceberg_time_travel_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    fields = [
+        {"id": 1, "name": "suppkey", "required": False, "type": "long"},
+        {"id": 2, "name": "name", "required": False, "type": "string"},
+        {"id": 3, "name": "acctbal", "required": False, "type": "double"},
+    ]
+    w = IcebergFixtureWriter(root, fields)
+    s1, rel1 = w.commit_add(pdf[pdf["suppkey"] % 2 == 0])
+    s2, _ = w.commit_add(pdf[pdf["suppkey"] % 2 == 1])
+    s3 = w.commit_remove([rel1])
+
+    outs = []
+    for snap in (s1, s2, s3):
+        outs.append(
+            read_iceberg(spark, root, snapshot_id=snap).agg(
+                F.lit(snap).alias("snap"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("acctbal")).alias("acct_total"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("snap")
+
+
+SQL_ICEBERG_TIME_TRAVEL = f"""
+WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+                  CAST(s_acctbal AS DOUBLE) AS acctbal FROM supplier)
+SELECT 1 AS snap, count(*) AS n_rows, {dec_sum('acctbal', 'acct_total')}
+FROM s WHERE suppkey % 2 = 0
+UNION ALL
+SELECT 2, count(*), {dec_sum('acctbal', 'acct_total')} FROM s
+UNION ALL
+SELECT 3, count(*), {dec_sum('acctbal', 'acct_total')}
+FROM s WHERE suppkey % 2 = 1
+ORDER BY snap
+"""
+
+
+ADVANCED_QUERIES.append(
+    QueryDef(
+        "ns_iceberg_time_travel",
+        q_iceberg_time_travel,
+        SQL_ICEBERG_TIME_TRAVEL,
+        "Iceberg read interop: manifest replay over from-spec Avro, entry-status semantics, snapshot time travel",
+        ("northstar", "lakehouse"),
+    )
+)
