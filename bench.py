@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     # operator shape; both oracle sweeps cover them.
     "ns_delta_time_travel",
     "ns_iceberg_time_travel",
+    "ns_mmr_diverse_topk",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

@@ -129,6 +129,112 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def mmr_topk(
+    df: DataFrame,
+    query_id: int | None = None,
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec: list[float] | None = None,
+) -> DataFrame:
+    """Diverse top-k by Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``λ·rel(c,q) − (1−λ)·max_{s∈selected} sim(c,s)`` — relevance traded
+    against redundancy with what is already picked, the standard
+    rerank for retrieval-augmented pipelines and diversity-aware
+    curation sampling.
+
+    Pool-then-rerank shape (the FAISS/serving practice, and the 100 TB
+    posture): the DISTRIBUTED stage is one corpus-wide scan taking the
+    top-``pool`` candidates by rounded cosine (TakeOrderedAndProject —
+    no full sort), frozen with one localCheckpoint; the k greedy steps
+    then run over that bounded pool as tiny Spark jobs — each step
+    scores redundancy against the ≤k already-selected vectors as
+    LITERAL arrays (constant-folded; no join, no extra scan) and takes
+    one ordered row.  Driver state is k picked rows (dim-bounded, the
+    power-iteration discipline).  All comparisons use 6-decimal-rounded
+    doubles with the id as tie-break, so the selection is deterministic
+    and engine-portable; collected values round-trip binary-exactly
+    into the result frame (no Python arithmetic touches them).
+
+    Output: ``(step, <id_col>, rel, max_sim, mmr)`` — one row per pick,
+    step 1..k, ``max_sim`` = 0.0 for the first pick by convention.
+
+    Reference analog: none; north-star retrieval/curation capability
+    next to the ANN family.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    base, qcol = _query_column(df, query_id, query_vec, vec_col, id_col)
+    if query_id is not None:
+        base = base.filter(F.col(id_col) != F.lit(query_id))
+    pool_df = (
+        base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.col(id_col))
+        .limit(int(pool))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    picked: list[tuple] = []   # (step, id, rel, max_sim, mmr)
+    vecs: list[list] = []
+    remaining = pool_df
+    for step in range(1, int(k) + 1):
+        if vecs:
+            sims = [
+                F.round(
+                    cosine_similarity(F.col(vec_col), _literal_vec(v)), 6
+                )
+                for v in vecs
+            ]
+            maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            maxsim = F.lit(0.0)
+        rows = (
+            remaining.withColumn("_maxsim", maxsim)
+            .withColumn(
+                "_mmr",
+                F.round(
+                    F.lit(float(lam)) * F.col("rel")
+                    - F.lit(1.0 - float(lam)) * F.col("_maxsim"),
+                    6,
+                ),
+            )
+            .orderBy(F.desc("_mmr"), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        r = rows[0]
+        picked.append((step, r[id_col], r["rel"], r["_maxsim"], r["_mmr"]))
+        vecs.append([float(x) for x in r[vec_col]])
+        remaining = remaining.filter(F.col(id_col) != F.lit(r[id_col]))
+    id_type = pool_df.schema[id_col].dataType
+    return spark.createDataFrame(
+        picked,
+        StructType(
+            [
+                StructField("step", IntegerType(), False),
+                StructField(id_col, id_type, False),
+                StructField("rel", DoubleType(), True),
+                StructField("max_sim", DoubleType(), True),
+                StructField("mmr", DoubleType(), True),
+            ]
+        ),
+    )
+
+
 def cell_scores(
     df: DataFrame,
     query_id: int | None = None,

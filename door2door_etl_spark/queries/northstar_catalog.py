@@ -836,6 +836,65 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.brute_force_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
+MMR_K = 5
+MMR_LAM = 0.7
+MMR_POOL = 50
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-aware retrieval: Maximal Marginal Relevance rerank
+    (operators.similarity.mmr_topk) over the query's cosine top-50
+    pool — each of the 5 greedy picks maximizes λ·relevance −
+    (1−λ)·max-similarity-to-already-picked.  The oracle unrolls the
+    identical 5 selection steps as CTEs (correlated max over the
+    growing selected set), so determinism of the whole greedy
+    trajectory — pool cutoff, redundancy penalties, tie-breaks — is
+    hash-checked, not just the final id set."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.mmr_topk(
+        emb, ANN_QUERY_ID, k=MMR_K, lam=MMR_LAM, pool=MMR_POOL
+    ).orderBy("step")
+
+
+def _sql_mmr_diverse_topk() -> str:
+    cos_q = sql_cosine("e.embedding", "q.qvec")
+    cos_cs = sql_cosine("c.embedding", "s.embedding")
+    lam, one_m = MMR_LAM, round(1.0 - MMR_LAM, 10)
+    parts = [
+        f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+pool AS (
+  SELECT e.vec_id, e.embedding, round({cos_q}, 6) AS rel
+  FROM embeddings e, q WHERE e.vec_id != {ANN_QUERY_ID}
+  ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}),
+s1 AS (
+  SELECT 1 AS step, vec_id, rel, 0.0 AS max_sim,
+         round({lam} * rel - {one_m} * 0.0, 6) AS mmr, embedding
+  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+sel1 AS (SELECT * FROM s1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT step, vec_id, rel, max_sim,
+         round({lam} * rel - {one_m} * max_sim, 6) AS mmr, embedding
+  FROM (
+    SELECT {i} AS step, c.vec_id, c.rel,
+           (SELECT max(round({cos_cs}, 6)) FROM sel{i - 1} s) AS max_sim,
+           c.embedding
+    FROM pool c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))
+  ORDER BY mmr DESC, vec_id LIMIT 1),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    parts.append(
+        f"""
+SELECT step, vec_id, rel, max_sim, mmr FROM sel{MMR_K} ORDER BY step"""
+    )
+    return "".join(parts)
+
+
 def _sql_ann_bruteforce_topk() -> str:
     cos = sql_cosine("e.embedding", "q.qvec")
     return f"""
@@ -3109,6 +3168,7 @@ NORTHSTAR_QUERIES: list[QueryDef] = [
     QueryDef("ns_dedup_cluster_canonical", q_dedup_cluster_canonical, _sql_dedup_cluster_canonical(), "north-star dedup/connected-components", ("northstar", "dedup")),
     QueryDef("ns_dedup_cleaned_corpus", q_dedup_cleaned_corpus, _sql_dedup_cleaned_corpus(), "north-star dedup/end-to-end", ("northstar", "dedup")),
     QueryDef("ns_ann_bruteforce_topk", q_ann_bruteforce_topk, _sql_ann_bruteforce_topk(), "north-star similarity/brute", ("northstar", "similarity")),
+    QueryDef("ns_mmr_diverse_topk", q_mmr_diverse_topk, _sql_mmr_diverse_topk(), "diversity-aware retrieval: MMR greedy rerank over the cosine top-pool (unrolled-step oracle)", ("northstar", "similarity")),
     QueryDef("ns_embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "north-star similarity/int8-quantization", ("northstar", "similarity")),
     QueryDef("ns_pq_codes", q_pq_codes, _sql_pq_codes(), "north-star similarity/product-quantization encode", ("northstar", "similarity")),
     QueryDef("ns_ann_pq_topk", q_ann_pq_topk, _sql_ann_pq_topk(), "north-star similarity/pq-adc-search", ("northstar", "similarity")),

@@ -189,6 +189,33 @@ def test_cosine_and_topk(spark):
     assert [r["vec_id"] for r in ivf.collect()] == [1]  # only cell 0 probed
 
 
+def test_mmr_topk_trades_relevance_for_diversity(spark):
+    """MMR known answer: pure relevance ranks the query's two
+    near-clones first, but after picking one clone the redundancy
+    penalty pushes the second clone BELOW the orthogonal candidate;
+    λ=1 degenerates to pure relevance order.  max_sim is 0 for the
+    first pick, mmr values are 6dp-rounded and descending-decisive."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.9, 0.44], label=0),    # most relevant
+        Row(vec_id=2, embedding=[0.9, 0.45], label=0),    # clone of 1
+        Row(vec_id=3, embedding=[0.85, -0.44], label=1),  # relevant, OTHER side
+        Row(vec_id=4, embedding=[0.1, 0.99], label=1),    # low relevance
+    ]
+    df = spark.createDataFrame(rows)
+    out = S.mmr_topk(df, query_id=0, k=3, lam=0.7, pool=10).collect()
+    assert [r["step"] for r in out] == [1, 2, 3]
+    assert out[0]["max_sim"] == 0.0
+    # pick 1 = most relevant; pick 2 = the OTHER-SIDE vector, not the
+    # clone, because sim(clone, pick1) ~ 1 wipes out its relevance edge
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    # λ=1: no redundancy penalty — order is pure relevance
+    pure = S.mmr_topk(df, query_id=0, k=3, lam=1.0, pool=10).collect()
+    assert [r["vec_id"] for r in pure] == [1, 2, 3]
+    brute = S.brute_force_topk(df, query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in pure] == [r["vec_id"] for r in brute]
+
+
 # -- multimodal -------------------------------------------------------------
 
 def test_multimodal_content_and_features(spark, docs):
