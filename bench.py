@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "ns_delta_time_travel",
     "ns_iceberg_time_travel",
     "ns_mmr_diverse_topk",
+    "ns_coverage_max_select",
     # ns_cdc_join_view joins the CDC-fixture exclusion set below.
     # ns_scd2_dimension joins the CDC-fixture exclusion set: its wall is
     # versioned-table wave fixtures, not data-sized query work

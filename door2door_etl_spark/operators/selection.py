@@ -300,3 +300,93 @@ def doremi_domain_weights(
             + F.lit(uniform_mix) / F.col("_k")
         ).alias("weight"),
     )
+
+
+def coverage_max_select(
+    docs: DataFrame,
+    k: int = 5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage subset selection (the facility-location
+    objective): pick ``k`` documents one at a time, each maximizing the
+    number of corpus shingles NOT yet covered by the picks so far — the
+    classic (1 − 1/e)-approximate greedy for a monotone submodular
+    objective (Nemhauser, Wolsey & Fisher 1978), and the
+    coverage-driven counterpart to embedding-based diverse selection
+    (:func:`~door2door_etl_spark.operators.similarity.mmr_topk`): MMR
+    diversifies against pairwise similarity, this maximizes what the
+    selected set jointly SPANS.
+
+    Distribution shape: the (doc, shingle) incidence relation is built
+    once (in-row shingling, one distinct) and checkpointed; each of the
+    k rounds is ONE job — a left-anti join against the covered set (the
+    union of the picked docs' shingle slices of the checkpointed
+    relation; duplicates are harmless to an anti join, so no distinct,
+    no re-checkpoint) + a per-doc count + an ordered take-1 — all
+    shuffle-bounded by the incidence relation, never a doc×doc
+    interaction.  ``covered_total`` costs nothing: it is the running
+    sum of gains (|covered ∪ pickᵢ| = |covered| + gainᵢ by
+    construction), so no per-round count job.  Driver state is k
+    picked rows.  Determinism: (gain DESC, id ASC) tie-break.  Stops
+    early (< k rows) only when every remaining doc is fully covered.
+
+    Output: ``(step, <id_col>, gain, covered_total)`` — gain = newly
+    covered shingles at pick time, covered_total = cumulative distinct
+    shingles covered.
+    """
+    from door2door_etl_spark.operators.text import shingles
+
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    id_type = sh.schema[id_col].dataType
+    covered: DataFrame | None = None
+    picked_ids: list = []
+    out_rows: list[tuple] = []
+    for step in range(1, int(k) + 1):
+        cand = sh
+        if picked_ids:
+            cand = cand.filter(~F.col(id_col).isin(picked_ids))
+        if covered is not None:
+            cand = cand.join(covered, "shingle", "left_anti")
+        rows = (
+            cand.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        r = rows[0]
+        picked_ids.append(r[id_col])
+        new_cov = sh.filter(F.col(id_col) == F.lit(r[id_col])).select("shingle")
+        covered = new_cov if covered is None else covered.unionAll(new_cov)
+        total = (out_rows[-1][3] if out_rows else 0) + int(r["gain"])
+        out_rows.append((step, r[id_col], int(r["gain"]), total))
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        out_rows,
+        StructType(
+            [
+                StructField("step", IntegerType(), False),
+                StructField(id_col, id_type, False),
+                StructField("gain", LongType(), False),
+                StructField("covered_total", LongType(), False),
+            ]
+        ),
+    )

@@ -2040,3 +2040,69 @@ TRAINING_QUERIES.append(
         ("northstar", "text"),
     )
 )
+
+
+COVMAX_K = 5
+COVMAX_N = 3
+
+
+def q_coverage_max_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Coverage-driven curation sampling: greedy facility-location
+    selection (operators.selection.coverage_max_select) — 5 documents
+    picked to jointly span the most distinct word-trigram shingles.
+    The oracle unrolls the identical greedy rounds as CTEs (per-step
+    uncovered-gain argmax + cumulative covered set), so the whole
+    trajectory — gains, cumulative coverage, tie-breaks — is
+    hash-checked, not just the final id set."""
+    from door2door_etl_spark.operators.selection import coverage_max_select
+
+    docs = load_table(spark, sf, "documents")
+    return coverage_max_select(docs, k=COVMAX_K, shingle_n=COVMAX_N).orderBy(
+        "step"
+    )
+
+
+def _sql_coverage_max_select() -> str:
+    shex = _bl_shingles("text", COVMAX_N)
+    parts = [
+        f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({shex}) AS shingle FROM documents)),
+g1 AS (SELECT doc_id, count(*) AS gain FROM sh GROUP BY 1
+       ORDER BY gain DESC, doc_id LIMIT 1),
+cov1 AS (SELECT DISTINCT shingle FROM sh
+         WHERE doc_id = (SELECT doc_id FROM g1)),
+r1 AS (SELECT 1 AS step, doc_id, gain,
+              (SELECT count(*) FROM cov1) AS covered_total FROM g1)"""
+    ]
+    for i in range(2, COVMAX_K + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT doc_id FROM g{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+g{i} AS (SELECT s.doc_id, count(*) AS gain FROM sh s
+       WHERE s.doc_id NOT IN ({prev_picks})
+         AND s.shingle NOT IN (SELECT shingle FROM cov{i - 1})
+       GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+cov{i} AS (SELECT shingle FROM cov{i - 1}
+         UNION
+         SELECT shingle FROM sh WHERE doc_id = (SELECT doc_id FROM g{i})),
+r{i} AS (SELECT {i} AS step, doc_id, gain,
+              (SELECT count(*) FROM cov{i}) AS covered_total FROM g{i})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{j}" for j in range(1, COVMAX_K + 1))
+    parts.append(f"\n{union} ORDER BY step")
+    return "".join(parts)
+
+
+TRAINING_QUERIES.append(
+    QueryDef(
+        "ns_coverage_max_select",
+        q_coverage_max_select,
+        _sql_coverage_max_select(),
+        "coverage-driven curation: greedy facility-location doc selection (unrolled-round oracle)",
+        ("northstar", "selection"),
+    )
+)

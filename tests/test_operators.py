@@ -2557,6 +2557,31 @@ def test_logreg_classifier_matches_reference_and_separates(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_coverage_max_select_greedy_known_answer(spark):
+    """Greedy facility-location known answer: the widest doc wins round
+    1; equal-gain ties break to the lower id; fully-covered docs are
+    never picked (anti-join removes their every shingle), so the
+    selection stops EARLY when nothing uncovered remains; covered_total
+    is the running sum of gains."""
+    from door2door_etl_spark.operators.selection import coverage_max_select
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c d"),       # trigrams: "a b c", "b c d"  (2)
+            (11, "p q r s"),       # "p q r", "q r s"            (2, ties 10)
+            (12, "x y z w v"),     # 3 trigrams — widest
+            (13, "a b c"),         # single shingle, covered by doc 10
+        ],
+        "doc_id long, text string",
+    )
+    out = coverage_max_select(docs, k=4, shingle_n=3).collect()
+    assert [(r.step, r.doc_id, r.gain, r.covered_total) for r in out] == [
+        (1, 12, 3, 3),   # widest first
+        (2, 10, 2, 5),   # tie with 11 -> lower id
+        (3, 11, 2, 7),
+    ]                    # doc 13 fully covered -> early stop at 3 rows
+
+
 def test_dsir_matches_reference_and_ranks_targetlike_docs(spark):
     """dsir_log_weights/dsir_select against an independent pure-Python
     reference (same sha-52 gram hashing, add-one smoothing, Gumbel-max
