@@ -2066,12 +2066,12 @@ def _sql_coverage_max_select() -> str:
     shex = _bl_shingles("text", COVMAX_N)
     parts = [
         f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest({shex}) AS shingle FROM documents)),
-g1 AS (SELECT doc_id, count(*) AS gain FROM sh GROUP BY 1
+g1 AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM sh GROUP BY 1
        ORDER BY gain DESC, doc_id LIMIT 1),
-cov1 AS (SELECT DISTINCT shingle FROM sh
+cov1 AS MATERIALIZED (SELECT DISTINCT shingle FROM sh
          WHERE doc_id = (SELECT doc_id FROM g1)),
 r1 AS (SELECT 1 AS step, doc_id, gain,
               (SELECT count(*) FROM cov1) AS covered_total FROM g1)"""
@@ -2082,11 +2082,11 @@ r1 AS (SELECT 1 AS step, doc_id, gain,
         )
         parts.append(
             f""",
-g{i} AS (SELECT s.doc_id, count(*) AS gain FROM sh s
+g{i} AS MATERIALIZED (SELECT s.doc_id, count(*) AS gain FROM sh s
        WHERE s.doc_id NOT IN ({prev_picks})
          AND s.shingle NOT IN (SELECT shingle FROM cov{i - 1})
        GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
-cov{i} AS (SELECT shingle FROM cov{i - 1}
+cov{i} AS MATERIALIZED (SELECT shingle FROM cov{i - 1}
          UNION
          SELECT shingle FROM sh WHERE doc_id = (SELECT doc_id FROM g{i})),
 r{i} AS (SELECT {i} AS step, doc_id, gain,
