@@ -1092,3 +1092,62 @@ def test_louvain_half_sweep_bounded_shuffles(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "Window" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 13, plan
+
+
+def test_tfidf_in_row_rle_plan_shape(spark, sf001):
+    """The round-12 tfidf rewrite's contract: term frequencies emerge
+    IN-ROW (no token-occurrence-level exchange), leaving exactly two
+    hash exchanges — the compact per-token doc_freq aggregate and the
+    per-doc top-1 window — with the df join a broadcast and the top-1
+    taken map-side (WindowGroupLimit Partial before the exchange).
+    The RLE expression must stay bound as columns: array_sort appears
+    once per scan branch, never re-inlined per lambda element."""
+    plan = plan_of(QUERIES["ns_tfidf_top_term"].fn(spark, sf001))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # one array_sort per branch that needs it (tf side; the dfreq
+    # branch uses array_distinct only) — re-inlining through HOF
+    # lambdas would multiply this count
+    assert plan.count("array_sort") <= 2, plan.count("array_sort")
+
+
+def test_copurchase_edges_no_self_join(spark, sf001):
+    """The shared graph edge builder enumerates pairs IN-ROW: no join
+    of the lineitem relation against itself (the old shape), no
+    distinct pass — one groupBy(order) collect_set + one (src, dst)
+    aggregate = exactly two hash exchanges."""
+    from door2door_etl_spark.queries.defs import copurchase_edges
+
+    plan = plan_of(copurchase_edges(spark, sf001))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_mmr_pool_is_ordered_take(spark, sf001):
+    """MMR's distributed stage: the relevance pool is a
+    TakeOrderedAndProject (bounded top-N, no full sort) over ONE scan
+    of the embeddings with the 1-row query side broadcast."""
+    from door2door_etl_spark.io.readers import load_table
+    from door2door_etl_spark.operators.similarity import (
+        _query_column,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf001, "embeddings")
+    base, qcol = _query_column(emb, 0, None, "embedding", "vec_id")
+    pool = (
+        base.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(50)
+    )
+    plan = plan_of(pool)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
