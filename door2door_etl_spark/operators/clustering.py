@@ -179,6 +179,7 @@ def power_iteration_top_pc(
     id_col: str = "vec_id",
     dim: int = 64,
     iterations: int = 3,
+    local_threshold_rows: int = 65_536,
 ) -> tuple[list[float], float, list[float]]:
     """Top principal component of an embedding column by POWER ITERATION
     on the centered scatter matrix, never materializing the d×d
@@ -211,7 +212,19 @@ def power_iteration_top_pc(
 
     Driver state is two ``dim``-length float lists per iteration (the
     same bounded-metadata posture as :func:`kmeans_fit_predict`'s
-    centroid literals); the corpus never leaves the executors.
+    centroid literals); above the gate the corpus never leaves the
+    executors.
+
+    Small-corpus completion (the graph family's gate discipline): when
+    the corpus has at most ``local_threshold_rows`` rows (one bounded
+    count; default 64 k × dim 64 ≈ a 33 MB collect; 0 disables), the
+    whole schedule runs as driver arithmetic mirroring the distributed
+    path operation for operation — the identical ``floor(term·1e6)``
+    BIGINT sums (exact, order-free), ascending-dimension float folds,
+    and division shapes — so the returned ``(component, lambda, mean)``
+    triple is BIT-IDENTICAL (property-tested), skipping 1 + iterations
+    full-plan jobs of mostly per-job constant cost.  Above the gate the
+    distributed path is unchanged.
 
     Reference analog: none (the reference stops at warehouse ETL,
     /root/reference/README.md:18-41); north-star embedding-analytics
@@ -223,6 +236,9 @@ def power_iteration_top_pc(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    if local_threshold_rows and e.count() <= int(local_threshold_rows):
+        vecs = [list(r["_v"]) for r in e.select("_v").collect()]
+        return _power_iteration_local(vecs, dim, int(iterations))
     pos = e.select(F.posexplode("_v").alias("_d", "_x"))
     mean_rows = (
         pos.groupBy("_d")
@@ -268,6 +284,56 @@ def power_iteration_top_pc(
         uq = [0] * dim
         for r in u_rows:
             uq[r["_d"]] = r["_uq"]
+        u = [q / SCALE for q in uq]
+        nrm = 0.0
+        for x in u:  # ascending-dim left fold, mirrors list_sum
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        if nrm == 0.0:
+            return [0.0] * dim, 0.0, mean  # degenerate: constant corpus
+        v = [x / nrm for x in u]
+        lam = nrm
+        uq_last = uq
+    first_nz = next((q for q in uq_last if q != 0), 0)
+    if first_nz < 0:
+        v = [-x for x in v]
+    return v, lam, mean
+
+
+def _power_iteration_local(
+    vecs: list, dim: int, iterations: int
+) -> tuple[list[float], float, list[float]]:
+    """Driver twin of :func:`power_iteration_top_pc`'s distributed
+    schedule — the small-corpus completion path.  Operation-for-operation
+    mirror: ``floor(x·1e6)`` BIGINT mean sums with the same
+    ``(sum/count)/SCALE`` division chain, per-row ascending-dimension
+    left-fold projections in IEEE doubles, exact integer accumulation
+    sums ``floor((s·cx)·1e6)``, ascending-dim norm fold, identical
+    degenerate-corpus early return and sign canonicalization.
+    Property-tested bit-identical (test_power_iteration_local_matches)."""
+    import math
+
+    mean = [0.0] * dim
+    cnt = len(vecs)
+    if cnt:
+        for d in range(dim):
+            total = 0
+            for x in vecs:
+                total += math.floor(x[d] * SCALE)
+            mean[d] = (float(total) / cnt) / SCALE
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
+    uq_last: list[int] = []
+    cx_rows = [[x[d] - mean[d] for d in range(dim)] for x in vecs]
+    for _ in range(iterations):
+        uq = [0] * dim
+        for cx in cx_rows:
+            s = 0.0
+            for d in range(dim):  # ascending-dim left fold
+                s = s + cx[d] * v[d]
+            for d in range(dim):
+                uq[d] += math.floor(s * cx[d] * SCALE)
         u = [q / SCALE for q in uq]
         nrm = 0.0
         for x in u:  # ascending-dim left fold, mirrors list_sum

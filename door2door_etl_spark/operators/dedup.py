@@ -620,6 +620,7 @@ def connected_dedup_clusters(
     max_iterations: int = 20,
     strict: bool = False,
     round_stats: list | None = None,
+    local_threshold_edges: int = 500_000,
 ) -> DataFrame:
     """Cluster near-duplicate candidate pairs into connected components and
     return ``(doc_id, canonical_id)`` — canonical = the minimum doc id
@@ -642,6 +643,22 @@ def connected_dedup_clusters(
     (some components would be split across several canonical ids) — a
     ``UserWarning`` is emitted, or ``RuntimeError`` raised with
     ``strict=True``; silent stale labels were round 3's failure mode.
+
+    Small-graph completion (the Louvain-gate discipline, guide §2.4
+    "remove shuffles outright"): when the symmetrized edge relation has
+    at most ``local_threshold_edges`` rows (default 500k ≈ a ~12 MB
+    collect; 0 disables), the per-component minimum is computed on the
+    driver by union-find instead of paying ~3 BSP jobs × rounds of pure
+    scheduler latency for a graph the size of a broadcast.  VALUE
+    equivalence is exact, not approximate: under the gate the longest
+    possible chain is ≤ threshold/2 nodes, pointer jumping's reach
+    doubles per round, so the BSP loop always converges within the
+    default 20 rounds and its fixpoint is precisely the per-component
+    minimum — the same labeling union-find produces (property-tested).
+    The gate reads ONE bounded count off the already-checkpointed edge
+    relation, so the 100 TB path pays one cache-scan job and then runs
+    the BSP loop unchanged.  ``round_stats`` (the scale screen) forces
+    the BSP path — per-round improved counts are its structural signal.
     """
     import warnings
 
@@ -652,12 +669,28 @@ def connected_dedup_clusters(
         )
         .distinct()
     )
+    edges = edges.localCheckpoint(eager=True)
+    if local_threshold_edges and round_stats is None:
+        if edges.count() <= int(local_threshold_edges):
+            rows = edges.collect()  # cache scan of the checkpoint
+            labels_map = _components_local([(r["a"], r["b"]) for r in rows])
+            from pyspark.sql.types import StructField, StructType
+
+            ntype = edges.schema["a"].dataType
+            return pairs.sparkSession.createDataFrame(
+                sorted(labels_map.items()),
+                StructType(
+                    [
+                        StructField("doc_id", ntype, False),
+                        StructField("canonical_id", ntype, False),
+                    ]
+                ),
+            )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iterations):
@@ -714,6 +747,41 @@ def connected_dedup_clusters(
             raise RuntimeError(msg)
         warnings.warn(msg, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def _components_local(edges: list) -> dict:
+    """Driver twin of the pointer-jumping fixpoint — the small-graph
+    completion path of :func:`connected_dedup_clusters`.  Union-find
+    with per-component minimum canonicalization: exactly the converged
+    BSP labeling (min reachable node), because min-label propagation's
+    fixpoint IS the per-component minimum.  Comparison semantics match
+    ``F.least`` for every node type the engine uses (ints; strings via
+    UTF-8 order, which equals code-point order).  Returns
+    ``{node: canonical}`` over every node that touches an edge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    return {node: comp_min[find(node)] for node in parent}
 
 
 def _simhash_voted(
@@ -1639,6 +1707,15 @@ def substring_dedup(
     cross-document span grain.
     """
     from door2door_etl_spark.operators.text import tokens
+
+    # Width-normalize ONCE at entry (the curation-funnel discipline):
+    # the tokenize+gram-sha256 pass feeds several plan branches, and a
+    # narrow input — one parquet file = one partition at test scale —
+    # would run every branch's hash work single-core.  At production
+    # width this is a skipped no-op guard, not a shuffle.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
 
     n_hex = 16  # 64-bit gram digests: collision-safe, 4x smaller shuffle keys
     tok_expr = tokens(F.coalesce(F.col(text_col), F.lit("")))

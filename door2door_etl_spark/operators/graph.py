@@ -39,6 +39,40 @@ from pyspark.storagelevel import StorageLevel
 _DEC = "decimal(38,18)"
 
 
+# Small-graph completion gate for the rank iterations (pagerank / PPR):
+# the heavy work — the edge build and the (src, dst) transition aggregate —
+# always runs in Spark; only the fixed-point loop over the ALREADY
+# AGGREGATED transition relation moves to the driver when that relation is
+# broadcast-sized.  Node bound first (free: the node count is computed
+# anyway), then the transition-row bound (one cache-scan count).
+_RANK_LOCAL_MAX_NODES = 4_096
+_RANK_LOCAL_MAX_EDGES = 500_000
+
+
+def _rank_local_setup(nodes, trans, n_nodes, threshold_edges):
+    """Gate + collect for the local rank iteration: returns
+    ``(node_list, trans_rows)`` or ``None`` when the graph is above the
+    gate.  Costs one cache-scan count + two bounded collects below the
+    gate, one node-count comparison above it."""
+    if not threshold_edges or n_nodes > _RANK_LOCAL_MAX_NODES:
+        return None
+    if trans.count() > int(threshold_edges):
+        return None
+    node_list = [r["node"] for r in nodes.collect()]
+    trans_rows = [(r["src"], r["dst"], r["p"]) for r in trans.collect()]
+    return node_list, trans_rows
+
+
+def _d18(x: float):
+    """Mirror Spark's CAST(double AS DECIMAL(38,18)): shortest-repr
+    decimal digits (Double.toString ↔ repr), HALF_UP at scale 18."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-18), rounding=ROUND_HALF_UP
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -46,6 +80,7 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 6,
     damping: float = 0.85,
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Weighted PageRank over ``edges``; returns ``(node, rank)``.
 
@@ -58,6 +93,19 @@ def pagerank(
     ``weight_col=None`` means unweighted (w=1).  Ranks sum to 1 at every
     iteration (up to the decimal quantization), so the result is a
     probability distribution over nodes.
+
+    Small-graph completion (the Louvain/CC gate discipline): the edge
+    build, the out-weight normalization and the (src, dst) transition
+    aggregate — everything data-sized — always run in Spark; when the
+    RESULTING transition relation is broadcast-sized (node and row
+    bounds above; ``local_threshold_edges=0`` disables) the fixed-point
+    loop runs as driver arithmetic that mirrors the BSP path operation
+    for operation (same per-edge IEEE double products, the same
+    CAST-to-DECIMAL(38,18) HALF_UP quantization per summand, exact
+    decimal accumulation, the same expression shapes) — BIT-IDENTICAL
+    ranks, property-tested against the forced-BSP path.  Above the gate
+    the iteration pays per-round bounded shuffles exactly as before —
+    the 100 TB path is unchanged.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -88,6 +136,14 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src_nodes = trans.select(F.col("src").alias("node")).distinct()
+
+    local = _rank_local_setup(nodes, trans, n, local_threshold_edges)
+    if local is not None:
+        node_list, trans_rows = local
+        ranks_map = _rank_local_iterate(
+            node_list, trans_rows, n, int(iterations), float(damping)
+        )
+        return _rank_local_frame(edges.sparkSession, nodes, trans, ranks_map)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=True
@@ -132,7 +188,92 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def _rank_local_frame(spark, nodes, trans, ranks_map) -> DataFrame:
+    """Materialize a local rank map as the (node, rank) DataFrame the BSP
+    path returns, releasing the setup caches."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ntype = nodes.schema["node"].dataType
+    nodes.unpersist()
+    trans.unpersist()
+    return spark.createDataFrame(
+        sorted(ranks_map.items()),
+        StructType(
+            [
+                StructField("node", ntype, False),
+                StructField("rank", DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def _rank_local_iterate(
+    node_list: list,
+    trans_rows: list,
+    n: int,
+    iterations: int,
+    damping: float,
+    restart_node=None,
+) -> dict:
+    """Driver twin of the pagerank / personalized-pagerank BSP loop —
+    the small-graph completion path.  Mirrors the distributed
+    arithmetic operation for operation: per-edge products are single
+    IEEE double multiplies, every SUM quantizes each summand with
+    :func:`_d18` (Spark's CAST(double AS DECIMAL(38,18))) and
+    accumulates exactly before one cast back to double (``float`` of a
+    ``Decimal`` is correctly rounded, like ``BigDecimal.doubleValue``),
+    and the per-node update reproduces the BSP expression tree's
+    evaluation order.  ``restart_node=None`` is the uniform-teleport
+    variant; otherwise teleport and dangling mass return to the source
+    (personalized).  Property-tested bit-identical to the BSP path
+    (test_pagerank_local_path_matches_bsp)."""
+    from decimal import Decimal, localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 50  # exact: summands have <= ~24 significant digits
+        src_set = {s for s, _, _ in trans_rows}
+        if restart_node is None:
+            rank = {v: 1.0 / n for v in node_list}
+        else:
+            rank = {
+                v: (1.0 if v == restart_node else 0.0) for v in node_list
+            }
+        base = (1.0 - damping) / n
+        zero = Decimal(0)
+        for _ in range(iterations):
+            dang = zero
+            any_dangling = False
+            for v in node_list:
+                if v not in src_set:
+                    dang += _d18(rank[v])
+                    any_dangling = True
+            m = float(dang) if any_dangling else 0.0
+            contrib: dict = {}
+            for s, d, p in trans_rows:
+                q = _d18(rank[s] * p)
+                contrib[d] = contrib.get(d, zero) + q
+            new = {}
+            if restart_node is None:
+                mn = m / float(n)
+                for v in node_list:
+                    c = float(contrib[v]) if v in contrib else 0.0
+                    new[v] = base + damping * (c + mn)
+            else:
+                boost = (1.0 - damping) + damping * m
+                for v in node_list:
+                    c = float(contrib[v]) if v in contrib else 0.0
+                    t = damping * c
+                    new[v] = t + (boost if v == restart_node else 0.0)
+            rank = new
+        return rank
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
+) -> DataFrame:
     """Distributed triangle counting via degree-ordered edge orientation
     (Suri & Vassilvitskii, WWW '11 — the MapReduce classic): undirected
     edges canonicalize + dedup, every edge orients from its lower-
@@ -161,6 +302,49 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Small-graph completion (the module's standing gate discipline):
+    # wedge enumeration over a broadcast-sized canonical edge list is
+    # exact integer counting — the driver twin applies the identical
+    # (degree, node) orientation, so the census is the same count
+    # (property-tested).  The one-row summary and its rounded ratio are
+    # STILL built by the same Spark expressions either way.
+    und = und.localCheckpoint(eager=True)
+    if local_threshold_edges and und.count() <= int(local_threshold_edges):
+        pairs = [(r["u"], r["v"]) for r in und.collect()]
+        deg_map: dict = {}
+        for u, v in pairs:
+            deg_map[u] = deg_map.get(u, 0) + 1
+            deg_map[v] = deg_map.get(v, 0) + 1
+        oriented: dict = {}
+        for u, v in pairs:
+            ku, kv = (deg_map[u], u), (deg_map[v], v)
+            a, b = (ku, kv) if ku < kv else (kv, ku)
+            oriented.setdefault(a, set()).add(b)
+        n_tri = 0
+        for a, outs in oriented.items():
+            outs_sorted = sorted(outs)
+            for i, wa in enumerate(outs_sorted):
+                closing = oriented.get(wa)
+                if not closing:
+                    continue
+                for wb in outs_sorted[i + 1:]:
+                    if wb in closing:
+                        n_tri += 1
+        n_nodes = len(deg_map)
+        n_edges = len(pairs)
+        n_wedges = sum(d * (d - 1) // 2 for d in deg_map.values())
+        spark = edges.sparkSession
+        one = spark.range(1)
+        return one.select(
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.lit(n_tri).cast("long").alias("n_triangles"),
+            F.lit(n_wedges).cast("long").alias("n_wedges"),
+            F.round(
+                F.lit(3.0 * n_tri) / F.nullif(F.lit(n_wedges).cast("long"), F.lit(0)),
+                6,
+            ).alias("global_clustering"),
+        )
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -266,6 +450,7 @@ def kcore_peel(
     dst: str = "dst",
     rounds: int = 8,
     broadcast_weak_max_rows: int = 1_000_000,
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """k-core membership by SYNCHRONIZED peeling: each round removes
     every node whose degree in the surviving subgraph is below ``k``
@@ -298,6 +483,40 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Small-graph completion: synchronized peeling over a
+    # broadcast-sized canonical edge list is exact integer degree
+    # arithmetic — the driver twin peels the identical rounds
+    # (property-tested), skipping ~3 BSP jobs per round.  One
+    # cache-scan count above the gate; BSP path unchanged.
+    if local_threshold_edges and live.count() <= int(local_threshold_edges):
+        pairs = [(r["u"], r["v"]) for r in live.collect()]
+        ntype = live.schema["u"].dataType
+        for _ in range(rounds):
+            deg: dict = {}
+            for u, v in pairs:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            if not weak:
+                break
+            pairs = [
+                (u, v) for u, v in pairs if u not in weak and v not in weak
+            ]
+        out: dict = {}
+        for u, v in pairs:
+            out[u] = out.get(u, 0) + 1
+            out[v] = out.get(v, 0) + 1
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return edges.sparkSession.createDataFrame(
+            sorted(out.items()),
+            StructType(
+                [
+                    StructField("node", ntype, False),
+                    StructField("degree", LongType(), False),
+                ]
+            ),
+        )
     for _ in range(rounds):
         deg = (
             live.select(F.col("u").alias("n"))
@@ -363,6 +582,7 @@ def bfs_hops(
     max_hops: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Breadth-first hop distances from ``source`` over an undirected
     edge list: ``(node, hops)`` for every node within ``max_hops`` —
@@ -388,6 +608,32 @@ def bfs_hops(
     ).distinct()
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     spark = edges.sparkSession
+    # Small-graph completion (the module's standing gate discipline):
+    # level-synchronous BFS over a broadcast-sized symmetrized relation
+    # is pure integer set arithmetic — the driver twin reaches the
+    # identical settled set (property-tested), skipping ~2 BSP jobs per
+    # hop.  One cache-scan count above the gate; BSP path unchanged.
+    if local_threshold_edges and sym.count() <= int(local_threshold_edges):
+        adj: dict = {}
+        for r in sym.collect():
+            adj.setdefault(r["u"], []).append(r["v"])
+        sym.unpersist()
+        settled_map = {int(source): 0}
+        frontier_set = {int(source)}
+        for hop in range(1, int(max_hops) + 1):
+            nxt = set()
+            for u in frontier_set:
+                for v in adj.get(u, ()):
+                    if v not in settled_map:
+                        nxt.add(v)
+            if not nxt:
+                break
+            for v in nxt:
+                settled_map[v] = hop
+            frontier_set = nxt
+        return spark.createDataFrame(
+            sorted(settled_map.items()), "node long, hops int"
+        )
     settled = spark.createDataFrame(
         [(source, 0)], "node long, hops int"
     ).localCheckpoint(eager=True)
@@ -416,6 +662,7 @@ def personalized_pagerank(
     weight_col: str | None = None,
     iterations: int = 6,
     damping: float = 0.85,
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart) from
     ``restart_node``: the teleport mass — the (1−d) restart AND the
@@ -428,7 +675,9 @@ def personalized_pagerank(
     per iteration, localCheckpoint lineage truncation, exact DECIMAL
     contribution sums); init is the point mass at the restart node.
     Returns ``(node, rank)`` — a probability distribution concentrated
-    around the source.
+    around the source.  Small-graph completion mirrors :func:`pagerank`
+    exactly (same gate, same bit-identical driver arithmetic with the
+    teleport redirected to the restart node).
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -454,6 +703,15 @@ def personalized_pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src_nodes = trans.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    local = _rank_local_setup(nodes, trans, n, local_threshold_edges)
+    if local is not None:
+        node_list, trans_rows = local
+        ranks_map = _rank_local_iterate(
+            node_list, trans_rows, n, int(iterations), float(damping),
+            restart_node=restart_node,
+        )
+        return _rank_local_frame(edges.sparkSession, nodes, trans, ranks_map)
     is_s = F.col("node") == F.lit(restart_node)
     ranks = nodes.select(
         "node", F.when(is_s, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")
@@ -502,6 +760,7 @@ def label_propagation(
     dst_col: str = "dst",
     rounds: int = 4,
     round_stats: list | None = None,
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan,
     Albert & Kumara 2007) over an undirected edge list: every node starts
@@ -536,6 +795,44 @@ def label_propagation(
         edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     ).distinct()
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # Small-graph completion: the synchronous rounds over a
+    # broadcast-sized relation are exact integer count arithmetic with
+    # the same (count DESC, label ASC) tie-break — the driver twin
+    # reaches the identical labeling (property-tested).  ``round_stats``
+    # (the scale screen) forces BSP — per-round moved counts are its
+    # structural signal.
+    if (
+        local_threshold_edges
+        and round_stats is None
+        and sym.count() <= int(local_threshold_edges)
+    ):
+        adj: dict = {}
+        for row in sym.collect():
+            adj.setdefault(row["u"], []).append(row["v"])
+        ntype = sym.schema["u"].dataType
+        sym.unpersist()
+        lab = {n: n for n in adj}
+        for _ in range(int(rounds)):
+            new = {}
+            for n, nbrs in adj.items():
+                cnt: dict = {}
+                for v in nbrs:
+                    c = lab[v]
+                    cnt[c] = cnt.get(c, 0) + 1
+                best = max(cnt.values())
+                new[n] = min(c for c, k in cnt.items() if k == best)
+            lab = new
+        from pyspark.sql.types import StructField, StructType
+
+        return edges.sparkSession.createDataFrame(
+            sorted(lab.items()),
+            StructType(
+                [
+                    StructField("node", ntype, False),
+                    StructField("community", ntype, False),
+                ]
+            ),
+        )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -1151,6 +1448,7 @@ def sssp_weighted(
     weight_col: str = "w",
     rounds: int = 6,
     round_stats: list | None = None,
+    local_threshold_edges: int = _RANK_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Single-source shortest WEIGHTED distances from ``source`` over an
     undirected edge list — bounded-round bulk-synchronous Bellman-Ford,
@@ -1184,6 +1482,36 @@ def sssp_weighted(
         )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     spark = edges.sparkSession
+    # Small-graph completion: bounded-round Bellman-Ford over a
+    # broadcast-sized relation is exact integer min arithmetic — the
+    # driver twin relaxes the identical rounds (a round that changes
+    # nothing makes every later round a no-op, so its early exit is
+    # parity-safe; the BSP path's fixed-round unroll reaches the same
+    # state).  ``round_stats`` (the scale screen) forces BSP — the
+    # per-round relaxation row counts are its structural signal.
+    if (
+        local_threshold_edges
+        and round_stats is None
+        and sym.count() <= int(local_threshold_edges)
+    ):
+        adj: dict = {}
+        for row in sym.collect():
+            adj.setdefault(row["u"], []).append((row["v"], int(row["w"])))
+        sym.unpersist()
+        dist_map = {int(source): 0}
+        for _ in range(int(rounds)):
+            new = dict(dist_map)
+            for u, d0 in dist_map.items():
+                for v, w in adj.get(u, ()):
+                    nd = d0 + w
+                    if v not in new or nd < new[v]:
+                        new[v] = nd
+            if new == dist_map:
+                break
+            dist_map = new
+        return spark.createDataFrame(
+            sorted(dist_map.items()), "node long, dist long"
+        )
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     ).localCheckpoint(eager=True)

@@ -1818,7 +1818,9 @@ def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
         pcm16_wav_bytes,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # Width-normalize the key-only input (the jpeg-synth discipline).
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id").repartition(par)
 
     def synth(batches):
         for pdf in batches:
@@ -1908,7 +1910,12 @@ def _synth_bmp_assets(docs: DataFrame) -> DataFrame:
             out["content"] = payloads
             yield out
 
-    return docs.select("doc_id").mapInPandas(
+    # Width-normalize the key-only input (the jpeg-synth discipline):
+    # the single-file test tables scan as ONE partition, which would run
+    # every Arrow codec batch on one core; repartitioning 8-byte doc_id
+    # rows moves the decision bytes, never the synthesized payloads.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(
         synth, "doc_id long, content binary"
     )
 
@@ -1968,7 +1975,12 @@ def _synth_avi_assets(docs: DataFrame) -> DataFrame:
             out["content"] = payloads
             yield out
 
-    return docs.select("doc_id").mapInPandas(
+    # Width-normalize the key-only input (the jpeg-synth discipline):
+    # the single-file test tables scan as ONE partition, which would run
+    # every Arrow codec batch on one core; repartitioning 8-byte doc_id
+    # rows moves the decision bytes, never the synthesized payloads.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(
         synth, "doc_id long, content binary"
     )
 
@@ -2169,7 +2181,12 @@ def _synth_gif_assets(docs: DataFrame) -> DataFrame:
             out["content"] = payloads
             yield out
 
-    return docs.select("doc_id").mapInPandas(
+    # Width-normalize the key-only input (the jpeg-synth discipline):
+    # the single-file test tables scan as ONE partition, which would run
+    # every Arrow codec batch on one core; repartitioning 8-byte doc_id
+    # rows moves the decision bytes, never the synthesized payloads.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(
         synth, "doc_id long, content binary"
     )
 
@@ -2231,7 +2248,12 @@ def _synth_png_assets(docs: DataFrame) -> DataFrame:
             out["content"] = payloads
             yield out
 
-    return docs.select("doc_id").mapInPandas(
+    # Width-normalize the key-only input (the jpeg-synth discipline):
+    # the single-file test tables scan as ONE partition, which would run
+    # every Arrow codec batch on one core; repartitioning 8-byte doc_id
+    # rows moves the decision bytes, never the synthesized payloads.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(
         synth, "doc_id long, content binary"
     )
 

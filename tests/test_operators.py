@@ -4607,3 +4607,162 @@ def test_holt_winters_fold_matches_python_reference(spark):
     assert got.level == round(l, 6) and got.trend == round(b, 6)
     assert [got.s1, got.s2, got.s3, got.s4] == [round(x, 6) for x in s]
     assert got.forecast == round(l + b + s[kk % m], 6)
+
+
+def test_components_local_path_matches_bsp(spark):
+    """The small-graph completion path of connected_dedup_clusters
+    (driver union-find, local_threshold_edges gate) labels EXACTLY like
+    the distributed pointer-jumping fixpoint — per-component minimum —
+    across chains (worst diameter), multi-component graphs, singleton
+    edges, duplicate/reversed pairs, and string ids.  This equality is
+    what lets the gate be a pure latency optimization: every CC-backed
+    catalog row can take either path."""
+    from door2door_etl_spark.operators.dedup import connected_dedup_clusters
+
+    graphs = [
+        ("chain", [(i, i + 1) for i in range(1, 40)], "a long, b long"),
+        ("two-comp", [(1, 2), (2, 3), (10, 11), (12, 11), (3, 1)],
+         "a long, b long"),
+        ("dup-rev", [(5, 6), (6, 5), (5, 6), (7, 7)], "a long, b long"),
+        ("strings", [("doc-b", "doc-a"), ("doc-c", "doc-b"),
+                     ("zz", "yy")], "a string, b string"),
+    ]
+    for name, rows, schema in graphs:
+        pairs = spark.createDataFrame(rows, schema)
+        bsp = {
+            r.doc_id: r.canonical_id
+            for r in connected_dedup_clusters(
+                pairs, "a", "b", local_threshold_edges=0  # force BSP
+            ).collect()
+        }
+        loc = {
+            r.doc_id: r.canonical_id
+            for r in connected_dedup_clusters(pairs, "a", "b").collect()
+        }
+        assert loc == bsp, name
+        # and the fixpoint is the per-component minimum by construction
+        for node, canon in loc.items():
+            assert canon <= node, name
+
+
+def test_pagerank_local_path_matches_bsp(spark):
+    """The small-graph completion path of pagerank / personalized_pagerank
+    (driver mirror of the per-edge double products + DECIMAL(38,18)
+    HALF_UP summand quantization + exact accumulation) is BIT-IDENTICAL
+    to the forced-BSP path — weighted, unweighted, dangling-node and
+    string-keyed graphs, several damping values and iteration budgets."""
+    from door2door_etl_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    graphs = [
+        ("dangling", [(1, 2, 1.0), (2, 3, 2.5), (1, 3, 0.25)],
+         "src long, dst long, w double", "w"),
+        ("unweighted", [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 1.0),
+                        (3, 2, 1.0), (4, 4, 1.0)],
+         "src long, dst long, w double", None),
+        ("strings", [("GERMANY", "FRANCE", 10.5), ("FRANCE", "GERMANY", 3.25),
+                     ("KENYA", "FRANCE", 7.125), ("FRANCE", "KENYA", 0.1)],
+         "src string, dst string, w double", "w"),
+    ]
+    for name, rows, schema, wcol in graphs:
+        edges = spark.createDataFrame(rows, schema)
+        start = sorted(r[0] for r in rows)[0]
+        for iters, d in [(6, 0.85), (3, 0.5)]:
+            for fn, kw in [
+                (pagerank, {}),
+                (personalized_pagerank, {"restart_node": start}),
+            ]:
+                bsp = {
+                    r.node: r.rank
+                    for r in fn(
+                        edges, weight_col=wcol, iterations=iters, damping=d,
+                        local_threshold_edges=0, **kw,  # force BSP
+                    ).collect()
+                }
+                loc = {
+                    r.node: r.rank
+                    for r in fn(
+                        edges, weight_col=wcol, iterations=iters, damping=d,
+                        **kw,
+                    ).collect()
+                }
+                assert loc == bsp, (name, fn.__name__, iters, d)
+
+
+def test_integer_graph_ops_local_path_matches_bsp(spark):
+    """bfs_hops / sssp_weighted / label_propagation / kcore_peel
+    small-graph completion paths reproduce the forced-BSP results
+    exactly (pure integer arithmetic on both sides): chains (worst
+    diameter/horizon), multi-component graphs, hub stars, self-loops,
+    and tight round budgets that stop BEFORE convergence."""
+    from door2door_etl_spark.operators.graph import (
+        bfs_hops,
+        kcore_peel,
+        label_propagation,
+        sssp_weighted,
+        triangle_count,
+    )
+
+    graphs = [
+        ("chain", [(i, i + 1, (i % 3) + 1) for i in range(1, 20)]),
+        ("star+tri", [(1, k, 2) for k in range(2, 8)]
+         + [(2, 3, 1), (3, 4, 1), (2, 4, 5), (20, 21, 7)]),
+        ("selfloop", [(5, 5, 1), (5, 6, 2), (6, 7, 9), (8, 9, 1)]),
+    ]
+    for name, rows in graphs:
+        edges = spark.createDataFrame(rows, "src long, dst long, w long")
+        src0 = rows[0][0]
+        for fn, kwargs in [
+            (bfs_hops, {"source": src0, "max_hops": 3}),
+            (bfs_hops, {"source": src0, "max_hops": 25}),
+            (sssp_weighted, {"source": src0, "rounds": 2}),
+            (sssp_weighted, {"source": src0, "rounds": 8}),
+            (label_propagation, {"rounds": 4}),
+            (kcore_peel, {"k": 2, "rounds": 1}),
+            (kcore_peel, {"k": 2, "rounds": 6}),
+            (kcore_peel, {"k": 3, "rounds": 6}),
+            (triangle_count, {}),
+        ]:
+            bsp = sorted(
+                map(tuple, fn(
+                    edges, local_threshold_edges=0, **kwargs
+                ).collect())
+            )
+            loc = sorted(map(tuple, fn(edges, **kwargs).collect()))
+            assert loc == bsp, (name, fn.__name__, kwargs)
+
+
+def test_power_iteration_local_matches(spark):
+    """power_iteration_top_pc's small-corpus completion path returns a
+    BIT-IDENTICAL (component, lambda, mean) triple to the forced
+    distributed path — irregular doubles, negative values, a dominant
+    direction, and the degenerate constant corpus."""
+    from door2door_etl_spark.operators.clustering import (
+        power_iteration_top_pc,
+    )
+
+    dim = 8
+
+    def vec(i):
+        return [
+            ((i * 37 + d * 11) % 17 - 8) * 0.37 + (0.01 if d == 2 else 0.0) * i
+            for d in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for iters in (1, 3):
+        dist = power_iteration_top_pc(
+            df, dim=dim, iterations=iters, local_threshold_rows=0
+        )
+        loc = power_iteration_top_pc(df, dim=dim, iterations=iters)
+        assert loc == dist, iters
+    const = spark.createDataFrame(
+        [(i, [1.5] * dim) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    dist = power_iteration_top_pc(const, dim=dim, local_threshold_rows=0)
+    loc = power_iteration_top_pc(const, dim=dim)
+    assert loc == dist and loc[1] == 0.0

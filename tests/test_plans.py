@@ -762,8 +762,12 @@ def test_kcore_result_invariant_across_broadcast_gate(spark):
     ]
     df = spark.createDataFrame(edges, "src string, dst string")
     bcast = sorted(map(tuple, kcore_peel(df, k=3).collect()))
+    # force the BSP path too (local_threshold_edges=0) so the gate
+    # comparison still exercises the distributed shuffle regime
     shuffle = sorted(
-        map(tuple, kcore_peel(df, k=3, broadcast_weak_max_rows=0).collect())
+        map(tuple, kcore_peel(
+            df, k=3, broadcast_weak_max_rows=0, local_threshold_edges=0
+        ).collect())
     )
     assert bcast == shuffle
     assert bcast == [(f"n{i}", 4) for i in range(5)]
