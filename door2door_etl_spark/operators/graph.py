@@ -114,9 +114,20 @@ def pagerank(
         .cast("double")
         .alias("w"),
     )
+    # ONE pass over the (possibly join-heavy) edge relation: aggregate to
+    # (src, dst) granularity first, then derive nodes AND out-weights from
+    # that bounded relation — the edge build used to run twice (once for
+    # the node set, once for the transition aggregate).  Decimal(38,18)
+    # addition is exact, so summing the per-(src,dst) partial sums gives
+    # bit-identical out-weights to summing the raw edge weights.
+    grouped = (
+        e.groupBy("src", "dst")
+        .agg(F.sum(F.col("w").cast(_DEC)).alias("_wd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        grouped.select(F.col("src").alias("node"))
+        .unionByName(grouped.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -125,14 +136,16 @@ def pagerank(
     # Out-weight-normalized transition probabilities: exact decimal sums,
     # division done in double (decimal division scale rules differ across
     # engines; double division does not).
-    out_w = e.groupBy("src").agg(
-        F.sum(F.col("w").cast(_DEC)).cast("double").alias("_ow")
+    out_w = grouped.groupBy("src").agg(
+        F.sum("_wd").cast("double").alias("_ow")
     )
     trans = (
-        e.groupBy("src", "dst")
-        .agg(F.sum(F.col("w").cast(_DEC)).cast("double").alias("_w"))
-        .join(out_w, "src")
-        .select("src", "dst", (F.col("_w") / F.col("_ow")).alias("p"))
+        grouped.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("_wd").cast("double") / F.col("_ow")).alias("p"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src_nodes = trans.select(F.col("src").alias("node")).distinct()
@@ -143,7 +156,9 @@ def pagerank(
         ranks_map = _rank_local_iterate(
             node_list, trans_rows, n, int(iterations), float(damping)
         )
-        return _rank_local_frame(edges.sparkSession, nodes, trans, ranks_map)
+        return _rank_local_frame(
+            edges.sparkSession, nodes, trans, ranks_map, grouped
+        )
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=True
@@ -185,10 +200,11 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         ranks = nxt
+    grouped.unpersist()
     return ranks
 
 
-def _rank_local_frame(spark, nodes, trans, ranks_map) -> DataFrame:
+def _rank_local_frame(spark, nodes, trans, ranks_map, *extra) -> DataFrame:
     """Materialize a local rank map as the (node, rank) DataFrame the BSP
     path returns, releasing the setup caches."""
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -196,6 +212,8 @@ def _rank_local_frame(spark, nodes, trans, ranks_map) -> DataFrame:
     ntype = nodes.schema["node"].dataType
     nodes.unpersist()
     trans.unpersist()
+    for rel in extra:
+        rel.unpersist()
     return spark.createDataFrame(
         sorted(ranks_map.items()),
         StructType(
@@ -551,17 +569,20 @@ def degree_histogram(
     drawn over any large graph (power-law checks, hub detection, sanity
     before choosing a join/partition strategy for graph algorithms).
 
-    Plan shape: union both endpoint columns, ONE map-side-combinable
-    count per node, ONE count per degree — two bounded shuffles, output
-    at most |distinct degrees| rows.  The total-node normalizer is a
-    window over the already-aggregated histogram (never over nodes).
+    Plan shape: both endpoints stacked IN-ROW (explode of a 2-element
+    array — the union form evaluated the whole upstream edge build once
+    per branch), ONE map-side-combinable count per node, ONE count per
+    degree — two bounded shuffles over a single scan, output at most
+    |distinct degrees| rows.  The total-node normalizer is a window
+    over the already-aggregated histogram (never over nodes).
     Determinism: shares are exact integer ratios rounded at 6dp.
     """
     from pyspark.sql import Window
 
     deg = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionAll(edges.select(F.col(dst_col).alias("node")))
+        edges.select(
+            F.explode(F.array(F.col(src_col), F.col(dst_col))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -601,11 +622,20 @@ def bfs_hops(
     equals the full ``max_hops`` unroll — an engine twin bounded to the
     same depth reaches the identical fixpoint.
     """
+    # Symmetrize IN-ROW (explode of a 2-struct array): the union form
+    # evaluated the whole upstream edge build once per direction.
     sym = edges.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).unionAll(
-        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    ).distinct()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                ),
+                F.struct(
+                    F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v").distinct()
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     spark = edges.sparkSession
     # Small-graph completion (the module's standing gate discipline):
@@ -686,20 +716,31 @@ def personalized_pagerank(
         .cast("double")
         .alias("w"),
     )
+    # ONE pass over the (possibly join-heavy) edge relation — aggregate to
+    # (src, dst) granularity first, then derive nodes and out-weights from
+    # the bounded relation (see :func:`pagerank`; decimal addition is
+    # exact, so the partial-sum regrouping is bit-identical).
+    grouped = (
+        e.groupBy("src", "dst")
+        .agg(F.sum(F.col("w").cast(_DEC)).alias("_wd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        grouped.select(F.col("src").alias("node"))
+        .unionByName(grouped.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out_w = e.groupBy("src").agg(
-        F.sum(F.col("w").cast(_DEC)).cast("double").alias("_ow")
+    out_w = grouped.groupBy("src").agg(
+        F.sum("_wd").cast("double").alias("_ow")
     )
     trans = (
-        e.groupBy("src", "dst")
-        .agg(F.sum(F.col("w").cast(_DEC)).cast("double").alias("_w"))
-        .join(out_w, "src")
-        .select("src", "dst", (F.col("_w") / F.col("_ow")).alias("p"))
+        grouped.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("_wd").cast("double") / F.col("_ow")).alias("p"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src_nodes = trans.select(F.col("src").alias("node")).distinct()
@@ -711,7 +752,9 @@ def personalized_pagerank(
             node_list, trans_rows, n, int(iterations), float(damping),
             restart_node=restart_node,
         )
-        return _rank_local_frame(edges.sparkSession, nodes, trans, ranks_map)
+        return _rank_local_frame(
+            edges.sparkSession, nodes, trans, ranks_map, grouped
+        )
     is_s = F.col("node") == F.lit(restart_node)
     ranks = nodes.select(
         "node", F.when(is_s, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")
@@ -751,6 +794,7 @@ def personalized_pagerank(
         )
     nodes.unpersist()
     trans.unpersist()
+    grouped.unpersist()
     return ranks
 
 
@@ -789,11 +833,20 @@ def label_propagation(
     Reference analog: none (the reference has no graph analytics);
     north-star capability.
     """
+    # Symmetrize IN-ROW (explode of a 2-struct array): the union form
+    # evaluated the whole upstream edge build once per direction.
     sym = edges.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).unionAll(
-        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    ).distinct()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                ),
+                F.struct(
+                    F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v").distinct()
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     # Small-graph completion: the synchronous rounds over a
     # broadcast-sized relation are exact integer count arithmetic with
@@ -922,8 +975,11 @@ def modularity(
         .agg(F.count(F.lit(1)).alias("intra_edges"))
     )
     deg = (
-        edges.select(F.col(src_col).alias("_n"))
-        .unionAll(edges.select(F.col(dst_col).alias("_n")))
+        edges.select(
+            F.explode(
+                F.array(F.col(src_col), F.col(dst_col))
+            ).alias("_n")
+        )
         .groupBy("_n")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
@@ -1470,17 +1526,25 @@ def sssp_weighted(
     Returns ``(node, dist)`` for every node reachable within
     ``rounds`` edges.
     """
+    # Symmetrize IN-ROW (explode of a 2-struct array): the union form
+    # evaluated the whole upstream edge build once per direction.
+    _w = F.col(weight_col).cast("long")
     sym = edges.select(
-        F.col(src_col).alias("u"),
-        F.col(dst_col).alias("v"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).unionAll(
-        edges.select(
-            F.col(dst_col).alias("u"),
-            F.col(src_col).alias("v"),
-            F.col(weight_col).cast("long").alias("w"),
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("u"),
+                    F.col(dst_col).alias("v"),
+                    _w.alias("w"),
+                ),
+                F.struct(
+                    F.col(dst_col).alias("u"),
+                    F.col(src_col).alias("v"),
+                    _w.alias("w"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v", "_e.w").persist(StorageLevel.MEMORY_AND_DISK)
     spark = edges.sparkSession
     # Small-graph completion: bounded-round Bellman-Ford over a
     # broadcast-sized relation is exact integer min arithmetic — the

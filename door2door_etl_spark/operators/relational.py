@@ -635,9 +635,15 @@ def market_basket_pairs(
     (the broadcastable item-count relation does double duty: pruning
     filter and lift denominator).  Per-basket cost is |frequent items in
     basket|², not |basket|².  Top-k is a TakeOrderedAndProject."""
+    # Materialized ONCE (lineage-truncated, auto-cleaned): this relation
+    # feeds the basket count, the item counts, AND both sides of the
+    # pair self-join — without the checkpoint the (possibly join-heavy)
+    # upstream ran 4-5x (46-Exchange plan at sf0.1; ~8 after).  The
+    # basket count below forces an action anyway, so eager
+    # materialization costs nothing extra.
     baskets = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     n_baskets = baskets.select("_b").distinct().count()
     item_cnt = baskets.groupBy("_i").agg(F.count(F.lit(1)).alias("_ic"))
     frequent = item_cnt.filter(F.col("_ic") >= min_pair_count)

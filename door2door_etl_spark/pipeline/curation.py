@@ -84,31 +84,68 @@ def curate_corpus(
         docs = docs.repartition(par)
     cur = docs.persist(StorageLevel.MEMORY_AND_DISK)
     n_cur = cur.count()
+    # The persisted relation each downstream stage reads; unpersisted only
+    # after its successor is materialized (``cur`` itself may be a cheap
+    # filtered VIEW of it after the fused map-side block below).
+    held = cur
 
     def advance(name: str, nxt: DataFrame) -> None:
-        nonlocal cur, n_cur
+        nonlocal cur, n_cur, held
         nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         n_nxt = nxt.count()
         stages.append((name, n_cur, n_nxt))
-        cur.unpersist()
+        held.unpersist()
+        held = nxt
         cur, n_cur = nxt, n_nxt
 
-    advance("normalize", normalize_text(cur, text_col, out_col=text_col))
-
+    # Fused map-side block: normalize, language-id and the Gopher rules
+    # are all pure column expressions, so they run as ONE projection,
+    # ONE persist and ONE conditional-count aggregate instead of three
+    # persisted passes with a count each.  Stage counts are identical by
+    # construction: normalize is a map (count unchanged); the language
+    # stage's survivor count is count_if(lang_ok); the quality stage —
+    # computed on the language survivors before, but a pure per-row
+    # predicate — is count_if(lang_ok AND keep).
+    staged = normalize_text(cur, text_col, out_col=text_col)
+    conds: list = []
+    aggs = [F.count(F.lit(1)).alias("_n_norm")]
+    flag_cols: list[str] = []
     if langs is not None:
-        advance(
-            "language_id",
-            cur.filter(predict_language(F.col(text_col)).isin(*langs)),
+        staged = staged.withColumn(
+            "_lang_ok", predict_language(F.col(text_col)).isin(*langs)
         )
-
+        conds.append(F.col("_lang_ok"))
+        flag_cols.append("_lang_ok")
+        lang_cond = conds[0]
+        aggs.append(F.count_if(lang_cond).alias("_n_lang"))
     if gopher:
-        flagged = gopher_quality_flags(cur, text_col, min_words=min_words)
-        advance(
-            "quality_rules",
-            flagged.filter(F.col("keep")).drop(
-                "word_count", "mean_word_len", "alpha_frac", "stop_hits", "keep"
-            ),
-        )
+        staged = gopher_quality_flags(staged, text_col, min_words=min_words)
+        conds.append(F.col("keep"))
+        flag_cols += [
+            "word_count", "mean_word_len", "alpha_frac", "stop_hits", "keep"
+        ]
+        quality_cond = conds[0] if len(conds) == 1 else (conds[0] & conds[1])
+        aggs.append(F.count_if(quality_cond).alias("_n_quality"))
+    staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = staged.agg(*aggs).collect()[0]
+    prev = n_cur
+    stages.append(("normalize", prev, counts["_n_norm"]))
+    prev = counts["_n_norm"]
+    if langs is not None:
+        stages.append(("language_id", prev, counts["_n_lang"]))
+        prev = counts["_n_lang"]
+    if gopher:
+        stages.append(("quality_rules", prev, counts["_n_quality"]))
+        prev = counts["_n_quality"]
+    held.unpersist()
+    held = staged
+    keep_cond = None
+    for c in conds:
+        keep_cond = c if keep_cond is None else (keep_cond & c)
+    cur = staged.filter(keep_cond) if keep_cond is not None else staged
+    if flag_cols:
+        cur = cur.drop(*flag_cols)
+    n_cur = prev
 
     if exact:
         canon = exact_dedup_groups(cur, text_col, id_col).select(
