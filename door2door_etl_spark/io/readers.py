@@ -190,3 +190,27 @@ def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
     without touching plans."""
     ensure_runtime_confs(spark)
     return spark.read.orc(path)
+
+
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Width-normalize a narrow relation before per-row heavy compute.
+
+    Single-file test tables scan as ONE partition (one parquet row
+    group), so tokenize/shingle/sha256/regex-dense operators would run
+    their whole CPU budget on one core until the first shuffle — the
+    classic straggler shape.  Repartitioning to the cluster's default
+    parallelism moves the rows once and spreads the compute; when the
+    input already arrives at least that wide (any production multi-file
+    scan, any post-shuffle relation), this is a skipped no-op guard,
+    not an extra exchange.  Predicate pushdown and column pruning pass
+    through the round-robin repartition (verified: PushedFilters and
+    pruned ReadSchema reach the scan below it).
+
+    Streaming frames pass through untouched: micro-batch width is the
+    source's concern (and ``.rdd`` is illegal on them)."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -60,7 +60,14 @@ def hashed_features(
     full-batch GD oscillate instead of placing the decision boundary.
     Zero-token documents otherwise emit no rows (score as sigmoid(0)
     downstream)."""
-    toked = docs.select(
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    # Width-normalized (tokenize branch only: the intercept branch is a
+    # cheap id projection): the tokenize+hash explode is the
+    # per-row-dense stage, and the single-file test scan would run it on
+    # one core; callers persist the result once, so the guard fires at
+    # most once per materialization.
+    toked = widen_if_narrow(docs).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
         id_col,

@@ -144,7 +144,11 @@ def minhash_signatures_df(
     ``hash_fn`` picks the deviate family (see
     :func:`_shingle_uniform_pair`): sha256 for oracle parity, xxhash64 for
     production throughput."""
-    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    ex = widen_if_narrow(df).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
     u1, u2 = _shingle_uniform_pair(F.col("s"), hash_fn)
     per_family = [
         F.min((F.col("u1") + F.lit(i) * F.col("u2")) % F.lit(MINHASH_SPACE)).alias(f"h{i}")
@@ -437,7 +441,9 @@ def ngram_jaccard_pairs(
     # One row per document carrying its DISTINCT shingle set as an array —
     # map-only to build; the blocking stage explodes it, the common-side
     # intersection and the set sizes read it directly.
-    doc_sets = df.select(F.col(id_col), sh_array.alias("sh_set"))
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    doc_sets = widen_if_narrow(df).select(F.col(id_col), sh_array.alias("sh_set"))
     if persist_shingles:
         from pyspark.storagelevel import StorageLevel
 

@@ -70,7 +70,11 @@ class ManifestBM25Index:
         # branch — measured 3x the build's whole compute cost at sf0.1.
         # The base is bounded by the ingest batch (never the standing
         # index), so materializing it is safe at any corpus size.
-        base = docs.select(
+        from door2door_etl_spark.io.readers import widen_if_narrow
+
+        # Width-normalized BEFORE the checkpoint so the regex tokenize
+        # itself runs wide (the single-file test scan is one partition).
+        base = widen_if_narrow(docs).select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             tokens(F.col(self.text_col)).alias("_toks"),
         ).localCheckpoint(eager=True)

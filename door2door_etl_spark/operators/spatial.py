@@ -72,14 +72,24 @@ def knn_within_radius(
     from pyspark.sql import Window
 
     pairs = radius_self_join(df, id_col, x_col, y_col, radius)
+    # Symmetrize IN-ROW (explode of a 2-struct array): the union form
+    # evaluated the whole pair join once per orientation.
     sym = pairs.select(
-        F.col("id_a").alias("_pid"), F.col("id_b").alias("neighbor"), "dist"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("_pid"), F.col("id_a").alias("neighbor"),
-            "dist",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("_pid"),
+                    F.col("id_b").alias("neighbor"),
+                    F.col("dist").alias("dist"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("_pid"),
+                    F.col("id_a").alias("neighbor"),
+                    F.col("dist").alias("dist"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e._pid", "_e.neighbor", "_e.dist")
     w = Window.partitionBy("_pid").orderBy(
         F.col("dist").asc(), F.col("neighbor").asc()
     )
@@ -103,14 +113,21 @@ def radius_self_join(
     filter (see module doc for the scale argument).  The distance
     filter compares SQUARED distance against ``radius**2`` — pure
     IEEE multiply/add, engine-exact."""
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
     cell = float(radius)
-    base = df.select(
+    # Materialized ONCE (width-normalized, lineage-truncated): the point
+    # relation — typically hash-derived coordinates, sha-class per-row
+    # work — feeds BOTH join sides (base + the 9-cell probe expansion);
+    # without the checkpoint the upstream ran twice, single-core on a
+    # narrow scan.  Size is one row per point (id + 4 doubles).
+    base = widen_if_narrow(df).select(
         F.col(id_col).alias("_id"),
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
         F.floor(F.col(x_col) / cell).alias("_cx"),
         F.floor(F.col(y_col) / cell).alias("_cy"),
-    )
+    ).localCheckpoint(eager=True)
     probe = (
         base.select(
             F.col("_id").alias("_idb"),

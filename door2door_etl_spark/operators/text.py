@@ -212,6 +212,10 @@ def repetition_signals(
     integers and each fraction is a single integer→double division, so the
     result is bit-identical across engines."""
 
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    docs = widen_if_narrow(docs)
+
     def tag(n: int) -> Column:
         return F.transform(
             shingles(F.col(text_col), n),
@@ -270,7 +274,10 @@ def token_entropy(
     engines; same discipline as queries.defs.dsum).
 
     Scale: shuffles carry (id, token-hash-sized) keys and pre-aggregated
-    counts (map-side combine applies); nothing is collected.
+    counts (map-side combine applies); nothing is collected.  NOT
+    width-normalized: the per-row work is one tokenize (no hashing), so
+    the widen shuffle costs about what it saves (measured 1.5× WORSE
+    with the guard at sf0.1) — the first groupBy spreads the load.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -335,6 +342,10 @@ def unigram_logprob(
     Scale: two token-keyed aggregations (map-side combine) + one join of
     doc-token counts against the vocabulary (token-keyed shuffle, bounded
     by vocabulary size, uniform by construction) — nothing collected.
+    NOT width-normalized: the token relation feeds two aggregations
+    UNPERSISTED, so a widen repartition would run once per consumer and
+    the per-row work is one tokenize (no hashing) — the guard measured
+    net-negative on this shape (token_entropy's twin: 1.5× worse).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     corpus_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corpus"))
@@ -387,8 +398,11 @@ def bigram_backoff_logprob(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
     docs = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        widen_if_narrow(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
         .filter(F.size("_t") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -496,6 +510,9 @@ def cross_doc_duplicated_shingle_fraction(
     broadcast: at corpus scale it exceeds driver memory, and the sort-merge
     join on an 8-byte key is the durable plan.
     """
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    df = widen_if_narrow(df)
     h = F.sha2(F.col("s"), 256)
     h52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
     sh = df.select(
@@ -1170,6 +1187,9 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    df = widen_if_narrow(df)
     s = F.regexp_replace(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]", ""
     )
@@ -1237,19 +1257,29 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk: empty query")
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
     toks = tokens(F.col(text_col))
-    tok = docs.select(
+    # ONE tokenize (width-normalized, lineage-truncated): the corpus
+    # used to tokenize twice — once for the query-term postings, once
+    # for the avgdl statistic.  The base keeps only (id, dl, the
+    # query-filtered token occurrences), so the checkpoint is bounded
+    # by the query's postings, never the corpus token stream.
+    base = widen_if_narrow(docs).select(
         F.col(id_col),
         F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    ).filter(F.col("term").isin(*query_terms))
+        F.filter(toks, lambda t: t.isin(*query_terms)).alias("_qtoks"),
+    ).localCheckpoint(eager=True)
+    tok = base.select(
+        F.col(id_col), F.col("dl"), F.explode("_qtoks").alias("term")
+    )
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = docs.agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+        F.avg(F.when(F.col("dl").isNotNull(), F.col("dl"))).alias("avgdl"),
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -1640,9 +1670,12 @@ def kneser_ney_bigram_logprob(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
     d_lit = F.lit(float(discount))
     docs = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        widen_if_narrow(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
         .filter(F.size("_t") >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

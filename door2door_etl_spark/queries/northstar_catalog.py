@@ -947,7 +947,11 @@ LIMIT {ANN_K}
 # -- text analysis ----------------------------------------------------------
 
 def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    # Width-normalized: the feature battery is regex/token-dense per-row
+    # compute that would otherwise run on the single scan partition.
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    docs = widen_if_narrow(load_table(spark, sf, "documents"))
     col = F.col("text")
     return docs.select(
         "doc_id",

@@ -345,8 +345,18 @@ def q_interval_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q1 pricing summary: the flagship scan+agg."""
-    li = load_table(spark, sf, "lineitem")
+    """TPC-H Q1 pricing summary: the flagship scan+agg.
+
+    The scan is width-normalized (io.readers.widen_if_narrow): a
+    single-row-group file scans as ONE partition, which would run all
+    eight decimal aggregates on one core; the shipdate pushdown and
+    column pruning pass through the round-robin exchange unchanged, and
+    the exact-decimal sums (dsum/davg) are summation-order-free, so the
+    result is bit-identical.  Production multi-file scans skip the guard.
+    """
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    li = widen_if_narrow(load_table(spark, sf, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

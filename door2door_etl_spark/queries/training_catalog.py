@@ -236,7 +236,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     guarantee: est >= exact always).  The probe is a broadcast of the
     <= depth x width register table — the corpus is never rescanned
     (operators.sketches.cms_merge / cms_point_estimate)."""
-    toks = _doc_tokens(spark, sf)
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    # Materialized ONCE (width-normalized BEFORE the tokenize so the
+    # explode itself runs wide, lineage-truncated): the token relation
+    # feeds BOTH the sketch build (3 sha-hashes per token) and the exact
+    # top-k — the tokenize+explode otherwise ran twice on the single
+    # scan partition.
+    docs = widen_if_narrow(load_table(spark, sf, "documents"))
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=True)
     sketch = cms_merge(
         cms_sketch_table(toks, ["lang"], "token", depth=CMS_DEPTH, width=CMS_WIDTH),
         [],
