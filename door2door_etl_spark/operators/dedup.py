@@ -808,9 +808,14 @@ def _simhash_voted(
       of pure DRIVER time per call building ~1000 py4j objects, 4x the
       query's actual execution cost at sf0.1.
     """
+    from door2door_etl_spark.io.readers import widen_if_narrow
     from door2door_etl_spark.operators.text import tokens
 
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # Width-normalized: the md5-per-token vote battery is per-row-dense
+    # and the single-file test scan is one partition.
+    tok = widen_if_narrow(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     nib = tok.selectExpr(
         id_col,
         *[

@@ -52,14 +52,17 @@ _RANK_LOCAL_MAX_EDGES = 500_000
 def _rank_local_setup(nodes, trans, n_nodes, threshold_edges):
     """Gate + collect for the local rank iteration: returns
     ``(node_list, trans_rows)`` or ``None`` when the graph is above the
-    gate.  Costs one cache-scan count + two bounded collects below the
-    gate, one node-count comparison above it."""
+    gate.  The row-bound check and the transition collect are ONE
+    bounded action (``limit(threshold+1).collect()`` — never more than
+    threshold+1 rows cross to the driver); plus one bounded node
+    collect below the gate, one node-count comparison above it."""
     if not threshold_edges or n_nodes > _RANK_LOCAL_MAX_NODES:
         return None
-    if trans.count() > int(threshold_edges):
+    rows = trans.limit(int(threshold_edges) + 1).collect()
+    if len(rows) > int(threshold_edges):
         return None
     node_list = [r["node"] for r in nodes.collect()]
-    trans_rows = [(r["src"], r["dst"], r["p"]) for r in trans.collect()]
+    trans_rows = [(r["src"], r["dst"], r["p"]) for r in rows]
     return node_list, trans_rows
 
 

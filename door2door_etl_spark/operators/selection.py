@@ -60,7 +60,13 @@ def hashed_gram_rows(
     dim: int = 1024,
     salt: str = DSIR_SALT,
 ) -> DataFrame:
-    """(id, bucket, cnt): per-document hashed n-gram counts."""
+    """(id, bucket, cnt): per-document hashed n-gram counts.
+
+    Width-normalized at entry: the gram explode + sha bucketing is the
+    per-row-dense stage and callers persist the result once."""
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    docs = widen_if_narrow(docs)
     return (
         docs.select(
             F.col(id_col), F.explode(_grams(F.col(text_col))).alias("_g")
