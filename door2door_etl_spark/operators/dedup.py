@@ -808,12 +808,15 @@ def _simhash_voted(
       of pure DRIVER time per call building ~1000 py4j objects, 4x the
       query's actual execution cost at sf0.1.
     """
-    from door2door_etl_spark.io.readers import widen_if_narrow
     from door2door_etl_spark.operators.text import tokens
 
-    # Width-normalized: the md5-per-token vote battery is per-row-dense
-    # and the single-file test scan is one partition.
-    tok = widen_if_narrow(df).select(
+    # NOT width-normalized: one md5 per token is too light to pay a
+    # full-text shuffle for — interleaved min-of-3 A/B at sf0.1 measured
+    # the widened form at 2.05-2.19 s vs 1.42-1.58 s unwidened (the
+    # sha256-per-shingle MinHash family, ~an order of magnitude more hash
+    # work per row, is where widening wins).  At production width the
+    # guard would skip anyway, so widening only ever fired where it hurt.
+    tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     nib = tok.selectExpr(

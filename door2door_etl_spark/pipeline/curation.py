@@ -82,19 +82,24 @@ def curate_corpus(
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    cur = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    n_cur = cur.count()
+    # The raw input is consumed exactly once — by the fused map-side block
+    # below — and ``normalize`` is a 1:1 map, so the funnel's input count
+    # IS the block's ``_n_norm`` aggregate: no separate persist+count pass
+    # over the raw corpus (one full materialization fewer, and the raw
+    # bytes never occupy cache alongside the normalized copy).
+    cur = docs
     # The persisted relation each downstream stage reads; unpersisted only
     # after its successor is materialized (``cur`` itself may be a cheap
     # filtered VIEW of it after the fused map-side block below).
-    held = cur
+    held: DataFrame | None = None
 
     def advance(name: str, nxt: DataFrame) -> None:
         nonlocal cur, n_cur, held
         nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         n_nxt = nxt.count()
         stages.append((name, n_cur, n_nxt))
-        held.unpersist()
+        if held is not None:
+            held.unpersist()
         held = nxt
         cur, n_cur = nxt, n_nxt
 
@@ -128,16 +133,16 @@ def curate_corpus(
         aggs.append(F.count_if(quality_cond).alias("_n_quality"))
     staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = staged.agg(*aggs).collect()[0]
-    prev = n_cur
-    stages.append(("normalize", prev, counts["_n_norm"]))
+    # normalize is 1:1, so docs_in == docs_out == _n_norm — the separate
+    # input-count pass this used to take is definitionally redundant.
     prev = counts["_n_norm"]
+    stages.append(("normalize", prev, counts["_n_norm"]))
     if langs is not None:
         stages.append(("language_id", prev, counts["_n_lang"]))
         prev = counts["_n_lang"]
     if gopher:
         stages.append(("quality_rules", prev, counts["_n_quality"]))
         prev = counts["_n_quality"]
-    held.unpersist()
     held = staged
     keep_cond = None
     for c in conds:

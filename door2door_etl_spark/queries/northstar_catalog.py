@@ -1914,12 +1914,14 @@ def _synth_bmp_assets(docs: DataFrame) -> DataFrame:
             out["content"] = payloads
             yield out
 
-    # Width-normalize the key-only input (the jpeg-synth discipline):
-    # the single-file test tables scan as ONE partition, which would run
-    # every Arrow codec batch on one core; repartitioning 8-byte doc_id
-    # rows moves the decision bytes, never the synthesized payloads.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select("doc_id").repartition(par).mapInPandas(
+    # NOT width-normalized (unlike the jpeg/gif synths): a BMP here is
+    # 4-8 x 3-6 px (~100-200 B) and the pure-Python decode is a flat
+    # pixel-array walk, so total codec CPU at sf0.1 is well under the
+    # fan-out's fixed cost (2 mapInPandas stages x 32 tasks of Arrow
+    # framing + a shuffle).  Interleaved min-of-3 A/B measured the widened
+    # form at 1.43-1.54 s vs 0.71-0.82 s unwidened — the repartition only
+    # pays when per-row decode is heavy (gif LZW: 3.64 -> 0.93 s).
+    return docs.select("doc_id").mapInPandas(
         synth, "doc_id long, content binary"
     )
 
