@@ -51,6 +51,23 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime on this build — plans that depend
             # on it fail loudly later, which is the right place to see it.
             pass
+    # Scan-parallelism floor, derived from THIS session's cluster width
+    # (never a constant): without it, a mid-size table whose files
+    # bin-pack into a handful of 128 MB splits scans "narrow but large"
+    # — wide enough that splitting is free, narrow enough that
+    # io.readers.widen_if_narrow would fall back to a full round-robin
+    # shuffle of the data (measured: the 10x-tier lineitem packed into
+    # ~3 splits and tpch_q1 paid a 6M-row repartition, 2.5 s -> 54 s).
+    # With the floor, scans fan out to file/row-group granularity for
+    # free and the widen guard correctly skips.  Single-row-group test
+    # files are unaffected (parquet cannot split inside a row group).
+    try:
+        par = spark.sparkContext.defaultParallelism
+        key = "spark.sql.files.minPartitionNum"
+        if spark.conf.get(key, None) != str(par):
+            spark.conf.set(key, str(par))
+    except Exception:
+        pass
     return spark
 
 
