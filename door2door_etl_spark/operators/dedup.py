@@ -677,7 +677,19 @@ def connected_dedup_clusters(
     )
     edges = edges.localCheckpoint(eager=True)
     if local_threshold_edges and round_stats is None:
-        if edges.count() <= int(local_threshold_edges):
+        n_edges = edges.count()
+        # Engage the local path only when the BSP loop would PROVABLY
+        # have converged under the caller's round budget (pointer
+        # jumping's reach doubles per round, and the longest possible
+        # chain has at most n_edges hops, so ceil(log2(n)) + 1 rounds
+        # always suffice).  A budget below that keeps the BSP path so
+        # the documented incomplete-labeling contract (UserWarning /
+        # strict RuntimeError) still fires — the local exact answer
+        # must never silently out-converge the distributed twin.
+        import math
+
+        rounds_needed = math.ceil(math.log2(max(2, n_edges))) + 1
+        if n_edges <= int(local_threshold_edges) and max_iterations >= rounds_needed:
             rows = edges.collect()  # cache scan of the checkpoint
             labels_map = _components_local([(r["a"], r["b"]) for r in rows])
             from pyspark.sql.types import StructField, StructType
