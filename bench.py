@@ -310,12 +310,14 @@ def main() -> None:
     # artifact carrying the full per-query map; `queries` on stdout holds only
     # the slowest few so the line stays informative without ever growing
     # past the capture window.
+    cpus = spark.sparkContext.defaultParallelism
     full_record = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpus": cpus,
     }
     # Subset re-runs (`python bench.py <query> ...`) write a SIDE artifact:
     # letting them overwrite the rolling full map silently shrank it to the
@@ -323,8 +325,15 @@ def main() -> None:
     # full run.  Final per-round records (bench_results/*_final*.json) are
     # immutable history written ONLY by tools/record_final.py, which
     # refuses to overwrite; bench.py never writes one.
+    # The full-record path is KEYED BY CPU COUNT (and the record carries a
+    # "cpus" field): the driver benches the same HEAD at two core counts,
+    # and in round 12 the 8-core run overwrote the 32-core per-query
+    # record (VERDICT r12 "what's wrong" #1).  Two runs at different
+    # $SPARK_GRAFT_CPUS now leave two artifacts; stdout contract unchanged.
     suffix = "_subset" if subset else ""
-    artifact = REPO / "bench_results" / f"bench_full_sf{sf}{suffix}.json"
+    artifact = (
+        REPO / "bench_results" / f"bench_full_sf{sf}_c{cpus}{suffix}.json"
+    )
     assert "_final" not in artifact.name
     try:
         artifact.parent.mkdir(exist_ok=True)

@@ -969,6 +969,42 @@ class ManifestTable:
         pruned = spark.read.option("basePath", self.files_dir).parquet(*paths)
         return residual(self._apply_dvs(spark, pruned, man))
 
+    def read_keys(
+        self, spark: SparkSession, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Rows whose ``col`` equals ANY of ``values`` — the multi-key
+        point lookup.  Each key runs the same per-file pruning as an
+        equality :meth:`read_where` (range overlap + the ``bloom:<col>``
+        membership test), but the SURVIVING FILE SETS ARE UNIONED and
+        scanned ONCE with a residual ``isin`` filter: a per-key
+        ``read_where`` loop produces one parquet scan per key over
+        largely the same files (a 3-term BM25 query read the postings
+        three times), while this reads each surviving file exactly once.
+        Row set is identical to unioning the per-key reads (each row has
+        one ``col`` value, so the per-key row sets are disjoint)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"{self.root} has no committed manifest")
+        man = self.manifest(version)
+        vals = list(dict.fromkeys(values))
+
+        def residual(df: DataFrame) -> DataFrame:
+            return df.filter(F.col(col).isin(vals))
+
+        keep: set = set()
+        for v in vals:
+            keep.update(self._prune(man, {col: (v, v)}))
+        rels = [r for r in man["files"] if r in keep]
+        if not vals or not rels:
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            return residual(spark.createDataFrame([], schema))
+        paths = [os.path.join(self.files_dir, r) for r in rels]
+        pruned = spark.read.option("basePath", self.files_dir).parquet(*paths)
+        return residual(self._apply_dvs(spark, pruned, man))
+
     def export_snapshot(
         self,
         spark: SparkSession,

@@ -281,17 +281,21 @@ class ManifestBM25Index:
         if version is None:
             raise ValueError(f"{self.root}: no committed index")
         n_docs, avgdl = self.corpus_stats(version)
-        posts = None
-        # Order-preserving dedup: a duplicated query term would union its
-        # postings twice — doubling df_t and summing its weight twice —
-        # breaking exact parity with bm25_topk, whose isin() counts a
-        # repeated term once.
-        for t in dict.fromkeys(query_terms):
-            part = table.read_where(
-                self.spark, {"term": (t, t)}, version=version
-            ).filter(F.col("rel") == "post")
-            posts = part if posts is None else posts.unionByName(part)
-        posts = posts.select("term", "doc_id", "tf", "dl")
+        # ONE pruned scan for the whole query (ManifestTable.read_keys):
+        # each term still prunes files via term-range stats + bloom
+        # bitmaps, but the surviving files are read once with a residual
+        # isin() — the old per-term read_where loop scanned the postings
+        # once PER TERM (guide §1.2/§6; VERDICT r12 ask #3).  Term dedup
+        # is read_keys's own order-preserving dict.fromkeys: a duplicated
+        # query term must not double its postings (df_t and the summed
+        # weight would both double), matching bm25_topk's isin().
+        posts = (
+            table.read_keys(
+                self.spark, "term", list(query_terms), version=version
+            )
+            .filter(F.col("rel") == "post")
+            .select("term", "doc_id", "tf", "dl")
+        )
         # Merge-on-read removal: tombstoned docs drop out of the query's
         # postings here (bounded broadcast — tombstones are O(removed
         # docs) until apply_removals purges), and the folded stats
@@ -303,9 +307,19 @@ class ManifestBM25Index:
             .select("doc_id")
         )
         posts = posts.join(F.broadcast(tombs), "doc_id", "left_anti")
-        dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        # df_t as a per-term WINDOW count, not a groupBy + self-join: the
+        # join shape evaluated the pruned-postings subtree (scan + tomb
+        # anti-join) TWICE — once under the dfreq aggregate, once as the
+        # probe side — so the serve plan scanned the postings parquet
+        # twice per query.  The window computes the identical integer
+        # (surviving postings rows per term) over ONE scan.
+        from pyspark.sql import Window
+
         scored = (
-            posts.join(F.broadcast(dfreq), "term")
+            posts.withColumn(
+                "df_t",
+                F.count(F.lit(1)).over(Window.partitionBy("term")),
+            )
             .withColumn(
                 "idf",
                 F.log(

@@ -847,15 +847,14 @@ class ManifestVectorIndex:
             return self.spark.createDataFrame(
                 [], f"{self.id_col} long, cell int, cosine double"
             )
-        parts = [
-            table.read_where(self.spark, {"cell": (c, c)}, version).filter(
-                F.col("rel") == self.REL_VEC
-            )
-            for c in cells
-        ]
-        members = parts[0]
-        for p in parts[1:]:
-            members = members.unionByName(p)
+        # ONE pruned scan for all probed cells (ManifestTable.read_keys):
+        # per-cell file pruning is unchanged, but the surviving files are
+        # read once with a residual isin() instead of once per cell —
+        # the per-cell read_where loop paid nprobe scans over largely
+        # the same file set (guide §1.2/§6).
+        members = table.read_keys(
+            self.spark, "cell", cells, version=version
+        ).filter(F.col("rel") == self.REL_VEC)
         tombs = (
             table.read(self.spark, version=version)
             .filter(F.col("rel") == self.REL_TOMB)

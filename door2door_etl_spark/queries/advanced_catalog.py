@@ -2523,10 +2523,11 @@ def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     )
     table = ManifestTable(root)
     keys = [lo, lo + 17, hi]
-    out = table.read_where(spark, {"doc_id": (keys[0], keys[0])})
-    for k in keys[1:]:
-        out = out.unionByName(table.read_where(spark, {"doc_id": (k, k)}))
-    return out.orderBy("doc_id")
+    # ONE pruned scan for all three keys (ManifestTable.read_keys): each
+    # key still runs its own per-file bloom membership test, but the
+    # surviving files are read once with a residual isin() — the per-key
+    # read_where loop scanned them once per key (guide §1.2/§6).
+    return table.read_keys(spark, "doc_id", keys).orderBy("doc_id")
 
 
 SQL_BLOOM_POINT_LOOKUP = """

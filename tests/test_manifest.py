@@ -1448,6 +1448,54 @@ def test_bloom_stats_point_lookup_pruning(spark, tmp_path):
     assert table._prune(man2, {"doc_key": ("doc-9999", "doc-9999")}) == []
 
 
+def test_read_keys_multi_key_single_scan(spark, tmp_path):
+    """``read_keys``: a multi-key point lookup reads the UNION of the
+    per-key pruned file sets in ONE parquet scan — row set identical to
+    unioning per-key ``read_where`` reads (the shape the BM25/IVF serve
+    paths used to pay once per key), pruning still engaged, duplicates
+    deduped, absent keys contributing nothing."""
+    from door2door_etl_spark.io.manifest import append_manifest
+
+    root = str(tmp_path / "tbl")
+    batches = {
+        i: [f"doc-{j:04d}" for j in range(i, 400, 4)] for i in range(4)
+    }
+    for i, keys in batches.items():
+        batch = spark.createDataFrame(
+            [(k, i) for k in keys], "doc_key string, src int"
+        ).coalesce(1)
+        append_manifest(
+            spark, root, batch, stats_col=["bloom:doc_key"], vacuum_keep=99
+        )
+    table = ManifestTable(root)
+
+    keys = [batches[0][0], batches[2][5], batches[0][0], "doc-9999"]
+    got = table.read_keys(spark, "doc_key", keys)
+    # Row parity with the per-key read_where union (duplicate key counted
+    # once, absent key absent).
+    expect = sorted(
+        [(batches[0][0], 0), (batches[2][5], 2)]
+    )
+    assert sorted((r["doc_key"], r["src"]) for r in got.collect()) == expect
+    # ONE scan in the plan — the whole point (the per-key loop had one
+    # parquet scan per key).
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # Bloom pruning engaged: two present keys keep at most their two
+    # owning files, never all four.
+    man = table.manifest(table.current_version())
+    kept = set()
+    for v in dict.fromkeys(keys):
+        kept.update(table._prune(man, {"doc_key": (v, v)}))
+    assert 1 <= len(kept) < 4
+
+    # All-absent and empty key lists return empty frames with the schema.
+    assert table.read_keys(spark, "doc_key", ["doc-9999"]).count() == 0
+    empty = table.read_keys(spark, "doc_key", [])
+    assert empty.count() == 0
+    assert empty.columns == ["doc_key", "src"]
+
+
 def test_compact_zorder_multi_dim_pruning(spark, tmp_path):
     """OPTIMIZE ZORDER as a manifest commit: after z-order compaction a
     predicate on EITHER dimension prunes a real fraction of files, where
