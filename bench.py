@@ -278,19 +278,34 @@ def main() -> None:
         # isolated vs 50 s as query #18 without this).
         spark.sparkContext._jvm.System.gc()
         before = _jvm_stats(spark)
+        # The timed pass is split into BUILD (the query function call —
+        # lazy plan construction for most queries, but the eager on-disk
+        # fixture lifecycle for the index/time-travel rows: their
+        # build/commit actions run inside fn) and SERVE (forcing the
+        # returned frame).  The recorded total is unchanged; the split
+        # goes to stderr so boot-dependent /tmp write throughput stops
+        # masquerading as serve-plan regression (VERDICT r12 ask #6).
         t0 = time.time()
-        n = force(fn(spark, sf_dir))  # timed: steady-state execution
+        df = fn(spark, sf_dir)  # timed: fixture/build phase
+        t_build = time.time() - t0
+        n = force(df)  # timed: steady-state serve execution
         timings[name] = round(time.time() - t0, 3)
         after = _jvm_stats(spark)
         jvm_stats[name] = {
             "heap_used_mb": after["heap_used_mb"],
             "gc_count": after["gc_count"] - before["gc_count"],
             "gc_ms": after["gc_ms"] - before["gc_ms"],
+            "build_s": round(t_build, 3),
         }
+        split = (
+            f" [build {t_build:.3f}s / serve {timings[name] - t_build:.3f}s]"
+            if t_build >= 0.2
+            else ""
+        )
         print(
             f"# {name}: {timings[name]}s ({n} rows, "
             f"heap {after['heap_used_mb']:.0f} MB, "
-            f"gc +{jvm_stats[name]['gc_ms']} ms)",
+            f"gc +{jvm_stats[name]['gc_ms']} ms)" + split,
             file=sys.stderr,
         )
         # Release any operator-managed caches (e.g. the Jaccard shingle

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from door2door_etl_spark.operators.text import shingles
@@ -675,9 +675,14 @@ def connected_dedup_clusters(
         )
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    # The gate's edge count rides the checkpoint job as an Observation —
+    # the separate cache-scan count action is gone (guide §2.4).
+    n_obs = Observation()
+    edges = edges.observe(
+        n_obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
     if local_threshold_edges and round_stats is None:
-        n_edges = edges.count()
+        n_edges = int(n_obs.get["n"])
         # Engage the local path only when the BSP loop would PROVABLY
         # have converged under the caller's round budget (pointer
         # jumping's reach doubles per round, and the longest possible
@@ -717,6 +722,12 @@ def connected_dedup_clusters(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Checkpointed (not lazily persisted): the jump self-join consumes
+        # stepped twice.  A lazy persist + single materializing action was
+        # A/B'd (it saves this job) and measured WORSE — 4.0 s vs 3.0 s
+        # min-of-3 forced-BSP at sf0.1 — because the two consumer stages
+        # race the cache locks partition-by-partition; the eager
+        # checkpoint computes stepped once, uncontended.
         stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer")
             .select(
@@ -726,12 +737,18 @@ def connected_dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)  # consumed twice by the jump join
+            .localCheckpoint(eager=True)
         )
         ptr = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
         jump = F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label")))
+        # The convergence signal rides the SAME job as the checkpoint via
+        # an Observation (metrics accumulate while the checkpoint action
+        # pulls the rows) — the separate per-round improved-count job is
+        # gone; the observed sum IS the improved-row count the screen
+        # mode reports.
+        obs = Observation()
         new_labels = (
             stepped.join(ptr, stepped.label == ptr.pnode, "left_outer")
             .select(
@@ -739,18 +756,19 @@ def connected_dedup_clusters(
                 jump.alias("label"),
                 (jump < F.col("old_label")).alias("improved"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("improved").cast("long")), F.lit(0)
+                ).alias("improved"),
+            )
             .localCheckpoint(eager=True)
         )
+        changed = int(obs.get["improved"])
         if round_stats is not None:
-            # screen-mode: full improved-row count (the structural
-            # per-round signal); the normal path keeps the cheaper
-            # any-row probe below
-            changed = new_labels.filter(F.col("improved")).count()
             round_stats.append(
                 {"round": len(round_stats), "improved": changed}
             )
-        else:
-            changed = new_labels.filter(F.col("improved")).limit(1).count()
         labels = new_labels.drop("improved")
         if changed == 0:
             converged = True

@@ -314,6 +314,7 @@ def coverage_max_select(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    local_threshold_rows: int = 500_000,
 ) -> DataFrame:
     """Greedy maximum-coverage subset selection (the facility-location
     objective): pick ``k`` documents one at a time, each maximizing the
@@ -326,7 +327,11 @@ def coverage_max_select(
     selected set jointly SPANS.
 
     Distribution shape: the (doc, shingle) incidence relation is built
-    once (in-row shingling, one distinct) and checkpointed; each of the
+    once (in-row shingling, one distinct) and checkpointed; below
+    ``local_threshold_rows`` (one cache-scan count of that checkpoint;
+    0 disables) the k greedy rounds complete on the driver as exact
+    integer set arithmetic — bit-identical picks, property-tested —
+    instead of k jobs of scheduler latency.  Above the gate each of the
     k rounds is ONE job — a left-anti join against the covered set (the
     union of the picked docs' shingle slices of the checkpointed
     relation; duplicates are harmless to an anti join, so no distinct,
@@ -354,9 +359,56 @@ def coverage_max_select(
     )
     spark = docs.sparkSession
     id_type = sh.schema[id_col].dataType
+    out_rows: list[tuple] = []
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("step", IntegerType(), False),
+            StructField(id_col, id_type, False),
+            StructField("gain", LongType(), False),
+            StructField("covered_total", LongType(), False),
+        ]
+    )
+    # SMALL-RELATION COMPLETION (the module gate discipline; VERDICT
+    # r12 ask #8): the shingling, dedup and checkpoint — everything
+    # data-sized — stay in Spark; when the checkpointed incidence
+    # relation is broadcast-sized (one cache-scan count; 0 disables),
+    # the k greedy rounds run as exact Python-set arithmetic on the
+    # driver instead of k anti-join + aggregate + ordered-take jobs.
+    # Pure integer gains and the identical (gain DESC, id ASC)
+    # tie-break (ints, or strings in UTF-8 ≡ code-point order) —
+    # bit-identical picks, property-tested against the forced BSP loop.
+    if local_threshold_rows and sh.count() <= int(local_threshold_rows):
+        doc_sh: dict = {}
+        for r in sh.collect():
+            doc_sh.setdefault(r[id_col], set()).add(r["shingle"])
+        covered_set: set = set()
+        total = 0
+        for step in range(1, int(k) + 1):
+            best = None
+            for d, s in doc_sh.items():
+                gain = len(s - covered_set)
+                if gain <= 0:
+                    continue
+                key = (-gain, d)
+                if best is None or key < best[0]:
+                    best = (key, d, gain, s)
+            if best is None:
+                break
+            _, d, gain, s = best
+            covered_set |= s
+            total += gain
+            out_rows.append((step, d, gain, total))
+            del doc_sh[d]
+        return spark.createDataFrame(out_rows, out_schema)
     covered: DataFrame | None = None
     picked_ids: list = []
-    out_rows: list[tuple] = []
     for step in range(1, int(k) + 1):
         cand = sh
         if picked_ids:
@@ -378,21 +430,4 @@ def coverage_max_select(
         covered = new_cov if covered is None else covered.unionAll(new_cov)
         total = (out_rows[-1][3] if out_rows else 0) + int(r["gain"])
         out_rows.append((step, r[id_col], int(r["gain"]), total))
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    return spark.createDataFrame(
-        out_rows,
-        StructType(
-            [
-                StructField("step", IntegerType(), False),
-                StructField(id_col, id_type, False),
-                StructField("gain", LongType(), False),
-                StructField("covered_total", LongType(), False),
-            ]
-        ),
-    )
+    return spark.createDataFrame(out_rows, out_schema)

@@ -129,6 +129,40 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def _round6(x: float) -> float:
+    """Driver twin of Spark's ``F.round(double, 6)``: the Round
+    expression goes through ``BigDecimal.valueOf`` (Double.toString —
+    shortest repr, i.e. Python ``repr``) then HALF_UP at scale 6 —
+    the module-standard repr↔toString parity trick (see graph._d18)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _cosine_local(a: list, b: list) -> float:
+    """Driver twin of :func:`cosine_similarity`, operation for
+    operation: sequential left-fold dot and squared-norm accumulations
+    (each step one IEEE double op, same order as the codegen'd
+    ``aggregate``), ``sqrt`` (correctly rounded in both runtimes), then
+    ``dot / (norm_a * norm_b)`` in that association."""
+    import math
+
+    dot_acc = 0.0
+    for x, y in zip(a, b):
+        dot_acc = dot_acc + (x * y)
+    na = 0.0
+    for x in a:
+        na = na + (x * x)
+    nb = 0.0
+    for y in b:
+        nb = nb + (y * y)
+    return dot_acc / (math.sqrt(na) * math.sqrt(nb))
+
+
 def mmr_topk(
     df: DataFrame,
     query_id: int | None = None,
@@ -138,6 +172,7 @@ def mmr_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec: list[float] | None = None,
+    local_pool_threshold: int = 100_000,
 ) -> DataFrame:
     """Diverse top-k by Maximal Marginal Relevance (Carbonell &
     Goldstein, SIGIR'98): greedily pick the candidate maximizing
@@ -149,15 +184,21 @@ def mmr_topk(
     Pool-then-rerank shape (the FAISS/serving practice, and the 100 TB
     posture): the DISTRIBUTED stage is one corpus-wide scan taking the
     top-``pool`` candidates by rounded cosine (TakeOrderedAndProject —
-    no full sort), frozen with one localCheckpoint; the k greedy steps
-    then run over that bounded pool as tiny Spark jobs — each step
-    scores redundancy against the ≤k already-selected vectors as
-    LITERAL arrays (constant-folded; no join, no extra scan) and takes
-    one ordered row.  Driver state is k picked rows (dim-bounded, the
-    power-iteration discipline).  All comparisons use 6-decimal-rounded
-    doubles with the id as tie-break, so the selection is deterministic
-    and engine-portable; collected values round-trip binary-exactly
-    into the result frame (no Python arithmetic touches them).
+    no full sort).  When ``pool`` is under ``local_pool_threshold``
+    (the pool is driver-bounded BY CONSTRUCTION; 0 disables) the k
+    greedy steps run as driver arithmetic over the one collected pool —
+    a single Spark job total — mirroring the engine operation for
+    operation (sequential double folds, correctly-rounded sqrt,
+    BigDecimal-HALF_UP rounding), bit-identical selection,
+    property-tested against the forced Spark step loop.  Above the gate
+    (or on NaN scores from zero-norm vectors, which Spark orders as the
+    largest double) the pool is frozen with one localCheckpoint and
+    each step runs as a tiny Spark job — redundancy scored against the
+    ≤k already-selected vectors as LITERAL arrays (constant-folded; no
+    join, no extra scan), one ordered take per step.  Driver state is k
+    picked rows (dim-bounded, the power-iteration discipline).  All
+    comparisons use 6-decimal-rounded doubles with the id as tie-break,
+    so the selection is deterministic and engine-portable.
 
     Output: ``(step, <id_col>, rel, max_sim, mmr)`` — one row per pick,
     step 1..k, ``max_sim`` = 0.0 for the first pick by convention.
@@ -172,21 +213,90 @@ def mmr_topk(
         StructType,
     )
 
+    import math
+
     base, qcol = _query_column(df, query_id, query_vec, vec_col, id_col)
     if query_id is not None:
         base = base.filter(F.col(id_col) != F.lit(query_id))
-    pool_df = (
-        base.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("rel"),
-        )
-        .orderBy(F.desc("rel"), F.col(id_col))
-        .limit(int(pool))
-        .localCheckpoint(eager=True)
-    )
+    pool_plan = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("rel"),
+    ).orderBy(F.desc("rel"), F.col(id_col)).limit(int(pool))
     spark = df.sparkSession
     picked: list[tuple] = []   # (step, id, rel, max_sim, mmr)
+
+    # SMALL-POOL COMPLETION (the module gate discipline; VERDICT r12
+    # ask #8): the pool is driver-bounded BY CONSTRUCTION (limit(pool)),
+    # so when ``pool`` itself is under the gate the k greedy steps run
+    # as driver arithmetic over the ONE collected pool — one Spark job
+    # total instead of a checkpoint plus one ordered-take job per pick.
+    # The twin mirrors the engine operation for operation (sequential
+    # double folds, correctly-rounded sqrt, BigDecimal-HALF_UP round —
+    # see _cosine_local/_round6), so the selection is bit-identical;
+    # property-tested against the forced step-loop path.  NaN scores
+    # (zero-norm vectors) fall back to the Spark loop: Spark orders NaN
+    # as the largest double, Python tuples cannot.
+    local = 0 < int(pool) <= int(local_pool_threshold or 0)
+    rows0 = pool_plan.collect() if local else None
+    if rows0 is not None and not any(
+        r["rel"] is None or math.isnan(r["rel"]) for r in rows0
+    ):
+        mu = 1.0 - float(lam)
+        lamf = float(lam)
+        cand = [
+            (r[id_col], [float(x) for x in r[vec_col]], float(r["rel"]))
+            for r in rows0
+        ]
+        vecs_l: list[list] = []
+        nan_seen = False
+        for step in range(1, int(k) + 1):
+            if not cand:
+                break
+            best = None
+            for cid, cvec, rel in cand:
+                if vecs_l:
+                    sims = [_round6(_cosine_local(cvec, v)) for v in vecs_l]
+                    if any(math.isnan(s) for s in sims):
+                        nan_seen = True
+                        break
+                    maxsim = max(sims)
+                else:
+                    maxsim = 0.0
+                mmr = _round6(lamf * rel - mu * maxsim)
+                key = (-mmr, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, cvec, rel, maxsim, mmr)
+            if nan_seen:
+                break
+            _, cid, cvec, rel, maxsim, mmr = best
+            picked.append((step, cid, rel, maxsim, mmr))
+            vecs_l.append(cvec)
+            cand = [c for c in cand if c[0] != cid]
+        if not nan_seen:
+            id_type = pool_plan.schema[id_col].dataType
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            return spark.createDataFrame(
+                picked,
+                StructType(
+                    [
+                        StructField("step", IntegerType(), False),
+                        StructField(id_col, id_type, False),
+                        StructField("rel", DoubleType(), True),
+                        StructField("max_sim", DoubleType(), True),
+                        StructField("mmr", DoubleType(), True),
+                    ]
+                ),
+            )
+        picked = []  # NaN fallback: rerun the distributed step loop
+
+    pool_df = pool_plan.localCheckpoint(eager=True)
     vecs: list[list] = []
     remaining = pool_df
     for step in range(1, int(k) + 1):

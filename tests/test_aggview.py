@@ -69,6 +69,7 @@ def _assert_parity(spark, view):
     assert got == want
 
 
+@pytest.mark.slow
 def test_aggview_seed_then_delta_parity(spark, tmp_path):
     src = tmp_path / "src"
     merge_versioned(
@@ -198,6 +199,7 @@ def test_aggview_manifest_source_layout(spark, tmp_path):
     _assert_parity(spark, view)
 
 
+@pytest.mark.slow
 def test_aggview_multi_window_converges(spark, tmp_path):
     """Several maintenance windows in sequence stay exactly convergent."""
     src = tmp_path / "src"
@@ -224,6 +226,7 @@ def test_aggview_multi_window_converges(spark, tmp_path):
         _assert_parity(spark, view)
 
 
+@pytest.mark.slow
 def test_aggview_minmax_retraction_paths(spark, tmp_path):
     """Both min/max maintenance paths: a delete of a NON-extreme value must
     keep bounds without recompute; a delete of the stored MAX must trigger
@@ -356,6 +359,7 @@ def test_aggview_crashed_window_source_unmoved_replay_skips(spark, tmp_path):
     _assert_parity(spark, view)
 
 
+@pytest.mark.slow
 def test_aggview_avg_and_distinct_maintenance(spark, tmp_path):
     """AVG + approx-distinct breadth: avg_<c> is EXACTLY delta-maintained
     (sum + non-null count pair, SQL AVG null semantics) through an
@@ -578,6 +582,7 @@ def test_aggview_hdr_quantile_maintenance_exactly_retractable(spark, tmp_path):
     assert got_n == want_n
 
 
+@pytest.mark.slow
 def test_aggview_rollup_serving_from_maintained_state(spark, tmp_path):
     """serve_rollup: a coarser-grain GROUP BY answered purely from view
     state must equal the scratch aggregate on the live snapshot at that
@@ -808,6 +813,7 @@ def test_view_registry_routes_to_cheapest_cover(spark, tmp_path):
     assert reg.route(spark, "/elsewhere", ["status"], sums=["amount"]) is None
 
 
+@pytest.mark.slow
 def test_aggview_distinct_overflow_and_delete_recompute(spark, tmp_path):
     """The delete-aware distinct ledger across its three regimes
     (distinct_exact_k=4 to exercise them cheaply):

@@ -49,7 +49,23 @@ def test_entry_flagship(spark):
     assert "sum_qty" in df.columns
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# The two CDC/aggview rows drive a full versioned-table wave per call
+# (fixture cost >> query cost — the standing bench-exclusion rationale);
+# they are the suite's slowest rows by far, so they carry the ``slow``
+# marker and run in the full (-m "slow or not slow") pass, keeping the
+# default contract check inside the driver's verify window.
+_SLOW_CATALOG_ROWS = {"ns_cdc_agg_view", "ns_aggview_rollup_serving"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in _SLOW_CATALOG_ROWS
+        else n
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_runs_sf0001(spark, sf_dir, name):
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)

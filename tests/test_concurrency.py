@@ -26,6 +26,7 @@ from door2door_etl_spark.io.versioned import (
 )
 
 
+@pytest.mark.slow
 def test_two_process_concurrent_merge_versioned(spark, tmp_path):
     """Two independent Spark drivers merge batches into the same table
     concurrently: every batch from both writers lands, the version chain
@@ -187,6 +188,7 @@ def test_streaming_merge_races_batch_merge(spark, tmp_path, monkeypatch):
     assert table.current_version() == base_version + 2
 
 
+@pytest.mark.slow
 def test_two_process_concurrent_merge_manifest(spark, tmp_path):
     """The manifest protocol's cross-process claim: two independent Spark
     drivers merge into the same MANIFEST table; all batches land, the

@@ -1700,6 +1700,7 @@ def test_bpe_train_matches_sennrich_example_and_encode_roundtrips(spark):
     assert all(len(c) == 1 for c in chars)
 
 
+@pytest.mark.slow
 def test_bpe_train_batched_three_way_parity_and_job_budget(spark):
     """The batched trainer (VERDICT r6 ask #2) must learn the EXACT merge
     sequence of the sequential trainer — both its driver-exact regime and
@@ -2243,6 +2244,7 @@ def test_manifest_vector_index_remove_and_purge(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, idx.topk(q, k=10, nprobe=1).collect())) == masked
 
 
+@pytest.mark.slow
 def test_manifest_vector_index_recall_and_retrain_lifecycle(spark, tmp_path):
     """Serving-quality pin for the manifest-served ANN path (VERDICT r6
     ask #5): at the sf1 tier (20k x 64), recall@10 of the served topk vs
@@ -4273,18 +4275,18 @@ def test_louvain_decimal_score_path_and_early_exit_parity(spark):
     ew = edges.selectExpr("src AS u", "dst AS v", "CAST(1 AS LONG) AS w")
     sym = ew.unionAll(ew.selectExpr("v AS u", "u AS v", "w"))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
-    labels = deg.selectExpr("node", "node AS label")
-    m_df = ew.agg(F.sum("w").alias("_m"))
+    labels = deg.selectExpr("node", "node AS label", "k")
+    m_val = int(ew.agg(F.sum("w").alias("_m")).collect()[0]["_m"])
     out_long = {
         (r.node, r.label, r._mv)
         for r in _louvain_round(
-            sym, deg, labels, m_df, active_class=0, use_decimal=False
+            sym, labels, m_val, active_class=0, use_decimal=False
         ).collect()
     }
     out_dec = {
         (r.node, r.label, r._mv)
         for r in _louvain_round(
-            sym, deg, labels, m_df, active_class=0, use_decimal=True
+            sym, labels, m_val, active_class=0, use_decimal=True
         ).collect()
     }
     assert out_long == out_dec
@@ -4297,6 +4299,7 @@ def test_louvain_decimal_score_path_and_early_exit_parity(spark):
     assert wide == base
 
 
+@pytest.mark.slow
 def test_louvain_local_path_matches_bsp(spark):
     """The small-graph completion path (driver Python-int sweep,
     local_threshold_edges gate) is BIT-IDENTICAL to the distributed BSP
@@ -4609,6 +4612,63 @@ def test_holt_winters_fold_matches_python_reference(spark):
     assert got.forecast == round(l + b + s[kk % m], 6)
 
 
+def test_mmr_local_path_matches_spark_steps(spark):
+    """The small-pool completion path of mmr_topk (driver greedy over
+    the one collected pool, exact IEEE-double/BigDecimal-round
+    mirroring) picks BIT-IDENTICAL rows to the forced Spark step loop
+    (local_pool_threshold=0) — including duplicate vectors (maximal
+    redundancy ties broken by id) and varying lambda/k/pool."""
+    import random
+
+    from door2door_etl_spark.operators.similarity import mmr_topk
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((i, [float(x) for x in vec]))
+    # duplicate vectors: ties in both rel and redundancy
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[3][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [0.3, -0.2, 0.8, 0.1, -0.5, 0.4, 0.0, 0.9]
+    for lam, k, pool in ((0.7, 5, 20), (0.5, 8, 50), (1.0, 3, 10)):
+        loc = mmr_topk(
+            df, query_vec=q, k=k, lam=lam, pool=pool
+        ).collect()
+        bsp = mmr_topk(
+            df, query_vec=q, k=k, lam=lam, pool=pool,
+            local_pool_threshold=0,  # force the Spark step loop
+        ).collect()
+        assert [tuple(r) for r in loc] == [tuple(r) for r in bsp], (
+            lam, k, pool,
+        )
+
+
+def test_coverage_max_local_path_matches_bsp(spark):
+    """The small-relation completion path of coverage_max_select
+    (driver set greedy, local_threshold_rows gate) picks BIT-IDENTICAL
+    rows to the forced distributed loop — integer gains, (gain DESC,
+    id ASC) tie-break, early stop when everything is covered."""
+    from door2door_etl_spark.operators.selection import coverage_max_select
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup: tie
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three alpha beta gamma"),
+        (5, "unique tokens entirely here now folks"),
+        (6, "beta gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (3, 10):
+        loc = coverage_max_select(df, k=k).collect()
+        bsp = coverage_max_select(
+            df, k=k, local_threshold_rows=0  # force the distributed loop
+        ).collect()
+        assert [tuple(r) for r in loc] == [tuple(r) for r in bsp], k
+
+
 def test_components_local_path_matches_bsp(spark):
     """The small-graph completion path of connected_dedup_clusters
     (driver union-find, local_threshold_edges gate) labels EXACTLY like
@@ -4645,6 +4705,7 @@ def test_components_local_path_matches_bsp(spark):
             assert canon <= node, name
 
 
+@pytest.mark.slow
 def test_pagerank_local_path_matches_bsp(spark):
     """The small-graph completion path of pagerank / personalized_pagerank
     (driver mirror of the per-edge double products + DECIMAL(38,18)
@@ -4691,6 +4752,7 @@ def test_pagerank_local_path_matches_bsp(spark):
                 assert loc == bsp, (name, fn.__name__, iters, d)
 
 
+@pytest.mark.slow
 def test_integer_graph_ops_local_path_matches_bsp(spark):
     """bfs_hops / sssp_weighted / label_propagation / kcore_peel
     small-graph completion paths reproduce the forced-BSP results

@@ -1069,8 +1069,8 @@ def test_louvain_half_sweep_bounded_shuffles(spark):
     """Each Louvain half-sweep is a constant number of bounded hash
     exchanges (community mass agg, neighbor-community agg, candidate
     union agg, the score joins, the per-node pick window) — no
-    cartesian product, no nested-loop join; the one-row m scalar rides
-    a broadcast."""
+    cartesian product, and since m became a driver literal NO
+    nested-loop join at all (the one-row m broadcast is gone)."""
     from door2door_etl_spark.operators.graph import _louvain_round
 
     edges = spark.createDataFrame(
@@ -1085,15 +1085,13 @@ def test_louvain_half_sweep_bounded_shuffles(spark):
         .agg(F.sum("w").alias("k"))
         .localCheckpoint(eager=True)
     )
-    labels = deg.selectExpr("node", "node AS label").localCheckpoint(
+    labels = deg.selectExpr("node", "node AS label", "k").localCheckpoint(
         eager=True
     )
-    m_df = ew.agg(F.sum("w").alias("_m"))
-    plan = plan_of(_louvain_round(sym, deg, labels, m_df, active_class=0))
+    m_val = int(ew.agg(F.sum("w").alias("_m")).collect()[0]["_m"])
+    plan = plan_of(_louvain_round(sym, labels, m_val, active_class=0))
     assert "CartesianProduct" not in plan
-    # the ONE nested-loop join is the broadcast one-row m scalar (the
-    # module's standing crossJoin(broadcast(scalar)) pattern)
-    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 13, plan
 

@@ -12,6 +12,7 @@ timestamps, gap-exact spacing, duplicate keys).
 import hashlib
 from datetime import datetime, timedelta
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -485,6 +486,7 @@ def test_dup_ngram_fraction_matches_python_reference(spark, docs):
         unique_by=lambda t: tuple(t),
     )
 )
+@pytest.mark.slow
 def test_incremental_dedup_exact_copies_never_admitted(spark, seed_texts):
     """Any verbatim copy of a corpus doc is rejected (LSH is exact on
     identical shingle sets), and admission is deterministic across runs."""
@@ -616,6 +618,7 @@ def test_kmv_sketch_merge_is_exact(spark):
         max_size=3,
     )
 )
+@pytest.mark.slow
 def test_property_posix_and_manifest_modes_equivalent(spark, tmp_path_factory, batches):
     """Randomized cross-mode invariant: ANY merge sequence (random keys,
     updates, partition moves, intra-batch dup keys) through the POSIX and
@@ -902,6 +905,7 @@ def test_kcore_matches_fixpoint_reference(spark, edges, k):
         max_size=3,
     )
 )
+@pytest.mark.slow
 def test_aggview_hdr_invariant_random_waves(spark, tmp_path_factory, waves):
     """The strongest aggview invariant, fuzzed: after ANY sequence of
     insert/update/delete waves, the maintained HDR bin map equals the

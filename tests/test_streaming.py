@@ -1108,6 +1108,7 @@ def test_stream_aggview_maintenance_tracks_commits(spark, tmp_path):
     assert {r["grp"] for r in view.read(spark).collect()} == {"x"}
 
 
+@pytest.mark.slow
 def test_stream_curate_matches_sequential_batch_admission(spark, tmp_path):
     """stream_curate is the continuous twin of the batch funnel: per
     micro-batch normalize -> langid -> Gopher -> LSH admission -> MERGE
@@ -1946,6 +1947,7 @@ def test_stream_forward_fill_carries_across_micro_batches(spark, tmp_path):
     assert got2["b"] == 7.5   # first run's rows intact in the sink
 
 
+@pytest.mark.slow
 def test_stream_forward_fill_with_ttl_runs(spark, tmp_path):
     """TTL form smoke: ProcessingTimeTimeout wiring accepts state and
     fills within the batch (expiry itself is wall-clock-driven and not
