@@ -70,11 +70,14 @@ class ManifestBM25Index:
         # branch — measured 3x the build's whole compute cost at sf0.1.
         # The base is bounded by the ingest batch (never the standing
         # index), so materializing it is safe at any corpus size.
-        from door2door_etl_spark.io.readers import widen_if_narrow
-
-        # Width-normalized BEFORE the checkpoint so the regex tokenize
-        # itself runs wide (the single-file test scan is one partition).
-        base = widen_if_narrow(docs).select(
+        # NO width normalization here — the round-12 widen was A/B'd
+        # this round and measured a LOSS (min-of-3 lifecycle 2.74 s
+        # unwidened vs 3.14 s widened at sf0.1): the full-text shuffle
+        # costs more than the spread tokenize saves, and the widened
+        # base fanned the doc-ledger/tombstone branches into one tiny
+        # commit-stat-bearing file per core.  A multi-file production
+        # ingest batch arrives wide from the scan anyway.
+        base = docs.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             tokens(F.col(self.text_col)).alias("_toks"),
         ).localCheckpoint(eager=True)
@@ -129,7 +132,16 @@ class ManifestBM25Index:
             F.lit(None).cast("long").alias("n_tokens"),
             F.lit(None).cast("long").alias("n_text_docs"),
         )
-        return posts.unionByName(stat).unionByName(docrows)
+        # REBALANCE the ledger branch before the write (guide §6): the
+        # 16-byte/row doc ledger INHERITED the width-normalized base's
+        # partitioning and came out as one tiny file PER CORE — each
+        # paying driver-side footer stats + bloom + move at commit
+        # (measured: the whole build went 3.3 -> 2.4 s at sf0.1 once the
+        # doc/tomb branches stopped fanning out).  AQE sizes the shuffle
+        # output by bytes, so a billion-doc batch still gets properly
+        # sized files — unlike a hard coalesce(1).  The postings branch
+        # needs nothing: its groupBy shuffle is already AQE-coalesced.
+        return posts.unionByName(stat).unionByName(docrows.hint("rebalance"))
 
     def _commit(self, docs: DataFrame, tag: str | None = None) -> int:
         from door2door_etl_spark.io.manifest import append_manifest
@@ -236,7 +248,11 @@ class ManifestBM25Index:
         return append_manifest(
             self.spark,
             self.root,
-            neg.unionByName(tombs),
+            # rebalance: the tombstone rows inherit the checkpointed
+            # doomed relation's full width (one tiny file per core,
+            # each with commit-time footer stats) — same fix as the
+            # doc-ledger branch in _unified.
+            neg.unionByName(tombs.hint("rebalance")),
             partition_col="rel",
             stats_col=["term", "bloom:term"],
         )

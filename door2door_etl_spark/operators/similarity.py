@@ -1093,7 +1093,11 @@ class ManifestVectorIndex:
         return append_manifest(
             self.spark,
             self.root,
-            neg.unionByName(tombs),
+            # rebalance: tombstone rows inherit the checkpointed doomed
+            # relation's scan width — without it every core emits a tiny
+            # commit-stat-bearing tombstone file (the BM25 index's
+            # measured fan-out fix, applied to the sibling operator).
+            neg.unionByName(tombs.hint("rebalance")),
             partition_col="rel",
             stats_col=["cell"],
         )

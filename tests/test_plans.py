@@ -1153,3 +1153,44 @@ def test_mmr_pool_is_ordered_take(spark, sf001):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_widen_floor_scan_splits_not_shuffles(spark, tmp_path):
+    """The widen/scan-floor interaction pin (the round-12 54 s tpch_q1
+    cliff): ensure_runtime_confs floors spark.sql.files.minPartitionNum
+    at the session's defaultParallelism, so a mid-size MULTI-FILE table
+    arrives at full width by SPLITTING at the scan and widen_if_narrow
+    SKIPS — no round-robin exchange above the scan.  A single-file
+    single-row-group table (the test-tier shape, unsplittable inside a
+    row group) still gets the round-robin widen, with filter pushdown
+    passing through it to the scan below.  Pins both regimes so a
+    future conf change cannot silently re-introduce the cliff."""
+    from door2door_etl_spark.io.readers import widen_if_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    # the floor itself (ensure_runtime_confs ran at session build)
+    assert spark.conf.get("spark.sql.files.minPartitionNum") == str(par)
+
+    # multi-file regime: files >= width -> scan splits, guard skips
+    multi = str(tmp_path / "multi")
+    spark.range(100_000).withColumn("v", F.col("id") % 7).repartition(
+        par * 2
+    ).write.parquet(multi)
+    df = spark.read.parquet(multi)
+    assert df.rdd.getNumPartitions() >= par
+    widened = widen_if_narrow(df)
+    assert "RoundRobinPartitioning" not in plan_of(widened), plan_of(widened)
+
+    # single-file regime: one row group -> guard repartitions; pushdown
+    # passes through the exchange to the scan
+    single = str(tmp_path / "single")
+    spark.range(10_000).withColumn("v", F.col("id") % 7).coalesce(
+        1
+    ).write.parquet(single)
+    narrow = spark.read.parquet(single)
+    assert narrow.rdd.getNumPartitions() < par
+    w2 = widen_if_narrow(narrow).filter(F.col("v") > F.lit(3))
+    plan = plan_of(w2)
+    assert "RoundRobinPartitioning" in plan, plan
+    fmt = formatted(w2)
+    assert "PushedFilters" in fmt and "GreaterThan(v,3)" in fmt, fmt
